@@ -1,0 +1,304 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{load => T}
+
+/** The generic relational query surface (SURVEY.md §2.2): the reference's
+  * CRUD/query semantics generalized to a full analytical API — joins,
+  * windows, rollups, set ops, scalar/date/JSON functions — expressed purely
+  * with Spark built-ins so Catalyst supplies pushdown, pruning, join
+  * strategy selection, whole-stage codegen and AQE.
+  *
+  * Scale posture per query is noted inline; the general rules:
+  *  - dimension tables (region, nation) are `broadcast()` — replicated hash
+  *    joins, no shuffle of the fact side;
+  *  - fact-fact joins (orders ⋈ lineitem) shuffle on the join key once and
+  *    AQE re-plans skew at runtime;
+  *  - all aggregates are partial (map-side combine) before the shuffle.
+  */
+object Relational {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1-style scan-heavy aggregate: one scan, partial agg, tiny
+    * shuffle (|groups| = 6). The shape that must not regress at 100 TB.
+    */
+  private val q1: Q = (s, d) =>
+    T(s, d, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp_ntz(lit("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style: dim filter → fact join → agg → top-k. customer is
+    * broadcast (small side); orders ⋈ lineitem shuffles on orderkey.
+    */
+  private val q3: Q = (s, d) => {
+    val c = T(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = T(s, d, "orders")
+    val l = T(s, d, "lineitem")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style multi-join: snowflake dims broadcast down onto the fact
+    * scan; one shuffle for the final group-by on nation.
+    */
+  private val q5: Q = (s, d) => {
+    val r = T(s, d, "region").filter(col("r_name") === "ASIA")
+    val n = T(s, d, "nation")
+    val c = T(s, d, "customer")
+    val o = T(s, d, "orders")
+    val l = T(s, d, "lineitem")
+    val sup = T(s, d, "supplier")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        .as("revenue"))
+  }
+
+  /** Left-semi join: EXISTS — customers with at least one order. */
+  private val joinSemi: Q = (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Left-anti join: NOT EXISTS — customers with no orders. */
+  private val joinAnti: Q = (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+
+  /** Global top-k: TakeOrderedAndProject — no full sort at scale. */
+  private val sortTopk: Q = (s, d) =>
+    T(s, d, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** Per-group top-k via row_number window: one shuffle on the group key. */
+  private val windowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    T(s, d, "orders")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+  }
+
+  /** Running (prefix) sum per key — sequential within partition, so the
+    * floating-point fold order is deterministic and engine-independent.
+    */
+  private val windowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    T(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(w), 2).as("running_value"))
+  }
+
+  /** ROLLUP over the region → nation hierarchy. */
+  private val rollupAgg: Q = (s, d) =>
+    T(s, d, "customer")
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(T(s, d, "region")),
+        col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("acctbal"))
+
+  /** Set op: EXCEPT (distinct) — nations with customers but no suppliers. */
+  private val setopExcept: Q = (s, d) =>
+    T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .except(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** Set op: INTERSECT — nations with both customers and suppliers. */
+  private val setopIntersect: Q = (s, d) =>
+    T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .intersect(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** DISTINCT (exact dedup on a projection). */
+  private val distinctSegments: Q = (s, d) =>
+    T(s, d, "customer").select(col("c_mktsegment")).distinct()
+
+  /** Scalar string/math/conditional function sampler — all codegen'd
+    * built-ins, no UDFs.
+    */
+  private val scalarFuncs: Q = (s, d) =>
+    T(s, d, "customer").select(
+      col("c_custkey"),
+      upper(col("c_name")).as("uname"),
+      length(col("c_name")).cast("long").as("name_len"),
+      substring(col("c_name"), 1, 8).as("prefix"),
+      round(abs(col("c_acctbal")), 1).as("mag"),
+      when(col("c_acctbal") < 0, "neg").otherwise("pos").as("sign"))
+
+  /** JSON field extraction from the events `props` payload. */
+  private val jsonExtract: Q = (s, d) =>
+    T(s, d, "events").select(
+      col("event_id"),
+      get_json_object(col("props"), "$.k").cast("long").as("k"))
+
+  /** GROUP BY + HAVING. */
+  private val havingAgg: Q = (s, d) =>
+    T(s, d, "events").groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .filter(col("n") > 5)
+
+  /** CASE WHEN bucketing + aggregate. */
+  private val caseBucket: Q = (s, d) =>
+    T(s, d, "orders")
+      .select(when(col("o_totalprice") < 1000, "low")
+        .when(col("o_totalprice") < 10000, "mid")
+        .otherwise("high").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+
+  /** Aggregate function breadth: min/max/avg/stddev/count-distinct. */
+  private val aggStats: Q = (s, d) =>
+    T(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(
+        round(min(col("l_quantity")), 2).as("min_qty"),
+        round(max(col("l_quantity")), 2).as("max_qty"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        countDistinct(col("l_partkey")).as("n_parts"))
+
+  /** Date/time function breadth: calendar grouping. */
+  private val dateFuncs: Q = (s, d) =>
+    T(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> q1,
+    "q3_topk_revenue" -> q3,
+    "q5_nation_revenue" -> q5,
+    "join_semi" -> joinSemi,
+    "join_anti" -> joinAnti,
+    "sort_topk" -> sortTopk,
+    "window_rank" -> windowRank,
+    "window_running" -> windowRunning,
+    "rollup_agg" -> rollupAgg,
+    "setop_except" -> setopExcept,
+    "setop_intersect" -> setopIntersect,
+    "distinct_segments" -> distinctSegments,
+    "scalar_funcs" -> scalarFuncs,
+    "json_extract" -> jsonExtract,
+    "having_agg" -> havingAgg,
+    "case_bucket" -> caseBucket,
+    "agg_stats" -> aggStats,
+    "date_funcs" -> dateFuncs,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(avg(l_discount), 4) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_topk_revenue" ->
+      """SELECT o_orderkey,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "join_semi" ->
+      "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "join_anti" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "sort_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
+    "window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "window_running" ->
+      """SELECT event_id, user_id,
+        |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events""".stripMargin,
+    "rollup_agg" ->
+      """SELECT r_name, n_name, count(*) AS n_customers,
+        |  round(sum(c_acctbal), 2) AS acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "setop_except" ->
+      "SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
+    "setop_intersect" ->
+      "SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
+    "distinct_segments" ->
+      "SELECT DISTINCT c_mktsegment FROM customer",
+    "scalar_funcs" ->
+      """SELECT c_custkey, upper(c_name) AS uname, length(c_name) AS name_len,
+        |  substr(c_name, 1, 8) AS prefix, round(abs(c_acctbal), 1) AS mag,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg' ELSE 'pos' END AS sign
+        |FROM customer""".stripMargin,
+    "json_extract" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    "having_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id HAVING count(*) > 5""".stripMargin,
+    "case_bucket" ->
+      """SELECT bucket, count(*) AS n FROM (
+        |  SELECT CASE WHEN o_totalprice < 1000 THEN 'low'
+        |              WHEN o_totalprice < 10000 THEN 'mid'
+        |              ELSE 'high' END AS bucket FROM orders)
+        |GROUP BY bucket""".stripMargin,
+    "agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(min(l_quantity), 2) AS min_qty,
+        |  round(max(l_quantity), 2) AS max_qty,
+        |  round(avg(l_quantity), 4) AS avg_qty,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "date_funcs" ->
+      """SELECT year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY year(o_orderdate), month(o_orderdate)""".stripMargin,
+  )
+}
