@@ -20,12 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    ReferenceOps.queries ++ Relational.queries
+    ReferenceOps.queries ++ Relational.queries ++
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
     * get the driver's weaker rows-only check (and a scalatest oracle here).
     */
   def oracleSql: Map[String, String] =
-    ReferenceOps.oracles ++ Relational.oracles
+    ReferenceOps.oracles ++ Relational.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles
 }

@@ -1,0 +1,256 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{load => T}
+
+/** Deduplication operators for large-scale training-data pipelines
+  * (north-star Ext1, SURVEY.md §2): exact, MinHash+LSH, SimHash and
+  * n-gram-Jaccard over the `documents` table, embedding-cosine near-dup
+  * over `embeddings`.
+  *
+  * Design for 100 TB:
+  *  - exact dedup is a hash group-by — one shuffle on the content hash;
+  *  - MinHash signatures are map-side-combinable `min()` aggregates over
+  *    exploded shingles (partial agg before the shuffle);
+  *  - LSH banding turns the O(n²) pair problem into an equi-join on band
+  *    keys — only same-bucket docs are ever paired;
+  *  - SimHash banding (4 bands of 8 bits) gives *guaranteed* recall for
+  *    hamming distance ≤ 3 by pigeonhole while staying an equi-join;
+  *  - the only deliberately bounded operator is the exact-Jaccard audit
+  *    (`dedup_ngram_jaccard`), capped to doc_id < 300 — at scale you run it
+  *    on LSH candidates, never all pairs.
+  *
+  * Hash functions are built from `md5` so the DuckDB oracle can reproduce
+  * them exactly; the same shapes run with `xxhash64` when oracle parity is
+  * not needed (cheaper, see [[graft.functions.TextFunctions]]).
+  */
+object Dedup {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Words of a document: whitespace tokenization. */
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Distinct word-3-gram shingles as (doc_id, shingle) rows.
+    * `element_at` is 1-based, matching DuckDB `ws[i]`.
+    */
+  private def shingleRows(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"),
+        explode(when(size(col("ws")) >= 3,
+          transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ", element_at(col("ws"), i),
+              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .otherwise(array())).as("shingle"))
+      .distinct()
+
+  /** Exact dedup: group on content hash; keep the smallest doc_id. */
+  private val exact: Q = (s, d) =>
+    T(s, d, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  private val NumHashes = 8
+  private val Bands = 4 // of 2 minhashes each
+
+  /** MinHash+LSH near-dup candidates: shingle → NumHashes independent
+    * minhashes (min over md5(seed:shingle)) → band keys → equi-join on
+    * (band, key) → distinct candidate pairs.
+    */
+  private val minhashLsh: Q = (s, d) => {
+    val sh = shingleRows(T(s, d, "documents"))
+    val minCols = (0 until NumHashes).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")))
+        .as(s"h$i"))
+    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val bands = sig.select(col("doc_id"),
+      explode(array((0 until Bands).map(b => struct(
+        lit(b).as("band"),
+        md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+          .cast("binary")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard audit over a bounded doc prefix.
+    * At scale this runs on LSH candidates; the doc_id < 300 cap here keeps
+    * the demonstration all-pairs join bounded at every SF.
+    */
+  private val ngramJaccard: Q = (s, d) => {
+    val sh = shingleRows(T(s, d, "documents").filter(col("doc_id") < 300))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  private val SimBits = 32 // 8 md5 hex digits
+  private val SimBands = 4 // of 8 bits: pigeonhole ⇒ full recall for dist ≤ 3
+  private val HexDigits = "0123456789abcdef"
+
+  /** Per-token md5 hex digit value j (0-based), as an int 0..15. */
+  private def hexDigit(h: Column, j: Int): Column =
+    conv(substring(h, j + 1, 1), 16, 10).cast("int")
+
+  /** SimHash near-dup pairs: frequency-weighted 32-bit simhash per doc,
+    * banded 4×8 bits for candidate generation, exact hamming ≤ 3 filter.
+    */
+  private val simhash: Q = (s, d) => {
+    val tok = T(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"), md5(col("w").cast("binary")).as("h"))
+      .select(col("doc_id") +:
+        (0 until SimBits / 4).map(j => hexDigit(col("h"), j).as(s"d$j")): _*)
+    val sumCols = (0 until SimBits).map { b =>
+      val bit = (col(s"d${b / 4}") / lit(1 << (b % 4))).cast("int") % 2
+      sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
+    }
+    val sums = tok.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
+    val sig = sums.select(col("doc_id"),
+      (0 until SimBits).map(b =>
+        when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+    val bands = sig.select(col("doc_id"), col("simhash"),
+      explode(array((0 until SimBands).map(b => struct(
+        lit(b).as("band"),
+        ((col("simhash") / lit(1L << (8 * b))).cast("long") % 256)
+          .as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val l = bands.select(col("doc_id").as("a_id"),
+      col("simhash").as("sim_a"), col("band"), col("key"))
+    val r = bands.select(col("doc_id").as("b_id"),
+      col("simhash").as("sim_b"), col("band"), col("key"))
+    l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long")
+          .as("dist"))
+      .distinct()
+      .filter(col("dist") <= 3)
+  }
+
+  /** Embedding-cosine near-dup pairs. The all-pairs form is the audit
+    * shape; the scale path is [[Similarity]]'s bucketed ANN. Threshold
+    * 0.4 sits in a gap of the data's similarity distribution.
+    */
+  private val embeddingCosine: Q = (s, d) => {
+    import graft.functions.VectorFunctions._
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("sim", cosine(col("va"), col("vb")))
+      .filter(col("sim") >= 0.4)
+      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dedup_exact" -> exact,
+    "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_ngram_jaccard" -> ngramJaccard,
+    "dedup_simhash" -> simhash,
+    "dedup_embedding_cosine" -> embeddingCosine,
+  )
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  /** Whitespace regex rendered as a plain `\s+` for SQL embedding (the
+    * s-interpolator would reject the bare backslash escape).
+    */
+  private val WsRe = "\\s+"
+
+  private val shingleCte =
+    """w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+      |      FROM documents),
+      |sh AS (SELECT DISTINCT doc_id,
+      |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+      |       FROM w, unnest(generate_series(1, len(ws) - 2)) t(i))""".stripMargin
+
+  private val minhashOracle: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_bands
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
+  }
+
+  private val jaccardOracle: String =
+    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '$WsRe') AS ws
+       |           FROM documents WHERE doc_id < 300),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+       |       FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |          FROM sh a JOIN sh b
+       |            ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+       |FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+       |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin
+
+  private val simhashOracle: String = {
+    val digits = (0 until SimBits / 4)
+      .map(j => s"strpos('$HexDigits', substr(h, ${j + 1}, 1)) - 1 AS d$j")
+      .mkString(", ")
+    val sums = (0 until SimBits).map { b =>
+      s"sum(CASE WHEN (d${b / 4} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(", ")
+    val hash = (0 until SimBits)
+      .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
+      .mkString(" + ")
+    val bandRows = (0 until SimBands)
+      .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (8 * b)}) % 256 AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, md5(t.w) AS h
+       |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '$WsRe')) AS w
+       |        FROM documents) t),
+       |dig AS (SELECT doc_id, $digits FROM tok),
+       |sums AS (SELECT doc_id, $sums FROM dig GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
+       |bands AS ($bandRows)
+       |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS dist
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_simhash" -> simhashOracle,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+  )
+}

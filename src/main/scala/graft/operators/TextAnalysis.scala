@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{load => T}
+
+/** Text-analysis operators for training-data pipelines (north-star Ext3):
+  * token counting, quality scoring, language identification and document
+  * fingerprinting over the `documents` table.
+  *
+  * Everything is built from codegen'd string/array built-ins — a single
+  * scan, no shuffle at all (fully map-side): the ideal 100 TB shape.
+  */
+object TextAnalysis {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Stopword-ish marker sets per language for the n-gram/stopword
+    * heuristic language ID. Deterministic tie-break: priority order below.
+    */
+  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "et", "les", "des"),
+    "de" -> Seq("der", "die", "und", "das", "ist"),
+  )
+
+  private def markerCount(ws: Column, markers: Seq[String]): Column =
+    size(filter(ws, w => w.isin(markers.map(lit): _*))).cast("long")
+
+  /** Token count: whitespace tokenization (the BPE-ish regex variant is
+    * [[tokenCountRegex]] in the Scala API; same shape, different splitter).
+    */
+  private val tokenCount: Q = (s, d) =>
+    T(s, d, "documents").select(
+      col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_tokens"),
+      length(col("text")).cast("long").as("n_chars_computed"))
+
+  /** Quality scoring: length stats + stopword ratio. All ratios are exact
+    * rationals of integer counts, so cross-engine double equality holds.
+    */
+  private val quality: Q = (s, d) => {
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("long")
+    val nStop = markerCount(ws, langMarkers.flatMap(_._2).distinct)
+    val nNonSpace = length(regexp_replace(col("text"), "\\s", ""))
+      .cast("long")
+    T(s, d, "documents").select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nStop.as("n_stopwords"),
+      round(nStop.cast("double") / nWords, 4).as("stop_ratio"),
+      round(nNonSpace.cast("double") / nWords, 4).as("avg_word_len"))
+  }
+
+  /** Language ID: argmax of per-language marker counts with fixed
+    * priority order on ties.
+    */
+  private val langid: Q = (s, d) => {
+    val ws = words(col("text"))
+    val scores = langMarkers.map { case (l, m) => l -> markerCount(ws, m) }
+    val best = scores.tail.foldLeft[Column](lit(scores.head._1)) {
+      case (acc, (l, sc)) =>
+        // l wins only if strictly greater than all earlier scores
+        when(scores.takeWhile(_._1 != l).map(_._2).reduce(greatest(_, _)) < sc,
+          lit(l)).otherwise(acc)
+    }
+    T(s, d, "documents").select(
+      col("doc_id") +:
+        (scores.map { case (l, sc) => sc.as(s"score_$l") } :+
+          best.as("lang_guess")): _*)
+  }
+
+  /** Document fingerprint: md5 of the canonical form (lower-cased,
+    * whitespace-collapsed). Robust to case/spacing-only edits.
+    */
+  private val fingerprint: Q = (s, d) =>
+    T(s, d, "documents").select(
+      col("doc_id"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        .cast("binary")).as("fingerprint"))
+
+  val queries: Map[String, Q] = Map(
+    "text_token_count" -> tokenCount,
+    "text_quality" -> quality,
+    "text_langid" -> langid,
+    "text_fingerprint" -> fingerprint,
+  )
+
+  // ---- DuckDB oracles -----------------------------------------------------
+
+  private def sqlMarkerCount(markers: Seq[String]): String =
+    s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
+      s"w -> w IN (${markers.map(m => s"'$m'").mkString(", ")})))"
+
+  private val langidOracle: String = {
+    val scoreCols = langMarkers
+      .map { case (l, m) => s"${sqlMarkerCount(m)} AS score_$l" }
+      .mkString(",\n  ")
+    // same fold as the Spark side: later language wins only on strictly
+    // greater score than the running max of earlier ones
+    val best = langMarkers.tail.foldLeft(s"'${langMarkers.head._1}'") {
+      case (acc, (l, _)) =>
+        val earlier = langMarkers.takeWhile(_._1 != l)
+          .map(x => s"score_${x._1}")
+        val maxEarlier =
+          if (earlier.size == 1) earlier.head
+          else s"greatest(${earlier.mkString(", ")})"
+        s"CASE WHEN $maxEarlier < score_$l THEN '$l' ELSE $acc END"
+    }
+    s"""SELECT doc_id, score_en, score_es, score_fr, score_de,
+       |  $best AS lang_guess
+       |FROM (SELECT doc_id, $scoreCols FROM documents)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "text_token_count" ->
+      ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
+        "length(text) AS n_chars_computed FROM documents"),
+    "text_quality" ->
+      s"""SELECT doc_id, n_words, n_stopwords,
+         |  round(n_stopwords * 1.0 / n_words, 4) AS stop_ratio,
+         |  round(n_nonspace * 1.0 / n_words, 4) AS avg_word_len
+         |FROM (SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |  ${sqlMarkerCount(langMarkers.flatMap(_._2).distinct)} AS n_stopwords,
+         |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+         |FROM documents)""".stripMargin,
+    "text_langid" -> langidOracle,
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
+  )
+}
