@@ -21,7 +21,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ Relational.queries ++
-      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries
+      Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
+      Multimodal.queries ++ StreamingQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -29,5 +30,6 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     ReferenceOps.oracles ++ Relational.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles
+      Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
+      Multimodal.oracles ++ StreamingQueries.oracles
 }

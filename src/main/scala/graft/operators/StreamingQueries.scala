@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.Tables.{load => T}
+import graft.streaming.AlertPipeline
+
+/** The live pipeline (SURVEY.md §3.1) exercised end-to-end as a real
+  * Structured Streaming job and exposed through the batch-query contract:
+  * the events table is replayed through `readStream` → stateful
+  * K2/K3 routing → memory sink, and the final in-progress set is returned.
+  *
+  * Because the state machine's fold (last-writer-wins by event time) is
+  * confluent, the result equals the batch window query — so this query
+  * shares k23's DuckDB oracle: the streaming execution is hash-checked
+  * against SQL semantics, which is the strongest correctness statement the
+  * gate can make about the stateful path.
+  */
+object StreamingQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val counter = new AtomicInteger()
+
+  private val streamInProgress: Q = (s, d) => {
+    val name = s"graft_stream_${counter.incrementAndGet()}"
+    // ask the reader for raw nanos (LongType, via nanosAsLong) and rebuild
+    // the NTZ timestamp exactly as Tables.load does for batch reads
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    // the file streaming source wants a directory; glob-select the table
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val events = AlertPipeline.eventsTableAsAlerts(s,
+      raw.withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
+    val q = AlertPipeline.updates(events, ttlSeconds = None)
+      .writeStream.outputMode("update")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // The memory table holds one update row per key per batch; keep each
+    // key's newest update, then the live ones form the in-progress set.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("timestamp").desc, col("eventId").desc)
+    s.table(name)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("status") === "live")
+      .select(col("id").cast("long").as("user_id"),
+        col("eventId").cast("long").as("last_event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "stream_inprogress" -> streamInProgress,
+  )
+
+  /** Identical oracle to k23_inprogress_set — the streaming pipeline must
+    * agree with the declarative window-query semantics.
+    */
+  val oracles: Map[String, String] = Map(
+    "stream_inprogress" -> ReferenceOps.oracles("k23_inprogress_set"),
+  )
+}
