@@ -44,43 +44,59 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
-  private val Planes = 8
+  private val Tables = 6 // hash tables (L)
+  private val PlanesPerTable = 4 // hyperplanes per table (m)
+  private val Dims = 64
 
-  /** Deterministic pseudo-random hyperplanes: component d of plane p is
-    * derived from xxhash64 of (p, d) — reproducible across runs and
-    * cluster layouts, no driver-side randomness.
+  /** Deterministic pseudo-random hyperplanes (table t, plane p,
+    * component d): a seeded hash folded to [-1, 1] — reproducible across
+    * runs and cluster layouts, no driver-side randomness to ship.
     */
-  private def planeComponent(p: Int, dim: Int) = {
-    // xxhash64 of the (p, dim) pair folded to [-1, 1)
-    val h = xxhash64(lit(p), lit(dim))
-    (h % 1000000).cast("double") / 1000000.0
+  private def planeComponent(t: Int, p: Int, d: Int): Double = {
+    val h = scala.util.hashing.MurmurHash3
+      .productHash((t, p, d), seed = 42)
+    (h.toDouble / Int.MaxValue)
   }
 
-  /** Sign-LSH bucket signature for a vector column (array<double>). */
-  def lshSignature(v: org.apache.spark.sql.Column, dims: Int)
+  /** Sign-LSH bucket key for hash table `t`: the m-bit sign pattern of
+    * the vector's projections onto table t's hyperplanes.
+    */
+  def lshBucket(v: org.apache.spark.sql.Column, t: Int)
       : org.apache.spark.sql.Column =
-    (0 until Planes).map { p =>
-      val proj = (0 until dims).map(dim =>
-        element_at(v, dim + 1) * planeComponent(p, dim)).reduce(_ + _)
-      when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+    (0 until PlanesPerTable).map { p =>
+      val proj = (0 until Dims).map(d =>
+        element_at(v, d + 1) * lit(planeComponent(t, p, d))).reduce(_ + _)
+      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
     }.reduce(_ + _)
 
-  /** ANN: bucket corpus + queries by sign-LSH signature, exact-rerank
-    * within the bucket. Rows-only check (recall vs brute force in tests).
+  /** ANN via multi-table sign-LSH: each vector lands in one bucket per
+    * hash table; candidates = corpus vectors sharing *any* table's bucket
+    * with the query (union over L tables — the standard recall amplifier:
+    * a true neighbor is missed only if it differs in every table).
+    * Exact cosine rerank inside the candidate set. The corpus side is an
+    * equi-join on (table, bucket) — sub-linear candidates at scale, no
+    * all-pairs product. Recall vs brute force is pinned in
+    * DedupSimilaritySpec (the hyperplane construction has no DuckDB
+    * equivalent, so this is a rows-only query for the gate).
     */
   private val annLsh: Q = (s, d) => {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val dims = 64
-    val bucketed = e.withColumn("bucket", lshSignature(col("v"), dims))
+    val bucketed = e.select(col("vec_id"), col("v"),
+      explode(array((0 until Tables).map(t => struct(
+        lit(t).as("t"), lshBucket(col("v"), t).as("bucket"))): _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
     val q = bucketed.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket"))
-    val joined = bucketed.join(broadcast(q), Seq("bucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"),
+        col("bucket"))
+    val candidates = bucketed.join(broadcast(q), Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .distinct() // union over tables
       .withColumn("sim", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
-    joined.withColumn("rank", row_number().over(w).cast("long"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
         round(col("sim"), 4).as("sim"))

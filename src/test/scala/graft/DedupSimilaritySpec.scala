@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Similarity}
+
+/** Property-level checks for the non-oracle (or probabilistic) dedup and
+  * similarity operators — the guarantees the DuckDB gate can't express.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  import spark.implicits._
+
+  test("minhash LSH candidates include every pair with jaccard >= 0.9") {
+    val truth = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "testdata should contain planted near-dups")
+    val candidates = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.subsetOf(candidates),
+      s"missed: ${truth -- candidates}")
+  }
+
+  test("simhash: near-identical docs collide, hamming pairs are symmetric-free") {
+    val pairs = Dedup.queries("dedup_simhash")(spark, sf)
+      .select("a_id", "b_id", "dist").as[(Long, Long, Long)].collect()
+    assert(pairs.forall { case (a, b, d) => a < b && d >= 0 && d <= 3 })
+    // the planted near-dups (jaccard>=0.9) should be among simhash pairs
+    val planted = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val simPairs = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.intersect(simPairs).nonEmpty)
+  }
+
+  test("exact dedup keeps one representative per distinct content") {
+    val total = Tables.load(spark, sf, "documents").count()
+    val dedup = Dedup.queries("dedup_exact")(spark, sf)
+    assert(dedup.count() <= total)
+    assert(dedup.agg(sum("n_dups")).head.getLong(0) == total)
+  }
+
+  test("ANN LSH reaches recall@5 >= 0.3 against brute force") {
+    val truth = Similarity.queries("sim_topk_bruteforce")(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ann = Similarity.queries("sim_ann_lsh")(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ann.intersect(truth).size.toDouble / truth.size
+    info(f"ANN recall@5 = $recall%.2f (6 tables x 4 planes)")
+    assert(recall >= 0.3)
+    // every ANN neighbor must at least be a real vector pair, ranked sanely
+    assert(ann.forall { case (q, n) => q != n })
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import graft.functions.VectorFunctions._
+    val e = Tables.load(spark, sf, "embeddings").limit(10)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val sims = e.select(cosine(col("v"), col("v")).as("s"))
+      .as[Double].collect()
+    assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
+  }
+}

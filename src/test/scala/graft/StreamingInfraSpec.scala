@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model.MetagameEvent
+import graft.streaming._
+
+/** K1 publish sink + A2/A3 observability, driven end-to-end through
+  * writeStream (the reference's RabbitMQ publish + Prometheus metrics).
+  */
+class StreamingInfraSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(id: String, ts: Double): MetagameEvent =
+    MetagameEvent(id, 1, "started", 17, 1, 40, 30, 20, 25, ts)
+
+  test("publish sink delivers every event as wire JSON") {
+    val qname = s"pub_${System.nanoTime()}"
+    val mem = MemoryStream[MetagameEvent](spark)
+    mem.addData(Seq(ev("17-1", 1000), ev("17-2", 2000)))
+    val q = Sinks.publishStream(mem.toDS(), InMemoryPublisher(qname)).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = InMemoryPublisher.queue(qname).toArray
+      .map(_.asInstanceOf[(String, String)])
+    assert(got.length == 2)
+    assert(got.forall(_._1 == Sinks.RoutingKey))
+    assert(got.exists(_._2.contains("\"id\":\"17-1\"")))
+  }
+
+  test("observe() metrics: total_events counter and last_event_time gauge") {
+    Metrics.reset()
+    val listener = new Observability.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val mem = MemoryStream[MetagameEvent](spark)
+      val name = s"obs_${System.nanoTime()}"
+      val q = Observability.observed(mem.toDS().toDF())
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .start()
+      try {
+        mem.addData(Seq(ev("17-1", 1000), ev("17-2", 2500)))
+        q.processAllAvailable()
+        mem.addData(Seq(ev("17-3", 3000)))
+        q.processAllAvailable()
+      } finally q.stop()
+      // listener callbacks are async; poll briefly
+      val deadline = System.currentTimeMillis() + 10000
+      while (Metrics.snapshot.getOrElse("total_events", 0.0) < 3.0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val m = Metrics.snapshot
+      assert(m("total_events") == 3.0)
+      assert(m("last_event_time") == 3000.0)
+    } finally spark.streams.removeListener(listener)
+  }
+}
