@@ -149,12 +149,17 @@ object Dedup {
     */
   private val embeddingCosine: Q = (s, d) => {
     import graft.functions.VectorFunctions._
+    // norms are precomputed once per vector (not once per pair): the
+    // pairwise hot path is a single codegen'd dot product
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"))
+      .withColumn("nrm", norm2(col("v")))
+    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"))
     a.join(b, col("a_id") < col("b_id"))
-      .withColumn("sim", cosine(col("va"), col("vb")))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.4)
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }

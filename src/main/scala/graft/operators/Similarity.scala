@@ -58,16 +58,11 @@ object Similarity {
     (h.toDouble / Int.MaxValue)
   }
 
-  /** Sign-LSH bucket key for hash table `t`: the m-bit sign pattern of
-    * the vector's projections onto table t's hyperplanes.
+  /** The full plane tensor [table][plane][dim], shipped to executors as a
+    * referenced object inside [[graft.functions.SignLshBuckets]].
     */
-  def lshBucket(v: org.apache.spark.sql.Column, t: Int)
-      : org.apache.spark.sql.Column =
-    (0 until PlanesPerTable).map { p =>
-      val proj = (0 until Dims).map(d =>
-        element_at(v, d + 1) * lit(planeComponent(t, p, d))).reduce(_ + _)
-      when(proj >= 0, lit(1 << p)).otherwise(lit(0))
-    }.reduce(_ + _)
+  private lazy val planeTensor: Array[Array[Array[Double]]] =
+    Array.tabulate(Tables, PlanesPerTable, Dims)(planeComponent)
 
   /** ANN via multi-table sign-LSH: each vector lands in one bucket per
     * hash table; candidates = corpus vectors sharing *any* table's bucket
@@ -83,16 +78,23 @@ object Similarity {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val bucketed = e.select(col("vec_id"), col("v"),
-      explode(array((0 until Tables).map(t => struct(
-        lit(t).as("t"), lshBucket(col("v"), t).as("bucket"))): _*)).as("tb"))
-      .select(col("vec_id"), col("v"), col("tb.t"), col("tb.bucket"))
+      posexplode(graft.functions.VectorExpressions
+        .sign_lsh_buckets(col("v"), planeTensor)).as(Seq("t", "bucket")))
     val q = bucketed.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("t"),
         col("bucket"))
-    val candidates = bucketed.join(broadcast(q), Seq("t", "bucket"))
+    // dedup the candidate union on ids only (never shuffle the vectors as
+    // grouping keys), then re-attach vectors for the exact rerank
+    val candidateIds = bucketed.select(col("vec_id"), col("t"), col("bucket"))
+      .join(broadcast(q.select(col("q_id"), col("t"), col("bucket"))),
+        Seq("t", "bucket"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("qv"), col("vec_id"), col("v"))
+      .select(col("q_id"), col("vec_id"))
       .distinct() // union over tables
+    val candidates = candidateIds
+      .join(e, Seq("vec_id"))
+      .join(broadcast(e.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        Seq("q_id"))
       .withColumn("sim", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
