@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.ConcurrentSkipListMap
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** S1 — the ESS event feed as a DataSource V2 streaming source
+  * (SURVEY.md §2 S1, §7 step 4): the Spark-native replacement for the
+  * reference's `auraxium.EventClient` websocket subscription
+  * (`/root/reference/ess_client.py:121-125`).
+  *
+  * {{{
+  * spark.readStream.format("ess")
+  *   .option("channel", "census")        // feed identity
+  *   .load()                             // => (seq LONG, value STRING, arrival TIMESTAMP)
+  * }}}
+  *
+  * Rows are raw JSON frames; `MetagameEvent.fromJson` projects them into
+  * the typed event (P1). The event-type subscription filter (F1) rides in
+  * the subscribe message — filtering at the source exactly like the
+  * reference's trigger registration.
+  *
+  * Architecture: a [[FrameTransport]] feeds frames into a per-channel
+  * [[FrameBuffer]]; the [[EssMicroBatchStream]] exposes buffer sequence
+  * numbers as offsets — ranges of them form micro-batches, `commit`
+  * prunes everything at or below the committed offset. Replay between
+  * `latestOffset` and `commit` gives the same at-least-once guarantee as
+  * the reference's persistent publish (SURVEY.md §6).
+  *
+  * Scale note: like Spark's built-in socket/rate sources, ingest lands on
+  * the driver and ships to executors inside the planned partitions — the
+  * right shape for the reference's feed (tens of events/sec globally).
+  * A firehose-scale feed should land in Kafka and use that source; this
+  * source's job is protocol parity, not bulk transport.
+  */
+class EssSourceProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "ess"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EssSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EssTable(new CaseInsensitiveStringMap(properties))
+}
+
+object EssSource {
+  val schema: StructType = StructType(Seq(
+    StructField("seq", LongType, nullable = false),
+    StructField("value", StringType, nullable = false),
+    StructField("arrival", TimestampType, nullable = false)))
+}
+
+private[sources] class EssTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val channel = options.getOrDefault("channel", "default")
+
+  override def name(): String = s"ess:$channel"
+  override def schema(): StructType = EssSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new Scan {
+      override def readSchema(): StructType = EssSource.schema
+      override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        new EssMicroBatchStream(channel, opts)
+    }
+}
+
+/** Offset = highest buffered sequence number consumed (exclusive end). */
+case class EssOffset(seq: Long) extends Offset {
+  override def json(): String = seq.toString
+}
+
+private[sources] class EssMicroBatchStream(
+    channel: String, options: CaseInsensitiveStringMap)
+    extends MicroBatchStream {
+
+  private val buffer = EssFeeds.buffer(channel)
+
+  // open the transport if the query configured one (live mode); tests
+  // push frames straight into the buffer instead
+  private val transport: Option[AutoCloseable] =
+    Option(options.get("wsUri")).map { uri =>
+      FrameTransport.webSocket(uri, Option(options.get("subscribe")))
+        .connect(buffer.push)
+    }
+
+  override def initialOffset(): Offset = EssOffset(buffer.firstSeq)
+
+  override def latestOffset(): Offset = EssOffset(buffer.lastSeq)
+
+  override def deserializeOffset(json: String): Offset =
+    EssOffset(json.toLong)
+
+  override def planInputPartitions(
+      start: Offset, end: Offset): Array[InputPartition] = {
+    val frames = buffer.range(
+      start.asInstanceOf[EssOffset].seq, end.asInstanceOf[EssOffset].seq)
+    // frames travel inside the serialized partition to the executors
+    Array(EssInputPartition(frames))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => new PartitionReader[InternalRow] {
+      private val it =
+        partition.asInstanceOf[EssInputPartition].frames.iterator
+      private var current: (Long, String, Long) = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow =
+        InternalRow(current._1, UTF8String.fromString(current._2),
+          current._3)
+      override def close(): Unit = ()
+    }
+
+  override def commit(end: Offset): Unit =
+    buffer.truncate(end.asInstanceOf[EssOffset].seq)
+
+  override def stop(): Unit = transport.foreach(_.close())
+}
+
+/** (seq, payload, arrival micros) triples shipped to executors. */
+case class EssInputPartition(frames: Array[(Long, String, Long)])
+    extends InputPartition
+
+/** Per-channel frame buffer: sequence-numbered, replayable between
+  * latestOffset and commit. JVM-global so the driver-side transport and
+  * the stream share state (the same pattern MemoryStream uses).
+  */
+class FrameBuffer {
+  private val frames = new ConcurrentSkipListMap[Long, (String, Long)]()
+  private val seq = new AtomicLong(0L)
+
+  def push(frame: String): Unit = {
+    val s = seq.incrementAndGet()
+    frames.put(s, (frame, System.currentTimeMillis() * 1000))
+  }
+
+  def firstSeq: Long =
+    if (frames.isEmpty) seq.get() else frames.firstKey() - 1
+
+  def lastSeq: Long = seq.get()
+
+  /** Frames with start < seq <= end, in order. */
+  def range(start: Long, end: Long): Array[(Long, String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    frames.subMap(start, false, end, true).entrySet().asScala
+      .map(e => (e.getKey, e.getValue._1, e.getValue._2)).toArray
+  }
+
+  /** Drop everything at or below the committed sequence number. */
+  def truncate(upTo: Long): Unit =
+    frames.headMap(upTo, true).clear()
+}
+
+/** Registry of live feeds — push point for transports and tests. */
+object EssFeeds {
+  private val buffers = new ConcurrentHashMap[String, FrameBuffer]()
+  def buffer(channel: String): FrameBuffer =
+    buffers.computeIfAbsent(channel, _ => new FrameBuffer)
+  def push(channel: String, frame: String): Unit = buffer(channel).push(frame)
+}
+
+/** Transport abstraction: how frames arrive. Production = a websocket
+  * (JDK 11+ built-in client, no extra dependency — the stand-in for the
+  * reference's `websockets` library); tests = direct pushes via
+  * [[EssFeeds.push]].
+  */
+trait FrameTransport {
+  /** Start delivering frames to `onFrame`; close() unsubscribes. */
+  def connect(onFrame: String => Unit): AutoCloseable
+}
+
+object FrameTransport {
+
+  /** `java.net.http.WebSocket` transport. Sends `subscribe` (the ESS
+    * subscription JSON carrying the event-type filter, F1) once the
+    * socket opens — mirroring `ess_client.py:124` trigger registration.
+    */
+  def webSocket(uri: String, subscribe: Option[String]): FrameTransport =
+    onFrame => {
+      val client = java.net.http.HttpClient.newHttpClient()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val sb = new StringBuilder
+        override def onText(ws: java.net.http.WebSocket,
+            data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          sb.append(data)
+          if (last) { onFrame(sb.toString()); sb.clear() }
+          ws.request(1)
+          null
+        }
+      }
+      val ws = client.newWebSocketBuilder()
+        .buildAsync(java.net.URI.create(uri), listener).join()
+      subscribe.foreach(s => ws.sendText(s, true))
+      () => ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+    }
+}
