@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ StreamingQueries.queries
+      Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -31,5 +31,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceOps.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ StreamingQueries.oracles
+      Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles
 }

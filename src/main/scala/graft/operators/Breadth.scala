@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.{load => T}
+
+/** Second relational breadth tier: pivot, grouping sets, scalar
+  * subqueries, UNION ALL, cross join, array/regexp functions, the salted
+  * two-phase aggregation pattern, and approximate sketches. Some run
+  * through `spark.sql` on registered views to exercise the SQL surface
+  * alongside the DataFrame API.
+  */
+object Breadth {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val EventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot: per-user event-type count matrix. */
+  private val pivot: Q = (s, d) =>
+    T(s, d, "events").groupBy(col("user_id"))
+      .pivot("event_type", EventTypes).agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+
+  /** GROUPING SETS via the SQL surface. */
+  private val groupingSets: Q = (s, d) => {
+    T(s, d, "customer").createOrReplaceTempView("customer_v")
+    T(s, d, "nation").createOrReplaceTempView("nation_v")
+    s.sql("""
+      SELECT n_name, c_mktsegment, count(*) AS n
+      FROM customer_v JOIN nation_v ON c_nationkey = n_nationkey
+      GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""")
+  }
+
+  /** Scalar subquery: customers above the average balance. */
+  private val subqueryScalar: Q = (s, d) => {
+    T(s, d, "customer").createOrReplaceTempView("customer_v")
+    s.sql("""
+      SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer_v
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v)""")
+  }
+
+  /** UNION ALL with provenance tag. */
+  private val unionAll: Q = (s, d) =>
+    T(s, d, "customer")
+      .select(col("c_custkey").as("key"), lit("customer").as("src"))
+      .unionAll(T(s, d, "supplier")
+        .select(col("s_suppkey").as("key"), lit("supplier").as("src")))
+
+  /** Cross join of two small dims (explicit cartesian). */
+  private val crossJoinSmall: Q = (s, d) =>
+    T(s, d, "region").select(col("r_name"))
+      .crossJoin(T(s, d, "customer").select(col("c_mktsegment")).distinct())
+
+  /** Array-function sampler over tokenized documents. */
+  private val arrayFuncs: Q = (s, d) => {
+    val ws = split(trim(col("text")), "\\s+")
+    T(s, d, "documents").select(
+      col("doc_id"),
+      size(ws).cast("long").as("n"),
+      concat_ws(" ", slice(ws, 1, 3)).as("head3"),
+      array_contains(ws, "the").as("has_the"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"))
+  }
+
+  /** Regexp extraction from the JSON-ish props payload. */
+  private val regexpFuncs: Q = (s, d) =>
+    T(s, d, "events").select(
+      col("event_id"),
+      regexp_extract(col("props"), "(\\d+)", 1).as("first_num"),
+      col("props").rlike("\"k\": [0-9]{2}").as("two_digit"))
+
+  /** Salted two-phase aggregation: pre-aggregate on (key, salt), then
+    * combine — the standard skew-mitigation shape (a hot key spreads over
+    * 8 partial groups before the final shuffle). Result must equal the
+    * plain group-by, which is exactly what the oracle checks.
+    */
+  private val saltedAgg: Q = (s, d) => {
+    val salted = T(s, d, "events")
+      .withColumn("salt", pmod(col("event_id"), lit(8)))
+      .groupBy(col("user_id"), col("salt"))
+      .agg(count(lit(1)).as("pn"), sum(col("value")).as("pv"))
+    salted.groupBy(col("user_id"))
+      .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("total"))
+  }
+
+  /** Approximate distinct (HLL++) vs exact — rows-only for the gate
+    * (DuckDB's approx sketch differs); the spec bounds relative error.
+    */
+  private val approxDistinct: Q = (s, d) =>
+    T(s, d, "lineitem").groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+
+  /** Approximate quantiles via percentile_approx — rows-only; the spec
+    * checks bracketing between exact min/max.
+    */
+  private val approxQuantiles: Q = (s, d) =>
+    T(s, d, "orders").agg(
+      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
+        .as("p50"),
+      percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
+        .as("p95"))
+
+  val queries: Map[String, Q] = Map(
+    "pivot_agg" -> pivot,
+    "grouping_sets" -> groupingSets,
+    "subquery_scalar" -> subqueryScalar,
+    "union_all_op" -> unionAll,
+    "cross_join_small" -> crossJoinSmall,
+    "array_funcs" -> arrayFuncs,
+    "regexp_funcs" -> regexpFuncs,
+    "salted_agg" -> saltedAgg,
+    "approx_distinct" -> approxDistinct,
+    "approx_quantiles" -> approxQuantiles,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pivot_agg" -> {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")
+      s"SELECT user_id, $cols FROM events GROUP BY user_id"
+    },
+    "grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())""".stripMargin,
+    "subquery_scalar" ->
+      """SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer
+        |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)""".stripMargin,
+    "union_all_op" ->
+      """SELECT c_custkey AS key, 'customer' AS src FROM customer
+        |UNION ALL SELECT s_suppkey AS key, 'supplier' AS src FROM supplier""".stripMargin,
+    "cross_join_small" ->
+      "SELECT r_name, c_mktsegment FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)",
+    "array_funcs" -> {
+      val ws = "regexp_split_to_array(trim(text), '\\s+')"
+      s"""SELECT doc_id, len($ws) AS n,
+         |  array_to_string($ws[1:3], ' ') AS head3,
+         |  list_contains($ws, 'the') AS has_the,
+         |  len(list_distinct($ws)) AS n_distinct
+         |FROM documents""".stripMargin
+    },
+    "regexp_funcs" ->
+      """SELECT event_id, regexp_extract(props, '(\d+)', 1) AS first_num,
+        |  regexp_matches(props, '"k": [0-9]{2}') AS two_digit
+        |FROM events""".stripMargin,
+    "salted_agg" ->
+      """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY user_id""".stripMargin,
+    // approx_distinct / approx_quantiles: rows-only (sketches are
+    // engine-specific); DedupSimilaritySpec bounds the error instead.
+  )
+}

@@ -54,6 +54,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("approx_count_distinct within 5% of exact") {
+    val rows = graft.operators.Breadth.queries("approx_distinct")(spark, sf)
+      .select("approx_parts", "exact_parts").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (approx, exact) =>
+      assert(math.abs(approx - exact).toDouble / exact <= 0.05,
+        s"approx $approx vs exact $exact")
+    }
+  }
+
+  test("approx quantiles bracket the true range, p50 <= p95") {
+    val Array((p50, p95)) = graft.operators.Breadth
+      .queries("approx_quantiles")(spark, sf)
+      .select("p50", "p95").as[(Double, Double)].collect()
+    val Array((lo, hi)) = Tables.load(spark, sf, "orders")
+      .selectExpr("min(o_totalprice)", "max(o_totalprice)")
+      .as[(Double, Double)].collect()
+    assert(p50 >= lo && p95 <= hi && p50 <= p95)
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions._
     val e = Tables.load(spark, sf, "embeddings").limit(10)
