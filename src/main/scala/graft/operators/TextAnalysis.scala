@@ -83,8 +83,23 @@ object TextAnalysis {
       md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
         .cast("binary")).as("fingerprint"))
 
+  /** BPE-ish pre-tokenization (word / number / symbol runs) — the regex
+    * split a byte-pair tokenizer applies before merges. Counts both token
+    * classes; the whitespace variant above is the cheap path.
+    */
+  private val tokenBpe: Q = (s, d) => {
+    val toks = regexp_extract_all(col("text"),
+      lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))
+    T(s, d, "documents").select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_bpe_tokens"),
+      size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long")
+        .as("n_number_tokens"))
+  }
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
+    "text_token_bpe" -> tokenBpe,
     "text_quality" -> quality,
     "text_langid" -> langid,
     "text_fingerprint" -> fingerprint,
@@ -129,6 +144,10 @@ object TextAnalysis {
          |  ${sqlMarkerCount(langMarkers.flatMap(_._2).distinct)} AS n_stopwords,
          |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
          |FROM documents)""".stripMargin,
+    "text_token_bpe" ->
+      ("SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens, " +
+        "len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'), " +
+        "t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_tokens FROM documents"),
     "text_langid" -> langidOracle,
     "text_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
