@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceOps.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
-      Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries
+      Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries ++
+      TimeSeries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -31,5 +32,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     ReferenceOps.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
-      Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles
+      Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles ++
+      TimeSeries.oracles
 }

@@ -1,0 +1,93 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.{load => T}
+
+/** Time-series operators over the event stream: as-of join and gap-based
+  * sessionization. Both are composed from window functions (SURVEY.md §7
+  * preference (a): compose built-ins — no custom SparkPlan needed), so
+  * they shuffle once on the partition key and scale linearly.
+  */
+object TimeSeries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** As-of join, union-style: for every `purchase`, the most recent
+    * `signup` at or before it for the same user. Instead of a range join
+    * (quadratic blowup risk), both sides are unioned and a per-user
+    * ordered window carries the last signup time forward — one shuffle on
+    * user_id, linear scan within partition. Ties at identical ts resolve
+    * by event_id order.
+    */
+  private val asofJoin: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.filter(col("event_type").isin("signup", "purchase"))
+      .withColumn("signup_id",
+        last(when(col("event_type") === "signup", col("event_id")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("signup_id"))
+  }
+
+  private val GapSeconds = 1800 // 30-minute inactivity gap
+
+  /** Gap-based sessionization: a new session starts when a user is idle
+    * longer than the gap. lag + conditional flag + running sum assigns
+    * session ids; then one aggregate per session. Two window passes and
+    * one group-by, all partitioned by user — the standard linear shape.
+    */
+  private val sessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T(s, d, "events")
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_seconds(col("ts").cast("timestamp")) -
+            unix_seconds(col("prev_ts").cast("timestamp")) > GapSeconds,
+          1L).otherwise(0L))
+      .withColumn("session_no",
+        sum(col("new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "asof_join" -> asofJoin,
+    "sessionize" -> sessionize,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_join" ->
+      """SELECT event_id AS purchase_id, user_id, signup_id FROM (
+        |  SELECT event_id, user_id, event_type,
+        |    last_value(CASE WHEN event_type = 'signup' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id
+        |  FROM events WHERE event_type IN ('signup', 'purchase'))
+        |WHERE event_type = 'purchase'""".stripMargin,
+    "sessionize" ->
+      """SELECT user_id, session_no, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM (
+        |  SELECT user_id, value,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+        |  FROM (
+        |    SELECT user_id, ts, event_id, value,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |             OR CAST(floor(epoch(ts)) AS BIGINT)
+        |                - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) > 1800
+        |           THEN 1 ELSE 0 END AS new_session
+        |    FROM events))
+        |GROUP BY user_id, session_no""".stripMargin,
+  )
+}
