@@ -91,6 +91,9 @@ private[sources] class EssMicroBatchStream(
     extends MicroBatchStream {
 
   private val buffer = EssFeeds.buffer(channel)
+  // multi-consumer safety: this stream only advances its own committed
+  // mark; the buffer truncates below the minimum across live consumers
+  private val consumer = buffer.register()
 
   // open the transport if the query configured one (live mode); tests
   // push frames straight into the buffer instead
@@ -129,9 +132,12 @@ private[sources] class EssMicroBatchStream(
     }
 
   override def commit(end: Offset): Unit =
-    buffer.truncate(end.asInstanceOf[EssOffset].seq)
+    buffer.committed(consumer, end.asInstanceOf[EssOffset].seq)
 
-  override def stop(): Unit = transport.foreach(_.close())
+  override def stop(): Unit = {
+    buffer.unregister(consumer)
+    transport.foreach(_.close())
+  }
 }
 
 /** (seq, payload, arrival micros) triples shipped to executors. */
@@ -145,6 +151,10 @@ case class EssInputPartition(frames: Array[(Long, String, Long)])
 class FrameBuffer {
   private val frames = new ConcurrentSkipListMap[Long, (String, Long)]()
   private val seq = new AtomicLong(0L)
+  // consumer id -> highest committed seq; frames are only dropped below
+  // the minimum, so N streams can share one channel (fan-out reads)
+  private val consumers = new ConcurrentHashMap[Long, Long]()
+  private val consumerIds = new AtomicLong(0L)
 
   def push(frame: String): Unit = {
     val s = seq.incrementAndGet()
@@ -163,9 +173,31 @@ class FrameBuffer {
       .map(e => (e.getKey, e.getValue._1, e.getValue._2)).toArray
   }
 
-  /** Drop everything at or below the committed sequence number. */
-  def truncate(upTo: Long): Unit =
-    frames.headMap(upTo, true).clear()
+  def register(): Long = {
+    val id = consumerIds.incrementAndGet()
+    consumers.put(id, -1L) // nothing committed yet: pins the buffer
+    id
+  }
+
+  def unregister(id: Long): Unit = {
+    consumers.remove(id)
+    gc()
+  }
+
+  /** Record a consumer's committed offset and drop globally-done frames. */
+  def committed(id: Long, upTo: Long): Unit = {
+    consumers.merge(id, upTo, (a, b) => math.max(a, b))
+    gc()
+  }
+
+  private def gc(): Unit = {
+    import scala.jdk.CollectionConverters._
+    val marks = consumers.values().asScala
+    if (marks.nonEmpty) {
+      val min = marks.min
+      if (min >= 0) frames.headMap(min, true).clear()
+    }
+  }
 }
 
 /** Registry of live feeds — push point for transports and tests. */

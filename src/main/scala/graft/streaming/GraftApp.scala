@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.model.MetagameEvent
+
+/** C1 — config-driven pipeline assembly: the Spark-native `main()` of the
+  * reference (`/root/reference/ess_client.py:113-178`), wiring source →
+  * filter/project → sinks from environment configuration:
+  *
+  * | env | reference analog | default |
+  * |---|---|---|
+  * | `ESS_CHANNEL`          | service feed identity            | `census` |
+  * | `ESS_WS_URI`           | ESS websocket endpoint (optional; unset = frames pushed via [[graft.sources.EssFeeds]]) | — |
+  * | `ESS_SUBSCRIBE`        | subscription JSON (F1 filter)    | — |
+  * | `PUBLISH_ENABLED`      | `RABBITMQ_ENABLED`               | `true` |
+  * | `PURGE_STALE_ALERTS`   | TTL purge gate                   | `true` |
+  * | `ALERT_TTL_SECONDS`    | 5400 s purge horizon             | `5400` |
+  * | `STATE_TABLE_PATH`     | Mongo alerts collection          | `/tmp/graft_alerts` |
+  *
+  * Boolean envs are parsed properly (the reference string-compares
+  * `== 'True'`, a quirk not worth preserving).
+  */
+object GraftApp {
+
+  case class Config(
+      channel: String = sys.env.getOrElse("ESS_CHANNEL", "census"),
+      wsUri: Option[String] = sys.env.get("ESS_WS_URI"),
+      subscribe: Option[String] = sys.env.get("ESS_SUBSCRIBE"),
+      publishEnabled: Boolean =
+        sys.env.get("PUBLISH_ENABLED").forall(_.toBoolean),
+      purgeStale: Boolean =
+        sys.env.get("PURGE_STALE_ALERTS").forall(_.toBoolean),
+      ttlSeconds: Long =
+        sys.env.get("ALERT_TTL_SECONDS").map(_.toLong).getOrElse(5400L),
+      stateTablePath: String =
+        sys.env.getOrElse("STATE_TABLE_PATH", "/tmp/graft_alerts"))
+
+  /** Started queries for one pipeline instance. */
+  case class Running(
+      publish: Option[StreamingQuery],
+      state: StreamingQuery,
+      table: AlertStateTable) {
+    def processAllAvailable(): Unit = {
+      publish.foreach(_.processAllAvailable())
+      state.processAllAvailable()
+    }
+    def stopAll(): Unit = {
+      publish.foreach(_.stop())
+      state.stop()
+    }
+  }
+
+  /** Assemble and start the §3.1 pipeline: ess source → parse → observe →
+    * { publish sink?, stateful merge into the durable alert table }.
+    */
+  def start(spark: SparkSession, cfg: Config,
+      publisher: Publisher): Running = {
+    val raw = {
+      val r = spark.readStream.format("ess").option("channel", cfg.channel)
+      val r2 = cfg.wsUri.fold(r)(u => r.option("wsUri", u))
+      cfg.subscribe.fold(r2)(s => r2.option("subscribe", s)).load()
+    }
+    import spark.implicits._
+    val events = Observability.observed(
+      MetagameEvent.fromJson(raw.select("value")).toDF())
+      .as[MetagameEvent]
+
+    val publishQ =
+      if (cfg.publishEnabled)
+        Some(Sinks.publishStream(events, publisher)
+          .queryName(s"graft_publish_${cfg.channel}").start())
+      else None
+
+    val table = new AlertStateTable(cfg.stateTablePath)
+    val ttl = if (cfg.purgeStale) Some(cfg.ttlSeconds) else None
+    val stateQ = AlertStateTable.sink(events, table, ttl)
+      .queryName(s"graft_state_${cfg.channel}").start()
+
+    Running(publishQ, stateQ, table)
+  }
+
+  /** Service entry point: run until terminated (live mode needs
+    * `ESS_WS_URI`; without it the process idles waiting for pushed
+    * frames, which is what tests and local replays use).
+    */
+  def main(args: Array[String]): Unit = {
+    val spark = graft.GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
+    spark.streams.addListener(new Observability.MetricsListener)
+    val running = start(spark, Config(), InMemoryPublisher("graft_app"))
+    spark.streams.awaitAnyTermination()
+    running.stopAll()
+  }
+}

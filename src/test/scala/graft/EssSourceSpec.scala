@@ -55,6 +55,28 @@ class EssSourceSpec extends AnyFunSuite {
     assert(live == Set("19-2", "13-9"))
   }
 
+  test("two queries on one channel both see every frame (fan-out)") {
+    val ch = s"t4_${System.nanoTime()}"
+    def startQ(n: String) =
+      spark.readStream.format("ess").option("channel", ch).load()
+        .writeStream.format("memory").queryName(n).start()
+    val (n1, n2) = (s"fan_a_$ch", s"fan_b_$ch")
+    val q1 = startQ(n1)
+    val q2 = startQ(n2)
+    try {
+      EssFeeds.push(ch, frame("17-1", "started", 1000))
+      // q1 fully processes and commits (advancing its committed mark)
+      // before q2 reads: frames must survive until q2 commits too
+      q1.processAllAvailable()
+      EssFeeds.push(ch, frame("19-2", "started", 1500))
+      q1.processAllAvailable() // forces commit of the earlier batch
+      q2.processAllAvailable()
+      assert(spark.table(n1).count() == 2)
+      assert(spark.table(n2).count() == 2,
+        "second consumer must not lose frames committed by the first")
+    } finally { q1.stop(); q2.stop() }
+  }
+
   test("incremental micro-batches: later pushes arrive in later batches") {
     val ch = s"t3_${System.nanoTime()}"
     EssFeeds.push(ch, frame("17-1", "started", 1000))

@@ -1,0 +1,62 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sources.EssFeeds
+import graft.streaming.{GraftApp, InMemoryPublisher, Metrics, Observability}
+
+/** The assembled service (§3.1 end-to-end): raw frames in one side —
+  * published wire JSON, durable in-progress table and metrics out the
+  * other. Also covers C1 routing: publish sink disabled by config.
+  */
+class GraftAppSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def frame(id: String, state: String, ts: Double): String =
+    s"""{"id":"$id","event_id":1,"state":"$state","world_id":17,"zone_id":1,
+       |"nc":40,"tr":30,"vs":20,"xp":25,"timestamp":$ts}"""
+      .stripMargin.replace("\n", "")
+
+  test("full service: frames -> publish + durable state + metrics") {
+    Metrics.reset()
+    val listener = new Observability.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val ch = s"app_${System.nanoTime()}"
+      val cfg = GraftApp.Config(
+        channel = ch, wsUri = None, subscribe = None,
+        publishEnabled = true, purgeStale = false, ttlSeconds = 5400,
+        stateTablePath = Files.createTempDirectory("app_state").toString)
+      EssFeeds.push(ch, frame("17-1", "started", 1000))
+      EssFeeds.push(ch, frame("19-2", "started", 1500))
+      EssFeeds.push(ch, frame("17-1", "ended", 2000))
+      val running = GraftApp.start(spark, cfg, InMemoryPublisher(ch))
+      try running.processAllAvailable() finally running.stopAll()
+
+      val published = InMemoryPublisher.queue(ch).size()
+      assert(published == 3, s"published $published of 3")
+      import spark.implicits._
+      val live = running.table.snapshot(spark)
+        .select("id").as[String].collect().toSet
+      assert(live == Set("19-2"))
+      val deadline = System.currentTimeMillis() + 10000
+      while (Metrics.snapshot.getOrElse("total_events", 0.0) < 3.0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      assert(Metrics.snapshot("total_events") >= 3.0)
+    } finally spark.streams.removeListener(listener)
+  }
+
+  test("C1 routing: publish disabled leaves only the state query") {
+    val ch = s"app2_${System.nanoTime()}"
+    val cfg = GraftApp.Config(
+      channel = ch, wsUri = None, subscribe = None,
+      publishEnabled = false, purgeStale = true, ttlSeconds = 5400,
+      stateTablePath = Files.createTempDirectory("app_state2").toString)
+    EssFeeds.push(ch, frame("17-9", "started", 1000))
+    val running = GraftApp.start(spark, cfg, InMemoryPublisher(ch))
+    try running.processAllAvailable() finally running.stopAll()
+    assert(running.publish.isEmpty)
+    assert(InMemoryPublisher.queue(ch).isEmpty)
+    assert(running.table.snapshot(spark).count() == 1)
+  }
+}
