@@ -104,22 +104,57 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Same exact top-k, computed with the typed bounded-top-k Aggregator
+    * instead of a window: partitions reduce to ≤ k candidates before the
+    * shuffle (map-side combine), so the exchange never carries the whole
+    * corpus per query. Must produce byte-identical output to
+    * `sim_topk_bruteforce` — it shares that oracle.
+    */
+  private val bruteforceAgg: Q = (s, d) => {
+    import s.implicits._
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .as[(Long, Long, Double)]
+    val topk = new graft.functions.TopKAggregator(K).toColumn
+    scored.groupByKey(_._1)
+      .mapValues { case (_, id, sim) => (sim, id) }
+      .agg(topk.name("topk"))
+      .flatMap { case (qId, items) =>
+        items.zipWithIndex.map { case ((sim, id), i) =>
+          (qId, id, (i + 1).toLong, sim)
+        }
+      }
+      .toDF("q_id", "neighbor_id", "rank", "sim")
+      .withColumn("sim", round(col("sim"), 4))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> bruteforce,
+    "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
   )
 
+  private val topkOracle: String =
+    s"""SELECT q_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+       |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
+       |               e.vec_id) AS rank
+       |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |  WHERE q.vec_id < $NQueries)
+       |WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_topk_bruteforce" ->
-      s"""SELECT q_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
-         |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
-         |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) DESC,
-         |               e.vec_id) AS rank
-         |  FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
-         |  WHERE q.vec_id < $NQueries)
-         |WHERE rank <= $K""".stripMargin,
+    "sim_topk_bruteforce" -> topkOracle,
+    // the Aggregator formulation must reproduce the window formulation
+    // exactly — same oracle, different physical shape
+    "sim_topk_agg" -> topkOracle,
     // sim_ann_lsh: intentionally no oracle — hyperplane hashing is not
     // reproducible in DuckDB; correctness = recall test in SimilaritySpec.
   )
