@@ -1,0 +1,50 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+import graft.model.MetagameEvent
+
+/** The K2/K3 state machine on the Spark 4-native `transformWithState`
+  * API (the `StatefulProcessor` SURVEY.md §7 step 3 names as the primary
+  * path; [[AlertPipeline.updates]] is the stable-API twin). Requires the
+  * RocksDB state store provider. Native TTL comes from `TTLConfig` on the
+  * value state (processing-time based in this API) rather than explicit
+  * timers.
+  */
+class AlertProcessorTws(ttl: TTLConfig)
+    extends StatefulProcessor[String, MetagameEvent, AlertUpdate] {
+
+  @transient private var state: ValueState[MetagameEvent] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    state = getHandle.getValueState[MetagameEvent](
+      "alert", Encoders.product[MetagameEvent], ttl)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[MetagameEvent],
+      timerValues: TimerValues): Iterator[AlertUpdate] = {
+    val prior = if (state.exists()) Some(state.get()) else None
+    val newest = (prior ++ rows).maxBy(e => (e.timestamp, e.eventId))
+    val live = newest.state == MetagameEvent.Started
+    if (live) state.update(newest) else state.clear()
+    Iterator.single(AlertUpdate(key,
+      if (live) "live" else "removed",
+      newest.eventId, newest.worldId, newest.timestamp))
+  }
+}
+
+object AlertProcessorTws {
+
+  /** transformWithState wiring; mirror of [[AlertPipeline.updates]]. */
+  def updates(
+      events: Dataset[MetagameEvent],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[AlertUpdate] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.groupByKey(_.id)
+      .transformWithState(new AlertProcessorTws(ttl),
+        TimeMode.None(), OutputMode.Update())
+  }
+}
