@@ -82,6 +82,43 @@ object Relational {
         "left_semi")
       .select(col("c_custkey"), col("c_name"))
 
+  /** Left outer join + null-ignoring aggregate: order count per customer
+    * including zeros.
+    */
+  private val joinLeftOuter: Q = (s, d) =>
+    T(s, d, "customer")
+      .join(T(s, d, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("spend"))
+
+  /** Full outer join on per-nation presence: which side(s) populate each
+    * nation key — exercises null production on both sides.
+    */
+  private val joinFullOuter: Q = (s, d) => {
+    val c = T(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+      .agg(count(lit(1)).as("n_cust"))
+    val sup = T(s, d, "supplier").groupBy(col("s_nationkey").as("snk"))
+      .agg(count(lit(1)).as("n_supp"))
+    c.join(sup, col("nk") === col("snk"), "full_outer")
+      .select(coalesce(col("nk"), col("snk")).as("nationkey"),
+        col("n_cust"), col("n_supp"))
+  }
+
+  /** lead/lag/first window sampler over each user's event sequence. */
+  private val windowLeadLag: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    T(s, d, "events").select(
+      col("event_id"), col("user_id"),
+      lag(col("event_type"), 1).over(w).as("prev_type"),
+      lead(col("event_type"), 1).over(w).as("next_type"),
+      first(col("event_type")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("first_type"))
+  }
+
   /** Left-anti join: NOT EXISTS — customers with no orders. */
   private val joinAnti: Q = (s, d) =>
     T(s, d, "customer")
@@ -199,6 +236,9 @@ object Relational {
     "q5_nation_revenue" -> q5,
     "join_semi" -> joinSemi,
     "join_anti" -> joinAnti,
+    "join_left_outer" -> joinLeftOuter,
+    "join_full_outer" -> joinFullOuter,
+    "window_lead_lag" -> windowLeadLag,
     "sort_topk" -> sortTopk,
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
@@ -248,6 +288,24 @@ object Relational {
       "SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "join_anti" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "join_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  round(coalesce(sum(o_totalprice), 0.0), 2) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey""".stripMargin,
+    "join_full_outer" ->
+      """SELECT coalesce(nk, snk) AS nationkey, n_cust, n_supp FROM
+        |  (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |  FULL OUTER JOIN
+        |  (SELECT s_nationkey AS snk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |  ON nk = snk""".stripMargin,
+    "window_lead_lag" ->
+      """SELECT event_id, user_id,
+        |  lag(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+        |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+        |FROM events""".stripMargin,
     "sort_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
     "window_rank" ->
