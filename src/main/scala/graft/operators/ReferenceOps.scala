@@ -112,7 +112,7 @@ object ReferenceOps {
     */
   private val t1: Q = (s, d) => {
     val ev = T(s, d, "events")
-    val maxTs = ev.agg(max(col("ts"))).head.getAs[java.time.LocalDateTime](0)
+    val maxTs = ev.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
     ev.filter(col("ts") >= lit(maxTs.minusSeconds(5400)))
       .select(col("event_id"), col("user_id"), col("event_type"))
   }

@@ -56,8 +56,38 @@ object StreamingQueries {
         col("eventId").cast("long").as("last_event_id"))
   }
 
+  /** Watermarked tumbling-window counts executed as a real streaming job
+    * (complete mode → memory sink), hash-checked against the batch
+    * date_trunc oracle: streaming window semantics must equal SQL
+    * calendar bucketing.
+    */
+  private val streamWindowed: Q = (s, d) => {
+    val name = s"graft_winstream_${counter.incrementAndGet()}"
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_seconds(col("window.start")).as("hour_epoch"),
+        col("event_type"), col("n"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_inprogress" -> streamInProgress,
+    "stream_windowed_counts" -> streamWindowed,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -65,5 +95,9 @@ object StreamingQueries {
     */
   val oracles: Map[String, String] = Map(
     "stream_inprogress" -> ReferenceOps.oracles("k23_inprogress_set"),
+    "stream_windowed_counts" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
+        |  event_type, count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
   )
 }

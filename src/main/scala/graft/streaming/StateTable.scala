@@ -40,7 +40,7 @@ class AlertStateTable(path: String) extends Serializable {
   def merge(spark: SparkSession, updates: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.expressions.Window
     val unioned = snapshot(spark).unionByName(
-      updates.select(AlertStateTable.schema.fieldNames.map(col): _*))
+      updates.select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("timestamp").desc, col("eventId").desc)
     val merged = unioned
