@@ -53,11 +53,21 @@ object MetagameEvent {
   /** Parse a DataFrame with a JSON string column `value` (the wire form)
     * into a typed Dataset — `from_json` with the declared schema, never
     * schema inference (SURVEY.md §1.3: fixed, declared ahead of time).
+    *
+    * Malformed frames (unparseable JSON, or parseable but missing the
+    * key fields) are dropped rather than becoming null-keyed events that
+    * would poison the keyed state; they are counted via `observe` under
+    * the `graft_parse` observation for the metrics listener.
     */
   def fromJson(df: DataFrame): Dataset[MetagameEvent] = {
     val spark = df.sparkSession
     import spark.implicits._
+    val complete = wireSchema.fieldNames
+      .map(f => col(s"e.$f").isNotNull).reduce(_ && _)
     df.select(from_json(col("value"), wireSchema).as("e"))
+      .observe("graft_parse",
+        count(when(col("e").isNull || !complete, 1)).as("malformed_frames"))
+      .filter(col("e").isNotNull && complete)
       .select(wireToCamel.map { case (w, c) => col(s"e.$w").as(c) }: _*)
       .as[MetagameEvent]
   }

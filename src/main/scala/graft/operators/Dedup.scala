@@ -101,23 +101,21 @@ object Dedup {
 
   private val SimBits = 32 // 8 md5 hex digits
   private val SimBands = 4 // of 8 bits: pigeonhole ⇒ full recall for dist ≤ 3
-  private val HexDigits = "0123456789abcdef"
-
-  /** Per-token md5 hex digit value j (0-based), as an int 0..15. */
-  private def hexDigit(h: Column, j: Int): Column =
-    conv(substring(h, j + 1, 1), 16, 10).cast("int")
 
   /** SimHash near-dup pairs: frequency-weighted 32-bit simhash per doc,
     * banded 4×8 bits for candidate generation, exact hamming ≤ 3 filter.
+    * The token hash is parsed from the md5 hex prefix in ONE conversion
+    * (`conv(…,16,10)` / DuckDB `('0x'||…)::BIGINT`); bits come out with
+    * integer div/mod, identical arithmetic in both engines.
     */
   private val simhash: Q = (s, d) => {
     val tok = T(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("w"))
-      .select(col("doc_id"), md5(col("w").cast("binary")).as("h"))
-      .select(col("doc_id") +:
-        (0 until SimBits / 4).map(j => hexDigit(col("h"), j).as(s"d$j")): _*)
+      .select(col("doc_id"),
+        conv(substring(md5(col("w").cast("binary")), 1, 8), 16, 10)
+          .cast("long").as("h32"))
     val sumCols = (0 until SimBits).map { b =>
-      val bit = (col(s"d${b / 4}") / lit(1 << (b % 4))).cast("int") % 2
+      val bit = (col("h32") / lit(1L << b)).cast("long") % 2
       sum(when(bit === 1, 1).otherwise(-1)).as(s"s$b")
     }
     val sums = tok.groupBy(col("doc_id")).agg(sumCols.head, sumCols.tail: _*)
@@ -218,11 +216,8 @@ object Dedup {
        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.5""".stripMargin
 
   private val simhashOracle: String = {
-    val digits = (0 until SimBits / 4)
-      .map(j => s"strpos('$HexDigits', substr(h, ${j + 1}, 1)) - 1 AS d$j")
-      .mkString(", ")
     val sums = (0 until SimBits).map { b =>
-      s"sum(CASE WHEN (d${b / 4} // ${1 << (b % 4)}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+      s"sum(CASE WHEN (h32 // ${1L << b}) % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
     }.mkString(", ")
     val hash = (0 until SimBits)
       .map(b => s"CASE WHEN s$b > 0 THEN ${1L << b} ELSE 0 END")
@@ -231,11 +226,10 @@ object Dedup {
       .map(b => s"SELECT doc_id, simhash, $b AS band, (simhash // ${1L << (8 * b)}) % 256 AS key FROM sig")
       .mkString(" UNION ALL ")
     s"""WITH tok AS (
-       |  SELECT doc_id, md5(t.w) AS h
+       |  SELECT doc_id, ('0x' || substr(md5(t.w), 1, 8))::BIGINT AS h32
        |  FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '$WsRe')) AS w
        |        FROM documents) t),
-       |dig AS (SELECT doc_id, $digits FROM tok),
-       |sums AS (SELECT doc_id, $sums FROM dig GROUP BY doc_id),
+       |sums AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
        |sig AS (SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums),
        |bands AS ($bandRows)
        |SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,
