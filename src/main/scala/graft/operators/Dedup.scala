@@ -55,14 +55,18 @@ object Dedup {
   private val Bands = 4 // of 2 minhashes each
 
   /** MinHash+LSH near-dup candidates: shingle → NumHashes independent
-    * minhashes (min over md5(seed:shingle)) → band keys → equi-join on
-    * (band, key) → distinct candidate pairs.
+    * minhashes → band keys → equi-join on (band, key) → distinct candidate
+    * pairs. Hash i is an 8-hex-char slice of md5(seed:shingle) with
+    * seed = i/4 — two md5 calls per shingle yield all eight hashes
+    * (slices of a cryptographic digest are independent), and fixed-width
+    * hex compares lexicographically = numerically for the min.
     */
   private val minhashLsh: Q = (s, d) => {
     val sh = shingleRows(T(s, d, "documents"))
+      .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
+      .withColumn("m1", md5(concat(lit("1:"), col("shingle")).cast("binary")))
     val minCols = (0 until NumHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")).cast("binary")))
-        .as(s"h$i"))
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
     val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
     val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map(b => struct(
@@ -186,7 +190,8 @@ object Dedup {
 
   private val minhashOracle: String = {
     val mins = (0 until NumHashes)
-      .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(", ")
+      .map(i => s"min(substr(md5('${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
     val bandRows = (0 until Bands)
       .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
       .mkString(" UNION ALL ")
