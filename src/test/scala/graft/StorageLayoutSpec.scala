@@ -18,9 +18,12 @@ class StorageLayoutSpec extends AnyFunSuite {
     * the rendered plan (AQE hides unexecuted children from collect()).
     */
   private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
-    df.count()
-    "Exchange hashpartitioning".r
-      .findAllIn(df.queryExecution.executedPlan.toString).length
+    df.collect() // drives THIS QueryExecution so AQE settles on it
+    // AdaptiveSparkPlan prints final plan then "== Initial Plan ==";
+    // count exchanges only in the plan that ran
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    "Exchange hashpartitioning".r.findAllIn(plan).length
   }
 
   test("bucketed tables join with zero shuffle exchanges") {
