@@ -95,7 +95,9 @@ object Multimodal {
     T(s, d, "documents")
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"),
-        posexplode(split(col("text"), "(?<=\\G.{256})")).as(Seq("frame_idx", "frame")))
+        // (?s) so '.' crosses line terminators — payload bytes may
+        // contain newlines even though the current testdata has none
+        posexplode(split(col("text"), "(?s)(?<=\\G.{256})")).as(Seq("frame_idx", "frame")))
       // Spark's split keeps a trailing empty token when the length is an
       // exact multiple of the frame size; drop it to match ceil(len/256).
       .filter(length(col("frame")) > 0)

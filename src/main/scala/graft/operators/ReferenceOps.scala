@@ -112,8 +112,11 @@ object ReferenceOps {
     */
   private val t1: Q = (s, d) => {
     val ev = T(s, d, "events")
-    val maxTs = ev.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0)
-    ev.filter(col("ts") >= lit(maxTs.minusSeconds(5400)))
+    val maxTs = Option(
+      ev.agg(max(col("ts"))).head().getAs[java.time.LocalDateTime](0))
+    val pred = maxTs.fold(lit(false))(m =>
+      col("ts") >= lit(m.minusSeconds(5400)))
+    ev.filter(pred)
       .select(col("event_id"), col("user_id"), col("event_type"))
   }
 

@@ -93,7 +93,8 @@ object Similarity {
       .distinct() // union over tables
     val candidates = candidateIds
       .join(e, Seq("vec_id"))
-      .join(broadcast(e.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+      .join(broadcast(e.filter(col("vec_id") < NQueries)
+        .select(col("vec_id").as("q_id"), col("v").as("qv"))),
         Seq("q_id"))
       .withColumn("sim", cosine(col("qv"), col("v")))
     val w = Window.partitionBy(col("q_id"))

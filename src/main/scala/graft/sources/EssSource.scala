@@ -156,15 +156,18 @@ class FrameBuffer {
   private val consumers = new ConcurrentHashMap[Long, Long]()
   private val consumerIds = new AtomicLong(0L)
 
-  def push(frame: String): Unit = {
+  // push and lastSeq share a monitor: a reader may only observe a
+  // sequence number once its frame is in the map, otherwise latestOffset
+  // could plan past a not-yet-visible frame and skip it forever
+  def push(frame: String): Unit = synchronized {
     val s = seq.incrementAndGet()
     frames.put(s, (frame, System.currentTimeMillis() * 1000))
   }
 
   def firstSeq: Long =
-    if (frames.isEmpty) seq.get() else frames.firstKey() - 1
+    if (frames.isEmpty) lastSeq else frames.firstKey() - 1
 
-  def lastSeq: Long = seq.get()
+  def lastSeq: Long = synchronized { seq.get() }
 
   /** Frames with start < seq <= end, in order. */
   def range(start: Long, end: Long): Array[(Long, String, Long)] = {

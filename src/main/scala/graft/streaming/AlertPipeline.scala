@@ -79,20 +79,26 @@ object AlertPipeline {
         if (state.hasTimedOut) {
           val old = state.getOption.map(_.event)
           state.remove()
-          old.map(e =>
+          // only live entries announce expiry; an aged-out tombstone is
+          // silent (the key was already absent from the in-progress set)
+          old.filter(_.state == MetagameEvent.Started).map(e =>
             AlertUpdate(id, "expired", e.eventId, e.worldId, e.timestamp))
             .iterator
         } else {
-          // newest event (by event time, then eventId) wins the key
+          // newest event (by event time, then eventId) wins the key.
+          // Non-started states are kept as TOMBSTONES rather than removed:
+          // clearing state would let a late-arriving *older* `started` in a
+          // later batch resurrect the key. The tombstone ages out with the
+          // same TTL, which bounds state exactly like live entries.
           val newest = (state.getOption.map(_.event) ++ it)
             .maxBy(e => (e.timestamp, e.eventId))
           val live = newest.state == MetagameEvent.Started
-          if (live) {
-            state.update(AlertState(newest))
-            ttlSeconds.foreach(t => state.setTimeoutTimestamp(
-              (newest.timestamp * 1000).toLong + t * 1000))
-          } else {
-            state.remove()
+          state.update(AlertState(newest))
+          ttlSeconds.foreach { t =>
+            // the timeout must sit at or above the current watermark
+            val target = (newest.timestamp * 1000).toLong + t * 1000
+            state.setTimeoutTimestamp(
+              math.max(target, state.getCurrentWatermarkMs() + 1))
           }
           Iterator.single(AlertUpdate(id,
             if (live) "live" else "removed",

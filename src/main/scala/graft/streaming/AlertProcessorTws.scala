@@ -28,7 +28,9 @@ class AlertProcessorTws(ttl: TTLConfig)
     val prior = if (state.exists()) Some(state.get()) else None
     val newest = (prior ++ rows).maxBy(e => (e.timestamp, e.eventId))
     val live = newest.state == MetagameEvent.Started
-    if (live) state.update(newest) else state.clear()
+    // tombstones stay in state (TTL-bounded) so a late older `started`
+    // cannot resurrect a key — same LWW rule as AlertPipeline
+    state.update(newest)
     Iterator.single(AlertUpdate(key,
       if (live) "live" else "removed",
       newest.eventId, newest.worldId, newest.timestamp))
@@ -37,14 +39,18 @@ class AlertProcessorTws(ttl: TTLConfig)
 
 object AlertProcessorTws {
 
-  /** transformWithState wiring; mirror of [[AlertPipeline.updates]]. */
+  /** transformWithState wiring; mirror of [[AlertPipeline.updates]].
+    * State TTL is only legal in processing-time mode, so the time mode
+    * follows the TTL configuration.
+    */
   def updates(
       events: Dataset[MetagameEvent],
       ttl: TTLConfig = TTLConfig.NONE): Dataset[AlertUpdate] = {
     val spark = events.sparkSession
     import spark.implicits._
+    val mode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events.groupByKey(_.id)
-      .transformWithState(new AlertProcessorTws(ttl),
-        TimeMode.None(), OutputMode.Update())
+      .transformWithState(new AlertProcessorTws(ttl), mode, OutputMode.Update())
   }
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import graft.model.MetagameEvent
 
 /** C1 — config-driven pipeline assembly: the Spark-native `main()` of the
@@ -51,30 +51,39 @@ object GraftApp {
     }
   }
 
-  /** Assemble and start the §3.1 pipeline: ess source → parse → observe →
+  /** Assemble and start the §3.1 pipeline: ess source → parse →
     * { publish sink?, stateful merge into the durable alert table }.
+    *
+    * The A2/A3 observation rides on the *state* branch only — attaching
+    * it to the shared sub-plan would double-count every event when both
+    * queries run (each query executes its own copy of the plan).
+    *
+    * @param live continuous service mode (processing-time trigger) vs
+    *             drain-and-stop replay mode (`AvailableNow`, the default
+    *             for tests and batch replays)
     */
   def start(spark: SparkSession, cfg: Config,
-      publisher: Publisher): Running = {
+      publisher: Publisher, live: Boolean = false): Running = {
     val raw = {
       val r = spark.readStream.format("ess").option("channel", cfg.channel)
       val r2 = cfg.wsUri.fold(r)(u => r.option("wsUri", u))
       cfg.subscribe.fold(r2)(s => r2.option("subscribe", s)).load()
     }
     import spark.implicits._
-    val events = Observability.observed(
-      MetagameEvent.fromJson(raw.select("value")).toDF())
-      .as[MetagameEvent]
+    val events = MetagameEvent.fromJson(raw.select("value"))
+    val observed = Observability.observed(events.toDF()).as[MetagameEvent]
+    val trigger =
+      if (live) Trigger.ProcessingTime("1 second") else Trigger.AvailableNow()
 
     val publishQ =
       if (cfg.publishEnabled)
-        Some(Sinks.publishStream(events, publisher)
+        Some(Sinks.publishStream(events, publisher, trigger)
           .queryName(s"graft_publish_${cfg.channel}").start())
       else None
 
     val table = new AlertStateTable(cfg.stateTablePath)
     val ttl = if (cfg.purgeStale) Some(cfg.ttlSeconds) else None
-    val stateQ = AlertStateTable.sink(events, table, ttl)
+    val stateQ = AlertStateTable.sink(observed, table, ttl, trigger)
       .queryName(s"graft_state_${cfg.channel}").start()
 
     Running(publishQ, stateQ, table)
@@ -88,7 +97,8 @@ object GraftApp {
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.streams.addListener(new Observability.MetricsListener)
-    val running = start(spark, Config(), InMemoryPublisher("graft_app"))
+    val running =
+      start(spark, Config(), InMemoryPublisher("graft_app"), live = true)
     spark.streams.awaitAnyTermination()
     running.stopAll()
   }

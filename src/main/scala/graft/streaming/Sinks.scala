@@ -47,14 +47,17 @@ object Sinks {
   /** Wire the publish sink onto a streaming Dataset of events:
     * `writeStream.foreachBatch` serializing each micro-batch to JSON and
     * publishing per partition (executor-side, no driver collect).
+    * `AvailableNow` drains-and-stops; pass a processing-time trigger for
+    * a long-running service.
     */
   def publishStream(
       events: Dataset[MetagameEvent],
-      publisher: Publisher): DataStreamWriter[Row] =
+      publisher: Publisher,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
     MetagameEvent.toJsonCol(events)
       .writeStream
       .outputMode("append")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.foreachPartition { rows: Iterator[Row] =>
           rows.foreach(r => publisher.publish(RoutingKey, r.getString(0)))

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.charset.StandardCharsets
 import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
@@ -12,58 +13,65 @@ import graft.model.MetagameEvent
   * lake table, and the lower-risk alternative to in-flight state from
   * SURVEY.md §7 step 3.
   *
-  * Merge semantics per micro-batch of [[AlertUpdate]]s (last-writer-wins
-  * by event time, matching [[AlertPipeline]]):
-  *  - `live`    → upsert the key          (K2, MERGE … THEN INSERT/UPDATE)
-  *  - `removed` → delete the key          (K3, MERGE … THEN DELETE)
-  *  - `expired` → delete the key          (T1)
+  * Merge semantics per micro-batch of [[AlertUpdate]]s: last-writer-wins
+  * by (event time, eventId), matching [[AlertPipeline]]. Non-live updates
+  * are kept as TOMBSTONE rows (not deleted) so a late-arriving older
+  * `started` cannot resurrect a key; [[snapshot]] filters to the live
+  * set. Re-merging a redelivered batch is a no-op, which makes
+  * at-least-once micro-batch retries safe.
   *
-  * The swap is write-new-then-atomic-rename on a filesystem; a production
-  * lake would use a table format with real MERGE (Delta/Iceberg) — the
-  * pattern, partitioning and idempotence story are identical. Re-merging
-  * the same batch is a no-op (LWW on (timestamp, eventId)), which is what
-  * makes at-least-once micro-batch retries safe.
+  * Crash safety: each merge writes a fresh versioned directory and then
+  * atomically swaps a `_CURRENT` pointer file onto it — a crash at any
+  * point leaves the previous version fully readable (a production lake
+  * would get the same property from Delta/Iceberg commits).
   */
 class AlertStateTable(path: String) extends Serializable {
 
-  private def dataDir = s"$path/current"
+  private def pointer: Path = Paths.get(path, "_CURRENT")
 
-  def snapshot(spark: SparkSession): DataFrame =
-    if (Files.exists(Paths.get(dataDir)))
-      spark.read.parquet(dataDir)
-    else
+  private def currentDir: Option[String] =
+    if (Files.exists(pointer))
+      Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
+        .filter(v => Files.exists(Paths.get(path, v)))
+        .map(v => s"$path/$v")
+    else None
+
+  /** All retained rows — live entries and tombstones. */
+  def raw(spark: SparkSession): DataFrame = currentDir match {
+    case Some(d) => spark.read.parquet(d)
+    case None =>
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         AlertStateTable.schema)
+  }
+
+  /** The in-progress set (what the reference's Mongo collection holds). */
+  def snapshot(spark: SparkSession): DataFrame =
+    raw(spark).filter(col("status") === "live")
 
   /** Merge one batch of updates into the table. */
   def merge(spark: SparkSession, updates: DataFrame): Unit = synchronized {
     import org.apache.spark.sql.expressions.Window
-    val unioned = snapshot(spark).unionByName(
+    val unioned = raw(spark).unionByName(
       updates.select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
     val w = Window.partitionBy(col("id"))
       .orderBy(col("timestamp").desc, col("eventId").desc)
     val merged = unioned
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("status") === "live")
+      .filter(col("rn") === 1)
       .drop("rn")
 
-    val tmp = s"$path/next"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val cur = Paths.get(dataDir)
-    if (Files.exists(cur)) {
-      val old = Paths.get(s"$path/old")
-      deleteRecursively(old)
-      Files.move(cur, old, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(tmp), cur, StandardCopyOption.ATOMIC_MOVE)
-      deleteRecursively(old)
-    } else {
-      Files.createDirectories(Paths.get(path))
-      Files.move(Paths.get(tmp), cur, StandardCopyOption.ATOMIC_MOVE)
-    }
+    val version = s"v${System.nanoTime()}"
+    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$version")
+    val tmp = Paths.get(path, s"_CURRENT.tmp")
+    Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
+    val old = currentDir
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    old.foreach(d => deleteRecursively(Paths.get(d)))
   }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       Files.walk(p).iterator().asScala.toSeq.reverse
@@ -80,14 +88,18 @@ object AlertStateTable {
     StructField("worldId", IntegerType),
     StructField("timestamp", DoubleType)))
 
-  /** Wire the full pipeline: events → stateful updates → durable table. */
+  /** Wire the full pipeline: events → stateful updates → durable table.
+    * `AvailableNow` drains-and-stops (batch/replay mode); pass a
+    * processing-time trigger for a long-running service.
+    */
   def sink(
       events: Dataset[MetagameEvent],
       table: AlertStateTable,
-      ttlSeconds: Option[Long] = Some(5400L)): DataStreamWriter[AlertUpdate] =
+      ttlSeconds: Option[Long] = Some(5400L),
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[AlertUpdate] =
     AlertPipeline.updates(events, ttlSeconds)
       .writeStream.outputMode("update")
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .foreachBatch { (batch: Dataset[AlertUpdate], _: Long) =>
         table.merge(batch.sparkSession, batch.toDF())
       }

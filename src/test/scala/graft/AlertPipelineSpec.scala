@@ -68,6 +68,10 @@ class AlertPipelineSpec extends AnyFunSuite {
       Seq(ev("17-5", "ended", 2000)),
       Seq(ev("17-5", "started", 1000)))) // older event arrives later
     assert(liveSet(ups).isEmpty)
+    // the tombstone must win INSIDE the state machine: no update in the
+    // whole stream may ever claim the key live (a post-processing max-by
+    // would mask a resurrection, so assert on the raw updates)
+    assert(!ups.exists(_.status == "live"))
   }
 
   test("scenario 6: same instance on two worlds => distinct keys") {

@@ -34,6 +34,16 @@ class StateTableSpec extends AnyFunSuite {
     assert(live == Set("19-2"))
   }
 
+  test("late older started does not resurrect a removed key in the table") {
+    val dir = Files.createTempDirectory("alert_table3").toString
+    val table = new AlertStateTable(dir)
+    table.merge(spark, Seq(AlertUpdate("17-1", "removed", 2, 17, 2000.0)).toDF())
+    // a retried/late batch delivers the original (older) live update
+    table.merge(spark, Seq(AlertUpdate("17-1", "live", 1, 17, 1000.0)).toDF())
+    assert(table.snapshot(spark).count() == 0,
+      "tombstone must outrank the older live update")
+  }
+
   test("re-merging the same updates is a no-op (at-least-once safety)") {
     val dir = Files.createTempDirectory("alert_table2").toString
     val table = new AlertStateTable(dir)
