@@ -166,8 +166,36 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
   }
 
+  /** The complete two-stage near-dup pipeline: LSH candidates (stage 1,
+    * equi-join shaped) verified with exact shingle-Jaccard computed ONLY
+    * on the candidate pairs (stage 2) — the shape that replaces the
+    * bounded all-pairs audit at scale. Output: verified pairs with
+    * jaccard >= 0.8.
+    */
+  private val minhashVerified: Q = (s, d) => {
+    val cand = minhashLsh(s, d).select(col("a_id"), col("b_id"))
+    val sh = shingleRows(T(s, d, "documents"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),
+        Seq("b_id"))
+      .filter(col("shingle") === col("sh_b"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
+    "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash,
@@ -244,7 +272,32 @@ object Dedup {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin
   }
 
+  private val minhashVerifiedOracle: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(substr(md5('${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
+    val bandRows = (0 until Bands)
+      .map(b => s"SELECT doc_id, $b AS band, md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
+      .mkString(" UNION ALL ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |inter AS (SELECT c.a_id, c.b_id, count(*) AS i
+       |          FROM cand c
+       |          JOIN sh x ON x.doc_id = c.a_id
+       |          JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+       |          GROUP BY 1, 2)
+       |SELECT a_id, b_id, round(i * 1.0 / (x.n + y.n - i), 4) AS jaccard
+       |FROM inter JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+       |WHERE i * 1.0 / (x.n + y.n - i) >= 0.8""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_verified" -> minhashVerifiedOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,

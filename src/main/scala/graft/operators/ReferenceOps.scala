@@ -28,11 +28,21 @@ object ReferenceOps {
     T(s, d, "events").filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"), col("value"))
 
-  /** Filter: predicate scan (F2, AlertService.py:60 `$lt` pushdown). */
-  private val f2: Q = (s, d) =>
-    T(s, d, "events")
-      .filter(col("ts") < to_timestamp_ntz(lit("2024-01-05 00:00:00")))
+  /** Filter: predicate scan (F2, AlertService.py:60 `$lt` pushdown).
+    *
+    * The filter is applied to the RAW nanosecond column, not the rebuilt
+    * TIMESTAMP_NTZ: a predicate on the derived column cannot reach the
+    * parquet scan, but `ts < const` on the stored int64 pushes down
+    * (`PushedFilters: LessThan(ts, …)`) — the conversion is monotonic so
+    * the two are equivalent.
+    */
+  private val f2: Q = (s, d) => {
+    val cutoffNanos = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
+      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
+    s.read.parquet(s"$d/events.parquet") // raw: ts is int64 nanos
+      .filter(col("ts") < lit(cutoffNanos))
       .select(col("event_id"), col("event_type"))
+  }
 
   /** Filter: point lookup by key (F3, AlertService.py:38-48 `find_one`). */
   private val f3: Q = (s, d) =>

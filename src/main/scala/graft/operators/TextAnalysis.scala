@@ -74,6 +74,18 @@ object TextAnalysis {
           best.as("lang_guess")): _*)
   }
 
+  /** Stopword removal: the cleaned-text transform of a training
+    * pipeline — tokens minus the marker stopword set, rejoined.
+    */
+  private val stopwordRemoval: Q = (s, d) => {
+    val stops = langMarkers.flatMap(_._2).distinct
+    T(s, d, "documents").select(
+      col("doc_id"),
+      concat_ws(" ",
+        filter(words(col("text")), w => !w.isin(stops.map(lit): _*)))
+        .as("clean_text"))
+  }
+
   /** Document fingerprint: md5 of the canonical form (lower-cased,
     * whitespace-collapsed). Robust to case/spacing-only edits.
     */
@@ -102,6 +114,7 @@ object TextAnalysis {
     "text_token_bpe" -> tokenBpe,
     "text_quality" -> quality,
     "text_langid" -> langid,
+    "text_stopword_removal" -> stopwordRemoval,
     "text_fingerprint" -> fingerprint,
   )
 
@@ -149,6 +162,11 @@ object TextAnalysis {
         "len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'), " +
         "t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_tokens FROM documents"),
     "text_langid" -> langidOracle,
+    "text_stopword_removal" ->
+      (s"SELECT doc_id, array_to_string(list_filter(" +
+        s"regexp_split_to_array(trim(text), '\\s+'), " +
+        s"w -> w NOT IN (${langMarkers.flatMap(_._2).distinct.map(m => s"'$m'").mkString(", ")})), ' ') AS clean_text " +
+        "FROM documents"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
   )
