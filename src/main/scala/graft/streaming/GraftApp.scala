@@ -97,9 +97,10 @@ object GraftApp {
     val spark = graft.GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.streams.addListener(new Observability.MetricsListener)
+    val metricsHttp = MetricsHttp.fromEnv() // ess_client.py:172 parity
     val running =
       start(spark, Config(), InMemoryPublisher("graft_app"), live = true)
-    spark.streams.awaitAnyTermination()
-    running.stopAll()
+    try spark.streams.awaitAnyTermination()
+    finally { running.stopAll(); metricsHttp.close() }
   }
 }
