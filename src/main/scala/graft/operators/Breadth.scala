@@ -92,6 +92,21 @@ object Breadth {
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
 
+  /** Exact interpolated percentiles — Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition.
+    */
+  private val percentileExact: Q = (s, d) =>
+    T(s, d, "orders").groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+
+  /** Correlation / covariance aggregates. */
+  private val aggCorr: Q = (s, d) =>
+    T(s, d, "lineitem").agg(
+      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+      round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_dt"))
+
   /** Approximate quantiles via percentile_approx — rows-only; the spec
     * checks bracketing between exact min/max.
     */
@@ -113,6 +128,8 @@ object Breadth {
     "salted_agg" -> saltedAgg,
     "approx_distinct" -> approxDistinct,
     "approx_quantiles" -> approxQuantiles,
+    "percentile_exact" -> percentileExact,
+    "agg_corr" -> aggCorr,
   )
 
   val oracles: Map[String, String] = Map(
@@ -148,6 +165,15 @@ object Breadth {
     "salted_agg" ->
       """SELECT user_id, count(*) AS n, round(sum(value), 2) AS total
         |FROM events GROUP BY user_id""".stripMargin,
+    "percentile_exact" ->
+      """SELECT o_orderstatus,
+        |  round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "agg_corr" ->
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_discount, l_tax), 6) AS covar_dt
+        |FROM lineitem""".stripMargin,
     // approx_distinct / approx_quantiles: rows-only (sketches are
     // engine-specific); DedupSimilaritySpec bounds the error instead.
   )
