@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import graft.functions.DotProduct
+
+/** Session-extension registration (SURVEY.md §7 preference (c) plumbing):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions …
+  * }}}
+  *
+  * injects the custom vector expressions into every session's function
+  * registry at build time — the deployment-grade alternative to calling
+  * [[graft.functions.Registry.register]] per session. No custom
+  * optimizer Rule or SparkStrategy is injected: reference parity needs
+  * none (SURVEY.md §4) — Catalyst's own rules handle every plan here.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String) =
+    new ExpressionInfo(classOf[DotProduct].getName, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"), info("vec_cosine"),
+      (exprs: Seq[Expression]) => {
+        val (a, b) = (exprs(0), exprs(1))
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }))
+  }
+}
+
+/** Manual check for the extension path (needs a fresh session, so it is a
+  * main rather than a spec sharing the test session): builds a session
+  * with `spark.sql.extensions=graft.GraftExtensions` and calls the
+  * injected functions from SQL.
+  */
+object ExtensionsDemo {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.tune(
+      org.apache.spark.sql.SparkSession.builder().master("local[2]")
+        .config("spark.sql.extensions", classOf[GraftExtensions].getName),
+      "2").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val row = spark.sql(
+      "SELECT vec_dot(array(1D,2D,3D), array(4D,5D,6D)) AS d, " +
+        "vec_cosine(array(1D,0D), array(1D,0D)) AS c").head()
+    println(s"EXT vec_dot=${row.getDouble(0)} vec_cosine=${row.getDouble(1)}")
+    assert(row.getDouble(0) == 32.0 && math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    println("EXTENSIONS_OK")
+    spark.stop()
+  }
+}
