@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply, Sqrt}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import graft.functions.DotProduct
 
 /** Session-extension registration (SURVEY.md §7 preference (c) plumbing):
@@ -26,11 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
     ext.injectFunction((FunctionIdentifier("vec_cosine"), info("vec_cosine"),
-      (exprs: Seq[Expression]) => {
-        val (a, b) = (exprs(0), exprs(1))
-        Divide(DotProduct(a, b),
-          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
-      }))
+      (exprs: Seq[Expression]) =>
+        graft.functions.VectorExpressions.cosineExpr(exprs(0), exprs(1))))
   }
 }
 

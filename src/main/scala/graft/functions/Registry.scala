@@ -13,11 +13,8 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction(
-      "vec_cosine", exprs => {
-        import org.apache.spark.sql.catalyst.expressions._
-        val (a, b) = (exprs(0), exprs(1))
-        Divide(DotProduct(a, b),
-          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
-      }, "scala_udf")
+      "vec_cosine",
+      exprs => VectorExpressions.cosineExpr(exprs(0), exprs(1)),
+      "scala_udf")
   }
 }

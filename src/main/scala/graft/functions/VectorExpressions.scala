@@ -108,4 +108,12 @@ object VectorExpressions {
 
   def sign_lsh_buckets(v: Column, planes: Array[Array[Array[Double]]]): Column =
     column(SignLshBuckets(expression(v), planes))
+
+  /** The one canonical cosine expression tree — both registration paths
+    * (per-session registry, SparkSessionExtensions) build from here so a
+    * future change cannot diverge between them.
+    */
+  def cosineExpr(a: Expression, b: Expression): Expression =
+    Divide(DotProduct(a, b),
+      Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
 }

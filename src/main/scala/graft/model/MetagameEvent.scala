@@ -62,13 +62,20 @@ object MetagameEvent {
   def fromJson(df: DataFrame): Dataset[MetagameEvent] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val complete = wireSchema.fieldNames
+    // only the KEY fields are required (id routes state, state drives the
+    // machine, timestamp orders it); optional payload fields default to 0
+    // like the reference would tolerate a sparse frame
+    val required = Seq("id", "state", "timestamp")
       .map(f => col(s"e.$f").isNotNull).reduce(_ && _)
+    val defaulted = wireToCamel.map {
+      case (w, c) if Seq("id", "state").contains(w) => col(s"e.$w").as(c)
+      case (w, c) => coalesce(col(s"e.$w"), lit(0)).as(c)
+    }
     df.select(from_json(col("value"), wireSchema).as("e"))
       .observe("graft_parse",
-        count(when(col("e").isNull || !complete, 1)).as("malformed_frames"))
-      .filter(col("e").isNotNull && complete)
-      .select(wireToCamel.map { case (w, c) => col(s"e.$w").as(c) }: _*)
+        count(when(col("e").isNull || !required, 1)).as("malformed_frames"))
+      .filter(col("e").isNotNull && required)
+      .select(defaulted: _*)
       .as[MetagameEvent]
   }
 

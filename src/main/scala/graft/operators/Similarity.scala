@@ -28,14 +28,18 @@ object Similarity {
   private val K = 5
   private val NQueries = 10
 
-  /** Exact brute-force cosine top-k for vec_id < NQueries. */
+  /** Exact brute-force cosine top-k for vec_id < NQueries. Norms are
+    * precomputed once per vector; the per-pair work is one dot product.
+    */
   private val bruteforce: Q = (s, d) => {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
     val q = e.filter(col("vec_id") < NQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
     val joined = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
-      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     joined.withColumn("rank", row_number().over(w).cast("long"))
@@ -77,6 +81,7 @@ object Similarity {
   private val annLsh: Q = (s, d) => {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
     val bucketed = e.select(col("vec_id"), col("v"),
       posexplode(graft.functions.VectorExpressions
         .sign_lsh_buckets(col("v"), planeTensor)).as(Seq("t", "bucket")))
@@ -94,9 +99,10 @@ object Similarity {
     val candidates = candidateIds
       .join(e, Seq("vec_id"))
       .join(broadcast(e.filter(col("vec_id") < NQueries)
-        .select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))),
         Seq("q_id"))
-      .withColumn("sim", cosine(col("qv"), col("v")))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("sim").desc, col("vec_id"))
     candidates.withColumn("rank", row_number().over(w).cast("long"))

@@ -95,20 +95,29 @@ private[sources] class EssMicroBatchStream(
   // mark; the buffer truncates below the minimum across live consumers
   private val consumer = buffer.register()
 
-  // open the transport if the query configured one (live mode); tests
-  // push frames straight into the buffer instead
-  private val transport: Option[AutoCloseable] =
+  // live mode: ensure ONE shared websocket per channel, refcounted —
+  // several queries reading the same channel must not each open a socket
+  // (each socket would push every remote frame into the buffer again)
+  private val transportLease: Option[EssFeeds.TransportLease] =
     Option(options.get("wsUri")).map { uri =>
-      FrameTransport.webSocket(uri, Option(options.get("subscribe")))
-        .connect(buffer.push)
+      EssFeeds.leaseTransport(channel, uri, Option(options.get("subscribe")))
     }
 
   override def initialOffset(): Offset = EssOffset(buffer.firstSeq)
 
   override def latestOffset(): Offset = EssOffset(buffer.lastSeq)
 
-  override def deserializeOffset(json: String): Offset =
-    EssOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val seq = json.toLong
+    // checkpoint recovery in a NEW JVM: the in-memory buffer restarted at
+    // seq 0, so fast-forward past the recovered offset — frames buffered
+    // before the crash are gone (this source is in-memory; cross-restart
+    // durability belongs to a durable upstream like Kafka), but new
+    // frames get sequence numbers the recovered query will actually plan,
+    // instead of crashing on an inverted range or silently re-numbering.
+    buffer.fastForward(seq)
+    EssOffset(seq)
+  }
 
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
@@ -136,7 +145,7 @@ private[sources] class EssMicroBatchStream(
 
   override def stop(): Unit = {
     buffer.unregister(consumer)
-    transport.foreach(_.close())
+    transportLease.foreach(_.release())
   }
 }
 
@@ -176,6 +185,14 @@ class FrameBuffer {
       .map(e => (e.getKey, e.getValue._1, e.getValue._2)).toArray
   }
 
+  /** Advance the sequence counter to at least `n` (no-op if already
+    * past): checkpoint recovery in a fresh JVM realigns new frames with
+    * the recovered offset space.
+    */
+  def fastForward(n: Long): Unit = synchronized {
+    while (seq.get() < n && !seq.compareAndSet(seq.get(), n)) ()
+  }
+
   def register(): Long = {
     val id = consumerIds.incrementAndGet()
     consumers.put(id, -1L) // nothing committed yet: pins the buffer
@@ -209,6 +226,37 @@ object EssFeeds {
   def buffer(channel: String): FrameBuffer =
     buffers.computeIfAbsent(channel, _ => new FrameBuffer)
   def push(channel: String, frame: String): Unit = buffer(channel).push(frame)
+
+  /** A refcounted hold on the channel's single shared transport. */
+  final class TransportLease private[EssFeeds] (channel: String) {
+    private val released = new java.util.concurrent.atomic.AtomicBoolean(false)
+    def release(): Unit =
+      if (released.compareAndSet(false, true)) releaseTransport(channel)
+  }
+
+  private case class SharedTransport(conn: AutoCloseable,
+      refs: java.util.concurrent.atomic.AtomicInteger)
+  private val transports = new ConcurrentHashMap[String, SharedTransport]()
+
+  /** Open (or join) the channel's shared websocket transport. */
+  def leaseTransport(channel: String, uri: String,
+      subscribe: Option[String]): TransportLease = synchronized {
+    val t = transports.computeIfAbsent(channel, _ =>
+      SharedTransport(
+        FrameTransport.webSocket(uri, subscribe).connect(push(channel, _)),
+        new java.util.concurrent.atomic.AtomicInteger(0)))
+    t.refs.incrementAndGet()
+    new TransportLease(channel)
+  }
+
+  private def releaseTransport(channel: String): Unit = synchronized {
+    Option(transports.get(channel)).foreach { t =>
+      if (t.refs.decrementAndGet() <= 0) {
+        transports.remove(channel)
+        try t.conn.close() catch { case _: Throwable => () }
+      }
+    }
+  }
 }
 
 /** Transport abstraction: how frames arrive. Production = a websocket

@@ -59,10 +59,13 @@ object AlertPipeline {
     val spark = events.sparkSession
     import spark.implicits._
 
-    val timeout = ttlSeconds match {
-      case Some(_) => GroupStateTimeout.EventTimeTimeout
-      case None => GroupStateTimeout.NoTimeout
-    }
+    // TTL timeouts need event-time semantics, which only exist on a
+    // streaming plan with a watermark — a batch fold ignores TTL (the
+    // batch analog of expiry is the t1 predicate filter)
+    val ttlActive = ttlSeconds.isDefined && events.isStreaming
+    val timeout =
+      if (ttlActive) GroupStateTimeout.EventTimeTimeout
+      else GroupStateTimeout.NoTimeout
 
     // EventTimeTimeout needs a watermark on a streaming source; the extra
     // eventTime column is ignored by the by-name encoder binding.
@@ -94,7 +97,7 @@ object AlertPipeline {
             .maxBy(e => (e.timestamp, e.eventId))
           val live = newest.state == MetagameEvent.Started
           state.update(AlertState(newest))
-          ttlSeconds.foreach { t =>
+          if (ttlActive) ttlSeconds.foreach { t =>
             // the timeout must sit at or above the current watermark
             val target = (newest.timestamp * 1000).toLong + t * 1000
             state.setTimeoutTimestamp(

@@ -45,10 +45,16 @@ object Observability {
       count(lit(1)).as("total_events"),
       max(col("timestamp")).as("last_event_time"))
 
-  /** Listener folding per-batch observations into [[Metrics]]. */
+  val ParseObservation = "graft_parse" // from MetagameEvent.fromJson
+
+  /** Listener folding per-batch observations into [[Metrics]].
+    * `running_queries` counts live queries (A5: the service is "up" while
+    * it is > 0 — a single boolean would flip to "stopped" when just one
+    * of several pipeline queries ends).
+    */
   class MetricsListener extends StreamingQueryListener {
     override def onQueryStarted(e: QueryStartedEvent): Unit =
-      Metrics.set("service_state", 1.0) // A5: "running"
+      Metrics.add("running_queries", 1.0)
 
     override def onQueryProgress(e: QueryProgressEvent): Unit = {
       val obs = e.progress.observedMetrics
@@ -60,9 +66,13 @@ object Observability {
           case _ => ()
         }
       }
+      if (obs.containsKey(ParseObservation)) {
+        val n = obs.get(ParseObservation).getAs[Long]("malformed_frames")
+        if (n > 0) Metrics.add("malformed_frames", n.toDouble)
+      }
     }
 
     override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
-      Metrics.set("service_state", 0.0) // A5: "stopped"
+      Metrics.add("running_queries", -1.0)
   }
 }

@@ -54,8 +54,12 @@ class AlertStateTable(path: String) extends Serializable {
     import org.apache.spark.sql.expressions.Window
     val unioned = raw(spark).unionByName(
       updates.select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
+    // tie-break beyond (timestamp, eventId): a TTL "expired" update carries
+    // the SAME event coordinates as the live row it retires, so on a dead
+    // tie the non-live status must win (the deletion is causally later)
+    val statusRank = when(col("status") === "live", 0).otherwise(1)
     val w = Window.partitionBy(col("id"))
-      .orderBy(col("timestamp").desc, col("eventId").desc)
+      .orderBy(col("timestamp").desc, col("eventId").desc, statusRank.desc)
     val merged = unioned
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
