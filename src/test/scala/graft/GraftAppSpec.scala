@@ -46,6 +46,29 @@ class GraftAppSpec extends AnyFunSuite {
     } finally spark.streams.removeListener(listener)
   }
 
+  test("live mode keeps running and processes frames pushed after startup") {
+    val ch = s"applive_${System.nanoTime()}"
+    val cfg = GraftApp.Config(
+      channel = ch, wsUri = None, subscribe = None,
+      publishEnabled = true, purgeStale = false, ttlSeconds = 5400,
+      stateTablePath = Files.createTempDirectory("app_live").toString)
+    val running = GraftApp.start(spark, cfg, InMemoryPublisher(ch), live = true)
+    try {
+      // frames arrive AFTER the queries started — drain-and-stop triggers
+      // would already have terminated and missed them
+      EssFeeds.push(ch, frame("17-1", "started", 1000))
+      EssFeeds.push(ch, frame("19-2", "started", 1500))
+      val deadline = System.currentTimeMillis() + 60000
+      def liveCount = running.table.snapshot(spark).count()
+      while ((InMemoryPublisher.queue(ch).size() < 2 || liveCount < 2) &&
+        System.currentTimeMillis() < deadline) Thread.sleep(250)
+      assert(InMemoryPublisher.queue(ch).size() == 2)
+      assert(liveCount == 2)
+      assert(running.publish.get.isActive && running.state.isActive,
+        "live-mode queries must still be running")
+    } finally running.stopAll()
+  }
+
   test("C1 routing: publish disabled leaves only the state query") {
     val ch = s"app2_${System.nanoTime()}"
     val cfg = GraftApp.Config(
