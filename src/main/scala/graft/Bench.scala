@@ -31,6 +31,9 @@ object Bench {
       // best-of-2: a single-shot timing on a shared box occasionally eats
       // a multi-second disk/CPU stall that has nothing to do with the plan
       val times = (1 to 2).flatMap { _ =>
+        // queries that persist() an interior stage must not hand their
+        // cache to the next run (CacheManager matches by logical plan)
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

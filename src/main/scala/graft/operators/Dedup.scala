@@ -61,13 +61,22 @@ object Dedup {
     * (slices of a cryptographic digest are independent), and fixed-width
     * hex compares lexicographically = numerically for the min.
     */
-  private val minhashLsh: Q = (s, d) => {
-    val sh = shingleRows(T(s, d, "documents"))
+  /** Per-doc minhash signatures (plus any extra aggregates computed in the
+    * SAME scan + shuffle — e.g. the shingle count the verified pipeline
+    * needs, so it doesn't pay a separate pass over the shingles).
+    */
+  private def minhashSig(sh: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
+    val hashed = sh
       .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
       .withColumn("m1", md5(concat(lit("1:"), col("shingle")).cast("binary")))
-    val minCols = (0 until NumHashes).map(i =>
-      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
-    val sig = sh.groupBy(col("doc_id")).agg(minCols.head, minCols.tail: _*)
+    val aggs = (0 until NumHashes).map(i =>
+      min(substring(col(s"m${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i")) ++
+      extraAggs
+    hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over signatures → distinct candidate pairs (equi-join). */
+  private def bandPairs(sig: DataFrame): DataFrame = {
     val bands = sig.select(col("doc_id"),
       explode(array((0 until Bands).map(b => struct(
         lit(b).as("band"),
@@ -80,6 +89,9 @@ object Dedup {
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_bands"))
   }
+
+  private val minhashLsh: Q = (s, d) =>
+    bandPairs(minhashSig(shingleRows(T(s, d, "documents"))))
 
   /** Exact n-gram (3-shingle) Jaccard audit over a bounded doc prefix.
     * At scale this runs on LSH candidates; the doc_id < 300 cap here keeps
@@ -145,25 +157,52 @@ object Dedup {
       .filter(col("dist") <= 3)
   }
 
-  /** Embedding-cosine near-dup pairs. The all-pairs form is the audit
-    * shape; the scale path is [[Similarity]]'s bucketed ANN. Threshold
-    * 0.4 sits in a gap of the data's similarity distribution.
+  private val CosineBlocks = 16 // B(B+1)/2 = 136 balanced join keys
+
+  /** Embedding-cosine near-dup pairs, block-partitioned.
+    *
+    * Why not LSH candidates here: measured on this data, pair similarity is
+    * a continuous tail (hundreds of pairs per 0.01 bucket right at the 0.40
+    * threshold, no gap), and the answer set is itself ~5.5e-4 of ALL pairs
+    * at every SF — i.e. the OUTPUT is quadratic in n. Sign-LSH at
+    * cos θ = 0.4 needs p(plane agrees) ≈ 0.63, so any (planes, tables)
+    * choice with recall ≈ 1 retains ~all pairs as candidates — no pruning.
+    * LSH-bucketed near-dup is the right shape only at high thresholds
+    * (see [[Similarity]] for where it does apply).
+    *
+    * What CAN be fixed is the join shape: instead of a
+    * BroadcastNestedLoopJoin on `a_id < b_id` (single in-memory copy of the
+    * whole table, undistributable), each vector is assigned a block
+    * `vec_id % B` and every unordered block pair (p ≤ q) becomes ONE
+    * equi-join key: the left side carries block b under keys (b, q≥b), the
+    * right side under keys (p≤b, b), so each unordered vector pair meets
+    * exactly once. The join is a plain shuffle equi-join on two int
+    * columns — B(B+1)/2 evenly-sized keys that spread over any number of
+    * executors, with only a (1+1/B) row overhead vs the exact pair count.
+    * Norms are precomputed once per vector; the per-pair hot path is a
+    * single codegen'd dot product.
     */
   private val embeddingCosine: Q = (s, d) => {
     import graft.functions.VectorFunctions._
-    // norms are precomputed once per vector (not once per pair): the
-    // pairwise hot path is a single codegen'd dot product
+    val B = CosineBlocks
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
-    val a = e.select(col("vec_id").as("a_id"), col("v").as("va"),
-      col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
-      col("nrm").as("nb"))
-    a.join(b, col("a_id") < col("b_id"))
+      .withColumn("blk", pmod(col("vec_id"), lit(B)).cast("int"))
+    val left = e.select(col("vec_id").as("a_id"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("kp"),
+      explode(sequence(col("blk"), lit(B - 1))).as("kq"))
+    val right = e.select(col("vec_id").as("b_id"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("kq"),
+      explode(sequence(lit(0), col("blk"))).as("kp"))
+    left.join(right, Seq("kp", "kq"))
+      // diagonal keys (p == q) pair a block with itself: keep one order
+      .filter(col("kp") =!= col("kq") || col("a_id") < col("b_id"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("sim") >= 0.4)
-      .select(col("a_id"), col("b_id"), round(col("sim"), 4).as("sim"))
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"),
+        round(col("sim"), 4).as("sim"))
   }
 
   /** The complete two-stage near-dup pipeline: LSH candidates (stage 1,
@@ -171,11 +210,25 @@ object Dedup {
     * on the candidate pairs (stage 2) — the shape that replaces the
     * bounded all-pairs audit at scale. Output: verified pairs with
     * jaccard >= 0.8.
+    *
+    * The shingle explosion has multiple consumers. Round 1 computed it
+    * FOUR times (signatures, sizes, both verify joins); this version folds
+    * the size count into the signature aggregation (one scan + one shuffle
+    * produces both), leaving three. An A/B probe at sf0.1/local[32] showed
+    * `persist()`-ing the shingles is a net LOSS here (2.7–7.5 s cached vs
+    * 1.9–3.1 s recomputed): the shingle pipeline is whole-stage-codegen'd
+    * md5 over a small scan, cheaper than materializing the exploded rows
+    * through the cache manager. At 100 TB the calculus flips — there you
+    * checkpoint the shingles (or signatures) to a bucketed table once and
+    * share them across every dedup job, rather than rely on executor
+    * caches at all.
     */
   private val minhashVerified: Q = (s, d) => {
-    val cand = minhashLsh(s, d).select(col("a_id"), col("b_id"))
     val sh = shingleRows(T(s, d, "documents"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // signatures AND per-doc shingle counts from a single aggregation
+    val sigN = minhashSig(sh, Seq(count(lit(1)).as("n")))
+    val cand = bandPairs(sigN).select(col("a_id"), col("b_id"))
+    val sizes = sigN.select(col("doc_id"), col("n"))
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),

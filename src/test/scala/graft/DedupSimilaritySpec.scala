@@ -74,6 +74,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(p50 >= lo && p95 <= hi && p50 <= p95)
   }
 
+  test("embedding-cosine dedup is an equi-join (no nested-loop), covers all pairs once") {
+    val df = Dedup.queries("dedup_embedding_cosine")(spark, sf)
+    val rows = df.collect() // settle AQE on this QueryExecution
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"block-partitioned cosine must not nested-loop:\n$plan")
+    // ground truth: the O(n²) pair set from a driver-side reference loop
+    import graft.functions.VectorFunctions._
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / math.sqrt(na * nb)
+    }
+    val expected = (for {
+      i <- vecs.indices.iterator
+      j <- (i + 1) until vecs.length
+      s = cos(vecs(i)._2, vecs(j)._2) if s >= 0.4
+    } yield (vecs(i)._1, vecs(j)._1)).toSet
+    val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions._
     val e = Tables.load(spark, sf, "embeddings").limit(10)
