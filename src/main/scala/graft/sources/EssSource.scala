@@ -39,10 +39,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * the reference's persistent publish (SURVEY.md §6).
   *
   * Scale note: like Spark's built-in socket/rate sources, ingest lands on
-  * the driver and ships to executors inside the planned partitions — the
-  * right shape for the reference's feed (tens of events/sec globally).
-  * A firehose-scale feed should land in Kafka and use that source; this
-  * source's job is protocol parity, not bulk transport.
+  * the driver and ships to executors inside the planned partitions; each
+  * batch is split across `numPartitions` (default: scheduler parallelism)
+  * contiguous ranges so replayed/bursty batches fan out over every core.
+  * A firehose-scale feed should still land in Kafka and use that source;
+  * this source's job is protocol parity, not bulk transport.
   */
 class EssSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ess"
@@ -119,12 +120,36 @@ private[sources] class EssMicroBatchStream(
     EssOffset(seq)
   }
 
+  // How many input partitions a batch is split across. Default: the
+  // session's scheduler parallelism, so a large replayed batch fans out
+  // over every core instead of running as one task (the round-1 choke).
+  private lazy val numPartitions: Int =
+    math.max(1, Option(options.get("numPartitions")).map(_.toInt).getOrElse {
+      try org.apache.spark.sql.SparkSession.active
+        .sparkContext.defaultParallelism
+      catch { case _: Throwable => 1 }
+    })
+
   override def planInputPartitions(
       start: Offset, end: Offset): Array[InputPartition] = {
     val frames = buffer.range(
       start.asInstanceOf[EssOffset].seq, end.asInstanceOf[EssOffset].seq)
-    // frames travel inside the serialized partition to the executors
-    Array(EssInputPartition(frames))
+    // frames travel inside the serialized partitions to the executors,
+    // split into contiguous near-equal sequence ranges (order preserved
+    // within each partition; cross-partition order is carried by `seq`)
+    val p = math.max(1, math.min(numPartitions, frames.length))
+    val base = frames.length / p
+    val rem = frames.length % p
+    val parts = new Array[InputPartition](p)
+    var idx = 0
+    var i = 0
+    while (i < p) {
+      val len = base + (if (i < rem) 1 else 0)
+      parts(i) = EssInputPartition(frames.slice(idx, idx + len))
+      idx += len
+      i += 1
+    }
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

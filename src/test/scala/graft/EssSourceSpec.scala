@@ -77,6 +77,28 @@ class EssSourceSpec extends AnyFunSuite {
     } finally { q1.stop(); q2.stop() }
   }
 
+  test("a multi-frame batch is planned across multiple input partitions") {
+    val ch = s"t5_${System.nanoTime()}"
+    (1 to 64).foreach(i => EssFeeds.push(ch, frame(s"17-$i", "started", 1000 + i)))
+    val name = s"ess_part_$ch"
+    val q = spark.readStream.format("ess").option("channel", ch)
+      .option("numPartitions", "8").load()
+      .selectExpr("seq", "value", "spark_partition_id() AS pid")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table(name).selectExpr("seq", "pid")
+      .as[(Long, Int)].collect()
+    assert(rows.length == 64, "no frame lost by the split")
+    assert(rows.map(_._1).distinct.length == 64, "no frame duplicated")
+    assert(rows.map(_._2).distinct.length == 8,
+      s"expected the batch to fan out over 8 partitions, got ${rows.map(_._2).distinct.length}")
+    // near-equal split: no partition hogs the batch (the round-1 shape
+    // was all 64 frames in one task)
+    val counts = rows.groupBy(_._2).values.map(_.length)
+    assert(counts.max <= 16, s"unbalanced fan-out: $counts")
+  }
+
   test("incremental micro-batches: later pushes arrive in later batches") {
     val ch = s"t3_${System.nanoTime()}"
     EssFeeds.push(ch, frame("17-1", "started", 1000))
