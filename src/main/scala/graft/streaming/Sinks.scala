@@ -18,6 +18,13 @@ import graft.model.MetagameEvent
   */
 trait Publisher extends Serializable {
   def publish(routingKey: String, payload: String): Unit
+
+  /** Publish one partition's messages as a unit. Default: per-message
+    * publish. Durable implementations override this to batch the
+    * partition into one atomic+fsync'd commit.
+    */
+  def publishPartition(messages: Iterator[(String, String)]): Unit =
+    messages.foreach { case (k, p) => publish(k, p) }
 }
 
 /** Test/standalone transport: collects published messages in memory.
@@ -36,6 +43,87 @@ object InMemoryPublisher {
   def apply(name: String): Publisher = new Publisher {
     def publish(routingKey: String, payload: String): Unit =
       queue(name).add((routingKey, payload))
+  }
+}
+
+/** Durable append-log publisher — the file-backed stand-in for the
+  * reference's PERSISTENT AMQP publish
+  * (`/root/reference/services/RabbitService.py:30-35`), proving the
+  * at-least-once contract without a broker.
+  *
+  * Each partition's messages are written to ONE hidden temp file, fsync'd
+  * to disk, then atomically renamed to `*.log` — a log file is either
+  * fully published or invisible, so a crash mid-write loses nothing that
+  * was acknowledged and leaks no partial reads. A retried micro-batch
+  * appends a second file carrying the same messages: that is the
+  * at-least-once redelivery the contract allows, and consumers dedup
+  * (exactly like consumers of the reference's RabbitMQ queue must).
+  *
+  * Executors append independently (one file per partition-task, unique
+  * name — no coordination, no driver round-trip), which is what lets the
+  * sink scale with the cluster.
+  */
+class FilePublisher(dir: String) extends Publisher {
+  import java.io.{File, FileOutputStream, OutputStreamWriter}
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  override def publish(routingKey: String, payload: String): Unit =
+    publishPartition(Iterator.single((routingKey, payload)))
+
+  override def publishPartition(messages: Iterator[(String, String)]): Unit = {
+    if (!messages.hasNext) return
+    val d = new File(dir)
+    d.mkdirs()
+    val name = s"part-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
+    val tmp = new File(d, s".$name.inprogress")
+    val out = new FileOutputStream(tmp)
+    val w = new OutputStreamWriter(out, UTF_8)
+    messages.foreach { case (k, p) =>
+      w.write(FilePublisher.escape(k)); w.write('\t')
+      w.write(FilePublisher.escape(p)); w.write('\n')
+    }
+    w.flush()
+    out.getFD.sync() // durable before visible
+    w.close()
+    if (!tmp.renameTo(new File(d, s"$name.log")))
+      sys.error(s"commit rename failed for $tmp")
+  }
+}
+
+object FilePublisher {
+  import java.nio.charset.StandardCharsets.UTF_8
+
+  private[streaming] def escape(s: String): String =
+    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb.append('\t'); case 'n' => sb.append('\n')
+          case c => sb.append(c)
+        }
+        i += 2
+      } else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Everything durably published, in commit-file order. May contain
+    * duplicates (at-least-once); in-progress temp files are invisible.
+    */
+  def consume(dir: String): Vector[(String, String)] = {
+    val d = new java.io.File(dir)
+    val files = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".log")).sortBy(_.getName)
+    files.toVector.flatMap { f =>
+      new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+        .linesIterator.filter(_.nonEmpty).map { line =>
+          val Array(k, p) = line.split("\t", 2)
+          (unescape(k), unescape(p))
+        }
+    }
   }
 }
 
@@ -60,7 +148,7 @@ object Sinks {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.foreachPartition { rows: Iterator[Row] =>
-          rows.foreach(r => publisher.publish(RoutingKey, r.getString(0)))
+          publisher.publishPartition(rows.map(r => (RoutingKey, r.getString(0))))
         }
       }
 }

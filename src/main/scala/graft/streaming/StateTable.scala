@@ -20,59 +20,123 @@ import graft.model.MetagameEvent
   * set. Re-merging a redelivered batch is a no-op, which makes
   * at-least-once micro-batch retries safe.
   *
-  * Crash safety: each merge writes a fresh versioned directory and then
-  * atomically swaps a `_CURRENT` pointer file onto it — a crash at any
-  * point leaves the previous version fully readable (a production lake
-  * would get the same property from Delta/Iceberg commits).
+  * Layout: a log-plus-compaction scheme (the shape Delta/Iceberg give you
+  * for free — re-derived here on bare parquet). `_CURRENT` atomically
+  * points at a manifest file; the manifest lists segment directories in
+  * application order. Each merge writes ONLY the batch's (per-id resolved)
+  * rows as a new delta segment — O(|batch|) I/O, not O(|table|) — and
+  * readers resolve last-writer-wins across segments. Once the manifest
+  * exceeds `compactEvery` segments, the merge folds everything into a
+  * fresh base segment, so read amplification is bounded and compaction
+  * cost amortizes to |table|/compactEvery per batch.
+  *
+  * Crash safety: segments and manifests are immutable; `_CURRENT` swaps
+  * via ATOMIC_MOVE, so a crash at any point leaves the previous manifest
+  * fully readable. GC retains the previous manifest's segments for one
+  * generation (delete N-2, not N-1): a reader that resolved `_CURRENT`
+  * just before a swap still finds every file it planned.
   */
-class AlertStateTable(path: String) extends Serializable {
+class AlertStateTable(path: String, compactEvery: Int = 8)
+    extends Serializable {
 
   private def pointer: Path = Paths.get(path, "_CURRENT")
 
-  private def currentDir: Option[String] =
+  private def manifestOf(name: String): Seq[String] = {
+    val p = Paths.get(path, name)
+    if (Files.exists(p))
+      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+        .linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    else Seq.empty
+  }
+
+  private def currentManifestName: Option[String] =
     if (Files.exists(pointer))
       Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim)
-        .filter(v => Files.exists(Paths.get(path, v)))
-        .map(v => s"$path/$v")
+        .filter(m => Files.exists(Paths.get(path, m)))
     else None
 
-  /** All retained rows — live entries and tombstones. */
-  def raw(spark: SparkSession): DataFrame = currentDir match {
-    case Some(d) => spark.read.parquet(d)
-    case None =>
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        AlertStateTable.schema)
+  /** Segment dirs (relative to `path`) of the current version, in
+    * application order. Exposed for the cost-scaling spec.
+    */
+  def segmentDirs: Seq[String] =
+    currentManifestName.map(manifestOf).getOrElse(Seq.empty)
+
+  /** Last-writer-wins resolution. Tie-break beyond (timestamp, eventId):
+    * a TTL "expired" update carries the SAME event coordinates as the
+    * live row it retires, so on a dead tie the non-live status must win
+    * (the deletion is causally later).
+    */
+  private def resolve(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val statusRank = when(col("status") === "live", 0).otherwise(1)
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("timestamp").desc, col("eventId").desc, statusRank.desc)
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
+
+  private def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      AlertStateTable.schema)
+
+  private def readSegments(spark: SparkSession, segs: Seq[String]): DataFrame =
+    if (segs.isEmpty) empty(spark)
+    else resolve(spark.read.parquet(segs.map(s => s"$path/$s"): _*))
+
+  /** All retained rows — live entries and tombstones, LWW-resolved. */
+  def raw(spark: SparkSession): DataFrame =
+    readSegments(spark, segmentDirs)
 
   /** The in-progress set (what the reference's Mongo collection holds). */
   def snapshot(spark: SparkSession): DataFrame =
     raw(spark).filter(col("status") === "live")
 
-  /** Merge one batch of updates into the table. */
+  /** Merge one batch of updates into the table: write the batch as a new
+    * delta segment (cost scales with the batch), fold into a fresh base
+    * only when the segment count reaches `compactEvery`.
+    */
   def merge(spark: SparkSession, updates: DataFrame): Unit = synchronized {
-    import org.apache.spark.sql.expressions.Window
-    val unioned = raw(spark).unionByName(
-      updates.select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
-    // tie-break beyond (timestamp, eventId): a TTL "expired" update carries
-    // the SAME event coordinates as the live row it retires, so on a dead
-    // tie the non-live status must win (the deletion is causally later)
-    val statusRank = when(col("status") === "live", 0).otherwise(1)
-    val w = Window.partitionBy(col("id"))
-      .orderBy(col("timestamp").desc, col("eventId").desc, statusRank.desc)
-    val merged = unioned
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .drop("rn")
-
-    val version = s"v${System.nanoTime()}"
-    merged.write.mode(SaveMode.Overwrite).parquet(s"$path/$version")
-    val tmp = Paths.get(path, s"_CURRENT.tmp")
-    Files.write(tmp, version.getBytes(StandardCharsets.UTF_8))
-    val old = currentDir
+    if (updates.isEmpty) return // a zero-row segment has no parquet footer
+    val prevManifest = currentManifestName
+    val segs = prevManifest.map(manifestOf).getOrElse(Seq.empty)
+    val delta = s"s${System.nanoTime()}d"
+    resolve(updates
+      .select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/$delta")
+    val newSegs =
+      if (segs.length + 1 >= compactEvery) {
+        val base = s"s${System.nanoTime()}b"
+        readSegments(spark, segs :+ delta)
+          .write.mode(SaveMode.Overwrite).parquet(s"$path/$base")
+        Seq(base)
+      } else segs :+ delta
+    // immutable manifest file, then atomic pointer swap
+    val manifest = s"m${System.nanoTime()}"
+    Files.write(Paths.get(path, manifest),
+      newSegs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    val tmp = Paths.get(path, "_CURRENT.tmp")
+    Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    old.foreach(d => deleteRecursively(Paths.get(d)))
+    gc(keepManifests = Set(manifest) ++ prevManifest)
+  }
+
+  /** Drop manifests and segments unreachable from the retained manifest
+    * generations (current + previous). Also sweeps orphans from merges
+    * that crashed between segment write and pointer swap.
+    */
+  private def gc(keepManifests: Set[String]): Unit = {
+    import scala.jdk.CollectionConverters._
+    val keepSegs = keepManifests.flatMap(manifestOf)
+    Files.list(Paths.get(path)).iterator().asScala.toSeq.foreach { p =>
+      val name = p.getFileName.toString
+      val stale =
+        (name.startsWith("m") && !keepManifests.contains(name)) ||
+        (name.startsWith("s") && !keepSegs.contains(name))
+      if (stale) deleteRecursively(p)
+    }
   }
 
   private def deleteRecursively(p: Path): Unit =

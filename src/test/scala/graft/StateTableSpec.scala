@@ -44,6 +44,49 @@ class StateTableSpec extends AnyFunSuite {
       "tombstone must outrank the older live update")
   }
 
+  test("merge cost scales with the batch, not the table") {
+    val dir = Files.createTempDirectory("alert_table4").toString
+    val table = new AlertStateTable(dir)
+    val seed = (1 to 2000)
+      .map(i => AlertUpdate(s"k-$i", "live", i, 17, 1000.0 + i))
+    table.merge(spark, seed.toDF())
+    table.merge(spark, (1 to 5)
+      .map(i => AlertUpdate(s"k-$i", "removed", 90000 + i, 17, 90000.0 + i))
+      .toDF())
+    val segs = table.segmentDirs
+    assert(segs.length == 2, s"expected base + one delta, got $segs")
+    // the delta segment holds ONLY the batch's keys — per-batch I/O is
+    // O(|batch|), unlike the round-1 full-table rewrite
+    assert(spark.read.parquet(s"$dir/${segs.last}").count() == 5)
+    assert(table.snapshot(spark).count() == 1995)
+  }
+
+  test("compaction bounds the segment count and preserves state") {
+    val dir = Files.createTempDirectory("alert_table5").toString
+    val table = new AlertStateTable(dir, compactEvery = 3)
+    (1 to 7).foreach { i =>
+      table.merge(spark,
+        Seq(AlertUpdate(s"k-$i", "live", i, 17, 1000.0 + i)).toDF())
+      assert(table.segmentDirs.length < 3,
+        s"merge $i left ${table.segmentDirs.length} segments")
+    }
+    assert(table.snapshot(spark).count() == 7)
+    // only files reachable from the retained manifests remain on disk
+    val onDisk = new java.io.File(dir).list().count(_.startsWith("s"))
+    assert(onDisk <= table.segmentDirs.length + 3,
+      s"stale segments not GC'd: $onDisk on disk")
+  }
+
+  test("a reader planned before a merge survives the swap (one-generation retention)") {
+    val dir = Files.createTempDirectory("alert_table6").toString
+    val table = new AlertStateTable(dir)
+    table.merge(spark, Seq(AlertUpdate("17-1", "live", 1, 17, 1000.0)).toDF())
+    val reader = table.raw(spark) // plans (lists files of) version N
+    table.merge(spark, Seq(AlertUpdate("19-2", "live", 2, 19, 2000.0)).toDF())
+    // version N's segments must still exist: collect() reads the old files
+    assert(reader.count() == 1)
+  }
+
   test("re-merging the same updates is a no-op (at-least-once safety)") {
     val dir = Files.createTempDirectory("alert_table2").toString
     val table = new AlertStateTable(dir)
