@@ -22,12 +22,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String) =
     new ExpressionInfo(classOf[DotProduct].getName, name)
 
+  private def arity2(name: String)(build: (Expression, Expression) => Expression)
+      : Seq[Expression] => Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      build(exprs(0), exprs(1))
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      arity2("vec_dot")(DotProduct(_, _))))
     ext.injectFunction((FunctionIdentifier("vec_cosine"), info("vec_cosine"),
-      (exprs: Seq[Expression]) =>
-        graft.functions.VectorExpressions.cosineExpr(exprs(0), exprs(1))))
+      arity2("vec_cosine")(graft.functions.VectorExpressions.cosineExpr)))
   }
 }
 

@@ -8,13 +8,28 @@ import org.apache.spark.sql.SparkSession
   */
 object Registry {
 
+  private def arity2(name: String)(
+      build: (org.apache.spark.sql.catalyst.expressions.Expression,
+        org.apache.spark.sql.catalyst.expressions.Expression) =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      build(exprs(0), exprs(1))
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+      "vec_dot", arity2("vec_dot")(DotProduct(_, _)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "vec_cosine",
-      exprs => VectorExpressions.cosineExpr(exprs(0), exprs(1)),
-      "scala_udf")
+      arity2("vec_cosine")(VectorExpressions.cosineExpr), "scala_udf")
   }
 }

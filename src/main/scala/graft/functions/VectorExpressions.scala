@@ -25,6 +25,23 @@ case class DotProduct(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vec_dot"
 
+  // a clean AnalysisException at plan time beats a ClassCastException at
+  // execution time: both inputs must be array<double> (the eval/codegen
+  // reads unboxed doubles from the array storage, so other element types
+  // would read garbage, not coerce - callers cast first, as
+  // VectorFunctions.asDouble does)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    Seq(left, right).map(_.dataType).zipWithIndex.find {
+      case (ArrayType(DoubleType, _), _) => false
+      case _ => true
+    } match {
+      case Some((t, i)) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName argument ${i + 1} requires array<double>, got ${t.sql}")
+      case None => TypeCheckResult.TypeCheckSuccess
+    }
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]

@@ -58,8 +58,14 @@ object MetagameEvent {
     * key fields) are dropped rather than becoming null-keyed events that
     * would poison the keyed state; they are counted via `observe` under
     * the `graft_parse` observation for the metrics listener.
+    *
+    * `observeParse = false` parses WITHOUT the observation: when several
+    * queries consume the same parsed stream (publish + state in
+    * [[graft.streaming.GraftApp]]), each query executes its own copy of
+    * the plan, so exactly ONE branch may carry the counter or every
+    * malformed frame is counted once per query.
     */
-  def fromJson(df: DataFrame): Dataset[MetagameEvent] = {
+  def fromJson(df: DataFrame, observeParse: Boolean = true): Dataset[MetagameEvent] = {
     val spark = df.sparkSession
     import spark.implicits._
     // only the KEY fields are required (id routes state, state drives the
@@ -71,9 +77,11 @@ object MetagameEvent {
       case (w, c) if Seq("id", "state").contains(w) => col(s"e.$w").as(c)
       case (w, c) => coalesce(col(s"e.$w"), lit(0)).as(c)
     }
-    df.select(from_json(col("value"), wireSchema).as("e"))
-      .observe("graft_parse",
+    val parsed = df.select(from_json(col("value"), wireSchema).as("e"))
+    (if (observeParse)
+      parsed.observe("graft_parse",
         count(when(col("e").isNull || !required, 1)).as("malformed_frames"))
+     else parsed)
       .filter(col("e").isNotNull && required)
       .select(defaulted: _*)
       .as[MetagameEvent]

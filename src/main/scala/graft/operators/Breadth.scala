@@ -84,13 +84,19 @@ object Breadth {
       .agg(sum(col("pn")).as("n"), round(sum(col("pv")), 2).as("total"))
   }
 
-  /** Approximate distinct (HLL++) vs exact — rows-only for the gate
-    * (DuckDB's approx sketch differs); the spec bounds relative error.
+  /** Approximate distinct (HLL++) checked IN the query: the sketch value
+    * itself is engine-specific (DuckDB's HLL differs), so the output
+    * carries the exact count plus a `within_bound` verdict — the oracle
+    * reproduces the exact count and asserts TRUE, making the sketch's
+    * error bound a hash-checked contract instead of a rows-only row.
     */
   private val approxDistinct: Q = (s, d) =>
     T(s, d, "lineitem").groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"), col("exact_parts"),
+        (abs(col("approx_parts") - col("exact_parts"))
+          / col("exact_parts") <= 0.05).as("within_bound"))
 
   /** Exact interpolated percentiles — Spark `percentile` and DuckDB
     * `quantile_cont` share the linear-interpolation definition.
@@ -107,15 +113,29 @@ object Breadth {
       round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
       round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_dt"))
 
-  /** Approximate quantiles via percentile_approx — rows-only; the spec
-    * checks bracketing between exact min/max.
+  /** Approximate quantiles via percentile_approx, bound-checked IN the
+    * query: the sketch guarantees rank error ≤ n/accuracy, so the approx
+    * value must land between the exact 1%-neighbor percentiles. Output =
+    * exact percentiles (hash-checked vs quantile_cont) + the two
+    * verdicts (oracle asserts TRUE).
     */
   private val approxQuantiles: Q = (s, d) =>
     T(s, d, "orders").agg(
-      percentile_approx(col("o_totalprice"), lit(0.5), lit(10000))
-        .as("p50"),
-      percentile_approx(col("o_totalprice"), lit(0.95), lit(10000))
-        .as("p95"))
+      // ONE percentile buffer for all six exact ranks and one sketch for
+      // both approx ranks - not six independent sort-based aggregates
+      expr("percentile(o_totalprice, array(0.49, 0.5, 0.51, 0.94, 0.95, 0.96))")
+        .as("px"),
+      expr("percentile_approx(o_totalprice, array(0.5, 0.95), 10000)")
+        .as("ax"))
+      .select(
+        round(element_at(col("px"), 2), 4).as("p50_exact"),
+        round(element_at(col("px"), 5), 4).as("p95_exact"),
+        element_at(col("ax"), 1).between(
+          element_at(col("px"), 1), element_at(col("px"), 3))
+          .as("p50_within_bound"),
+        element_at(col("ax"), 2).between(
+          element_at(col("px"), 4), element_at(col("px"), 6))
+          .as("p95_within_bound"))
 
   val queries: Map[String, Q] = Map(
     "pivot_agg" -> pivot,
@@ -174,7 +194,17 @@ object Breadth {
       """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
         |  round(covar_samp(l_discount, l_tax), 6) AS covar_dt
         |FROM lineitem""".stripMargin,
-    // approx_distinct / approx_quantiles: rows-only (sketches are
-    // engine-specific); DedupSimilaritySpec bounds the error instead.
+    // the sketch VALUES are engine-specific, but the exact columns and
+    // the within-bound verdicts are oracle-reproducible: any sketch
+    // regression flips a boolean and fails the hash
+    "approx_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "approx_quantiles" ->
+      """SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(o_totalprice, 0.95), 4) AS p95_exact,
+        |  TRUE AS p50_within_bound, TRUE AS p95_within_bound
+        |FROM orders""".stripMargin,
   )
 }

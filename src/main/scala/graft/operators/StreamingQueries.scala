@@ -57,12 +57,19 @@ object StreamingQueries {
   }
 
   /** Watermarked tumbling-window counts executed as a real streaming job
-    * (complete mode → memory sink), hash-checked against the batch
-    * date_trunc oracle: streaming window semantics must equal SQL
-    * calendar bucketing.
+    * in UPDATE mode against a durable (parquet append-log) sink — the
+    * production shape: watermark eviction keeps state bounded (spec'd in
+    * WindowedAggsSpec) and nothing accumulates on the driver, unlike
+    * complete-mode + memory sink. Each micro-batch appends its updated
+    * windows tagged with the batch id; the read side keeps each key's
+    * newest emission — exactly what a downstream upsert consumer (or the
+    * log-compaction in [[graft.streaming.AlertStateTable]]) does with an
+    * update stream. Hash-checked against the batch date_trunc oracle:
+    * streaming window semantics must equal SQL calendar bucketing.
     */
   private val streamWindowed: Q = (s, d) => {
-    val name = s"graft_winstream_${counter.incrementAndGet()}"
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_winstream").toString
     val schema = org.apache.spark.sql.types.StructType(
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
@@ -77,12 +84,21 @@ object StreamingQueries {
       .agg(count(lit(1)).as("n"))
       .select(unix_seconds(col("window.start")).as("hour_epoch"),
         col("event_type"), col("n"))
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name)
+      .writeStream.outputMode("update")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("append").parquet(out)
+      }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    s.table(name)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("hour_epoch"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("hour_epoch"), col("event_type"), col("n"))
   }
 
   val queries: Map[String, Q] = Map(

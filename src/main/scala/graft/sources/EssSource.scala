@@ -296,6 +296,12 @@ trait FrameTransport {
 
 object FrameTransport {
 
+  /** Gauge name for the feed-connection state — the reference DECLARES
+    * this Info metric but never sets it (`ess_client.py:66-69`); here it
+    * actually tracks the socket: 1 while connected, 0 after close/error.
+    */
+  val StatusGauge = "census_status"
+
   /** `java.net.http.WebSocket` transport. Sends `subscribe` (the ESS
     * subscription JSON carrying the event-type filter, F1) once the
     * socket opens — mirroring `ess_client.py:124` trigger registration.
@@ -312,10 +318,22 @@ object FrameTransport {
           ws.request(1)
           null
         }
+        override def onClose(ws: java.net.http.WebSocket, statusCode: Int,
+            reason: String): java.util.concurrent.CompletionStage[_] = {
+          graft.streaming.Metrics.set(StatusGauge, 0.0)
+          null
+        }
+        override def onError(ws: java.net.http.WebSocket,
+            error: Throwable): Unit =
+          graft.streaming.Metrics.set(StatusGauge, 0.0)
       }
       val ws = client.newWebSocketBuilder()
         .buildAsync(java.net.URI.create(uri), listener).join()
+      graft.streaming.Metrics.set(StatusGauge, 1.0) // connected
       subscribe.foreach(s => ws.sendText(s, true))
-      () => ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+      () => {
+        try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
+        finally graft.streaming.Metrics.set(StatusGauge, 0.0)
+      }
     }
 }

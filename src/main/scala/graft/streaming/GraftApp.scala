@@ -70,6 +70,10 @@ object GraftApp {
       cfg.subscribe.fold(r2)(s => r2.option("subscribe", s)).load()
     }
     import spark.implicits._
+    // the state branch carries BOTH observations (graft_metrics AND the
+    // graft_parse malformed counter); the publish branch parses without
+    // them - each query executes its own plan copy, so a shared observe
+    // node would count every frame once per running query
     val events = MetagameEvent.fromJson(raw.select("value"))
     val observed = Observability.observed(events.toDF()).as[MetagameEvent]
     val trigger =
@@ -77,7 +81,9 @@ object GraftApp {
 
     val publishQ =
       if (cfg.publishEnabled)
-        Some(Sinks.publishStream(events, publisher, trigger)
+        Some(Sinks.publishStream(
+          MetagameEvent.fromJson(raw.select("value"), observeParse = false),
+          publisher, trigger)
           .queryName(s"graft_publish_${cfg.channel}").start())
       else None
 

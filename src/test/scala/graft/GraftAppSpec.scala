@@ -69,6 +69,29 @@ class GraftAppSpec extends AnyFunSuite {
     } finally running.stopAll()
   }
 
+  test("malformed frames are counted ONCE even with both queries running") {
+    Metrics.reset()
+    val listener = new Observability.MetricsListener
+    spark.streams.addListener(listener)
+    try {
+      val ch = s"appmf_${System.nanoTime()}"
+      val cfg = GraftApp.Config(
+        channel = ch, wsUri = None, subscribe = None,
+        publishEnabled = true, purgeStale = false, ttlSeconds = 5400,
+        stateTablePath = Files.createTempDirectory("app_mf").toString)
+      EssFeeds.push(ch, frame("17-1", "started", 1000))
+      EssFeeds.push(ch, "{not json at all")
+      val running = GraftApp.start(spark, cfg, InMemoryPublisher(ch))
+      try running.processAllAvailable() finally running.stopAll()
+      val deadline = System.currentTimeMillis() + 10000
+      while (Metrics.snapshot.getOrElse("malformed_frames", 0.0) < 1.0 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      // publish + state both consume the parsed stream; the counter must
+      // ride on exactly one branch (1 bad frame != 2 counted)
+      assert(Metrics.snapshot("malformed_frames") == 1.0)
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("C1 routing: publish disabled leaves only the state query") {
     val ch = s"app2_${System.nanoTime()}"
     val cfg = GraftApp.Config(

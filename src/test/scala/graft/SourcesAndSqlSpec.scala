@@ -42,4 +42,20 @@ class SourcesAndSqlSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     assert(rows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
   }
+
+  test("vec_dot rejects wrong arity and non-array inputs at analysis time") {
+    graft.functions.Registry.register(spark)
+    val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(1, 2)").collect()
+    }
+    assert(wrongType.getMessage.contains("array<double>"), wrongType.getMessage)
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1D), array(1D), array(1D))").collect()
+    }
+    assert(wrongArity.getMessage.toLowerCase.contains("vec_dot"))
+    // float arrays must be cast, not silently misread
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(CAST(1 AS FLOAT)), array(CAST(1 AS FLOAT)))").collect()
+    }
+  }
 }

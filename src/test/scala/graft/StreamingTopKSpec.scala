@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.VectorFunctions._
+import graft.streaming.StreamingTopK
+
+/** The continuously-maintained top-k (Ext2 streaming face): the corpus
+  * streams in over several micro-batches, the per-query top-k state
+  * updates incrementally, and after drain the result must equal the
+  * batch `sim_topk_agg` — which is itself DuckDB-oracle-checked, so this
+  * confluence check ties the streaming path to SQL semantics too.
+  */
+class StreamingTopKSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  import spark.implicits._
+
+  test("streamed top-k equals the batch sim_topk_agg after drain; state is O(queries)") {
+    val e = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    // the corpus arrives over four micro-batches
+    e.as[(Long, Seq[Double])].collect().grouped(150).foreach(g => mem.addData(g.toSeq))
+
+    val scored = mem.toDS().toDF("vec_id", "v")
+      .join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .as[(Long, Long, Double)]
+
+    val out = java.nio.file.Files.createTempDirectory("stream_topk").toString
+    val query = StreamingTopK.topK(scored, 5)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+
+    // per-query state is the bounded heap: one state row per query key
+    assert(query.lastProgress.stateOperators.head.numRowsTotal == 10)
+
+    // downstream upsert: keep each query's newest emission
+    val emitted = spark.read.parquet(out)
+    val fin = emitted
+      .withColumn("mb", max("batch_id").over(Window.partitionBy("q_id")))
+      .filter(col("batch_id") === col("mb"))
+      .select("q_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+
+    val batch = graft.operators.Similarity.queries("sim_topk_agg")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fin == batch,
+      s"streamed/batch divergence: only-stream=${fin -- batch} only-batch=${batch -- fin}")
+  }
+}

@@ -42,6 +42,27 @@ class WebSocketTransportSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("census_status gauge tracks transport connect/disconnect (A5 Info parity)") {
+    val server = new LoopbackWsServer
+    graft.streaming.Metrics.reset()
+    val http = new graft.streaming.MetricsHttp(0)
+    try {
+      val conn = FrameTransport
+        .webSocket(s"ws://127.0.0.1:${server.port}/", None)
+        .connect(_ => ())
+      assert(server.awaitConnected())
+      assert(graft.streaming.Metrics.snapshot(FrameTransport.StatusGauge) == 1.0)
+      // and it is scrapeable through the Prometheus endpoint
+      val body = scala.io.Source.fromURL(
+        s"http://127.0.0.1:${http.boundPort}/metrics").mkString
+      assert(body.contains("graft_census_status 1.0"), body)
+      conn.close()
+      eventually(timeout(Span(10, Seconds))) {
+        assert(graft.streaming.Metrics.snapshot(FrameTransport.StatusGauge) == 0.0)
+      }
+    } finally { http.close(); server.close() }
+  }
+
   test("live mode end-to-end: ess source over a real socket") {
     val server = new LoopbackWsServer
     val spark = SparkTestSession.spark

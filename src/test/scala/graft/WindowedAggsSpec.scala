@@ -33,6 +33,36 @@ class WindowedAggsSpec extends AnyFunSuite {
       (hour.toLong + 3600, "started", 1L)))
   }
 
+  test("update mode: watermark eviction drops closed windows from state") {
+    val mem = MemoryStream[MetagameEvent](spark)
+    val name = s"we_${System.nanoTime()}"
+    val q = WindowedAggs.windowedCounts(mem.toDS())
+      .writeStream.outputMode("update").format("memory").queryName(name)
+      .start()
+    try {
+      val base = 1700000000.0
+      // four distinct hour-windows in one batch; the resulting watermark
+      // (max event time - 30 min) closes the first two, and Spark's
+      // no-data cleanup batch evicts them before processAllAvailable
+      // returns - state holds only the 2 still-open windows, not 4
+      mem.addData((0 until 4).map(h =>
+        ev(s"17-$h", "started", base + h * 3600)))
+      q.processAllAvailable()
+      val before = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(before == 2,
+        s"watermark must evict the 2 closed windows (4 seen), state=$before")
+      // jump event time far past everything: the earlier windows all close
+      mem.addData(Seq(ev("17-x", "started", base + 100 * 3600)))
+      q.processAllAvailable()
+      val after = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(after <= 1,
+        s"closed windows must be evicted from state, still holding $after")
+      // and every window ever opened still reached the sink (update rows)
+      val emitted = spark.table(name).select("window_start").distinct().count()
+      assert(emitted == 5, s"all 5 windows must have been emitted: $emitted")
+    } finally q.stop()
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered frames") {
     val mem = MemoryStream[MetagameEvent](spark)
     val name = s"dd_${System.nanoTime()}"
