@@ -140,10 +140,78 @@ object Similarity {
       .withColumn("sim", round(col("sim"), 4))
   }
 
+  private val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
+  private val NProbe = 4
+
+  /** ANN via IVF-flat: a coarse quantizer partitions the corpus into
+    * inverted lists; queries probe only the `NProbe` nearest lists and
+    * exact-rerank inside them — the second classic scale path next to
+    * [[annLsh]] (sub-linear candidates, equi-join on the list id).
+    *
+    * The quantizer is trained IN Spark, deterministically: seed
+    * centroids are every `IvfSeedStep`-th vector (the sampled-init every
+    * k-means starts from, with a fixed instead of random sample), then
+    * ONE distributed Lloyd iteration refines them — assignment is a
+    * broadcast-join argmin (`min_by`), the update is a posexplode →
+    * per-(list, dim) average → re-assembled centroid arrays. No driver
+    * loops, no randomness to ship; every stage is a shuffle-bounded
+    * DataFrame op. Recall vs brute force is pinned in StreamingTopKSpec's
+    * sibling (SimilaritySpec section of DedupSimilaritySpec); the
+    * construction is not SQL-expressible, so the gate records rows-only.
+    */
+  private val annIvf: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    // --- train the coarse quantizer -------------------------------------
+    val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
+      .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
+        col("v").as("cv"))
+    def nearest(vecs: DataFrame, cents: DataFrame): DataFrame =
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("d2", dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
+        .groupBy(col("vec_id"))
+        .agg(min_by(col("cid"), col("d2")).as("cid"))
+    val assign0 = nearest(e, seeds).join(e, Seq("vec_id"))
+    // one Lloyd step: new centroid = mean of its assigned vectors
+    val centroids = assign0
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+    // --- build inverted lists & probe ----------------------------------
+    val lists = nearest(e, centroids) // (vec_id, cid): the inverted index
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= NProbe)
+      .select(col("q_id"), col("cid"))
+    val candidates = lists
+      .join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    candidates.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> bruteforce,
     "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
+    "sim_ann_ivf" -> annIvf,
   )
 
   private val topkOracle: String =

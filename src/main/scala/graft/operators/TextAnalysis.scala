@@ -109,6 +109,36 @@ object TextAnalysis {
         .as("n_number_tokens"))
   }
 
+  // PII patterns shared by the Spark query and the DuckDB oracle: plain
+  // strings (no interpolator escape surprises), no lookaround — Java
+  // regex and RE2 agree on these. Masking order matters: emails first
+  // (they contain dots and digits), then IPs, then bare phone shapes.
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val IpRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val PhoneRe = "\\b[0-9]{3}-[0-9]{3,}\\b"
+
+  /** PII scrubbing — the redaction pass every training-data pipeline runs
+    * before text lands in a corpus. The synthetic `documents` table
+    * carries no PII, so the query first appends a deterministic
+    * doc_id-derived contact block (same construction in the oracle) and
+    * then masks it: the hash check proves Spark's and DuckDB's regex
+    * engines agree on the masking semantics, non-trivially on every row.
+    * Single scan, zero shuffle, all codegen'd built-ins.
+    */
+  private val piiMask: Q = (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com ph 555-01"), col("doc_id"),
+          lit(" host 10.0."), pmod(col("doc_id"), lit(256)), lit(".7"))
+          .as("raw"))
+      .select(col("doc_id"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("raw"), lit(EmailRe), lit("<EMAIL>")),
+            lit(IpRe), lit("<IP>")),
+          lit(PhoneRe), lit("<PHONE>")).as("masked"))
+
   val queries: Map[String, Q] = Map(
     "text_token_count" -> tokenCount,
     "text_token_bpe" -> tokenBpe,
@@ -116,6 +146,7 @@ object TextAnalysis {
     "text_langid" -> langid,
     "text_stopword_removal" -> stopwordRemoval,
     "text_fingerprint" -> fingerprint,
+    "text_pii_mask" -> piiMask,
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -169,5 +200,12 @@ object TextAnalysis {
         "FROM documents"),
     "text_fingerprint" ->
       "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint FROM documents",
+    "text_pii_mask" ->
+      (s"SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(" +
+        s"text || ' contact user' || doc_id || '@example.com ph 555-01' || doc_id" +
+        s" || ' host 10.0.' || (doc_id % 256) || '.7', " +
+        s"'$EmailRe', '<EMAIL>', 'g'), " +
+        s"'$IpRe', '<IP>', 'g'), " +
+        s"'$PhoneRe', '<PHONE>', 'g') AS masked FROM documents"),
   )
 }

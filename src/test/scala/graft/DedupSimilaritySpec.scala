@@ -54,6 +54,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ann.forall { case (q, n) => q != n })
   }
 
+  test("ANN IVF reaches recall@5 >= 0.5 probing a fraction of the lists") {
+    val truth = Similarity.queries("sim_topk_bruteforce")(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.queries("sim_ann_ivf")(spark, sf)
+      .select("q_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = ivf.intersect(truth).size.toDouble / truth.size
+    info(f"IVF recall@5 = $recall%.2f (nprobe=4)")
+    // deterministic pipeline: measured 0.56 at this SF probing 4 of ~16
+    // lists (vs 0.25 expected from probe fraction alone on random data)
+    assert(recall >= 0.5)
+    assert(ivf.forall { case (q, n) => q != n })
+    // top-k shape: at most 5 neighbors per query
+    assert(ivf.groupBy(_._1).values.forall(_.size <= 5))
+  }
+
   test("approx_count_distinct within 5% of exact (in-query verdict)") {
     val rows = graft.operators.Breadth.queries("approx_distinct")(spark, sf)
       .select("exact_parts", "within_bound").as[(Long, Boolean)].collect()
