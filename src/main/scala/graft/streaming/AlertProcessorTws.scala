@@ -11,6 +11,15 @@ import graft.model.MetagameEvent
   * RocksDB state store provider. Native TTL comes from `TTLConfig` on the
   * value state (processing-time based in this API) rather than explicit
   * timers.
+  *
+  * CANONICAL TTL SEMANTICS: event-time, as implemented by
+  * [[AlertPipeline]] — that is the path [[GraftApp]] assembles, and the
+  * one the `t1_ttl_expiry` oracle checks (the reference's purge compares
+  * EVENT timestamps against the 5400 s horizon, `ess_client.py:100-110`).
+  * This processor's processing-time `TTLConfig` is an API constraint of
+  * `transformWithState`; treat it as the RocksDB-native demonstration,
+  * not the service default — replayed history would expire by wall clock
+  * here, which is the wrong clock for the reference's contract.
   */
 class AlertProcessorTws(ttl: TTLConfig)
     extends StatefulProcessor[String, MetagameEvent, AlertUpdate] {
