@@ -137,7 +137,63 @@ object Breadth {
           element_at(col("px"), 4), element_at(col("px"), 6))
           .as("p95_within_bound"))
 
+  /** ANSI string aggregation (listagg/string_agg): deterministic via the
+    * sorted element order, so the concatenation is hash-stable.
+    */
+  private val listaggOp: Q = (s, d) =>
+    T(s, d, "customer").groupBy(col("c_mktsegment"))
+      .agg(concat_ws(",", sort_array(collect_list(col("c_name"))))
+        .as("names"),
+        count(lit(1)).as("n"))
+
+  /** ntile bucketing over a global order (quartile assignment). */
+  private val windowNtile: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    T(s, d, "orders").select(col("o_orderkey"),
+      ntile(4).over(Window.orderBy(col("o_orderkey")))
+        .cast("long").as("quartile"))
+  }
+
+  /** RANGE window frame: a running sum where date TIES share one frame
+    * (RANGE, not ROWS — peer rows get equal sums). Summed in exact cents
+    * so the running total is integer arithmetic, hash-safe at any size.
+    */
+  private val windowRangeFrame: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    T(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
+      sum(round(col("o_totalprice") * 100).cast("long"))
+        .over(Window.orderBy(col("o_orderdate"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("run_cents"))
+  }
+
+  /** Correlated EXISTS subquery (decorrelated by Catalyst into a semi
+    * join — the SQL surface for join_semi's plan shape).
+    */
+  private val subqueryExists: Q = (s, d) => {
+    T(s, d, "customer").createOrReplaceTempView("customer_v")
+    T(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql("""
+      SELECT c_custkey FROM customer_v c
+      WHERE EXISTS (SELECT 1 FROM orders_v o
+                    WHERE o.o_custkey = c.c_custkey
+                      AND o.o_totalprice > 100000)""")
+  }
+
+  /** Lateral explode (UNNEST parity): one row per word — the generator
+    * shape every shingle/token pipeline builds on, as a first-class
+    * gate-checked operator.
+    */
+  private val lateralExplode: Q = (s, d) =>
+    T(s, d, "documents").select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("word"))
+
   val queries: Map[String, Q] = Map(
+    "listagg_op" -> listaggOp,
+    "window_ntile" -> windowNtile,
+    "window_range_frame" -> windowRangeFrame,
+    "subquery_exists" -> subqueryExists,
+    "lateral_explode" -> lateralExplode,
     "pivot_agg" -> pivot,
     "grouping_sets" -> groupingSets,
     "subquery_scalar" -> subqueryScalar,
@@ -153,6 +209,26 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "listagg_op" ->
+      """SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names,
+        |  count(*) AS n FROM customer GROUP BY c_mktsegment""".stripMargin,
+    "window_ntile" ->
+      "SELECT o_orderkey, ntile(4) OVER (ORDER BY o_orderkey) AS quartile FROM orders",
+    "window_range_frame" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER (
+        |    ORDER BY o_orderdate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS run_cents
+        |FROM orders""".stripMargin,
+    "subquery_exists" ->
+      """SELECT c_custkey FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey
+        |                AND o.o_totalprice > 100000)""".stripMargin,
+    "lateral_explode" ->
+      ("SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word " +
+        "FROM documents"),
     "pivot_agg" -> {
       val cols = EventTypes.map(t =>
         s"count(*) FILTER (WHERE event_type = '$t') AS $t").mkString(", ")

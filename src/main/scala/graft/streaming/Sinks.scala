@@ -113,17 +113,46 @@ object FilePublisher {
   /** Everything durably published, in commit-file order. May contain
     * duplicates (at-least-once); in-progress temp files are invisible.
     */
-  def consume(dir: String): Vector[(String, String)] = {
+  def consume(dir: String): Vector[(String, String)] =
+    consumeFrom(dir, None)._1
+
+  /** Incremental consumption: messages in commit files strictly after
+    * `afterFile`, plus the new high-watermark file name to pass back on
+    * the next call — the consumer-offset face of the at-least-once log
+    * (file names embed a monotonic timestamp, so name order = commit
+    * order within a producer). A consumer that persists the watermark
+    * with its own processing gets exactly-once for itself; one that
+    * crashes between processing and persisting re-reads a suffix —
+    * duplicates, never loss.
+    */
+  def consumeFrom(dir: String, afterFile: Option[String])
+      : (Vector[(String, String)], Option[String]) = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".log")).sortBy(_.getName)
-    files.toVector.flatMap { f =>
+      .filter(f => f.isFile && f.getName.endsWith(".log"))
+      .filter(f => afterFile.forall(f.getName > _))
+      .sortBy(_.getName)
+    val msgs = files.toVector.flatMap { f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
         .linesIterator.filter(_.nonEmpty).map { line =>
           val Array(k, p) = line.split("\t", 2)
           (unescape(k), unescape(p))
         }
     }
+    (msgs, files.lastOption.map(_.getName).orElse(afterFile))
+  }
+
+  /** Drop commit files at or before `upToFile` (everything a consumer
+    * has durably processed) — retention for an otherwise append-forever
+    * log. Safe with concurrent producers: only named, fully-committed
+    * files are removed.
+    */
+  def truncate(dir: String, upToFile: String): Int = {
+    val d = new java.io.File(dir)
+    val victims = Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".log") &&
+        f.getName <= upToFile)
+    victims.count(_.delete())
   }
 }
 

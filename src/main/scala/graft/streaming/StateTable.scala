@@ -36,8 +36,8 @@ import graft.model.MetagameEvent
   * generation (delete N-2, not N-1): a reader that resolved `_CURRENT`
   * just before a swap still finds every file it planned.
   */
-class AlertStateTable(path: String, compactEvery: Int = 8)
-    extends Serializable {
+class AlertStateTable(path: String, compactEvery: Int = 8,
+    retainGenerations: Int = 2) extends Serializable {
 
   private def pointer: Path = Paths.get(path, "_CURRENT")
 
@@ -89,6 +89,25 @@ class AlertStateTable(path: String, compactEvery: Int = 8)
   def raw(spark: SparkSession): DataFrame =
     readSegments(spark, segmentDirs)
 
+  /** Retained manifest versions, oldest → newest (time travel horizon =
+    * `retainGenerations`; manifest names embed a monotonic timestamp).
+    */
+  def versions: Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    if (!Files.exists(p)) Seq.empty
+    else Files.list(p).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(n => n.startsWith("m") && n != "_CURRENT").toSeq.sorted
+  }
+
+  /** The table as of a retained manifest version — the lake-table time
+    * travel the log+compact layout gives for free (Delta's `versionAsOf`
+    * analog, bounded by the GC retention window).
+    */
+  def rawAt(spark: SparkSession, version: String): DataFrame =
+    readSegments(spark, manifestOf(version))
+
   /** The in-progress set (what the reference's Mongo collection holds). */
   def snapshot(spark: SparkSession): DataFrame =
     raw(spark).filter(col("status") === "live")
@@ -120,12 +139,16 @@ class AlertStateTable(path: String, compactEvery: Int = 8)
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    gc(keepManifests = Set(manifest) ++ prevManifest)
+    // retain the newest `retainGenerations` manifests (always including
+    // the one just swapped in and its predecessor): racing readers keep
+    // their planned files, and rawAt() can time-travel the window
+    val retained = versions.takeRight(math.max(retainGenerations, 2)).toSet
+    gc(keepManifests = retained ++ Set(manifest) ++ prevManifest)
   }
 
   /** Drop manifests and segments unreachable from the retained manifest
-    * generations (current + previous). Also sweeps orphans from merges
-    * that crashed between segment write and pointer swap.
+    * generations. Also sweeps orphans from merges that crashed between
+    * segment write and pointer swap.
     */
   private def gc(keepManifests: Set[String]): Unit = {
     import scala.jdk.CollectionConverters._

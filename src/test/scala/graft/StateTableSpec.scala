@@ -87,6 +87,24 @@ class StateTableSpec extends AnyFunSuite {
     assert(reader.count() == 1)
   }
 
+  test("time travel: rawAt reads a retained earlier version") {
+    val dir = Files.createTempDirectory("alert_table7").toString
+    val table = new AlertStateTable(dir, retainGenerations = 3)
+    table.merge(spark, Seq(AlertUpdate("17-1", "live", 1, 17, 1000.0)).toDF())
+    table.merge(spark, Seq(AlertUpdate("19-2", "live", 2, 19, 2000.0)).toDF())
+    table.merge(spark, Seq(AlertUpdate("17-1", "removed", 3, 17, 3000.0)).toDF())
+    val vs = table.versions
+    assert(vs.length == 3, s"3 merges with retainGenerations=3: $vs")
+    def liveAt(v: String) = table.rawAt(spark, v)
+      .filter("status = 'live'").select("id").as[String].collect().toSet
+    assert(liveAt(vs(0)) == Set("17-1"))
+    assert(liveAt(vs(1)) == Set("17-1", "19-2"))
+    assert(liveAt(vs(2)) == Set("19-2"))
+    // a fourth merge rolls the oldest version out of the window
+    table.merge(spark, Seq(AlertUpdate("13-9", "live", 4, 13, 4000.0)).toDF())
+    assert(table.versions.length == 3 && !table.versions.contains(vs(0)))
+  }
+
   test("re-merging the same updates is a no-op (at-least-once safety)") {
     val dir = Files.createTempDirectory("alert_table2").toString
     val table = new AlertStateTable(dir)

@@ -67,6 +67,24 @@ class StreamingInfraSpec extends AnyFunSuite {
       "uncommitted partial file must be invisible")
   }
 
+  test("file publisher: incremental consume with watermark + truncation") {
+    val dir = java.nio.file.Files.createTempDirectory("pub_log4").toString
+    val p = new FilePublisher(dir)
+    p.publish("k", "m1")
+    p.publish("k", "m2")
+    val (first, wm1) = FilePublisher.consumeFrom(dir, None)
+    assert(first.map(_._2) == Vector("m1", "m2") && wm1.isDefined)
+    // nothing new: empty delta, watermark carried forward
+    val (none, wmSame) = FilePublisher.consumeFrom(dir, wm1)
+    assert(none.isEmpty && wmSame == wm1)
+    p.publish("k", "m3")
+    val (delta, wm2) = FilePublisher.consumeFrom(dir, wm1)
+    assert(delta.map(_._2) == Vector("m3") && wm2 != wm1)
+    // retention: drop what the consumer durably processed
+    assert(FilePublisher.truncate(dir, wm1.get) == 2)
+    assert(FilePublisher.consume(dir).map(_._2) == Vector("m3"))
+  }
+
   test("file publisher round-trips payloads containing tabs and newlines") {
     val dir = java.nio.file.Files.createTempDirectory("pub_log3").toString
     val p = new FilePublisher(dir)
