@@ -146,25 +146,70 @@ object Breadth {
         .as("names"),
         count(lit(1)).as("n"))
 
-  /** ntile bucketing over a global order (quartile assignment). */
+  /** ntile bucketing over a global order — WITHOUT the single-partition
+    * window `Window.orderBy` alone would plan (every row through one
+    * task: the first thing to die at 100 TB). Two-pass instead:
+    * range-repartition on the key (equal keys stay together), number
+    * rows within each partition, lift to global row numbers by adding
+    * broadcast per-partition offsets, then apply ntile's bucket formula
+    * (first n%k buckets get one extra row) in closed form. The only
+    * total-order computation runs over the partition-count rows.
+    */
   private val windowNtile: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    T(s, d, "orders").select(col("o_orderkey"),
-      ntile(4).over(Window.orderBy(col("o_orderkey")))
+    val parted = T(s, d, "orders").select(col("o_orderkey"))
+      .repartitionByRange(32, col("o_orderkey"))
+      .sortWithinPartitions(col("o_orderkey"))
+      .withColumn("_pid", spark_partition_id())
+    val rn = parted.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_pid")).orderBy(col("o_orderkey"))))
+    // per-partition counts: tiny (one row per partition) — the global
+    // window over THIS domain is bounded by the partition count forever
+    val counts = rn.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+    val offsets = counts
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(
+        Window.orderBy(col("_pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val k = lit(4L)
+    val g = rn.join(broadcast(offsets.select(col("_pid"), col("_off"), col("_n"))),
+        Seq("_pid"))
+      .withColumn("_g", col("_rn") + col("_off"))
+      .withColumn("_base", (col("_n") / k).cast("long"))
+      .withColumn("_rem", col("_n") % k)
+    // ceil(a/b) as (a-1)/b + 1 in integer arithmetic
+    val inBig = col("_g") <= col("_rem") * (col("_base") + 1)
+    g.select(col("o_orderkey"),
+      when(inBig, (col("_g") - 1) / (col("_base") + 1) + 1)
+        .otherwise(col("_rem") +
+          (col("_g") - col("_rem") * (col("_base") + 1) - 1) / col("_base") + 1)
         .cast("long").as("quartile"))
   }
 
   /** RANGE window frame: a running sum where date TIES share one frame
     * (RANGE, not ROWS — peer rows get equal sums). Summed in exact cents
     * so the running total is integer arithmetic, hash-safe at any size.
+    *
+    * Scale shape: aggregate to one row per date FIRST (ordinary shuffle),
+    * run the total-order prefix sum over the distinct-date domain only
+    * (days, not rows — bounded however big the fact table gets), then
+    * broadcast-join the running totals back. RANGE tie semantics fall
+    * out for free: every row of a date shares that date's prefix total.
     */
   private val windowRangeFrame: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    T(s, d, "orders").select(col("o_orderkey"), col("o_orderdate"),
-      sum(round(col("o_totalprice") * 100).cast("long"))
-        .over(Window.orderBy(col("o_orderdate"))
-          .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-        .as("run_cents"))
+    val cents = T(s, d, "orders").select(col("o_orderkey"),
+      col("o_orderdate"),
+      round(col("o_totalprice") * 100).cast("long").as("_c"))
+    val running = cents.groupBy(col("o_orderdate"))
+      .agg(sum(col("_c")).as("_dsum"))
+      .withColumn("run_cents", sum(col("_dsum")).over(
+        Window.orderBy(col("o_orderdate"))))
+      .select(col("o_orderdate"), col("run_cents"))
+    cents.join(broadcast(running), Seq("o_orderdate"))
+      .select(col("o_orderkey"), col("o_orderdate"), col("run_cents"))
   }
 
   /** Correlated EXISTS subquery (decorrelated by Catalyst into a semi
