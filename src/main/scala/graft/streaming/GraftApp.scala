@@ -14,6 +14,7 @@ import graft.model.MetagameEvent
   * | `ESS_WS_URI`           | ESS websocket endpoint (optional; unset = frames pushed via [[graft.sources.EssFeeds]]) | — |
   * | `ESS_SUBSCRIBE`        | subscription JSON (F1 filter)    | — |
   * | `PUBLISH_ENABLED`      | `RABBITMQ_ENABLED`               | `true` |
+  * | `PUBLISH_LOG_DIR`      | RabbitMQ PERSISTENT delivery (durable [[FilePublisher]] append log; unset = in-memory queue) | — |
   * | `PURGE_STALE_ALERTS`   | TTL purge gate                   | `true` |
   * | `ALERT_TTL_SECONDS`    | 5400 s purge horizon             | `5400` |
   * | `STATE_TABLE_PATH`     | Mongo alerts collection          | `/tmp/graft_alerts` |
@@ -29,6 +30,7 @@ object GraftApp {
       subscribe: Option[String] = sys.env.get("ESS_SUBSCRIBE"),
       publishEnabled: Boolean =
         sys.env.get("PUBLISH_ENABLED").forall(_.toBoolean),
+      publishLogDir: Option[String] = sys.env.get("PUBLISH_LOG_DIR"),
       purgeStale: Boolean =
         sys.env.get("PURGE_STALE_ALERTS").forall(_.toBoolean),
       ttlSeconds: Long =
@@ -104,8 +106,13 @@ object GraftApp {
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt)
     spark.streams.addListener(new Observability.MetricsListener)
     val metricsHttp = MetricsHttp.fromEnv() // ess_client.py:172 parity
-    val running =
-      start(spark, Config(), InMemoryPublisher("graft_app"), live = true)
+    val cfg = Config()
+    // durable publish when PUBLISH_LOG_DIR is set - the PERSISTENT
+    // delivery mode of the reference's broker, without a broker
+    val publisher = cfg.publishLogDir
+      .map(new FilePublisher(_): Publisher)
+      .getOrElse(InMemoryPublisher("graft_app"))
+    val running = start(spark, cfg, publisher, live = true)
     try spark.streams.awaitAnyTermination()
     finally { running.stopAll(); metricsHttp.close() }
   }

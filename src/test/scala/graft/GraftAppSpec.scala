@@ -69,6 +69,24 @@ class GraftAppSpec extends AnyFunSuite {
     } finally running.stopAll()
   }
 
+  test("full service with the durable publisher: events land in the append log") {
+    val ch = s"appdur_${System.nanoTime()}"
+    val logDir = Files.createTempDirectory("app_publog").toString
+    val cfg = GraftApp.Config(
+      channel = ch, wsUri = None, subscribe = None,
+      publishEnabled = true, publishLogDir = Some(logDir),
+      purgeStale = false, ttlSeconds = 5400,
+      stateTablePath = Files.createTempDirectory("app_durstate").toString)
+    EssFeeds.push(ch, frame("17-1", "started", 1000))
+    EssFeeds.push(ch, frame("19-2", "started", 1500))
+    val running = GraftApp.start(spark, cfg,
+      new graft.streaming.FilePublisher(logDir))
+    try running.processAllAvailable() finally running.stopAll()
+    val got = graft.streaming.FilePublisher.consume(logDir)
+    assert(got.length == 2 && got.forall(_._1 == graft.streaming.Sinks.RoutingKey))
+    assert(got.exists(_._2.contains("\"id\":\"17-1\"")))
+  }
+
   test("malformed frames are counted ONCE even with both queries running") {
     Metrics.reset()
     val listener = new Observability.MetricsListener
