@@ -139,7 +139,29 @@ object TextAnalysis {
             lit(IpRe), lit("<IP>")),
           lit(PhoneRe), lit("<PHONE>")).as("masked"))
 
+  private val ChunkSize = 32
+  private val ChunkStep = 24 // 8-word overlap between consecutive chunks
+
+  /** Sliding-window document chunking — the splitter every LLM corpus
+    * build runs before tokenization: fixed-size word windows with
+    * overlap, the final (possibly short) chunk kept. Pure generator
+    * shape: one scan, explode, no shuffle; chunk boundaries are
+    * deterministic functions of the word array, so the DuckDB oracle
+    * reproduces them exactly (Spark `slice` and DuckDB list slicing are
+    * both 1-based and clamp at the end).
+    */
+  private val chunking: Q = (s, d) =>
+    T(s, d, "documents")
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, CAST(floor((size(ws) - 1) / $ChunkStep) AS INT)), " +
+          s"i -> concat_ws(' ', slice(ws, i * $ChunkStep + 1, $ChunkSize)))"))
+        .as(Seq("chunk_idx", "chunk_text")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("chunk_text"))
+
   val queries: Map[String, Q] = Map(
+    "text_chunking" -> chunking,
     "text_token_count" -> tokenCount,
     "text_token_bpe" -> tokenBpe,
     "text_quality" -> quality,
@@ -176,6 +198,12 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "text_chunking" ->
+      (s"WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws " +
+        s"FROM documents) " +
+        s"SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
+        s"array_to_string(ws[i * $ChunkStep + 1 : i * $ChunkStep + $ChunkSize], ' ') AS chunk_text " +
+        s"FROM w, unnest(generate_series(0, CAST(floor((len(ws) - 1) / $ChunkStep) AS INT))) t(i)"),
     "text_token_count" ->
       ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
         "length(text) AS n_chars_computed FROM documents"),

@@ -60,9 +60,29 @@ object TimeSeries {
         round(sum(col("value")), 2).as("session_value"))
   }
 
+  /** Hourly gap filling: the dense hour spine (sequence between the
+    * stream's min and max hour) left-joined against the sparse hourly
+    * counts, missing hours zero-filled — the densification every
+    * time-series rollup needs before charting/forecasting. The spine is
+    * generated, not scanned, and joins broadcast (hours are few however
+    * big the fact table is); counting shuffles once.
+    */
+  private val gapfill: Q = (s, d) => {
+    val hourly = T(s, d, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val spine = hourly
+      .agg(min(col("h")).as("lo"), max(col("h")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 hour)")).as("h"))
+    spine.join(hourly, Seq("h"), "left")
+      .select(unix_seconds(col("h")).as("hour_epoch"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   val queries: Map[String, Q] = Map(
     "asof_join" -> asofJoin,
     "sessionize" -> sessionize,
+    "gapfill_hours" -> gapfill,
   )
 
   val oracles: Map[String, String] = Map(
@@ -89,5 +109,15 @@ object TimeSeries {
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM events))
         |GROUP BY user_id, session_no""".stripMargin,
+    "gapfill_hours" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1),
+        |spine AS (
+        |  SELECT unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly)
+        |SELECT CAST(floor(epoch(spine.h)) AS BIGINT) AS hour_epoch,
+        |  coalesce(n, 0) AS n
+        |FROM spine LEFT JOIN hourly ON spine.h = hourly.h""".stripMargin,
   )
 }
