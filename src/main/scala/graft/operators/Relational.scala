@@ -176,6 +176,46 @@ object Relational {
     T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
       .intersect(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
 
+  /** CUBE: all 2^k grouping-key combinations in one pass. */
+  private val cubeAgg: Q = (s, d) =>
+    T(s, d, "customer")
+      .join(broadcast(T(s, d, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+
+  /** Set op: EXCEPT ALL — bag semantics, multiplicities preserved
+    * (customer nation keys minus one occurrence per supplier key).
+    */
+  private val setopExceptAll: Q = (s, d) =>
+    T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
+      .exceptAll(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
+
+  /** UNPIVOT (wide → long): per-customer balance and key as (metric,
+    * value) rows via `stack` — the melt every feature store needs.
+    */
+  private val unpivotOp: Q = (s, d) =>
+    T(s, d, "customer").select(col("c_custkey"),
+      expr("stack(2, 'acctbal', round(c_acctbal, 2), " +
+        "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
+
+  /** Fuzzy string matching via edit distance: customer/supplier name
+    * pairs within the same nation at levenshtein <= 12 — the
+    * entity-resolution primitive, blocked on the nation key so the
+    * candidate product is bounded per block (the standard blocking
+    * pattern; never a full cross join).
+    */
+  private val stringDistance: Q = (s, d) =>
+    T(s, d, "customer")
+      .select(col("c_nationkey").as("nationkey"), col("c_name"))
+      .join(T(s, d, "supplier")
+        .select(col("s_nationkey").as("nationkey"), col("s_name")),
+        Seq("nationkey"))
+      .withColumn("dist", levenshtein(col("c_name"), col("s_name")).cast("long"))
+      .filter(col("dist") <= 12)
+      .select(col("nationkey"), col("c_name"), col("s_name"), col("dist"))
+
   /** DISTINCT (exact dedup on a projection). */
   private val distinctSegments: Q = (s, d) =>
     T(s, d, "customer").select(col("c_mktsegment")).distinct()
@@ -243,7 +283,11 @@ object Relational {
     "window_rank" -> windowRank,
     "window_running" -> windowRunning,
     "rollup_agg" -> rollupAgg,
+    "cube_agg" -> cubeAgg,
     "setop_except" -> setopExcept,
+    "setop_except_all" -> setopExceptAll,
+    "unpivot_op" -> unpivotOp,
+    "string_distance" -> stringDistance,
     "setop_intersect" -> setopIntersect,
     "distinct_segments" -> distinctSegments,
     "scalar_funcs" -> scalarFuncs,
@@ -324,8 +368,25 @@ object Relational {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+    "cube_agg" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n,
+        |  round(avg(c_acctbal), 2) AS avg_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
     "setop_except" ->
       "SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
+    "setop_except_all" ->
+      "SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier",
+    "unpivot_op" ->
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer)""".stripMargin,
+    "string_distance" ->
+      """SELECT c.c_nationkey AS nationkey, c_name, s_name,
+        |  CAST(levenshtein(c_name, s_name) AS BIGINT) AS dist
+        |FROM customer c JOIN supplier s ON c.c_nationkey = s.s_nationkey
+        |WHERE levenshtein(c_name, s_name) <= 12""".stripMargin,
     "setop_intersect" ->
       "SELECT DISTINCT c_nationkey AS nationkey FROM customer INTERSECT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
     "distinct_segments" ->
