@@ -22,19 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String) =
     new ExpressionInfo(classOf[DotProduct].getName, name)
 
-  private def arity2(name: String)(build: (Expression, Expression) => Expression)
-      : Seq[Expression] => Expression =
-    exprs => {
-      if (exprs.length != 2)
-        throw new org.apache.spark.sql.AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> name, "expectedNum" -> "2",
-            "actualNum" -> exprs.length.toString, "docroot" -> ""))
-      build(exprs(0), exprs(1))
-    }
-
   override def apply(ext: SparkSessionExtensions): Unit = {
+    import graft.functions.Registry.arity2
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       arity2("vec_dot")(DotProduct(_, _))))
     ext.injectFunction((FunctionIdentifier("vec_cosine"), info("vec_cosine"),

@@ -8,7 +8,12 @@ import org.apache.spark.sql.SparkSession
   */
 object Registry {
 
-  private def arity2(name: String)(
+  /** Arity-validating builder shared by BOTH registration paths (the
+    * per-session registry here and the SparkSessionExtensions path in
+    * [[graft.GraftExtensions]]) — one definition so the validation can
+    * never diverge between them.
+    */
+  def arity2(name: String)(
       build: (org.apache.spark.sql.catalyst.expressions.Expression,
         org.apache.spark.sql.catalyst.expressions.Expression) =>
         org.apache.spark.sql.catalyst.expressions.Expression)

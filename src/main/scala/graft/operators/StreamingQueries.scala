@@ -68,8 +68,18 @@ object StreamingQueries {
     * streaming window semantics must equal SQL calendar bucketing.
     */
   private val streamWindowed: Q = (s, d) => {
+    // fixed parent, previous runs swept on entry: repeated bench/verify
+    // invocations must not accumulate orphan sink directories in tmp
+    val parent = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_winstream")
+    if (java.nio.file.Files.exists(parent)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(parent).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+    java.nio.file.Files.createDirectories(parent)
     val out = java.nio.file.Files
-      .createTempDirectory("graft_winstream").toString
+      .createTempDirectory(parent, "run").toString
     val schema = org.apache.spark.sql.types.StructType(
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)

@@ -298,19 +298,33 @@ object FrameTransport {
 
   /** Gauge name for the feed-connection state — the reference DECLARES
     * this Info metric but never sets it (`ess_client.py:66-69`); here it
-    * actually tracks the socket: 1 while connected, 0 after close/error.
+    * counts LIVE websocket connections (several channels may each hold
+    * one): > 0 means connected, each close/error decrements exactly once.
     */
   val StatusGauge = "census_status"
 
   /** `java.net.http.WebSocket` transport. Sends `subscribe` (the ESS
     * subscription JSON carrying the event-type filter, F1) once the
     * socket opens — mirroring `ess_client.py:124` trigger registration.
+    *
+    * The status gauge increments in the listener's `onOpen` (the socket
+    * thread, ordered BEFORE any onClose/onError the same socket can
+    * deliver) — setting it after `buildAsync().join()` on the caller
+    * thread would race a server that accepts and immediately drops.
     */
   def webSocket(uri: String, subscribe: Option[String]): FrameTransport =
     onFrame => {
       val client = java.net.http.HttpClient.newHttpClient()
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      def markClosed(): Unit =
+        if (closed.compareAndSet(false, true))
+          graft.streaming.Metrics.add(StatusGauge, -1.0)
       val listener = new java.net.http.WebSocket.Listener {
         private val sb = new StringBuilder
+        override def onOpen(ws: java.net.http.WebSocket): Unit = {
+          graft.streaming.Metrics.add(StatusGauge, 1.0)
+          ws.request(1)
+        }
         override def onText(ws: java.net.http.WebSocket,
             data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
           sb.append(data)
@@ -320,20 +334,18 @@ object FrameTransport {
         }
         override def onClose(ws: java.net.http.WebSocket, statusCode: Int,
             reason: String): java.util.concurrent.CompletionStage[_] = {
-          graft.streaming.Metrics.set(StatusGauge, 0.0)
+          markClosed()
           null
         }
         override def onError(ws: java.net.http.WebSocket,
-            error: Throwable): Unit =
-          graft.streaming.Metrics.set(StatusGauge, 0.0)
+            error: Throwable): Unit = markClosed()
       }
       val ws = client.newWebSocketBuilder()
         .buildAsync(java.net.URI.create(uri), listener).join()
-      graft.streaming.Metrics.set(StatusGauge, 1.0) // connected
       subscribe.foreach(s => ws.sendText(s, true))
       () => {
         try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
-        finally graft.streaming.Metrics.set(StatusGauge, 0.0)
+        finally markClosed()
       }
     }
 }

@@ -94,7 +94,8 @@ object FilePublisher {
   import java.nio.charset.StandardCharsets.UTF_8
 
   private[streaming] def escape(s: String): String =
-    s.replace("\\", "\\\\").replace("\t", "\\t").replace("\n", "\\n")
+    s.replace("\\", "\\\\").replace("\t", "\\t")
+      .replace("\n", "\\n").replace("\r", "\\r")
   private def unescape(s: String): String = {
     val sb = new StringBuilder
     var i = 0
@@ -102,6 +103,7 @@ object FilePublisher {
       if (s.charAt(i) == '\\' && i + 1 < s.length) {
         s.charAt(i + 1) match {
           case 't' => sb.append('\t'); case 'n' => sb.append('\n')
+          case 'r' => sb.append('\r')
           case c => sb.append(c)
         }
         i += 2
@@ -114,23 +116,26 @@ object FilePublisher {
     * duplicates (at-least-once); in-progress temp files are invisible.
     */
   def consume(dir: String): Vector[(String, String)] =
-    consumeFrom(dir, None)._1
+    consumeFrom(dir, Set.empty)._1
 
-  /** Incremental consumption: messages in commit files strictly after
-    * `afterFile`, plus the new high-watermark file name to pass back on
-    * the next call — the consumer-offset face of the at-least-once log
-    * (file names embed a monotonic timestamp, so name order = commit
-    * order within a producer). A consumer that persists the watermark
-    * with its own processing gets exactly-once for itself; one that
-    * crashes between processing and persisting re-reads a suffix —
+  /** Incremental consumption: messages in commit files not yet in
+    * `processed`, plus the updated processed-set to persist for the next
+    * call — the consumer-offset face of the at-least-once log. The
+    * offset is a SET of file names, not a high-watermark: producers are
+    * concurrent partition tasks whose commit renames can land in any
+    * order relative to their timestamped names, so a "newest name seen"
+    * cursor would permanently skip a file that finishes its rename after
+    * a higher-named sibling. A consumer that persists the set with its
+    * own processing gets exactly-once for itself; one that crashes
+    * between processing and persisting re-reads those files —
     * duplicates, never loss.
     */
-  def consumeFrom(dir: String, afterFile: Option[String])
-      : (Vector[(String, String)], Option[String]) = {
+  def consumeFrom(dir: String, processed: Set[String])
+      : (Vector[(String, String)], Set[String]) = {
     val d = new java.io.File(dir)
     val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".log"))
-      .filter(f => afterFile.forall(f.getName > _))
+      .filter(f => f.isFile && f.getName.endsWith(".log") &&
+        !processed.contains(f.getName))
       .sortBy(_.getName)
     val msgs = files.toVector.flatMap { f =>
       new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
@@ -139,19 +144,19 @@ object FilePublisher {
           (unescape(k), unescape(p))
         }
     }
-    (msgs, files.lastOption.map(_.getName).orElse(afterFile))
+    (msgs, processed ++ files.map(_.getName))
   }
 
-  /** Drop commit files at or before `upToFile` (everything a consumer
-    * has durably processed) — retention for an otherwise append-forever
-    * log. Safe with concurrent producers: only named, fully-committed
-    * files are removed.
+  /** Drop the named commit files (everything a consumer has durably
+    * processed) — retention for an otherwise append-forever log. Safe
+    * with concurrent producers: only explicitly-named, fully-committed
+    * files are removed, never "everything older than" some cursor a
+    * late-landing rename could slip under.
     */
-  def truncate(dir: String, upToFile: String): Int = {
+  def truncate(dir: String, processed: Set[String]): Int = {
     val d = new java.io.File(dir)
     val victims = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".log") &&
-        f.getName <= upToFile)
+      .filter(f => f.isFile && processed.contains(f.getName))
     victims.count(_.delete())
   }
 }

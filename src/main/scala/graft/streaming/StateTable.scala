@@ -90,7 +90,8 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
     readSegments(spark, segmentDirs)
 
   /** Retained manifest versions, oldest → newest (time travel horizon =
-    * `retainGenerations`; manifest names embed a monotonic timestamp).
+    * `retainGenerations`; manifest names carry a zero-padded monotonic
+    * version id derived from the directory, restart-safe).
     */
   def versions: Seq[String] = {
     import scala.jdk.CollectionConverters._
@@ -116,23 +117,44 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
     * delta segment (cost scales with the batch), fold into a fresh base
     * only when the segment count reaches `compactEvery`.
     */
+  /** Next version id: one past the highest id any existing manifest or
+    * segment carries. Derived from the DIRECTORY, not a clock —
+    * `System.nanoTime` has an arbitrary per-boot origin, so clock-named
+    * versions would sort wrongly after a restart of a persistent table.
+    * Zero-padded to fixed width so lexicographic order IS numeric order.
+    */
+  private def nextId(): Long = {
+    import scala.jdk.CollectionConverters._
+    val p = Paths.get(path)
+    val ids = if (!Files.exists(p)) Seq.empty[Long]
+      else Files.list(p).iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.length > 1 && (n.head == 'm' || n.head == 's') =>
+          n.drop(1).takeWhile(_.isDigit) }
+        .filter(_.nonEmpty).map(_.toLong).toSeq
+    (ids :+ 0L).max + 1
+  }
+
+  private def pad(id: Long): String = f"$id%018d"
+
   def merge(spark: SparkSession, updates: DataFrame): Unit = synchronized {
     if (updates.isEmpty) return // a zero-row segment has no parquet footer
     val prevManifest = currentManifestName
     val segs = prevManifest.map(manifestOf).getOrElse(Seq.empty)
-    val delta = s"s${System.nanoTime()}d"
+    val id = nextId()
+    val delta = s"s${pad(id)}d"
     resolve(updates
       .select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$delta")
     val newSegs =
       if (segs.length + 1 >= compactEvery) {
-        val base = s"s${System.nanoTime()}b"
+        val base = s"s${pad(id)}b"
         readSegments(spark, segs :+ delta)
           .write.mode(SaveMode.Overwrite).parquet(s"$path/$base")
         Seq(base)
       } else segs :+ delta
     // immutable manifest file, then atomic pointer swap
-    val manifest = s"m${System.nanoTime()}"
+    val manifest = s"m${pad(id)}"
     Files.write(Paths.get(path, manifest),
       newSegs.mkString("\n").getBytes(StandardCharsets.UTF_8))
     val tmp = Paths.get(path, "_CURRENT.tmp")

@@ -105,6 +105,23 @@ class StateTableSpec extends AnyFunSuite {
     assert(table.versions.length == 3 && !table.versions.contains(vs(0)))
   }
 
+  test("version ids stay monotonic across table instances (restart safety)") {
+    val dir = Files.createTempDirectory("alert_table8").toString
+    val t1 = new AlertStateTable(dir, retainGenerations = 4)
+    t1.merge(spark, Seq(AlertUpdate("17-1", "live", 1, 17, 1000.0)).toDF())
+    t1.merge(spark, Seq(AlertUpdate("19-2", "live", 2, 19, 2000.0)).toDF())
+    val before = t1.versions
+    // a NEW instance on the same path (process restart): its version ids
+    // must continue after the existing ones, not restart from a clock
+    val t2 = new AlertStateTable(dir, retainGenerations = 4)
+    t2.merge(spark, Seq(AlertUpdate("13-9", "live", 3, 13, 3000.0)).toDF())
+    val after = t2.versions
+    assert(after.take(before.length) == before,
+      "pre-restart versions must still sort first")
+    assert(after.last > before.last, "new version must sort newest")
+    assert(t2.snapshot(spark).count() == 3)
+  }
+
   test("re-merging the same updates is a no-op (at-least-once safety)") {
     val dir = Files.createTempDirectory("alert_table2").toString
     val table = new AlertStateTable(dir)

@@ -67,28 +67,38 @@ class StreamingInfraSpec extends AnyFunSuite {
       "uncommitted partial file must be invisible")
   }
 
-  test("file publisher: incremental consume with watermark + truncation") {
+  test("file publisher: incremental consume with offset set + truncation") {
     val dir = java.nio.file.Files.createTempDirectory("pub_log4").toString
     val p = new FilePublisher(dir)
     p.publish("k", "m1")
     p.publish("k", "m2")
-    val (first, wm1) = FilePublisher.consumeFrom(dir, None)
-    assert(first.map(_._2) == Vector("m1", "m2") && wm1.isDefined)
-    // nothing new: empty delta, watermark carried forward
-    val (none, wmSame) = FilePublisher.consumeFrom(dir, wm1)
-    assert(none.isEmpty && wmSame == wm1)
+    val (first, seen1) = FilePublisher.consumeFrom(dir, Set.empty)
+    assert(first.map(_._2) == Vector("m1", "m2") && seen1.size == 2)
+    // nothing new: empty delta, offsets carried forward
+    val (none, seenSame) = FilePublisher.consumeFrom(dir, seen1)
+    assert(none.isEmpty && seenSame == seen1)
     p.publish("k", "m3")
-    val (delta, wm2) = FilePublisher.consumeFrom(dir, wm1)
-    assert(delta.map(_._2) == Vector("m3") && wm2 != wm1)
-    // retention: drop what the consumer durably processed
-    assert(FilePublisher.truncate(dir, wm1.get) == 2)
-    assert(FilePublisher.consume(dir).map(_._2) == Vector("m3"))
+    val (delta, seen2) = FilePublisher.consumeFrom(dir, seen1)
+    assert(delta.map(_._2) == Vector("m3") && seen2.size == 3)
+    // a commit whose rename lands LATE, with a name sorting BEFORE the
+    // already-consumed files (concurrent partition tasks): the offset
+    // SET still picks it up - a high-watermark cursor would skip it
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-0000000000000-late.log"),
+      "k\tm0\n".getBytes)
+    val (late, seen3) = FilePublisher.consumeFrom(dir, seen2)
+    assert(late.map(_._2) == Vector("m0"),
+      "late-landing low-named commit must not be skipped")
+    // retention: drop exactly what the consumer durably processed
+    assert(FilePublisher.truncate(dir, seen1) == 2)
+    assert(FilePublisher.consume(dir).map(_._2).toSet == Set("m0", "m3"))
+    assert(seen3.size == 4)
   }
 
   test("file publisher round-trips payloads containing tabs and newlines") {
     val dir = java.nio.file.Files.createTempDirectory("pub_log3").toString
     val p = new FilePublisher(dir)
-    val tricky = "line1\nline2\tcol\\end"
+    val tricky = "line1\nline2\tcol\\end\rcarriage"
     p.publish("k\t1", tricky)
     assert(FilePublisher.consume(dir) == Vector(("k\t1", tricky)))
   }
