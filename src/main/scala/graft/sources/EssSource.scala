@@ -8,7 +8,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
@@ -89,7 +89,8 @@ case class EssOffset(seq: Long) extends Offset {
 
 private[sources] class EssMicroBatchStream(
     channel: String, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
 
   private val buffer = EssFeeds.buffer(channel)
   // multi-consumer safety: this stream only advances its own committed
@@ -107,6 +108,35 @@ private[sources] class EssMicroBatchStream(
   override def initialOffset(): Offset = EssOffset(buffer.firstSeq)
 
   override def latestOffset(): Offset = EssOffset(buffer.lastSeq)
+
+  // Admission control (the Kafka maxOffsetsPerTrigger analog): a replayed
+  // backlog or burst is consumed in bounded micro-batches, so per-batch
+  // memory and state-update pressure stay flat instead of scaling with
+  // however much is queued. SupportsTriggerAvailableNow is implemented
+  // NATIVELY (snapshot the drain target, cap each batch at it) because
+  // the engine's generic AvailableNow wrapper cannot compose a snapshot
+  // with a read limit for offsets it cannot compare - wrapped sources
+  // lose their per-batch cap.
+  override def getDefaultReadLimit: ReadLimit =
+    Option(options.get("maxFramesPerTrigger"))
+      .map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  // Long.MaxValue outside AvailableNow mode: continuous triggers drain
+  // to the live buffer head as usual
+  @volatile private var availableNowEnd: Long = Long.MaxValue
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = buffer.lastSeq
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[EssOffset].seq
+    val last = math.min(buffer.lastSeq, availableNowEnd)
+    limit match {
+      case r: ReadMaxRows => EssOffset(math.min(last, from + r.maxRows()))
+      case _ => EssOffset(last)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = {
     val seq = json.toLong

@@ -99,6 +99,25 @@ class EssSourceSpec extends AnyFunSuite {
     assert(counts.max <= 16, s"unbalanced fan-out: $counts")
   }
 
+  test("maxFramesPerTrigger bounds every micro-batch of a replayed backlog") {
+    val ch = s"t6_${System.nanoTime()}"
+    (1 to 100).foreach(i => EssFeeds.push(ch, frame(s"17-$i", "started", 1000 + i)))
+    val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val q = spark.readStream.format("ess").option("channel", ch)
+      .option("maxFramesPerTrigger", "30").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batchSizes.add(b.count()); ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val sizes = batchSizes.asScala.toSeq
+    assert(sizes.sum == 100, s"backlog must drain completely: $sizes")
+    assert(sizes.forall(_ <= 30), s"every batch must respect the cap: $sizes")
+    assert(sizes.count(_ > 0) >= 4, s"cap must split the backlog: $sizes")
+  }
+
   test("incremental micro-batches: later pushes arrive in later batches") {
     val ch = s"t3_${System.nanoTime()}"
     EssFeeds.push(ch, frame("17-1", "started", 1000))
