@@ -70,12 +70,33 @@ class FilePublisher(dir: String) extends Publisher {
   override def publish(routingKey: String, payload: String): Unit =
     publishPartition(Iterator.single((routingKey, payload)))
 
-  override def publishPartition(messages: Iterator[(String, String)]): Unit = {
+  override def publishPartition(messages: Iterator[(String, String)]): Unit =
+    writeCommit(s"part-${System.nanoTime()}-${java.util.UUID.randomUUID()}",
+      messages)
+
+  /** Idempotent publish: the commit-file name is a deterministic function
+    * of (batchId, partitionId), so a RETRIED micro-batch lands on the
+    * same name as its previous attempt — the late writer sees the file
+    * already committed and discards its duplicate. That upgrades the
+    * sink to exactly-once per (batch, partition) — the standard
+    * idempotent-foreachBatch recipe — provided the partition's content
+    * is deterministic across retries (true for the publish path: no
+    * shuffle between source and sink).
+    */
+  def publishBatchPartition(batchId: Long, partitionId: Int,
+      messages: Iterator[(String, String)]): Unit =
+    writeCommit(f"batch-$batchId%012d-p$partitionId%06d", messages)
+
+  private def writeCommit(name: String,
+      messages: Iterator[(String, String)]): Unit = {
     if (!messages.hasNext) return
     val d = new File(dir)
     d.mkdirs()
-    val name = s"part-${System.nanoTime()}-${java.util.UUID.randomUUID()}"
-    val tmp = new File(d, s".$name.inprogress")
+    val target = new File(d, s"$name.log")
+    if (target.exists()) return // a retry of an already-committed unit
+    // tmp name stays unique so concurrent attempts never clobber each
+    // other mid-write; exactly one rename wins the commit
+    val tmp = new File(d, s".$name.${java.util.UUID.randomUUID()}.inprogress")
     val out = new FileOutputStream(tmp)
     val w = new OutputStreamWriter(out, UTF_8)
     messages.foreach { case (k, p) =>
@@ -85,8 +106,12 @@ class FilePublisher(dir: String) extends Publisher {
     w.flush()
     out.getFD.sync() // durable before visible
     w.close()
-    if (!tmp.renameTo(new File(d, s"$name.log")))
-      sys.error(s"commit rename failed for $tmp")
+    try java.nio.file.Files.move(tmp.toPath, target.toPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        tmp.delete() // lost the race to an identical commit: discard
+    }
   }
 }
 
@@ -183,6 +208,28 @@ object Sinks {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.foreachPartition { rows: Iterator[Row] =>
           publisher.publishPartition(rows.map(r => (RoutingKey, r.getString(0))))
+        }
+      }
+
+  /** The exactly-once wiring of the durable publisher: each partition
+    * commits under its deterministic (batchId, partitionId) name, so the
+    * at-least-once micro-batch retries of the engine de-duplicate at the
+    * sink instead of reaching consumers (see
+    * [[FilePublisher.publishBatchPartition]]).
+    */
+  def publishStreamExactlyOnce(
+      events: Dataset[MetagameEvent],
+      publisher: FilePublisher,
+      trigger: Trigger = Trigger.AvailableNow()): DataStreamWriter[Row] =
+    MetagameEvent.toJsonCol(events)
+      .writeStream
+      .outputMode("append")
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.foreachPartition { rows: Iterator[Row] =>
+          publisher.publishBatchPartition(batchId,
+            org.apache.spark.TaskContext.get().partitionId(),
+            rows.map(r => (RoutingKey, r.getString(0))))
         }
       }
 }

@@ -95,6 +95,38 @@ class StreamingInfraSpec extends AnyFunSuite {
     assert(seen3.size == 4)
   }
 
+  test("idempotent publish: a retried (batch, partition) commits exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("pub_log5").toString
+    val p = new FilePublisher(dir)
+    val batch = Seq(("metagame", """{"id":"17-1"}"""), ("metagame", """{"id":"19-2"}"""))
+    p.publishBatchPartition(7, 0, batch.iterator)
+    p.publishBatchPartition(7, 0, batch.iterator) // engine retry: same unit
+    p.publishBatchPartition(7, 1, Seq(("metagame", """{"id":"13-9"}""")).iterator)
+    p.publishBatchPartition(8, 0, batch.iterator) // next batch: new unit
+    val got = FilePublisher.consume(dir)
+    assert(got.length == 5, s"retry must not duplicate: $got")
+    assert(got.count(_._2.contains("17-1")) == 2, "batches 7 and 8 each once")
+  }
+
+  test("exactly-once publish stream delivers each event once across restart") {
+    val dir = java.nio.file.Files.createTempDirectory("pub_log6").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pub_ckpt6").toString
+    val mem = MemoryStream[MetagameEvent](spark)
+    mem.addData(Seq(ev("17-1", 1000), ev("17-2", 2000)))
+    val p = new FilePublisher(dir)
+    val q1 = Sinks.publishStreamExactlyOnce(mem.toDS(), p)
+      .option("checkpointLocation", ckpt).start()
+    try q1.processAllAvailable() finally q1.stop()
+    mem.addData(Seq(ev("17-3", 3000)))
+    val q2 = Sinks.publishStreamExactlyOnce(mem.toDS(), new FilePublisher(dir))
+      .option("checkpointLocation", ckpt).start()
+    try q2.processAllAvailable() finally q2.stop()
+    val ids = FilePublisher.consume(dir).map(_._2)
+      .flatMap("\"id\":\"([^\"]+)\"".r.findFirstMatchIn(_).map(_.group(1)))
+    assert(ids.sorted == Seq("17-1", "17-2", "17-3"),
+      s"each event exactly once: $ids")
+  }
+
   test("file publisher round-trips payloads containing tabs and newlines") {
     val dir = java.nio.file.Files.createTempDirectory("pub_log3").toString
     val p = new FilePublisher(dir)
