@@ -79,9 +79,20 @@ object TimeSeries {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** The NATIVE session-window operator (batch face; its streaming twin
+    * is spec-checked in WindowedAggsSpec). Differs from `sessionize` in
+    * boundary semantics — a gap of exactly 30 min starts a NEW session
+    * here (`>=`, interval-overlap rule) vs `>` in the lag formulation —
+    * and in output shape (window bounds, where end = last event + gap).
+    */
+  private val sessionizeNative: Q = (s, d) =>
+    graft.streaming.WindowedAggs.sessionWindows(
+      T(s, d, "events").select(col("user_id"), col("ts")))
+
   val queries: Map[String, Q] = Map(
     "asof_join" -> asofJoin,
     "sessionize" -> sessionize,
+    "sessionize_native" -> sessionizeNative,
     "gapfill_hours" -> gapfill,
   )
 
@@ -109,6 +120,23 @@ object TimeSeries {
         |           THEN 1 ELSE 0 END AS new_session
         |    FROM events))
         |GROUP BY user_id, session_no""".stripMargin,
+    "sessionize_native" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |           OR CAST(floor(epoch(ts)) AS BIGINT)
+        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) >= 1800
+        |         THEN 1 ELSE 0 END AS ns,
+        |    event_id
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
     "gapfill_hours" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, count(*) AS n

@@ -29,6 +29,26 @@ object WindowedAggs {
         col("n"), col("last_event_time"))
   }
 
+  /** Gap-based session windows via the NATIVE `session_window` operator —
+    * the streaming face of the batch `sessionize` query (there computed
+    * with lag + running sum). Works on any frame with `user_id` and a
+    * timestamp `ts`; in streaming mode a watermark bounds session state
+    * and (append mode) emits a session once the watermark passes its
+    * close. Sessions merge as events arrive — the state-store-backed
+    * generalization the lag/sum formulation can't express incrementally.
+    */
+  def sessionWindows(
+      df: DataFrame,
+      gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    val t = if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    t.groupBy(col("user_id"),
+        session_window(col("ts"), gap).as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n"))
+  }
+
   /** Streaming exact dedup on the composite id within the watermark
     * horizon (`dropDuplicatesWithinWatermark`): the streaming face of
     * Ext1 exact dedup — state is bounded by the watermark delay instead of

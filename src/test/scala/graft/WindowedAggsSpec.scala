@@ -63,6 +63,48 @@ class WindowedAggsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session windows: streaming append emits exactly the watermark-closed batch sessions") {
+    val sf = SparkTestSession.sf
+    import org.apache.spark.sql.functions._
+    // batch truth: session_window over the events table
+    val batchDf = Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("ts"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "user_id", "CAST(session_start AS STRING)",
+      "CAST(session_end AS STRING)", "n")
+      .as[(Long, String, String, Long)].collect().toSet
+    val batch = canon(WindowedAggs.sessionWindows(batchDf))
+    assert(batch.nonEmpty)
+    // streaming: same rows through readStream -> session_window, append
+    // mode (a session is emitted once the watermark passes its close)
+    val schema = org.apache.spark.sql.types.StructType(
+      Tables.load(spark, sf, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(sf)
+      // plain UTC TIMESTAMP: watermarks reject TIMESTAMP_NTZ; the session
+      // runs in UTC so the rendered strings match the batch NTZ side
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"))
+    val name = s"sess_${System.nanoTime()}"
+    val q = WindowedAggs.sessionWindows(raw)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    val streamed = canon(spark.table(name))
+    // final watermark = max event time - 30 min: sessions closed before
+    // it MUST be emitted; later ones legitimately stay open in state
+    val wm = batchDf
+      .selectExpr("CAST(max(ts) - INTERVAL 30 MINUTES AS STRING)")
+      .as[String].collect()(0)
+    val mustEmit = batch.filter { case (_, _, end, _) => end < wm }
+    assert(mustEmit.subsetOf(streamed),
+      s"missing closed sessions: ${(mustEmit -- streamed).take(3)}")
+    assert(streamed.subsetOf(batch),
+      s"streamed emitted sessions disagree with batch: ${(streamed -- batch).take(3)}")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered frames") {
     val mem = MemoryStream[MetagameEvent](spark)
     val name = s"dd_${System.nanoTime()}"
