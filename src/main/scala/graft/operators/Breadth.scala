@@ -233,7 +233,21 @@ object Breadth {
     T(s, d, "documents").select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("word"))
 
+  /** Deterministic 10% sample: keep rows whose key-hash bucket is 0.
+    * Unlike `sample()` (RNG seeded per partition — result changes with
+    * partitioning), a content-hash filter is reproducible across engines,
+    * cluster layouts and reruns: the property a training-data pipeline
+    * needs to re-derive the exact same subset anywhere. Built on md5 so
+    * the oracle reproduces it bit-for-bit.
+    */
+  private val sampleHash: Q = (s, d) =>
+    T(s, d, "documents")
+      .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+        1, 8), 16, 10).cast("long") % 10 === 0)
+      .select(col("doc_id"), col("text"))
+
   val queries: Map[String, Q] = Map(
+    "sample_hash" -> sampleHash,
     "listagg_op" -> listaggOp,
     "window_ntile" -> windowNtile,
     "window_range_frame" -> windowRangeFrame,
@@ -254,6 +268,9 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "sample_hash" ->
+      ("SELECT doc_id, text FROM documents " +
+        "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0"),
     "listagg_op" ->
       """SELECT c_mktsegment, string_agg(c_name, ',' ORDER BY c_name) AS names,
         |  count(*) AS n FROM customer GROUP BY c_mktsegment""".stripMargin,
