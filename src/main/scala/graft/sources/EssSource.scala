@@ -105,6 +105,11 @@ private[sources] class EssMicroBatchStream(
       EssFeeds.leaseTransport(channel, uri, Option(options.get("subscribe")))
     }
 
+  // live-path overflow guard (drop-oldest above capacity, counted);
+  // several readers on one channel share the buffer - last setting wins
+  Option(options.get("maxBufferedFrames"))
+    .foreach(n => buffer.setCapacity(n.toInt))
+
   override def initialOffset(): Offset = EssOffset(buffer.firstSeq)
 
   override def latestOffset(): Offset = EssOffset(buffer.lastSeq)
@@ -220,12 +225,32 @@ class FrameBuffer {
   private val consumers = new ConcurrentHashMap[Long, Long]()
   private val consumerIds = new AtomicLong(0L)
 
+  // Overflow policy for the live path: an in-memory buffer on the driver
+  // cannot grow without bound when a consumer stalls. Above capacity the
+  // OLDEST frames are dropped (the stalled reader loses its lag window,
+  // never the fresh data) and counted on the `ess_dropped_frames`
+  // metric. Default unbounded = the replay/test behavior.
+  @volatile private var capacity: Int = Int.MaxValue
+  private val dropped = new AtomicLong(0L)
+
+  def setCapacity(max: Int): Unit = synchronized { capacity = max; evict() }
+
+  def droppedFrames: Long = dropped.get()
+
+  private def evict(): Unit =
+    while (frames.size() > capacity) {
+      frames.pollFirstEntry()
+      dropped.incrementAndGet()
+      graft.streaming.Metrics.add("ess_dropped_frames", 1.0)
+    }
+
   // push and lastSeq share a monitor: a reader may only observe a
   // sequence number once its frame is in the map, otherwise latestOffset
   // could plan past a not-yet-visible frame and skip it forever
   def push(frame: String): Unit = synchronized {
     val s = seq.incrementAndGet()
     frames.put(s, (frame, System.currentTimeMillis() * 1000))
+    evict()
   }
 
   def firstSeq: Long =
@@ -233,10 +258,13 @@ class FrameBuffer {
 
   def lastSeq: Long = synchronized { seq.get() }
 
-  /** Frames with start < seq <= end, in order. */
+  /** Frames with start < seq <= end, in seq order. (Iterate the sorted
+    * map's iterator directly — mapping the entrySet through a Scala Set
+    * view would scramble the order.)
+    */
   def range(start: Long, end: Long): Array[(Long, String, Long)] = {
     import scala.jdk.CollectionConverters._
-    frames.subMap(start, false, end, true).entrySet().asScala
+    frames.subMap(start, false, end, true).entrySet().iterator().asScala
       .map(e => (e.getKey, e.getValue._1, e.getValue._2)).toArray
   }
 

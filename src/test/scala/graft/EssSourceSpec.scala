@@ -118,6 +118,25 @@ class EssSourceSpec extends AnyFunSuite {
     assert(sizes.count(_ > 0) >= 4, s"cap must split the backlog: $sizes")
   }
 
+  test("bounded buffer drops oldest frames above capacity and counts them") {
+    val ch = s"t7_${System.nanoTime()}"
+    val buf = EssFeeds.buffer(ch)
+    buf.setCapacity(10)
+    (1 to 25).foreach(i => EssFeeds.push(ch, frame(s"17-$i", "started", 1000 + i)))
+    assert(buf.droppedFrames == 15)
+    val kept = buf.range(0, buf.lastSeq)
+    assert(kept.length == 10, "capacity must bound the buffer")
+    // drop-oldest: the newest frames survive, never the fresh data
+    assert(kept.map(_._1).toSeq == (16L to 25L))
+    // and a query on the channel still reads exactly the surviving frames
+    val name = s"ess_cap_$ch"
+    val q = spark.readStream.format("ess").option("channel", ch).load()
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    try q.awaitTermination() finally q.stop()
+    assert(spark.table(name).count() == 10)
+  }
+
   test("incremental micro-batches: later pushes arrive in later batches") {
     val ch = s"t3_${System.nanoTime()}"
     EssFeeds.push(ch, frame("17-1", "started", 1000))
