@@ -124,8 +124,8 @@ object TimeSeries {
       """WITH marked AS (
         |  SELECT user_id, ts,
         |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |           OR CAST(floor(epoch(ts)) AS BIGINT)
-        |              - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) >= 1800
+        |           OR epoch_us(ts)
+        |              - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) >= 1800000000
         |         THEN 1 ELSE 0 END AS ns,
         |    event_id
         |  FROM events),

@@ -135,11 +135,20 @@ private[sources] class EssMicroBatchStream(
     availableNowEnd = buffer.lastSeq
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = start.asInstanceOf[EssOffset].seq
+    val startSeq = start.asInstanceOf[EssOffset].seq
+    // skip an evicted region in ONE step instead of crawling through it
+    // in empty capped batches (start can lag buffer.firstSeq after
+    // drop-oldest eviction)
+    val from = math.max(startSeq, buffer.firstSeq)
     val last = math.min(buffer.lastSeq, availableNowEnd)
     limit match {
-      case r: ReadMaxRows => EssOffset(math.min(last, from + r.maxRows()))
-      case _ => EssOffset(last)
+      case r: ReadMaxRows =>
+        // saturating add: a Long.MaxValue "unlimited" cap must not wrap
+        val capped =
+          if (r.maxRows() > last - from) last
+          else math.min(last, from + r.maxRows())
+        EssOffset(math.max(capped, startSeq))
+      case _ => EssOffset(math.max(last, startSeq))
     }
   }
 
@@ -232,16 +241,23 @@ class FrameBuffer {
   // metric. Default unbounded = the replay/test behavior.
   @volatile private var capacity: Int = Int.MaxValue
   private val dropped = new AtomicLong(0L)
+  // buffered-frame count tracked explicitly: ConcurrentSkipListMap.size()
+  // is O(n), which would make every at-capacity push O(capacity)
+  private var count: Int = 0
 
   def setCapacity(max: Int): Unit = synchronized { capacity = max; evict() }
 
   def droppedFrames: Long = dropped.get()
 
+  // callers hold the monitor (push/setCapacity): eviction, gc and the
+  // count never race each other
   private def evict(): Unit =
-    while (frames.size() > capacity) {
-      frames.pollFirstEntry()
-      dropped.incrementAndGet()
-      graft.streaming.Metrics.add("ess_dropped_frames", 1.0)
+    while (count > capacity) {
+      if (frames.pollFirstEntry() != null) {
+        count -= 1
+        dropped.incrementAndGet()
+        graft.streaming.Metrics.add("ess_dropped_frames", 1.0)
+      } else { count = 0 }
     }
 
   // push and lastSeq share a monitor: a reader may only observe a
@@ -250,6 +266,7 @@ class FrameBuffer {
   def push(frame: String): Unit = synchronized {
     val s = seq.incrementAndGet()
     frames.put(s, (frame, System.currentTimeMillis() * 1000))
+    count += 1
     evict()
   }
 
@@ -293,12 +310,22 @@ class FrameBuffer {
     gc()
   }
 
-  private def gc(): Unit = {
+  // synchronized on the same monitor as push/evict: a concurrent gc
+  // clearing committed head entries must not race an eviction into
+  // dropping a frame that was actually under capacity (or into phantom
+  // dropped-frame counts). Runs once per micro-batch commit, so the
+  // O(cleared) size recount is off the per-push hot path.
+  private def gc(): Unit = synchronized {
     import scala.jdk.CollectionConverters._
     val marks = consumers.values().asScala
     if (marks.nonEmpty) {
       val min = marks.min
-      if (min >= 0) frames.headMap(min, true).clear()
+      if (min >= 0) {
+        val head = frames.headMap(min, true)
+        count -= head.size()
+        head.clear()
+        if (count < 0) count = 0
+      }
     }
   }
 }

@@ -71,31 +71,66 @@ class FilePublisher(dir: String) extends Publisher {
     publishPartition(Iterator.single((routingKey, payload)))
 
   override def publishPartition(messages: Iterator[(String, String)]): Unit =
-    writeCommit(s"part-${System.nanoTime()}-${java.util.UUID.randomUUID()}",
-      messages)
+    writeCommit(new File(dir),
+      s"part-${System.nanoTime()}-${java.util.UUID.randomUUID()}", messages)
 
-  /** Idempotent publish: the commit-file name is a deterministic function
-    * of (batchId, partitionId), so a RETRIED micro-batch lands on the
-    * same name as its previous attempt — the late writer sees the file
-    * already committed and discards its duplicate. That upgrades the
-    * sink to exactly-once per (batch, partition) — the standard
-    * idempotent-foreachBatch recipe — provided the partition's content
-    * is deterministic across retries (true for the publish path: no
-    * shuffle between source and sink).
+  // ---- exactly-once batch staging ------------------------------------
+  // A whole micro-batch commits ATOMICALLY: partitions stage into a
+  // hidden per-attempt directory, and after every partition has written,
+  // the driver renames the directory to the batch's single committed
+  // name. A retried batch — even one REPLANNED with a different
+  // partition count or row-to-partition assignment — either sees the
+  // committed directory and skips, or races its own rename and loses
+  // (POSIX rename onto an existing non-empty directory fails). This is
+  // what per-(batch,partition)-named files cannot give: they'd leak a
+  // partial prior attempt's partition files alongside a differently-
+  // partitioned retry. Within one attempt, task retries land on the
+  // same p<id> staging name (same plan => same assignment) and the
+  // first rename wins. Paths are driver+executor-visible (same FS in
+  // local mode; a shared filesystem on a cluster).
+
+  def stagingDirFor(batchId: Long): String = {
+    val d = new File(dir, f".batch-$batchId%012d-${java.util.UUID.randomUUID()}.staging")
+    d.mkdirs()
+    d.getPath
+  }
+
+  private def committedDirFor(batchId: Long): File =
+    new File(dir, f"batch-$batchId%012d.committed")
+
+  def batchCommitted(batchId: Long): Boolean = committedDirFor(batchId).exists()
+
+  /** Stage one partition's messages for a batch attempt (invisible to
+    * consumers until [[commitStaged]]).
     */
-  def publishBatchPartition(batchId: Long, partitionId: Int,
+  def stagePartition(stagingDir: String, partitionId: Int,
       messages: Iterator[(String, String)]): Unit =
-    writeCommit(f"batch-$batchId%012d-p$partitionId%06d", messages)
+    writeCommit(new File(stagingDir), f"p$partitionId%06d", messages)
 
-  private def writeCommit(name: String,
+  /** Atomically publish a fully-staged batch. Returns false (and cleans
+    * up the staging attempt) if another attempt committed first.
+    */
+  def commitStaged(stagingDir: String, batchId: Long): Boolean = {
+    val staged = new File(stagingDir)
+    val won = staged.renameTo(committedDirFor(batchId))
+    if (!won) FilePublisher.deleteRecursively(staged)
+    else // sweep any stale staging attempts for this batch (crashed runs)
+      Option(new File(dir).listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isDirectory &&
+          f.getName.startsWith(f".batch-$batchId%012d-") &&
+          f.getName.endsWith(".staging"))
+        .foreach(FilePublisher.deleteRecursively)
+    won
+  }
+
+  private def writeCommit(d: File, name: String,
       messages: Iterator[(String, String)]): Unit = {
     if (!messages.hasNext) return
-    val d = new File(dir)
     d.mkdirs()
     val target = new File(d, s"$name.log")
     if (target.exists()) return // a retry of an already-committed unit
     // tmp name stays unique so concurrent attempts never clobber each
-    // other mid-write; exactly one rename wins the commit
+    // other mid-write
     val tmp = new File(d, s".$name.${java.util.UUID.randomUUID()}.inprogress")
     val out = new FileOutputStream(tmp)
     val w = new OutputStreamWriter(out, UTF_8)
@@ -106,12 +141,12 @@ class FilePublisher(dir: String) extends Publisher {
     w.flush()
     out.getFD.sync() // durable before visible
     w.close()
-    try java.nio.file.Files.move(tmp.toPath, target.toPath,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        tmp.delete() // lost the race to an identical commit: discard
-    }
+    // plain rename: on POSIX an ATOMIC_MOVE onto an existing file
+    // silently replaces it, so "first wins" is enforced by the exists()
+    // check plus content determinism within an attempt (same plan =>
+    // same rows per p<id>); a same-named late double-write lands
+    // identical bytes
+    if (!tmp.renameTo(target)) tmp.delete()
   }
 }
 
@@ -155,21 +190,35 @@ object FilePublisher {
     * between processing and persisting re-reads those files —
     * duplicates, never loss.
     */
+  /** All committed log files: top-level at-least-once commits plus the
+    * contents of atomically-committed batch directories, keyed by their
+    * dir-relative path (the consumer-offset identity).
+    */
+  private def commitFiles(dir: String): Seq[(String, java.io.File)] = {
+    val base = new java.io.File(dir)
+    val entries = Option(base.listFiles()).getOrElse(Array.empty)
+    val topLevel = entries
+      .filter(f => f.isFile && f.getName.endsWith(".log"))
+      .map(f => f.getName -> f)
+    val inBatches = entries
+      .filter(d => d.isDirectory && d.getName.endsWith(".committed"))
+      .flatMap(cd => Option(cd.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".log"))
+        .map(f => s"${cd.getName}/${f.getName}" -> f))
+    (topLevel ++ inBatches).sortBy(_._1).toSeq
+  }
+
   def consumeFrom(dir: String, processed: Set[String])
       : (Vector[(String, String)], Set[String]) = {
-    val d = new java.io.File(dir)
-    val files = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && f.getName.endsWith(".log") &&
-        !processed.contains(f.getName))
-      .sortBy(_.getName)
-    val msgs = files.toVector.flatMap { f =>
+    val files = commitFiles(dir).filterNot(f => processed.contains(f._1))
+    val msgs = files.toVector.flatMap { case (_, f) =>
       new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
         .linesIterator.filter(_.nonEmpty).map { line =>
           val Array(k, p) = line.split("\t", 2)
           (unescape(k), unescape(p))
         }
     }
-    (msgs, processed ++ files.map(_.getName))
+    (msgs, processed ++ files.map(_._1))
   }
 
   /** Drop the named commit files (everything a consumer has durably
@@ -178,11 +227,13 @@ object FilePublisher {
     * files are removed, never "everything older than" some cursor a
     * late-landing rename could slip under.
     */
-  def truncate(dir: String, processed: Set[String]): Int = {
-    val d = new java.io.File(dir)
-    val victims = Option(d.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isFile && processed.contains(f.getName))
-    victims.count(_.delete())
+  def truncate(dir: String, processed: Set[String]): Int =
+    commitFiles(dir).filter(f => processed.contains(f._1))
+      .count(_._2.delete())
+
+  private[streaming] def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRecursively)
+    f.delete()
   }
 }
 
@@ -211,11 +262,12 @@ object Sinks {
         }
       }
 
-  /** The exactly-once wiring of the durable publisher: each partition
-    * commits under its deterministic (batchId, partitionId) name, so the
-    * at-least-once micro-batch retries of the engine de-duplicate at the
-    * sink instead of reaching consumers (see
-    * [[FilePublisher.publishBatchPartition]]).
+  /** The exactly-once wiring of the durable publisher: partitions stage
+    * into a per-attempt directory, and the whole batch commits with one
+    * atomic directory rename after the partition action completes — so
+    * the engine's at-least-once micro-batch retries (even replanned with
+    * different partitioning) de-duplicate at the sink instead of
+    * reaching consumers (see [[FilePublisher.commitStaged]]).
     */
   def publishStreamExactlyOnce(
       events: Dataset[MetagameEvent],
@@ -226,10 +278,15 @@ object Sinks {
       .outputMode("append")
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.foreachPartition { rows: Iterator[Row] =>
-          publisher.publishBatchPartition(batchId,
-            org.apache.spark.TaskContext.get().partitionId(),
-            rows.map(r => (RoutingKey, r.getString(0))))
+        if (!publisher.batchCommitted(batchId)) {
+          val staging = publisher.stagingDirFor(batchId)
+          batch.foreachPartition { rows: Iterator[Row] =>
+            publisher.stagePartition(staging,
+              org.apache.spark.TaskContext.get().partitionId(),
+              rows.map(r => (RoutingKey, r.getString(0))))
+          }
+          publisher.commitStaged(staging, batchId)
+          ()
         }
       }
 }

@@ -95,17 +95,34 @@ class StreamingInfraSpec extends AnyFunSuite {
     assert(seen3.size == 4)
   }
 
-  test("idempotent publish: a retried (batch, partition) commits exactly once") {
+  test("idempotent publish: batch commit is atomic, retries and repartitioned replays dedup") {
     val dir = java.nio.file.Files.createTempDirectory("pub_log5").toString
     val p = new FilePublisher(dir)
-    val batch = Seq(("metagame", """{"id":"17-1"}"""), ("metagame", """{"id":"19-2"}"""))
-    p.publishBatchPartition(7, 0, batch.iterator)
-    p.publishBatchPartition(7, 0, batch.iterator) // engine retry: same unit
-    p.publishBatchPartition(7, 1, Seq(("metagame", """{"id":"13-9"}""")).iterator)
-    p.publishBatchPartition(8, 0, batch.iterator) // next batch: new unit
+    val m = (id: String) => ("metagame", s"""{"id":"$id"}""")
+    // attempt 1 of batch 7: stages only one of its partitions, then the
+    // job dies before commit - nothing is visible
+    val staging1 = p.stagingDirFor(7)
+    p.stagePartition(staging1, 0, Seq(m("17-1")).iterator)
+    assert(FilePublisher.consume(dir).isEmpty, "uncommitted staging invisible")
+    // attempt 2 replays batch 7 REPLANNED with different partitioning
+    // (3 partitions instead of 2) and commits
+    val staging2 = p.stagingDirFor(7)
+    p.stagePartition(staging2, 0, Seq(m("17-1")).iterator)
+    p.stagePartition(staging2, 1, Seq(m("19-2")).iterator)
+    p.stagePartition(staging2, 2, Seq(m("13-9")).iterator)
+    assert(p.commitStaged(staging2, 7))
+    // a zombie third attempt finishes late and must lose + clean up
+    val staging3 = p.stagingDirFor(7)
+    p.stagePartition(staging3, 0, Seq(m("17-1"), m("19-2"), m("13-9")).iterator)
+    assert(!p.commitStaged(staging3, 7), "late attempt must lose the commit race")
+    assert(p.batchCommitted(7))
     val got = FilePublisher.consume(dir)
-    assert(got.length == 5, s"retry must not duplicate: $got")
-    assert(got.count(_._2.contains("17-1")) == 2, "batches 7 and 8 each once")
+    assert(got.map(_._2).sorted ==
+      Vector("""{"id":"13-9"}""", """{"id":"17-1"}""", """{"id":"19-2"}"""),
+      s"exactly the winning attempt's rows, once: $got")
+    // no staging residue: attempt 1's partial files were swept on commit
+    val leftovers = new java.io.File(dir).list().count(_.contains("staging"))
+    assert(leftovers == 0, "stale staging attempts must be swept")
   }
 
   test("exactly-once publish stream delivers each event once across restart") {
