@@ -62,12 +62,22 @@ object Multimodal {
     * implementation amortizes codec/model initialization per task (the
     * `mapInPandas` batching idea).
     */
+  /** Decode batch size: a real deployment sizes this to the model's
+    * optimal inference batch (the `mapInPandas` arrow-batch analog).
+    */
+  val DecodeBatchSize = 64
+
   def decode(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import s.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of a real decoder would go here
-        it.map { case (id, bytes) => fakeDecode(id, bytes) }
+        // per-partition init of a real decoder/model would go here;
+        // rows are then fed through it in fixed-size BATCHES — the shape
+        // a vectorized codec or model-inference call needs (one call per
+        // batch, not per row)
+        it.grouped(DecodeBatchSize).flatMap { batch =>
+          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+        }
       }
   }
 
@@ -104,10 +114,19 @@ object Multimodal {
       .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
         length(col("frame")).cast("long").as("frame_len"))
 
+  /** Frame sampling: every 4th frame of each payload — the video
+    * frame-subsample shape (uniform stride). Composes on the chunking
+    * generator; stride selection is a codegen'd modulo filter, so the
+    * sampled set never materializes the skipped frames past the filter.
+    */
+  private val framesample: Q = (s, d) =>
+    chunks(s, d).filter(col("frame_idx") % 4 === 0)
+
   val queries: Map[String, Q] = Map(
     "mm_meta" -> meta,
     "mm_decode_stub" -> decodeStub,
     "mm_chunks" -> chunks,
+    "mm_framesample" -> framesample,
   )
 
   val oracles: Map[String, String] = Map(
@@ -119,6 +138,12 @@ object Multimodal {
         |  length(substr(text, (i - 1) * 256 + 1, 256)) AS frame_len
         |FROM documents,
         |  unnest(generate_series(1, CAST(ceil(length(text) / 256.0) AS BIGINT))) t(i)""".stripMargin,
+    "mm_framesample" ->
+      """SELECT doc_id, i - 1 AS frame_idx,
+        |  length(substr(text, (i - 1) * 256 + 1, 256)) AS frame_len
+        |FROM documents,
+        |  unnest(generate_series(1, CAST(ceil(length(text) / 256.0) AS BIGINT))) t(i)
+        |WHERE (i - 1) % 4 = 0""".stripMargin,
     // mm_decode_stub: no oracle — the stub decoder is Scala-side only.
   )
 }
