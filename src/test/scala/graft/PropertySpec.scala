@@ -1,0 +1,107 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.TopKAggregator
+import graft.sources.FrameBuffer
+
+/** Property-based invariants for the hand-rolled primitives the engine
+  * leans on: the publish-log line codec, the bounded top-k fold, and the
+  * frame buffer under concurrent producers/committers — the pieces whose
+  * failure modes are exactly "some adversarial input you didn't write an
+  * example for".
+  */
+class PropertySpec extends AnyFunSuite {
+
+  /** Deterministically sample n values from a generator (raw scalacheck,
+    * no scalatest bridge in the dependency set).
+    */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit =
+    samples(g, n).foreach(f)
+
+  private def forAll2[A](g1: Gen[A], g2: Gen[A])(f: (A, A) => Unit): Unit =
+    samples(g1, 100).zip(samples(g2.map(identity), 100).reverse)
+      .foreach { case (a, b) => f(a, b) }
+
+  // ---- publish-log codec ------------------------------------------------
+
+  test("publish log round-trips ARBITRARY keys and payloads") {
+    val dir = java.nio.file.Files.createTempDirectory("pub_prop").toString
+    val p = new graft.streaming.FilePublisher(dir)
+    forAll(Gen.listOfN(5, for {
+      k <- Gen.asciiPrintableStr
+      v <- implicitly[org.scalacheck.Arbitrary[String]].arbitrary
+    } yield (k, v)), 60) { msgs =>
+      val sub = java.nio.file.Files.createTempDirectory("pub_prop_one").toString
+      val p1 = new graft.streaming.FilePublisher(sub)
+      p1.publishPartition(msgs.iterator)
+      // non-empty messages only: an empty iterator writes no file
+      val expect = msgs.toVector
+      assert(graft.streaming.FilePublisher.consume(sub) == expect)
+    }
+  }
+
+  // ---- bounded top-k fold ----------------------------------------------
+
+  private val items: Gen[List[(Double, Long)]] =
+    Gen.listOf(for {
+      s <- Gen.chooseNum(-1e6, 1e6)
+      id <- Gen.chooseNum(0L, 50L) // small id space forces score ties
+    } yield (s, id))
+
+  test("TopKAggregator: fold order never changes the result (merge soundness)") {
+    val agg = new TopKAggregator(5)
+    forAll2(items, items) { (a, b) =>
+      val viaReduce = (a ++ b).foldLeft(agg.zero)(agg.reduce)
+      val viaMerge = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(viaReduce) == agg.finish(viaMerge))
+      // and merge is commutative - partitions arrive in any order
+      val viaMergeRev = agg.merge(
+        b.foldLeft(agg.zero)(agg.reduce), a.foldLeft(agg.zero)(agg.reduce))
+      assert(agg.finish(viaMerge) == agg.finish(viaMergeRev))
+    }
+  }
+
+  test("TopKAggregator equals a full sort-take on any input") {
+    val agg = new TopKAggregator(5)
+    forAll(items) { xs =>
+      val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val want = xs.sorted(Ordering.by[(Double, Long), (Double, Long)] {
+        case (s, id) => (-s, id)
+      }).take(5)
+      assert(got == want)
+    }
+  }
+
+  // ---- frame buffer under concurrency ----------------------------------
+
+  test("FrameBuffer invariants hold under concurrent push/commit/evict") {
+    val buf = new FrameBuffer
+    buf.setCapacity(500)
+    val consumer = buf.register()
+    val producers = (1 to 4).map { _ =>
+      new Thread(() => (1 to 5000).foreach(i => buf.push(s"f$i")))
+    }
+    val committer = new Thread(() => (1 to 200).foreach { _ =>
+      buf.committed(consumer, buf.lastSeq - 600) // trail behind the head
+      Thread.sleep(1)
+    })
+    (producers :+ committer).foreach(_.start())
+    (producers :+ committer).foreach(_.join())
+    val total = 4 * 5000
+    assert(buf.lastSeq == total, "no sequence number lost or duplicated")
+    val remaining = buf.range(0, buf.lastSeq).length
+    assert(remaining <= 500, s"capacity must hold after the dust settles: $remaining")
+    assert(buf.droppedFrames <= total.toLong,
+      "dropped can never exceed pushed (no phantom drops)")
+    // surviving frames are a suffix-heavy set: the newest frame survives
+    assert(buf.range(total - 1, total.toLong).nonEmpty,
+      "drop-oldest must never evict the newest frame")
+    buf.unregister(consumer)
+  }
+}
