@@ -159,20 +159,29 @@ object Similarity {
     * sibling (SimilaritySpec section of DedupSimilaritySpec); the
     * construction is not SQL-expressible, so the gate records rows-only.
     */
-  private val annIvf: Q = (s, d) => {
+  /** Assign each (vec_id, v) row its nearest centroid id. */
+  private def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame =
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("cid"), col("d2")).as("cid"))
+
+  /** The trained IVF model as reusable DataFrames — shared between the
+    * batch query and the STREAMING IVF top-k
+    * ([[graft.streaming.StreamingTopK.topKIvf]]): `centroids` (cid, cv),
+    * `probes` (q_id, cid — the NProbe nearest lists per query) and
+    * `queries` (q_id, qv, qn).
+    */
+  def ivfModel(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
-    // --- train the coarse quantizer -------------------------------------
     val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
       .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
         col("v").as("cv"))
-    def nearest(vecs: DataFrame, cents: DataFrame): DataFrame =
-      vecs.crossJoin(broadcast(cents))
-        .withColumn("d2", dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
-        .groupBy(col("vec_id"))
-        .agg(min_by(col("cid"), col("d2")).as("cid"))
-    val assign0 = nearest(e, seeds).join(e, Seq("vec_id"))
+    val assign0 = nearestCentroid(e, seeds).join(e, Seq("vec_id"))
     // one Lloyd step: new centroid = mean of its assigned vectors
     val centroids = assign0
       .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
@@ -180,8 +189,6 @@ object Similarity {
       .groupBy(col("cid"))
       .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
       .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
-    // --- build inverted lists & probe ----------------------------------
-    val lists = nearest(e, centroids) // (vec_id, cid): the inverted index
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -192,6 +199,16 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))))
       .filter(col("pr") <= NProbe)
       .select(col("q_id"), col("cid"))
+    (centroids, probes, q)
+  }
+
+  private val annIvf: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val (centroids, probes, q) = ivfModel(s, d)
+    // --- build inverted lists & probe ----------------------------------
+    val lists = nearestCentroid(e, centroids) // (vec_id, cid): inverted index
     val candidates = lists
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))

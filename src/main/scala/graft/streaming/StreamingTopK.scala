@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import graft.functions.TopKAggregator
+import graft.functions.VectorFunctions.{dot, norm2}
 
 /** Ext2's continuous face: an exact per-query top-k similarity view
   * maintained incrementally over a STREAM of scored (query, neighbor,
@@ -28,6 +29,50 @@ object StreamingTopK {
     * columns (q_id, neighbor_id, rank, sim4) with sim rounded to 4
     * decimals, matching the batch query's output shape.
     */
+  /** STREAMING IVF top-k — the ANN face of the continuous query: each
+    * arriving corpus vector is assigned its inverted list per-row (argmin
+    * over the trained centroids, inlined as a literal sort — no stateful
+    * shuffle), then scored ONLY against the queries probing that list
+    * (broadcast equi-join on the list id) before entering the bounded
+    * top-k state. Per-event cost is O(C·dims + probingQueries·dims)
+    * instead of O(queries·dims); state stays O(k) per query. Confluence
+    * with the batch `sim_ann_ivf` (same model, same candidates) is
+    * spec-checked after drain.
+    *
+    * @param centroids the trained quantizer from
+    *                  [[graft.operators.Similarity.ivfModel]], collected
+    *                  (it is tiny: corpus/31 rows)
+    * @param probes    (q_id, cid) — each query's NProbe nearest lists
+    * @param queries   (q_id, qv, qn)
+    */
+  def topKIvf(
+      stream: Dataset[(Long, Seq[Double])],
+      centroids: Seq[(Int, Array[Double])],
+      probes: DataFrame,
+      queries: DataFrame,
+      k: Int): DataFrame = {
+    import stream.sparkSession.implicits._
+    val v = col("v")
+    // array of (d2, cid) structs; array_sort orders by d2 then cid, so
+    // element 0 is the nearest centroid — a pure per-row expression
+    val distStructs = centroids.map { case (cid, cv) =>
+      val c2 = cv.map(x => x * x).sum
+      struct((lit(c2) - lit(2.0) * dot(v, typedLit(cv.toSeq))).as("d2"),
+        lit(cid).as("cid"))
+    }
+    val withCid = stream.toDF("vec_id", "v")
+      .withColumn("cid",
+        array_sort(array(distStructs: _*)).getItem(0).getField("cid"))
+    val scored = withCid
+      .join(broadcast(probes), Seq("cid")) // only the queries probing this list
+      .filter(col("vec_id") =!= col("q_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * norm2(col("v")))).as("sim"))
+      .as[(Long, Long, Double)]
+    topK(scored, k)
+  }
+
   def topK(scored: Dataset[(Long, Long, Double)], k: Int): DataFrame = {
     import scored.sparkSession.implicits._
     val topk = new TopKAggregator(k).toColumn

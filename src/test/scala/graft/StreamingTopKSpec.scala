@@ -60,4 +60,39 @@ class StreamingTopKSpec extends AnyFunSuite {
     assert(fin == batch,
       s"streamed/batch divergence: only-stream=${fin -- batch} only-batch=${batch -- fin}")
   }
+
+  test("streaming IVF top-k equals the batch sim_ann_ivf after drain") {
+    val (centroidsDf, probes, queries) =
+      graft.operators.Similarity.ivfModel(spark, sf)
+    val centroids = centroidsDf.as[(Int, Seq[Double])].collect()
+      .map { case (c, v) => (c, v.toArray) }.toSeq
+    assert(centroids.nonEmpty)
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as[(Long, Seq[Double])].collect()
+      .grouped(150).foreach(g => mem.addData(g.toSeq))
+
+    val out = java.nio.file.Files.createTempDirectory("stream_ivf").toString
+    val query = StreamingTopK
+      .topKIvf(mem.toDS(), centroids, probes, queries, 5)
+      .writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    try query.awaitTermination() finally query.stop()
+
+    val fin = spark.read.parquet(out)
+      .withColumn("mb", max("batch_id").over(Window.partitionBy("q_id")))
+      .filter(col("batch_id") === col("mb"))
+      .select("q_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Similarity.queries("sim_ann_ivf")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fin == batch,
+      s"IVF streamed/batch divergence: only-stream=${(fin -- batch).take(3)} " +
+        s"only-batch=${(batch -- fin).take(3)}")
+  }
 }
