@@ -58,26 +58,30 @@ object Multimodal {
         (n % 255).toFloat, (checksum % 7).toFloat))
   }
 
-  /** Partition-wise decode: the `mapPartitions` boundary is where a real
-    * implementation amortizes codec/model initialization per task (the
-    * `mapInPandas` batching idea).
-    */
   /** Decode batch size: a real deployment sizes this to the model's
     * optimal inference batch (the `mapInPandas` arrow-batch analog).
     */
   val DecodeBatchSize = 64
 
+  /** BATCH decoder seam: takes a whole batch and returns its features in
+    * one call — the signature a vectorized codec / model-inference
+    * endpoint has. The stub maps per element; a real implementation
+    * replaces the body with one batched call.
+    */
+  def decodeBatch(batch: Seq[(Long, Array[Byte])]): Seq[MediaFeatures] =
+    batch.map { case (id, bytes) => fakeDecode(id, bytes) }
+
+  /** Partition-wise decode: the `mapPartitions` boundary is where a real
+    * implementation amortizes codec/model initialization per task, and
+    * rows flow through [[decodeBatch]] in fixed-size batches — one
+    * batched call per `DecodeBatchSize` rows (the `mapInPandas` shape).
+    */
   def decode(s: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import s.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
-        // per-partition init of a real decoder/model would go here;
-        // rows are then fed through it in fixed-size BATCHES — the shape
-        // a vectorized codec or model-inference call needs (one call per
-        // batch, not per row)
-        it.grouped(DecodeBatchSize).flatMap { batch =>
-          batch.map { case (id, bytes) => fakeDecode(id, bytes) }
-        }
+        // per-partition init of a real decoder/model would go here
+        it.grouped(DecodeBatchSize).flatMap(decodeBatch)
       }
   }
 

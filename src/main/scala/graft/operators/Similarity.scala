@@ -159,22 +159,29 @@ object Similarity {
     * sibling (SimilaritySpec section of DedupSimilaritySpec); the
     * construction is not SQL-expressible, so the gate records rows-only.
     */
-  /** Assign each (vec_id, v) row its nearest centroid id. */
+  /** Assign each (vec_id, v) row its nearest centroid id. Tie-break on
+    * equal distance is the SMALLEST cid (min over (d2, cid) structs) —
+    * explicit and deterministic, matching the streaming per-row argmin
+    * in [[graft.streaming.StreamingTopK.topKIvf]]; `min_by` would leave
+    * ties to aggregation encounter order.
+    */
   private def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame =
     vecs.crossJoin(broadcast(cents))
       .withColumn("d2",
         dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
       .groupBy(col("vec_id"))
-      .agg(min_by(col("cid"), col("d2")).as("cid"))
+      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"))
 
   /** The trained IVF model as reusable DataFrames — shared between the
     * batch query and the STREAMING IVF top-k
-    * ([[graft.streaming.StreamingTopK.topKIvf]]): `centroids` (cid, cv),
+    * ([[graft.streaming.StreamingTopK.topKIvf]]): `corpus` (vec_id, v,
+    * nrm — the ONE definition of the embedding projection both the
+    * trainer and the index builder must share), `centroids` (cid, cv),
     * `probes` (q_id, cid — the NProbe nearest lists per query) and
     * `queries` (q_id, qv, qn).
     */
   def ivfModel(s: SparkSession, d: String)
-      : (DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
@@ -199,14 +206,11 @@ object Similarity {
         Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))))
       .filter(col("pr") <= NProbe)
       .select(col("q_id"), col("cid"))
-    (centroids, probes, q)
+    (e, centroids, probes, q)
   }
 
   private val annIvf: Q = (s, d) => {
-    val e = T(s, d, "embeddings")
-      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-      .withColumn("nrm", norm2(col("v")))
-    val (centroids, probes, q) = ivfModel(s, d)
+    val (e, centroids, probes, q) = ivfModel(s, d)
     // --- build inverted lists & probe ----------------------------------
     val lists = nearestCentroid(e, centroids) // (vec_id, cid): inverted index
     val candidates = lists

@@ -25,10 +25,6 @@ import graft.functions.VectorFunctions.{dot, norm2}
   */
 object StreamingTopK {
 
-  /** (q_id, neighbor_id, sim) stream → one row per (q_id, rank≤k):
-    * columns (q_id, neighbor_id, rank, sim4) with sim rounded to 4
-    * decimals, matching the batch query's output shape.
-    */
   /** STREAMING IVF top-k — the ANN face of the continuous query: each
     * arriving corpus vector is assigned its inverted list per-row (argmin
     * over the trained centroids, inlined as a literal sort — no stateful
@@ -52,9 +48,23 @@ object StreamingTopK {
       queries: DataFrame,
       k: Int): DataFrame = {
     import stream.sparkSession.implicits._
+    // PIN the model: probes/queries arrive as live plans rooted in the
+    // IVF training DAG — joining them directly would re-execute the
+    // whole training (corpus crossJoins, Lloyd averaging) on EVERY
+    // micro-batch, and float-summation reorder across re-executions
+    // could even flip near-tie probe lists between batches. They are
+    // tiny (NQueries·NProbe and NQueries rows), so collect them once
+    // into local relations.
+    val probesLocal = probes.select(col("q_id"), col("cid"))
+      .as[(Long, Int)].collect().toSeq.toDF("q_id", "cid")
+    val queriesLocal = queries
+      .select(col("q_id"), col("qv"), col("qn"))
+      .as[(Long, Seq[Double], Double)].collect().toSeq
+      .toDF("q_id", "qv", "qn")
     val v = col("v")
     // array of (d2, cid) structs; array_sort orders by d2 then cid, so
     // element 0 is the nearest centroid — a pure per-row expression
+    // (tie-break = smallest cid, matching the batch nearestCentroid)
     val distStructs = centroids.map { case (cid, cv) =>
       val c2 = cv.map(x => x * x).sum
       struct((lit(c2) - lit(2.0) * dot(v, typedLit(cv.toSeq))).as("d2"),
@@ -64,15 +74,19 @@ object StreamingTopK {
       .withColumn("cid",
         array_sort(array(distStructs: _*)).getItem(0).getField("cid"))
     val scored = withCid
-      .join(broadcast(probes), Seq("cid")) // only the queries probing this list
+      .join(broadcast(probesLocal), Seq("cid")) // only queries probing this list
       .filter(col("vec_id") =!= col("q_id"))
-      .join(broadcast(queries), Seq("q_id"))
+      .join(broadcast(queriesLocal), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         (dot(col("qv"), col("v")) / (col("qn") * norm2(col("v")))).as("sim"))
       .as[(Long, Long, Double)]
     topK(scored, k)
   }
 
+  /** (q_id, neighbor_id, sim) stream → one row per (q_id, rank≤k):
+    * columns (q_id, neighbor_id, rank, sim4) with sim rounded to 4
+    * decimals, matching the batch query's output shape.
+    */
   def topK(scored: Dataset[(Long, Long, Double)], k: Int): DataFrame = {
     import scored.sparkSession.implicits._
     val topk = new TopKAggregator(k).toColumn

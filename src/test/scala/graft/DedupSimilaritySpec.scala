@@ -89,11 +89,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
 
   test("embedding-cosine dedup is an equi-join (no nested-loop), covers all pairs once") {
     val df = Dedup.queries("dedup_embedding_cosine")(spark, sf)
-    val rows = df.collect() // settle AQE on this QueryExecution
-    val plan = df.queryExecution.executedPlan.toString
-      .split("== Initial Plan ==").head
-    assert(!plan.contains("BroadcastNestedLoopJoin") &&
-      !plan.contains("CartesianProduct"),
+    val plan = PlanCheck.finalPlanString(df)
+    val rows = df.collect()
+    assert(!PlanCheck.hasNestedLoop(plan),
       s"block-partitioned cosine must not nested-loop:\n$plan")
     // ground truth: the O(n²) pair set from a driver-side reference loop
     import graft.functions.VectorFunctions._

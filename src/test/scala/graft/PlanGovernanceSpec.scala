@@ -15,28 +15,35 @@ class PlanGovernanceSpec extends AnyFunSuite {
   private val sf = SparkTestSession.sf
 
   private val allowedNestedLoop: Map[String, String] = Map(
+    // NOTE the firing check below keeps this list honest - a first
+    // draft also exempted dedup_ngram_jaccard and sim_ann_lsh, which
+    // turn out to be equi-join shaped and plan no nested loop at all
     "cross_join_small" -> "deliberate cross join of two tiny dims (25 rows)",
-    "dedup_ngram_jaccard" -> "audit query, capped at doc_id < 300 by construction",
     "sim_topk_bruteforce" -> "non-equi =!= join against a BROADCAST 10-row query set",
     "sim_topk_agg" -> "same broadcast 10-row query set",
-    "sim_ann_lsh" -> "bucket probe against a broadcast query set",
-    "sim_ann_ivf" -> "crossJoin against the broadcast centroid table (n/31 rows)",
+    "sim_ann_ivf" -> ("crossJoin against the broadcast centroid table - the" +
+      " O(n*C) quantizer training/assignment cost, linear in the corpus" +
+      " per centroid, not an unbounded pair product"),
   )
 
   test("no registry query plans an unbounded nested-loop join") {
     val offenders = scala.collection.mutable.Map[String, String]()
+    val fired = scala.collection.mutable.Set[String]()
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val df = fn(spark, sf)
-      df.collect() // settle AQE on this QueryExecution
-      val plan = df.queryExecution.executedPlan.toString
-        .split("== Initial Plan ==").head
-      if (plan.contains("BroadcastNestedLoopJoin") ||
-        plan.contains("CartesianProduct")) {
-        if (!allowedNestedLoop.contains(name)) offenders(name) = plan
+      val plan = PlanCheck.finalPlanString(fn(spark, sf))
+      if (PlanCheck.hasNestedLoop(plan)) {
+        if (allowedNestedLoop.contains(name)) fired += name
+        else offenders(name) = plan
       }
     }
     assert(offenders.isEmpty,
       s"unexpected nested-loop joins in: ${offenders.keys.mkString(", ")}\n" +
         offenders.headOption.map(_._2).getOrElse(""))
+    // keep the allowlist honest: every entry must name a registry query
+    // that actually still plans a nested loop - stale exemptions would
+    // silently cover future regressions
+    assert(allowedNestedLoop.keySet.subsetOf(SparkEntry.queries.keySet))
+    assert(fired == allowedNestedLoop.keySet,
+      s"stale allowlist entries (no nested loop fired): ${allowedNestedLoop.keySet -- fired}")
   }
 }

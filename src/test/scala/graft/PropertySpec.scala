@@ -24,14 +24,18 @@ class PropertySpec extends AnyFunSuite {
     samples(g, n).foreach(f)
 
   private def forAll2[A](g1: Gen[A], g2: Gen[A])(f: (A, A) => Unit): Unit =
-    samples(g1, 100).zip(samples(g2.map(identity), 100).reverse)
-      .foreach { case (a, b) => f(a, b) }
+    (0 until 100).foreach { i =>
+      // independent seed streams: pairing a sample set with its own
+      // reverse would only cover mirrored duplicates of one set
+      for {
+        a <- g1.apply(Gen.Parameters.default, Seed(i.toLong))
+        b <- g2.apply(Gen.Parameters.default, Seed(100000L + i))
+      } f(a, b)
+    }
 
   // ---- publish-log codec ------------------------------------------------
 
   test("publish log round-trips ARBITRARY keys and payloads") {
-    val dir = java.nio.file.Files.createTempDirectory("pub_prop").toString
-    val p = new graft.streaming.FilePublisher(dir)
     forAll(Gen.listOfN(5, for {
       k <- Gen.asciiPrintableStr
       v <- implicitly[org.scalacheck.Arbitrary[String]].arbitrary

@@ -62,7 +62,7 @@ class StreamingTopKSpec extends AnyFunSuite {
   }
 
   test("streaming IVF top-k equals the batch sim_ann_ivf after drain") {
-    val (centroidsDf, probes, queries) =
+    val (_, centroidsDf, probes, queries) =
       graft.operators.Similarity.ivfModel(spark, sf)
     val centroids = centroidsDf.as[(Int, Seq[Double])].collect()
       .map { case (c, v) => (c, v.toArray) }.toSeq
