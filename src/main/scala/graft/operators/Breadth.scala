@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables.{load => T}
 
@@ -148,19 +148,33 @@ object Breadth {
 
   /** ntile bucketing over a global order — WITHOUT the single-partition
     * window `Window.orderBy` alone would plan (every row through one
-    * task: the first thing to die at 100 TB). Two-pass instead:
-    * range-repartition on the key (equal keys stay together), number
-    * rows within each partition, lift to global row numbers by adding
-    * broadcast per-partition offsets, then apply ntile's bucket formula
-    * (first n%k buckets get one extra row) in closed form. The only
-    * total-order computation runs over the partition-count rows.
+    * task: the first thing to die at 100 TB). Two-pass instead: assign
+    * each row an order-contiguous bucket id, number rows within each
+    * bucket, lift to global row numbers by adding broadcast per-bucket
+    * offsets, then apply ntile's bucket formula (first n%k buckets get
+    * one extra row) in closed form. The only total-order computation
+    * runs over the bucket-count rows.
+    *
+    * The bucket id is derived DETERMINISTICALLY from the key: one sketch
+    * pass collects ~32 approximate key quantiles to the driver (bounded:
+    * 31 doubles however large the table), and every branch assigns
+    * `_pid` by comparing the key against those literal boundaries.
+    * `repartitionByRange` + `spark_partition_id()` would look the same
+    * but its sampled boundaries are only consistent across the two
+    * branches while ReuseExchange happens to dedup the exchange — a
+    * planner change away from silent mis-bucketing. Literal boundaries
+    * make both branches agree by construction (and ntile's correctness
+    * never depends on boundary QUALITY — skewed buckets only cost
+    * parallelism, the global row numbers stay exact).
     */
   private val windowNtile: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val parted = T(s, d, "orders").select(col("o_orderkey"))
-      .repartitionByRange(32, col("o_orderkey"))
-      .sortWithinPartitions(col("o_orderkey"))
-      .withColumn("_pid", spark_partition_id())
+    val keys = T(s, d, "orders").select(col("o_orderkey"))
+    val bounds = keys.stat.approxQuantile(
+      "o_orderkey", (1 until 32).map(_ / 32.0).toArray, 0.001)
+    val pid = bounds.distinct.map(b => when(col("o_orderkey") > b, 1).otherwise(0))
+      .reduceOption((a, b) => a + b).getOrElse(lit(0): Column)
+    val parted = keys.withColumn("_pid", pid)
     val rn = parted.withColumn("_rn", row_number().over(
       Window.partitionBy(col("_pid")).orderBy(col("o_orderkey"))))
     // per-partition counts: tiny (one row per partition) — the global

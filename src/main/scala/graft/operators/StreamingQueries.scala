@@ -68,10 +68,14 @@ object StreamingQueries {
     * streaming window semantics must equal SQL calendar bucketing.
     */
   private val streamWindowed: Q = (s, d) => {
-    // fixed parent, previous runs swept on entry: repeated bench/verify
-    // invocations must not accumulate orphan sink directories in tmp
+    // PER-PROCESS parent, previous runs of THIS process swept on entry:
+    // repeated invocations in one JVM must not accumulate orphan sink
+    // directories, but a fixed shared name would let a concurrent
+    // process (bench and verify overlapping) delete a live sibling's
+    // sink mid-query — the pid suffix makes the sweep race-free
     val parent = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_winstream")
+      sys.props("java.io.tmpdir"),
+      s"graft_winstream_${ProcessHandle.current().pid()}")
     if (java.nio.file.Files.exists(parent)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(parent).iterator().asScala.toSeq.reverse

@@ -52,9 +52,12 @@ object InMemoryPublisher {
   * at-least-once contract without a broker.
   *
   * Each partition's messages are written to ONE hidden temp file, fsync'd
-  * to disk, then atomically renamed to `*.log` — a log file is either
-  * fully published or invisible, so a crash mid-write loses nothing that
-  * was acknowledged and leaks no partial reads. A retried micro-batch
+  * to disk, then atomically renamed to `*.log`, and the PARENT DIRECTORY
+  * is fsync'd after the rename (the rename lives in the directory's
+  * entries, not the file's blocks) — a log file is either fully published
+  * or invisible, so a crash mid-write — process OR machine, where the
+  * filesystem supports directory fsync — loses nothing that was
+  * acknowledged and leaks no partial reads. A retried micro-batch
   * appends a second file carrying the same messages: that is the
   * at-least-once redelivery the contract allows, and consumers dedup
   * (exactly like consumers of the reference's RabbitMQ queue must).
@@ -108,18 +111,31 @@ class FilePublisher(dir: String) extends Publisher {
     writeCommit(new File(stagingDir), f"p$partitionId%06d", messages)
 
   /** Atomically publish a fully-staged batch. Returns false (and cleans
-    * up the staging attempt) if another attempt committed first.
+    * up the staging attempt) if another attempt committed first. A rename
+    * that fails for any OTHER reason (permissions, IO error, a filesystem
+    * without atomic directory rename) must NOT delete the staged data —
+    * the batch would be acknowledged-but-lost once the checkpoint
+    * advances — so that case throws and lets the micro-batch retry.
     */
   def commitStaged(stagingDir: String, batchId: Long): Boolean = {
     val staged = new File(stagingDir)
     val won = staged.renameTo(committedDirFor(batchId))
-    if (!won) FilePublisher.deleteRecursively(staged)
-    else // sweep any stale staging attempts for this batch (crashed runs)
+    if (won) {
+      FilePublisher.syncDir(new File(dir)) // rename durable before ack
+      // sweep any stale staging attempts for this batch (crashed runs)
       Option(new File(dir).listFiles()).getOrElse(Array.empty)
         .filter(f => f.isDirectory &&
           f.getName.startsWith(f".batch-$batchId%012d-") &&
           f.getName.endsWith(".staging"))
         .foreach(FilePublisher.deleteRecursively)
+    } else if (committedDirFor(batchId).exists()) {
+      // genuinely lost the commit race — this attempt's copy is redundant
+      FilePublisher.deleteRecursively(staged)
+    } else {
+      throw new java.io.IOException(
+        s"commit rename failed for batch $batchId but no committed dir " +
+          s"exists — staged data kept at $stagingDir for retry")
+    }
     won
   }
 
@@ -146,12 +162,45 @@ class FilePublisher(dir: String) extends Publisher {
     // check plus content determinism within an attempt (same plan =>
     // same rows per p<id>); a same-named late double-write lands
     // identical bytes
-    if (!tmp.renameTo(target)) tmp.delete()
+    if (tmp.renameTo(target)) {
+      FilePublisher.syncDir(d) // the rename itself must survive power loss
+    } else if (target.exists()) {
+      tmp.delete() // lost the race to an identical-content sibling
+    } else {
+      throw new java.io.IOException(
+        s"rename failed for ${target.getPath} with no prior commit — " +
+          s"kept ${tmp.getPath}; caller must retry")
+    }
   }
 }
 
 object FilePublisher {
   import java.nio.charset.StandardCharsets.UTF_8
+
+  /** fsync a DIRECTORY: a file fsync makes the bytes durable, but the
+    * rename that made them visible lives in the parent directory's
+    * entries — without this, a power loss can forget an acknowledged
+    * commit while the query checkpoint survives. Directories can't take
+    * FileChannel.force on every filesystem; where the open/force is
+    * unsupported the sync degrades to process-crash safety (best effort,
+    * never an error).
+    */
+  private[streaming] def syncDir(d: java.io.File): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        d.toPath, java.nio.file.StandardOpenOption.READ)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
+
+  /** fsync an already-written FILE's contents (same best-effort contract
+    * as [[syncDir]]).
+    */
+  private[streaming] def syncFile(p: java.nio.file.Path): Unit =
+    try {
+      val ch = java.nio.channels.FileChannel.open(
+        p, java.nio.file.StandardOpenOption.WRITE)
+      try ch.force(true) finally ch.close()
+    } catch { case _: Exception => () }
 
   private[streaming] def escape(s: String): String =
     s.replace("\\", "\\\\").replace("\t", "\\t")
@@ -213,9 +262,14 @@ object FilePublisher {
     val files = commitFiles(dir).filterNot(f => processed.contains(f._1))
     val msgs = files.toVector.flatMap { case (_, f) =>
       new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
-        .linesIterator.filter(_.nonEmpty).map { line =>
-          val Array(k, p) = line.split("\t", 2)
-          (unescape(k), unescape(p))
+        .linesIterator.filter(_.nonEmpty).flatMap { line =>
+          // a corrupt/truncated line (no separator) is skipped, not
+          // thrown: one bad line must not poison the whole consume call
+          // and pin the consumer behind the damaged file forever
+          val i = line.indexOf('\t')
+          if (i < 0) None
+          else Some((unescape(line.substring(0, i)),
+            unescape(line.substring(i + 1))))
         }
     }
     (msgs, processed ++ files.map(_._1))

@@ -153,14 +153,21 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
           .write.mode(SaveMode.Overwrite).parquet(s"$path/$base")
         Seq(base)
       } else segs :+ delta
-    // immutable manifest file, then atomic pointer swap
+    // immutable manifest file, then atomic pointer swap; each write is
+    // fsync'd and the directory is fsync'd after the swap so a POWER
+    // loss (not just a process crash) can't forget an acknowledged merge
+    // while the streaming checkpoint survives
     val manifest = s"m${pad(id)}"
-    Files.write(Paths.get(path, manifest),
+    val manifestPath = Paths.get(path, manifest)
+    Files.write(manifestPath,
       newSegs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+    FilePublisher.syncFile(manifestPath)
     val tmp = Paths.get(path, "_CURRENT.tmp")
     Files.write(tmp, manifest.getBytes(StandardCharsets.UTF_8))
+    FilePublisher.syncFile(tmp)
     Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
+    FilePublisher.syncDir(Paths.get(path).toFile)
     // retain the newest `retainGenerations` manifests (always including
     // the one just swapped in and its predecessor): racing readers keep
     // their planned files, and rawAt() can time-travel the window

@@ -144,6 +144,37 @@ class StreamingInfraSpec extends AnyFunSuite {
       s"each event exactly once: $ids")
   }
 
+  test("commit rename failure with no prior commit throws instead of deleting staged data") {
+    val dir = java.nio.file.Files.createTempDirectory("pub_log7").toString
+    val p = new FilePublisher(dir)
+    // a staging path that cannot be renamed (it does not exist) and no
+    // committed dir for the batch: the ONLY safe outcome is an exception
+    // (micro-batch retries) — silently returning would let the
+    // checkpoint advance past messages that were never published
+    val ghost = new java.io.File(dir, ".batch-000000000003-ghost.staging")
+    intercept[java.io.IOException] {
+      p.commitStaged(ghost.getPath, 3L)
+    }
+    assert(!p.batchCommitted(3L))
+  }
+
+  test("consume skips a corrupt separator-less line without poisoning the file") {
+    val dir = java.nio.file.Files.createTempDirectory("pub_log8").toString
+    val p = new FilePublisher(dir)
+    p.publish("k", "good1")
+    // corrupt commit file: one torn line (no tab) between two good ones
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-corrupt.log"),
+      "k\tgood2\ntruncated-no-separator\nk\tgood3\n".getBytes)
+    val (msgs, seen) = FilePublisher.consumeFrom(dir, Set.empty)
+    assert(msgs.map(_._2).sorted == Vector("good1", "good2", "good3"),
+      "good lines around the corrupt one must still be delivered")
+    // the damaged file is consumed (offset advances): progress, not a
+    // permanent re-read loop
+    val (again, _) = FilePublisher.consumeFrom(dir, seen)
+    assert(again.isEmpty)
+  }
+
   test("file publisher round-trips payloads containing tabs and newlines") {
     val dir = java.nio.file.Files.createTempDirectory("pub_log3").toString
     val p = new FilePublisher(dir)
