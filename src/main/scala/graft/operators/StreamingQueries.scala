@@ -76,6 +76,12 @@ object StreamingQueries {
     val parent = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"),
       s"graft_winstream_${ProcessHandle.current().pid()}")
+    // reclaim siblings orphaned by crashed/killed processes: a pid that
+    // no longer resolves to a live process can't own a live query, so
+    // deleting its dir races nobody — without this sweep, dirs from
+    // dead runs would accumulate in java.io.tmpdir forever (only each
+    // live process cleans its OWN dir below)
+    StreamingQueries.sweepDeadSiblings(parent.getParent)
     if (java.nio.file.Files.exists(parent)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(parent).iterator().asScala.toSeq.reverse
@@ -113,6 +119,24 @@ object StreamingQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("hour_epoch"), col("event_type"), col("n"))
+  }
+
+  private val OrphanDir = raw"graft_winstream_(\d{1,18})".r
+
+  /** Delete `graft_winstream_<pid>` siblings whose pid is dead. */
+  private[graft] def sweepDeadSiblings(tmpRoot: java.nio.file.Path): Unit = {
+    val self = ProcessHandle.current().pid()
+    Option(tmpRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      f.getName match {
+        case OrphanDir(pid) if pid.toLong != self &&
+            !ProcessHandle.of(pid.toLong).isPresent =>
+          import scala.jdk.CollectionConverters._
+          try java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq
+            .reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+          catch { case _: java.io.IOException => () } // best-effort reclaim
+        case _ => ()
+      }
+    }
   }
 
   val queries: Map[String, Q] = Map(

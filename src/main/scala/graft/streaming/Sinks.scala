@@ -259,20 +259,54 @@ object FilePublisher {
 
   def consumeFrom(dir: String, processed: Set[String])
       : (Vector[(String, String)], Set[String]) = {
+    val (msgs, seen, _) = consumeFromDetailed(dir, processed)
+    (msgs, seen)
+  }
+
+  /** Metric counting lines dropped from damaged commit files — the
+    * design makes torn lines "impossible" (fsync + atomic rename), so
+    * any non-zero value is evidence of real corruption an operator must
+    * see, not a condition to paper over.
+    */
+  val CorruptLinesMetric = "publish_log_corrupt_lines"
+
+  private lazy val log =
+    org.slf4j.LoggerFactory.getLogger("graft.streaming.FilePublisher")
+
+  /** [[consumeFrom]] plus a report of damaged files: `(file, skipped
+    * line count)` for every consumed commit file that contained
+    * corrupt (separator-less) lines. A skipped line is DATA LOSS under
+    * the "duplicates, never loss" contract, so it must be observable:
+    * each damaged file is logged, counted on [[CorruptLinesMetric]],
+    * and returned here so a consumer can quarantine/alert instead of
+    * silently advancing past it.
+    */
+  def consumeFromDetailed(dir: String, processed: Set[String])
+      : (Vector[(String, String)], Set[String], Vector[(String, Int)]) = {
     val files = commitFiles(dir).filterNot(f => processed.contains(f._1))
-    val msgs = files.toVector.flatMap { case (_, f) =>
-      new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
+    val corrupt = Vector.newBuilder[(String, Int)]
+    val msgs = files.toVector.flatMap { case (name, f) =>
+      var skipped = 0
+      val parsed = new String(java.nio.file.Files.readAllBytes(f.toPath), UTF_8)
         .linesIterator.filter(_.nonEmpty).flatMap { line =>
           // a corrupt/truncated line (no separator) is skipped, not
           // thrown: one bad line must not poison the whole consume call
-          // and pin the consumer behind the damaged file forever
+          // and pin the consumer behind the damaged file forever —
+          // but the skip is counted and surfaced, never silent
           val i = line.indexOf('\t')
-          if (i < 0) None
+          if (i < 0) { skipped += 1; None }
           else Some((unescape(line.substring(0, i)),
             unescape(line.substring(i + 1))))
-        }
+        }.toVector
+      if (skipped > 0) {
+        corrupt += ((name, skipped))
+        graft.streaming.Metrics.add(CorruptLinesMetric, skipped.toDouble)
+        log.warn(s"publish log file $name in $dir: skipped $skipped " +
+          "corrupt line(s) — acknowledged message(s) lost to damage")
+      }
+      parsed
     }
-    (msgs, processed ++ files.map(_._1))
+    (msgs, processed ++ files.map(_._1), corrupt.result())
   }
 
   /** Drop the named commit files (everything a consumer has durably

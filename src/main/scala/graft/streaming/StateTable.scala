@@ -137,6 +137,21 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
 
   private def pad(id: Long): String = f"$id%018d"
 
+  /** fsync every file in a freshly-written segment directory, then the
+    * directory itself: Spark's local-FS parquet writer never forces the
+    * part files to disk, so without this a POWER loss could leave the
+    * durable pointer referencing a segment whose data blocks were lost —
+    * the manifest/pointer fsyncs below only cover the metadata chain.
+    * Same best-effort contract as [[FilePublisher.syncFile]].
+    */
+  private def syncSegment(seg: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val d = Paths.get(path, seg)
+    Files.list(d).iterator().asScala.filter(Files.isRegularFile(_))
+      .foreach(FilePublisher.syncFile)
+    FilePublisher.syncDir(d.toFile)
+  }
+
   def merge(spark: SparkSession, updates: DataFrame): Unit = synchronized {
     if (updates.isEmpty) return // a zero-row segment has no parquet footer
     val prevManifest = currentManifestName
@@ -146,11 +161,13 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
     resolve(updates
       .select(AlertStateTable.schema.fieldNames.toIndexedSeq.map(col): _*))
       .write.mode(SaveMode.Overwrite).parquet(s"$path/$delta")
+    syncSegment(delta)
     val newSegs =
       if (segs.length + 1 >= compactEvery) {
         val base = s"s${pad(id)}b"
         readSegments(spark, segs :+ delta)
           .write.mode(SaveMode.Overwrite).parquet(s"$path/$base")
+        syncSegment(base)
         Seq(base)
       } else segs :+ delta
     // immutable manifest file, then atomic pointer swap; each write is

@@ -166,13 +166,37 @@ class StreamingInfraSpec extends AnyFunSuite {
     java.nio.file.Files.write(
       java.nio.file.Paths.get(dir, "part-corrupt.log"),
       "k\tgood2\ntruncated-no-separator\nk\tgood3\n".getBytes)
-    val (msgs, seen) = FilePublisher.consumeFrom(dir, Set.empty)
+    val before = Metrics.snapshot.getOrElse(FilePublisher.CorruptLinesMetric, 0.0)
+    val (msgs, seen, corrupt) = FilePublisher.consumeFromDetailed(dir, Set.empty)
     assert(msgs.map(_._2).sorted == Vector("good1", "good2", "good3"),
       "good lines around the corrupt one must still be delivered")
+    // the loss is OBSERVABLE, not silent: the damaged file and skipped
+    // count are reported and the corruption metric advances
+    assert(corrupt == Vector(("part-corrupt.log", 1)))
+    assert(Metrics.snapshot(FilePublisher.CorruptLinesMetric) == before + 1.0)
     // the damaged file is consumed (offset advances): progress, not a
     // permanent re-read loop
     val (again, _) = FilePublisher.consumeFrom(dir, seen)
     assert(again.isEmpty)
+  }
+
+  test("orphaned windowed-sink dirs from dead pids are swept, live ones kept") {
+    val root = java.nio.file.Files.createTempDirectory("winstream_root")
+    // a pid that cannot be alive (max pid on linux is < 2^22 by default;
+    // ProcessHandle.of returns empty for nonexistent ids)
+    val deadPid = Iterator.iterate(999999999L)(_ - 1)
+      .find(p => !ProcessHandle.of(p).isPresent).get
+    val dead = root.resolve(s"graft_winstream_$deadPid")
+    java.nio.file.Files.createDirectories(dead.resolve("runX"))
+    val live = root.resolve(
+      s"graft_winstream_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(live)
+    val unrelated = root.resolve("somethingelse")
+    java.nio.file.Files.createDirectories(unrelated)
+    graft.operators.StreamingQueries.sweepDeadSiblings(root)
+    assert(!java.nio.file.Files.exists(dead), "dead-pid dir reclaimed")
+    assert(java.nio.file.Files.exists(live), "own dir untouched")
+    assert(java.nio.file.Files.exists(unrelated), "non-matching dir untouched")
   }
 
   test("file publisher round-trips payloads containing tabs and newlines") {
