@@ -388,49 +388,139 @@ object FrameTransport {
     */
   val StatusGauge = "census_status"
 
+  /** Counter of reconnect attempts scheduled after a lost connection —
+    * with [[FrameBuffer.droppedFrames]]'s `ess_dropped_frames`, the two
+    * signals an operator of the live deployment pages on: reconnect churn
+    * means the feed is flapping, a silent 0 with `census_status` 0 means
+    * the transport gave up (which this transport never does while open).
+    */
+  val ReconnectsMetric = "ess_reconnects"
+
   /** `java.net.http.WebSocket` transport. Sends `subscribe` (the ESS
     * subscription JSON carrying the event-type filter, F1) once the
     * socket opens — mirroring `ess_client.py:124` trigger registration.
     *
+    * The connection SELF-HEALS: on `onClose`/`onError` (server drop,
+    * network fault — anything but the caller's own `close()`), a
+    * reconnect is scheduled with exponential backoff plus jitter, and the
+    * subscribe message is re-sent on every reopen — the liveness the
+    * reference delegates to `auraxium.EventClient`'s managed socket
+    * lifecycle (`ess_client.py:121-124`). Without it a dropped socket
+    * would silently starve the source forever. Each attempt counts on
+    * [[ReconnectsMetric]]; the backoff doubles from `reconnectBaseMs` up
+    * to `reconnectMaxMs` and resets on a successful open.
+    *
     * The status gauge increments in the listener's `onOpen` (the socket
     * thread, ordered BEFORE any onClose/onError the same socket can
     * deliver) — setting it after `buildAsync().join()` on the caller
-    * thread would race a server that accepts and immediately drops.
+    * thread would race a server that accepts and immediately drops. Each
+    * connection generation decrements exactly once, so the gauge stays
+    * honest across reconnect cycles: 1 while connected, 0 during an
+    * outage window.
+    *
+    * The VERY FIRST connect still fails fast (throws): a bad URI or
+    * unreachable endpoint at setup time is a configuration error the
+    * caller should see, not retry into.
     */
-  def webSocket(uri: String, subscribe: Option[String]): FrameTransport =
-    onFrame => {
-      val client = java.net.http.HttpClient.newHttpClient()
-      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
-      def markClosed(): Unit =
-        if (closed.compareAndSet(false, true))
-          graft.streaming.Metrics.add(StatusGauge, -1.0)
-      val listener = new java.net.http.WebSocket.Listener {
-        private val sb = new StringBuilder
-        override def onOpen(ws: java.net.http.WebSocket): Unit = {
-          graft.streaming.Metrics.add(StatusGauge, 1.0)
-          ws.request(1)
+  def webSocket(uri: String, subscribe: Option[String],
+      reconnectBaseMs: Long = 250L,
+      reconnectMaxMs: Long = 30000L): FrameTransport =
+    onFrame => new AutoCloseable {
+      private val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // the live connection generation: (socket, its idempotent markLost)
+      @volatile private var live
+          : Option[(java.net.http.WebSocket, () => Unit)] = None
+      private val attempt = new java.util.concurrent.atomic.AtomicInteger(0)
+      private val client = java.net.http.HttpClient.newHttpClient()
+      private val scheduler =
+        java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+          val t = new Thread(r, "ess-ws-reconnect")
+          t.setDaemon(true)
+          t
+        })
+
+      private def connectOnce(failFast: Boolean): Unit = {
+        if (stopped.get()) return
+        // per-GENERATION open flag: gauge decrement and reconnect
+        // scheduling happen exactly once per connection, however many of
+        // onClose/onError/close() race on it
+        val open = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def markLost(): Unit =
+          if (open.compareAndSet(true, false)) {
+            graft.streaming.Metrics.add(StatusGauge, -1.0)
+            scheduleReconnect()
+          }
+        val listener = new java.net.http.WebSocket.Listener {
+          private val sb = new StringBuilder
+          override def onOpen(ws: java.net.http.WebSocket): Unit = {
+            open.set(true)
+            attempt.set(0) // healthy again: next outage backs off from base
+            graft.streaming.Metrics.add(StatusGauge, 1.0)
+            ws.request(1)
+          }
+          override def onText(ws: java.net.http.WebSocket,
+              data: CharSequence, last: Boolean)
+              : java.util.concurrent.CompletionStage[_] = {
+            sb.append(data)
+            if (last) { onFrame(sb.toString()); sb.clear() }
+            ws.request(1)
+            null
+          }
+          override def onClose(ws: java.net.http.WebSocket, statusCode: Int,
+              reason: String): java.util.concurrent.CompletionStage[_] = {
+            markLost()
+            null
+          }
+          override def onError(ws: java.net.http.WebSocket,
+              error: Throwable): Unit = markLost()
         }
-        override def onText(ws: java.net.http.WebSocket,
-            data: CharSequence, last: Boolean): java.util.concurrent.CompletionStage[_] = {
-          sb.append(data)
-          if (last) { onFrame(sb.toString()); sb.clear() }
-          ws.request(1)
-          null
+        try {
+          val ws = client.newWebSocketBuilder()
+            .buildAsync(java.net.URI.create(uri), listener).join()
+          live = Some((ws, () => markLost()))
+          // resubscribe on EVERY open: the new socket carries no server
+          // state from the old one (trigger re-registration, F1)
+          try subscribe.foreach(s => ws.sendText(s, true))
+          catch { case _: Throwable => markLost() }
+          if (stopped.get()) quietClose(ws, () => markLost()) // close() raced us
+        } catch {
+          case e: Throwable =>
+            if (failFast) { scheduler.shutdownNow(); throw e }
+            scheduleReconnect()
         }
-        override def onClose(ws: java.net.http.WebSocket, statusCode: Int,
-            reason: String): java.util.concurrent.CompletionStage[_] = {
-          markClosed()
-          null
-        }
-        override def onError(ws: java.net.http.WebSocket,
-            error: Throwable): Unit = markClosed()
       }
-      val ws = client.newWebSocketBuilder()
-        .buildAsync(java.net.URI.create(uri), listener).join()
-      subscribe.foreach(s => ws.sendText(s, true))
-      () => {
+
+      private def scheduleReconnect(): Unit = {
+        if (stopped.get()) return
+        val n = attempt.getAndIncrement()
+        graft.streaming.Metrics.add(ReconnectsMetric, 1.0)
+        val cap = math.min(reconnectMaxMs,
+          reconnectBaseMs * (1L << math.min(n, 20)))
+        // jittered in [cap/2, cap]: a fleet of clients must not stampede
+        // the endpoint in lockstep after a shared outage
+        val delay = cap / 2 + java.util.concurrent.ThreadLocalRandom
+          .current().nextLong(cap / 2 + 1)
+        try scheduler.schedule(new Runnable {
+          override def run(): Unit = connectOnce(failFast = false)
+        }, delay, java.util.concurrent.TimeUnit.MILLISECONDS)
+        catch { // scheduler shut down by close(): nothing left to heal
+          case _: java.util.concurrent.RejectedExecutionException => ()
+        }
+      }
+
+      private def quietClose(ws: java.net.http.WebSocket,
+          markLost: () => Unit): Unit = {
         try ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "bye").join()
-        finally markClosed()
+        catch { case _: Throwable => () }
+        finally markLost() // gauge honest even if the close echo never comes
       }
+
+      override def close(): Unit =
+        if (stopped.compareAndSet(false, true)) {
+          scheduler.shutdownNow()
+          live.foreach { case (ws, markLost) => quietClose(ws, markLost) }
+        }
+
+      connectOnce(failFast = true)
     }
 }

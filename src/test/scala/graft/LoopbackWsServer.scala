@@ -5,36 +5,47 @@ import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 import java.security.MessageDigest
 import java.util.Base64
-import java.util.concurrent.{CountDownLatch, LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
 
 /** Minimal loopback RFC 6455 websocket server (test scope only): accepts
-  * ONE connection, performs the SHA-1 `Sec-WebSocket-Accept` handshake,
-  * records every client text message (unmasked per the RFC — clients MUST
-  * mask), and lets the test push server→client text frames. Exists to
-  * drive [[graft.sources.FrameTransport.webSocket]] through a real socket
-  * — the container has no websocket broker, so the spec brings its own.
+  * successive connections (one at a time), performs the SHA-1
+  * `Sec-WebSocket-Accept` handshake, records every client text message
+  * (unmasked per the RFC — clients MUST mask), and lets the test push
+  * server→client text frames. Exists to drive
+  * [[graft.sources.FrameTransport.webSocket]] through a real socket — the
+  * container has no websocket broker, so the spec brings its own.
+  * `fixedPort` lets a reconnect spec restart a killed server on the SAME
+  * port; [[dropConnection]] simulates a network fault (abrupt TCP close,
+  * no close frame).
   */
-final class LoopbackWsServer {
-  private val server = new ServerSocket(0) // ephemeral loopback port
+final class LoopbackWsServer(fixedPort: Int = 0) {
+  private val server = new ServerSocket()
+  server.setReuseAddress(true) // a restarted server rebinds the same port
+  server.bind(new java.net.InetSocketAddress("127.0.0.1", fixedPort))
   val port: Int = server.getLocalPort
 
   /** Messages received FROM the client (e.g. the ESS subscribe JSON). */
   val received = new LinkedBlockingQueue[String]()
-  private val connected = new CountDownLatch(1)
+  // one permit per completed handshake: each awaitConnected() call waits
+  // for the NEXT connection (first call = first connect, second call =
+  // the reconnect, ...)
+  private val connected = new java.util.concurrent.Semaphore(0)
   @volatile private var client: Socket = _
   @volatile private var out: OutputStream = _
   @volatile private var closedByClient = false
 
   private val thread = new Thread(() => {
-    try {
-      val sock = server.accept()
-      client = sock
-      val in = new DataInputStream(sock.getInputStream)
-      out = sock.getOutputStream
-      handshake(in, out)
-      connected.countDown()
-      readLoop(in)
-    } catch { case _: Throwable => () } // socket closed: loop ends
+    while (!server.isClosed) {
+      try {
+        val sock = server.accept()
+        client = sock
+        val in = new DataInputStream(sock.getInputStream)
+        out = sock.getOutputStream
+        handshake(in, out)
+        connected.release()
+        readLoop(in) // returns when this connection ends; accept the next
+      } catch { case _: Throwable => () } // connection died: accept again
+    }
   }, s"loopback-ws-$port")
   thread.setDaemon(true)
   thread.start()
@@ -103,7 +114,14 @@ final class LoopbackWsServer {
   def send(text: String): Unit = sendRaw(0x81, text.getBytes(UTF_8))
 
   def awaitConnected(timeoutSec: Int = 10): Boolean =
-    connected.await(timeoutSec, TimeUnit.SECONDS)
+    connected.tryAcquire(timeoutSec, TimeUnit.SECONDS)
+
+  /** Abruptly sever the live connection (no close frame) while the
+    * listener stays up — the shape of a network fault the transport must
+    * reconnect through.
+    */
+  def dropConnection(): Unit =
+    try Option(client).foreach(_.close()) catch { case _: Throwable => () }
 
   def awaitMessage(timeoutSec: Int = 10): String =
     received.poll(timeoutSec, TimeUnit.SECONDS)

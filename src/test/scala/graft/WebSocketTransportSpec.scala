@@ -63,6 +63,72 @@ class WebSocketTransportSpec extends AnyFunSuite {
     } finally { http.close(); server.close() }
   }
 
+  test("transport reconnects with backoff and resubscribes after a dropped connection") {
+    val server = new LoopbackWsServer
+    graft.streaming.Metrics.reset()
+    val got = new CopyOnWriteArrayList[String]()
+    try {
+      val conn = FrameTransport
+        .webSocket(s"ws://127.0.0.1:${server.port}/", Some(subscribeJson),
+          reconnectBaseMs = 50, reconnectMaxMs = 400)
+        .connect(got.add(_))
+      try {
+        assert(server.awaitConnected(), "initial handshake")
+        assert(server.awaitMessage() == subscribeJson)
+        server.send("""{"id": "17-1"}""")
+        eventually(timeout(Span(10, Seconds))) { assert(got.size == 1) }
+        // network fault: abrupt TCP close, no close frame
+        server.dropConnection()
+        eventually(timeout(Span(10, Seconds))) {
+          assert(graft.streaming.Metrics.snapshot
+            .getOrElse(FrameTransport.StatusGauge, 0.0) == 0.0,
+            "gauge must report the outage")
+        }
+        // the transport heals itself: new handshake + RE-SENT subscribe,
+        // no caller intervention
+        assert(server.awaitConnected(20), "transport never reconnected")
+        assert(server.awaitMessage(20) == subscribeJson,
+          "subscription must be re-registered on the new socket")
+        server.send("""{"id": "19-2"}""")
+        eventually(timeout(Span(10, Seconds))) { assert(got.size == 2) }
+        assert(got.get(1).contains("19-2"))
+        val snap = graft.streaming.Metrics.snapshot
+        assert(snap(FrameTransport.StatusGauge) == 1.0,
+          "gauge back to connected after the heal")
+        assert(snap(FrameTransport.ReconnectsMetric) >= 1.0,
+          "reconnect attempts must be counted")
+      } finally conn.close()
+      eventually(timeout(Span(10, Seconds))) {
+        assert(graft.streaming.Metrics.snapshot(FrameTransport.StatusGauge) == 0.0)
+      }
+    } finally server.close()
+  }
+
+  test("close() during an outage stops reconnect attempts") {
+    val server = new LoopbackWsServer
+    graft.streaming.Metrics.reset()
+    val conn = FrameTransport
+      .webSocket(s"ws://127.0.0.1:${server.port}/", None,
+        reconnectBaseMs = 50, reconnectMaxMs = 200)
+      .connect(_ => ())
+    assert(server.awaitConnected())
+    server.close() // full server death: the transport enters its retry loop
+    eventually(timeout(Span(10, Seconds))) {
+      assert(graft.streaming.Metrics.snapshot
+        .getOrElse(FrameTransport.ReconnectsMetric, 0.0) >= 1.0)
+    }
+    conn.close() // user shutdown mid-outage must cancel the retry loop
+    Thread.sleep(500)
+    val after = graft.streaming.Metrics.snapshot
+      .getOrElse(FrameTransport.ReconnectsMetric, 0.0)
+    Thread.sleep(600) // > max backoff: any live retry would have counted
+    assert(graft.streaming.Metrics.snapshot
+      .getOrElse(FrameTransport.ReconnectsMetric, 0.0) == after,
+      "no reconnect attempts after close()")
+    assert(graft.streaming.Metrics.snapshot
+      .getOrElse(FrameTransport.StatusGauge, 0.0) == 0.0)
+  }
+
   test("live mode end-to-end: ess source over a real socket") {
     val server = new LoopbackWsServer
     val spark = SparkTestSession.spark
@@ -89,5 +155,45 @@ class WebSocketTransportSpec extends AnyFunSuite {
       q.stop() // releases the transport lease -> client close frame
       server.close()
     }
+  }
+
+  test("ess source survives a full server kill+restart: frames resume, no source restart") {
+    val server1 = new LoopbackWsServer
+    val port = server1.port
+    val spark = SparkTestSession.spark
+    val ch = s"wsr_${System.nanoTime()}"
+    val name = s"ess_wsr_$ch"
+    val q = spark.readStream.format("ess")
+      .option("channel", ch)
+      .option("wsUri", s"ws://127.0.0.1:$port/")
+      .option("subscribe", subscribeJson)
+      .load()
+      .writeStream.format("memory").queryName(name).start()
+    try {
+      assert(server1.awaitConnected(), "source never opened the websocket")
+      assert(server1.awaitMessage() == subscribeJson)
+      server1.send("""{"id": "17-9", "state": "started", "timestamp": 1000}""")
+      eventually(timeout(Span(20, Seconds))) {
+        q.processAllAvailable()
+        assert(spark.table(name).count() == 1)
+      }
+      server1.close() // the feed endpoint dies entirely, mid-stream
+      val server2 = new LoopbackWsServer(port) // ...and comes back, same port
+      try {
+        // the SHARED transport lease healed itself: new handshake + fresh
+        // subscription, while the streaming query kept running untouched
+        assert(server2.awaitConnected(30), "transport never reconnected")
+        assert(server2.awaitMessage(20) == subscribeJson)
+        server2.send("""{"id": "19-3", "state": "ended", "timestamp": 2000}""")
+        eventually(timeout(Span(20, Seconds))) {
+          q.processAllAvailable()
+          val rows = spark.table(name).selectExpr("value").collect()
+            .map(_.getString(0))
+          assert(rows.length == 2)
+          assert(rows.exists(_.contains("19-3")),
+            "post-restart frames must flow into the SAME query")
+        }
+      } finally server2.close()
+    } finally q.stop()
   }
 }
