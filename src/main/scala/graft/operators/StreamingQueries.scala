@@ -121,14 +121,16 @@ object StreamingQueries {
       .select(col("hour_epoch"), col("event_type"), col("n"))
   }
 
-  private val OrphanDir = raw"graft_winstream_(\d{1,18})".r
-
-  /** Delete `graft_winstream_<pid>` siblings whose pid is dead. */
-  private[graft] def sweepDeadSiblings(tmpRoot: java.nio.file.Path): Unit = {
+  /** Delete `<prefix><pid>` siblings whose pid is dead — shared reclaim
+    * for every per-process scratch dir this library drops in tmpdir.
+    */
+  private[graft] def sweepDeadSiblings(tmpRoot: java.nio.file.Path,
+      prefix: String = "graft_winstream_"): Unit = {
+    val orphan = (java.util.regex.Pattern.quote(prefix) + raw"(\d{1,18})").r
     val self = ProcessHandle.current().pid()
     Option(tmpRoot.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
       f.getName match {
-        case OrphanDir(pid) if pid.toLong != self &&
+        case orphan(pid) if pid.toLong != self &&
             !ProcessHandle.of(pid.toLong).isPresent =>
           import scala.jdk.CollectionConverters._
           try java.nio.file.Files.walk(f.toPath).iterator().asScala.toSeq

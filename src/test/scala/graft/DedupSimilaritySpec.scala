@@ -35,6 +35,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(planted.intersect(simPairs).nonEmpty)
   }
 
+  test("minhash_verified reads materialized tables: zero re-scans of documents") {
+    val df = Dedup.queries("dedup_minhash_verified")(spark, sf)
+    // the shingle explosion must have run EXACTLY once — into the bucketed
+    // shingle table. If any plan branch (signatures, sizes, either verify
+    // join) still hangs off the raw documents scan, the explode+md5
+    // pipeline re-executes per branch (the round-3 4x recompute).
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.contains("documents"),
+      s"verify pipeline must read only materialized shingle/signature tables:\n$plan")
+    assert(plan.contains("graft_mh_shingles"), "shingle table not in plan")
+    assert(plan.contains("graft_mh_sig"), "signature table not in plan")
+    // and the result is still the verified near-dup set (planted dups at
+    // jaccard >= 0.9 all survive verification at the 0.8 threshold)
+    val got = df.select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val truth = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.9)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty && truth.subsetOf(got), s"missed: ${truth -- got}")
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val total = Tables.load(spark, sf, "documents").count()
     val dedup = Dedup.queries("dedup_exact")(spark, sf)
