@@ -166,10 +166,15 @@ object Breadth {
     * make both branches agree by construction (and ntile's correctness
     * never depends on boundary QUALITY — skewed buckets only cost
     * parallelism, the global row numbers stay exact).
+    *
+    * The keys projection is locally checkpointed first, so the table is
+    * scanned ONCE: both the eager quantile sketch and the query itself
+    * read the materialized single-column blocks instead of each paying a
+    * parquet scan (spec-asserted in DistributedOrderSpec).
     */
   private val windowNtile: Q = (s, d) => {
     import org.apache.spark.sql.expressions.Window
-    val keys = T(s, d, "orders").select(col("o_orderkey"))
+    val keys = T(s, d, "orders").select(col("o_orderkey")).localCheckpoint()
     val bounds = keys.stat.approxQuantile(
       "o_orderkey", (1 until 32).map(_ / 32.0).toArray, 0.001)
     val pid = bounds.distinct.map(b => when(col("o_orderkey") > b, 1).otherwise(0))

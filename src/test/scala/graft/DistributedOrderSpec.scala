@@ -27,6 +27,18 @@ class DistributedOrderSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1)
   }
 
+  test("two-pass ntile scans orders once: the query reads the checkpointed keys") {
+    val df = graft.operators.Breadth.queries("window_ntile")(spark, sf)
+    // the quantile sketch already consumed the one parquet scan while
+    // materializing the keys projection; the query plan itself must read
+    // ONLY the checkpointed blocks — no second scan of the table
+    val plan = df.queryExecution.sparkPlan.toString
+    assert(!plan.toLowerCase.contains("parquet"),
+      s"ntile must not rescan the orders parquet:\n$plan")
+    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
+      s"expected the checkpointed keys scan in:\n$plan")
+  }
+
   test("reduced-domain running sum equals the built-in RANGE-frame window") {
     val got = graft.operators.Breadth
       .queries("window_range_frame")(spark, sf)
