@@ -246,11 +246,80 @@ object Similarity {
        |  WHERE q.vec_id < $NQueries)
        |WHERE rank <= $K""".stripMargin
 
+  /** The ENTIRE IVF pipeline re-derived in SQL: deterministic stride
+    * seeds, the argmin assignment (row_number over (d2, cid) — the same
+    * explicit tie-break as the Spark `min(struct)`), the one Lloyd
+    * averaging step (per-dim avg reassembled with `list(m ORDER BY i)`),
+    * the NProbe window and the exact rerank. Distances between random
+    * 64-d vectors are far apart relative to cross-engine summation-order
+    * noise (~1e-15 relative), so the discrete argmin/probe choices agree;
+    * the continuous output column carries the usual round(...,4) guard.
+    */
+  private val ivfOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |seeds AS (
+       |  SELECT CAST(vec_id // $IvfSeedStep AS INT) AS cid, v AS cv
+       |  FROM e WHERE vec_id % $IvfSeedStep = 0
+       |),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(s.cv, s.cv)
+       |                 - 2*list_inner_product(e.v, s.cv), s.cid) AS rn
+       |    FROM e CROSS JOIN seeds s)
+       |  WHERE rn = 1
+       |),
+       |cent AS (
+       |  SELECT a.cid, t.i, avg(e.v[t.i]) AS m
+       |  FROM assign0 a JOIN e USING (vec_id),
+       |       unnest(generate_series(1, len(e.v))) t(i)
+       |  GROUP BY a.cid, t.i
+       |),
+       |centroids AS (
+       |  SELECT cid, list(m ORDER BY i) AS cv FROM cent GROUP BY cid
+       |),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
+       |probes AS (
+       |  SELECT q_id, cid FROM (
+       |    SELECT q.q_id, c.cid,
+       |      row_number() OVER (PARTITION BY q.q_id
+       |        ORDER BY list_inner_product(c.cv, c.cv)
+       |                 - 2*list_inner_product(q.qv, c.cv), c.cid) AS pr
+       |    FROM q CROSS JOIN centroids c)
+       |  WHERE pr <= $NProbe
+       |),
+       |lists AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(c.cv, c.cv)
+       |                 - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
+       |    FROM e CROSS JOIN centroids c)
+       |  WHERE rn = 1
+       |)
+       |SELECT q_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim,
+       |    row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) DESC,
+       |               c.vec_id) AS rank
+       |  FROM (SELECT p.q_id, l.vec_id FROM lists l JOIN probes p USING (cid)
+       |        WHERE l.vec_id <> p.q_id) c
+       |  JOIN embeddings ne ON ne.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id)
+       |WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkOracle,
     // the Aggregator formulation must reproduce the window formulation
     // exactly — same oracle, different physical shape
     "sim_topk_agg" -> topkOracle,
+    // the IVF construction is plain relational algebra, so unlike
+    // sim_ann_lsh it graduates to a full hash-checked row
+    "sim_ann_ivf" -> ivfOracle,
     // sim_ann_lsh: intentionally no oracle — hyperplane hashing is not
     // reproducible in DuckDB; correctness = recall test in SimilaritySpec.
   )

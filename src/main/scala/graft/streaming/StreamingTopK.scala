@@ -83,6 +83,106 @@ object StreamingTopK {
     topK(scored, k)
   }
 
+  /** A pinned IVF model: the tiny collected pieces the streaming scorer
+    * needs (corpus/31 centroids, NQueries·NProbe probe rows, NQueries
+    * query vectors), plus a version stamp for observability. Immutable —
+    * refresh = build a new one and [[IvfModelRef.repin]] it.
+    */
+  case class PinnedIvfModel(
+      centroids: Seq[(Int, Array[Double])],
+      probes: Seq[(Long, Int)],
+      queries: Seq[(Long, Seq[Double], Double)],
+      version: Long)
+
+  object PinnedIvfModel {
+    /** Train + collect the model once (the ONLY place training executes
+      * on the streaming path).
+      */
+    def pin(s: org.apache.spark.sql.SparkSession, dir: String): PinnedIvfModel = {
+      import s.implicits._
+      val (_, centroids, probes, q) = graft.operators.Similarity.ivfModel(s, dir)
+      PinnedIvfModel(
+        centroids.select(col("cid"), col("cv")).as[(Int, Seq[Double])]
+          .collect().map { case (cid, cv) => (cid, cv.toArray) }.toSeq,
+        probes.select(col("q_id"), col("cid")).as[(Long, Int)].collect().toSeq,
+        q.select(col("q_id"), col("qv"), col("qn"))
+          .as[(Long, Seq[Double], Double)].collect().toSeq,
+        version = 0L)
+    }
+  }
+
+  /** Driver-held handle to the current model, hot-swappable while the
+    * streaming query keeps running. Works WITHOUT a query restart because
+    * Structured Streaming re-serializes task closures from the driver's
+    * object graph on every micro-batch — so a batch always scores against
+    * the model the driver holds when that batch is planned (the standard
+    * rebroadcast-per-batch refresh pattern, without foreachBatch).
+    */
+  final class IvfModelRef(initial: PinnedIvfModel) extends Serializable {
+    @volatile private var model: PinnedIvfModel = initial
+    def current: PinnedIvfModel = model
+    /** Swap in a freshly-pinned model (on demand, or from a timer every
+      * N batches — the cadence is the caller's policy). Version advances
+      * so progress metrics can attribute batches to model generations.
+      */
+    def repin(next: PinnedIvfModel): Unit =
+      model = next.copy(version = model.version + 1)
+  }
+
+  /** The LIVE-feed variant of [[topKIvf]]: same scoring semantics, but
+    * the model is read through an [[IvfModelRef]] so it can be re-pinned
+    * mid-stream (a drifting live corpus needs periodic re-training; the
+    * literal-plan variant above bakes the model into the plan forever).
+    * The model lookup happens inside the partition closure — the one
+    * seam where a per-batch-refreshable value can live — and the plan
+    * contains NO training DAG at all: training executes only inside
+    * [[PinnedIvfModel.pin]], never per batch (spec-asserted).
+    */
+  def topKIvfLive(
+      stream: Dataset[(Long, Seq[Double])],
+      ref: IvfModelRef,
+      k: Int): DataFrame = {
+    import stream.sparkSession.implicits._
+    val scored = stream.mapPartitions { it =>
+      val m = ref.current // shipped with THIS batch's task closure
+      val probesByCid = m.probes.groupBy(_._2).map { case (cid, qs) =>
+        (cid, qs.map(_._1)) }
+      val queryVecs = m.queries.map { case (qId, qv, qn) =>
+        qId -> ((qv.toArray, qn)) }.toMap
+      val cents = m.centroids.map { case (cid, cv) =>
+        (cid, cv, cv.map(x => x * x).sum) }
+      it.flatMap { case (vecId, vSeq) =>
+        val v = vSeq.toArray
+        // argmin centroid with the same explicit (d2, cid) tie-break as
+        // the batch nearestCentroid and the literal-plan variant
+        var bestCid = Int.MaxValue
+        var bestD = Double.PositiveInfinity
+        cents.foreach { case (cid, cv, c2) =>
+          var dotv = 0.0
+          var i = 0
+          while (i < cv.length) { dotv += cv(i) * v(i); i += 1 }
+          val d2 = c2 - 2.0 * dotv
+          if (d2 < bestD || (d2 == bestD && cid < bestCid)) {
+            bestD = d2; bestCid = cid
+          }
+        }
+        var n2 = 0.0
+        var i = 0
+        while (i < v.length) { n2 += v(i) * v(i); i += 1 }
+        val nrm = math.sqrt(n2)
+        probesByCid.getOrElse(bestCid, Nil).iterator
+          .filter(_ != vecId).map { qId =>
+            val (qv, qn) = queryVecs(qId)
+            var s = 0.0
+            var j = 0
+            while (j < v.length) { s += qv(j) * v(j); j += 1 }
+            (qId, vecId, s / (qn * nrm))
+          }
+      }
+    }
+    topK(scored, k)
+  }
+
   /** (q_id, neighbor_id, sim) stream → one row per (q_id, rank≤k):
     * columns (q_id, neighbor_id, rank, sim4) with sim rounded to 4
     * decimals, matching the batch query's output shape.

@@ -95,4 +95,60 @@ class StreamingTopKSpec extends AnyFunSuite {
       s"IVF streamed/batch divergence: only-stream=${(fin -- batch).take(3)} " +
         s"only-batch=${(batch -- fin).take(3)}")
   }
+
+  test("IVF model re-pin mid-stream: confluence holds, training never re-executes per batch") {
+    import graft.streaming.StreamingTopK.{IvfModelRef, PinnedIvfModel}
+    val ref = new IvfModelRef(PinnedIvfModel.pin(spark, sf))
+    assert(ref.current.version == 0L)
+
+    val mem = MemoryStream[(Long, Seq[Double])](spark)
+    val corpus = Tables.load(spark, sf, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE))")
+      .as[(Long, Seq[Double])].collect()
+    val (first, second) = corpus.splitAt(corpus.length / 2)
+
+    val df = StreamingTopK.topKIvfLive(mem.toDS(), ref, 5)
+    // structural no-retraining guarantee: the streaming plan contains no
+    // trace of the training DAG (no embeddings scan, no centroid
+    // aggregation) — training can only ever run inside pin()
+    val plan = df.queryExecution.analyzed.toString
+    assert(!plan.contains("embeddings"),
+      s"streaming plan must not embed the training pipeline:\n$plan")
+
+    val out = java.nio.file.Files.createTempDirectory("stream_ivf_repin").toString
+    val name = s"ivf_repin_${System.nanoTime()}"
+    val query = df.writeStream.outputMode("update")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        b.withColumn("batch_id", lit(id)).write.mode("append").parquet(out)
+      }
+      .queryName(name)
+      .start()
+    try {
+      mem.addData(first.toSeq)
+      query.processAllAvailable()
+      // RE-PIN mid-stream: re-train from the (unchanged) source and swap.
+      // The training is deterministic, so the new generation is
+      // semantically identical — confluence must hold exactly as if the
+      // model had never been swapped.
+      ref.repin(PinnedIvfModel.pin(spark, sf))
+      assert(ref.current.version == 1L, "re-pin must advance the generation")
+      mem.addData(second.toSeq)
+      query.processAllAvailable()
+      // the query ran batches under BOTH generations without restart;
+      // training executed exactly at the two explicit pin() calls, and
+      // the version did not move again while batches were processing
+      assert(ref.current.version == 1L)
+    } finally query.stop()
+
+    val fin = spark.read.parquet(out)
+      .withColumn("mb", max("batch_id").over(Window.partitionBy("q_id")))
+      .filter(col("batch_id") === col("mb"))
+      .select("q_id", "neighbor_id", "rank", "sim")
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Similarity.queries("sim_ann_ivf")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(fin == batch,
+      s"re-pin broke confluence: only-stream=${(fin -- batch).take(3)} " +
+        s"only-batch=${(batch -- fin).take(3)}")
+  }
 }
