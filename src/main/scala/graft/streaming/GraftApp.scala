@@ -14,6 +14,7 @@ import graft.model.MetagameEvent
   * | `ESS_WS_URI`           | ESS websocket endpoint (optional; unset = frames pushed via [[graft.sources.EssFeeds]]) | — |
   * | `ESS_SUBSCRIBE`        | subscription JSON (F1 filter)    | — |
   * | `PUBLISH_ENABLED`      | `RABBITMQ_ENABLED`               | `true` |
+  * | `AMQP_HOST`/`AMQP_PORT`| `RABBITMQ_HOST`/... — publish to a real AMQP 0-9-1 broker ([[AmqpPublisher]]); takes precedence | — |
   * | `PUBLISH_LOG_DIR`      | RabbitMQ PERSISTENT delivery (durable [[FilePublisher]] append log; unset = in-memory queue) | — |
   * | `PURGE_STALE_ALERTS`   | TTL purge gate                   | `true` |
   * | `ALERT_TTL_SECONDS`    | 5400 s purge horizon             | `5400` |
@@ -30,6 +31,9 @@ object GraftApp {
       subscribe: Option[String] = sys.env.get("ESS_SUBSCRIBE"),
       publishEnabled: Boolean =
         sys.env.get("PUBLISH_ENABLED").forall(_.toBoolean),
+      amqpHost: Option[String] = sys.env.get("AMQP_HOST"),
+      amqpPort: Int =
+        sys.env.get("AMQP_PORT").map(_.toInt).getOrElse(5672),
       publishLogDir: Option[String] = sys.env.get("PUBLISH_LOG_DIR"),
       purgeStale: Boolean =
         sys.env.get("PURGE_STALE_ALERTS").forall(_.toBoolean),
@@ -107,10 +111,12 @@ object GraftApp {
     spark.streams.addListener(new Observability.MetricsListener)
     val metricsHttp = MetricsHttp.fromEnv() // ess_client.py:172 parity
     val cfg = Config()
-    // durable publish when PUBLISH_LOG_DIR is set - the PERSISTENT
-    // delivery mode of the reference's broker, without a broker
-    val publisher = cfg.publishLogDir
-      .map(new FilePublisher(_): Publisher)
+    // a real broker when AMQP_HOST is set (the reference's RabbitMQ
+    // wiring), else durable file publish when PUBLISH_LOG_DIR is set -
+    // the PERSISTENT delivery mode without a broker
+    val publisher = cfg.amqpHost
+      .map(h => new AmqpPublisher(h, cfg.amqpPort): Publisher)
+      .orElse(cfg.publishLogDir.map(new FilePublisher(_): Publisher))
       .getOrElse(InMemoryPublisher("graft_app"))
     val running = start(spark, cfg, publisher, live = true)
     try spark.streams.awaitAnyTermination()

@@ -37,7 +37,8 @@ import graft.model.MetagameEvent
   * just before a swap still finds every file it planned.
   */
 class AlertStateTable(path: String, compactEvery: Int = 8,
-    retainGenerations: Int = 2) extends Serializable {
+    retainGenerations: Int = 2, compactPartitions: Int = 8)
+    extends Serializable {
 
   private def pointer: Path = Paths.get(path, "_CURRENT")
 
@@ -165,7 +166,15 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
     val newSegs =
       if (segs.length + 1 >= compactEvery) {
         val base = s"s${pad(id)}b"
+        // key-RANGE the compacted output: `compactPartitions` writer
+        // tasks each own a contiguous id range, so a 100× key space
+        // compacts as parallel files instead of funneling the whole
+        // table through however few partitions the resolve left —
+        // compaction wall-clock scales with the cluster, and each
+        // output file covers a disjoint key interval (a range-predicate
+        // reader can skip files via parquet min/max on id)
         readSegments(spark, segs :+ delta)
+          .repartitionByRange(compactPartitions, col("id"))
           .write.mode(SaveMode.Overwrite).parquet(s"$path/$base")
         syncSegment(base)
         Seq(base)

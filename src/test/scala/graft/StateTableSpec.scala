@@ -77,6 +77,47 @@ class StateTableSpec extends AnyFunSuite {
       s"stale segments not GC'd: $onDisk on disk")
   }
 
+  test("compaction writes key-ranged parallel files, reads unchanged") {
+    val dir = Files.createTempDirectory("alert_table_kr").toString
+    val table = new AlertStateTable(dir, compactEvery = 2, compactPartitions = 4)
+    // enough distinct keys that every one of the 4 ranges is non-empty;
+    // several merges so compaction has definitely run
+    (1 to 3).foreach { gen =>
+      table.merge(spark, (1 to 40).map(i =>
+        AlertUpdate(f"k-$i%03d", if (i % 5 == 0) "dead" else "live",
+          gen * 100 + i, 17, 1000.0 * gen + i)).toDF())
+    }
+    // the current generation is one compacted base segment...
+    val segs = table.segmentDirs
+    assert(segs.length == 1 && segs.head.endsWith("b"),
+      s"expected a single compacted base, got $segs")
+    // ...made of MULTIPLE key-ranged part files (a 100x key space
+    // compacts in parallel, not through one writer task)
+    val parts = new java.io.File(s"$dir/${segs.head}")
+      .listFiles().filter(f => f.getName.startsWith("part-"))
+    assert(parts.length == 4,
+      s"expected 4 key-ranged files, got ${parts.map(_.getName).toSeq}")
+    // files cover DISJOINT key intervals: per-file id ranges must not
+    // overlap (this is what lets a range-predicate reader skip files)
+    val ranges = parts.sortBy(_.getName).map { f =>
+      val ids = spark.read.parquet(f.getPath)
+        .select("id").as[String].collect().sorted
+      (ids.head, ids.last)
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) =>
+        assert(hi < lo2, s"overlapping key ranges: $ranges")
+      case _ => ()
+    }
+    // and the resolved state is exactly what the merges said
+    assert(table.snapshot(spark).count() == 32) // 40 keys - 8 dead
+    assert(table.raw(spark).count() == 40)
+    val k7 = table.snapshot(spark)
+      .filter(org.apache.spark.sql.functions.col("id") === "k-007")
+      .select("eventId").as[Int].collect()
+    assert(k7.toSeq == Seq(307), "newest generation must win per key")
+  }
+
   test("a reader planned before a merge survives the swap (one-generation retention)") {
     val dir = Files.createTempDirectory("alert_table6").toString
     val table = new AlertStateTable(dir)
