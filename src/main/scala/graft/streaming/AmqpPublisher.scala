@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream, IOException}
-import java.net.Socket
+import java.net.{InetSocketAddress, Socket}
 import java.nio.charset.StandardCharsets.UTF_8
 
 /** AMQP 0-9-1 wire encoding — the minimal faithful subset a durable
@@ -95,107 +95,125 @@ object AmqpWire {
   }
 }
 
-/** K1 over a REAL socket: an AMQP 0-9-1 publisher speaking the same wire
-  * contract as the reference's RabbitMQ publish
-  * (`/root/reference/services/RabbitService.py:24-35`): durable direct
-  * exchange, routing-key publish, PERSISTENT delivery mode — plus
-  * publisher confirms, so `publishPartition` returns only after the
-  * broker has acknowledged every message in the partition.
-  *
-  * Delivery contract: at-least-once, the same as the reference and the
-  * [[FilePublisher]]. A partition that fails mid-publish (socket drop,
-  * missing ack, broker nack) THROWS — the micro-batch retries and may
-  * re-publish the partition's prefix; consumers dedup. Nothing
-  * acknowledged is ever lost; nothing lost is ever silent.
-  *
-  * Scale shape: one connection per partition task, opened executor-side
-  * inside `publishPartition` — no shared driver socket, no coordination;
-  * the sink's throughput scales with the number of partitions exactly
-  * like the file publisher's per-partition commit files.
+/** Connection settings for [[AmqpPublisher]] — the full URL surface the
+  * reference takes (`/root/reference/services/RabbitService.py`:
+  * `rabbitmq_url`), as discrete fields: credentials, vhost, exchange
+  * durability, and socket timeouts. Defaults mirror the reference stack
+  * (guest/guest on "/", NON-durable `events` exchange — aio_pika's
+  * default — so a redeclare against an exchange the reference already
+  * declared can never PRECONDITION_FAILED).
   */
-class AmqpPublisher(host: String, port: Int,
-    exchange: String = Sinks.Exchange) extends Publisher {
+case class AmqpConfig(
+    host: String,
+    port: Int = 5672,
+    user: String = "guest",
+    pass: String = "guest",
+    vhost: String = "/",
+    exchange: String = Sinks.Exchange,
+    durableExchange: Boolean = false,
+    connectTimeoutMs: Int = 10000,
+    readTimeoutMs: Int = 30000)
+
+/** One live AMQP connection held by an executor and shared across
+  * partition tasks and micro-batches (see [[AmqpConnections]]). Owns the
+  * socket, the negotiated frame-max, channel 1 in confirm mode, and the
+  * channel's monotonically increasing publish delivery-tag.
+  *
+  * Thread contract: callers serialize on the instance monitor for the
+  * whole publish-and-confirm span — AMQP confirms are per-channel, so
+  * interleaving two tasks' publishes on one channel would make their
+  * ack windows ambiguous.
+  */
+private[streaming] final class AmqpConnection(cfg: AmqpConfig) {
   import AmqpWire._
 
   private val Channel = 1
-  private val FrameMax = 65536 // body chunk bound; renegotiated down if tuned
+  private val FrameMaxCap = 65536 // body chunk bound; renegotiated down if tuned
 
-  override def publish(routingKey: String, payload: String): Unit =
-    publishPartition(Iterator.single((routingKey, payload)))
+  private val sock = new Socket()
+  sock.connect(new InetSocketAddress(cfg.host, cfg.port), cfg.connectTimeoutMs)
+  sock.setTcpNoDelay(true)
+  // a dead broker must THROW (SocketTimeoutException is an IOException),
+  // never park a Spark task forever waiting on a read
+  sock.setSoTimeout(cfg.readTimeoutMs)
+  private[streaming] val in = new DataInputStream(sock.getInputStream)
+  private[streaming] val out = new DataOutputStream(sock.getOutputStream)
+  private[streaming] val frameMax: Int = handshake()
 
-  override def publishPartition(messages: Iterator[(String, String)]): Unit = {
-    val msgs = messages.toVector
-    if (msgs.isEmpty) return
-    val sock = new Socket(host, port)
-    try {
-      sock.setTcpNoDelay(true)
-      val in = new DataInputStream(sock.getInputStream)
-      val out = new DataOutputStream(sock.getOutputStream)
-      val frameMax = handshake(in, out)
-      expectMethod(in, 20, 11) { // Channel.Open-Ok
-        writeFrame(out, FrameMethod, Channel,
-          method(20, 10)(_.shortStr("")))
-        out.flush()
-      }
-      expectMethod(in, 40, 11) { // Exchange.Declare-Ok (durable direct)
-        writeFrame(out, FrameMethod, Channel, method(40, 10)(
-          _.u16(0).shortStr(exchange).shortStr("direct")
-            .u8(0x02) // durable bit; passive/auto-delete/internal/no-wait clear
-            .emptyTable()))
-        out.flush()
-      }
-      expectMethod(in, 85, 11) { // Confirm.Select-Ok: publisher confirms on
-        writeFrame(out, FrameMethod, Channel, method(85, 10)(_.u8(0)))
-        out.flush()
-      }
-      msgs.foreach { case (k, p) => basicPublish(out, frameMax, k, p) }
-      out.flush()
-      awaitAcks(in, msgs.size.toLong)
-      expectMethod(in, 10, 51) { // Connection.Close-Ok
-        writeFrame(out, FrameMethod, 0, method(10, 50)(
-          _.u16(200).shortStr("bye").u16(0).u16(0)))
-        out.flush()
-      }
-    } finally sock.close()
-  }
+  /** Next publish's delivery tag: per-channel, 1-based after
+    * Confirm.Select, monotonic for the connection's lifetime.
+    */
+  private[streaming] var nextTag: Long = 1L
+
+  openChannelAndConfirms()
 
   /** Protocol header → Start/Start-Ok → Tune/Tune-Ok → Open/Open-Ok.
     * Returns the negotiated frame-max.
     */
-  private def handshake(in: DataInputStream, out: DataOutputStream): Int = {
+  private def handshake(): Int = {
     out.write(ProtocolHeader)
     out.flush()
-    val (c0, m0, _) = readMethodFrame(in)
+    val (c0, m0, _) = readMethodFrame()
     if ((c0, m0) != ((10, 10)))
       throw new IOException(s"expected Connection.Start, got $c0.$m0")
     writeFrame(out, FrameMethod, 0, method(10, 11)(
       _.emptyTable().shortStr("PLAIN")
-        .longStr(("\u0000guest\u0000guest").getBytes(UTF_8))
+        .longStr(s"\u0000${cfg.user}\u0000${cfg.pass}".getBytes(UTF_8))
         .shortStr("en_US")))
     out.flush()
-    val (c1, m1, tune) = readMethodFrame(in)
+    val (c1, m1, tune) = readMethodFrame()
     if ((c1, m1) != ((10, 30)))
       throw new IOException(s"expected Connection.Tune, got $c1.$m1")
     val channelMax = tune.u16()
     val brokerFrameMax = tune.u32()
-    val frameMax =
-      if (brokerFrameMax == 0) FrameMax
-      else math.min(brokerFrameMax, FrameMax.toLong).toInt
+    val fm =
+      if (brokerFrameMax == 0) FrameMaxCap
+      else math.min(brokerFrameMax, FrameMaxCap.toLong).toInt
     writeFrame(out, FrameMethod, 0, method(10, 31)(
-      _.u16(channelMax).u32(frameMax.toLong).u16(0))) // heartbeat off
+      _.u16(channelMax).u32(fm.toLong).u16(0))) // heartbeat off
     writeFrame(out, FrameMethod, 0, method(10, 40)(
-      _.shortStr("/").shortStr("").u8(0)))
+      _.shortStr(cfg.vhost).shortStr("").u8(0)))
     out.flush()
-    val (c2, m2, _) = readMethodFrame(in)
+    val (c2, m2, _) = readMethodFrame()
     if ((c2, m2) != ((10, 41)))
       throw new IOException(s"expected Connection.Open-Ok, got $c2.$m2")
-    frameMax
+    fm
   }
 
-  private def basicPublish(out: DataOutputStream, frameMax: Int,
-      routingKey: String, payload: String): Unit = {
+  private def openChannelAndConfirms(): Unit = {
+    expectMethod(20, 11) { // Channel.Open-Ok
+      writeFrame(out, FrameMethod, Channel, method(20, 10)(_.shortStr("")))
+      out.flush()
+    }
+    expectMethod(40, 11) { // Exchange.Declare-Ok
+      writeFrame(out, FrameMethod, Channel, method(40, 10)(
+        _.u16(0).shortStr(cfg.exchange).shortStr("direct")
+          .u8(if (cfg.durableExchange) 0x02 else 0x00)
+          .emptyTable()))
+      out.flush()
+    }
+    expectMethod(85, 11) { // Confirm.Select-Ok: publisher confirms on
+      writeFrame(out, FrameMethod, Channel, method(85, 10)(_.u8(0)))
+      out.flush()
+    }
+  }
+
+  /** Publish the batch and block until the broker confirms every message.
+    * Must run inside `this.synchronized`.
+    */
+  private[streaming] def publishConfirmed(
+      msgs: Seq[(String, String)]): Unit = {
+    val first = nextTag
+    val last = first + msgs.size - 1
+    nextTag = last + 1
+    msgs.foreach { case (k, p) => basicPublish(k, p) }
+    out.flush()
+    awaitAcks(first, last)
+  }
+
+  private def basicPublish(routingKey: String, payload: String): Unit = {
     writeFrame(out, FrameMethod, Channel, method(60, 40)(
-      _.u16(0).shortStr(exchange).shortStr(routingKey).u8(0)))
+      _.u16(0).shortStr(cfg.exchange).shortStr(routingKey).u8(0)))
     val body = payload.getBytes(UTF_8)
     // content header: class 60, weight 0, body size, delivery-mode=2
     // (PERSISTENT — the reference's DeliveryMode.PERSISTENT)
@@ -215,20 +233,32 @@ class AmqpPublisher(host: String, port: Int,
     }
   }
 
-  /** Block until the broker has confirmed all `n` publishes (Basic.Ack
-    * with cumulative `multiple` support). A Basic.Nack or connection
-    * close before full confirmation throws — the caller (micro-batch)
-    * retries the partition.
+  /** Block until the broker has confirmed every tag in [first, last].
+    * RabbitMQ confirms persistent messages OUT OF ORDER and mixes single
+    * and cumulative (`multiple`) acks — a single ack for a HIGH tag can
+    * land before a multiple ack covering the low tags — so coverage is
+    * tracked explicitly: a cumulative low-watermark advanced through a
+    * set of out-of-band single tags, finishing exactly when the whole
+    * range is covered. A Basic.Nack or connection close before full
+    * confirmation throws — the caller (micro-batch) retries.
     */
-  private def awaitAcks(in: DataInputStream, n: Long): Unit = {
-    var remaining = n
-    while (remaining > 0) {
-      val (classId, methodId, r) = readMethodFrame(in)
+  private def awaitAcks(first: Long, last: Long): Unit = {
+    // everything below `first` was confirmed before this batch started
+    var cumulative = first - 1
+    val singles = scala.collection.mutable.SortedSet.empty[Long]
+    while (cumulative < last) {
+      val (classId, methodId, r) = readMethodFrame()
       (classId, methodId) match {
         case (60, 80) => // Basic.Ack: delivery-tag, multiple
           val tag = r.u64()
           val multiple = (r.u8() & 1) == 1
-          remaining = if (multiple) n - tag else remaining - 1
+          if (multiple) cumulative = math.max(cumulative, tag)
+          else if (tag > cumulative) singles += tag
+          // fold contiguous single acks into the watermark
+          while (singles.nonEmpty && singles.head <= cumulative + 1) {
+            cumulative = math.max(cumulative, singles.head)
+            singles -= singles.head
+          }
         case (60, 120) =>
           throw new IOException("broker nacked a publish — retry partition")
         case (c, m) =>
@@ -237,24 +267,143 @@ class AmqpPublisher(host: String, port: Int,
     }
   }
 
-  /** Read frames until a method frame arrives (heartbeats skipped). */
-  private def readMethodFrame(in: DataInputStream): (Int, Int, Reader) = {
+  /** Read frames until a method frame arrives (heartbeats skipped).
+    * Broker-initiated Channel.Close / Connection.Close are translated to
+    * a readable error carrying the broker's reply-code and reply-text
+    * (e.g. a PRECONDITION_FAILED exchange redeclare) instead of
+    * surfacing as an opaque "unexpected method".
+    */
+  private def readMethodFrame(): (Int, Int, Reader) = {
     var res: (Int, Int, Reader) = null
     while (res == null) {
       val (ftype, _, payload) = readFrame(in)
       if (ftype == FrameMethod) {
         val (c, m, r) = readMethod(payload)
+        if ((c, m) == ((20, 40)) || (c, m) == ((10, 50))) {
+          val code = r.u16()
+          val text = r.shortStr()
+          val what = if (c == 20) "channel" else "connection"
+          // best-effort Close-Ok so a well-behaved broker can finish
+          try {
+            writeFrame(out, FrameMethod, if (c == 20) Channel else 0,
+              method(c, m + 1)(b => b))
+            out.flush()
+          } catch { case _: IOException => () }
+          throw new IOException(s"broker closed $what: $code $text")
+        }
         res = (c, m, r)
       } // heartbeat/other: skip
     }
     res
   }
 
-  private def expectMethod(in: DataInputStream, classId: Int, methodId: Int)(
-      send: => Unit): Unit = {
+  private def expectMethod(classId: Int, methodId: Int)(send: => Unit): Unit = {
     send
-    val (c, m, _) = readMethodFrame(in)
+    val (c, m, _) = readMethodFrame()
     if ((c, m) != ((classId, methodId)))
       throw new IOException(s"expected $classId.$methodId, got $c.$m")
+  }
+
+  private[streaming] def close(): Unit = {
+    try {
+      expectMethod(10, 51) { // Connection.Close-Ok
+        writeFrame(out, FrameMethod, 0, method(10, 50)(
+          _.u16(200).shortStr("bye").u16(0).u16(0)))
+        out.flush()
+      }
+    } catch { case _: IOException => () } // already dead: just drop it
+    finally try sock.close() catch { case _: IOException => () }
+  }
+
+  private[streaming] def closeAbruptly(): Unit =
+    try sock.close() catch { case _: IOException => () }
+}
+
+/** Executor-held AMQP connection pool: ONE long-lived connection per
+  * broker identity per JVM, shared by every partition task and
+  * micro-batch that publishes there — the reference holds one channel
+  * for the process lifetime (`RabbitService.py:8-23`), and at scale
+  * (many partitions × many batches) per-partition dialing is broker
+  * connection churn. A connection that fails mid-publish is EVICTED and
+  * closed so the retrying task dials fresh; nothing unconfirmed is ever
+  * swallowed.
+  */
+object AmqpConnections {
+  private case class Key(host: String, port: Int, user: String, vhost: String,
+      exchange: String, durable: Boolean)
+  private val pool =
+    new java.util.concurrent.ConcurrentHashMap[Key, AmqpConnection]()
+
+  /** Connections dialed since JVM start — observability for the churn
+    * this pool exists to prevent (and the spec's assertion handle).
+    */
+  val DialsMetric = "amqp_connections_dialed"
+
+  private def keyOf(cfg: AmqpConfig) = Key(cfg.host, cfg.port, cfg.user,
+    cfg.vhost, cfg.exchange, cfg.durableExchange)
+
+  /** Run `f` against the pooled connection, serialized on it (confirms
+    * are per-channel). An IOException evicts the connection before
+    * rethrowing — the next caller redials.
+    */
+  def withConnection[A](cfg: AmqpConfig)(f: AmqpConnection => A): A = {
+    val key = keyOf(cfg)
+    val conn = pool.computeIfAbsent(key, _ => {
+      Metrics.add(DialsMetric, 1.0)
+      new AmqpConnection(cfg)
+    })
+    conn.synchronized {
+      try f(conn)
+      catch {
+        case e: IOException =>
+          pool.remove(key, conn)
+          conn.closeAbruptly()
+          throw e
+      }
+    }
+  }
+
+  /** Politely close and drop every pooled connection (app shutdown). */
+  def closeAll(): Unit = {
+    val it = pool.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      it.remove()
+      e.getValue.synchronized(e.getValue.close())
+    }
+  }
+}
+
+/** K1 over a REAL socket: an AMQP 0-9-1 publisher speaking the same wire
+  * contract as the reference's RabbitMQ publish
+  * (`/root/reference/services/RabbitService.py:24-35`): direct exchange,
+  * routing-key publish, PERSISTENT delivery mode — plus publisher
+  * confirms, so `publishPartition` returns only after the broker has
+  * acknowledged every message in the partition.
+  *
+  * Delivery contract: at-least-once, the same as the reference and the
+  * [[FilePublisher]]. A partition that fails mid-publish (socket drop,
+  * read timeout, broker nack) THROWS — the micro-batch retries and may
+  * re-publish the partition's prefix; consumers dedup. Nothing
+  * acknowledged is ever lost; nothing lost is ever silent.
+  *
+  * Scale shape: the instance holds only config (it is serialized into
+  * executor closures); the actual socket lives in [[AmqpConnections]] —
+  * one long-lived connection per executor JVM, reused across partition
+  * tasks and micro-batches, confirms still awaited per partition batch.
+  */
+class AmqpPublisher(cfg: AmqpConfig) extends Publisher {
+
+  def this(host: String, port: Int) = this(AmqpConfig(host, port))
+  def this(host: String, port: Int, exchange: String) =
+    this(AmqpConfig(host, port, exchange = exchange))
+
+  override def publish(routingKey: String, payload: String): Unit =
+    publishPartition(Iterator.single((routingKey, payload)))
+
+  override def publishPartition(messages: Iterator[(String, String)]): Unit = {
+    val msgs = messages.toVector
+    if (msgs.isEmpty) return
+    AmqpConnections.withConnection(cfg)(_.publishConfirmed(msgs))
   }
 }

@@ -15,6 +15,8 @@ import graft.model.MetagameEvent
   * | `ESS_SUBSCRIBE`        | subscription JSON (F1 filter)    | — |
   * | `PUBLISH_ENABLED`      | `RABBITMQ_ENABLED`               | `true` |
   * | `AMQP_HOST`/`AMQP_PORT`| `RABBITMQ_HOST`/... — publish to a real AMQP 0-9-1 broker ([[AmqpPublisher]]); takes precedence | — |
+  * | `AMQP_USER`/`AMQP_PASS`/`AMQP_VHOST` | the credentials/vhost of the reference's `rabbitmq_url` | `guest`/`guest`/`/` |
+  * | `AMQP_DURABLE_EXCHANGE` | declare the exchange durable (the reference declares non-durable) | `false` |
   * | `PUBLISH_LOG_DIR`      | RabbitMQ PERSISTENT delivery (durable [[FilePublisher]] append log; unset = in-memory queue) | — |
   * | `PURGE_STALE_ALERTS`   | TTL purge gate                   | `true` |
   * | `ALERT_TTL_SECONDS`    | 5400 s purge horizon             | `5400` |
@@ -34,6 +36,14 @@ object GraftApp {
       amqpHost: Option[String] = sys.env.get("AMQP_HOST"),
       amqpPort: Int =
         sys.env.get("AMQP_PORT").map(_.toInt).getOrElse(5672),
+      // the reference takes a full rabbitmq_url (RabbitService.py); the
+      // same surface as discrete fields — guest/guest is localhost-only
+      // on a default RabbitMQ, so real deployments must set these
+      amqpUser: String = sys.env.getOrElse("AMQP_USER", "guest"),
+      amqpPass: String = sys.env.getOrElse("AMQP_PASS", "guest"),
+      amqpVhost: String = sys.env.getOrElse("AMQP_VHOST", "/"),
+      amqpDurableExchange: Boolean =
+        sys.env.get("AMQP_DURABLE_EXCHANGE").exists(_.toBoolean),
       publishLogDir: Option[String] = sys.env.get("PUBLISH_LOG_DIR"),
       purgeStale: Boolean =
         sys.env.get("PURGE_STALE_ALERTS").forall(_.toBoolean),
@@ -115,11 +125,15 @@ object GraftApp {
     // wiring), else durable file publish when PUBLISH_LOG_DIR is set -
     // the PERSISTENT delivery mode without a broker
     val publisher = cfg.amqpHost
-      .map(h => new AmqpPublisher(h, cfg.amqpPort): Publisher)
+      .map(h => new AmqpPublisher(AmqpConfig(h, cfg.amqpPort,
+        user = cfg.amqpUser, pass = cfg.amqpPass, vhost = cfg.amqpVhost,
+        durableExchange = cfg.amqpDurableExchange)): Publisher)
       .orElse(cfg.publishLogDir.map(new FilePublisher(_): Publisher))
       .getOrElse(InMemoryPublisher("graft_app"))
     val running = start(spark, cfg, publisher, live = true)
     try spark.streams.awaitAnyTermination()
-    finally { running.stopAll(); metricsHttp.close() }
+    finally {
+      running.stopAll(); metricsHttp.close(); AmqpConnections.closeAll()
+    }
   }
 }

@@ -3,6 +3,7 @@ package graft
 import java.io.{DataInputStream, DataOutputStream}
 import java.net.ServerSocket
 import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+import java.util.concurrent.atomic.AtomicInteger
 import graft.streaming.AmqpWire
 
 /** Minimal loopback AMQP 0-9-1 broker (test scope only): accepts
@@ -13,8 +14,19 @@ import graft.streaming.AmqpWire
   * container has no RabbitMQ, so the spec brings its own broker, the
   * same trick [[LoopbackWsServer]] plays for the websocket transport.
   * `fixedPort` lets a kill/restart spec rebind the same port.
+  *
+  * `mixedAcks` reproduces RabbitMQ's out-of-order persistent-message
+  * confirms: odd tags are held back, and each even tag is confirmed
+  * with a SINGLE ack for the (higher) even tag followed by a `multiple`
+  * ack covering the held-back odd one — the interleaving the publisher's
+  * coverage tracking must survive.
+  *
+  * `rejectDeclares` answers Exchange.Declare with Channel.Close 406
+  * PRECONDITION_FAILED — what a real broker does on a durability
+  * mismatch with an existing exchange.
   */
-final class LoopbackAmqpBroker(fixedPort: Int = 0) {
+final class LoopbackAmqpBroker(fixedPort: Int = 0,
+    mixedAcks: Boolean = false, rejectDeclares: Boolean = false) {
   import AmqpWire._
 
   private val server = new ServerSocket()
@@ -28,13 +40,28 @@ final class LoopbackAmqpBroker(fixedPort: Int = 0) {
   /** (exchange, type, durable) declarations seen. */
   val declared = new LinkedBlockingQueue[(String, String, Boolean)]()
 
+  /** The vhost each connection opened. */
+  val vhosts = new LinkedBlockingQueue[String]()
+
+  /** The PLAIN credentials each connection presented, as "user:pass". */
+  val logins = new LinkedBlockingQueue[String]()
+
+  /** TCP connections accepted — the pooling spec's churn measure. */
+  val connections = new AtomicInteger()
+
+  // live accepted sockets: close() must kill these too, or a "dead"
+  // broker would keep serving its pooled long-lived connections
+  private val live = new java.util.concurrent.ConcurrentLinkedQueue[java.net.Socket]()
+
   private val thread = new Thread(() => {
     while (!server.isClosed) {
       try {
         val sock = server.accept()
+        connections.incrementAndGet()
+        live.add(sock)
         try serve(new DataInputStream(sock.getInputStream),
           new DataOutputStream(sock.getOutputStream))
-        finally sock.close()
+        finally { live.remove(sock); sock.close() }
       } catch { case _: Throwable => () } // connection died: accept again
     }
   }, s"loopback-amqp-$port")
@@ -50,16 +77,34 @@ final class LoopbackAmqpBroker(fixedPort: Int = 0) {
       _.u8(0).u8(9).emptyTable()
         .longStr("PLAIN".getBytes).longStr("en_US".getBytes)))
     out.flush()
-    expect(in, 10, 11) // Start-Ok
+    // Start-Ok: client-properties table, mechanism, SASL response, locale
+    locally {
+      val (ftype, _, payload) = readFrame(in)
+      require(ftype == FrameMethod, s"expected method frame, got $ftype")
+      val (c, m, r) = readMethod(payload)
+      require((c, m) == ((10, 11)), s"expected 10.11, got $c.$m")
+      r.skipTable()
+      require(r.shortStr() == "PLAIN", "PLAIN auth expected")
+      val sasl = new String(r.longStr(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      logins.put(sasl.split(Character.MIN_VALUE).filter(_.nonEmpty).mkString(":"))
+    }
     writeFrame(out, FrameMethod, 0, method(10, 30)( // Tune
       _.u16(2047).u32(131072L).u16(0)))
     out.flush()
     expect(in, 10, 31) // Tune-Ok
-    expect(in, 10, 40) // Connection.Open
+    locally { // Connection.Open: record the vhost
+      val (ftype, _, payload) = readFrame(in)
+      require(ftype == FrameMethod, s"expected method frame, got $ftype")
+      val (c, m, r) = readMethod(payload)
+      require((c, m) == ((10, 40)), s"expected 10.40, got $c.$m")
+      vhosts.put(r.shortStr())
+    }
     writeFrame(out, FrameMethod, 0, method(10, 41)(_.shortStr("")))
     out.flush()
 
     var deliveryTag = 0L
+    var heldBackTag = 0L // mixedAcks: the odd tag awaiting its multiple ack
     while (true) {
       val (ftype, channel, payload) = readFrame(in)
       if (ftype == FrameMethod) {
@@ -75,6 +120,15 @@ final class LoopbackAmqpBroker(fixedPort: Int = 0) {
             val kind = r.shortStr()
             val bits = r.u8()
             declared.put((name, kind, (bits & 0x02) != 0))
+            if (rejectDeclares) {
+              writeFrame(out, FrameMethod, channel, method(20, 40)(
+                _.u16(406)
+                  .shortStr(s"PRECONDITION_FAILED - durability mismatch on exchange '$name'")
+                  .u16(40).u16(10)))
+              out.flush()
+              expect(in, 20, 41) // Channel.Close-Ok
+              return
+            }
             writeFrame(out, FrameMethod, channel, method(40, 11)(b => b))
             out.flush()
           case (85, 10) => // Confirm.Select
@@ -103,9 +157,21 @@ final class LoopbackAmqpBroker(fixedPort: Int = 0) {
               new String(body, java.nio.charset.StandardCharsets.UTF_8),
               deliveryMode))
             deliveryTag += 1
-            writeFrame(out, FrameMethod, channel, method(60, 80)(
-              _.u64(deliveryTag).u8(0))) // Basic.Ack, single
-            out.flush()
+            if (!mixedAcks) {
+              writeFrame(out, FrameMethod, channel, method(60, 80)(
+                _.u64(deliveryTag).u8(0))) // Basic.Ack, single
+              out.flush()
+            } else if (deliveryTag % 2 == 1) {
+              heldBackTag = deliveryTag // hold the odd tag back
+            } else {
+              // single ack for the HIGHER even tag first…
+              writeFrame(out, FrameMethod, channel, method(60, 80)(
+                _.u64(deliveryTag).u8(0)))
+              // …then a multiple ack covering the held-back odd tag
+              writeFrame(out, FrameMethod, channel, method(60, 80)(
+                _.u64(heldBackTag).u8(1)))
+              out.flush()
+            }
           case (10, 50) => // Connection.Close
             writeFrame(out, FrameMethod, 0, method(10, 51)(b => b))
             out.flush()
@@ -126,5 +192,9 @@ final class LoopbackAmqpBroker(fixedPort: Int = 0) {
   def awaitMessage(timeoutSec: Int = 10): (String, String, Int) =
     received.poll(timeoutSec, TimeUnit.SECONDS)
 
-  def close(): Unit = try server.close() catch { case _: Throwable => () }
+  def close(): Unit = {
+    try server.close() catch { case _: Throwable => () }
+    live.forEach(s => try s.close() catch { case _: Throwable => () })
+    live.clear()
+  }
 }
