@@ -24,7 +24,29 @@ object Bench {
       SparkEntry.queries("stream_inprogress")(spark, "/root/testdata/sf0.001")
         .count()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // charge the shared dedup materialization to a NAMED line item —
+    // otherwise it lands inside whichever dedup query touches the tables
+    // first and the best-of-2 min discards it invisibly. Adoption of
+    // files a previous process built is legitimate amortization and
+    // shows up here as a genuinely small number.
+    val tBuild = System.nanoTime()
+    val builtFresh =
+      try graft.operators.Dedup.ensureSharedTables(spark, sfDir)
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] shared build failed: ${e.getMessage}")
+        false
+      }
+    val buildSec = (System.nanoTime() - tBuild) / 1e9
+    System.err.println(
+      f"[bench] dedup_shared_build $buildSec%.3f s (fresh=$builtFresh)")
+    // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
+    // under the exact driver harness (unset on the driver: full registry)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(kv => only.forall(_.contains(kv._1)))
+    val results = Seq("dedup_shared_build" -> buildSec) ++
+      selected.map { case (name, fn) =>
       // drain the previous query's garbage so its GC debt doesn't land on
       // this query's clock (all-pairs joins allocate heavily)
       System.gc()

@@ -99,12 +99,15 @@ object Dedup {
 
   /** Exact n-gram (3-shingle) Jaccard audit over a bounded doc prefix.
     * At scale this runs on LSH candidates; the doc_id < 300 cap here keeps
-    * the demonstration all-pairs join bounded at every SF. Shingles come
-    * from the shared materialized table (filtering the per-doc shingle
-    * rows after the fact equals shingling the filtered docs).
+    * the demonstration all-pairs join bounded at every SF. Shingles are
+    * computed directly from the FILTERED documents scan — NOT the shared
+    * shingle table: bucketing is an equality-hash layout, it cannot prune
+    * the `doc_id < 300` range, so the shared table would scan every
+    * shingle of every doc to keep 300 docs' worth. The direct shape
+    * pushes the range predicate into the parquet scan.
     */
   private val ngramJaccard: Q = (s, d) => {
-    val sh = sharedTables(s, d)._1.filter(col("doc_id") < 300)
+    val sh = shingleRows(T(s, d, "documents").filter(col("doc_id") < 300))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
@@ -237,7 +240,7 @@ object Dedup {
     * tables — a changed source yields a new key, so reuse can never
     * serve stale derived data.
     */
-  private def datasetKey(d: String): String = {
+  private[graft] def datasetKey(d: String): String = {
     import scala.jdk.CollectionConverters._
     val doc = java.nio.file.Paths.get(d, "documents.parquet")
     val stamp = if (java.nio.file.Files.exists(doc))
@@ -248,40 +251,153 @@ object Dedup {
           s"${java.nio.file.Files.size(p)}")
         .toSeq.sorted.mkString("|")
     else ""
-    math.abs((d + "|" + stamp).hashCode).toString
+    // a WIDE digest, not String.hashCode: every dedup query's reuse
+    // correctness rides on this key, and a 32-bit collision between two
+    // dataset dirs in one tmpdir would silently serve one dataset's
+    // shingles for the other
+    java.security.MessageDigest.getInstance("MD5")
+      .digest((d + "|" + stamp).getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
   }
+
+  /** Bucket count for the shared tables: matches the 32 cores the bench
+    * runs on — a 16-bucket layout caps every bucketed-read stage at half
+    * the machine. On a cluster this is sized to target-parallelism, not
+    * core-count-of-one-box.
+    */
+  private val Buckets = 32
+
+  private def sharedRoot: java.nio.file.Path =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_shared")
 
   /** Build-or-reuse the SHARED materialized dedup tables for a dataset:
     * `(shingles, signatures)` — shingles exploded+hashed exactly once,
     * signatures (+ per-doc shingle count) aggregated exactly once, both
     * bucketed+sorted by doc_id. Built once per (dataset, content
-    * version) and reused by every dedup query in the registry — the
-    * maintained signature table a 100 TB dedup pipeline shares across
-    * jobs, not per-query scratch. Rebuilds happen only when the
-    * fingerprint says the source changed (fresh key), never per
-    * invocation.
+    * version) and reused by every dedup query — the maintained signature
+    * table a 100 TB dedup pipeline shares across jobs, not per-query
+    * scratch.
+    *
+    * Reuse is by PATH EXISTENCE, not catalog lookup: the files live
+    * under a content-fingerprint key and carry a `_READY` marker, so a
+    * FRESH SparkSession (a new job against the same dataset — the
+    * 100 TB cross-job story) finds the finished files and re-registers
+    * external bucketed tables over them without rewriting anything
+    * (spec-asserted with a second session). Builders stage into a
+    * private directory and publish with one atomic rename — a
+    * concurrent builder loses the rename and adopts the winner's files,
+    * and a crashed build leaves no marker, so readers can never see a
+    * torn table. Rebuilds happen only when the fingerprint says the
+    * source changed (fresh key), never per invocation or per session.
     */
   private def sharedTables(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val work = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-      s"graft_mh_${ProcessHandle.current().pid()}")
-    // reclaim scratch from dead sibling processes (same discipline as
-    // the windowed-sink dirs)
-    StreamingQueries.sweepDeadSiblings(work.getParent, "graft_mh_")
     val ds = datasetKey(d)
     val shTbl = s"graft_mh_shingles_$ds"
     val sigTbl = s"graft_mh_sig_$ds"
     if (!s.catalog.tableExists(shTbl) || !s.catalog.tableExists(sigTbl)) {
-      // ONE pass over documents: explode + md5 once, bucketed by doc_id
-      shingleRows(T(s, d, "documents"))
-        .write.mode("overwrite").bucketBy(16, "doc_id").sortBy("doc_id")
-        .option("path", s"$work/$ds/shingles").saveAsTable(shTbl)
-      // signatures AND per-doc shingle counts from ONE aggregation over
-      // the materialized shingles, itself materialized (one row per doc)
-      minhashSig(s.table(shTbl), Seq(count(lit(1)).as("n")))
-        .write.mode("overwrite").bucketBy(16, "doc_id").sortBy("doc_id")
-        .option("path", s"$work/$ds/signatures").saveAsTable(sigTbl)
+      val base = sharedRoot.resolve(ds)
+      if (!java.nio.file.Files.exists(base.resolve("_READY")))
+        buildShared(s, d, base)
+      registerBucketed(s, shTbl, base.resolve("shingles"))
+      registerBucketed(s, sigTbl, base.resolve("signatures"))
     }
     (s.table(shTbl), s.table(sigTbl))
+  }
+
+  /** Materialize shingles+signatures into a staging dir and publish it
+    * with one atomic rename to `base`. Loses gracefully to a concurrent
+    * builder (the rename fails, this attempt's copy is deleted).
+    */
+  private def buildShared(s: SparkSession, d: String,
+      base: java.nio.file.Path): Unit = {
+    java.nio.file.Files.createDirectories(sharedRoot)
+    sweepStaleStaging(sharedRoot)
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val staging = sharedRoot.resolve(s".${base.getFileName}-$attempt.staging")
+    val shTmp = s"graft_build_sh_$attempt"
+    val sigTmp = s"graft_build_sig_$attempt"
+    try {
+      // ONE pass over documents: explode + md5 once, bucketed by doc_id
+      shingleRows(T(s, d, "documents"))
+        .write.mode("overwrite").bucketBy(Buckets, "doc_id").sortBy("doc_id")
+        .option("path", staging.resolve("shingles").toString)
+        .saveAsTable(shTmp)
+      // signatures AND per-doc shingle counts from ONE aggregation over
+      // the materialized shingles, itself materialized (one row per doc)
+      minhashSig(s.table(shTmp), Seq(count(lit(1)).as("n")))
+        .write.mode("overwrite").bucketBy(Buckets, "doc_id").sortBy("doc_id")
+        .option("path", staging.resolve("signatures").toString)
+        .saveAsTable(sigTmp)
+      // marker INSIDE the staged dir: the atomic rename below publishes
+      // files and marker together, so `_READY` is never visible over a
+      // half-written table
+      java.nio.file.Files.write(staging.resolve("_READY"),
+        datasetKey(d).getBytes("UTF-8"))
+      try java.nio.file.Files.move(staging, base,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException
+            | _: java.nio.file.DirectoryNotEmptyException
+            | _: java.nio.file.AccessDeniedException =>
+          // a concurrent builder published first — adopt theirs
+          deleteRecursively(staging)
+      }
+    } finally {
+      // the temp catalog names point into staging; the EXTERNAL drop
+      // leaves the published files alone
+      s.sql(s"DROP TABLE IF EXISTS $shTmp")
+      s.sql(s"DROP TABLE IF EXISTS $sigTmp")
+    }
+  }
+
+  /** Register an EXTERNAL bucketed table over already-written files —
+    * how a fresh session adopts a prior job's materialization. The
+    * schema comes from the parquet footers, so registration can never
+    * drift from what was written.
+    */
+  private def registerBucketed(s: SparkSession, name: String,
+      path: java.nio.file.Path): Unit =
+    if (!s.catalog.tableExists(name)) {
+      val ddl = s.read.parquet(path.toString).schema.toDDL
+      s.sql(s"""CREATE TABLE IF NOT EXISTS `$name` ($ddl) USING PARQUET
+               |CLUSTERED BY (doc_id) SORTED BY (doc_id)
+               |INTO $Buckets BUCKETS
+               |LOCATION '${path.toString}'""".stripMargin)
+    }
+
+  /** Reclaim staging dirs abandoned by crashed builders (older than an
+    * hour — any live build finishes far sooner) and published datasets
+    * untouched for a week.
+    */
+  private def sweepStaleStaging(root: java.nio.file.Path): Unit = {
+    val now = System.currentTimeMillis()
+    Option(root.toFile.listFiles()).getOrElse(Array.empty).foreach { f =>
+      val age = now - f.lastModified()
+      val stale =
+        (f.getName.endsWith(".staging") && age > 60L * 60 * 1000) ||
+          (!f.getName.endsWith(".staging") && age > 7L * 24 * 3600 * 1000)
+      if (stale) deleteRecursively(f.toPath)
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      catch { case _: java.io.IOException => () } // best-effort reclaim
+  }
+
+  /** Eagerly build (or adopt) the shared tables for `d`, returning true
+    * if this call did the build — the bench's hook for charging the
+    * materialization cost to a visible line item instead of whichever
+    * dedup query happens to touch the tables first.
+    */
+  def ensureSharedTables(s: SparkSession, d: String): Boolean = {
+    val existed =
+      java.nio.file.Files.exists(sharedRoot.resolve(datasetKey(d)).resolve("_READY"))
+    sharedTables(s, d)
+    !existed
   }
 
   private val minhashVerified: Q = (s, d) => {

@@ -55,6 +55,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(truth.nonEmpty && truth.subsetOf(got), s"missed: ${truth -- got}")
   }
 
+  test("shared dedup tables survive catalog loss: a fresh session adopts the files, no rebuild") {
+    // build (or adopt) once so the published files + _READY marker exist
+    Dedup.queries("dedup_minhash_lsh")(spark, sf).write
+      .format("noop").mode("overwrite").save()
+    val key = Dedup.datasetKey(sf)
+    val base = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_shared", key)
+    assert(java.nio.file.Files.exists(base.resolve("_READY")))
+    import scala.jdk.CollectionConverters._
+    def mtimes = java.nio.file.Files.walk(base).iterator().asScala
+      .filter(java.nio.file.Files.isRegularFile(_))
+      .map(p => p.toString ->
+        java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    val before = mtimes
+    // simulate a FRESH session/job: the in-memory catalog forgets the
+    // tables (a new process starts with an empty catalog), the files
+    // stay — the 100 TB cross-job story is that the NEXT job finds them
+    spark.sql(s"DROP TABLE IF EXISTS graft_mh_shingles_$key")
+    spark.sql(s"DROP TABLE IF EXISTS graft_mh_sig_$key")
+    assert(!Dedup.ensureSharedTables(spark, sf),
+      "adoption must not rebuild already-published tables")
+    assert(mtimes == before,
+      "adopting a published table must not rewrite any of its files")
+    // and the re-registered external bucketed tables actually serve the
+    // full verified pipeline
+    val pairs = Dedup.queries("dedup_minhash_verified")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val total = Tables.load(spark, sf, "documents").count()
     val dedup = Dedup.queries("dedup_exact")(spark, sf)

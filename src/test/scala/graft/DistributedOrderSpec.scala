@@ -27,16 +27,17 @@ class DistributedOrderSpec extends AnyFunSuite {
     assert(sizes.max - sizes.min <= 1)
   }
 
-  test("two-pass ntile scans orders once: the query reads the checkpointed keys") {
+  test("two-pass ntile scans are pruned to the single key column") {
     val df = graft.operators.Breadth.queries("window_ntile")(spark, sf)
-    // the quantile sketch already consumed the one parquet scan while
-    // materializing the keys projection; the query plan itself must read
-    // ONLY the checkpointed blocks — no second scan of the table
-    val plan = df.queryExecution.sparkPlan.toString
-    assert(!plan.toLowerCase.contains("parquet"),
-      s"ntile must not rescan the orders parquet:\n$plan")
-    assert(plan.contains("ExistingRDD") || plan.contains("LogicalRDD"),
-      s"expected the checkpointed keys scan in:\n$plan")
+    // every parquet scan in the plan must read ONLY o_orderkey — a scan
+    // that drags the other 8 order columns through the two passes would
+    // be reading ~10x the bytes at any scale
+    val plan = df.queryExecution.executedPlan.toString
+    val reads = "ReadSchema: struct<([^>]*)>".r
+      .findAllMatchIn(plan).map(_.group(1)).toSeq
+    assert(reads.nonEmpty, s"expected parquet scans in:\n$plan")
+    assert(reads.forall(r => r.contains("o_orderkey") && !r.contains(",")),
+      s"ntile scans must be pruned to o_orderkey, got $reads")
   }
 
   test("reduced-domain running sum equals the built-in RANGE-frame window") {
