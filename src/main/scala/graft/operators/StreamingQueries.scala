@@ -1,16 +1,16 @@
 package graft.operators
 
-import java.util.concurrent.atomic.AtomicInteger
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables.{load => T}
-import graft.streaming.AlertPipeline
+import graft.streaming.{AlertPipeline, AlertStateTable}
 
 /** The live pipeline (SURVEY.md §3.1) exercised end-to-end as a real
   * Structured Streaming job and exposed through the batch-query contract:
   * the events table is replayed through `readStream` → stateful
-  * K2/K3 routing → memory sink, and the final in-progress set is returned.
+  * K2/K3 routing → durable [[AlertStateTable]] merge, and the final
+  * in-progress set is read from the table's live snapshot.
   *
   * Because the state machine's fold (last-writer-wins by event time) is
   * confluent, the result equals the batch window query — so this query
@@ -22,10 +22,16 @@ object StreamingQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private val counter = new AtomicInteger()
-
   private val streamInProgress: Q = (s, d) => {
-    val name = s"graft_stream_${counter.incrementAndGet()}"
+    // the DURABLE sink, not a memory sink: each micro-batch merges into
+    // an AlertStateTable (the reference's Mongo collection as a lake
+    // table, AlertService.py:26-36) and the result is read back from the
+    // table's live snapshot. Nothing accumulates on the driver — the
+    // memory sink held one row per key per batch in driver memory,
+    // unbounded over batches; the table's merge is O(|batch|) segment
+    // appends with bounded compaction, all executor-side
+    val run = freshRunDir("graft_inprog_")
+    val tableDir = run.resolve("table").toString
     // ask the reader for raw nanos (LongType, via nanosAsLong) and rebuild
     // the NTZ timestamp exactly as Tables.load does for batch reads
     val schema = org.apache.spark.sql.types.StructType(
@@ -38,22 +44,37 @@ object StreamingQueries {
     val events = AlertPipeline.eventsTableAsAlerts(s,
       raw.withColumn("ts",
         expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
-    val q = AlertPipeline.updates(events, ttlSeconds = None)
-      .writeStream.outputMode("update")
-      .format("memory").queryName(name)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    // The memory table holds one update row per key per batch; keep each
-    // key's newest update, then the live ones form the in-progress set.
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("id"))
-      .orderBy(col("timestamp").desc, col("eventId").desc)
-    s.table(name)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1 && col("status") === "live")
+    val table = new AlertStateTable(tableDir)
+    withStreamingParallelism(s) {
+      val q = AlertStateTable.sink(events, table, ttlSeconds = None)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    table.snapshot(s)
       .select(col("id").cast("long").as("user_id"),
         col("eventId").cast("long").as("last_event_id"))
+  }
+
+  /** Run a drain-and-stop streaming replay with shuffle parallelism
+    * sized to the replay, not the box. The state-store instance count is
+    * fixed at the shuffle partition count when the checkpoint is
+    * created, and every micro-batch then pays (delta file + commit
+    * marker) × instances of fixed I/O however little data flows — at
+    * this replay's volume, 32 instances are pure overhead per 2-batch
+    * run. A long-running deployment sizes this to its cluster and keeps
+    * ONE checkpoint for the query's lifetime, so the per-batch constant
+    * amortizes; these registry replays create a fresh checkpoint per
+    * invocation, so the constant is the bill. The override spans the
+    * whole run (first-batch planning captures the conf asynchronously
+    * after `start()`), then the session value is restored.
+    */
+  private def withStreamingParallelism[A](s: SparkSession)(run: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try run finally s.conf.set(key, prev)
   }
 
   /** Watermarked tumbling-window counts executed as a real streaming job
@@ -68,28 +89,9 @@ object StreamingQueries {
     * streaming window semantics must equal SQL calendar bucketing.
     */
   private val streamWindowed: Q = (s, d) => {
-    // PER-PROCESS parent, previous runs of THIS process swept on entry:
-    // repeated invocations in one JVM must not accumulate orphan sink
-    // directories, but a fixed shared name would let a concurrent
-    // process (bench and verify overlapping) delete a live sibling's
-    // sink mid-query — the pid suffix makes the sweep race-free
-    val parent = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"),
-      s"graft_winstream_${ProcessHandle.current().pid()}")
-    // reclaim siblings orphaned by crashed/killed processes: a pid that
-    // no longer resolves to a live process can't own a live query, so
-    // deleting its dir races nobody — without this sweep, dirs from
-    // dead runs would accumulate in java.io.tmpdir forever (only each
-    // live process cleans its OWN dir below)
-    StreamingQueries.sweepDeadSiblings(parent.getParent)
-    if (java.nio.file.Files.exists(parent)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(parent).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
-    }
-    java.nio.file.Files.createDirectories(parent)
-    val out = java.nio.file.Files
-      .createTempDirectory(parent, "run").toString
+    val run = freshRunDir("graft_winstream_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     val schema = org.apache.spark.sql.types.StructType(
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
@@ -97,21 +99,24 @@ object StreamingQueries {
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    val q = raw
-      .withWatermark("ts", "1 hour")
-      .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
-        col("event_type"))
-      .agg(count(lit(1)).as("n"))
-      .select(unix_seconds(col("window.start")).as("hour_epoch"),
-        col("event_type"), col("n"))
-      .writeStream.outputMode("update")
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        batch.withColumn("batch_id", lit(batchId))
-          .write.mode("append").parquet(out)
-      }
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamingParallelism(s) {
+      val q = raw
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_seconds(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("hour_epoch"), col("event_type"))
       .orderBy(col("batch_id").desc)
@@ -119,6 +124,60 @@ object StreamingQueries {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("hour_epoch"), col("event_type"), col("n"))
+  }
+
+  /** A fresh per-invocation run directory under this process's
+    * `<prefix><pid>` parent, with all cleanup OFF the query clock:
+    *
+    *  - the previous invocation's parent is renamed aside (O(1)) and
+    *    deleted by a daemon thread — the old synchronous `Files.walk`
+    *    delete of a many-file sink dir billed the previous run's I/O to
+    *    this run's latency;
+    *  - dead-pid siblings and orphaned trash (crashed processes) are
+    *    reclaimed best-effort;
+    *  - the pid suffix keeps concurrent processes (bench and verify
+    *    overlapping) from ever deleting each other's live dirs.
+    *
+    * Queries also pass `run/chk` as an explicit checkpointLocation:
+    * Spark's auto-created TEMPORARY checkpoint is force-deleted
+    * recursively inside query shutdown — on the clock; a checkpoint
+    * inside the run dir rides the same deferred cleanup as the sink.
+    */
+  private def freshRunDir(prefix: String): java.nio.file.Path = {
+    val parent = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"$prefix${ProcessHandle.current().pid()}")
+    sweepDeadSiblings(parent.getParent, prefix)
+    // orphaned trash from crashed processes; racing a live async
+    // deleter is harmless (both sides deleteIfExists)
+    Option(parent.getParent.toFile.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(s".$prefix") &&
+        f.getName.contains(".trash-"))
+      .foreach(f => deleteRecursively(f.toPath))
+    if (java.nio.file.Files.exists(parent)) {
+      val trash = parent.resolveSibling(
+        s".${parent.getFileName}.trash-" +
+          java.util.UUID.randomUUID().toString.take(8))
+      try {
+        java.nio.file.Files.move(parent, trash)
+        val t = new Thread(() => deleteRecursively(trash),
+          s"graft-trash-${trash.getFileName}")
+        t.setDaemon(true)
+        t.start()
+      } catch { // rename refused: fall back to the synchronous delete
+        case _: java.io.IOException => deleteRecursively(parent)
+      }
+    }
+    java.nio.file.Files.createDirectories(parent)
+    java.nio.file.Files.createTempDirectory(parent, "run")
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p))
+      try java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      catch { case _: java.io.IOException => () } // best-effort reclaim
   }
 
   /** Delete `<prefix><pid>` siblings whose pid is dead — shared reclaim

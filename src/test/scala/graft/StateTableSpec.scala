@@ -163,6 +163,38 @@ class StateTableSpec extends AnyFunSuite {
     assert(t2.snapshot(spark).count() == 3)
   }
 
+  test("registry stream_inprogress routes through the durable table and equals the batch query") {
+    val sf = SparkTestSession.sf
+    val streamed = SparkEntry.queries("stream_inprogress")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed.nonEmpty)
+    // confluence: the stateful streaming path must agree with the
+    // declarative batch window query (they share a DuckDB oracle)
+    val batch = SparkEntry.queries("k23_inprogress_set")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch)
+    // and the registry query must leave NO driver-side memory-sink
+    // table behind — the durable AlertStateTable is the sink now, and
+    // its published live snapshot is what the query returns
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_stream_")),
+      "stream_inprogress must not register a memory-sink table")
+    val tables = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"),
+      s"graft_inprog_${ProcessHandle.current().pid()}")
+    assert(java.nio.file.Files.exists(tables),
+      "expected the durable table dir for this process")
+    val raw = new AlertStateTable(
+      java.nio.file.Files.list(tables).iterator().next()
+        .resolve("table").toString)
+      .snapshot(spark)
+      .select(org.apache.spark.sql.functions.col("id").cast("long"),
+        org.apache.spark.sql.functions.col("eventId").cast("long"))
+      .as[(Long, Long)].collect().toSet
+    assert(raw == streamed,
+      "the registry result must BE the durable table's live snapshot")
+  }
+
   test("re-merging the same updates is a no-op (at-least-once safety)") {
     val dir = Files.createTempDirectory("alert_table2").toString
     val table = new AlertStateTable(dir)
