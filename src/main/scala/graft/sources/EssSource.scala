@@ -396,6 +396,17 @@ object FrameTransport {
     */
   val ReconnectsMetric = "ess_reconnects"
 
+  /** Outage STATE, complementing [[ReconnectsMetric]]'s attempt COUNT:
+    * `ess_in_outage` is 1 from the moment a connection is lost until a
+    * socket reopens, and `ess_outage_since_epoch_ms` carries the outage
+    * start (0 while healthy) — the "currently down since T" an operator
+    * alerts on, which a monotonically growing attempt counter can't
+    * express. With several channels the gauges reflect the most recent
+    * transition (any lost connection raises them; any reopen clears).
+    */
+  val OutageGauge = "ess_in_outage"
+  val OutageSinceGauge = "ess_outage_since_epoch_ms"
+
   /** `java.net.http.WebSocket` transport. Sends `subscribe` (the ESS
     * subscription JSON carrying the event-type filter, F1) once the
     * socket opens — mirroring `ess_client.py:124` trigger registration.
@@ -448,6 +459,9 @@ object FrameTransport {
         def markLost(): Unit =
           if (open.compareAndSet(true, false)) {
             graft.streaming.Metrics.add(StatusGauge, -1.0)
+            graft.streaming.Metrics.set(OutageGauge, 1.0)
+            graft.streaming.Metrics.set(OutageSinceGauge,
+              System.currentTimeMillis().toDouble)
             scheduleReconnect()
           }
         val listener = new java.net.http.WebSocket.Listener {
@@ -456,6 +470,8 @@ object FrameTransport {
             open.set(true)
             attempt.set(0) // healthy again: next outage backs off from base
             graft.streaming.Metrics.add(StatusGauge, 1.0)
+            graft.streaming.Metrics.set(OutageGauge, 0.0)
+            graft.streaming.Metrics.set(OutageSinceGauge, 0.0)
             ws.request(1)
           }
           override def onText(ws: java.net.http.WebSocket,

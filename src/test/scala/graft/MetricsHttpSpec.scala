@@ -2,11 +2,19 @@ package graft
 
 import java.net.URI
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import org.scalatest.concurrent.Eventually.eventually
 import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.time.{Seconds, Span}
+import org.scalatest.time.SpanSugar._
+import graft.sources.FrameTransport
 import graft.streaming.{Metrics, MetricsHttp}
 
 /** GET /metrics serves the Prometheus text format from a live server. */
 class MetricsHttpSpec extends AnyFunSuite {
+
+  private implicit val patience: org.scalatest.concurrent.Eventually.PatienceConfig =
+    org.scalatest.concurrent.Eventually.PatienceConfig(
+      org.scalatest.time.Span(10, Seconds), 50.milliseconds)
 
   test("metrics endpoint serves gauges in Prometheus text format") {
     Metrics.reset()
@@ -44,5 +52,45 @@ class MetricsHttpSpec extends AnyFunSuite {
       assert(body.contains("graft_ess_dropped_frames 1.0"), body)
       assert(body.contains("graft_ess_reconnects 2.0"), body)
     } finally http.close()
+  }
+
+  test("outage STATE is scrapeable: in_outage rises through the kill window and clears on heal") {
+    Metrics.reset()
+    val server = new LoopbackWsServer
+    val http = new MetricsHttp(0)
+    def scrape(): String = HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(
+        URI.create(s"http://127.0.0.1:${http.boundPort}/metrics")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+    def gauge(body: String, name: String): Option[Double] =
+      ("(?m)^" + java.util.regex.Pattern.quote(name) + raw" (\S+)$$").r
+        .findFirstMatchIn(body).map(_.group(1).toDouble)
+    try {
+      val conn = FrameTransport
+        .webSocket(s"ws://127.0.0.1:${server.port}/", None,
+          reconnectBaseMs = 50, reconnectMaxMs = 400)
+        .connect(_ => ())
+      try {
+        assert(server.awaitConnected())
+        eventually {
+          assert(gauge(scrape(), "graft_ess_in_outage").contains(0.0))
+        }
+        // the kill window: an operator scraping /metrics must see the
+        // outage STATE (down since T), not just a grown attempt counter
+        server.dropConnection()
+        eventually {
+          val body = scrape()
+          assert(gauge(body, "graft_ess_in_outage").contains(1.0), body)
+          assert(gauge(body, "graft_ess_outage_since_epoch_ms").exists(_ > 0), body)
+        }
+        // self-heal closes the window: state returns to healthy
+        assert(server.awaitConnected(20), "transport never reconnected")
+        eventually {
+          val body = scrape()
+          assert(gauge(body, "graft_ess_in_outage").contains(0.0), body)
+          assert(gauge(body, "graft_ess_outage_since_epoch_ms").contains(0.0), body)
+        }
+      } finally conn.close()
+    } finally { http.close(); server.close() }
   }
 }
