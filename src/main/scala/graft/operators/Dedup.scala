@@ -35,7 +35,7 @@ object Dedup {
   /** Distinct word-3-gram shingles as (doc_id, shingle) rows.
     * `element_at` is 1-based, matching DuckDB `ws[i]`.
     */
-  private def shingleRows(df: DataFrame): DataFrame =
+  private[operators] def shingleRows(df: DataFrame): DataFrame =
     df.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         explode(when(size(col("ws")) >= 3,
@@ -65,7 +65,7 @@ object Dedup {
     * SAME scan + shuffle — e.g. the shingle count the verified pipeline
     * needs, so it doesn't pay a separate pass over the shingles).
     */
-  private def minhashSig(sh: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
+  private[operators] def minhashSig(sh: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
     val hashed = sh
       .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
       .withColumn("m1", md5(concat(lit("1:"), col("shingle")).cast("binary")))
@@ -75,14 +75,21 @@ object Dedup {
     hashed.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** LSH banding over signatures → distinct candidate pairs (equi-join). */
-  private def bandPairs(sig: DataFrame): DataFrame = {
-    val bands = sig.select(col("doc_id"),
+  /** LSH band keys of a signature table: `(doc_id, band, key)` — the
+    * join domain for both the batch pair query and the streaming
+    * ingest-time dedup.
+    */
+  private[operators] def bandKeys(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
       explode(array((0 until Bands).map(b => struct(
         lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
           .cast("binary")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+  /** LSH banding over signatures → distinct candidate pairs (equi-join). */
+  private def bandPairs(sig: DataFrame): DataFrame = {
+    val bands = bandKeys(sig)
     val l = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
     val r = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))
     l.join(r, Seq("band", "key")).filter(col("a_id") < col("b_id"))

@@ -126,6 +126,75 @@ object StreamingQueries {
       .select(col("hour_epoch"), col("event_type"), col("n"))
   }
 
+  /** Ingest-time near-dup detection — dedup AT THE DOOR, the shape a
+    * 100 TB training pipeline actually runs: every arriving micro-batch
+    * of documents is shingled and minhash-banded ONCE, its band keys are
+    * appended to a durable band log (the incrementally-maintained face
+    * of the shared signature table), and the batch's bands are
+    * equi-joined against everything ingested so far — so each new doc
+    * is checked against the WHOLE corpus for the cost of its own bands,
+    * never by re-scanning old documents.
+    *
+    * Confluence: a pair is emitted exactly when its later-arriving
+    * endpoint's batch joins it against the log, so the union over any
+    * batching equals the all-at-once batch LSH query — this query
+    * shares `dedup_minhash_lsh`'s DuckDB oracle (and the multi-batch
+    * equality is spec-asserted with a 3-batch MemoryStream ingest).
+    *
+    * At-least-once safety: a replayed batch re-appends its bands and
+    * re-emits its pairs; `n_bands` counts DISTINCT band indexes so
+    * duplicate band rows can't inflate it, and the final per-pair fold
+    * is idempotent.
+    */
+  private val streamDedupIngest: Q = (s, d) => {
+    val run = freshRunDir("graft_ingest_")
+    val bandsDir = run.resolve("bands").toString
+    val pairsDir = run.resolve("pairs").toString
+    val schema = T(s, d, "documents").schema
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "documents.parquet").parquet(d)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          ingestDedupBatch(batch, bandsDir, pairsDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    readIngestPairs(s, pairsDir)
+  }
+
+  /** One ingest step: band the batch, append to the log, join the
+    * batch's bands against the full log (which now includes them — a
+    * same-batch pair is found too, folded once by the least/greatest
+    * normalization + distinct-band count).
+    */
+  private[graft] def ingestDedupBatch(batch: DataFrame,
+      bandsDir: String, pairsDir: String): Unit = {
+    val bands = Dedup.bandKeys(Dedup.minhashSig(Dedup.shingleRows(batch)))
+    bands.write.mode("append").parquet(bandsDir)
+    val all = batch.sparkSession.read.parquet(bandsDir)
+    bands.select(col("doc_id").as("x_id"), col("band"), col("key"))
+      .join(all.select(col("doc_id").as("y_id"), col("band"), col("key")),
+        Seq("band", "key"))
+      .filter(col("x_id") =!= col("y_id"))
+      .select(least(col("x_id"), col("y_id")).as("a_id"),
+        greatest(col("x_id"), col("y_id")).as("b_id"), col("band"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(countDistinct(col("band")).as("n_bands"))
+      .write.mode("append").parquet(pairsDir)
+  }
+
+  /** The accumulated near-dup pairs (idempotent under batch replay). */
+  private[graft] def readIngestPairs(s: SparkSession,
+      pairsDir: String): DataFrame =
+    s.read.schema("a_id BIGINT, b_id BIGINT, n_bands BIGINT")
+      .parquet(pairsDir)
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(max(col("n_bands")).as("n_bands"))
+
   /** A fresh per-invocation run directory under this process's
     * `<prefix><pid>` parent, with all cleanup OFF the query clock:
     *
@@ -203,6 +272,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "stream_inprogress" -> streamInProgress,
     "stream_windowed_counts" -> streamWindowed,
+    "stream_dedup_ingest" -> streamDedupIngest,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -214,5 +284,7 @@ object StreamingQueries {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // ingest-time dedup is confluent with the all-at-once LSH pair query
+    "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
   )
 }

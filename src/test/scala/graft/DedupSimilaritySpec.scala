@@ -85,6 +85,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
+  test("ingest-time dedup over 3 micro-batches equals the all-at-once LSH pair query") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val run = java.nio.file.Files.createTempDirectory("ingest_spec")
+    val bandsDir = run.resolve("bands").toString
+    val pairsDir = run.resolve("pairs").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)](spark)
+    val q = mem.toDF().toDF("doc_id", "text")
+      .writeStream.outputMode("append")
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        graft.operators.StreamingQueries.ingestDedupBatch(b, bandsDir, pairsDir)
+      }
+      .start()
+    try {
+      // arrival order deliberately differs from id order: a near-dup
+      // pair's endpoints land in different batches in either order
+      (0 until 3).foreach { i =>
+        mem.addData(docs.filter(_._1 % 3 == i.toLong).toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val got = graft.operators.StreamingQueries
+      .readIngestPairs(spark, pairsDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val total = Tables.load(spark, sf, "documents").count()
     val dedup = Dedup.queries("dedup_exact")(spark, sf)
