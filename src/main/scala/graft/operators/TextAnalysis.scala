@@ -15,19 +15,19 @@ object TextAnalysis {
 
   type Q = (SparkSession, String) => DataFrame
 
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private[operators] def words(c: Column): Column = split(trim(c), "\\s+")
 
   /** Stopword-ish marker sets per language for the n-gram/stopword
     * heuristic language ID. Deterministic tie-break: priority order below.
     */
-  private val langMarkers: Seq[(String, Seq[String])] = Seq(
+  private[operators] val langMarkers: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "is", "a"),
     "es" -> Seq("el", "la", "de", "que", "y"),
     "fr" -> Seq("le", "la", "et", "les", "des"),
     "de" -> Seq("der", "die", "und", "das", "ist"),
   )
 
-  private def markerCount(ws: Column, markers: Seq[String]): Column =
+  private[operators] def markerCount(ws: Column, markers: Seq[String]): Column =
     size(filter(ws, w => w.isin(markers.map(lit): _*))).cast("long")
 
   /** Token count: whitespace tokenization (the BPE-ish regex variant is
@@ -59,15 +59,22 @@ object TextAnalysis {
   /** Language ID: argmax of per-language marker counts with fixed
     * priority order on ties.
     */
-  private val langid: Q = (s, d) => {
-    val ws = words(col("text"))
-    val scores = langMarkers.map { case (l, m) => l -> markerCount(ws, m) }
-    val best = scores.tail.foldLeft[Column](lit(scores.head._1)) {
+  /** Argmax with fixed priority order on ties: a later language wins
+    * only on a STRICTLY greater score than the running max of earlier
+    * ones — shared by the langid query and the corpus-build gate.
+    */
+  private[operators] def langGuessCol(scores: Seq[(String, Column)]): Column =
+    scores.tail.foldLeft[Column](lit(scores.head._1)) {
       case (acc, (l, sc)) =>
         // l wins only if strictly greater than all earlier scores
         when(scores.takeWhile(_._1 != l).map(_._2).reduce(greatest(_, _)) < sc,
           lit(l)).otherwise(acc)
     }
+
+  private val langid: Q = (s, d) => {
+    val ws = words(col("text"))
+    val scores = langMarkers.map { case (l, m) => l -> markerCount(ws, m) }
+    val best = langGuessCol(scores)
     T(s, d, "documents").select(
       col("doc_id") +:
         (scores.map { case (l, sc) => sc.as(s"score_$l") } :+
@@ -173,17 +180,13 @@ object TextAnalysis {
 
   // ---- DuckDB oracles -----------------------------------------------------
 
-  private def sqlMarkerCount(markers: Seq[String]): String =
+  private[operators] def sqlMarkerCount(markers: Seq[String]): String =
     s"len(list_filter(regexp_split_to_array(trim(text), '\\s+'), " +
       s"w -> w IN (${markers.map(m => s"'$m'").mkString(", ")})))"
 
-  private val langidOracle: String = {
-    val scoreCols = langMarkers
-      .map { case (l, m) => s"${sqlMarkerCount(m)} AS score_$l" }
-      .mkString(",\n  ")
-    // same fold as the Spark side: later language wins only on strictly
-    // greater score than the running max of earlier ones
-    val best = langMarkers.tail.foldLeft(s"'${langMarkers.head._1}'") {
+  /** SQL twin of [[langGuessCol]] over `score_<lang>` columns. */
+  private[operators] def langGuessSql: String =
+    langMarkers.tail.foldLeft(s"'${langMarkers.head._1}'") {
       case (acc, (l, _)) =>
         val earlier = langMarkers.takeWhile(_._1 != l)
           .map(x => s"score_${x._1}")
@@ -192,10 +195,16 @@ object TextAnalysis {
           else s"greatest(${earlier.mkString(", ")})"
         s"CASE WHEN $maxEarlier < score_$l THEN '$l' ELSE $acc END"
     }
+
+  /** SQL `score_<lang>` projections over `documents`. */
+  private[operators] def langScoreColsSql: String = langMarkers
+    .map { case (l, m) => s"${sqlMarkerCount(m)} AS score_$l" }
+    .mkString(",\n  ")
+
+  private val langidOracle: String =
     s"""SELECT doc_id, score_en, score_es, score_fr, score_de,
-       |  $best AS lang_guess
-       |FROM (SELECT doc_id, $scoreCols FROM documents)""".stripMargin
-  }
+       |  $langGuessSql AS lang_guess
+       |FROM (SELECT doc_id, $langScoreColsSql FROM documents)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_chunking" ->
