@@ -29,23 +29,30 @@ object Bench {
     // first and the best-of-2 min discards it invisibly. Adoption of
     // files a previous process built is legitimate amortization and
     // shows up here as a genuinely small number.
-    val tBuild = System.nanoTime()
-    val builtFresh =
-      try graft.operators.Dedup.ensureSharedTables(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] shared build failed: ${e.getMessage}")
-        false
-      }
-    val buildSec = (System.nanoTime() - tBuild) / 1e9
-    System.err.println(
-      f"[bench] dedup_shared_build $buildSec%.3f s (fresh=$builtFresh)")
+    def timedBuild(name: String)(build: => Boolean): (String, Double) = {
+      val t0 = System.nanoTime()
+      val fresh =
+        try build
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name $sec%.3f s (fresh=$fresh)")
+      name -> sec
+    }
+    val builds = Seq(
+      timedBuild("dedup_shared_build")(
+        graft.operators.Dedup.ensureSharedTables(spark, sfDir)),
+      timedBuild("ivf_shared_build")(
+        graft.operators.Similarity.ensureIvfArtifacts(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    val results = Seq("dedup_shared_build" -> buildSec) ++
+    val results = builds ++
       selected.map { case (name, fn) =>
       // drain the previous query's garbage so its GC debt doesn't land on
       // this query's clock (all-pairs joins allocate heavily)

@@ -180,22 +180,63 @@ object Similarity {
     * `probes` (q_id, cid — the NProbe nearest lists per query) and
     * `queries` (q_id, qv, qn).
     */
+  /** The TRAINED index as a published [[SharedArtifacts]] artifact:
+    * `centroids` (cid, cv) and the inverted `lists` (vec_id, cid),
+    * keyed by the embeddings table's content fingerprint. Training runs
+    * ONCE per (dataset, content version) — every later invocation, in
+    * any session or process, adopts the files: an ANN index at 100 TB
+    * is maintained infrastructure, not a per-query recomputation. The
+    * inverted lists are re-derived from the WRITTEN centroids, so index
+    * and quantizer can never drift.
+    */
+  private def ivfArtifacts(s: SparkSession, d: String,
+      e: DataFrame): (DataFrame, DataFrame) = {
+    val key = SharedArtifacts.fingerprint(d, "embeddings.parquet")
+    val base = SharedArtifacts.root.resolve(s"ivf_$key")
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
+        .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
+          col("v").as("cv"))
+      val assign0 = nearestCentroid(e, seeds).join(e, Seq("vec_id"))
+      // one Lloyd step: new centroid = mean of its assigned vectors
+      assign0
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cid"))
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+        .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
+      nearestCentroid(e,
+        s.read.parquet(staging.resolve("centroids").toString))
+        .write.mode("overwrite").parquet(staging.resolve("lists").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    (s.read.parquet(base.resolve("centroids").toString),
+      s.read.parquet(base.resolve("lists").toString))
+  }
+
+  /** Eagerly train (or adopt) the shared IVF index for `d`, returning
+    * true if this call did the training — the bench's visibility hook,
+    * like [[Dedup.ensureSharedTables]].
+    */
+  def ensureIvfArtifacts(s: SparkSession, d: String): Boolean = {
+    val key = SharedArtifacts.fingerprint(d, "embeddings.parquet")
+    val existed =
+      SharedArtifacts.isReady(SharedArtifacts.root.resolve(s"ivf_$key"))
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    ivfArtifacts(s, d, e)
+    !existed
+  }
+
   def ivfModel(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
-    val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
-      .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
-        col("v").as("cv"))
-    val assign0 = nearestCentroid(e, seeds).join(e, Seq("vec_id"))
-    // one Lloyd step: new centroid = mean of its assigned vectors
-    val centroids = assign0
-      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
-      .groupBy(col("cid"))
-      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-      .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+    val (centroids, _) = ivfArtifacts(s, d, e)
     val q = e.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"),
         col("nrm").as("qn"))
@@ -210,9 +251,8 @@ object Similarity {
   }
 
   private val annIvf: Q = (s, d) => {
-    val (e, centroids, probes, q) = ivfModel(s, d)
-    // --- build inverted lists & probe ----------------------------------
-    val lists = nearestCentroid(e, centroids) // (vec_id, cid): inverted index
+    val (e, _, probes, q) = ivfModel(s, d)
+    val lists = ivfArtifacts(s, d, e)._2 // (vec_id, cid): inverted index
     val candidates = lists
       .join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
