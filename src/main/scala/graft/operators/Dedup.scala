@@ -373,8 +373,52 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Near-dup CLUSTERS: the connected components of the verified-pair
+    * graph, labeled by each component's smallest doc_id — the grouping a
+    * training pipeline needs when duplicates chain (a~b, b~c but a‖c):
+    * per-PAIR greedy dropping is order-dependent; per-COMPONENT
+    * keep-one is canonical.
+    *
+    * Distributed min-label propagation: every node starts as its own
+    * label, and each round every node takes the min of its neighbors'
+    * labels (one equi-join + one groupBy per round — no driver-side
+    * graph). Rounds needed = the component diameter; near-dup clusters
+    * are small by construction (they are sets of near-copies), and the
+    * fixpoint check is a cheap count per round with a hard cap as a
+    * backstop. The DuckDB oracle computes the same components with a
+    * recursive CTE.
+    */
+  private val MaxComponentRounds = 25
+
+  private val components: Q = (s, d) => {
+    val pairs = minhashVerified(s, d).select(col("a_id"), col("b_id"))
+    val edges = pairs.union(
+      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("u", "v")
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id"))
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxComponentRounds) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
+        .select(col("u").as("doc_id"), col("comp"))
+      val next = labels.union(viaNeighbors)
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+      // fixpoint: no node's label improved this round
+      val changed = next.withColumnRenamed("comp", "nc")
+        .join(labels, Seq("doc_id"))
+        .filter(col("nc") < col("comp")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      round += 1
+    }
+    labels.select(col("doc_id"), col("comp").as("component"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
+    "dedup_components" -> components,
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -476,8 +520,22 @@ object Dedup {
        |WHERE i * 1.0 / (x.n + y.n - i) >= 0.8""".stripMargin
   }
 
+  /** Transitive closure over the verified-pair graph via recursive CTE;
+    * component = min reachable node (including self).
+    */
+  private val componentsOracle: String =
+    s"""WITH RECURSIVE vp AS (${minhashVerifiedOracle}),
+       |edges AS (SELECT a_id AS u, b_id AS v FROM vp
+       |          UNION ALL SELECT b_id, a_id FROM vp),
+       |reach(u, v) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
+       |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash_verified" -> minhashVerifiedOracle,
+    "dedup_components" -> componentsOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
