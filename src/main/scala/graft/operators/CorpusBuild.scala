@@ -69,7 +69,67 @@ object CorpusBuild {
       .select(col("doc_id"), col("n_words"), col("fingerprint"))
   }
 
-  val queries: Map[String, Q] = Map("corpus_build" -> corpus)
+  private val TopNgrams = 50
+
+  /** Corpus bigram statistics: the top-[[TopNgrams]] most frequent word
+    * 2-grams with a TOTAL tie-break order (count desc, then ngram), so
+    * the cut at rank 50 is deterministic on both engines. One explode +
+    * one count shuffle + a top-k sort of the (tiny) distinct-ngram
+    * domain — corpus-size-independent output.
+    */
+  private val ngrams: Q = (s, d) => {
+    val ws = TextAnalysis.words(col("text"))
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array())
+    T(s, d, "documents")
+      .select(explode(grams).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(TopNgrams)
+  }
+
+  private val EvalBoundary = 50 // doc_id < 50 plays the held-out eval set
+  private val ContainFloor = 0.5
+
+  /** Eval-set contamination check — the decontamination pass every
+    * training pipeline runs before shipping a corpus: for each
+    * "benchmark" document (doc_id < [[EvalBoundary]] stands in for the
+    * held-out set), find training documents that CONTAIN it — shingle
+    * containment |eval ∩ train| / |eval| ≥ [[ContainFloor]]. Asymmetric
+    * on purpose: a training doc that merely embeds the eval text is
+    * contamination even when Jaccard (symmetric) stays low because the
+    * training doc is long.
+    *
+    * Reads the SHARED shingle table — the same materialization every
+    * dedup job amortizes; the join is an equi-join on shingle with the
+    * (tiny) eval side, so at 100 TB it is one shuffle of the eval
+    * shingles against a pruned scan of the corpus shingles.
+    */
+  private val contamination: Q = (s, d) => {
+    val sh = Dedup.sharedShingles(s, d)
+    val eval = sh.filter(col("doc_id") < EvalBoundary)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val train = sh.filter(col("doc_id") >= EvalBoundary)
+      .select(col("doc_id").as("train_id"), col("shingle"))
+    val overlap = eval.join(train, Seq("shingle"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("overlap"))
+    val evalSizes = eval.groupBy(col("eval_id"))
+      .agg(count(lit(1)).as("eval_n"))
+    overlap.join(evalSizes, Seq("eval_id"))
+      .withColumn("containment",
+        col("overlap").cast("double") / col("eval_n"))
+      .filter(col("containment") >= ContainFloor)
+      .select(col("eval_id"), col("train_id"),
+        round(col("containment"), 4).as("containment"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "corpus_build" -> corpus,
+    "corpus_ngrams" -> ngrams,
+    "contamination_check" -> contamination)
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -96,5 +156,30 @@ object CorpusBuild {
        |WHERE doc_id NOT IN (SELECT b_id FROM losers)""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map("corpus_build" -> corpusOracle)
+  private val ngramsOracle: String =
+    s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+       |           FROM documents),
+       |g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram
+       |      FROM w, unnest(generate_series(1, len(ws) - 1)) t(i))
+       |SELECT ngram, count(*) AS n FROM g GROUP BY 1
+       |ORDER BY n DESC, ngram LIMIT $TopNgrams""".stripMargin
+
+  private val contaminationOracle: String =
+    s"""WITH ${Dedup.shingleCteSql},
+       |ev AS (SELECT doc_id AS eval_id, shingle FROM sh
+       |       WHERE doc_id < $EvalBoundary),
+       |tr AS (SELECT doc_id AS train_id, shingle FROM sh
+       |       WHERE doc_id >= $EvalBoundary),
+       |ov AS (SELECT eval_id, train_id, count(*) AS overlap
+       |       FROM ev JOIN tr USING (shingle) GROUP BY 1, 2),
+       |sz AS (SELECT eval_id, count(*) AS eval_n FROM ev GROUP BY 1)
+       |SELECT eval_id, train_id,
+       |  round(overlap * 1.0 / eval_n, 4) AS containment
+       |FROM ov JOIN sz USING (eval_id)
+       |WHERE overlap * 1.0 / eval_n >= $ContainFloor""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "corpus_build" -> corpusOracle,
+    "corpus_ngrams" -> ngramsOracle,
+    "contamination_check" -> contaminationOracle)
 }

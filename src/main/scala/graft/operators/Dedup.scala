@@ -340,6 +340,16 @@ object Dedup {
                |LOCATION '${path.toString}'""".stripMargin)
     }
 
+  /** The shared materialized shingle table — exposed for corpus-level
+    * consumers (the contamination check) so they amortize the same
+    * materialization every dedup job uses.
+    */
+  private[operators] def sharedShingles(s: SparkSession, d: String): DataFrame =
+    sharedTables(s, d)._1
+
+  /** The shingle CTE as SQL, for oracles composing over shingles. */
+  private[operators] def shingleCteSql: String = shingleCte
+
   /** Eagerly build (or adopt) the shared tables for `d`, returning true
     * if this call did the build — the bench's hook for charging the
     * materialization cost to a visible line item instead of whichever
