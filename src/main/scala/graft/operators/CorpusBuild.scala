@@ -78,12 +78,16 @@ object CorpusBuild {
     * domain — corpus-size-independent output.
     */
   private val ngrams: Q = (s, d) => {
-    val ws = TextAnalysis.words(col("text"))
+    // split ONCE into a materialized `ws` column before indexing into
+    // it — inlining `words(text)` under the transform lambda would
+    // re-split the document for every element_at (O(words²) per doc)
+    val ws = col("ws")
     val grams = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
       .otherwise(array())
     T(s, d, "documents")
+      .select(TextAnalysis.words(col("text")).as("ws"))
       .select(explode(grams).as("ngram"))
       .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
@@ -103,9 +107,10 @@ object CorpusBuild {
     * training doc is long.
     *
     * Reads the SHARED shingle table — the same materialization every
-    * dedup job amortizes; the join is an equi-join on shingle with the
-    * (tiny) eval side, so at 100 TB it is one shuffle of the eval
-    * shingles against a pruned scan of the corpus shingles.
+    * dedup job amortizes. The eval side is BROADCAST (a held-out set is
+    * small by definition), so the corpus-sized train side never
+    * shuffles: candidates match map-side and only the matched rows —
+    * bounded by eval's shingle count — reach the pair aggregation.
     */
   private val contamination: Q = (s, d) => {
     val sh = Dedup.sharedShingles(s, d)
@@ -113,7 +118,7 @@ object CorpusBuild {
       .select(col("doc_id").as("eval_id"), col("shingle"))
     val train = sh.filter(col("doc_id") >= EvalBoundary)
       .select(col("doc_id").as("train_id"), col("shingle"))
-    val overlap = eval.join(train, Seq("shingle"))
+    val overlap = broadcast(eval).join(train, Seq("shingle"))
       .groupBy(col("eval_id"), col("train_id"))
       .agg(count(lit(1)).as("overlap"))
     val evalSizes = eval.groupBy(col("eval_id"))
@@ -126,10 +131,98 @@ object CorpusBuild {
         round(col("containment"), 4).as("containment"))
   }
 
+  private val TfidfTopK = 3
+
+  /** Per-document top-[[TfidfTopK]] terms by a TF-IDF-style rarity
+    * score. The rank key is `tf/df` kept in INTEGER arithmetic
+    * (`tf * 1e6 div df`) rather than the textbook `tf·log(N/df)` — the
+    * monotone-in-df spirit is the same, but integer division means both
+    * engines order identically with zero float/log cross-engine risk;
+    * ties break on the term string.
+    *
+    * Scale shape: one explode + (doc_id, term) count shuffle, a second
+    * agg over the term domain for df, an equi-join back on term (term
+    * domain ≪ corpus; AQE may broadcast), and a per-doc top-k window —
+    * every stage keyed, nothing quadratic, no driver collection.
+    */
+  private val tfidf: Q = (s, d) => {
+    val tf = T(s, d, "documents")
+      .select(col("doc_id"), explode(TextAnalysis.words(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(dfreq, Seq("term"))
+      .withColumn("score_scaled", expr("tf * 1000000 div df"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score_scaled").desc, col("term"))))
+      .filter(col("_rk") <= TfidfTopK)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        col("score_scaled"))
+  }
+
+  private val TopPairs = 50
+
+  /** Tokenizer-training step one: the top-[[TopPairs]] adjacent
+    * character pairs inside words — the merge candidates the first BPE
+    * iteration would fuse. Total tie-break (count desc, then pair) makes
+    * the rank-50 cut deterministic. Same shape as [[ngrams]]: explode,
+    * one count shuffle, top-k over the tiny distinct-pair domain.
+    */
+  private val bpePairs: Q = (s, d) => {
+    val w = col("w")
+    val pairs = when(length(w) >= 2,
+      transform(sequence(lit(1), length(w) - 1), i => w.substr(i, lit(2))))
+      .otherwise(array())
+    T(s, d, "documents")
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .select(explode(pairs).as("pair"))
+      .groupBy(col("pair")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(TopPairs)
+  }
+
+  private val StrataQuota = 100
+  private val SampleSalts = 32
+
+  /** Stratified corpus sampling — a fixed per-`source` quota drawn
+    * DETERMINISTICALLY by md5(doc_id) order, the reproducible version of
+    * the per-domain mixing draw a corpus recipe specifies. No RNG: the
+    * hash IS the shuffle, so reruns (and the DuckDB oracle) pick the
+    * identical sample.
+    *
+    * Scale shape: a naive `row_number over (partition by source)` puts
+    * every row of a stratum through one task — the 100 TB killer when
+    * strata are few and large. Two-phase instead: rows first compete
+    * inside (source, doc_id mod [[SampleSalts]]) salt groups, each
+    * keeping its local top-[[StrataQuota]]; the global top-k per source
+    * is then decided among the ≤ salts·quota survivors. Exact by the
+    * top-k-of-unions argument (a row outside its salt's top-k cannot be
+    * in the global top-k, since its salt alone already has quota better
+    * rows); the heavy pass is salt-parallel, the exact pass is tiny.
+    */
+  private val stratified: Q = (s, d) => {
+    val h = md5(col("doc_id").cast("string").cast("binary"))
+    val base = T(s, d, "documents")
+      .select(col("source"), col("doc_id"), h.as("sample_key"),
+        pmod(col("doc_id"), lit(SampleSalts)).as("_salt"))
+    val local = base.withColumn("_rk", row_number().over(
+        Window.partitionBy(col("source"), col("_salt"))
+          .orderBy(col("sample_key"), col("doc_id"))))
+      .filter(col("_rk") <= StrataQuota)
+    local.withColumn("_gk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("sample_key"), col("doc_id"))))
+      .filter(col("_gk") <= StrataQuota)
+      .select(col("source"), col("doc_id"), col("sample_key"))
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
-    "contamination_check" -> contamination)
+    "contamination_check" -> contamination,
+    "corpus_tfidf" -> tfidf,
+    "corpus_bpe_pairs" -> bpePairs,
+    "sample_stratified" -> stratified)
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -178,8 +271,43 @@ object CorpusBuild {
        |FROM ov JOIN sz USING (eval_id)
        |WHERE overlap * 1.0 / eval_n >= $ContainFloor""".stripMargin
 
+  private val tfidfOracle: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, w.term, count(*) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |        FROM documents) w
+       |  GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT doc_id, tf.term, tf, df, tf * 1000000 // df AS score_scaled
+       |  FROM tf JOIN dfreq USING (term))
+       |SELECT doc_id, term, tf, df, score_scaled FROM scored
+       |QUALIFY row_number() OVER (PARTITION BY doc_id
+       |  ORDER BY score_scaled DESC, term) <= $TfidfTopK""".stripMargin
+
+  private val bpePairsOracle: String =
+    s"""WITH w AS (SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |           FROM documents),
+       |p AS (SELECT substring(w, CAST(i AS INT), 2) AS pair
+       |      FROM w, unnest(generate_series(1, length(w) - 1)) t(i)
+       |      WHERE length(w) >= 2)
+       |SELECT pair, count(*) AS n FROM p GROUP BY 1
+       |ORDER BY n DESC, pair LIMIT $TopPairs""".stripMargin
+
+  private val stratifiedOracle: String =
+    s"""SELECT source, doc_id, sample_key FROM (
+       |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS sample_key,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+       |  FROM documents)
+       |WHERE rk <= $StrataQuota""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
-    "contamination_check" -> contaminationOracle)
+    "contamination_check" -> contaminationOracle,
+    "corpus_tfidf" -> tfidfOracle,
+    "corpus_bpe_pairs" -> bpePairsOracle,
+    "sample_stratified" -> stratifiedOracle)
 }

@@ -401,12 +401,17 @@ object Dedup {
   private val MaxComponentRounds = 25
 
   private val components: Q = (s, d) => {
+    // The loop below drives ACTIONS (the fixpoint count each round), so
+    // without persistence round N would recompute the whole verified-
+    // pair pipeline plus N-1 prior joins — O(rounds²) work. Persist the
+    // edge list once and each round's label table; unpersist the
+    // superseded generation as soon as its successor is materialized.
     val pairs = minhashVerified(s, d).select(col("a_id"), col("b_id"))
     val edges = pairs.union(
       pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("u", "v")
+      .toDF("u", "v").persist()
     var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id"))
+      .withColumn("comp", col("doc_id")).persist()
     var converged = false
     var round = 0
     while (!converged && round < MaxComponentRounds) {
@@ -415,14 +420,21 @@ object Dedup {
         .select(col("u").as("doc_id"), col("comp"))
       val next = labels.union(viaNeighbors)
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-      // fixpoint: no node's label improved this round
+        .persist()
+      // fixpoint: no node's label improved this round (this count also
+      // materializes `next`, so the unpersist below never forces a
+      // recompute of the dropped generation)
       val changed = next.withColumnRenamed("comp", "nc")
         .join(labels, Seq("doc_id"))
         .filter(col("nc") < col("comp")).limit(1).count()
+      labels.unpersist(blocking = false)
       converged = changed == 0
       labels = next
       round += 1
     }
+    // safe: the final labels generation is persisted AND materialized,
+    // so the caller's action reads the cache and never re-walks edges
+    edges.unpersist(blocking = false)
     labels.select(col("doc_id"), col("comp").as("component"))
   }
 

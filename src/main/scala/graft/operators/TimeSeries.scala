@@ -89,11 +89,58 @@ object TimeSeries {
     graft.streaming.WindowedAggs.sessionWindows(
       T(s, d, "events").select(col("user_id"), col("ts")))
 
+  private val IjMaxUser = 40    // bound the audit's pair universe
+  private val IjBinSecs = 3600L // 1-hour overlap bins
+
+  /** Interval-overlap join: which users' sessions were live at the same
+    * time — session pairs (a, b), a.user < b.user, whose [start, end]
+    * ranges intersect, with the overlap length in seconds.
+    *
+    * Scale shape: a naive range join (`a.s <= b.e AND b.s <= a.e`) plans
+    * as a nested-loop over all session pairs — quadratic. Instead each
+    * interval explodes into the [[IjBinSecs]]-wide time bins it spans,
+    * candidates meet in an EQUI-join on the bin id, the exact overlap
+    * predicate filters, and `distinct` collapses pairs that share
+    * several bins. Cost is O(pairs that actually share an hour), not
+    * O(all pairs) — the standard binned range-join that survives 100×.
+    * Sessions reuse [[sessionize]]'s lag/cumsum assignment (integer
+    * epoch seconds throughout, so both engines agree exactly).
+    */
+  private val intervalJoin: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = T(s, d, "events")
+      .filter(col("user_id") < IjMaxUser)
+      .withColumn("sec", unix_seconds(col("ts").cast("timestamp")))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev").isNull || col("sec") - col("prev") > GapSeconds, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("s"), max(col("sec")).as("e"))
+    val binned = sess.withColumn("bin",
+      explode(expr(s"sequence(s div $IjBinSecs, e div $IjBinSecs)")))
+    val a = binned.select(col("user_id").as("user_a"), col("sid").as("sess_a"),
+      col("s").as("a_s"), col("e").as("a_e"), col("bin"))
+    val b = binned.select(col("user_id").as("user_b"), col("sid").as("sess_b"),
+      col("s").as("b_s"), col("e").as("b_e"), col("bin"))
+    a.join(b, Seq("bin"))
+      .filter(col("user_a") < col("user_b") &&
+        col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_secs"))
+      .distinct()
+  }
+
   val queries: Map[String, Q] = Map(
     "asof_join" -> asofJoin,
     "sessionize" -> sessionize,
     "sessionize_native" -> sessionizeNative,
     "gapfill_hours" -> gapfill,
+    "interval_join" -> intervalJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -147,5 +194,27 @@ object TimeSeries {
         |SELECT CAST(floor(epoch(spine.h)) AS BIGINT) AS hour_epoch,
         |  coalesce(n, 0) AS n
         |FROM spine LEFT JOIN hourly ON spine.h = hourly.h""".stripMargin,
+    "interval_join" ->
+      s"""WITH f AS (SELECT * FROM events WHERE user_id < $IjMaxUser),
+         |m AS (SELECT user_id, ts, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+         |    CASE WHEN lag(ts) OVER w IS NULL
+         |           OR CAST(floor(epoch(ts)) AS BIGINT)
+         |              - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+         |              > $GapSeconds
+         |         THEN 1 ELSE 0 END AS ns
+         |  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |c AS (SELECT user_id, sec,
+         |    CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS sid
+         |  FROM m),
+         |sess AS (SELECT user_id, sid, min(sec) AS s, max(sec) AS e
+         |         FROM c GROUP BY 1, 2)
+         |SELECT a.user_id AS user_a, a.sid AS sess_a,
+         |  b.user_id AS user_b, b.sid AS sess_b,
+         |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_secs
+         |FROM sess a JOIN sess b
+         |  ON a.user_id < b.user_id AND a.s <= b.e AND b.s <= a.e""".stripMargin,
   )
 }

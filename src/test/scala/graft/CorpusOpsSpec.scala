@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Exactness proofs for the scale-shaped corpus operators: each
+  * distributed formulation must equal its naive (single-task /
+  * nested-loop) reference on the same data — the shapes differ only in
+  * how they distribute, never in what they return.
+  */
+class CorpusOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+
+  test("sample_stratified two-phase salted top-k equals the naive per-stratum window") {
+    val got = SparkEntry.queries("sample_stratified")(spark, sf)
+    val docs = Tables.load(spark, sf, "documents")
+    val naive = docs
+      .select(col("source"), col("doc_id"),
+        md5(col("doc_id").cast("string").cast("binary")).as("sample_key"))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("sample_key"), col("doc_id"))))
+      .filter(col("_rk") <= 100).drop("_rk")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("sample_stratified draws at most the quota per stratum") {
+    val over = SparkEntry.queries("sample_stratified")(spark, sf)
+      .groupBy("source").count().filter(col("count") > 100)
+    assert(over.isEmpty)
+  }
+
+  test("interval_join binned equi-join equals the naive range join") {
+    val got = SparkEntry.queries("interval_join")(spark, sf)
+    // naive range join over the same session table: rebuild sessions,
+    // then join on the raw inequality predicate (nested-loop — fine at
+    // spec scale, the thing the binned shape exists to avoid at 100 TB)
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val sess = Tables.load(spark, sf, "events")
+      .filter(col("user_id") < 40)
+      .withColumn("sec", unix_seconds(col("ts").cast("timestamp")))
+      .withColumn("prev", lag(col("sec"), 1).over(byUser))
+      .withColumn("ns",
+        when(col("prev").isNull || col("sec") - col("prev") > 1800, 1L)
+          .otherwise(0L))
+      .withColumn("sid", sum(col("ns")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("sid"))
+      .agg(min(col("sec")).as("s"), max(col("sec")).as("e"))
+    val a = sess.select(col("user_id").as("user_a"), col("sid").as("sess_a"),
+      col("s").as("a_s"), col("e").as("a_e"))
+    val b = sess.select(col("user_id").as("user_b"), col("sid").as("sess_b"),
+      col("s").as("b_s"), col("e").as("b_e"))
+    val naive = a.join(b,
+        col("user_a") < col("user_b") &&
+          col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+      .select(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+        (least(col("a_e"), col("b_e")) -
+          greatest(col("a_s"), col("b_s"))).as("overlap_secs"))
+    assert(got.count() > 0, "spec data must exercise at least one overlap")
+    assert(got.exceptAll(naive).isEmpty && naive.exceptAll(got).isEmpty)
+  }
+
+  test("interval_join plans no nested loop (the binned shape is an equi-join)") {
+    val plan = PlanCheck.finalPlanString(
+      SparkEntry.queries("interval_join")(spark, sf))
+    assert(!PlanCheck.hasNestedLoop(plan), plan)
+  }
+
+  test("corpus_tfidf ranks at most k terms per doc, exactly k when enough terms") {
+    val got = SparkEntry.queries("corpus_tfidf")(spark, sf)
+    val per = got.groupBy("doc_id").count()
+    assert(per.filter(col("count") > 3).isEmpty)
+    assert(per.filter(col("count") === 3).count() > 0)
+  }
+}
