@@ -216,13 +216,35 @@ object CorpusBuild {
       .select(col("source"), col("doc_id"), col("sample_key"))
   }
 
+  /** The dataset-card mix report: per-source document/token counts and
+    * corpus shares — what a corpus recipe publishes and what the
+    * stratified-sampling quotas are tuned against. One scan + one tiny
+    * aggregation; the share window runs over the handful of source rows
+    * (never the corpus), and the shares are exact rationals of integer
+    * counts so both engines agree bit-for-bit.
+    */
+  private val mixReport: Q = (s, d) => {
+    val all = Window.partitionBy()
+    T(s, d, "documents")
+      .select(col("source"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("nw"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_tokens"))
+      .withColumn("doc_share",
+        round(col("n_docs").cast("double") / sum(col("n_docs")).over(all), 6))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / sum(col("n_tokens")).over(all),
+          6))
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
     "contamination_check" -> contamination,
     "corpus_tfidf" -> tfidf,
     "corpus_bpe_pairs" -> bpePairs,
-    "sample_stratified" -> stratified)
+    "sample_stratified" -> stratified,
+    "corpus_mix_report" -> mixReport)
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -303,11 +325,25 @@ object CorpusBuild {
        |  FROM documents)
        |WHERE rk <= $StrataQuota""".stripMargin
 
+  private val mixReportOracle: String =
+    s"""WITH per AS (SELECT source,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS nw
+       |  FROM documents),
+       |agg AS (SELECT source, count(*) AS n_docs,
+       |    CAST(sum(nw) AS BIGINT) AS n_tokens
+       |  FROM per GROUP BY 1)
+       |SELECT source, n_docs, n_tokens,
+       |  round(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (), 6) AS doc_share,
+       |  round(CAST(n_tokens AS DOUBLE) / sum(n_tokens) OVER (), 6)
+       |    AS token_share
+       |FROM agg""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
     "contamination_check" -> contaminationOracle,
     "corpus_tfidf" -> tfidfOracle,
     "corpus_bpe_pairs" -> bpePairsOracle,
-    "sample_stratified" -> stratifiedOracle)
+    "sample_stratified" -> stratifiedOracle,
+    "corpus_mix_report" -> mixReportOracle)
 }

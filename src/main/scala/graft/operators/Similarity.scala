@@ -268,11 +268,42 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Int8 symmetric quantization of the embedding column — the standard
+    * 4× compression before an ANN index ships: per-vector scale
+    * 127/max|x|, element `floor(x · scale)`. Output is the per-vector
+    * integer PROFILE (dim, sum, min, max of the quantized elements) so
+    * the whole computation is hash-checked cross-engine in integer
+    * arithmetic — the quantized array itself stays engine-internal (raw
+    * array output stringifies differently per engine, [[Breadth]]'s
+    * array_funcs precedent).
+    *
+    * Scale shape: map-side only — one scan, `transform`/`aggregate`
+    * HOFs per row, zero shuffle; the all-zero-vector guard keeps the
+    * scale finite.
+    */
+  private val quantize: Q = (s, d) => {
+    val v = asDouble(col("embedding"))
+    T(s, d, "embeddings")
+      .select(col("vec_id"), v.as("v"))
+      .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
+      .withColumn("q",
+        when(col("maxabs") === 0d,
+          transform(col("v"), _ => lit(0L)))
+        .otherwise(transform(col("v"),
+          x => floor(x * (lit(127.0) / col("maxabs"))).cast("long"))))
+      .select(col("vec_id"),
+        size(col("q")).cast("long").as("dim"),
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sim_topk_bruteforce" -> bruteforce,
     "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "embed_quantize" -> quantize,
   )
 
   private val topkOracle: String =
@@ -362,5 +393,20 @@ object Similarity {
     "sim_ann_ivf" -> ivfOracle,
     // sim_ann_lsh: intentionally no oracle — hyperplane hashing is not
     // reproducible in DuckDB; correctness = recall test in SimilaritySpec.
+    "embed_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |      AS maxabs
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id,
+        |    CASE WHEN maxabs = 0 THEN 0
+        |         ELSE CAST(floor(CAST(x AS DOUBLE) * (127.0 / maxabs))
+        |                   AS BIGINT) END AS qx
+        |  FROM m, unnest(embedding) t(x))
+        |SELECT vec_id, count(*) AS dim, CAST(sum(qx) AS BIGINT) AS q_sum,
+        |  min(qx) AS q_min, max(qx) AS q_max
+        |FROM q GROUP BY 1""".stripMargin,
   )
 }
