@@ -237,6 +237,32 @@ object CorpusBuild {
           6))
   }
 
+  private val GateQuantile = 0.25
+
+  /** Adaptive quality gate: keep documents whose word count clears the
+    * corpus's own [[GateQuantile]] percentile — thresholds in real
+    * pipelines are learned from the corpus, not hardcoded. The
+    * threshold is ONE exact-percentile aggregate (same interpolation
+    * in Spark `percentile` and DuckDB `quantile_cont`, the
+    * `percentile_exact` precedent) planned as a SCALAR SUBQUERY — a
+    * one-row side computation feeding a corpus-sized filter scan. Two
+    * linear passes, no join, no window over a global order. (A
+    * constant-key broadcast join expresses the same thing but constant
+    * folding degrades it to a nested-loop plan the governance audit
+    * rejects.)
+    */
+  private val qualityGate: Q = (s, d) => {
+    T(s, d, "documents")
+      .select(col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+      .createOrReplaceTempView("doc_counts_v")
+    s.sql(
+      s"""SELECT doc_id, n_words FROM doc_counts_v
+         |WHERE n_words >=
+         |  (SELECT percentile(n_words, $GateQuantile) FROM doc_counts_v)"""
+        .stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
@@ -244,7 +270,8 @@ object CorpusBuild {
     "corpus_tfidf" -> tfidf,
     "corpus_bpe_pairs" -> bpePairs,
     "sample_stratified" -> stratified,
-    "corpus_mix_report" -> mixReport)
+    "corpus_mix_report" -> mixReport,
+    "quality_gate" -> qualityGate)
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -338,6 +365,15 @@ object CorpusBuild {
        |    AS token_share
        |FROM agg""".stripMargin
 
+  private val qualityGateOracle: String =
+    s"""WITH counted AS (SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_words
+       |  FROM documents),
+       |t AS (SELECT quantile_cont(n_words, $GateQuantile) AS thr
+       |      FROM counted)
+       |SELECT doc_id, n_words FROM counted, t WHERE n_words >= thr""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
@@ -345,5 +381,6 @@ object CorpusBuild {
     "corpus_tfidf" -> tfidfOracle,
     "corpus_bpe_pairs" -> bpePairsOracle,
     "sample_stratified" -> stratifiedOracle,
-    "corpus_mix_report" -> mixReportOracle)
+    "corpus_mix_report" -> mixReportOracle,
+    "quality_gate" -> qualityGateOracle)
 }

@@ -281,9 +281,15 @@ object Similarity {
     * HOFs per row, zero shuffle; the all-zero-vector guard keeps the
     * scale finite.
     */
-  private val quantize: Q = (s, d) => {
+  private val quantize: Q = (s, d) => quantizeProfile(T(s, d, "embeddings"))
+
+  /** The quantization body on an arbitrary `(vec_id, embedding)` frame —
+    * split out so the zero-vector guard is testable with literal input
+    * (the generated testdata has no all-zero embedding).
+    */
+  private[graft] def quantizeProfile(emb: DataFrame): DataFrame = {
     val v = asDouble(col("embedding"))
-    T(s, d, "embeddings")
+    emb
       .select(col("vec_id"), v.as("v"))
       .withColumn("maxabs", array_max(transform(col("v"), x => abs(x))))
       .withColumn("q",

@@ -70,6 +70,26 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(!PlanCheck.hasNestedLoop(plan), plan)
   }
 
+  test("contamination_check broadcasts the eval side (the train shingles never shuffle)") {
+    val plan = PlanCheck.finalPlanString(
+      SparkEntry.queries("contamination_check")(spark, sf))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("embed_quantize zero-vector guard: all-zero embedding quantizes to zeros, no NaN/overflow") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Array(0f, 0f, 0f)),
+      (2L, Array(1f, -2f, 0.5f))).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity.quantizeProfile(emb)
+      .orderBy("vec_id").collect()
+    assert(out(0).getLong(1) == 3 && out(0).getLong(2) == 0 &&
+      out(0).getLong(3) == 0 && out(0).getLong(4) == 0)
+    // max|x| element maps to exactly 127; others floor toward -inf
+    assert(out(1).getLong(4) == 63)   // 0.5 * (127/2) = 31.75 -> 31; 1 * 63.5 -> 63
+    assert(out(1).getLong(3) == -127) // -2 -> -127 exactly
+  }
+
   test("corpus_tfidf ranks at most k terms per doc, exactly k when enough terms") {
     val got = SparkEntry.queries("corpus_tfidf")(spark, sf)
     val per = got.groupBy("doc_id").count()
