@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables.{load => T}
@@ -263,6 +263,60 @@ object CorpusBuild {
         .stripMargin)
   }
 
+  private[graft] val HhCap = 256
+
+  /** The sketched scale path of [[ngrams]]: Misra-Gries heavy hitters
+    * over the bigram stream with [[HhCap]] bounded counters
+    * ([[graft.functions.HeavyHittersAggregator]]). The exchange carries
+    * O(partitions · cap) counters instead of the whole distinct-ngram
+    * domain — the shape that survives when the domain itself is huge
+    * (open-vocabulary n-grams at 100 TB). `est <= f` always, and
+    * `f - est <= N/(cap+1)`, so every truly frequent item is present;
+    * the exact variant stays the oracle-checked face, and the sketch's
+    * bounds are spec-asserted against exact counts (no DuckDB oracle —
+    * intermediate shrinks are partition-order-dependent within the
+    * guarantee envelope, like `sim_ann_lsh`).
+    */
+  private val ngramsHh: Q = (s, d) => {
+    import s.implicits._
+    val ws = col("ws")
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array())
+    val stream = T(s, d, "documents")
+      .select(TextAnalysis.words(col("text")).as("ws"))
+      .select(explode(grams).as("ngram"))
+      .as[String]
+    val summary = stream
+      .select(new graft.functions.HeavyHittersAggregator(HhCap).toColumn)
+    summary.toDF("m")
+      .select(explode(col("m")).as(Seq("ngram", "est")))
+      .orderBy(col("est").desc, col("ngram"))
+      .limit(TopNgrams)
+  }
+
+  /** Z-order clustering key: bit-interleave of the low 16 bits of two
+    * layout dimensions (word count, doc id). Writing the corpus
+    * clustered by this key (`repartitionByRange(zkey)` + sorted write)
+    * gives range predicates on EITHER dimension row-group locality —
+    * the multi-dimensional cousin of the bucketed layouts
+    * StorageLayoutSpec pins. The key itself is pure integer bit
+    * algebra, so the whole computation is oracle-checked.
+    */
+  private val zorder: Q = (s, d) => {
+    val nw = size(TextAnalysis.words(col("text"))).cast("long")
+    def interleave(a: Column, b: Column): Column =
+      (0 until 16).map { i =>
+        shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i)
+          .bitwiseOR(
+            shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+      }.reduce(_.bitwiseOR(_))
+    T(s, d, "documents")
+      .select(col("doc_id"), nw.as("n_words"))
+      .withColumn("zkey", interleave(col("n_words"), col("doc_id")))
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
@@ -271,7 +325,9 @@ object CorpusBuild {
     "corpus_bpe_pairs" -> bpePairs,
     "sample_stratified" -> stratified,
     "corpus_mix_report" -> mixReport,
-    "quality_gate" -> qualityGate)
+    "quality_gate" -> qualityGate,
+    "ngrams_heavyhitters" -> ngramsHh,
+    "layout_zorder" -> zorder)
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -374,6 +430,17 @@ object CorpusBuild {
        |      FROM counted)
        |SELECT doc_id, n_words FROM counted, t WHERE n_words >= thr""".stripMargin
 
+  private val zorderOracle: String = {
+    val bits = (0 until 16).map { i =>
+      s"(((n_words >> $i) & 1) << ${2 * i}) | (((doc_id >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" | ")
+    s"""SELECT doc_id, n_words, $bits AS zkey FROM (
+       |  SELECT doc_id,
+       |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+       |      AS n_words
+       |  FROM documents)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
@@ -382,5 +449,7 @@ object CorpusBuild {
     "corpus_bpe_pairs" -> bpePairsOracle,
     "sample_stratified" -> stratifiedOracle,
     "corpus_mix_report" -> mixReportOracle,
-    "quality_gate" -> qualityGateOracle)
+    "quality_gate" -> qualityGateOracle,
+    // ngrams_heavyhitters: intentionally no oracle — see its doc
+    "layout_zorder" -> zorderOracle)
 }

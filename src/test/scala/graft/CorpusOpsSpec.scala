@@ -90,6 +90,44 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1).getLong(3) == -127) // -2 -> -127 exactly
   }
 
+  test("ngrams_heavyhitters: Misra-Gries bounds hold against exact counts") {
+    import spark.implicits._
+    val sketch = SparkEntry.queries("ngrams_heavyhitters")(spark, sf)
+    val exactAll = Tables.load(spark, sf, "documents")
+      .select(split(trim(col("text")), "\\s+").as("ws"))
+      .select(explode(when(size(col("ws")) >= 2,
+        transform(sequence(lit(1), size(col("ws")) - 1),
+          i => concat_ws(" ", element_at(col("ws"), i),
+            element_at(col("ws"), i + 1)))).otherwise(array())).as("ngram"))
+    val n = exactAll.count()
+    val slack = n / (graft.operators.CorpusBuild.HhCap + 1)
+    val exact = exactAll.groupBy("ngram").agg(count(lit(1)).as("f"))
+    val joined = sketch.join(exact, Seq("ngram"), "left")
+      .select(col("ngram"), col("est"), coalesce(col("f"), lit(0L)).as("f"))
+      .collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (est, f) = (r.getLong(1), r.getLong(2))
+      assert(est <= f, s"${r.getString(0)}: est $est over-counts f $f")
+      assert(f - est <= slack, s"${r.getString(0)}: est $est too far below f $f (slack $slack)")
+    }
+  }
+
+  test("ngrams_heavyhitters finds a dominant item in a skewed stream with a tight estimate") {
+    import spark.implicits._
+    // 5k copies of the hot item + 20k distinct cold items, 8 partitions:
+    // N/(cap+1) ≈ 97, so the hot item MUST survive with est within slack
+    val hot = Seq.fill(5000)("HOT")
+    val cold = (1 to 20000).map(i => s"cold_$i")
+    val ds = spark.sparkContext.parallelize(hot ++ cold, 8).toDS()
+    val m = ds.select(
+      new graft.functions.HeavyHittersAggregator(256).toColumn).head()
+    val n = hot.size + cold.size
+    val slack = n / 257
+    assert(m.contains("HOT"), s"dominant item evicted: ${m.take(5)}")
+    assert(m("HOT") <= 5000 && 5000 - m("HOT") <= slack, s"est=${m("HOT")}")
+  }
+
   test("corpus_tfidf ranks at most k terms per doc, exactly k when enough terms") {
     val got = SparkEntry.queries("corpus_tfidf")(spark, sf)
     val per = got.groupBy("doc_id").count()
