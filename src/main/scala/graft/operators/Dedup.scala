@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.Tables.{load => T}
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -422,18 +423,26 @@ object Dedup {
     // three rounds were chained lazily.
     var labels = edges.select(col("u").as("doc_id")).distinct()
       .withColumn("comp", col("doc_id")).persist()
+    // convergence via the label-sum invariant: labels only ever move
+    // DOWN (min of a set containing the old label), and the node set is
+    // fixed, so the generation sum strictly decreases until the
+    // fixpoint — one tiny aggregate per round instead of a self-join.
+    // Decimal(38) keeps the sum exact at any corpus size (1e9 ids of
+    // 1e12 would overflow a long).
+    def labelSum(lbl: DataFrame): java.math.BigDecimal =
+      lbl.agg(sum(col("comp").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < MaxComponentRounds) {
       val next = propagate(labels).persist()
-      // fixpoint: no node's label improved this round (this count also
-      // materializes `next`, so the unpersist below never forces a
-      // recompute of the dropped generation)
-      val changed = next.withColumnRenamed("comp", "nc")
-        .join(labels, Seq("doc_id"))
-        .filter(col("nc") < col("comp")).limit(1).count()
+      // this aggregate also materializes `next`, so the unpersist below
+      // never forces a recompute of the dropped generation
+      val s = labelSum(next)
       labels.unpersist(blocking = false)
-      converged = changed == 0
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       round += 1
     }
