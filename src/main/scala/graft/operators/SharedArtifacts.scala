@@ -43,6 +43,18 @@ private[graft] object SharedArtifacts {
 
   def isReady(base: Path): Boolean = Files.exists(base.resolve("_READY"))
 
+  /** Refresh the artifact's mtime — adopters MUST call this so
+    * [[sweepStale]]'s week-window means "unused for a week", not
+    * "unrebuilt for a week": without the touch, a long-lived dataset's
+    * artifact ages past the window while still being read every day,
+    * and the next sweep deletes it out from under registered catalog
+    * tables.
+    */
+  def markUsed(base: Path): Unit =
+    try Files.setLastModifiedTime(base,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+    catch { case _: java.io.IOException => () } // best-effort
+
   /** A private staging dir next to `base` (same filesystem, so the
     * publishing rename is atomic). Also sweeps stale siblings.
     */
