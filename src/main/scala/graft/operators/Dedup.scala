@@ -254,7 +254,7 @@ object Dedup {
     * serve stale derived data.
     */
   private[graft] def datasetKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "documents.parquet")
+    SharedArtifacts.fingerprint(d, "documents.parquet", sharedLayout)
 
   /** Bucket count for the shared tables: matches the 32 cores the bench
     * runs on — a 16-bucket layout caps every bucketed-read stage at half
@@ -262,6 +262,15 @@ object Dedup {
     * core-count-of-one-box.
     */
   private val Buckets = 32
+
+  /** Layout key of the shared tables: every parameter that shapes the
+    * written files (bucket count, minhash count, band count, shingle
+    * width). Part of [[datasetKey]] so a parameter change can never
+    * adopt an artifact built under the old layout — e.g. declaring a
+    * 16-bucket table INTO 32 BUCKETS would silently corrupt every
+    * bucketed join over it.
+    */
+  private def sharedLayout: String = s"mh:b$Buckets:n$NumHashes:bd$Bands:w3"
 
   /** Build-or-reuse the SHARED materialized dedup tables for a dataset:
     * `(shingles, signatures)` — shingles exploded+hashed exactly once,
@@ -287,12 +296,16 @@ object Dedup {
     val ds = datasetKey(d)
     val shTbl = s"graft_mh_shingles_$ds"
     val sigTbl = s"graft_mh_sig_$ds"
+    val base = SharedArtifacts.root.resolve(ds)
     if (!s.catalog.tableExists(shTbl) || !s.catalog.tableExists(sigTbl)) {
-      val base = SharedArtifacts.root.resolve(ds)
       if (!SharedArtifacts.isReady(base)) buildShared(s, d, base)
       registerBucketed(s, shTbl, base.resolve("shingles"))
       registerBucketed(s, sigTbl, base.resolve("signatures"))
     }
+    // refresh the stale-sweep lease on EVERY use, not just on build —
+    // an artifact adopted daily but never rebuilt must not age past
+    // sweepStale's window while live tables point at its files
+    SharedArtifacts.markUsed(base)
     (s.table(shTbl), s.table(sigTbl))
   }
 
@@ -449,6 +462,14 @@ object Dedup {
     // safe: the final labels generation is persisted AND materialized,
     // so the caller's action reads the cache and never re-walks edges
     edges.unpersist(blocking = false)
+    // the cap is a runaway backstop, not an answer: labels that haven't
+    // reached the label-sum fixpoint are NOT components, and returning
+    // them would diverge from the transitive-closure oracle silently
+    if (!converged)
+      throw new IllegalStateException(
+        s"dedup_components did not converge within $MaxComponentRounds " +
+          "rounds — a component's diameter exceeds the cap; raise " +
+          "MaxComponentRounds (labels at the cap are not a fixpoint)")
     labels.select(col("doc_id"), col("comp").as("component"))
   }
 

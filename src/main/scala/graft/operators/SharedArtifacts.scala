@@ -25,8 +25,15 @@ private[graft] object SharedArtifacts {
     * rides on this key, and a narrow hash's collision between two
     * datasets would silently serve one dataset's artifacts for the
     * other.
+    *
+    * `layout` is the derived artifact's OWN shape (bucket count, hash
+    * count, shingle width, algorithm version) — it must be part of the
+    * key, because the source files alone can't distinguish an artifact
+    * built under old parameters: adopting one would, e.g., declare a
+    * 16-bucket table INTO 32 BUCKETS and silently corrupt bucketed
+    * joins.
     */
-  def fingerprint(dir: String, table: String): String = {
+  def fingerprint(dir: String, table: String, layout: String = ""): String = {
     import scala.jdk.CollectionConverters._
     val src = Paths.get(dir, table)
     val stamp = if (Files.exists(src))
@@ -37,7 +44,8 @@ private[graft] object SharedArtifacts {
         .toSeq.sorted.mkString("|")
     else ""
     java.security.MessageDigest.getInstance("MD5")
-      .digest((dir + "/" + table + "|" + stamp).getBytes("UTF-8"))
+      .digest((dir + "/" + table + "|" + layout + "|" + stamp)
+        .getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
   }
 

@@ -189,10 +189,18 @@ object Similarity {
     * inverted lists are re-derived from the WRITTEN centroids, so index
     * and quantizer can never drift.
     */
+  /** Key of the trained index: source content fingerprint salted with
+    * the training layout (seed stride + algorithm version), so a
+    * parameter change can never adopt an index trained under the old
+    * shape.
+    */
+  private def ivfKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "embeddings.parquet",
+      s"ivf:v1:seed$IvfSeedStep")
+
   private def ivfArtifacts(s: SparkSession, d: String,
       e: DataFrame): (DataFrame, DataFrame) = {
-    val key = SharedArtifacts.fingerprint(d, "embeddings.parquet")
-    val base = SharedArtifacts.root.resolve(s"ivf_$key")
+    val base = SharedArtifacts.root.resolve(s"ivf_${ivfKey(d)}")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
       val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
@@ -212,6 +220,8 @@ object Similarity {
         .write.mode("overwrite").parquet(staging.resolve("lists").toString)
       SharedArtifacts.publish(staging, base)
     }
+    // refresh the stale-sweep lease on every adoption, not just builds
+    SharedArtifacts.markUsed(base)
     (s.read.parquet(base.resolve("centroids").toString),
       s.read.parquet(base.resolve("lists").toString))
   }
@@ -221,9 +231,8 @@ object Similarity {
     * like [[Dedup.ensureSharedTables]].
     */
   def ensureIvfArtifacts(s: SparkSession, d: String): Boolean = {
-    val key = SharedArtifacts.fingerprint(d, "embeddings.parquet")
     val existed =
-      SharedArtifacts.isReady(SharedArtifacts.root.resolve(s"ivf_$key"))
+      SharedArtifacts.isReady(SharedArtifacts.root.resolve(s"ivf_${ivfKey(d)}"))
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))

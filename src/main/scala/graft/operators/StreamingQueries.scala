@@ -173,18 +173,24 @@ object StreamingQueries {
     */
   private[graft] def ingestDedupBatch(batch: DataFrame,
       bandsDir: String, pairsDir: String): Unit = {
+    // persisted for the span of the batch: the shingle+minhash+banding
+    // plan has two consumers (the log append and the probe side of the
+    // join), and without the cache each would execute it from scratch
     val bands = Dedup.bandKeys(Dedup.minhashSig(Dedup.shingleRows(batch)))
-    bands.write.mode("append").parquet(bandsDir)
-    val all = batch.sparkSession.read.parquet(bandsDir)
-    bands.select(col("doc_id").as("x_id"), col("band"), col("key"))
-      .join(all.select(col("doc_id").as("y_id"), col("band"), col("key")),
-        Seq("band", "key"))
-      .filter(col("x_id") =!= col("y_id"))
-      .select(least(col("x_id"), col("y_id")).as("a_id"),
-        greatest(col("x_id"), col("y_id")).as("b_id"), col("band"))
-      .groupBy(col("a_id"), col("b_id"))
-      .agg(countDistinct(col("band")).as("n_bands"))
-      .write.mode("append").parquet(pairsDir)
+      .persist()
+    try {
+      bands.write.mode("append").parquet(bandsDir)
+      val all = batch.sparkSession.read.parquet(bandsDir)
+      bands.select(col("doc_id").as("x_id"), col("band"), col("key"))
+        .join(all.select(col("doc_id").as("y_id"), col("band"), col("key")),
+          Seq("band", "key"))
+        .filter(col("x_id") =!= col("y_id"))
+        .select(least(col("x_id"), col("y_id")).as("a_id"),
+          greatest(col("x_id"), col("y_id")).as("b_id"), col("band"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(countDistinct(col("band")).as("n_bands"))
+        .write.mode("append").parquet(pairsDir)
+    } finally bands.unpersist(blocking = false)
   }
 
   /** The accumulated near-dup pairs (idempotent under batch replay). */

@@ -342,24 +342,56 @@ object AmqpConnections {
   private def keyOf(cfg: AmqpConfig) = Key(cfg.host, cfg.port, cfg.user,
     cfg.vhost, cfg.exchange, cfg.durableExchange)
 
+  /** Dial serialization per broker identity — dialing happens under
+    * this lock, NOT inside `pool.computeIfAbsent`: a TCP connect can
+    * block for `connectTimeoutMs`, and holding a ConcurrentHashMap bin
+    * lock that long stalls unrelated keys hashing to the same bin.
+    */
+  private val dialLocks =
+    new java.util.concurrent.ConcurrentHashMap[Key, Object]()
+
   /** Run `f` against the pooled connection, serialized on it (confirms
     * are per-channel). An IOException evicts the connection before
     * rethrowing — the next caller redials.
+    *
+    * A caller that was BLOCKED on the connection's monitor while the
+    * holder hit an error must not publish into the evicted (closed)
+    * socket — after acquiring the monitor it re-checks that the
+    * connection is still the pool's current mapping and redials if not,
+    * instead of burning a Spark task retry on a guaranteed IOException.
     */
+  @annotation.tailrec
   def withConnection[A](cfg: AmqpConfig)(f: AmqpConnection => A): A = {
     val key = keyOf(cfg)
-    val conn = pool.computeIfAbsent(key, _ => {
-      Metrics.add(DialsMetric, 1.0)
-      new AmqpConnection(cfg)
-    })
-    conn.synchronized {
-      try f(conn)
-      catch {
-        case e: IOException =>
-          pool.remove(key, conn)
-          conn.closeAbruptly()
-          throw e
+    val conn = {
+      val cur = pool.get(key)
+      if (cur != null) cur
+      else dialLocks.computeIfAbsent(key, _ => new Object).synchronized {
+        val again = pool.get(key)
+        if (again != null) again
+        else {
+          val fresh = new AmqpConnection(cfg) // outside the map bin lock
+          Metrics.add(DialsMetric, 1.0)
+          pool.put(key, fresh)
+          fresh
+        }
       }
+    }
+    val result: Option[A] = conn.synchronized {
+      if (pool.get(key) ne conn) None // evicted while we waited: redial
+      else {
+        try Some(f(conn))
+        catch {
+          case e: IOException =>
+            pool.remove(key, conn)
+            conn.closeAbruptly()
+            throw e
+        }
+      }
+    }
+    result match {
+      case Some(a) => a
+      case None => withConnection(cfg)(f)
     }
   }
 
