@@ -52,8 +52,7 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
-    val results = builds ++
-      selected.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       // drain the previous query's garbage so its GC debt doesn't land on
       // this query's clock (all-pairs joins allocate heavily)
       System.gc()
@@ -74,10 +73,15 @@ object Bench {
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+    // builds and the total go at the END of the line: the driver captures
+    // a TRUNCATED TAIL of stdout, so anything emitted at the head (the
+    // round-6 layout) is exactly what gets dropped — r6 lost the build
+    // line items and the headline total to serialization order
+    val qs = (results ++ builds)
+      .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = (results ++ builds).map(_._2).filter(_ >= 0).sum
+    println(f"""{"sf":"$sfDir","queries":$qs,"unit":"sec","metric":"total","value":$total%.3f}""")
     spark.stop()
   }
 }

@@ -33,16 +33,22 @@ object Dedup {
   /** Words of a document: whitespace tokenization. */
   private def words(c: Column): Column = split(trim(c), "\\s+")
 
-  /** Distinct word-3-gram shingles as (doc_id, shingle) rows.
+  /** Shingle width (word n-gram size). ONE constant feeds both the
+    * shingle computation and [[sharedLayout]] — the artifact key must
+    * track the actual width, never a hardcoded twin that can drift.
+    */
+  private val ShingleWidth = 3
+
+  /** Distinct word-n-gram shingles as (doc_id, shingle) rows.
     * `element_at` is 1-based, matching DuckDB `ws[i]`.
     */
   private[operators] def shingleRows(df: DataFrame): DataFrame =
     df.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
-        explode(when(size(col("ws")) >= 3,
-          transform(sequence(lit(1), size(col("ws")) - 2),
-            i => concat_ws(" ", element_at(col("ws"), i),
-              element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+        explode(when(size(col("ws")) >= ShingleWidth,
+          transform(sequence(lit(1), size(col("ws")) - (ShingleWidth - 1)),
+            i => concat_ws(" ", (0 until ShingleWidth)
+              .map(k => element_at(col("ws"), i + k)): _*)))
           .otherwise(array())).as("shingle"))
       .distinct()
 
@@ -265,12 +271,14 @@ object Dedup {
 
   /** Layout key of the shared tables: every parameter that shapes the
     * written files (bucket count, minhash count, band count, shingle
-    * width). Part of [[datasetKey]] so a parameter change can never
-    * adopt an artifact built under the old layout — e.g. declaring a
-    * 16-bucket table INTO 32 BUCKETS would silently corrupt every
-    * bucketed join over it.
+    * width), plus an algorithm-version token to bump on any hashing
+    * change that leaves the counts alone. Part of [[datasetKey]] so a
+    * parameter change can never adopt an artifact built under the old
+    * layout — e.g. declaring a 16-bucket table INTO 32 BUCKETS would
+    * silently corrupt every bucketed join over it.
     */
-  private def sharedLayout: String = s"mh:b$Buckets:n$NumHashes:bd$Bands:w3"
+  private[operators] def sharedLayout: String =
+    s"mh:v1:b$Buckets:n$NumHashes:bd$Bands:w$ShingleWidth"
 
   /** Build-or-reuse the SHARED materialized dedup tables for a dataset:
     * `(shingles, signatures)` — shingles exploded+hashed exactly once,
@@ -402,66 +410,103 @@ object Dedup {
     * training pipeline needs when duplicates chain (a~b, b~c but a‖c):
     * per-PAIR greedy dropping is order-dependent; per-COMPONENT
     * keep-one is canonical.
-    *
-    * Distributed min-label propagation: every node starts as its own
-    * label, and each round every node takes the min of its neighbors'
-    * labels (one equi-join + one groupBy per round — no driver-side
-    * graph). Rounds needed = the component diameter; near-dup clusters
-    * are small by construction (they are sets of near-copies), and the
-    * fixpoint check is a cheap count per round with a hard cap as a
-    * backstop. The DuckDB oracle computes the same components with a
-    * recursive CTE.
+    */
+  private val components: Q = (s, d) =>
+    connectedComponentsWithRounds(
+      minhashVerified(s, d).select(col("a_id"), col("b_id")))._1
+
+  /** Round cap: a runaway backstop, not a tuning knob. With the
+    * pointer-doubling shortcut each round roughly HALVES the remaining
+    * label-chain length, so 25 rounds covers component diameters beyond
+    * 2^24 — unreachable for any graph that fits in storage. (The plain
+    * propagation this replaced needed diameter-many rounds, where a
+    * 26-deep chain would genuinely hit the cap.)
     */
   private val MaxComponentRounds = 25
 
-  private val components: Q = (s, d) => {
-    // The loop below drives ACTIONS (the fixpoint count each round), so
-    // without persistence round N would recompute the whole verified-
-    // pair pipeline plus N-1 prior joins — O(rounds²) work. Persist the
-    // edge list once and each round's label table; unpersist the
-    // superseded generation as soon as its successor is materialized.
-    val pairs = minhashVerified(s, d).select(col("a_id"), col("b_id"))
-    val edges = pairs.union(
-      pairs.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("u", "v").persist()
-    def propagate(lbl: DataFrame): DataFrame =
-      lbl.union(edges
-          .join(lbl.withColumnRenamed("doc_id", "v"), Seq("v"))
-          .select(col("u").as("doc_id"), col("comp")))
-        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-    // Each round MUST materialize before the next builds on it:
-    // `propagate` references its input twice (union + join) on
-    // different keys, so unmaterialized rounds double the plan per
-    // round with no exchange reuse — A/B-measured 2.4× slower when
-    // three rounds were chained lazily.
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id")).persist()
-    // convergence via the label-sum invariant: labels only ever move
-    // DOWN (min of a set containing the old label), and the node set is
-    // fixed, so the generation sum strictly decreases until the
-    // fixpoint — one tiny aggregate per round instead of a self-join.
-    // Decimal(38) keeps the sum exact at any corpus size (1e9 ids of
-    // 1e12 would overflow a long).
+  /** Distributed connected components over an undirected pair list,
+    * returning `(doc_id, component)` plus the rounds taken.
+    *
+    * Each round is TWO DataFrame-only steps (no driver-side graph):
+    *
+    *  1. propagate — every node takes the min of its own and its
+    *     neighbors' labels (equi-join on edges + groupBy min);
+    *  2. shortcut (pointer doubling) — every node replaces its label l
+    *     with l's label: `L(v) ← L(L(v))`. Valid because labels are
+    *     always node ids within the same component, and monotone
+    *     because `L(x) ≤ x`.
+    *
+    * Propagation alone needs diameter-many rounds (the measured 9.8 s
+    * hot spot of round 6 — each round a full join + fixpoint action);
+    * with the shortcut the label chains halve per round, so convergence
+    * is O(log diameter) rounds of ~1.5× the per-round cost — the
+    * shortcut's two references to the propagated frame share one
+    * physical aggregation via exchange reuse, and its probe side is
+    * already partitioned on the join key from the groupBy.
+    *
+    * Convergence is detected by the label-sum invariant: labels only
+    * ever move DOWN, and the node set is fixed, so the generation sum
+    * strictly decreases until the fixpoint — one tiny aggregate per
+    * round instead of a self-join. Decimal(38) keeps the sum exact at
+    * any corpus size (1e9 ids of 1e12 would overflow a long); the sum
+    * is coalesced to 0 so an EDGELESS input converges on round one
+    * instead of NPE-ing on `sum()`'s null.
+    *
+    * The DuckDB oracle computes the same components with a recursive
+    * CTE (transitive closure, min reachable node).
+    */
+  private[graft] def connectedComponentsWithRounds(
+      pairs: DataFrame): (DataFrame, Int) = {
+    // Each round is materialized with an EAGER localCheckpoint, which
+    // does two jobs at once: (1) the loop drives actions (the fixpoint
+    // sum each round), so an unmaterialized round N would recompute the
+    // whole upstream pipeline plus N-1 prior rounds — O(rounds²) work;
+    // (2) unlike persist(), the checkpoint TRUNCATES LINEAGE — each
+    // round's plan references its input several times, so chained
+    // logical plans grow ~4× per round and the analyzer chokes on the
+    // exponential tree long before data size matters (observed as a
+    // minutes-long 10-round loop over a 201-node graph). With per-round
+    // truncation every round's plan is a constant-size tree over two
+    // flat scans. Superseded generations are explicitly released.
+    val ab = pairs.toDF("a_id", "b_id")
+    val edges = ab.union(
+      ab.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .toDF("u", "v").localCheckpoint()
+    val zero = new java.math.BigDecimal(0)
     def labelSum(lbl: DataFrame): java.math.BigDecimal =
-      lbl.agg(sum(col("comp").cast(DecimalType(38, 0))))
-        .head().getDecimal(0)
+      Option(lbl.agg(sum(col("comp").cast(DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(zero)
+    var labels = edges.select(col("u").as("doc_id")).distinct()
+      .withColumn("comp", col("doc_id")).localCheckpoint()
     var prevSum = labelSum(labels)
     var converged = false
     var round = 0
     while (!converged && round < MaxComponentRounds) {
-      val next = propagate(labels).persist()
-      // this aggregate also materializes `next`, so the unpersist below
-      // never forces a recompute of the dropped generation
+      val prop = labels.union(edges
+          .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
+          .select(col("u").as("doc_id"), col("comp")))
+        .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
+      // pointer doubling: inner join is total — every comp value is a
+      // node id (induction: initial labels are self-ids; propagate
+      // takes mins of existing labels; shortcut takes existing labels).
+      // The two references to `prop` share one physical aggregation via
+      // exchange reuse, and the probe side is already partitioned on
+      // the join key by the groupBy.
+      val parent = prop.select(col("doc_id").as("comp"),
+        col("comp").as("pcomp"))
+      val next = prop.join(parent, Seq("comp"))
+        .select(col("doc_id"), col("pcomp").as("comp")).localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist(blocking = false)
+      releaseCheckpoint(labels)
       converged = s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
       round += 1
     }
-    // safe: the final labels generation is persisted AND materialized,
-    // so the caller's action reads the cache and never re-walks edges
-    edges.unpersist(blocking = false)
+    // the final labels generation stays checkpointed (the caller's
+    // action reads it); the edge list is no longer referenced by the
+    // truncated final plan, so its blocks can go now
+    releaseCheckpoint(edges)
     // the cap is a runaway backstop, not an answer: labels that haven't
     // reached the label-sum fixpoint are NOT components, and returning
     // them would diverge from the transitive-closure oracle silently
@@ -470,8 +515,20 @@ object Dedup {
         s"dedup_components did not converge within $MaxComponentRounds " +
           "rounds — a component's diameter exceeds the cap; raise " +
           "MaxComponentRounds (labels at the cap are not a fixpoint)")
-    labels.select(col("doc_id"), col("comp").as("component"))
+    (labels.select(col("doc_id"), col("comp").as("component")), round)
   }
+
+  /** Release the block-manager storage behind an eagerly
+    * localCheckpoint'ed frame (its analyzed plan is a flat
+    * [[org.apache.spark.sql.execution.LogicalRDD]] over the
+    * checkpointed RDD) once a newer generation supersedes it.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,

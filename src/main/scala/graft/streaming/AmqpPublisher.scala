@@ -346,9 +346,23 @@ object AmqpConnections {
     * this lock, NOT inside `pool.computeIfAbsent`: a TCP connect can
     * block for `connectTimeoutMs`, and holding a ConcurrentHashMap bin
     * lock that long stalls unrelated keys hashing to the same bin.
+    *
+    * Lifetime: entries are NEVER removed — the map is bounded by the
+    * number of distinct broker identities this JVM ever publishes to
+    * (a handful), and a permanent lock object per identity is what
+    * makes the dial serialization race-free. Do not "fix" this into an
+    * eviction scheme: removing a lock while a dialer holds it would
+    * let a second dialer for the same key proceed concurrently.
     */
   private val dialLocks =
     new java.util.concurrent.ConcurrentHashMap[Key, Object]()
+
+  /** Waiter-side redial bound: a caller that keeps finding its fetched
+    * connection evicted (sustained churn — every holder erroring while
+    * waiters queue) gives up after this many redials and surfaces the
+    * failure to the micro-batch retry backstop instead of spinning.
+    */
+  private val MaxEvictionRedials = 3
 
   /** Run `f` against the pooled connection, serialized on it (confirms
     * are per-channel). An IOException evicts the connection before
@@ -359,44 +373,65 @@ object AmqpConnections {
     * socket — after acquiring the monitor it re-checks that the
     * connection is still the pool's current mapping and redials if not,
     * instead of burning a Spark task retry on a guaranteed IOException.
+    * The redial loop is BOUNDED: under pathological churn it rethrows
+    * rather than looping forever (the outer task retry is the backstop).
     */
-  @annotation.tailrec
   def withConnection[A](cfg: AmqpConfig)(f: AmqpConnection => A): A = {
     val key = keyOf(cfg)
-    val conn = {
-      val cur = pool.get(key)
-      if (cur != null) cur
-      else dialLocks.computeIfAbsent(key, _ => new Object).synchronized {
-        val again = pool.get(key)
-        if (again != null) again
+    var evictions = 0
+    while (true) {
+      val conn = {
+        val cur = pool.get(key)
+        if (cur != null) cur
+        else dialLocks.computeIfAbsent(key, _ => new Object).synchronized {
+          val again = pool.get(key)
+          if (again != null) again
+          else {
+            val fresh = new AmqpConnection(cfg) // outside the map bin lock
+            Metrics.add(DialsMetric, 1.0)
+            pool.put(key, fresh)
+            fresh
+          }
+        }
+      }
+      val result: Option[A] = conn.synchronized {
+        if (pool.get(key) ne conn) None // evicted while we waited: redial
         else {
-          val fresh = new AmqpConnection(cfg) // outside the map bin lock
-          Metrics.add(DialsMetric, 1.0)
-          pool.put(key, fresh)
-          fresh
+          try Some(f(conn))
+          catch {
+            case e: IOException =>
+              pool.remove(key, conn)
+              conn.closeAbruptly()
+              throw e
+          }
         }
       }
-    }
-    val result: Option[A] = conn.synchronized {
-      if (pool.get(key) ne conn) None // evicted while we waited: redial
-      else {
-        try Some(f(conn))
-        catch {
-          case e: IOException =>
-            pool.remove(key, conn)
-            conn.closeAbruptly()
-            throw e
-        }
+      result match {
+        case Some(a) => return a
+        case None =>
+          evictions += 1
+          if (evictions > MaxEvictionRedials)
+            throw new IOException(
+              s"AMQP connection to ${cfg.host}:${cfg.port} evicted " +
+                s"$evictions times before this caller could publish — " +
+                "sustained connection churn; giving up to the task retry")
       }
     }
-    result match {
-      case Some(a) => a
-      case None => withConnection(cfg)(f)
-    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Politely close and drop every pooled connection (app shutdown). */
   def closeAll(): Unit = {
+    drain()
+    // a dialer that won its dial lock during the drain can pool a fresh
+    // connection AFTER the sweep passed its key; acquiring each dial
+    // lock waits that dialer out, and the re-drain closes what it
+    // pooled. A dial that starts after closeAll returns is a new use of
+    // the pool (re-opening it), not a leaked socket.
+    dialLocks.forEach((_, lock) => lock.synchronized(drain()))
+  }
+
+  private def drain(): Unit = {
     val it = pool.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()

@@ -96,6 +96,57 @@ class AmqpPublisherSpec extends AnyFunSuite {
     } finally broker2.close()
   }
 
+  test("a waiter blocked during the holder's failure redials instead of publishing into the evicted socket") {
+    // the round-6 eviction-race fix, pinned: thread A holds the pooled
+    // connection and dies mid-publish; thread B was already blocked on
+    // the connection's monitor. B must observe the eviction after
+    // acquiring the monitor, redial, and publish successfully — NOT
+    // write into the closed socket and burn a Spark task retry
+    val broker = new LoopbackAmqpBroker
+    try {
+      val cfg = AmqpConfig("127.0.0.1", broker.port, readTimeoutMs = 2000)
+      val pub = new AmqpPublisher(cfg)
+      pub.publish("metagame", "prime") // dial #1 pools the connection
+      assert(broker.awaitMessage()._2 == "prime")
+      assert(broker.connections.get == 1)
+      @volatile var bErr: Throwable = null
+      val b = new Thread(() => {
+        try pub.publishPartition(Iterator(("metagame", "from-b")))
+        catch { case t: Throwable => bErr = t }
+      }, "amqp-waiter-b")
+      @volatile var sawBBlocked = false
+      @volatile var aSawInjected = false
+      val a = new Thread(() => {
+        try graft.streaming.AmqpConnections.withConnection(cfg) { _ =>
+          // B fetches the same pooled connection, then parks on its
+          // monitor (held here); wait until it is genuinely BLOCKED so
+          // the interleaving is deterministic, not a sleep-race
+          b.start()
+          val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+          while (b.getState != Thread.State.BLOCKED &&
+              System.nanoTime() < deadline) Thread.sleep(5)
+          sawBBlocked = b.getState == Thread.State.BLOCKED
+          throw new IOException("injected mid-publish failure")
+        } catch {
+          case e: IOException
+              if e.getMessage == "injected mid-publish failure" =>
+            aSawInjected = true
+        }
+      }, "amqp-holder-a")
+      a.start()
+      a.join(15000)
+      b.join(15000)
+      assert(sawBBlocked, "test harness: B never reached the monitor")
+      assert(aSawInjected, "holder must still see its own failure")
+      assert(bErr == null,
+        s"waiter must redial and succeed, not fail a task: $bErr")
+      assert(broker.awaitMessage()._2 == "from-b")
+      // prime dial + B's redial — the eviction itself dials nothing
+      assert(broker.connections.get == 2,
+        s"expected exactly one redial, broker saw ${broker.connections.get}")
+    } finally broker.close()
+  }
+
   test("large payloads are framed at the negotiated size and reassembled") {
     val broker = new LoopbackAmqpBroker
     try {

@@ -117,6 +117,54 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("connected components converge in O(log d) rounds on a 200-deep chain") {
+    // a path graph 0-1-2-…-200: diameter 200, far beyond the 25-round
+    // backstop. Plain min-label propagation (the round-6 shape) needs
+    // diameter-many rounds and would THROW here; the pointer-doubling
+    // shortcut halves the remaining chain per round, so convergence is
+    // logarithmic — the property that makes the cap unreachable for any
+    // real graph
+    val pairs = spark.range(0, 200)
+      .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+    val rows = comp.as[(Long, Long)].collect()
+    assert(rows.length == 201)
+    assert(rows.forall(_._2 == 0L),
+      s"all nodes must label to the min node, got ${rows.filter(_._2 != 0L).take(5).toSeq}")
+    assert(rounds <= 12,
+      s"expected O(log 200) ≈ 8 rounds + fixpoint detection, took $rounds")
+  }
+
+  test("connected components of an empty pair set converge without error") {
+    // sum() over zero rows is null; the fixpoint must coalesce it, not NPE
+    val empty = spark.range(0)
+      .select(col("id").as("a_id"), col("id").as("b_id"))
+    val (comp, rounds) = Dedup.connectedComponentsWithRounds(empty)
+    assert(comp.count() == 0)
+    assert(rounds <= 1)
+  }
+
+  test("components equal the per-pair transitive closure on the real near-dup graph") {
+    val pairs = Dedup.queries("dedup_minhash_verified")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    // driver-side union-find as the oracle for the distributed loop
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    val got = Dedup.queries("dedup_components")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(5)} ${(expected.toSet diff got.toSet).take(5)}")
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val total = Tables.load(spark, sf, "documents").count()
     val dedup = Dedup.queries("dedup_exact")(spark, sf)
