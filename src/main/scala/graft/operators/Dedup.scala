@@ -42,7 +42,7 @@ object Dedup {
   /** Distinct word-n-gram shingles as (doc_id, shingle) rows.
     * `element_at` is 1-based, matching DuckDB `ws[i]`.
     */
-  private[operators] def shingleRows(df: DataFrame): DataFrame =
+  private[graft] def shingleRows(df: DataFrame): DataFrame =
     df.select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"),
         explode(when(size(col("ws")) >= ShingleWidth,
@@ -72,7 +72,7 @@ object Dedup {
     * SAME scan + shuffle — e.g. the shingle count the verified pipeline
     * needs, so it doesn't pay a separate pass over the shingles).
     */
-  private[operators] def minhashSig(sh: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
+  private[graft] def minhashSig(sh: DataFrame, extraAggs: Seq[Column] = Nil): DataFrame = {
     val hashed = sh
       .withColumn("m0", md5(concat(lit("0:"), col("shingle")).cast("binary")))
       .withColumn("m1", md5(concat(lit("1:"), col("shingle")).cast("binary")))
@@ -86,13 +86,67 @@ object Dedup {
     * join domain for both the batch pair query and the streaming
     * ingest-time dedup.
     */
-  private[operators] def bandKeys(sig: DataFrame): DataFrame =
+  private[graft] def bandKeys(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
       explode(array((0 until Bands).map(b => struct(
         lit(b).as("band"),
         md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
           .cast("binary")).as("key"))): _*)).as("bk"))
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
+
+  /** Band keys computed PER ROW — the same `(doc_id, band, key)` domain
+    * as `bandKeys(minhashSig(shingleRows(df)))`, but with the shingle →
+    * minhash → band pipeline folded into array expressions over each
+    * document, so banding needs NO shuffle at all (the aggregate path
+    * pays a groupBy): the shape a streaming micro-batch wants, where
+    * every arriving doc must band itself before probing keyed state.
+    * Shingle-set dedup is skipped because `min` is insensitive to
+    * duplicates; docs with fewer than ShingleWidth words produce no
+    * shingles and are dropped, matching the aggregate path (no shingle
+    * rows → no signature row). Equality with the aggregate path is
+    * spec-asserted.
+    */
+  private[graft] def bandKeysPerRow(docs: DataFrame): DataFrame = {
+    // Two rules shape this pipeline, both measured on sf0.1:
+    //
+    //  1. GENERATOR BARRIERS (`explode(array(e))`) pin each expensive
+    //     intermediate to ONE materialized attribute. Plain column
+    //     aliases are inlined by projection collapse, so the word split
+    //     would re-run per lambda element and the hex array once per
+    //     consumer — ~8× the hash work.
+    //  2. Per-SHINGLE higher-order folds are interpreted, and their
+    //     per-element array allocations dominate: compute the per-
+    //     shingle hex ONCE in a single transform (2 md5s — exactly the
+    //     aggregate path's hash count), then take the eight signature
+    //     mins as bulk array_min passes over the materialized array —
+    //     8 cheap substring scans per DOC, no per-shingle fold state.
+    //
+    // h_i is an 8-hex slice of hex = md5("0:"+s) ++ md5("1:"+s) at
+    // offset i*8 (slices 0-3 in the first digest, 4-7 in the second) —
+    // identical to minhashSig's substring(m{i/4}, (i%4)*8+1, 8).
+    val shingleHexes = transform(
+      sequence(lit(1), size(col("ws")) - (ShingleWidth - 1)),
+      i => {
+        val s = concat_ws(" ", (0 until ShingleWidth)
+          .map(k => element_at(col("ws"), i + k)): _*)
+        concat(md5(concat(lit("0:"), s).cast("binary")),
+          md5(concat(lit("1:"), s).cast("binary")))
+      })
+    val hs = (0 until NumHashes).map(i =>
+      array_min(transform(col("hx"),
+        x => substring(x, i * 8 + 1, 8))).as(s"h$i"))
+    docs
+      .select(col("doc_id"), explode(array(words(col("text")))).as("ws"))
+      .filter(size(col("ws")) >= ShingleWidth) // no shingles ⇒ no signature
+      .select(col("doc_id"), explode(array(shingleHexes)).as("hx"))
+      .select(col("doc_id") +: hs: _*)
+      .select(col("doc_id"),
+        explode(array((0 until Bands).map(b => struct(
+          lit(b).as("band"),
+          md5(concat(col(s"h${2 * b}"), col(s"h${2 * b + 1}"))
+            .cast("binary")).as("key"))): _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band"), col("bk.key"))
+  }
 
   /** LSH banding over signatures → distinct candidate pairs (equi-join). */
   private def bandPairs(sig: DataFrame): DataFrame = {

@@ -128,78 +128,74 @@ object StreamingQueries {
 
   /** Ingest-time near-dup detection — dedup AT THE DOOR, the shape a
     * 100 TB training pipeline actually runs: every arriving micro-batch
-    * of documents is shingled and minhash-banded ONCE, its band keys are
-    * appended to a durable band log (the incrementally-maintained face
-    * of the shared signature table), and the batch's bands are
-    * equi-joined against everything ingested so far — so each new doc
-    * is checked against the WHOLE corpus for the cost of its own bands,
-    * never by re-scanning old documents.
+    * of documents bands itself with per-row expressions (NO shuffle,
+    * [[graft.operators.Dedup.bandKeysPerRow]]) and probes KEYED STATE
+    * on `(band, key)` ([[graft.streaming.BandBucketProcessor]] via
+    * `transformWithState` on RocksDB) — so per-batch work is O(batch),
+    * independent of how much has been ingested. The previous shape
+    * (re-join each batch against an accumulated parquet band log) was
+    * confluent too but re-scanned the WHOLE log per batch — O(corpus)
+    * per batch, a scale-killer for the one query whose point is
+    * ingest-time incremental dedup.
     *
     * Confluence: a pair is emitted exactly when its later-arriving
-    * endpoint's batch joins it against the log, so the union over any
-    * batching equals the all-at-once batch LSH query — this query
-    * shares `dedup_minhash_lsh`'s DuckDB oracle (and the multi-batch
-    * equality is spec-asserted with a 3-batch MemoryStream ingest).
+    * endpoint probes the bucket holding the earlier one, so the union
+    * over any batching equals the all-at-once batch LSH query — this
+    * query shares `dedup_minhash_lsh`'s DuckDB oracle (and the
+    * multi-batch equality is spec-asserted with a 3-batch MemoryStream
+    * ingest).
     *
-    * At-least-once safety: a replayed batch re-appends its bands and
-    * re-emits its pairs; `n_bands` counts DISTINCT band indexes so
-    * duplicate band rows can't inflate it, and the final per-pair fold
-    * is idempotent.
+    * At-least-once safety: the state store is versioned per batch, so
+    * replay can't double-append membership; a replayed batch re-emits
+    * its pair hits, and the reader's `countDistinct(band)` fold is
+    * idempotent under duplicate hits.
     */
   private val streamDedupIngest: Q = (s, d) => {
     val run = freshRunDir("graft_ingest_")
-    val bandsDir = run.resolve("bands").toString
     val pairsDir = run.resolve("pairs").toString
     val schema = T(s, d, "documents").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "documents.parquet").parquet(d)
     withStreamingParallelism(s) {
-      val q = raw.writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          ingestDedupBatch(batch, bandsDir, pairsDir)
-        }
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk").toString)
-        .start()
-      q.awaitTermination()
+      withRocksDbStateStore(s) {
+        val q = graft.streaming.IngestDedup.pairHits(raw)
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", pairsDir)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk").toString)
+          .start()
+        q.awaitTermination()
+        if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+          q.recentProgress.foreach(p => System.err.println(p.json))
+      }
     }
     readIngestPairs(s, pairsDir)
   }
 
-  /** One ingest step: band the batch, append to the log, join the
-    * batch's bands against the full log (which now includes them — a
-    * same-batch pair is found too, folded once by the least/greatest
-    * normalization + distinct-band count).
+  /** `transformWithState` requires the RocksDB state store provider;
+    * scope it to the run and restore the session's prior setting (the
+    * other replays keep whatever the session was configured with).
     */
-  private[graft] def ingestDedupBatch(batch: DataFrame,
-      bandsDir: String, pairsDir: String): Unit = {
-    // persisted for the span of the batch: the shingle+minhash+banding
-    // plan has two consumers (the log append and the probe side of the
-    // join), and without the cache each would execute it from scratch
-    val bands = Dedup.bandKeys(Dedup.minhashSig(Dedup.shingleRows(batch)))
-      .persist()
-    try {
-      bands.write.mode("append").parquet(bandsDir)
-      val all = batch.sparkSession.read.parquet(bandsDir)
-      bands.select(col("doc_id").as("x_id"), col("band"), col("key"))
-        .join(all.select(col("doc_id").as("y_id"), col("band"), col("key")),
-          Seq("band", "key"))
-        .filter(col("x_id") =!= col("y_id"))
-        .select(least(col("x_id"), col("y_id")).as("a_id"),
-          greatest(col("x_id"), col("y_id")).as("b_id"), col("band"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(countDistinct(col("band")).as("n_bands"))
-        .write.mode("append").parquet(pairsDir)
-    } finally bands.unpersist(blocking = false)
+  private def withRocksDbStateStore[A](s: SparkSession)(run: => A): A = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try run finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
   }
 
-  /** The accumulated near-dup pairs (idempotent under batch replay). */
+  /** The accumulated near-dup pairs: fold per-band hits into the
+    * per-pair shared-band count (idempotent under batch replay).
+    */
   private[graft] def readIngestPairs(s: SparkSession,
       pairsDir: String): DataFrame =
-    s.read.schema("a_id BIGINT, b_id BIGINT, n_bands BIGINT")
+    s.read.schema("a_id BIGINT, b_id BIGINT, band INT")
       .parquet(pairsDir)
       .groupBy(col("a_id"), col("b_id"))
-      .agg(max(col("n_bands")).as("n_bands"))
+      .agg(countDistinct(col("band")).as("n_bands"))
 
   /** A fresh per-invocation run directory under this process's
     * `<prefix><pid>` parent, with all cleanup OFF the query clock:

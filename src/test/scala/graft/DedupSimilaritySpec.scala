@@ -85,20 +85,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
   }
 
-  test("ingest-time dedup over 3 micro-batches equals the all-at-once LSH pair query") {
-    import org.apache.spark.sql.DataFrame
+  test("per-row banding equals the aggregate shingle→minhash→band pipeline") {
+    // the streaming ingest path bands each doc with array expressions
+    // (zero shuffle); it must produce the exact (doc_id, band, key)
+    // rows the batch groupBy pipeline does, or the streamed pairs would
+    // silently drift from the dedup_minhash_lsh oracle
+    val docs = Tables.load(spark, sf, "documents")
+    val agg = Dedup.bandKeys(Dedup.minhashSig(Dedup.shingleRows(docs)))
+      .as[(Long, Int, String)].collect().toSet
+    val perRow = Dedup.bandKeysPerRow(docs)
+      .as[(Long, Int, String)].collect().toSet
+    assert(perRow == agg,
+      s"missing=${(agg -- perRow).take(5)} extra=${(perRow -- agg).take(5)}")
+  }
+
+  test("ingest-time dedup over 3 micro-batches equals the all-at-once LSH pair query, O(batch) per batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val run = java.nio.file.Files.createTempDirectory("ingest_spec")
-    val bandsDir = run.resolve("bands").toString
     val pairsDir = run.resolve("pairs").toString
     val docs = Tables.load(spark, sf, "documents")
       .select("doc_id", "text").as[(Long, String)].collect()
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val mem = MemoryStream[(Long, String)](spark)
-    val q = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.IngestDedup
+      .pairHits(mem.toDF().toDF("doc_id", "text"))
       .writeStream.outputMode("append")
-      .foreachBatch { (b: DataFrame, _: Long) =>
-        graft.operators.StreamingQueries.ingestDedupBatch(b, bandsDir, pairsDir)
-      }
+      .format("parquet").option("path", pairsDir)
+      .option("checkpointLocation", run.resolve("chk").toString)
       .start()
     try {
       // arrival order deliberately differs from id order: a near-dup
@@ -107,7 +123,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
         mem.addData(docs.filter(_._1 % 3 == i.toLong).toSeq)
         q.processAllAvailable()
       }
-    } finally q.stop()
+      // the scale contract: each batch reads ITS OWN rows only — the
+      // keyed band-bucket state replaces the old full-log re-join, so
+      // no batch's input grows with what was previously ingested
+      val perBatchInput = q.recentProgress.toSeq
+        .filter(_.numInputRows > 0).map(_.numInputRows)
+      assert(perBatchInput.size == 3, s"expected 3 data batches: $perBatchInput")
+      assert(perBatchInput.sum == docs.length,
+        s"each doc must be read exactly once across batches: $perBatchInput")
+      assert(q.recentProgress.exists(_.stateOperators.nonEmpty),
+        "ingest dedup must run through the keyed state operator")
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
     val got = graft.operators.StreamingQueries
       .readIngestPairs(spark, pairsDir)
       .as[(Long, Long, Long)].collect().toSet
