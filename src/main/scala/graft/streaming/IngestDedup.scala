@@ -87,7 +87,12 @@ object IngestDedup {
   def pairHits(docs: DataFrame): Dataset[PairHit] = {
     val s = docs.sparkSession
     import s.implicits._
-    Dedup.bandKeysPerRow(docs).as[BandHit]
+    // spread the md5-heavy banding across the executors BEFORE it runs:
+    // a micro-batch often arrives as few (or one) input splits — a
+    // single small file batch would otherwise hash every document in
+    // one task. The text shuffle is cheap next to the hashing, and the
+    // banding output must shuffle to the state keys anyway.
+    Dedup.bandKeysPerRow(docs.repartition()).as[BandHit]
       .groupByKey(h => (h.band, h.key))
       .transformWithState(
         new BandBucketProcessor, TimeMode.None(), OutputMode.Append())
