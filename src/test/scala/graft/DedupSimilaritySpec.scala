@@ -149,6 +149,56 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("ingest dedup survives a query kill+restart: bucket state resumes from the checkpoint") {
+    val run = java.nio.file.Files.createTempDirectory("ingest_restart")
+    val watchDir = run.resolve("in").toString
+    val pairsDir = run.resolve("pairs").toString
+    val chkDir = run.resolve("chk").toString
+    val docs = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def writeHalf(r: Long): Unit =
+      docs.filter(_._1 % 2 == r).toSeq.toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(watchDir)
+    // stop() is the crash stand-in: the second run recovers purely from
+    // the checkpoint (source file log + RocksDB band-bucket state)
+    def runOnce(): Unit = {
+      val raw = spark.readStream
+        .schema("doc_id BIGINT, text STRING").parquet(watchDir)
+      val q = graft.streaming.IngestDedup.pairHits(raw)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", pairsDir)
+        .option("checkpointLocation", chkDir)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      writeHalf(0)
+      runOnce()
+      // cross-half pairs exist only if the restarted query recovered
+      // the first half's bucket membership from the checkpoint rather
+      // than starting with empty state
+      writeHalf(1)
+      runOnce()
+    } finally {
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val got = graft.operators.StreamingQueries
+      .readIngestPairs(spark, pairsDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val want = graft.operators.Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want,
+      s"state lost or duplicated across restart: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
   test("connected components converge in O(log d) rounds on a 200-deep chain") {
     // a path graph 0-1-2-…-200: diameter 200, far beyond the 25-round
     // backstop. Plain min-label propagation (the round-6 shape) needs
