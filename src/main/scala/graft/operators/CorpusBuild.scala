@@ -317,6 +317,53 @@ object CorpusBuild {
       .withColumn("zkey", interleave(col("n_words"), col("doc_id")))
   }
 
+  /** Sequence packing budget (tokens per training sequence). */
+  private val PackBudget = 1024L
+
+  /** Sequence PACKING: assign every document a training-sequence id and
+    * an offset inside it, filling each sequence to `PackBudget` tokens
+    * in doc_id order (the deterministic "concatenate then split at the
+    * budget" packing every LLM pre-training pipeline runs — a document
+    * straddling a boundary belongs to the sequence where it starts).
+    *
+    * The global token prefix-sum is the two-pass total-order shape
+    * shared with `window_ntile` (Breadth) — NOT a single-partition
+    * `Window.orderBy`, which funnels the corpus through one task:
+    * partition-local running sums inside deterministic quantile-bounded
+    * buckets of doc_id, lifted by broadcast per-bucket offsets. The
+    * only total-order window runs over one row per bucket — bounded
+    * however large the corpus grows (spec-pinned against the built-in
+    * global window in DistributedOrderSpec).
+    */
+  private val packSequences: Q = (s, d) => {
+    val toks = T(s, d, "documents").select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"))
+    val bounds = toks.stat.approxQuantile(
+      "doc_id", (1 until 32).map(_ / 32.0).toArray, 0.001)
+    // literal boundaries, not repartitionByRange: both passes must
+    // agree on bucket membership by construction (see windowNtile)
+    val pid = bounds.distinct
+      .map(b => when(col("doc_id") > b, 1).otherwise(0))
+      .reduceOption((a: Column, b: Column) => a + b)
+      .getOrElse(lit(0): Column)
+    val parted = toks.withColumn("_pid", pid)
+    val local = parted.withColumn("_cum",
+      coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("_pid")).orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = parted.groupBy(col("_pid"))
+      .agg(sum(col("n_tokens")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    local.join(broadcast(offsets.select(col("_pid"), col("_off"))),
+        Seq("_pid"))
+      .withColumn("_before", col("_cum") + col("_off"))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("_before") / PackBudget).cast("long").as("seq_id"),
+        (col("_before") % PackBudget).as("seq_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
@@ -327,6 +374,7 @@ object CorpusBuild {
     "corpus_mix_report" -> mixReport,
     "quality_gate" -> qualityGate,
     "ngrams_heavyhitters" -> ngramsHh,
+    "corpus_pack_sequences" -> packSequences,
     "layout_zorder" -> zorder)
 
   private val corpusOracle: String = {
@@ -441,6 +489,17 @@ object CorpusBuild {
        |  FROM documents)""".stripMargin
   }
 
+  private val packSequencesOracle: String =
+    s"""SELECT doc_id, n_tokens,
+       |  CAST(floor(cum_before / $PackBudget) AS BIGINT) AS seq_id,
+       |  CAST(cum_before % $PackBudget AS BIGINT) AS seq_offset
+       |FROM (SELECT doc_id, n_tokens,
+       |  coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+       |  FROM (SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+       |  FROM documents))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
@@ -451,5 +510,6 @@ object CorpusBuild {
     "corpus_mix_report" -> mixReportOracle,
     "quality_gate" -> qualityGateOracle,
     // ngrams_heavyhitters: intentionally no oracle — see its doc
+    "corpus_pack_sequences" -> packSequencesOracle,
     "layout_zorder" -> zorderOracle)
 }

@@ -572,6 +572,43 @@ object Dedup {
     (labels.select(col("doc_id"), col("comp").as("component")), round)
   }
 
+  /** Canonical representative per near-dup CLUSTER — the decision step
+    * that actually prunes a corpus once components exist: for every
+    * component keep the doc with the most tokens (longest near-copy =
+    * the least-truncated one), smallest doc_id on ties. Output:
+    * `(component, keep_id, best_words, n_members)` — the keep-list a
+    * dedup job joins back against the corpus (everything else in the
+    * component drops).
+    *
+    * Scale shape: the component label table is tiny relative to the
+    * corpus (one row per doc that appears in any verified pair); the
+    * token counts come from one pruned scan of `documents`; the argmax
+    * is two ordinary hash aggregations (max then min-on-ties — fully
+    * deterministic, unlike engine-specific `max_by` tie behavior). In a
+    * production pipeline the label table is a maintained artifact and
+    * this query is its cheap consumer; here it recomputes components so
+    * the oracle covers the whole path.
+    */
+  private val keepBest: Q = (s, d) => {
+    val comp = components(s, d)
+      .select(col("doc_id"), col("component"))
+    val nw = T(s, d, "documents").select(col("doc_id"),
+      size(words(col("text"))).cast("long").as("n_words"))
+    // one row per clustered doc — tiny. Materialized once because both
+    // the max aggregation and the tie-break join consume it; lazily it
+    // would scan+tokenize `documents` once per consumer.
+    val j = comp.join(nw, Seq("doc_id")).localCheckpoint()
+    val best = j.groupBy(col("component"))
+      .agg(max(col("n_words")).as("best_words"),
+        count(lit(1)).as("n_members"))
+    j.join(best, Seq("component"))
+      .filter(col("n_words") === col("best_words"))
+      .groupBy(col("component"), col("best_words"), col("n_members"))
+      .agg(min(col("doc_id")).as("keep_id"))
+      .select(col("component"), col("keep_id"),
+        col("best_words"), col("n_members"))
+  }
+
   /** Release the block-manager storage behind an eagerly
     * localCheckpoint'ed frame (its analyzed plan is a flat
     * [[org.apache.spark.sql.execution.LogicalRDD]] over the
@@ -587,6 +624,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_components" -> components,
+    "dedup_keep_best" -> keepBest,
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_ngram_jaccard" -> ngramJaccard,
@@ -689,21 +727,47 @@ object Dedup {
   }
 
   /** Transitive closure over the verified-pair graph via recursive CTE;
-    * component = min reachable node (including self).
+    * component = min reachable node (including self). Factored as a CTE
+    * body so [[keepBestOracle]] composes on the same closure.
     */
-  private val componentsOracle: String =
-    s"""WITH RECURSIVE vp AS (${minhashVerifiedOracle}),
+  private val componentsCte: String =
+    s"""vp AS (${minhashVerifiedOracle}),
        |edges AS (SELECT a_id AS u, b_id AS v FROM vp
        |          UNION ALL SELECT b_id, a_id FROM vp),
        |reach(u, v) AS (
        |  SELECT DISTINCT u, u FROM edges
        |  UNION
-       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u)
-       |SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u""".stripMargin
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u AS doc_id, min(v) AS component
+       |         FROM reach GROUP BY u)""".stripMargin
+
+  private val componentsOracle: String =
+    s"WITH RECURSIVE $componentsCte SELECT doc_id, component FROM comp"
+
+  /** Per-component argmax in deterministic two-step form (max, then min
+    * doc_id among the maximal) — engine `arg_max` tie order is not
+    * portable.
+    */
+  private val keepBestOracle: String =
+    s"""WITH RECURSIVE $componentsCte,
+       |q AS (SELECT doc_id,
+       |        len(regexp_split_to_array(trim(text), '$WsRe')) AS n_words
+       |      FROM documents),
+       |j AS (SELECT c.component, c.doc_id, q.n_words
+       |      FROM comp c JOIN q USING (doc_id)),
+       |m AS (SELECT component, max(n_words) AS best_words,
+       |        count(*) AS n_members
+       |      FROM j GROUP BY component)
+       |SELECT m.component, min(j.doc_id) AS keep_id,
+       |  m.best_words, m.n_members
+       |FROM j JOIN m ON j.component = m.component
+       |  AND j.n_words = m.best_words
+       |GROUP BY m.component, m.best_words, m.n_members""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "dedup_minhash_verified" -> minhashVerifiedOracle,
     "dedup_components" -> componentsOracle,
+    "dedup_keep_best" -> keepBestOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,

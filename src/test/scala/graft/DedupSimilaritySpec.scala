@@ -247,6 +247,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"diff=${(got.toSet diff expected.toSet).take(5)} ${(expected.toSet diff got.toSet).take(5)}")
   }
 
+  test("keep_best picks the longest doc (smallest id on ties) in every component") {
+    val comp = Dedup.queries("dedup_components")(spark, sf)
+      .as[(Long, Long)].collect()
+    val words = Tables.load(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.trim.split("\\s+").length.toLong }.toMap
+    val expected = comp.groupBy(_._2).map { case (c, members) =>
+      val ids = members.map(_._1)
+      val best = ids.map(words).max
+      c -> (ids.filter(words(_) == best).min, best, ids.length.toLong)
+    }
+    val got = Dedup.queries("dedup_keep_best")(spark, sf)
+      .select("component", "keep_id", "best_words", "n_members")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == expected,
+      s"diff=${(got.toSet diff expected.toSet).take(5)}")
+  }
+
   test("exact dedup keeps one representative per distinct content") {
     val total = Tables.load(spark, sf, "documents").count()
     val dedup = Dedup.queries("dedup_exact")(spark, sf)

@@ -40,6 +40,28 @@ class DistributedOrderSpec extends AnyFunSuite {
       s"ntile scans must be pruned to o_orderkey, got $reads")
   }
 
+  test("two-pass sequence packing equals the built-in global-window prefix sum") {
+    val got = graft.operators.CorpusBuild
+      .queries("corpus_pack_sequences")(spark, sf)
+      .select("doc_id", "seq_id", "seq_offset")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val budget = 1024L
+    val builtin = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n"))
+      .withColumn("before", coalesce(sum(col("n")).over(
+        Window.orderBy(col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("doc_id"), (col("before") / budget).cast("long"),
+        col("before") % budget)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == builtin)
+    // packing sanity: offsets stay inside the budget, sequences start at 0
+    assert(got.values.forall(_._2 >= 0L))
+    assert(got.values.forall(_._2 < budget))
+    assert(got.values.map(_._1).min == 0L)
+  }
+
   test("reduced-domain running sum equals the built-in RANGE-frame window") {
     val got = graft.operators.Breadth
       .queries("window_range_frame")(spark, sf)
