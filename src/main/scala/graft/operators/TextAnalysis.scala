@@ -167,6 +167,57 @@ object TextAnalysis {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_text"))
 
+  private val Bm25Terms = Seq("spark", "merge", "window")
+  private val Bm25TopK = 20
+
+  /** BM25 ranked retrieval for a fixed term query — the keyword-search
+    * face of the corpus (tfidf's ranked sibling; what a contamination
+    * triage or RAG keyword fallback runs over 100 TB of documents).
+    *
+    * Cross-engine float parity drives the formula's form: standard BM25
+    * (k1 = 1.2, b = 0.75) with the log of the idf odds REPLACED by the
+    * exact odds ratio (N - df + ½)/(df + ½) — a per-term monotone
+    * transform, so per-term ordering is preserved while every score
+    * stays an exact-integer ratio: numerator and denominator are built
+    * in int64 (both sides scaled by 10·total to clear the k1/b
+    * rationals), and the ONLY float ops are one IEEE division per term
+    * plus a fixed-order sum — bit-identical in any IEEE-754 engine,
+    * unlike `ln`, whose libm rounding differs across engines. (At
+    * corpus scales where 22·tf·total overflows int64, compute the same
+    * ratio in doubles from the start — ranking tolerates the ulp.)
+    *
+    * Scale shape: ONE token scan + per-doc conditional counts (map-side
+    * combinable), corpus stats as a broadcast single-row build (the
+    * governance-allowlisted 1-row nested loop), and a global top-k that
+    * plans as TakeOrdered — per-partition k, never a full sort.
+    */
+  private val bm25: Q = (s, d) => {
+    val tok = T(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val perDocAggs = count(lit(1)).as("dl") +:
+      Bm25Terms.zipWithIndex.map { case (t, i) =>
+        count(when(col("term") === t, 1)).as(s"tf$i") }
+    val perDoc = tok.groupBy(col("doc_id"))
+      .agg(perDocAggs.head, perDocAggs.tail: _*)
+    val statAggs = Seq(count(lit(1)).as("n"), sum(col("dl")).as("total")) ++
+      Bm25Terms.indices.map(i =>
+        count(when(col(s"tf$i") > 0, 1)).as(s"df$i"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val termScores = Bm25Terms.indices.map { i =>
+      val num = ((lit(2) * col("n") - lit(2) * col(s"df$i") + lit(1)) *
+        lit(22) * col(s"tf$i") * col("total")).cast("double")
+      val den = ((lit(2) * col(s"df$i") + lit(1)) *
+        (lit(10) * col(s"tf$i") * col("total") + lit(3) * col("total") +
+          lit(9) * col("dl") * col("n"))).cast("double")
+      num / den
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(termScores.reduce(_ + _), 4).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_chunking" -> chunking,
     "text_token_count" -> tokenCount,
@@ -176,6 +227,7 @@ object TextAnalysis {
     "text_stopword_removal" -> stopwordRemoval,
     "text_fingerprint" -> fingerprint,
     "text_pii_mask" -> piiMask,
+    "text_bm25_topk" -> bm25,
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -206,7 +258,31 @@ object TextAnalysis {
        |  $langGuessSql AS lang_guess
        |FROM (SELECT doc_id, $langScoreColsSql FROM documents)""".stripMargin
 
+  private val bm25Oracle: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"count(CASE WHEN term = '$t' THEN 1 END) AS tf$i" }.mkString(", ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"count(CASE WHEN tf$i > 0 THEN 1 END) AS df$i").mkString(", ")
+    // same fixed left-to-right per-term sum as the Spark side — float
+    // addition order is part of the cross-engine contract
+    val scoreSum = Bm25Terms.indices.map(i =>
+      s"(CAST((2*n - 2*df$i + 1) * 22 * tf$i * total AS DOUBLE) / " +
+        s"CAST((2*df$i + 1) * (10*tf$i*total + 3*total + 9*dl*n) AS DOUBLE))")
+      .mkString(" + ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |perdoc AS (SELECT doc_id, count(*) AS dl, $tfCols
+       |           FROM tok GROUP BY doc_id),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total, $dfCols
+       |          FROM perdoc)
+       |SELECT doc_id, round($scoreSum, 4) AS bm25
+       |FROM perdoc CROSS JOIN stats
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "text_bm25_topk" -> bm25Oracle,
     "text_chunking" ->
       (s"WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws " +
         s"FROM documents) " +
