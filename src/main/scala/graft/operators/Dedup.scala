@@ -530,26 +530,42 @@ object Dedup {
     def labelSum(lbl: DataFrame): java.math.BigDecimal =
       Option(lbl.agg(sum(col("comp").cast(DecimalType(38, 0))))
         .head().getDecimal(0)).getOrElse(zero)
-    var labels = edges.select(col("u").as("doc_id")).distinct()
-      .withColumn("comp", col("doc_id")).localCheckpoint()
+    // pointer doubling: the inner join is total — every comp value is a
+    // node id (induction: round-1 labels are mins over self+neighbors;
+    // propagate takes mins of existing labels; shortcut takes existing
+    // labels). The two references to `prop` share one physical
+    // aggregation via exchange reuse, and the probe side is already
+    // partitioned on the join key by the groupBy.
+    def shortcut(prop: DataFrame): DataFrame = {
+      val parent = prop.select(col("doc_id").as("comp"),
+        col("comp").as("pcomp"))
+      prop.join(parent, Seq("comp"))
+        .select(col("doc_id"), col("pcomp").as("comp"))
+    }
+    // FUSED round 1: propagating over the identity labeling needs no
+    // label table at all — min(self, neighbors) comes straight off the
+    // edge list, saving the identity materialization and its fixpoint
+    // sum (two driver actions on the hot path of every invocation).
+    var labels = shortcut(
+      edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
+        .select(col("u").as("doc_id"),
+          least(col("u"), col("mn")).as("comp")))
+      .localCheckpoint()
     var prevSum = labelSum(labels)
-    var converged = false
-    var round = 0
+    // sum 0 after round 1 means either an EMPTY graph or every node
+    // labeled 0 — doc ids are nonnegative, so the sum is 0 only when
+    // every label is, and label 0 only ever appears inside node 0's own
+    // component (labels are component-member ids): all-zero is the
+    // converged single-component-with-0 labeling. Any other round-1
+    // labeling is not certified as a fixpoint, so the loop confirms it.
+    var converged = prevSum.signum == 0
+    var round = 1
     while (!converged && round < MaxComponentRounds) {
       val prop = labels.union(edges
           .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
           .select(col("u").as("doc_id"), col("comp")))
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-      // pointer doubling: inner join is total — every comp value is a
-      // node id (induction: initial labels are self-ids; propagate
-      // takes mins of existing labels; shortcut takes existing labels).
-      // The two references to `prop` share one physical aggregation via
-      // exchange reuse, and the probe side is already partitioned on
-      // the join key by the groupBy.
-      val parent = prop.select(col("doc_id").as("comp"),
-        col("comp").as("pcomp"))
-      val next = prop.join(parent, Seq("comp"))
-        .select(col("doc_id"), col("pcomp").as("comp")).localCheckpoint()
+      val next = shortcut(prop).localCheckpoint()
       val s = labelSum(next)
       releaseCheckpoint(labels)
       converged = s.compareTo(prevSum) == 0
