@@ -511,8 +511,8 @@ object Dedup {
     */
   private[graft] def connectedComponentsWithRounds(
       pairs: DataFrame): (DataFrame, Int) = {
-    // Each round is materialized with an EAGER localCheckpoint, which
-    // does two jobs at once: (1) the loop drives actions (the fixpoint
+    // Each round is materialized with an EAGER checkpoint, which does
+    // two jobs at once: (1) the loop drives actions (the fixpoint
     // sum each round), so an unmaterialized round N would recompute the
     // whole upstream pipeline plus N-1 prior rounds — O(rounds²) work;
     // (2) unlike persist(), the checkpoint TRUNCATES LINEAGE — each
@@ -522,10 +522,21 @@ object Dedup {
     // minutes-long 10-round loop over a 201-node graph). With per-round
     // truncation every round's plan is a constant-size tree over two
     // flat scans. Superseded generations are explicitly released.
+    //
+    // Which checkpoint: a session WITH a configured checkpoint dir gets
+    // RELIABLE checkpoints (survive executor loss — on a big cluster an
+    // iterative job will see one mid-run, and a localCheckpoint'ed
+    // generation cannot be recomputed); without one, localCheckpoint
+    // (block-manager storage, no filesystem round-trip) is the right
+    // local[] / tests / bench shape. Same machinery either way.
+    def materialize(df: DataFrame): DataFrame =
+      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        df.checkpoint()
+      else df.localCheckpoint()
     val ab = pairs.toDF("a_id", "b_id")
-    val edges = ab.union(
+    val edges = materialize(ab.union(
       ab.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .toDF("u", "v").localCheckpoint()
+      .toDF("u", "v"))
     val zero = new java.math.BigDecimal(0)
     def labelSum(lbl: DataFrame): java.math.BigDecimal =
       Option(lbl.agg(sum(col("comp").cast(DecimalType(38, 0))))
@@ -546,11 +557,10 @@ object Dedup {
     // label table at all — min(self, neighbors) comes straight off the
     // edge list, saving the identity materialization and its fixpoint
     // sum (two driver actions on the hot path of every invocation).
-    var labels = shortcut(
+    var labels = materialize(shortcut(
       edges.groupBy(col("u")).agg(min(col("v")).as("mn"))
         .select(col("u").as("doc_id"),
-          least(col("u"), col("mn")).as("comp")))
-      .localCheckpoint()
+          least(col("u"), col("mn")).as("comp"))))
     var prevSum = labelSum(labels)
     // sum 0 after round 1 means either an EMPTY graph or every node
     // labeled 0 — doc ids are nonnegative, so the sum is 0 only when
@@ -565,7 +575,7 @@ object Dedup {
           .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
           .select(col("u").as("doc_id"), col("comp")))
         .groupBy(col("doc_id")).agg(min(col("comp")).as("comp"))
-      val next = shortcut(prop).localCheckpoint()
+      val next = materialize(shortcut(prop))
       val s = labelSum(next)
       releaseCheckpoint(labels)
       converged = s.compareTo(prevSum) == 0

@@ -217,6 +217,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"expected O(log 200) ≈ 8 rounds + fixpoint detection, took $rounds")
   }
 
+  test("components run identically under a reliable checkpoint dir (executor-loss-safe path)") {
+    // with spark.checkpoint.dir configured, every generation goes to a
+    // RELIABLE checkpoint instead of localCheckpoint — the cluster shape
+    // where an executor loss mid-loop must not kill the job
+    val dir = java.nio.file.Files.createTempDirectory("cc_ckpt")
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty, "test expects no prior checkpoint dir")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val pairs = spark.range(0, 50)
+        .select(col("id").as("a_id"), (col("id") + 1).as("b_id"))
+      val (comp, rounds) = Dedup.connectedComponentsWithRounds(pairs)
+      val rows = comp.as[(Long, Long)].collect()
+      assert(rows.length == 51 && rows.forall(_._2 == 0L))
+      assert(rounds <= 10)
+    } finally sc.setCheckpointDir(null)
+  }
+
   test("connected components of an empty pair set converge without error") {
     // sum() over zero rows is null; the fixpoint must coalesce it, not NPE
     val empty = spark.range(0)
