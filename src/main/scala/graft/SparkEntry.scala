@@ -23,7 +23,7 @@ object SparkEntry {
     ReferenceOps.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries ++
-      TimeSeries.queries ++ CorpusBuild.queries
+      TimeSeries.queries ++ CorpusBuild.queries ++ HybridRetrieval.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -33,5 +33,5 @@ object SparkEntry {
     ReferenceOps.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles ++
-      TimeSeries.oracles ++ CorpusBuild.oracles
+      TimeSeries.oracles ++ CorpusBuild.oracles ++ HybridRetrieval.oracles
 }

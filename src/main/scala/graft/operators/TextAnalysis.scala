@@ -191,7 +191,16 @@ object TextAnalysis {
     * governance-allowlisted 1-row nested loop), and a global top-k that
     * plans as TakeOrdered — per-partition k, never a full sort.
     */
-  private val bm25: Q = (s, d) => {
+  private val bm25: Q = (s, d) =>
+    bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+
+  /** The full per-doc BM25 score frame `(doc_id, bm25)` — shared by the
+    * ranked-retrieval query above and the lexical leg of
+    * [[HybridRetrieval]]'s rank fusion.
+    */
+  private[operators] def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val tok = T(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
     val perDocAggs = count(lit(1)).as("dl") +:
@@ -214,8 +223,6 @@ object TextAnalysis {
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"),
         round(termScores.reduce(_ + _), 4).as("bm25"))
-      .orderBy(col("bm25").desc, col("doc_id"))
-      .limit(Bm25TopK)
   }
 
   val queries: Map[String, Q] = Map(
@@ -258,7 +265,10 @@ object TextAnalysis {
        |  $langGuessSql AS lang_guess
        |FROM (SELECT doc_id, $langScoreColsSql FROM documents)""".stripMargin
 
-  private val bm25Oracle: String = {
+  /** WITH-clause body producing `scored(doc_id, bm25)` — the SQL twin of
+    * [[bm25Scored]], shared with [[HybridRetrieval]]'s fusion oracle.
+    */
+  private[operators] val bm25ScoredCtes: String = {
     val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
       s"count(CASE WHEN term = '$t' THEN 1 END) AS tf$i" }.mkString(", ")
     val dfCols = Bm25Terms.indices.map(i =>
@@ -269,17 +279,21 @@ object TextAnalysis {
       s"(CAST((2*n - 2*df$i + 1) * 22 * tf$i * total AS DOUBLE) / " +
         s"CAST((2*df$i + 1) * (10*tf$i*total + 3*total + 9*dl*n) AS DOUBLE))")
       .mkString(" + ")
-    s"""WITH tok AS (SELECT doc_id,
+    s"""tok AS (SELECT doc_id,
        |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
        |  FROM documents),
        |perdoc AS (SELECT doc_id, count(*) AS dl, $tfCols
        |           FROM tok GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n, sum(dl) AS total, $dfCols
-       |          FROM perdoc)
-       |SELECT doc_id, round($scoreSum, 4) AS bm25
-       |FROM perdoc CROSS JOIN stats
-       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+       |          FROM perdoc),
+       |scored AS (SELECT doc_id, round($scoreSum, 4) AS bm25
+       |           FROM perdoc CROSS JOIN stats)""".stripMargin
   }
+
+  private val bm25Oracle: String =
+    s"""WITH $bm25ScoredCtes
+       |SELECT doc_id, bm25 FROM scored
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "text_bm25_topk" -> bm25Oracle,

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.HybridRetrieval
+
+/** RRF fusion semantics on literal rank lists, plus the end-to-end shape
+  * over the real tables (the value-level gate is the DuckDB oracle).
+  */
+class HybridRetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = SparkTestSession.sf
+  import spark.implicits._
+
+  test("rrfFuse: both-list docs outrank single-list docs at equal ranks") {
+    // doc 1 is rank 1 in both lists; doc 2 is rank 1 lexical-only;
+    // doc 3 is rank 1 vector-only; doc 4 trails in both
+    val lex = Seq((1L, 1L), (2L, 2L), (4L, 3L)).toDF("doc_id", "lex_rank")
+    val vec = Seq((1L, 1L), (3L, 2L), (4L, 3L)).toDF("doc_id", "vec_rank")
+    val out = HybridRetrieval.rrfFuse(lex, vec, 10)
+      .select("doc_id", "rrf").as[(Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(1L, 4L, 2L, 3L))
+    val byId = out.toMap
+    // exact RRF arithmetic: 1/(60+r), summed, rounded to 6
+    assert(byId(1L) == BigDecimal(1.0 / 61 + 1.0 / 61)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(byId(2L) == BigDecimal(1.0 / 62)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // absent-list ranks surface as nulls, not zeros
+    val row = HybridRetrieval.rrfFuse(lex, vec, 10)
+      .filter(col("doc_id") === 2L).head()
+    assert(!row.isNullAt(row.fieldIndex("lex_rank")))
+    assert(row.isNullAt(row.fieldIndex("vec_rank")))
+  }
+
+  test("rrfFuse ties break by doc_id ascending") {
+    val lex = Seq((7L, 1L), (5L, 2L)).toDF("doc_id", "lex_rank")
+    val vec = Seq((9L, 1L), (3L, 2L)).toDF("doc_id", "vec_rank")
+    // 7 and 9 tie (1/61), 5 and 3 tie (1/62): id breaks both ties
+    val ids = HybridRetrieval.rrfFuse(lex, vec, 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(ids == Seq(7L, 9L, 3L, 5L))
+  }
+
+  test("hybrid_rrf end-to-end: bounded lists, valid ranks, fused order") {
+    val out = HybridRetrieval.queries("hybrid_rrf")(spark, sf)
+      .select(col("doc_id"), col("rrf"), col("lex_rank"), col("vec_rank"))
+      .collect()
+    assert(out.length == 20)
+    // every row is in at least one list, ranks within the list depth
+    out.foreach { r =>
+      val lexR = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val vecR = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(lexR.nonEmpty || vecR.nonEmpty)
+      assert(lexR.forall(x => x >= 1 && x <= 50))
+      assert(vecR.forall(x => x >= 1 && x <= 50))
+    }
+    // output is sorted by (rrf desc, doc_id asc)
+    val key = out.map(r => (-r.getDouble(1), r.getLong(0))).toSeq
+    assert(key == key.sorted)
+    // the query doc itself never appears in the vector leg
+    assert(out.forall(r => r.isNullAt(3) || r.getLong(0) != 0L))
+  }
+}
