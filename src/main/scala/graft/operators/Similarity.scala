@@ -277,6 +277,69 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  private val KmIters = 3
+
+  /** One Lloyd step: assign every vector to its nearest centroid, then
+    * replace each centroid with the mean of its assigned vectors —
+    * `(cid, cv)` in, `(cid, cv)` out. Shared by the IVF trainer (one
+    * step) and [[kmeansMix]] (several). The update is a posexplode →
+    * per-(cid, dim) average → re-assembled arrays: every stage a
+    * shuffle-bounded DataFrame op, no driver math.
+    */
+  private def lloydStep(e: DataFrame, cents: DataFrame): DataFrame =
+    nearestCentroid(e, cents).join(e, Seq("vec_id"))
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+
+  /** Semantic clustering for data-mix analysis: deterministic k-means
+    * (stride-sampled seeds, `KmIters` full Lloyd iterations) over the
+    * embedding space, reported as the per-cluster composition a corpus
+    * curator reads — members, dominant `label`, dominant-label count.
+    * This is the "what's actually IN each semantic bucket" report that
+    * drives sampling weights when the corpus mix is rebalanced (the
+    * cluster-then-weight recipe behind semantic dedup/balancing).
+    *
+    * Everything discrete is deterministic: seeds are every
+    * `IvfSeedStep`-th vector, the argmin tie-breaks on smallest cid, the
+    * dominant label on (count desc, label asc). The continuous centroid
+    * coordinates stay engine-internal; only integer counts and ids are
+    * emitted, so the DuckDB oracle (the same pipeline as three unrolled
+    * CTE rounds) hash-matches exactly — random 64-d distances are far
+    * apart relative to cross-engine summation-order noise, the
+    * [[ivfOracle]] precedent.
+    *
+    * Scale shape: per iteration, ONE broadcast of the centroid table and
+    * a map-side-combinable argmin (the shuffle carries one row per
+    * vector), then a (cid, dim)-keyed average — O(n·C·d) compute, O(n)
+    * shuffle, no all-pairs product anywhere. Centroid count grows as
+    * n/IvfSeedStep; at 100 TB the centroid table outgrows a broadcast
+    * and the assignment becomes a bucketed equi-join on a coarse
+    * pre-quantizer — the same evolution path as [[annIvf]].
+    */
+  private val kmeansMix: Q = (s, d) => {
+    val emb = T(s, d, "embeddings")
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
+      .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
+        col("v").as("cv"))
+    val cents = (1 to KmIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
+    val af = nearestCentroid(e, cents)
+    val mix = af.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
+    val byCid = Window.partitionBy(col("cid"))
+    mix
+      .withColumn("rn", row_number().over(
+        byCid.orderBy(col("n").desc, col("label"))))
+      .withColumn("n_members", sum(col("n")).over(byCid))
+      .filter(col("rn") === 1)
+      .select(col("cid").cast("long").as("cid"), col("n_members"),
+        col("label").cast("long").as("top_label"),
+        col("n").as("top_label_n"))
+  }
+
   /** Int8 symmetric quantization of the embedding column — the standard
     * 4× compression before an ANN index ships: per-vector scale
     * 127/max|x|, element `floor(x · scale)`. Output is the per-vector
@@ -319,6 +382,7 @@ object Similarity {
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "embed_quantize" -> quantize,
+    "embed_kmeans_mix" -> kmeansMix,
   )
 
   private val topkOracle: String =
@@ -398,8 +462,66 @@ object Similarity {
        |  JOIN embeddings qe ON qe.vec_id = c.q_id)
        |WHERE rank <= $K""".stripMargin
 
+  /** One k-means assignment round in SQL — same argmin and (d2, cid)
+    * tie-break as [[nearestCentroid]] / the [[ivfOracle]] CTEs.
+    */
+  private def assignSql(cents: String): String =
+    s"""SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(c.cv, c.cv)
+       |                 - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
+       |    FROM e CROSS JOIN $cents c)
+       |  WHERE rn = 1""".stripMargin
+
+  /** The Lloyd centroid update in SQL — per-(cid, dim) average
+    * reassembled with `list(m ORDER BY i)`, the [[ivfOracle]] pattern.
+    */
+  private def centUpdateSql(assign: String): String =
+    s"""SELECT cid, list(m ORDER BY i) AS cv FROM (
+       |    SELECT a.cid, t.i, avg(e.v[t.i]) AS m
+       |    FROM $assign a JOIN e USING (vec_id),
+       |         unnest(generate_series(1, len(e.v))) t(i)
+       |    GROUP BY a.cid, t.i)
+       |  GROUP BY cid""".stripMargin
+
+  /** [[kmeansMix]] re-derived in SQL: the same seeds, KmIters unrolled
+    * assign/update rounds, final assignment, and the integer-only mix
+    * report.
+    */
+  private val kmeansMixOracle: String = {
+    val rounds = (1 to KmIters).map { i =>
+      val prev = if (i == 1) "seeds" else s"c${i - 1}"
+      s"a$i AS (${assignSql(prev)}),\nc$i AS (${centUpdateSql(s"a$i")})"
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+       |),
+       |seeds AS (
+       |  SELECT CAST(vec_id // $IvfSeedStep AS INT) AS cid, v AS cv
+       |  FROM e WHERE vec_id % $IvfSeedStep = 0
+       |),
+       |$rounds,
+       |af AS (${assignSql(s"c$KmIters")}),
+       |mix AS (
+       |  SELECT a.cid, emb.label, count(*) AS n
+       |  FROM af a JOIN embeddings emb USING (vec_id)
+       |  GROUP BY a.cid, emb.label
+       |)
+       |SELECT CAST(cid AS BIGINT) AS cid, n_members,
+       |  CAST(label AS BIGINT) AS top_label, n AS top_label_n
+       |FROM (
+       |  SELECT cid, label, n,
+       |    row_number() OVER (PARTITION BY cid
+       |      ORDER BY n DESC, label) AS rn,
+       |    CAST(sum(n) OVER (PARTITION BY cid) AS BIGINT) AS n_members
+       |  FROM mix)
+       |WHERE rn = 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkOracle,
+    "embed_kmeans_mix" -> kmeansMixOracle,
     // the Aggregator formulation must reproduce the window formulation
     // exactly — same oracle, different physical shape
     "sim_topk_agg" -> topkOracle,

@@ -362,6 +362,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("kmeans mix report partitions the corpus and is deterministic") {
+    val total = Similarity.queries("embed_quantize")(spark, sf).count()
+    val mix = Similarity.queries("embed_kmeans_mix")(spark, sf)
+      .select("cid", "n_members", "top_label", "top_label_n")
+      .as[(Long, Long, Long, Long)].collect()
+    // every vector lands in exactly one cluster
+    assert(mix.map(_._2).sum == total)
+    assert(mix.forall { case (_, n, _, topN) => topN >= 1 && topN <= n })
+    // stride seeding bounds the cluster count (empty clusters may drop)
+    assert(mix.length <= (total / 31 + 1))
+    val again = Similarity.queries("embed_kmeans_mix")(spark, sf)
+      .select("cid", "n_members", "top_label", "top_label_n")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(mix.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions._
     val e = Tables.load(spark, sf, "embeddings").limit(10)

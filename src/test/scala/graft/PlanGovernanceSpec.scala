@@ -27,6 +27,12 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "text_bm25_topk" -> ("crossJoin against the broadcast SINGLE-ROW corpus" +
       " stats (N, total tokens, per-term df) - how scalar statistics" +
       " reach every row; bounded at one build row forever"),
+    "hybrid_rrf" -> ("the BM25 leg's single-row stats crossJoin plus the" +
+      " vector leg's broadcast ONE-ROW query embedding - both bounded" +
+      " at one build row forever"),
+    "embed_kmeans_mix" -> ("crossJoin against the broadcast centroid" +
+      " table per Lloyd round - the same O(n*C) assignment shape as" +
+      " sim_ann_ivf, never an unbounded pair product"),
   )
 
   test("no registry query plans an unbounded nested-loop join") {
