@@ -319,14 +319,22 @@ object Similarity {
     * and the assignment becomes a bucketed equi-join on a coarse
     * pre-quantizer — the same evolution path as [[annIvf]].
     */
-  private val kmeansMix: Q = (s, d) => {
-    val emb = T(s, d, "embeddings")
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  /** The converged assignment `(vec_id, cid)` after `KmIters` Lloyd
+    * iterations from the stride seeds — shared by [[kmeansMix]] and the
+    * SemDeDup-style [[semanticDedup]].
+    */
+  private def kmeansAssign(e: DataFrame): DataFrame = {
     val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
       .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
         col("v").as("cv"))
     val cents = (1 to KmIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
-    val af = nearestCentroid(e, cents)
+    nearestCentroid(e, cents)
+  }
+
+  private val kmeansMix: Q = (s, d) => {
+    val emb = T(s, d, "embeddings")
+    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val af = kmeansAssign(e)
     val mix = af.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
     val byCid = Window.partitionBy(col("cid"))
@@ -338,6 +346,44 @@ object Similarity {
       .select(col("cid").cast("long").as("cid"), col("n_members"),
         col("label").cast("long").as("top_label"),
         col("n").as("top_label_n"))
+  }
+
+  private val SemTau = 0.35 // within-cluster cosine drop threshold
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023's recipe,
+    * re-expressed relationally): cluster the embedding space, then
+    * compare pairs ONLY within a cluster and drop every doc that has a
+    * more-canonical (lower-id) similar neighbor. Output is the DROP
+    * list: `(drop_id, keep_id, n_similar)` with `keep_id` the smallest
+    * similar lower-id cluster-mate (the greedy keep-first-seen
+    * witness — a witness may itself be dropped further up its chain,
+    * the standard greedy semantics) and `n_similar` the doc's total
+    * similar lower-id witnesses.
+    *
+    * The whole point of clustering first is the join shape: all-pairs
+    * is intractable at corpus scale, but within-cluster pairs are an
+    * EQUI-JOIN on cid whose per-key fan-out is bounded by cluster size
+    * (centroid count scales as n/IvfSeedStep, so mean cluster size
+    * stays ~IvfSeedStep at any corpus) — compare [[Dedup]]'s
+    * block-partitioned exact variant, which must touch every pair.
+    * Threshold-compares on unrounded cosine are the hash-stable
+    * precedent from `dedup_embedding_cosine`.
+    */
+  private val semanticDedup: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    val m = kmeansAssign(e)
+      .join(e.withColumn("nrm", norm2(col("v"))), Seq("vec_id"))
+    val a = m.select(col("cid"), col("vec_id").as("a_id"),
+      col("v").as("va"), col("nrm").as("na"))
+    val b = m.select(col("cid"), col("vec_id").as("b_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("cid")).filter(col("a_id") < col("b_id"))
+      .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= SemTau)
+      .groupBy(col("b_id"))
+      .agg(min(col("a_id")).as("keep_id"), count(lit(1)).as("n_similar"))
+      .select(col("b_id").as("drop_id"), col("keep_id"), col("n_similar"))
   }
 
   /** Int8 symmetric quantization of the embedding column — the standard
@@ -383,6 +429,7 @@ object Similarity {
     "sim_ann_ivf" -> annIvf,
     "embed_quantize" -> quantize,
     "embed_kmeans_mix" -> kmeansMix,
+    "dedup_semantic" -> semanticDedup,
   )
 
   private val topkOracle: String =
@@ -489,12 +536,16 @@ object Similarity {
     * assign/update rounds, final assignment, and the integer-only mix
     * report.
     */
-  private val kmeansMixOracle: String = {
+  /** The WITH-clause prefix producing the converged assignment `af` —
+    * the SQL twin of [[kmeansAssign]], shared by both clustering
+    * oracles.
+    */
+  private val kmeansCtes: String = {
     val rounds = (1 to KmIters).map { i =>
       val prev = if (i == 1) "seeds" else s"c${i - 1}"
       s"a$i AS (${assignSql(prev)}),\nc$i AS (${centUpdateSql(s"a$i")})"
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |),
        |seeds AS (
@@ -502,7 +553,11 @@ object Similarity {
        |  FROM e WHERE vec_id % $IvfSeedStep = 0
        |),
        |$rounds,
-       |af AS (${assignSql(s"c$KmIters")}),
+       |af AS (${assignSql(s"c$KmIters")})""".stripMargin
+  }
+
+  private val kmeansMixOracle: String = {
+    s"""WITH $kmeansCtes,
        |mix AS (
        |  SELECT a.cid, emb.label, count(*) AS n
        |  FROM af a JOIN embeddings emb USING (vec_id)
@@ -519,9 +574,27 @@ object Similarity {
        |WHERE rn = 1""".stripMargin
   }
 
+  /** [[semanticDedup]] in SQL — the shared kmeans prefix, within-cluster
+    * pairs, threshold, and the greedy witness aggregation.
+    */
+  private val semanticDedupOracle: String =
+    s"""WITH $kmeansCtes,
+       |pairs AS (
+       |  SELECT y.vec_id AS b_id, x.vec_id AS a_id,
+       |    list_cosine_similarity(ea.embedding::DOUBLE[],
+       |                           eb.embedding::DOUBLE[]) AS sim
+       |  FROM af x JOIN af y ON x.cid = y.cid AND x.vec_id < y.vec_id
+       |  JOIN embeddings ea ON ea.vec_id = x.vec_id
+       |  JOIN embeddings eb ON eb.vec_id = y.vec_id)
+       |SELECT b_id AS drop_id, CAST(min(a_id) AS BIGINT) AS keep_id,
+       |  count(*) AS n_similar
+       |FROM pairs WHERE sim >= $SemTau
+       |GROUP BY b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_topk_bruteforce" -> topkOracle,
     "embed_kmeans_mix" -> kmeansMixOracle,
+    "dedup_semantic" -> semanticDedupOracle,
     // the Aggregator formulation must reproduce the window formulation
     // exactly — same oracle, different physical shape
     "sim_topk_agg" -> topkOracle,

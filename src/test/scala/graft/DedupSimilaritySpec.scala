@@ -378,6 +378,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mix.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("semantic dedup: witnesses precede their drops and are truly similar") {
+    val drops = Similarity.queries("dedup_semantic")(spark, sf)
+      .select("drop_id", "keep_id", "n_similar")
+      .as[(Long, Long, Long)].collect()
+    assert(drops.nonEmpty)
+    // greedy keep-first: the witness is always the LOWER id, and each
+    // doc appears at most once on the drop side
+    assert(drops.forall { case (d, k, n) => k < d && n >= 1 })
+    assert(drops.map(_._1).distinct.length == drops.length)
+    // every (keep, drop) pair really is cosine-similar above the
+    // threshold - checked against the exact all-pairs >= 0.4 query where
+    // it can vouch (its threshold is higher, so only one direction holds)
+    val exact = Dedup.queries("dedup_embedding_cosine")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val vouched = drops.count { case (d, k, _) => exact.contains((k, d)) }
+    assert(vouched > 0, "no semantic drop overlaps the exact >=0.4 pairs")
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions._
     val e = Tables.load(spark, sf, "embeddings").limit(10)

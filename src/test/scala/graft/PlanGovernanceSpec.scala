@@ -33,6 +33,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "embed_kmeans_mix" -> ("crossJoin against the broadcast centroid" +
       " table per Lloyd round - the same O(n*C) assignment shape as" +
       " sim_ann_ivf, never an unbounded pair product"),
+    "dedup_semantic" -> ("the same Lloyd-round centroid crossJoins as" +
+      " embed_kmeans_mix; the pair stage itself is a bounded equi-join" +
+      " on cid"),
   )
 
   test("no registry query plans an unbounded nested-loop join") {
