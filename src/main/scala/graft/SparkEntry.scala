@@ -23,7 +23,8 @@ object SparkEntry {
     ReferenceOps.queries ++ Relational.queries ++
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries ++
-      TimeSeries.queries ++ CorpusBuild.queries ++ HybridRetrieval.queries
+      TimeSeries.queries ++ CorpusBuild.queries ++
+      HybridRetrieval.queries ++ BloomJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -33,5 +34,6 @@ object SparkEntry {
     ReferenceOps.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles ++
-      TimeSeries.oracles ++ CorpusBuild.oracles ++ HybridRetrieval.oracles
+      TimeSeries.oracles ++ CorpusBuild.oracles ++
+      HybridRetrieval.oracles ++ BloomJoin.oracles
 }

@@ -268,7 +268,46 @@ object Breadth {
         1, 8), 16, 10).cast("long") % 10 === 0)
       .select(col("doc_id"), col("text"))
 
+  /** Snapshot diff (CDC): given two versions of a keyed table, emit the
+    * change set — inserts, deletes, and updates, with the old/new
+    * values — the operator every incremental pipeline (ingest reconcile,
+    * index refresh, downstream cache invalidation) starts from. The
+    * snapshots here are derived deterministically from `orders` (key
+    * residues pick membership, an exact +1 bumps half the prices) so
+    * the oracle reproduces them exactly.
+    *
+    * Scale shape: one full-outer equi-join on the key and per-row
+    * compares — two shuffles total, and with both snapshots maintained
+    * as bucketed tables on the key (the production layout) the join is
+    * co-located and shuffle-free. The `unchanged` majority is dropped
+    * before anything downstream sees it.
+    */
+  private val snapshotDiff: Q = (s, d) => {
+    val o = T(s, d, "orders")
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val a = o.filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .select(col("o_orderkey"), col("o_totalprice").as("old_price"),
+        col("o_orderstatus").as("old_status"))
+    val b = o.filter(pmod(col("o_orderkey"), lit(3)) =!= 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(2)) === 0,
+          col("o_totalprice") + 1).otherwise(col("o_totalprice"))
+          .as("new_price"),
+        col("o_orderstatus").as("new_status"))
+    a.join(b, Seq("o_orderkey"), "full_outer")
+      .withColumn("change",
+        when(col("old_price").isNull, lit("insert"))
+          .when(col("new_price").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status"), lit("update"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("o_orderkey"), col("change"),
+        col("old_price"), col("new_price"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "snapshot_diff" -> snapshotDiff,
     "sample_hash" -> sampleHash,
     "listagg_op" -> listaggOp,
     "window_ntile" -> windowNtile,
@@ -290,6 +329,26 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "snapshot_diff" ->
+      """SELECT o_orderkey, change, old_price, new_price FROM (
+        |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+        |    CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+        |         WHEN b.o_orderkey IS NULL THEN 'delete'
+        |         WHEN a.old_price <> b.new_price
+        |           OR a.old_status <> b.new_status THEN 'update'
+        |         ELSE 'unchanged' END AS change,
+        |    a.old_price, b.new_price
+        |  FROM (SELECT o_orderkey, o_totalprice AS old_price,
+        |          o_orderstatus AS old_status
+        |        FROM orders WHERE o_orderkey % 5 <> 0) a
+        |  FULL OUTER JOIN
+        |       (SELECT o_orderkey,
+        |          CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1
+        |               ELSE o_totalprice END AS new_price,
+        |          o_orderstatus AS new_status
+        |        FROM orders WHERE o_orderkey % 3 <> 0) b
+        |    ON a.o_orderkey = b.o_orderkey)
+        |WHERE change <> 'unchanged'""".stripMargin,
     "sample_hash" ->
       ("SELECT doc_id, text FROM documents " +
         "WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10 = 0"),

@@ -36,6 +36,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "dedup_semantic" -> ("the same Lloyd-round centroid crossJoins as" +
       " embed_kmeans_mix; the pair stage itself is a bounded equi-join" +
       " on cid"),
+    "bloom_semijoin" -> ("crossJoin against the broadcast SINGLE-ROW" +
+      " Bloom bitset (128 KiB map) - the pre-filter that spares the" +
+      " big side's exchange; bounded at one build row forever"),
   )
 
   test("no registry query plans an unbounded nested-loop join") {
