@@ -132,6 +132,99 @@ object StreamingQueries {
       .select(col("hour_epoch"), col("event_type"), col("n"))
   }
 
+  /** The id of the watermark-flush sentinel user (see
+    * [[streamSessionize]]); real users are nonnegative.
+    */
+  private[graft] val SentinelUser = -1L
+
+  /** Gap-based sessionization as a REAL streaming job — the native
+    * `session_window` operator with merging state, replayed over the
+    * events table in APPEND mode (the scale-correct one: a session is
+    * emitted exactly once, when the watermark passes its close, and
+    * its state is evicted — bounded memory at any scale; Spark rejects
+    * update mode for session windows). Shares `sessionize_native`'s
+    * DuckDB oracle: streaming session-merge semantics must equal the
+    * batch interval-merge SQL.
+    *
+    * The replay ends while the LAST sessions are still within the
+    * watermark delay of the stream's end, so un-flushed they would
+    * stay open in state and never emit — the standard drain move is a
+    * SENTINEL event far past the end that advances the watermark over
+    * every real session's close (the no-data micro-batch then emits
+    * them). The sentinel rides a run-local staged source dir: the
+    * events file is hard-linked (no data copy), the one-row sentinel
+    * parquet sits next to it, and the sentinel's own forever-open
+    * session is filtered from the read-back by its negative user id.
+    */
+  private val streamSessionize: Q = (s, d) => {
+    val run = freshRunDir("graft_sessstream_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run)
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "*.parquet").parquet(src)
+      // plain UTC TIMESTAMP: watermarks reject TIMESTAMP_NTZ; the run is
+      // pinned UTC so the values equal the batch NTZ wall-clock
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"))
+    withStreamingParallelism(s) {
+      val q = graft.streaming.WindowedAggs.sessionWindows(raw)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(
+      "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
+        "n BIGINT").parquet(out)
+      .filter(col("user_id") =!= SentinelUser)
+  }
+
+  /** Stage the streaming-session source dir: a hard link to the events
+    * file (copy fallback) plus a single-row sentinel parquet whose
+    * event time sits three gaps past the stream's max — far enough
+    * that the final watermark clears every real session's close.
+    */
+  private def stageSessionSource(s: SparkSession, d: String,
+      schema: org.apache.spark.sql.types.StructType,
+      run: java.nio.file.Path): String = {
+    import java.nio.file.{Files, Paths}
+    val src = run.resolve("src")
+    Files.createDirectories(src)
+    val events = Paths.get(d, "events.parquet")
+    try Files.createLink(src.resolve("events.parquet"), events)
+    catch { case _: java.io.IOException =>
+      Files.copy(events, src.resolve("events.parquet"))
+    }
+    // one-row sentinel: max raw ts (nanos) + 3 gaps; the single driver
+    // scalar here is the same justified collect as a drain marker
+    val maxTs = s.read.schema(schema)
+      .parquet(src.resolve("events.parquet").toString)
+      .agg(max(col("ts"))).head().getLong(0)
+    val gapNanos = 1800L * 1000 * 1000 * 1000
+    val stage = run.resolve("sentinel_stage")
+    val sentinel = s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        schema.fields.map {
+          case f if f.name == "ts" => maxTs + 3 * gapNanos
+          case f if f.name == "user_id" => SentinelUser
+          case f => null.asInstanceOf[Any]
+        }.toSeq: _*)),
+      schema)
+    sentinel.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+    import scala.jdk.CollectionConverters._
+    val part = Files.list(stage).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.move(part, src.resolve("zz_sentinel.parquet"))
+    src.toString
+  }
+
   /** Ingest-time near-dup detection — dedup AT THE DOOR, the shape a
     * 100 TB training pipeline actually runs: every arriving micro-batch
     * of documents bands itself with per-row expressions (NO shuffle,
@@ -281,6 +374,7 @@ object StreamingQueries {
     "stream_inprogress" -> streamInProgress,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
+    "stream_sessionize" -> streamSessionize,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -294,5 +388,7 @@ object StreamingQueries {
         |FROM events GROUP BY 1, 2""".stripMargin,
     // ingest-time dedup is confluent with the all-at-once LSH pair query
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
+    // streaming session merging must agree with batch interval-merge SQL
+    "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
   )
 }

@@ -105,6 +105,51 @@ class WindowedAggsSpec extends AnyFunSuite {
       s"streamed emitted sessions disagree with batch: ${(streamed -- batch).take(3)}")
   }
 
+  test("append-mode sessions merge across batches and a sentinel drains the tail") {
+    import org.apache.spark.sql.functions._
+    // user 1: two separate sessions land in batch 1 (gap 3000 s > the
+    // 1800 s session gap), then batch 2 drops an event BETWEEN them -
+    // the engine must merge all three into ONE emitted session. user 2
+    // only appears in batch 1. Batch 3 is the watermark-flush sentinel
+    // (graft's streamSessionize drain move): without it the sessions
+    // stay open in state and append mode emits nothing.
+    val b1 = Seq((1L, 0L), (1L, 3000L), (2L, 10L))
+    val b2 = Seq((1L, 1500L))
+    val sentinel = Seq((-1L, 3000L + 3 * 1800L))
+    val all = (b1 ++ b2).toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val truth = WindowedAggs.sessionWindows(all)
+      .selectExpr("user_id", "CAST(session_start AS LONG)",
+        "CAST(session_end AS LONG)", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(truth.map(_._1) == Set(1L, 2L) &&
+      truth.count(_._1 == 1L) == 1, s"merge premise broken: $truth")
+
+    val name = s"sessmerge_${System.nanoTime()}"
+    val mem = MemoryStream[(Long, Long)](spark)
+    val events = mem.toDS().toDF("user_id", "sec")
+      .select(col("user_id"), timestamp_seconds(col("sec")).as("ts"))
+    val q = WindowedAggs.sessionWindows(events)
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      mem.addData(sentinel); q.processAllAvailable()
+      // one more pass so the no-data batch after the watermark advance
+      // flushes the closed sessions
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val emitted = spark.table(name)
+      .filter(col("user_id") >= 0)
+      .selectExpr("user_id", "CAST(session_start AS LONG)",
+        "CAST(session_end AS LONG)", "n")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(emitted == truth,
+      s"streamed sessions diverged:\n got $emitted\n want $truth")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered frames") {
     val mem = MemoryStream[MetagameEvent](spark)
     val name = s"dd_${System.nanoTime()}"
