@@ -24,7 +24,8 @@ object SparkEntry {
       Dedup.queries ++ Similarity.queries ++ TextAnalysis.queries ++
       Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries ++
       TimeSeries.queries ++ CorpusBuild.queries ++
-      HybridRetrieval.queries ++ BloomJoin.queries
+      HybridRetrieval.queries ++ BloomJoin.queries ++ GraphOps.queries ++
+      Profiling.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -35,5 +36,6 @@ object SparkEntry {
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles ++
       TimeSeries.oracles ++ CorpusBuild.oracles ++
-      HybridRetrieval.oracles ++ BloomJoin.oracles
+      HybridRetrieval.oracles ++ BloomJoin.oracles ++ GraphOps.oracles ++
+      Profiling.oracles
 }

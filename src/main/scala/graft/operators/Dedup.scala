@@ -165,6 +165,43 @@ object Dedup {
     */
   private val minhashLsh: Q = (s, d) => bandPairs(sharedTables(s, d)._2)
 
+  /** The LSH candidate pairs off the shared signature table — exposed
+    * for graph-analytics consumers ([[GraphOps]]) so they amortize the
+    * same materialization every dedup job uses.
+    */
+  private[operators] def lshPairs(s: SparkSession, d: String): DataFrame =
+    minhashLsh(s, d)
+
+  /** Incremental dedup — the MAINTENANCE shape of [[minhashLsh]]: when
+    * a batch of documents arrives (simulated here as the deterministic
+    * `doc_id % 10 == 7` slice), only pairs touching the batch need
+    * computing; everything old-vs-old was settled when those docs
+    * arrived. The arriving side's band keys probe the corpus band
+    * derivation of the SHARED bucketed signature table, so per-batch
+    * cost is O(batch + matches), never O(corpus²) — at 100 TB the
+    * fresh side is broadcast-small and the corpus side is the
+    * maintained artifact ([[graft.streaming.IngestDedup]] is the same
+    * recipe with the corpus side in keyed state). Emits the same
+    * `(a_id, b_id, n_bands)` shape as the full query, restricted to
+    * pairs with a new endpoint — which is exactly how the oracle
+    * derives it (the full LSH SQL + the endpoint predicate).
+    */
+  private val minhashIncremental: Q = (s, d) => {
+    val bands = bandKeys(sharedTables(s, d)._2)
+    val fresh = bands.filter(pmod(col("doc_id"), lit(10)) === 7)
+      .select(col("doc_id").as("n_id"), col("band"), col("key"))
+    val corpus = bands.select(col("doc_id").as("c_id"), col("band"), col("key"))
+    corpus.join(fresh, Seq("band", "key"))
+      .filter(col("c_id") =!= col("n_id"))
+      // both-new pairs meet twice (once per orientation): normalize and
+      // collapse before counting shared bands
+      .select(least(col("c_id"), col("n_id")).as("a_id"),
+        greatest(col("c_id"), col("n_id")).as("b_id"), col("band"))
+      .distinct()
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_bands"))
+  }
+
   /** Exact n-gram (3-shingle) Jaccard audit over a bounded doc prefix.
     * At scale this runs on LSH candidates; the doc_id < 300 cap here keeps
     * the demonstration all-pairs join bounded at every SF. Shingles are
@@ -653,6 +690,7 @@ object Dedup {
     "dedup_keep_best" -> keepBest,
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_incremental" -> minhashIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash,
     "dedup_embedding_cosine" -> embeddingCosine,
@@ -672,7 +710,8 @@ object Dedup {
       |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
       |       FROM w, unnest(generate_series(1, len(ws) - 2)) t(i))""".stripMargin
 
-  private val minhashOracle: String = {
+  /** `private[operators]`: [[GraphOps]] embeds this as its pair CTE. */
+  private[operators] val minhashOracle: String = {
     val mins = (0 until NumHashes)
       .map(i => s"min(substr(md5('${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
       .mkString(", ")
@@ -798,6 +837,9 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    // the full LSH pair SQL restricted to pairs with an arriving endpoint
+    "dedup_incremental" -> (s"SELECT a_id, b_id, n_bands FROM (\n" +
+      s"$minhashOracle\n) WHERE a_id % 10 = 7 OR b_id % 10 = 7"),
     "dedup_ngram_jaccard" -> jaccardOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding_cosine" ->

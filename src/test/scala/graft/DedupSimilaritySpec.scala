@@ -362,6 +362,36 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("incremental dedup equals the full LSH pairs restricted to the arriving batch") {
+    val full = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .select("a_id", "b_id", "n_bands").as[(Long, Long, Long)]
+      .collect().filter { case (a, b, _) => a % 10 == 7 || b % 10 == 7 }
+      .toSet
+    val inc = Dedup.queries("dedup_incremental")(spark, sf)
+      .select("a_id", "b_id", "n_bands").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(inc == full, s"divergence: ${(inc diff full) ++ (full diff inc)}")
+  }
+
+  test("integer pagerank: exact values on a star, hub outranks leaves") {
+    import graft.operators.GraphOps
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val ranks = GraphOps.pagerankOn(star)
+      .as[(Long, Long)].collect().toMap
+    // mirror the integer recurrence exactly: S=1e6, damping (85·x)/100,
+    // contributions rank/deg with integer division at every step
+    def next(center: Long, leaf: Long): (Long, Long) = (
+      150000L + 85L * (3L * (leaf / 1L)) / 100,
+      150000L + 85L * (center / 3L) / 100)
+    val (c3, l3) = (1 to 3).foldLeft((1000000L, 1000000L)) {
+      case ((c, l), _) => next(c, l)
+    }
+    assert(ranks(0L) == c3, s"hub: got ${ranks(0L)}, want $c3")
+    assert(Seq(1L, 2L, 3L).forall(ranks(_) == l3),
+      s"leaves: got ${ranks.view.filterKeys(_ != 0L).toMap}, want $l3")
+    assert(ranks(0L) > ranks(1L))
+  }
+
   test("kmeans mix report partitions the corpus and is deterministic") {
     val total = Similarity.queries("embed_quantize")(spark, sf).count()
     val mix = Similarity.queries("embed_kmeans_mix")(spark, sf)
