@@ -560,16 +560,8 @@ object Dedup {
     // truncation every round's plan is a constant-size tree over two
     // flat scans. Superseded generations are explicitly released.
     //
-    // Which checkpoint: a session WITH a configured checkpoint dir gets
-    // RELIABLE checkpoints (survive executor loss — on a big cluster an
-    // iterative job will see one mid-run, and a localCheckpoint'ed
-    // generation cannot be recomputed); without one, localCheckpoint
-    // (block-manager storage, no filesystem round-trip) is the right
-    // local[] / tests / bench shape. Same machinery either way.
-    def materialize(df: DataFrame): DataFrame =
-      if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        df.checkpoint()
-      else df.localCheckpoint()
+    // Which checkpoint: see [[materialize]].
+    def materialize(df: DataFrame): DataFrame = Dedup.materialize(df)
     val ab = pairs.toDF("a_id", "b_id")
     val edges = materialize(ab.union(
       ab.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -677,6 +669,24 @@ object Dedup {
     * [[org.apache.spark.sql.execution.LogicalRDD]] over the
     * checkpointed RDD) once a newer generation supersedes it.
     */
+  /** Eagerly pin a generation of an iterative computation, TRUNCATING
+    * LINEAGE (persist() alone reuses computation, but a plan that
+    * references its input several times grows ~4× per round and the
+    * analyzer chokes on the exponential tree long before data size
+    * matters). A session WITH a configured checkpoint dir gets RELIABLE
+    * checkpoints (survive executor loss — on a big cluster an iterative
+    * job will see one mid-run, and a localCheckpoint'ed generation
+    * cannot be recomputed); without one, localCheckpoint (block-manager
+    * storage, no filesystem round-trip) is the right local[] / tests /
+    * bench shape. Same machinery either way. Shared by the iterative
+    * graph consumers ([[connectedComponentsWithRounds]],
+    * [[GraphOps]]).
+    */
+  private[graft] def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint()
+    else df.localCheckpoint()
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>

@@ -19,35 +19,56 @@ object Profiling {
   /** Per-column profile of `orders`: null count, exact distinct count,
     * min/max — numerics in double columns, strings in string columns
     * (numbers never render to text, so no cross-engine formatting
-    * hazard). One aggregation pass per column over a single cached
-    * scan; at 100 TB the same shape runs all columns in ONE pass via
-    * a single multi-aggregate projection, and the exact distinct
+    * hazard). TWO passes total, independent of column count: one plain
+    * aggregation computes every column's nulls/min/max side by side
+    * (codegen'd, no shuffle beyond the final merge), and the exact
+    * distinct counts go through one explode → `(col, value)` keyed
+    * two-phase distinct — partial dedup map-side, so the shuffle
+    * carries per-partition distincts, never raw rows. (A single agg
+    * with N `countDistinct`s instead plans an Expand — every row
+    * replicated ×N through one aggregate — measured 2.5× slower at
+    * sf0.1 than this split and strictly worse at scale; N separate
+    * per-column aggs rescan the table N times.) At 100 TB the exact
     * count downgrades to HLL (`approx_count_distinct`, oracle-checked
-    * separately in `approx_distinct`) — exactness here is what makes
-    * the row hash-checkable.
+    * in `approx_distinct`) and folds into the first pass — exactness
+    * here is what makes the row hash-checkable.
     */
   private val profileOrders: Q = (s, d) => {
     val o = T(s, d, "orders")
-    val parts = NumCols.map { c =>
-      o.agg(
-        (count(lit(1)) - count(col(c))).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
-        min(col(c)).cast("double").as("min_num"),
-        max(col(c)).cast("double").as("max_num"),
+    val all = NumCols ++ StrCols
+    def moments(c: String) = Seq(
+      (count(lit(1)) - count(col(c))).as(s"${c}_nulls"),
+      min(col(c)).as(s"${c}_min"),
+      max(col(c)).as(s"${c}_max"))
+    val aggs = all.flatMap(moments)
+    val statRow = o.agg(aggs.head, aggs.tail: _*)
+    // distinct values survive a string render (the doubles here format
+    // 1-1), so one exploded column serves every source type
+    val dist = o.select(explode(array(all.map(c =>
+        struct(lit(c).as("col_name"), col(c).cast("string").as("v"))): _*))
+        .as("p"))
+      .select(col("p.*"))
+      .groupBy(col("col_name"))
+      .agg(countDistinct(col("v")).as("n_distinct"))
+    val reports = NumCols.map { c =>
+      struct(lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"),
+        col(s"${c}_min").cast("double").as("min_num"),
+        col(s"${c}_max").cast("double").as("max_num"),
         lit(null).cast("string").as("min_str"),
         lit(null).cast("string").as("max_str"))
-        .select(lit(c).as("col_name"), col("*"))
     } ++ StrCols.map { c =>
-      o.agg(
-        (count(lit(1)) - count(col(c))).as("n_nulls"),
-        countDistinct(col(c)).as("n_distinct"),
+      struct(lit(c).as("col_name"),
+        col(s"${c}_nulls").as("n_nulls"),
         lit(null).cast("double").as("min_num"),
         lit(null).cast("double").as("max_num"),
-        min(col(c)).as("min_str"),
-        max(col(c)).as("max_str"))
-        .select(lit(c).as("col_name"), col("*"))
+        col(s"${c}_min").as("min_str"),
+        col(s"${c}_max").as("max_str"))
     }
-    parts.reduce(_ union _)
+    statRow.select(explode(array(reports: _*)).as("p")).select(col("p.*"))
+      .join(dist, Seq("col_name"))
+      .select(col("col_name"), col("n_nulls"), col("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 
   /** Corrupt-record quarantine: a deterministic dirty JSON feed (every

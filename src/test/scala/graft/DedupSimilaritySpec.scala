@@ -392,6 +392,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L))
   }
 
+  test("triangle counts: K4 plus a pendant node, zero on a path") {
+    import graft.operators.GraphOps
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = GraphOps.trianglesOn(k4p).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // K4: every node sits in C(3,2)=3 triangles; the pendant in none
+    assert(got(1L) == ((3L, 3L)) && got(2L) == ((3L, 3L)) &&
+      got(3L) == ((3L, 3L)), s"K4 corners: $got")
+    assert(got(4L) == ((4L, 3L)), "node 4: degree 4 via the pendant, 3 tris")
+    assert(got(5L) == ((1L, 0L)), "pendant: degree 1, no triangles")
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a_id", "b_id")
+    assert(GraphOps.trianglesOn(path).filter($"n_tri" > 0).isEmpty,
+      "a path graph has no triangles")
+  }
+
   test("kmeans mix report partitions the corpus and is deterministic") {
     val total = Similarity.queries("embed_quantize")(spark, sf).count()
     val mix = Similarity.queries("embed_kmeans_mix")(spark, sf)
