@@ -370,11 +370,81 @@ object StreamingQueries {
     }
   }
 
+  /** STREAM-STREAM interval join — click→purchase attribution: every
+    * purchase joined to the same user's clicks in the preceding 24 h.
+    * Both sides are real streams (the events replay read twice,
+    * filtered per side), so this exercises the symmetric-hash-join
+    * state machine: each side buffers rows in keyed state, probes the
+    * other side's buffer on arrival, and the event-time bound in the
+    * join condition plus the watermarks lets Spark EVICT buffered rows
+    * once they can no longer match — state is O(events within the
+    * attribution window), never O(stream). At 100 TB/day the state
+    * footprint is the 24 h window per user shard, the join key
+    * partitions both sides to the same executor, and late events drop
+    * at the watermark — all declared, nothing hand-built.
+    *
+    * An inner interval join is CONFLUENT over batching (a pair emits
+    * when its later row arrives and finds the earlier one buffered;
+    * the multi-batch union is spec-asserted equal to the one-batch
+    * run in StreamJoinSpec), so the result is hash-checked against
+    * the plain SQL self-join oracle.
+    */
+  private val streamJoinAttrib: Q = (s, d) => {
+    val run = freshRunDir("graft_sjoin_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    // two independent stream readers over the same replay file — the
+    // shape of two genuinely distinct topics sharing an event-time axis
+    def feed = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      // plain UTC TIMESTAMP: watermarks reject TIMESTAMP_NTZ (run is UTC)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    withStreamingParallelism(s) {
+      val q = joinClicksToPurchases(
+          feed.filter(col("event_type") === "click"),
+          feed.filter(col("event_type") === "purchase"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema(
+      "user_id BIGINT, click_id BIGINT, purchase_id BIGINT, gap_us BIGINT")
+      .parquet(out)
+  }
+
+  /** The attribution join body on arbitrary click/purchase streams
+    * (each `(user_id, event_id, ts)`-shaped after the rename) — split
+    * out so the batching-confluence spec can drive it from
+    * MemoryStreams.
+    */
+  private[graft] def joinClicksToPurchases(clicks: DataFrame,
+      purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("user_id"), col("event_id").as("click_id"),
+      col("ts").as("click_ts")).withWatermark("click_ts", "1 hour")
+    val p = purchases.select(col("user_id").as("p_user"),
+      col("event_id").as("purchase_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p, col("user_id") === col("p_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+          .as("gap_us"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_inprogress" -> streamInProgress,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
+    "stream_join_attrib" -> streamJoinAttrib,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -390,5 +460,13 @@ object StreamingQueries {
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
+    // the stream-stream join must agree with the plain SQL self-join
+    "stream_join_attrib" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  date_diff('microseconds', c.ts, p.ts) AS gap_us
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS""".stripMargin,
   )
 }
