@@ -93,9 +93,62 @@ object Profiling {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
   }
 
+  /** Keys of `key` appearing more than once in `df` — the primary-key
+    * uniqueness violation count. One hash shuffle on the key.
+    */
+  private[graft] def duplicateKeys(df: DataFrame, key: String): DataFrame =
+    df.groupBy(col(key)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+
+  /** Child rows whose `fk` has no match in `parent.pk` — referential-
+    * integrity violations, shaped as a LEFT ANTI join so Catalyst can
+    * broadcast a small parent or fall back to a shuffled hash join on
+    * a 100 TB one; never a subquery-per-row.
+    */
+  private[graft] def danglingFk(child: DataFrame, fk: String,
+      parent: DataFrame, pk: String): DataFrame =
+    child.join(parent.select(col(pk).as(fk)), Seq(fk), "left_anti")
+
+  /** Declarative data-quality suite over the star schema — the
+    * constraint checks (PK unique, FK closed, ranges, temporal order,
+    * non-null) every warehouse runs at the ingestion door, reported as
+    * `(rule, n_checked, n_violations)`. The clean synthetic tables
+    * yield all-zero violations — the healthy result the gate hashes;
+    * detection itself is spec-asserted on deliberately dirty literal
+    * frames. Row-local rules (range, non-null) fold into single
+    * scan-level aggregates; the temporal rule joins lineitem→orders on
+    * their shared key (co-partitioned shuffle join at scale).
+    */
+  private val dqChecks: Q = (s, d) => {
+    val o = T(s, d, "orders")
+    val li = T(s, d, "lineitem")
+    val c = T(s, d, "customer")
+    def oneRow(rule: String, checked: DataFrame,
+        violations: DataFrame): DataFrame =
+      checked.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
+        .select(lit(rule).as("rule"), col("n_checked"),
+          col("n_violations"))
+    val shipBeforeOrder = li
+      .join(o.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
+        Seq("l_orderkey"))
+      .filter(col("l_shipdate") < col("o_orderdate"))
+    Seq(
+      oneRow("orders_pk_unique", o.select(col("o_orderkey")).distinct(),
+        duplicateKeys(o, "o_orderkey")),
+      oneRow("orders_fk_customer", o,
+        danglingFk(o, "o_custkey", c, "c_custkey")),
+      oneRow("lineitem_qty_range", li,
+        li.filter(!col("l_quantity").between(1, 50))),
+      oneRow("lineitem_ship_after_order", li, shipBeforeOrder),
+      oneRow("customer_name_nonnull", c, c.filter(col("c_name").isNull)),
+    ).reduce(_ union _)
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table" -> profileOrders,
     "json_quarantine" -> jsonQuarantine,
+    "dq_checks" -> dqChecks,
   )
 
   private val profileOracle: String = {
@@ -123,6 +176,27 @@ object Profiling {
   }
 
   val oracles: Map[String, String] = Map(
+    "dq_checks" ->
+      """SELECT 'orders_pk_unique' AS rule,
+        |  (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_checked,
+        |  (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+        |     GROUP BY 1 HAVING count(*) > 1)) AS n_violations
+        |UNION ALL SELECT 'orders_fk_customer',
+        |  (SELECT count(*) FROM orders),
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |     (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |UNION ALL SELECT 'lineitem_qty_range',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem
+        |   WHERE l_quantity NOT BETWEEN 1 AND 50)
+        |UNION ALL SELECT 'lineitem_ship_after_order',
+        |  (SELECT count(*) FROM lineitem),
+        |  (SELECT count(*) FROM lineitem l JOIN orders o
+        |     ON l.l_orderkey = o.o_orderkey
+        |   WHERE l.l_shipdate < o.o_orderdate)
+        |UNION ALL SELECT 'customer_name_nonnull',
+        |  (SELECT count(*) FROM customer),
+        |  (SELECT count(*) FROM customer WHERE c_name IS NULL)""".stripMargin,
     "profile_table" -> profileOracle,
     "json_quarantine" ->
       """WITH feed AS (

@@ -422,7 +422,43 @@ object Similarity {
         array_max(col("q")).as("q_max"))
   }
 
+  /** Upper-triangle covariance matrix of the embedding dimensions —
+    * the one-pass statistic PCA/whitening/feature-correlation audits
+    * start from. `cov(i,j) = Σxy/n − (Σx/n)(Σy/n)` accumulates raw
+    * second moments so everything reduces in ONE distributed pass.
+    *
+    * Shape: two chained `posexplode`s pivot each vector into its
+    * `d(d+1)/2` upper-triangle products — codegen'd generators, NOT
+    * interpreted lambdas — and map-side partial aggregation collapses
+    * them to at most `d²/2` partials per task before the only
+    * exchange, so shuffle volume is O(d² · tasks), independent of
+    * corpus size. The 64-row per-dimension mean table broadcasts onto
+    * both triangle coordinates. Floats widen to double BEFORE the
+    * multiply (exactly representable), and the result rounds to 6 so
+    * the engines' sum orders agree.
+    */
+  private val covariance: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+    val x = e.select(col("embedding"),
+        posexplode(col("embedding")).as(Seq("i", "xv")))
+      .select(col("i"), col("xv").cast("double").as("x"),
+        posexplode(col("embedding")).as(Seq("j", "yv")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("x") * col("yv").cast("double")).as("sxy"),
+        count(lit(1)).as("n"))
+    val means = e.select(posexplode(col("embedding")).as(Seq("i", "v")))
+      .groupBy(col("i"))
+      .agg((sum(col("v").cast("double")) / count(lit(1))).as("mu"))
+    x.join(broadcast(means), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("mu").as("mu_j"))),
+        Seq("j"))
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
+        round(col("sxy") / col("n") - col("mu") * col("mu_j"), 6).as("cov"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_covariance" -> covariance,
     "sim_topk_bruteforce" -> bruteforce,
     "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
@@ -592,6 +628,21 @@ object Similarity {
        |GROUP BY b_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "embed_covariance" ->
+      """WITH x AS (
+        |  SELECT vec_id, i,
+        |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+        |  FROM embeddings,
+        |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+        |m AS (SELECT i, sum(v) / count(*) AS mu FROM x GROUP BY i),
+        |p AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy,
+        |    count(*) AS n
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY 1, 2)
+        |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+        |  round(sxy / n - mi.mu * mj.mu, 6) AS cov
+        |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin,
     "sim_topk_bruteforce" -> topkOracle,
     "embed_kmeans_mix" -> kmeansMixOracle,
     "dedup_semantic" -> semanticDedupOracle,

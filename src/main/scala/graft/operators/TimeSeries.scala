@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables.{load => T}
@@ -135,7 +135,84 @@ object TimeSeries {
       .distinct()
   }
 
+  /** Ordered conversion funnel — how many users progress
+    * view → click → purchase, where each stage must happen STRICTLY
+    * AFTER the user's earliest completion of the previous one (the
+    * product-analytics staple; an unordered `GROUP BY` of type counts
+    * overstates conversion whenever a purchase precedes the first
+    * view).
+    *
+    * Shape: the stage timestamps chain through three window passes over
+    * the SAME `partitionBy(user_id)` — Catalyst plans ONE exchange and
+    * pipelines the Window operators, so per-stage cost is a partition
+    * scan, not a join; the final stage-count fold is a single tiny
+    * aggregate. No self-joins, no per-stage shuffles — the 100 TB shape
+    * is one shuffle of the filtered event stream.
+    */
+  private val funnel: Q = (s, d) => funnelOn(T(s, d, "events"))
+
+  /** The funnel body on an arbitrary `(user_id, event_type, ts)`-shaped
+    * frame — split out so the strict-ordering semantics are testable on
+    * literal event sequences.
+    */
+  private[graft] def funnelOn(events: DataFrame): DataFrame = {
+    val wu = Window.partitionBy(col("user_id"))
+    val perUser = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .withColumn("v_ts",
+        min(when(col("event_type") === "view", col("ts"))).over(wu))
+      .withColumn("c_ts",
+        min(when(col("event_type") === "click" &&
+          col("ts") > col("v_ts"), col("ts"))).over(wu))
+      .withColumn("p_ts",
+        min(when(col("event_type") === "purchase" &&
+          col("ts") > col("c_ts"), col("ts"))).over(wu))
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("vt"), min(col("c_ts")).as("ct"),
+        min(col("p_ts")).as("pt"))
+    val counts = perUser.agg(
+      count(col("vt")).as("n_view"), count(col("ct")).as("n_click"),
+      count(col("pt")).as("n_purchase"))
+    counts.select(explode(array(
+      struct(lit("view").as("stage"), col("n_view").as("n_users")),
+      struct(lit("click").as("stage"), col("n_click").as("n_users")),
+      struct(lit("purchase").as("stage"), col("n_purchase").as("n_users"))))
+      .as("s")).select(col("s.*"))
+  }
+
+  /** Weekly retention cohorts — users grouped by first-activity week,
+    * each later week reporting how many came back: the canonical
+    * engagement matrix. Weeks are Monday-truncated and keyed by epoch
+    * day (integers hash identically across engines; raw DATE columns
+    * render differently).
+    *
+    * Shape: one groupBy(user) for cohort assignment, one distinct over
+    * `(user, week)` (map-side combine collapses each user's in-week
+    * events before the exchange), a co-keyed join on user, and a final
+    * count — since `(user, week)` is already distinct, the cohort cell
+    * count is a plain `count(*)`, not a second distinct aggregate.
+    */
+  private val retention: Q = (s, d) => {
+    def weekDay(ts: Column): Column =
+      datediff(to_date(date_trunc("week", ts)), to_date(lit("1970-01-01")))
+        .cast("long")
+    val ev = T(s, d, "events")
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), weekDay(col("first_ts")).as("cohort_day"))
+    val activity = ev
+      .select(col("user_id"), weekDay(col("ts")).as("week_day"))
+      .distinct()
+    activity.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        ((col("week_day") - col("cohort_day")) / 7).cast("long")
+          .as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "retention_cohorts" -> retention,
+    "funnel_conversion" -> funnel,
     "asof_join" -> asofJoin,
     "sessionize" -> sessionize,
     "sessionize_native" -> sessionizeNative,
@@ -144,6 +221,37 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "retention_cohorts" ->
+      """WITH wk AS (
+        |  SELECT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('week', ts) AS DATE)) AS week_day
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(week_day) AS cohort_day FROM wk GROUP BY 1),
+        |activity AS (SELECT DISTINCT user_id, week_day FROM wk)
+        |SELECT c.cohort_day,
+        |  CAST((a.week_day - c.cohort_day) // 7 AS BIGINT) AS weeks_since,
+        |  count(*) AS n_users
+        |FROM activity a JOIN cohorts c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+    "funnel_conversion" ->
+      """WITH e AS (SELECT user_id, event_type, ts FROM events
+        |           WHERE event_type IN ('view', 'click', 'purchase')),
+        |w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts END)
+        |         OVER (PARTITION BY user_id) AS v_ts FROM e),
+        |w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > v_ts
+        |                          THEN ts END)
+        |         OVER (PARTITION BY user_id) AS c_ts FROM w1),
+        |w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > c_ts
+        |                          THEN ts END)
+        |         OVER (PARTITION BY user_id) AS p_ts FROM w2),
+        |u AS (SELECT user_id, min(v_ts) AS vt, min(c_ts) AS ct,
+        |             min(p_ts) AS pt
+        |      FROM w3 GROUP BY user_id)
+        |SELECT 'view' AS stage, count(vt) AS n_users FROM u
+        |UNION ALL SELECT 'click', count(ct) FROM u
+        |UNION ALL SELECT 'purchase', count(pt) FROM u""".stripMargin,
     "asof_join" ->
       """SELECT event_id AS purchase_id, user_id, signup_id FROM (
         |  SELECT event_id, user_id, event_type,

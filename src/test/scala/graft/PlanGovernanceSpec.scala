@@ -39,6 +39,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "bloom_semijoin" -> ("crossJoin against the broadcast SINGLE-ROW" +
       " Bloom bitset (128 KiB map) - the pre-filter that spares the" +
       " big side's exchange; bounded at one build row forever"),
+    "dq_checks" -> ("each rule's report row is a crossJoin of two" +
+      " SINGLE-ROW aggregates (n_checked x n_violations) - bounded at" +
+      " one row per side forever"),
   )
 
   test("no registry query plans an unbounded nested-loop join") {
