@@ -439,12 +439,56 @@ object StreamingQueries {
           .as("gap_us"))
   }
 
+  /** STREAM-STATIC enrich — the dimension-lookup shape every event
+    * pipeline runs at the door: the event stream joins a static
+    * customer dimension on the subscriber key. Spark plans the static
+    * side as an ordinary batch relation under the streaming plan — with
+    * a small dimension it BROADCASTS, so every micro-batch enriches
+    * map-side with NO stream-side shuffle and NO state store at all
+    * (nothing to evict: the static side is re-resolvable per batch,
+    * which is also how dimension updates between batches become
+    * visible). Per-user spend by segment demonstrates the enrich
+    * feeding a downstream aggregate; hash-checked against the batch
+    * join+group SQL.
+    */
+  private val streamEnrich: Q = (s, d) => {
+    val run = freshRunDir("graft_enrich_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+    val dim = T(s, d, "customer")
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    withStreamingParallelism(s) {
+      val q = raw.join(broadcast(dim), Seq("user_id"))
+        .select(col("c_mktsegment"), col("user_id"), col("value"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    s.read.schema("c_mktsegment STRING, user_id BIGINT, value DOUBLE")
+      .parquet(out)
+      .groupBy(col("c_mktsegment"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_inprogress" -> streamInProgress,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
     "stream_join_attrib" -> streamJoinAttrib,
+    "stream_enrich" -> streamEnrich,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -460,6 +504,12 @@ object StreamingQueries {
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
+    // the stream-static enrich must agree with the batch join + group
+    "stream_enrich" ->
+      """SELECT c.c_mktsegment, e.user_id, count(*) AS n_events,
+        |  round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // the stream-stream join must agree with the plain SQL self-join
     "stream_join_attrib" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,

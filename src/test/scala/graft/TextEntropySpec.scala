@@ -1,0 +1,38 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Closed-form pins for the char-entropy fold — values the hash gate
+  * can't see because the corpus has no degenerate texts.
+  */
+class TextEntropySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def entropies(texts: String*): Map[Long, (Long, Long, Double)] = {
+    val dir = java.nio.file.Files.createTempDirectory("ent_docs").toString
+    texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    graft.operators.TextAnalysis.queries("text_entropy")(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+  }
+
+  test("closed forms: constant text is 0 bits, uniform alphabets are log2(k)") {
+    val got = entropies("aaaaaa", "ababab", "abcdabcd", "abc")
+    assert(got(0L) == ((6L, 1L, 0.0)), "constant text must carry 0 bits")
+    assert(got(1L) == ((6L, 2L, 1.0)), "uniform 2-alphabet must be 1 bit")
+    assert(got(2L) == ((8L, 4L, 2.0)), "uniform 4-alphabet must be 2 bits")
+    val log2of3 = BigDecimal(math.log(3) / math.log(2))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(3L) == ((3L, 3L, log2of3)),
+      s"uniform 3-alphabet must be log2(3) rounded to 6: ${got(3L)}")
+  }
+
+  test("skewed text lands strictly between constant and uniform") {
+    val (_, _, h) = entropies("aaab")(0L)
+    // H(3/4, 1/4) = 2 - 0.75*log2(3) = 0.811278...
+    assert(math.abs(h - 0.811278) < 1e-6, s"got $h")
+  }
+}
