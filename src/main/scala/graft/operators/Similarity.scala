@@ -424,37 +424,56 @@ object Similarity {
 
   /** Upper-triangle covariance matrix of the embedding dimensions —
     * the one-pass statistic PCA/whitening/feature-correlation audits
-    * start from. `cov(i,j) = Σxy/n − (Σx/n)(Σy/n)` accumulates raw
-    * second moments so everything reduces in ONE distributed pass.
+    * start from. Accumulates raw second moments so everything reduces
+    * in ONE distributed pass.
     *
     * Shape: two chained `posexplode`s pivot each vector into its
     * `d(d+1)/2` upper-triangle products — codegen'd generators, NOT
     * interpreted lambdas — and map-side partial aggregation collapses
     * them to at most `d²/2` partials per task before the only
     * exchange, so shuffle volume is O(d² · tasks), independent of
-    * corpus size. The 64-row per-dimension mean table broadcasts onto
-    * both triangle coordinates. Floats widen to double BEFORE the
-    * multiply (exactly representable), and the result rounds to 6 so
-    * the engines' sum orders agree.
+    * corpus size. The 64-row per-dimension sum table broadcasts onto
+    * both triangle coordinates.
+    *
+    * Numerics: round-7 shipped this over raw double sums rounded to 6,
+    * and the driver falsified the "rounding absorbs sum order" claim —
+    * `Σxy/n − μᵢμⱼ` is catastrophic cancellation, so a last-ulp
+    * difference in either engine's reduction order survives any fixed
+    * rounding near a boundary. Fix = the in-repo `graph_pagerank` /
+    * `embed_quantize` pattern: quantize each element to an exact
+    * integer (`round(x·10⁶)`), sum products as DECIMAL(38,0) — an
+    * ORDER-INDEPENDENT exact reduction — and form the covariance as
+    * `(n·Σxy − Σx·Σy) / (n²·10¹²)` with exactly ONE float division at
+    * the end. Both engines now reduce bit-identical integers; the
+    * single cast + divide + round is deterministic IEEE arithmetic.
+    * The declared semantic is covariance of the 1e-6-quantized
+    * embeddings (within ~1e-6 of the float truth — fine for an audit
+    * statistic, and exactly reproducible at any cluster size).
     */
   private val covariance: Q = (s, d) => {
     val e = T(s, d, "embeddings")
-    val x = e.select(col("embedding"),
-        posexplode(col("embedding")).as(Seq("i", "xv")))
-      .select(col("i"), col("xv").cast("double").as("x"),
-        posexplode(col("embedding")).as(Seq("j", "yv")))
+    val q = e.select(transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
+    val x = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
+      .select(col("i"), col("xv"),
+        posexplode(col("q")).as(Seq("j", "yv")))
       .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
-      .agg(sum(col("x") * col("yv").cast("double")).as("sxy"),
+      .agg(sum((col("xv").cast("decimal(19,0)") *
+          col("yv").cast("decimal(19,0)")).cast("decimal(38,0)")).as("sxy"),
         count(lit(1)).as("n"))
-    val means = e.select(posexplode(col("embedding")).as(Seq("i", "v")))
+    val sums = q.select(posexplode(col("q")).as(Seq("i", "v")))
       .groupBy(col("i"))
-      .agg((sum(col("v").cast("double")) / count(lit(1))).as("mu"))
-    x.join(broadcast(means), Seq("i"))
-      .join(broadcast(means.select(col("i").as("j"), col("mu").as("mu_j"))),
+      .agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
+    x.join(broadcast(sums), Seq("i"))
+      .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))),
         Seq("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(col("sxy") / col("n") - col("mu") * col("mu_j"), 6).as("cov"))
+        round(
+          (col("n").cast("decimal(38,0)") * col("sxy") -
+            col("sx") * col("sx_j")).cast("double") /
+          (col("n").cast("double") * col("n").cast("double") * lit(1e12)),
+          6).as("cov"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -628,20 +647,25 @@ object Similarity {
        |GROUP BY b_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Exact-integer twin of the Spark side: identical 1e6 quantization,
+    // HUGEINT (order-independent) sums, one double division at the end.
     "embed_covariance" ->
       """WITH x AS (
         |  SELECT vec_id, i,
-        |    CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) AS v
+        |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+        |               * 1000000) AS HUGEINT) AS v
         |  FROM embeddings,
         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
-        |m AS (SELECT i, sum(v) / count(*) AS mu FROM x GROUP BY i),
+        |m AS (SELECT i, sum(v) AS sx FROM x GROUP BY i),
         |p AS (
         |  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS sxy,
         |    count(*) AS n
         |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
         |  GROUP BY 1, 2)
         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-        |  round(sxy / n - mi.mu * mj.mu, 6) AS cov
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - mi.sx * mj.sx AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12),
+        |        6) AS cov
         |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin,
     "sim_topk_bruteforce" -> topkOracle,
     "embed_kmeans_mix" -> kmeansMixOracle,

@@ -184,6 +184,15 @@ object StreamingQueries {
       "user_id BIGINT, session_start TIMESTAMP, session_end TIMESTAMP, " +
         "n BIGINT").parquet(out)
       .filter(col("user_id") =!= SentinelUser)
+      // the batch twin (sessionize_native) runs on the parquet's NTZ ts
+      // and emits NTZ bounds; the streaming leg had to go through LTZ for
+      // the watermark, so convert back (run is pinned UTC — values equal,
+      // and r7 shipped without this cast → schema_match=false vs the
+      // shared oracle)
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n"))
   }
 
   /** Stage the streaming-session source dir: a hard link to the events

@@ -150,6 +150,20 @@ class WindowedAggsSpec extends AnyFunSuite {
       s"streamed sessions diverged:\n got $emitted\n want $truth")
   }
 
+  test("stream_sessionize emits the exact column types of its batch twin") {
+    // r7 shipped the streaming face reading its sink back as LTZ TIMESTAMP
+    // while the batch twin (sessionize_native, the shared oracle) emits
+    // NTZ bounds -> driver schema_match=false. Pin: both faces must
+    // declare identical (name, dataType) columns forever.
+    val sf = SparkTestSession.sf
+    val streaming = SparkEntry.queries("stream_sessionize")(spark, sf)
+    val batch = SparkEntry.queries("sessionize_native")(spark, sf)
+    val st = streaming.schema.map(f => (f.name, f.dataType))
+    val bt = batch.schema.map(f => (f.name, f.dataType))
+    assert(st == bt,
+      s"streaming/batch sessionize schemas diverged:\n  stream: $st\n  batch:  $bt")
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered frames") {
     val mem = MemoryStream[MetagameEvent](spark)
     val name = s"dd_${System.nanoTime()}"
