@@ -651,8 +651,10 @@ object Dedup {
       size(words(col("text"))).cast("long").as("n_words"))
     // one row per clustered doc — tiny. Materialized once because both
     // the max aggregation and the tie-break join consume it; lazily it
-    // would scan+tokenize `documents` once per consumer.
-    val j = comp.join(nw, Seq("doc_id")).localCheckpoint()
+    // would scan+tokenize `documents` once per consumer. Routed through
+    // materialize() so a reliable-checkpoint session gets the
+    // executor-loss-safe variant here too.
+    val j = materialize(comp.join(nw, Seq("doc_id")))
     val best = j.groupBy(col("component"))
       .agg(max(col("n_words")).as("best_words"),
         count(lit(1)).as("n_members"))
@@ -687,10 +689,25 @@ object Dedup {
       df.checkpoint()
     else df.localCheckpoint()
 
-  private def releaseCheckpoint(df: DataFrame): Unit =
+  /** Release a superseded [[materialize]] generation: unpersist the
+    * block-manager storage AND, when the session runs with reliable
+    * checkpoints, delete the generation's checkpoint files — otherwise
+    * a long-running cluster leaks one checkpoint dir per round per
+    * invocation (the final generation is the caller's to keep; Spark's
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` only collects
+    * it after GC drops the last reference).
+    */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         r.rdd.unpersist(blocking = false)
+        // None for localCheckpoint (block-manager only); Some(dir) for
+        // reliable checkpoints, whose files nothing else ever deletes
+        r.rdd.getCheckpointFile.foreach { dir =>
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+        }
       case _ => ()
     }
 

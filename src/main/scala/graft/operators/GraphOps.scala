@@ -40,25 +40,95 @@ object GraphOps {
     * literal graph.
     */
   private[graft] def pagerankOn(pairs: DataFrame): DataFrame = {
-    // pin the pair derivation ONCE: the unrolled plan references the
-    // edge frame once per iteration plus once for degrees, and without
-    // materialization each reference re-executes the upstream pipeline
-    // (for the registry query, the whole LSH banding — measured 3.5 s
-    // vs <1 s pinned at sf0.1)
+    val (e, deg) = prepareEdges(pairs)
+    val r0 = deg.select(col("src").as("doc_id"), lit(Scale).as("rank"))
+    (1 to Iters).foldLeft(r0)((ranks, _) => pagerankStep(e, ranks))
+  }
+
+  /** Pin the pair derivation ONCE and pre-join degrees: the iteration
+    * references the edge frame once per round plus once for degrees,
+    * and without materialization each reference re-executes the whole
+    * upstream pipeline (for the registry query, the LSH banding —
+    * measured 3.5 s vs <1 s pinned at sf0.1). Returns the materialized
+    * `(src, dst, deg)` edge frame and the degree table.
+    */
+  private def prepareEdges(pairs: DataFrame): (DataFrame, DataFrame) = {
     val p = Dedup.materialize(pairs.toDF("a_id", "b_id"))
     val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val e = Dedup.materialize(edges.join(deg, Seq("src")))
-    val r0 = deg.select(col("src").as("doc_id"), lit(Scale).as("rank"))
-    (1 to Iters).foldLeft(r0) { (ranks, _) =>
-      e.join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
-        .select(col("dst"), expr("rank DIV deg").as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-        .select(col("dst").as("doc_id"),
-          (lit(15L * Scale / 100) + expr("(85 * sc) DIV 100")).as("rank"))
-    }
+    (Dedup.materialize(edges.join(deg, Seq("src"))), deg)
   }
+
+  /** One integer PageRank round: equi-join edges with ranks, map-side-
+    * combinable sum of `rank div deg` contributions, damp as
+    * `0.15·Scale + (85·Σ) div 100` — all integer, see class doc.
+    */
+  private def pagerankStep(e: DataFrame, ranks: DataFrame): DataFrame =
+    e.join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+      .select(col("dst"), expr("rank DIV deg").as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      .select(col("dst").as("doc_id"),
+        (lit(15L * Scale / 100) + expr("(85 * sc) DIV 100")).as("rank"))
+
+  /** PageRank run to CONVERGENCE — the production shape a real user
+    * asks for, vs the registry query's fixed [[Iters]] rounds (kept as
+    * the oracle-checkable face; both share [[pagerankStep]], so the
+    * loop IS the audited recurrence). Each generation is materialized
+    * with the same eager-checkpoint machinery as
+    * [[Dedup.connectedComponentsWithRounds]] — lineage truncation per
+    * round, superseded generations released (including reliable
+    * checkpoint files) — so the DAG stays constant-size however many
+    * rounds convergence takes.
+    *
+    * Stopping rule is an INTEGER rank delta: `Σ|rankₙ − rankₙ₋₁| ≤
+    * tolPerNode · nodes`. With damping 85/100 the true delta contracts
+    * geometrically until integer-truncation noise (order `deg` units
+    * per node) dominates, so a per-node tolerance ≥ a few units always
+    * terminates; exact-zero might never hit (integer dynamics can
+    * settle into a ±1 cycle instead of a fixpoint). One tiny aggregate
+    * per round — same cost discipline as the components fixpoint sum.
+    * Returns the final ranks and the number of rounds run.
+    */
+  private[graft] def pagerankConverged(pairs: DataFrame,
+      tolPerNode: Long = 10L, maxRounds: Int = 100): (DataFrame, Int) = {
+    import org.apache.spark.sql.types.DecimalType
+    val (e, deg) = prepareEdges(pairs)
+    val nodes = deg.count()
+    val budget = new java.math.BigDecimal(tolPerNode * nodes)
+    var ranks = Dedup.materialize(
+      deg.select(col("src").as("doc_id"), lit(Scale).as("rank")))
+    var round = 0
+    var converged = nodes == 0 // an edgeless graph has nothing to rank
+    while (!converged && round < maxRounds) {
+      val next = Dedup.materialize(pagerankStep(e, ranks))
+      // every node has degree ≥ 1 (it appears in some pair), so the
+      // node set is FIXED round over round and the delta join is total
+      val delta = Option(next
+        .join(ranks.select(col("doc_id"), col("rank").as("prev")),
+          Seq("doc_id"))
+        .agg(sum(abs(col("rank") - col("prev")).cast(DecimalType(38, 0))))
+        .head().getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+      Dedup.releaseCheckpoint(ranks)
+      converged = delta.compareTo(budget) <= 0
+      ranks = next
+      round += 1
+    }
+    Dedup.releaseCheckpoint(e)
+    if (!converged)
+      throw new IllegalStateException(
+        s"pagerank did not converge within $maxRounds rounds " +
+          s"(tolPerNode=$tolPerNode) — raise maxRounds or the tolerance")
+    (ranks, round)
+  }
+
+  /** [[pagerankConverged]] over the real near-dup graph — the face the
+    * spec drives so the loop is exercised on actual LSH pairs, not just
+    * literal graphs.
+    */
+  private[graft] def pagerankConvergedOn(s: SparkSession, d: String)
+      : (DataFrame, Int) =
+    pagerankConverged(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
 
   private val triangles: Q = (s, d) =>
     trianglesOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
@@ -69,33 +139,61 @@ object GraphOps {
     * two integer columns, which stay exactly hash-comparable where the
     * float quotient would not).
     *
-    * Enumeration is ORIENTED: every triangle `u<v<w` is found exactly
-    * once as two oriented wedge edges `(u,v),(v,w)` closed by `(u,w)` —
-    * two equi-joins, no candidate is generated twice, no post-hoc
-    * dedup. At 100 TB scale the standard hardening is to orient by
-    * DEGREE (low→high, ties by id) instead of id, which bounds each
-    * join's fan-out by the graph's arboricity and tames hub skew; id
-    * orientation keeps this instance deterministic and oracle-exact,
-    * and the join shape is identical.
+    * Enumeration is DEGREE-ORIENTED (low-degree → high-degree, ties by
+    * id — the arboricity-bounded algorithm): every triangle is found
+    * exactly once as the wedge `(u→v, u→w)` at its order-minimal corner
+    * `u`, closed by the oriented edge `(v→w)` — two equi-joins, no
+    * candidate generated twice, no post-hoc dedup. Round 7 shipped
+    * id-orientation, whose wedge fan-out on a hub node is O(deg²) — a
+    * celebrity document in a 100× near-dup graph blows the wedge join
+    * up; under degree orientation a node's out-degree is bounded by
+    * O(√m) (arboricity), so hub skew cannot concentrate wedges. The
+    * emitted (doc_id, deg, n_tri) rows are orientation-independent, so
+    * the DuckDB oracle keeps its simpler id-oriented formulation — a
+    * STRONGER check, since two different enumeration orders must agree
+    * on the same triangle set.
     */
   private[graft] def trianglesOn(pairs: DataFrame): DataFrame = {
-    // the wedge join references the edge frame three times and the
-    // degree count twice more — pin the derivation once (see
+    // the wedge join references the oriented edge frame three times and
+    // the degree count twice more — pin the derivations once (see
     // [[pagerankOn]])
-    val e = Dedup.materialize(
-      pairs.select(col("a_id").as("u"), col("b_id").as("v")))
-    val tri = e.join(e.toDF("v", "w"), Seq("v"))
-      .join(e.toDF("u", "w"), Seq("u", "w"))
+    val p = Dedup.materialize(
+      pairs.select(col("a_id").as("a"), col("b_id").as("b")))
+    val deg = Dedup.materialize(
+      p.select(col("a").as("doc_id")).union(p.select(col("b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg")))
+    val e = Dedup.materialize(orientByDegree(p, deg))
+    // wedge at the source corner: (u→v, u→w) with (dv,v) ≺ (dw,w),
+    // closed by the oriented edge v→w (oriented that way by transitivity
+    // of the total order)
+    val tri = e.join(
+        e.select(col("u"), col("v").as("w"), col("dv").as("dw")), Seq("u"))
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+      .join(e.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
     val corners = tri.select(col("u").as("doc_id"))
       .union(tri.select(col("v").as("doc_id")))
       .union(tri.select(col("w").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_tri"))
-    val deg = e.select(col("u").as("doc_id"))
-      .union(e.select(col("v").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
     deg.join(corners, Seq("doc_id"), "left")
       .select(col("doc_id"), col("deg"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Orient each undirected `(a, b)` edge from the (degree, id)-smaller
+    * endpoint to the larger: `(u, v, dv)` with `(du,u) ≺ (dv,v)`. The
+    * head's degree rides along so downstream wedge conditions can
+    * compare the total order without re-joining degrees.
+    */
+  private[graft] def orientByDegree(p: DataFrame, deg: DataFrame): DataFrame = {
+    val fwd = p
+      .join(deg.select(col("doc_id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("doc_id").as("b"), col("deg").as("db")), Seq("b"))
+      .withColumn("ab",
+        struct(col("da"), col("a")) < struct(col("db"), col("b")))
+    fwd.select(
+      when(col("ab"), col("a")).otherwise(col("b")).as("u"),
+      when(col("ab"), col("b")).otherwise(col("a")).as("v"),
+      when(col("ab"), col("db")).otherwise(col("da")).as("dv"))
   }
 
   val queries: Map[String, Q] = Map(

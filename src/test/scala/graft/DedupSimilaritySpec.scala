@@ -408,6 +408,58 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "a path graph has no triangles")
   }
 
+  test("pagerank converges on a star and on the real near-dup graph") {
+    import graft.operators.GraphOps
+    // star: integer dynamics must settle within the per-node tolerance
+    // in a handful of damped rounds, and the stationary ordering must
+    // put the hub above the leaves (same invariant as the 3-round spec)
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L)).toDF("a_id", "b_id")
+    val (ranks, rounds) = GraphOps.pagerankConverged(star)
+    val m = ranks.as[(Long, Long)].collect().toMap
+    assert(rounds >= 2 && rounds < 100, s"rounds=$rounds")
+    assert(m(0L) > m(1L) && m(1L) == m(2L) && m(2L) == m(3L), s"ranks: $m")
+    // real graph: the loop must terminate, cover exactly the node set
+    // of the fixed-round registry face, and keep every rank above the
+    // 0.15·Scale teleport floor
+    val fixed = SparkEntry.queries("graph_pagerank")(spark, sf)
+      .select("doc_id").as[Long].collect().toSet
+    val (conv, r2) = GraphOps.pagerankConvergedOn(spark, sf)
+    val got = conv.as[(Long, Long)].collect()
+    // the sf0.001 near-dup graph is mostly symmetric 2-cliques, where
+    // the uniform start is already stationary — round 1 can certify
+    assert(r2 >= 1 && r2 < 100, s"real-graph rounds=$r2")
+    assert(got.map(_._1).toSet == fixed, "node set must match fixed-round face")
+    assert(got.forall(_._2 >= 150000L), "teleport floor violated")
+  }
+
+  test("degree orientation bounds hub fan-out on a hub-and-spoke graph") {
+    import graft.operators.GraphOps
+    // hub 0 with 40 spokes, plus one spoke-spoke edge forming ONE
+    // triangle (0, 1, 2). Under id orientation the hub (id 0) would
+    // source C(40,2)=780 wedges; under degree orientation every
+    // hub-incident edge points INTO the hub (deg 40 beats deg ≤2), so
+    // the hub sources ZERO wedges and total wedge work is O(1).
+    val hub = ((1L to 40L).map(i => (0L, i)) :+ (1L, 2L))
+      .toDF("a_id", "b_id")
+    val deg = hub.select($"a_id".as("doc_id"))
+      .union(hub.select($"b_id".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("deg"))
+    val oriented = GraphOps.orientByDegree(
+      hub.select($"a_id".as("a"), $"b_id".as("b")), deg)
+    val outDeg = oriented.groupBy($"u").agg(count(lit(1)).as("od"))
+      .as[(Long, Long)].collect().toMap
+    assert(!outDeg.contains(0L),
+      s"hub must source no oriented edges, got out-degree ${outDeg.get(0L)}")
+    assert(outDeg.values.forall(_ <= 2),
+      s"spoke out-degree must stay ≤2 (arboricity bound): $outDeg")
+    // and the triangle census is still exact on the skewed graph
+    val got = GraphOps.trianglesOn(hub).as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(0L) == ((40L, 1L)), s"hub: $got")
+    assert(got(1L) == ((2L, 1L)) && got(2L) == ((2L, 1L)), s"tri corners: $got")
+    assert((3L to 40L).forall(got(_) == ((1L, 0L))), "plain spokes: no tris")
+  }
+
   test("kmeans mix report partitions the corpus and is deterministic") {
     val total = Similarity.queries("embed_quantize")(spark, sf).count()
     val mix = Similarity.queries("embed_kmeans_mix")(spark, sf)
