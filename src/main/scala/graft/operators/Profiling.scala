@@ -123,26 +123,49 @@ object Profiling {
     val o = T(s, d, "orders")
     val li = T(s, d, "lineitem")
     val c = T(s, d, "customer")
-    def oneRow(rule: String, checked: DataFrame,
-        violations: DataFrame): DataFrame =
-      checked.agg(count(lit(1)).as("n_checked"))
-        .crossJoin(violations.agg(count(lit(1)).as("n_violations")))
-        .select(lit(rule).as("rule"), col("n_checked"),
-          col("n_violations"))
-    val shipBeforeOrder = li
+    // FOUR jobs total (r7 shipped one checked/violations aggregate PAIR
+    // per rule — ~10 scans for 5 rules): every row-local rule folds
+    // into its table's single aggregate, and the two relational rules
+    // (FK closure, temporal order) keep their join but share scans —
+    // the temporal join doubles as lineitem's row-local pass.
+    // 1. orders, keyed once on the PK: group sizes give the PK rule
+    //    both faces AND the table's row count (FK rule's n_checked).
+    val ordersAgg = o.groupBy(col("o_orderkey"))
+      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("pk_checked"),
+        count_if(col("n") > 1).as("pk_viol"),
+        sum(col("n")).as("orders_rows"))
+    // 2. FK closure: LEFT ANTI against customer (broadcast or shuffled
+    //    hash at Catalyst's discretion), count-only.
+    val fkViol = danglingFk(o, "o_custkey", c, "c_custkey")
+      .agg(count(lit(1)).as("fk_viol"))
+    // 3. lineitem scanned ONCE: a LEFT join to orders keeps every row
+    //    (o_orderkey is the PK — sizes checked by rule 1), so the range
+    //    rule and the temporal rule ride the same pass; a NULL
+    //    o_orderdate (dangling key) compares to null = not a violation,
+    //    matching the oracle's inner join.
+    val liAgg = li
       .join(o.select(col("o_orderkey").as("l_orderkey"), col("o_orderdate")),
-        Seq("l_orderkey"))
-      .filter(col("l_shipdate") < col("o_orderdate"))
-    Seq(
-      oneRow("orders_pk_unique", o.select(col("o_orderkey")).distinct(),
-        duplicateKeys(o, "o_orderkey")),
-      oneRow("orders_fk_customer", o,
-        danglingFk(o, "o_custkey", c, "c_custkey")),
-      oneRow("lineitem_qty_range", li,
-        li.filter(!col("l_quantity").between(1, 50))),
-      oneRow("lineitem_ship_after_order", li, shipBeforeOrder),
-      oneRow("customer_name_nonnull", c, c.filter(col("c_name").isNull)),
-    ).reduce(_ union _)
+        Seq("l_orderkey"), "left")
+      .agg(count(lit(1)).as("li_rows"),
+        count_if(!col("l_quantity").between(1, 50)).as("qty_viol"),
+        count_if(col("l_shipdate") < col("o_orderdate")).as("ship_viol"))
+    // 4. customer row-local rules in one aggregate.
+    val custAgg = c.agg(count(lit(1)).as("cust_rows"),
+      count_if(col("c_name").isNull).as("name_viol"))
+    // assemble the report: three single-row crossJoins (bounded by
+    // construction, allowlisted in PlanGovernanceSpec) + one explode
+    def row(rule: String, checked: String, viol: String) =
+      struct(lit(rule).as("rule"), col(checked).as("n_checked"),
+        col(viol).as("n_violations"))
+    ordersAgg.crossJoin(fkViol).crossJoin(liAgg).crossJoin(custAgg)
+      .select(explode(array(
+        row("orders_pk_unique", "pk_checked", "pk_viol"),
+        row("orders_fk_customer", "orders_rows", "fk_viol"),
+        row("lineitem_qty_range", "li_rows", "qty_viol"),
+        row("lineitem_ship_after_order", "li_rows", "ship_viol"),
+        row("customer_name_nonnull", "cust_rows", "name_viol"))).as("r"))
+      .select(col("r.*"))
   }
 
   val queries: Map[String, Q] = Map(

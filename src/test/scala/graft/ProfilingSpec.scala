@@ -27,6 +27,19 @@ class ProfilingSpec extends AnyFunSuite {
     assert(dangling == Set(12L))
   }
 
+  test("dq_checks folds row-local rules: four jobs, bounded table scans") {
+    // r7 ran one checked/violations aggregate PAIR per rule (~10 scans);
+    // the folded shape reads orders 3x (PK-keyed agg, FK child, temporal
+    // join side), customer 2x, lineitem 1x — 6 file scans for 5 rules,
+    // and lineitem (the 100-TB fact table) exactly once
+    val plan = SparkEntry.queries("dq_checks")(spark, SparkTestSession.sf)
+      .queryExecution.executedPlan.toString
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 6, s"expected <=6 parquet scans, got $scans:\n$plan")
+    assert("lineitem".r.findAllIn(plan.toLowerCase)
+      .length >= 1, "sanity: lineitem present")
+  }
+
   test("dangling-FK anti join broadcasts a small parent") {
     val child = Seq((10L, 1L), (12L, 99L)).toDF("id", "fk")
     val parent = Seq(1L, 2L).toDF("pk")
