@@ -473,12 +473,16 @@ object StreamingQueries {
     val dim = T(s, d, "customer")
       .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
     withStreamingParallelism(s) {
+      // the parquet STREAMING sink, not foreachBatch + blind append:
+      // foreachBatch is at-least-once, so a failed-then-replayed
+      // micro-batch would double-append rows and silently inflate
+      // n_events/total_value — the sink's transactional file log
+      // commits each batch exactly once instead (r7 shipped the blind
+      // append; flagged by the round-7 advisor)
       val q = raw.join(broadcast(dim), Seq("user_id"))
         .select(col("c_mktsegment"), col("user_id"), col("value"))
         .writeStream.outputMode("append")
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
+        .format("parquet").option("path", out)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", run.resolve("chk").toString)
         .start()

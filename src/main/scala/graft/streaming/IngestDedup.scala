@@ -34,14 +34,13 @@ case class PairHit(a_id: Long, b_id: Long, band: Int)
   * genuinely re-ingested doc_id is recognized as already present —
   * membership and emissions are idempotent.
   */
-class BandBucketProcessor
+class BandBucketProcessor(ttl: TTLConfig = TTLConfig.NONE)
     extends StatefulProcessor[(Int, String), BandHit, PairHit] {
 
   @transient private var members: ListState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-    members = getHandle.getListState[Long](
-      "members", Encoders.scalaLong, TTLConfig.NONE)
+    members = getHandle.getListState[Long]("members", Encoders.scalaLong, ttl)
 
   override def handleInputRows(
       key: (Int, String),
@@ -83,10 +82,35 @@ object IngestDedup {
   /** The streaming pair-hit stream for a streaming `documents` frame
     * (`doc_id`, `text`). Union over any batching equals the
     * all-at-once batch LSH pair query (`dedup_minhash_lsh`'s oracle).
+    *
+    * `horizon`: by default (None) buckets remember ALL history — the
+    * dedup-vs-everything-ever-ingested semantic, whose state grows with
+    * the corpus forever (inherent to that semantic, not to this shape).
+    * With `Some(d)` each bucket member expires `d` after insertion
+    * (RocksDB-native TTL, checked lazily on read — no timer storm), so
+    * an arriving doc is deduped against the trailing-`d` window only —
+    * the `dropDuplicatesWithinWatermark` analog for near-dup LSH, with
+    * BOUNDED state at any ingest rate. Confluence within the horizon is
+    * unchanged: batching cannot move a member across its own insertion
+    * clock.
+    *
+    * Operational note: processing-time mode makes the engine run
+    * NO-DATA micro-batches to advance the TTL clock
+    * (`shouldRunAnotherBatch` is always true), so a horizoned query
+    * never self-terminates — run it with a periodic processing-time
+    * trigger (the natural production shape), not `AvailableNow`, and
+    * stop it explicitly; the spec polls the sink for the same reason.
     */
-  def pairHits(docs: DataFrame): Dataset[PairHit] = {
+  def pairHits(docs: DataFrame,
+      horizon: Option[java.time.Duration] = None): Dataset[PairHit] = {
     val s = docs.sparkSession
     import s.implicits._
+    // TTL needs the processing-time mode; the all-history default keeps
+    // TimeMode.None (no clock plumbed through the state store at all)
+    val (ttl, mode) = horizon match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None => (TTLConfig.NONE, TimeMode.None())
+    }
     // spread the md5-heavy banding across the executors BEFORE it runs:
     // a micro-batch often arrives as few (or one) input splits — a
     // single small file batch would otherwise hash every document in
@@ -95,6 +119,6 @@ object IngestDedup {
     Dedup.bandKeysPerRow(docs.repartition()).as[BandHit]
       .groupByKey(h => (h.band, h.key))
       .transformWithState(
-        new BandBucketProcessor, TimeMode.None(), OutputMode.Append())
+        new BandBucketProcessor(ttl), mode, OutputMode.Append())
   }
 }

@@ -149,6 +149,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("ingest dedup horizon: members expire past the TTL, confluence holds within it") {
+    // TimeMode.ProcessingTime makes the engine run continuous no-data
+    // batches to advance the TTL clock (shouldRunAnotherBatch is always
+    // true), so NEITHER processAllAvailable NOR Trigger.AvailableNow
+    // ever settles — correct for a production periodic-trigger job,
+    // but the spec must POLL the sink and stop the query itself.
+    val run = java.nio.file.Files.createTempDirectory("ingest_ttl")
+    val watchDir = run.resolve("in").toString
+    val pairsDir = run.resolve("pairs").toString
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    def writeBatch(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").parquet(watchDir)
+    def sinkPairs(): Set[(Long, Long)] =
+      try graft.operators.StreamingQueries.readIngestPairs(spark, pairsDir)
+        .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+      catch { case _: Throwable => Set.empty } // sink not created yet
+    def awaitPair(p: (Long, Long)): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!sinkPairs().contains(p)) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $p")
+        Thread.sleep(200)
+      }
+    }
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    writeBatch(Seq((1L, txt), (2L, txt))) // collide in-batch -> pair (1,2)
+    val raw = spark.readStream
+      .schema("doc_id BIGINT, text STRING").parquet(watchDir)
+    val q = graft.streaming.IngestDedup
+      .pairHits(raw, horizon = Some(java.time.Duration.ofSeconds(1)))
+      .writeStream.outputMode("append")
+      .format("parquet").option("path", pairsDir)
+      .option("checkpointLocation", run.resolve("chk").toString)
+      .start()
+    try {
+      awaitPair((1L, 2L))
+      // wait out the horizon, then ingest two more copies: 3 must NOT
+      // pair with the expired 1/2, only with its in-batch twin 4
+      Thread.sleep(3000)
+      writeBatch(Seq((3L, txt), (4L, txt)))
+      awaitPair((3L, 4L))
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    assert(sinkPairs() == Set((1L, 2L), (3L, 4L)),
+      s"horizon must drop cross-window pairs, keep in-window ones: ${sinkPairs()}")
+  }
+
   test("ingest dedup survives a query kill+restart: bucket state resumes from the checkpoint") {
     val run = java.nio.file.Files.createTempDirectory("ingest_restart")
     val watchDir = run.resolve("in").toString
