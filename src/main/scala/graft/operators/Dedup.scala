@@ -627,6 +627,64 @@ object Dedup {
     (labels.select(col("doc_id"), col("comp").as("component")), round)
   }
 
+  /** Asymmetric shingle CONTAINMENT over the LSH candidate pairs —
+    * `|A∩B| / |A|` distinguishes "b quotes/extends a" from symmetric
+    * near-duplication (Jaccard blurs the two: a short doc fully
+    * embedded in a long one scores low Jaccard but containment 1.0).
+    * The real-corpus case is partial copies — quotations, article +
+    * boilerplate, truncated mirrors — where the KEEP decision wants
+    * the superset doc. Emits exact integer set sizes
+    * `(n_a, n_b, n_common)` so the row stays hash-comparable; both
+    * containment directions derive as `n_common/n_a`, `n_common/n_b`.
+    *
+    * Scale shape: candidates come from LSH banding (never all pairs);
+    * the intersection count fans each pair to its a-side shingles and
+    * closes with ONE equi-join on `(b_id, shingle)` — volume
+    * O(Σ|A| over candidate pairs), all hash joins. The shingle table
+    * is pinned once and shared by the size aggregate and both join
+    * probes.
+    */
+  private val containmentQ: Q = (s, d) => {
+    val sh = materialize(shingleRows(T(s, d, "documents")))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = lshPairs(s, d).select(col("a_id"), col("b_id"))
+    val common = pairs
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_sh").as("n_a")),
+        Seq("a_id"))
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_sh").as("n_b")),
+        Seq("b_id"))
+      .join(common, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"), col("n_a"), col("n_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+  }
+
+  /** Cross-SOURCE near-dup matrix: LSH candidate pairs rolled up by the
+    * (unordered) source pair of their endpoints — which sources copy
+    * from each other, the leakage report a corpus curator reads before
+    * mixing sources (a benchmark source pairing with a crawl source IS
+    * the contamination signal, here at near-dup rather than exact
+    * n-gram granularity). Two co-partitioned equi-joins on doc_id plus
+    * one small rollup; the doc→source projection prunes `documents` to
+    * two columns at the scan.
+    */
+  private val sourceMatrix: Q = (s, d) => {
+    val src = T(s, d, "documents").select(col("doc_id"), col("source"))
+    lshPairs(s, d)
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")),
+        Seq("a_id"))
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")),
+        Seq("b_id"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Canonical representative per near-dup CLUSTER — the decision step
     * that actually prunes a corpus once components exist: for every
     * component keep the doc with the most tokens (longest near-copy =
@@ -721,6 +779,8 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash,
     "dedup_embedding_cosine" -> embeddingCosine,
+    "dedup_containment" -> containmentQ,
+    "dedup_source_matrix" -> sourceMatrix,
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -874,5 +934,30 @@ object Dedup {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "dedup_containment" ->
+      s"""WITH $shingleCte,
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),
+         |pairs AS (SELECT a_id, b_id FROM ($minhashOracle)),
+         |common AS (
+         |  SELECT p.a_id, p.b_id, count(*) AS n_common
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.a_id
+         |  JOIN sh sb ON sb.doc_id = p.b_id AND sb.shingle = sa.shingle
+         |  GROUP BY 1, 2)
+         |SELECT p.a_id, p.b_id, za.n_sh AS n_a, zb.n_sh AS n_b,
+         |  coalesce(c.n_common, 0) AS n_common
+         |FROM pairs p
+         |JOIN sizes za ON za.doc_id = p.a_id
+         |JOIN sizes zb ON zb.doc_id = p.b_id
+         |LEFT JOIN common c ON c.a_id = p.a_id AND c.b_id = p.b_id""".stripMargin,
+    "dedup_source_matrix" ->
+      s"""WITH pairs AS (SELECT a_id, b_id FROM ($minhashOracle))
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  count(*) AS n_pairs
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.a_id
+         |JOIN documents db ON db.doc_id = p.b_id
+         |GROUP BY 1, 2""".stripMargin,
   )
 }

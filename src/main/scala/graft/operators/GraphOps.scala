@@ -196,9 +196,33 @@ object GraphOps {
       when(col("ab"), col("db")).otherwise(col("da")).as("dv"))
   }
 
+  private val degreeHist: Q = (s, d) =>
+    degreeHistOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** Log2-bucketed degree histogram of the near-dup graph — the first
+    * diagnostic a graph job reads before choosing its join strategy
+    * (a heavy tail says: degree-orient, salt, or cap). Bucket k holds
+    * degrees in [2ᵏ, 2ᵏ⁺¹); the bucket id is `length(bin(deg)) − 1` —
+    * INTEGER bit-length, because `floor(log2(x))` computed as
+    * `log(x)/log(2)` can land a hair under an exact power and
+    * mis-bucket it (both engines' bin() agree exactly). One groupBy for
+    * degrees, one tiny rollup — two exchanges total, the second over at
+    * most 64 rows.
+    */
+  private[graft] def degreeHistOn(pairs: DataFrame): DataFrame = {
+    val p = pairs.toDF("a_id", "b_id")
+    val deg = p.select(col("a_id").as("doc_id"))
+      .union(p.select(col("b_id").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), min(col("deg")).as("min_deg"),
+        max(col("deg")).as("max_deg"))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
+    "graph_degree_hist" -> degreeHist,
   )
 
   /** The same three integer rounds in SQL over the embedded LSH pair
@@ -245,8 +269,20 @@ object GraphOps {
        |SELECT d.doc_id, d.deg, coalesce(tc.n_tri, 0) AS n_tri
        |FROM deg d LEFT JOIN tc USING (doc_id)""".stripMargin
 
+  private val degreeHistOracle: String =
+    s"""WITH pairs AS (SELECT a_id, b_id FROM (${Dedup.minhashOracle})),
+       |deg AS (
+       |  SELECT doc_id, count(*) AS deg
+       |  FROM (SELECT a_id AS doc_id FROM pairs
+       |        UNION ALL SELECT b_id FROM pairs)
+       |  GROUP BY 1)
+       |SELECT CAST(length(bin(deg)) - 1 AS BIGINT) AS bucket,
+       |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
+       |FROM deg GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
+    "graph_degree_hist" -> degreeHistOracle,
   )
 }

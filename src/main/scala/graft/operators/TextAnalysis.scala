@@ -261,7 +261,49 @@ object TextAnalysis {
       round(log2(n) - folded / n, 6).as("entropy_bits"))
   }
 
+  /** Duplicate-bigram repetition profile — the repetition family of
+    * quality rules (a doc whose mass sits in a few repeated n-grams is
+    * boilerplate, a scraper loop, or template residue; corpus curators
+    * gate on the duplicate fraction and on the top n-gram's share).
+    * Emits exact integers `(n_ngrams, n_distinct, n_dup, top_n)` per
+    * doc — `n_dup/n_ngrams` and `top_n/n_ngrams` derive the two gate
+    * ratios; keeping integers makes the row hash-exact.
+    *
+    * Shuffle-free like the rest of this file: bigrams assemble per row
+    * (`transform` over an index sequence — same 1-based `element_at`
+    * convention as the shingle pipeline), then ONE sorted run-length
+    * fold (the [[entropy]] pattern) counts distinct bigrams and the
+    * longest run in O(len) without exploding rows — explode → groupBy
+    * would pay an exchange carrying every bigram of every doc.
+    */
+  private val repetition: Q = (s, d) => {
+    val ws = words(col("text"))
+    val ng = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    // state: (prev bigram, current run length, distinct count, max run)
+    val folded = aggregate(array_sort(ng),
+      struct(lit("").as("prev"), lit(0L).as("run"),
+        lit(0L).as("nd"), lit(0L).as("mx")),
+      (st, x) => when(x === st.getField("prev"),
+          struct(st.getField("prev").as("prev"),
+            (st.getField("run") + 1).as("run"),
+            st.getField("nd").as("nd"),
+            greatest(st.getField("mx"), st.getField("run") + 1).as("mx")))
+        .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+          (st.getField("nd") + 1).as("nd"),
+          greatest(st.getField("mx"), lit(1L)).as("mx"))))
+    T(s, d, "documents").select(col("doc_id"), ng.as("ng"), folded.as("f"))
+      .select(col("doc_id"),
+        size(col("ng")).cast("long").as("n_ngrams"),
+        col("f.nd").as("n_distinct"),
+        (size(col("ng")).cast("long") - col("f.nd")).as("n_dup"),
+        col("f.mx").as("top_n"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_repetition" -> repetition,
     "text_entropy" -> entropy,
     "text_chunking" -> chunking,
     "text_token_count" -> tokenCount,
@@ -333,6 +375,25 @@ object TextAnalysis {
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // independent derivation: explode bigrams + relational counts vs
+    // the Spark side's per-row sorted fold — the two shapes must agree
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |ng AS (
+        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |c AS (SELECT doc_id, g, count(*) AS n FROM ng GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_ngrams,
+        |         count(*) AS n_distinct, CAST(max(n) AS BIGINT) AS top_n
+        |       FROM c GROUP BY 1)
+        |SELECT d.doc_id, coalesce(st.n_ngrams, 0) AS n_ngrams,
+        |  coalesce(st.n_distinct, 0) AS n_distinct,
+        |  coalesce(st.n_ngrams, 0) - coalesce(st.n_distinct, 0) AS n_dup,
+        |  coalesce(st.top_n, 0) AS top_n
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
     "text_entropy" ->
       """WITH h AS (
         |  SELECT doc_id, length(text) AS n,

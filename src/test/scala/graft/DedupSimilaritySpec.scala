@@ -515,6 +515,38 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((3L to 40L).forall(got(_) == ((1L, 0L))), "plain spokes: no tris")
   }
 
+  test("degree histogram buckets by bit-length on a literal graph") {
+    import graft.operators.GraphOps
+    // hub-and-spoke: hub degree 40 -> bucket 5 ([32,64)); 38 plain
+    // spokes degree 1 -> bucket 0; spokes 1,2 degree 2 -> bucket 1
+    val hub = ((1L to 40L).map(i => (0L, i)) :+ (1L, 2L))
+      .toDF("a_id", "b_id")
+    val got = GraphOps.degreeHistOn(hub)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((38L, 1L, 1L)),
+      1L -> ((2L, 2L, 2L)),
+      5L -> ((1L, 40L, 40L))), s"histogram: $got")
+  }
+
+  test("containment and source matrix: set invariants over the LSH candidates") {
+    val cont = Dedup.queries("dedup_containment")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val nPairs = Dedup.queries("dedup_minhash_lsh")(spark, sf).count()
+    assert(cont.length == nPairs.toInt, "one row per LSH candidate pair")
+    assert(cont.forall { case (_, _, na, nb, nc) =>
+      nc >= 0 && nc <= math.min(na, nb) && na > 0 && nb > 0
+    }, "intersection must be bounded by both set sizes")
+    // near-dup candidates overwhelmingly share shingles; at least one
+    // genuine containment/overlap must exist in the generated corpus
+    assert(cont.exists(_._5 > 0), "no candidate shares any shingle?")
+    val mat = Dedup.queries("dedup_source_matrix")(spark, sf)
+      .as[(String, String, Long)].collect()
+    assert(mat.map(_._3).sum == nPairs, "matrix must partition the pair set")
+    assert(mat.forall { case (a, b, _) => a <= b }, "unordered key normalized")
+  }
+
   test("kmeans mix report partitions the corpus and is deterministic") {
     val total = Similarity.queries("embed_quantize")(spark, sf).count()
     val mix = Similarity.queries("embed_kmeans_mix")(spark, sf)

@@ -35,4 +35,23 @@ class TextEntropySpec extends AnyFunSuite {
     // H(3/4, 1/4) = 2 - 0.75*log2(3) = 0.811278...
     assert(math.abs(h - 0.811278) < 1e-6, s"got $h")
   }
+
+  test("repetition fold: closed forms on degenerate and clean texts") {
+    val dir = java.nio.file.Files.createTempDirectory("rep_docs").toString
+    Seq(
+      (0L, "spam spam spam spam"),      // bigram "spam spam" ×3
+      (1L, "all words here differ"),    // 3 distinct bigrams
+      (2L, "one"),                      // <2 words: no bigrams
+      (3L, "go go stop go go"),         // "go go"×2, "go stop", "stop go"
+    ).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis
+      .queries("text_repetition")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(0L) == ((3L, 1L, 2L, 3L)), s"pure repetition: ${got(0L)}")
+    assert(got(1L) == ((3L, 3L, 0L, 1L)), s"no repetition: ${got(1L)}")
+    assert(got(2L) == ((0L, 0L, 0L, 0L)), s"single word: ${got(2L)}")
+    assert(got(3L) == ((4L, 3L, 1L, 2L)), s"mixed: ${got(3L)}")
+  }
 }
