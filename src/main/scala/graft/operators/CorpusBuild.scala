@@ -364,6 +364,75 @@ object CorpusBuild {
         (col("_before") % PackBudget).as("seq_offset"))
   }
 
+  private val NumShards = 16
+
+  /** Deterministic global training shuffle: every doc gets a shard and
+    * an in-shard position from a salted hash — the "write shuffled
+    * shards" step between corpus build and tokenizer, reproducible
+    * run-over-run (same seed → same order) with NO driver-side
+    * permutation state. Shard = first 32 hash bits mod [[NumShards]];
+    * position = rank of the hash within the shard.
+    *
+    * Scale shape: one exchange ON THE SHARD KEY + an in-shard sort —
+    * exactly the physical layout the shard files need, so the window
+    * costs nothing beyond the write's own repartition. Parallelism =
+    * shard count; a real 100 TB run sets NumShards ≈ the number of
+    * output files (thousands), this registry instance keeps 16 so the
+    * oracle stays readable.
+    */
+  private val corpusShuffle: Q = (s, d) => {
+    val rk = md5(concat(lit("shuf:"), col("doc_id")))
+    T(s, d, "documents").select(col("doc_id"), rk.as("rk"))
+      .withColumn("shard",
+        pmod(conv(substring(col("rk"), 1, 8), 16, 10).cast("long"),
+          lit(NumShards.toLong)))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard"))
+          .orderBy(col("rk"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  private val TokenBudget = 20000L
+
+  /** Token-budget mixture draw: each source contributes documents in
+    * salted-hash order until its token budget fills — the data-mixing
+    * step of every corpus recipe ("N tokens of source X, M of Y"),
+    * deterministic and proportional-by-construction (a uniform hash
+    * order makes the prefix an unbiased sample of the source). Keeps a
+    * doc iff the tokens BEFORE it are under budget, so the boundary doc
+    * that crosses the line is included — budgets are floors, not caps.
+    *
+    * Scale shape: the per-source running sum does NOT run as one
+    * window task per source (a source is unbounded at 100 TB) — it
+    * reuses [[packSequences]]' two-phase split: partition-local cumsums
+    * within `(source, first hash nibble)` sub-buckets (order within a
+    * nibble = global hash order restricted to it), lifted by broadcast
+    * per-nibble offsets whose own window is 16 rows per source.
+    */
+  private val tokenBudget: Q = (s, d) => {
+    val rk = md5(concat(lit("tb:"), col("doc_id")))
+    val toks = T(s, d, "documents").select(col("source"), col("doc_id"),
+        size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"),
+        rk.as("rk"))
+      .withColumn("nib", conv(substring(col("rk"), 1, 1), 16, 10).cast("int"))
+    val local = toks.withColumn("_cum",
+      coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("source"), col("nib"))
+          .orderBy(col("rk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val offsets = toks.groupBy(col("source"), col("nib"))
+      .agg(sum(col("n_tokens")).as("_psum"))
+      .withColumn("_off", coalesce(sum(col("_psum")).over(
+        Window.partitionBy(col("source")).orderBy(col("nib"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    local.join(broadcast(offsets.select(col("source"), col("nib"),
+        col("_off"))), Seq("source", "nib"))
+      .withColumn("cum_before", col("_cum") + col("_off"))
+      .filter(col("cum_before") < TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"))
+  }
+
   val queries: Map[String, Q] = Map(
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
@@ -375,6 +444,8 @@ object CorpusBuild {
     "quality_gate" -> qualityGate,
     "ngrams_heavyhitters" -> ngramsHh,
     "corpus_pack_sequences" -> packSequences,
+    "corpus_shuffle" -> corpusShuffle,
+    "corpus_token_budget" -> tokenBudget,
     "layout_zorder" -> zorder)
 
   private val corpusOracle: String = {
@@ -500,6 +571,35 @@ object CorpusBuild {
        |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
        |  FROM documents))""".stripMargin
 
+  // the oracle's single window per shard/source is the semantics; the
+  // Spark side's two-phase split must land on exactly the same rows
+  private val shuffleOracle: String =
+    s"""SELECT doc_id,
+       |  ('0x' || substr(md5('shuf:' || doc_id), 1, 8))::BIGINT
+       |    % $NumShards AS shard,
+       |  CAST(row_number() OVER (
+       |    PARTITION BY ('0x' || substr(md5('shuf:' || doc_id), 1, 8))::BIGINT
+       |      % $NumShards
+       |    ORDER BY md5('shuf:' || doc_id), doc_id) AS BIGINT) AS pos
+       |FROM documents""".stripMargin
+
+  private val tokenBudgetOracle: String =
+    s"""WITH t AS (
+       |  SELECT source, doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+       |    md5('tb:' || doc_id) AS rk
+       |  FROM documents),
+       |c AS (
+       |  SELECT source, doc_id, n_tokens,
+       |    coalesce(sum(n_tokens) OVER (
+       |      PARTITION BY source ORDER BY rk, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS cum_before
+       |  FROM t)
+       |SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(cum_before AS BIGINT) AS cum_before
+       |FROM c WHERE cum_before < $TokenBudget""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
@@ -511,5 +611,7 @@ object CorpusBuild {
     "quality_gate" -> qualityGateOracle,
     // ngrams_heavyhitters: intentionally no oracle — see its doc
     "corpus_pack_sequences" -> packSequencesOracle,
+    "corpus_shuffle" -> shuffleOracle,
+    "corpus_token_budget" -> tokenBudgetOracle,
     "layout_zorder" -> zorderOracle)
 }

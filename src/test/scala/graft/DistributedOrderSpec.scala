@@ -40,6 +40,55 @@ class DistributedOrderSpec extends AnyFunSuite {
       s"ntile scans must be pruned to o_orderkey, got $reads")
   }
 
+  test("two-phase token budget equals the built-in per-source window prefix sum") {
+    val got = graft.operators.CorpusBuild
+      .queries("corpus_token_budget")(spark, sf)
+      .select("source", "doc_id", "n_tokens", "cum_before")
+      .as[(String, Long, Long, Long)].collect()
+    val budget = 20000L
+    val builtin = Tables.load(spark, sf, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+        md5(concat(lit("tb:"), col("doc_id"))).as("rk"))
+      .withColumn("cum_before", coalesce(sum(col("n_tokens")).over(
+        Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"))
+      .as[(String, Long, Long, Long)].collect()
+    assert(got.toSet == builtin.toSet)
+    // budget sanity: every kept row started under budget, and each
+    // source's draw is a contiguous hash prefix (cum_before values are
+    // exactly the running sums of the kept docs in order)
+    assert(got.forall(_._4 < budget))
+    got.groupBy(_._1).foreach { case (src, rows) =>
+      val ordered = rows.sortBy(_._4)
+      val expect = ordered.scanLeft(0L)(_ + _._3).init
+      assert(ordered.map(_._4).toSeq == expect.toSeq,
+        s"$src: kept set is not a contiguous prefix")
+    }
+  }
+
+  test("corpus shuffle positions are a contiguous 1..n per shard") {
+    val got = graft.operators.CorpusBuild
+      .queries("corpus_shuffle")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(got.length == total.toInt, "every doc gets exactly one slot")
+    got.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.head == 1L && ps.last == rows.length.toLong &&
+        ps.distinct.length == rows.length,
+        s"shard $shard positions not contiguous 1..n")
+    }
+    // determinism: a second evaluation is bit-identical
+    val again = graft.operators.CorpusBuild
+      .queries("corpus_shuffle")(spark, sf)
+      .as[(Long, Long, Long)].collect()
+    assert(got.toSet == again.toSet)
+  }
+
   test("two-pass sequence packing equals the built-in global-window prefix sum") {
     val got = graft.operators.CorpusBuild
       .queries("corpus_pack_sequences")(spark, sf)
