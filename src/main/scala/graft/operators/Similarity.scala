@@ -476,8 +476,56 @@ object Similarity {
           6).as("cov"))
   }
 
+  private val PowerIters = 3
+
+  /** Dominant principal direction of the embedding cloud by POWER
+    * ITERATION on the exact integer second-moment matrix — the first
+    * component PCA/whitening asks for, computed without ever collecting
+    * the corpus: the only data-sized pass is the d²-cell Gram
+    * accumulation (same chained-posexplode shape as [[covariance]],
+    * full matrix rather than upper triangle); each of the
+    * [[PowerIters]] iterations is a join of the d²-row matrix with the
+    * d-row vector — constant-size work however many embeddings exist.
+    *
+    * Numerics: everything is EXACT integer arithmetic — 1e6-quantized
+    * elements, DECIMAL(38,0)/HUGEINT sums, renormalization by
+    * truncating integer division `(Mv·10⁶) DIV max|Mv|` (both engines
+    * truncate toward zero, checked) — so the unrolled recurrence is
+    * bit-reproducible and hash-checkable, the same discipline as
+    * [[GraphOps]] pagerank. The second-moment (uncentered) operator is
+    * PSD, so the dominant eigenvalue is nonnegative and the iteration
+    * cannot sign-flip. Output: the direction scaled to max-component
+    * 10⁶ after three rounds.
+    */
+  private val pcaPower: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+    val q = e.select(transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
+    val m = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
+      .select(col("i"), col("xv"),
+        posexplode(col("q")).as(Seq("j", "yv")))
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("xv").cast("decimal(19,0)") *
+          col("yv").cast("decimal(19,0)")).cast("decimal(38,0)")).as("m"))
+    // the iteration references the matrix once per round: pin it
+    val mMat = Dedup.materialize(m)
+    val v0 = mMat.select(col("j")).distinct()
+      .select(col("j"), lit(1000000L).cast("decimal(38,0)").as("v"))
+    val vFinal = (1 to PowerIters).foldLeft(v0) { (v, _) =>
+      val mv = mMat.join(v, Seq("j")).groupBy(col("i"))
+        .agg(sum(col("m") * col("v")).as("mv"))
+      val mx = mv.agg(max(abs(col("mv"))).as("mx"))
+      // single-row max crossJoin (allowlisted in PlanGovernanceSpec)
+      mv.crossJoin(broadcast(mx))
+        .select(col("i").as("j"),
+          expr("(mv * 1000000) DIV mx").cast("decimal(38,0)").as("v"))
+    }
+    vFinal.select(col("j").cast("long").as("i"), col("v").cast("long").as("v"))
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_covariance" -> covariance,
+    "embed_pca_power" -> pcaPower,
     "sim_topk_bruteforce" -> bruteforce,
     "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
@@ -646,7 +694,36 @@ object Similarity {
        |FROM pairs WHERE sim >= $SemTau
        |GROUP BY b_id""".stripMargin
 
+  /** The same three integer power-iteration rounds in SQL: HUGEINT
+    * Gram matrix, scalar-subquery max, truncating `//` renormalization.
+    */
+  private val pcaPowerOracle: String = {
+    val rounds = (1 to PowerIters).map { k =>
+      s"""mv$k AS (
+         |  SELECT m.i, sum(m.m * v.v) AS mv
+         |  FROM m JOIN v${k - 1} v ON v.j = m.j GROUP BY 1),
+         |v$k AS (
+         |  SELECT i AS j, (mv * 1000000) // (SELECT max(abs(mv)) FROM mv$k)
+         |    AS v
+         |  FROM mv$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH x AS (
+       |  SELECT vec_id, i,
+       |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+       |               * 1000000) AS HUGEINT) AS v
+       |  FROM embeddings,
+       |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+       |m AS (
+       |  SELECT a.i AS i, b.i AS j, sum(a.v * b.v) AS m
+       |  FROM x a JOIN x b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT j, 1000000::HUGEINT AS v FROM m),
+       |$rounds
+       |SELECT CAST(j AS BIGINT) AS i, CAST(v AS BIGINT) AS v
+       |FROM v$PowerIters""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "embed_pca_power" -> pcaPowerOracle,
     // Exact-integer twin of the Spark side: identical 1e6 quantization,
     // HUGEINT (order-independent) sums, one double division at the end.
     "embed_covariance" ->

@@ -210,6 +210,32 @@ object TimeSeries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Traffic-spike detection: each (event_type, hour) bucket against
+    * its own trailing-24h baseline — the rate-anomaly monitor every
+    * event pipeline runs. A bucket is a spike when its count exceeds
+    * 2× the trailing mean, compared in INTEGER cross-multiplication
+    * (`n·w_cnt > 2·w_sum`) so both engines agree exactly where a float
+    * mean would wobble. The trailing window emits alongside the flag —
+    * the operator is the alert AND its evidence.
+    *
+    * Scale shape: the raw stream collapses to (type, hour) counts
+    * FIRST (one map-side-combinable shuffle; output rows = types ×
+    * hours, tiny at any corpus size), so the per-type window runs over
+    * the reduced domain — never over raw events.
+    */
+  private val eventsAnomaly: Q = (s, d) => {
+    val hourly = T(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(-24, -1)
+    hourly.select(col("event_type"), unix_seconds(col("h")).as("hour_epoch"),
+        col("n"), count(col("n")).over(w).as("w_cnt"),
+        coalesce(sum(col("n")).over(w), lit(0L)).as("w_sum"))
+      .withColumn("is_spike",
+        col("w_cnt") > 0 && col("n") * col("w_cnt") > lit(2L) * col("w_sum"))
+  }
+
   val queries: Map[String, Q] = Map(
     "retention_cohorts" -> retention,
     "funnel_conversion" -> funnel,
@@ -218,6 +244,7 @@ object TimeSeries {
     "sessionize_native" -> sessionizeNative,
     "gapfill_hours" -> gapfill,
     "interval_join" -> intervalJoin,
+    "events_anomaly" -> eventsAnomaly,
   )
 
   val oracles: Map[String, String] = Map(
@@ -292,6 +319,18 @@ object TimeSeries {
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
         |FROM sess GROUP BY user_id, sid""".stripMargin,
+    "events_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch, n,
+        |  CAST(count(n) OVER w AS BIGINT) AS w_cnt,
+        |  CAST(coalesce(sum(n) OVER w, 0) AS BIGINT) AS w_sum,
+        |  (count(n) OVER w > 0 AND
+        |   n * count(n) OVER w > 2 * coalesce(sum(n) OVER w, 0)) AS is_spike
+        |FROM hourly
+        |WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |             ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)""".stripMargin,
     "gapfill_hours" ->
       """WITH hourly AS (
         |  SELECT date_trunc('hour', ts) AS h, count(*) AS n

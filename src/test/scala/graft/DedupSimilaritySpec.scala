@@ -547,6 +547,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mat.forall { case (a, b, _) => a <= b }, "unordered key normalized")
   }
 
+  test("pca power iteration equals an exact BigInt recomputation") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+      .select($"embedding").as[Array[Float]].collect()
+      .map(_.map(x => math.round(x.toDouble * 1e6)))
+    val dim = vecs.head.length
+    // exact Gram matrix + 3 power rounds in BigInt (truncating division
+    // toward zero, matching Spark DIV / DuckDB //)
+    val m = Array.tabulate(dim, dim)((i, j) =>
+      vecs.iterator.map(v => BigInt(v(i)) * BigInt(v(j))).sum)
+    var v = Array.fill(dim)(BigInt(1000000))
+    (1 to 3).foreach { _ =>
+      val mv = Array.tabulate(dim)(i =>
+        (0 until dim).map(j => m(i)(j) * v(j)).sum)
+      val mx = mv.map(_.abs).max
+      v = mv.map(x => x * BigInt(1000000) / mx)
+    }
+    val got = Similarity.queries("embed_pca_power")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(got.size == dim)
+    (0 until dim).foreach(i => assert(got(i.toLong) == v(i).toLong,
+      s"component $i: got ${got(i.toLong)}, want ${v(i)}"))
+    // the normalizer pins the dominant component at exactly ±1e6
+    assert(got.values.map(x => math.abs(x)).max == 1000000L)
+  }
+
   test("kmeans mix report partitions the corpus and is deterministic") {
     val total = Similarity.queries("embed_quantize")(spark, sf).count()
     val mix = Similarity.queries("embed_kmeans_mix")(spark, sf)

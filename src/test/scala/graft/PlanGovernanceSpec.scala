@@ -42,6 +42,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "dq_checks" -> ("each rule's report row is a crossJoin of two" +
       " SINGLE-ROW aggregates (n_checked x n_violations) - bounded at" +
       " one row per side forever"),
+    "embed_pca_power" -> ("each power-iteration round crossJoins the" +
+      " d-row Mv vector with its broadcast SINGLE-ROW max(|Mv|)" +
+      " normalizer - bounded at one row forever"),
   )
 
   test("no registry query plans an unbounded nested-loop join") {

@@ -14,6 +14,33 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("user_id", "event_type", "s")
       .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
 
+  test("events_anomaly trailing window agrees with a Scala recomputation") {
+    val sf = SparkTestSession.sf
+    val got = TimeSeries.queries("events_anomaly")(spark, sf)
+      .selectExpr("event_type", "hour_epoch", "n", "w_cnt", "w_sum",
+        "CAST(is_spike AS BOOLEAN)")
+      .as[(String, Long, Long, Long, Long, Boolean)].collect()
+    // independent derivation: hourly counts straight off the table,
+    // trailing 24-row frame folded by hand
+    val hourly = Tables.load(spark, sf, "events")
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("h"))
+      .count()
+      .selectExpr("event_type", "CAST(unix_seconds(h) AS LONG)", "count")
+      .as[(String, Long, Long)].collect()
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.zipWithIndex.map { case ((_, h, n), ix) =>
+        val win = ordered.slice(math.max(0, ix - 24), ix)
+        val (wc, wsum) = (win.length.toLong, win.map(_._3).sum)
+        (t, h, n, wc, wsum, wc > 0 && n * wc > 2 * wsum)
+      }
+    }.toSet
+    assert(got.toSet == want,
+      s"divergence: ${(got.toSet diff want).take(3)} ${(want diff got.toSet).take(3)}")
+    assert(got.exists(_._4 == 24L), "sanity: full trailing windows exist")
+  }
+
   test("funnel stages require strict event-time order, not mere presence") {
     // A: all three types but in REVERSE order — only the view counts
     // B: the happy path — all three stages
