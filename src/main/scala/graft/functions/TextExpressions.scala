@@ -1,0 +1,107 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the per-document character-histogram
+  * fold behind `text_entropy`.
+  *
+  * The HOF formulation (`aggregate(array_sort(split(text, '')), …)`) is
+  * semantically right but pays interpreted-lambda dispatch and a boxed
+  * struct allocation PER CHARACTER — measured 1.40 s for the sf0.1
+  * corpus. This expression runs the identical algorithm — sort the
+  * code points, one run-length pass accumulating `Σ run·log2(run)` in
+  * ascending-run order (the float sum order is part of the
+  * cross-engine contract) — as one tight primitive loop per document,
+  * invoked from inside whole-stage codegen. Same numbers, same
+  * summation order, no per-char anything.
+  */
+case class CharRunStats(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = CharRunStats.Shape
+  override def prettyName: String = "char_run_stats"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharRunStats.stats(input.asInstanceOf[UTF8String])
+
+  // one static call per ROW doing the whole primitive loop — the row
+  // stays inside the surrounding WholeStageCodegen (no lambda
+  // interpretation, no per-element dispatch)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharRunStats.stats($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharRunStats {
+
+  /** `(n_chars, n_unique, clog)` — code-point count, distinct
+    * code-point count, and `Σ run·log2(run)` over the sorted histogram
+    * runs. Entropy composes downstream as
+    * `log2(n_chars) − clog/n_chars`, exactly like the HOF fold did.
+    */
+  val Shape: StructType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_unique", LongType, nullable = false),
+    StructField("clog", DoubleType, nullable = false)))
+
+  private val Log2 = java.lang.Math.log(2.0)
+
+  /** Static so generated code can call it directly. Sort order is
+    * ascending code point — identical to the HOF's `array_sort` of
+    * single-char strings for all BMP text (UTF8 byte order = code-point
+    * order there), so the float accumulation visits runs in the same
+    * sequence.
+    */
+  def stats(s: UTF8String): InternalRow = {
+    val str = s.toString
+    val cps = new Array[Int](str.length)
+    var m = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      cps(m) = cp
+      m += 1
+      i += Character.charCount(cp)
+    }
+    java.util.Arrays.sort(cps, 0, m)
+    var unique = 0L
+    var acc = 0.0
+    i = 0
+    while (i < m) {
+      var j = i + 1
+      while (j < m && cps(j) == cps(i)) j += 1
+      val run = (j - i).toDouble
+      // run·(log(run)/log2) — the same grouping as the HOF's
+      // `n * log2(n)`, so results are bit-identical
+      acc += run * (java.lang.Math.log(run) / Log2)
+      unique += 1
+      i = j
+    }
+    new GenericInternalRow(Array[Any](m.toLong, unique, acc))
+  }
+}
+
+object TextExpressions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+
+  def char_run_stats(text: Column): Column =
+    column(CharRunStats(expression(text)))
+}

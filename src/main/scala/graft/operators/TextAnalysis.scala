@@ -242,6 +242,26 @@ object TextAnalysis {
     * float folds agree exactly.
     */
   private val entropy: Q = (s, d) => {
+    // one native codegen'd pass per row ([[graft.functions.CharRunStats]])
+    // — the HOF formulation (array_sort + aggregate lambda) computed the
+    // same numbers at interpreted-lambda speed (1.40 s vs 0.4 s at
+    // sf0.1); the entropy composition below is unchanged, so the float
+    // contract with the oracle is too. The HOF twin lives on in
+    // entropyHof, spec-pinned equal.
+    val st = graft.functions.TextExpressions.char_run_stats(col("text"))
+    val n = col("st.n_chars").cast("double")
+    T(s, d, "documents").select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_chars").as("n_chars"),
+        col("st.n_unique").as("n_unique"),
+        round(log2(n) - col("st.clog") / n, 6).as("entropy_bits"))
+  }
+
+  /** The pre-expression HOF formulation of [[entropy]] — kept as the
+    * cross-check twin (EntropyParitySpec asserts row-for-row equality
+    * with the native expression path on the real corpus).
+    */
+  private[graft] def entropyHof(df: DataFrame): DataFrame = {
     val chars = filter(split(col("text"), ""), c => c =!= "")
     def clog(n: Column): Column = when(n > 0, n * log2(n)).otherwise(lit(0.0))
     val folded = aggregate(array_sort(chars),
@@ -254,7 +274,7 @@ object TextAnalysis {
           (st.getField("acc") + clog(st.getField("run"))).as("acc"))),
       st => st.getField("acc") + clog(st.getField("run")))
     val n = length(col("text")).cast("double")
-    T(s, d, "documents").select(
+    df.select(
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(array_distinct(chars)).cast("long").as("n_unique"),

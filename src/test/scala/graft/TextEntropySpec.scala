@@ -36,6 +36,19 @@ class TextEntropySpec extends AnyFunSuite {
     assert(math.abs(h - 0.811278) < 1e-6, s"got $h")
   }
 
+  test("native char_run_stats equals the HOF fold row-for-row on the corpus") {
+    val sf = SparkTestSession.sf
+    val docs = Tables.load(spark, sf, "documents")
+    val native = graft.operators.TextAnalysis
+      .queries("text_entropy")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val hof = graft.operators.TextAnalysis.entropyHof(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(native == hof)
+  }
+
   test("repetition fold: closed forms on degenerate and clean texts") {
     val dir = java.nio.file.Files.createTempDirectory("rep_docs").toString
     Seq(
