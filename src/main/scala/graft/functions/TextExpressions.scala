@@ -99,9 +99,78 @@ object CharRunStats {
   }
 }
 
+/** Native expression for the per-document bigram repetition profile
+  * behind `text_repetition`: whitespace-tokenize, form word bigrams,
+  * count total / distinct / most-frequent — one hash-map pass per row.
+  * The HOF formulation (transform + array_sort + aggregate lambda) was
+  * measured at 11.6 s for the sf0.1 corpus; every output here is an
+  * INTEGER, so unlike [[CharRunStats]] there is no float-order contract
+  * to preserve and the count map needs no ordering at all.
+  */
+case class BigramStats(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BigramStats.Shape
+  override def prettyName: String = "bigram_stats"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BigramStats.stats(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BigramStats.stats($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object BigramStats {
+
+  val Shape: StructType = StructType(Seq(
+    StructField("n_ngrams", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_n", LongType, nullable = false)))
+
+  /** Tokenization contract matches the query layer's
+    * `split(trim(text), "\\s+")`: UTF8String.trim strips ASCII spaces
+    * only (Java's String.trim would also strip tabs/newlines — a
+    * different token count on tab-led text), then Java regex split.
+    */
+  def stats(s: UTF8String): InternalRow = {
+    val str = s.trim().toString
+    val ws = str.split("\\s+", -1)
+    if (ws.length < 2)
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Int](ws.length * 2)
+    var top = 0
+    var i = 0
+    while (i < ws.length - 1) {
+      val g = ws(i) + " " + ws(i + 1)
+      val c = counts.merge(g, 1, (a, b) => a + b)
+      if (c > top) top = c
+      i += 1
+    }
+    new GenericInternalRow(Array[Any](
+      (ws.length - 1).toLong, counts.size.toLong, top.toLong))
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
   def char_run_stats(text: Column): Column =
     column(CharRunStats(expression(text)))
+
+  def bigram_stats(text: Column): Column =
+    column(BigramStats(expression(text)))
 }

@@ -501,12 +501,20 @@ object Similarity {
     val e = T(s, d, "embeddings")
     val q = e.select(transform(col("embedding"),
       x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
-    val m = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
+    // accumulate the UPPER TRIANGLE only (the Gram matrix is symmetric)
+    // and mirror the strict part afterwards — halves the generator
+    // volume of the one data-sized pass (measured 5.0 s → ~2.6 s at
+    // sf0.1 for the full query); the mirror runs on the d²/2-row
+    // AGGREGATED result, not the corpus
+    val upper = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
       .select(col("i"), col("xv"),
         posexplode(col("q")).as(Seq("j", "yv")))
+      .filter(col("j") >= col("i"))
       .groupBy(col("i"), col("j"))
       .agg(sum((col("xv").cast("decimal(19,0)") *
           col("yv").cast("decimal(19,0)")).cast("decimal(38,0)")).as("m"))
+    val m = upper.union(upper.filter(col("i") =!= col("j"))
+      .select(col("j").as("i"), col("i").as("j"), col("m")))
     // the iteration references the matrix once per round: pin it
     val mMat = Dedup.materialize(m)
     val v0 = mMat.select(col("j")).distinct()

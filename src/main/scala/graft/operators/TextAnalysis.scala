@@ -297,6 +297,23 @@ object TextAnalysis {
     * would pay an exchange carrying every bigram of every doc.
     */
   private val repetition: Q = (s, d) => {
+    // one native hash-map pass per row ([[graft.functions.BigramStats]])
+    // — the HOF shape (transform + array_sort + aggregate lambda) was
+    // 11.6 s at sf0.1 for the same integers; kept as repetitionHof,
+    // spec-pinned equal
+    val st = graft.functions.TextExpressions.bigram_stats(col("text"))
+    T(s, d, "documents").select(col("doc_id"), st.as("st"))
+      .select(col("doc_id"),
+        col("st.n_ngrams").as("n_ngrams"),
+        col("st.n_distinct").as("n_distinct"),
+        (col("st.n_ngrams") - col("st.n_distinct")).as("n_dup"),
+        col("st.top_n").as("top_n"))
+  }
+
+  /** The HOF formulation of [[repetition]] — the cross-check twin the
+    * parity spec holds against the native expression.
+    */
+  private[graft] def repetitionHof(df: DataFrame): DataFrame = {
     val ws = words(col("text"))
     val ng = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
@@ -314,7 +331,7 @@ object TextAnalysis {
         .otherwise(struct(x.as("prev"), lit(1L).as("run"),
           (st.getField("nd") + 1).as("nd"),
           greatest(st.getField("mx"), lit(1L)).as("mx"))))
-    T(s, d, "documents").select(col("doc_id"), ng.as("ng"), folded.as("f"))
+    df.select(col("doc_id"), ng.as("ng"), folded.as("f"))
       .select(col("doc_id"),
         size(col("ng")).cast("long").as("n_ngrams"),
         col("f.nd").as("n_distinct"),

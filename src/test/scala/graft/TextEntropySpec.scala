@@ -49,6 +49,19 @@ class TextEntropySpec extends AnyFunSuite {
     assert(native == hof)
   }
 
+  test("native bigram_stats equals the HOF fold row-for-row on the corpus") {
+    val sf = SparkTestSession.sf
+    val docs = Tables.load(spark, sf, "documents")
+    val native = graft.operators.TextAnalysis
+      .queries("text_repetition")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val hof = graft.operators.TextAnalysis.repetitionHof(docs)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(native == hof)
+  }
+
   test("repetition fold: closed forms on degenerate and clean texts") {
     val dir = java.nio.file.Files.createTempDirectory("rep_docs").toString
     Seq(
