@@ -195,14 +195,17 @@ object StreamingQueries {
         col("n"))
   }
 
-  /** Stage the streaming-session source dir: a hard link to the events
+  /** Stage a streaming replay source dir: a hard link to the events
     * file (copy fallback) plus a single-row sentinel parquet whose
-    * event time sits three gaps past the stream's max — far enough
-    * that the final watermark clears every real session's close.
+    * event time sits `sentinelOffsetNanos` past the stream's max — far
+    * enough that the final watermark clears every real window/session
+    * close (default: three 30-min session gaps; the hourly-window
+    * replays pass three hours).
     */
   private def stageSessionSource(s: SparkSession, d: String,
       schema: org.apache.spark.sql.types.StructType,
-      run: java.nio.file.Path): String = {
+      run: java.nio.file.Path,
+      sentinelOffsetNanos: Long = 3 * 1800L * 1000 * 1000 * 1000): String = {
     import java.nio.file.{Files, Paths}
     val src = run.resolve("src")
     Files.createDirectories(src)
@@ -211,17 +214,16 @@ object StreamingQueries {
     catch { case _: java.io.IOException =>
       Files.copy(events, src.resolve("events.parquet"))
     }
-    // one-row sentinel: max raw ts (nanos) + 3 gaps; the single driver
-    // scalar here is the same justified collect as a drain marker
+    // one-row sentinel: max raw ts (nanos) + the offset; the single
+    // driver scalar here is the same justified collect as a drain marker
     val maxTs = s.read.schema(schema)
       .parquet(src.resolve("events.parquet").toString)
       .agg(max(col("ts"))).head().getLong(0)
-    val gapNanos = 1800L * 1000 * 1000 * 1000
     val stage = run.resolve("sentinel_stage")
     val sentinel = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(
         schema.fields.map {
-          case f if f.name == "ts" => maxTs + 3 * gapNanos
+          case f if f.name == "ts" => maxTs + sentinelOffsetNanos
           case f if f.name == "user_id" => SentinelUser
           case f => null.asInstanceOf[Any]
         }.toSeq: _*)),
@@ -278,6 +280,80 @@ object StreamingQueries {
       }
     }
     readIngestPairs(s, pairsDir)
+  }
+
+  /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
+    * topology, each stage the production shape:
+    *
+    *  1. watermarked hourly windowed counts in APPEND mode (a window
+    *     emits exactly once, when the watermark passes its close; a
+    *     3-hour sentinel drains the tail) into a parquet stage — the
+    *     same finalized-window stream `stream_windowed_counts` proves;
+    *  2. a second streaming query reads the finalized windows and folds
+    *     them through KEYED state ([[graft.streaming
+    *     .TrailingBaselineProcessor]]): per event type a ring of the
+    *     trailing 24 observed hours, O(1) state per key — the streaming
+    *     equivalent of the batch `rowsBetween(-24, -1)` frame with no
+    *     historical re-sort, which is exactly what a 100 TB/day monitor
+    *     needs (the batch face re-reads all history every run).
+    *
+    * Append-mode watermarking guarantees stage-2 sees hours in
+    * ascending event-time order across batches (windows emit in
+    * watermark order), so the keyed fold equals the batch window frame
+    * — the two faces SHARE `events_anomaly`'s DuckDB oracle. The
+    * sentinel's own (null-typed) window never closes, so it never even
+    * reaches stage 2.
+    */
+  private val streamAnomaly: Q = (s, d) => {
+    val run = freshRunDir("graft_anostream_")
+    val win = run.resolve("win").toString
+    val out = run.resolve("out").toString
+    Seq(win, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      // stage 1: finalized hourly counts (append mode)
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", win)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      // stage 2: keyed trailing-baseline fold over the finalized windows
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("event_type STRING, hour_epoch BIGINT, n BIGINT")
+          .option("pathGlobFilter", "*.parquet").parquet(win)
+          .filter(col("event_type").isNotNull)
+          .as[graft.streaming.HourCount]
+        val q2 = rows.groupByKey(_.event_type)
+          .transformWithState(new graft.streaming.TrailingBaselineProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    s.read.schema("event_type STRING, hour_epoch BIGINT, n BIGINT, " +
+        "w_cnt BIGINT, w_sum BIGINT, is_spike BOOLEAN").parquet(out)
   }
 
   /** `transformWithState` requires the RocksDB state store provider;
@@ -502,6 +578,7 @@ object StreamingQueries {
     "stream_sessionize" -> streamSessionize,
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_enrich" -> streamEnrich,
+    "stream_anomaly" -> streamAnomaly,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -517,6 +594,9 @@ object StreamingQueries {
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
+    // the keyed trailing-baseline fold must agree with the batch
+    // rowsBetween(-24,-1) window frame
+    "stream_anomaly" -> TimeSeries.oracles("events_anomaly"),
     // the stream-static enrich must agree with the batch join + group
     "stream_enrich" ->
       """SELECT c.c_mktsegment, e.user_id, count(*) AS n_events,

@@ -41,6 +41,55 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 24L), "sanity: full trailing windows exist")
   }
 
+  test("trailing-baseline processor: batching-invariant, intra-batch order-free") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{HourCount, TrailingBaselineProcessor}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 30 hours for one type (crosses the 24-hour ring) with a spike at
+    // hour 27, plus a second type that never spikes; batch 2 delivers
+    // its rows INTENTIONALLY out of hour order
+    val hours = (0 until 30).map(h =>
+      HourCount("a", 3600L * h, if (h == 27) 100L else 10L)) ++
+      (0 until 5).map(h => HourCount("b", 3600L * h, 7L))
+    val (b1, b2) = hours.partition(_.hour_epoch < 3600L * 15)
+    val mem = MemoryStream[HourCount](spark)
+    val name = s"base_${System.nanoTime()}"
+    val q = mem.toDS().groupByKey(_.event_type)
+      .transformWithState(new TrailingBaselineProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val got = spark.table(name)
+      .as[(String, Long, Long, Long, Long, Boolean)].collect().toSet
+    val want = hours.groupBy(_.event_type).toSeq.flatMap { case (t, rows) =>
+      val ordered = rows.sortBy(_.hour_epoch)
+      ordered.zipWithIndex.map { case (r, ix) =>
+        val win = ordered.slice(math.max(0, ix - 24), ix)
+        val (wc, ws) = (win.length.toLong, win.map(_.n).sum)
+        (t, r.hour_epoch, r.n, wc, ws, wc > 0 && r.n * wc > 2 * ws)
+      }
+    }.toSet
+    assert(got == want,
+      s"divergence: ${(got diff want).take(3)} ${(want diff got).take(3)}")
+    assert(want.exists(_._6), "premise: the spike hour must flag")
+  }
+
   test("funnel stages require strict event-time order, not mere presence") {
     // A: all three types but in REVERSE order — only the view counts
     // B: the happy path — all three stages
