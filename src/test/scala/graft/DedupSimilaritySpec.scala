@@ -287,6 +287,17 @@ class DedupSimilaritySpec extends AnyFunSuite {
       val rows = comp.as[(Long, Long)].collect()
       assert(rows.length == 51 && rows.forall(_._2 == 0L))
       assert(rounds <= 10)
+      // releaseCheckpoint must DELETE superseded reliable-checkpoint
+      // dirs (r7 leaked one per round per invocation on a cluster):
+      // of edges + one labels generation per round, only the FINAL
+      // labels generation may remain on disk
+      val rddDirs = java.nio.file.Files.walk(dir).iterator()
+      val remaining = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(rddDirs).asScala
+        .count(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(remaining == 1,
+        s"superseded checkpoints must be deleted: $remaining rdd dirs " +
+          s"left after $rounds rounds")
     } finally sc.setCheckpointDir(null)
   }
 
