@@ -33,6 +33,52 @@ class PropertySpec extends AnyFunSuite {
       } f(a, b)
     }
 
+  // ---- native text expressions vs their HOF twins -----------------------
+
+  /** Adversarial document text: words of letters/digits/punct/accents
+    * joined by runs of spaces/tabs/newlines, with leading/trailing
+    * whitespace — the token-boundary shapes where a native
+    * reimplementation of split(trim(x), "\\s+") would drift.
+    */
+  private val genDoc: Gen[String] = {
+    val word = Gen.nonEmptyListOf(Gen.oneOf(
+      Gen.alphaNumChar, Gen.oneOf('é', 'ü', 'ß', 'ñ', '.', ',', '!')))
+      .map(_.mkString)
+    val sep = Gen.nonEmptyListOf(Gen.oneOf(' ', ' ', '\t', '\n'))
+      .map(_.mkString)
+    for {
+      words <- Gen.listOfN(12, word)
+      seps <- Gen.listOfN(13, sep)
+      lead <- Gen.oneOf("", " ", "  ")
+      trail <- Gen.oneOf("", " ", "\t")
+    } yield lead + words.zip(seps).map { case (w, s) => w + s }
+      .mkString.stripSuffix(seps.last) + trail
+  }
+
+  test("CharRunStats and BigramStats equal their HOF twins on adversarial text") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val texts = samples(genDoc, 200) ++ Seq("", " ", "\t", "one",
+      "a a a a", " \t mixed \n ws ")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("prop_docs").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // Option: empty text has log2(0) = null entropy in BOTH paths
+    val entNative = graft.operators.TextAnalysis
+      .queries("text_entropy")(spark, dir)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    val entHof = graft.operators.TextAnalysis.entropyHof(docs)
+      .as[(Long, Long, Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(entNative == entHof)
+    val repNative = graft.operators.TextAnalysis
+      .queries("text_repetition")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val repHof = graft.operators.TextAnalysis.repetitionHof(docs)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(repNative == repHof)
+  }
+
   // ---- publish-log codec ------------------------------------------------
 
   test("publish log round-trips ARBITRARY keys and payloads") {
