@@ -23,11 +23,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[DotProduct].getName, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    import graft.functions.Registry.arity2
+    import graft.functions.Registry.{arity1, arity2}
     ext.injectFunction((FunctionIdentifier("vec_dot"), info("vec_dot"),
       arity2("vec_dot")(DotProduct(_, _))))
     ext.injectFunction((FunctionIdentifier("vec_cosine"), info("vec_cosine"),
       arity2("vec_cosine")(graft.functions.VectorExpressions.cosineExpr)))
+    ext.injectFunction((FunctionIdentifier("char_run_stats"),
+      info("char_run_stats"),
+      arity1("char_run_stats")(graft.functions.CharRunStats(_))))
+    ext.injectFunction((FunctionIdentifier("bigram_stats"),
+      info("bigram_stats"),
+      arity1("bigram_stats")(graft.functions.BigramStats(_))))
   }
 }
 
@@ -45,9 +51,12 @@ object ExtensionsDemo {
     spark.sparkContext.setLogLevel("WARN")
     val row = spark.sql(
       "SELECT vec_dot(array(1D,2D,3D), array(4D,5D,6D)) AS d, " +
-        "vec_cosine(array(1D,0D), array(1D,0D)) AS c").head()
+        "vec_cosine(array(1D,0D), array(1D,0D)) AS c, " +
+        "char_run_stats('aab').n_unique AS u, " +
+        "bigram_stats('x y x y').top_n AS t").head()
     println(s"EXT vec_dot=${row.getDouble(0)} vec_cosine=${row.getDouble(1)}")
     assert(row.getDouble(0) == 32.0 && math.abs(row.getDouble(1) - 1.0) < 1e-12)
+    assert(row.getLong(2) == 2L && row.getLong(3) == 2L)
     println("EXTENSIONS_OK")
     spark.stop()
   }

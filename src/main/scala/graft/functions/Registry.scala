@@ -29,6 +29,22 @@ object Registry {
       build(exprs(0), exprs(1))
     }
 
+  /** Arity-1 twin of [[arity2]]. */
+  def arity1(name: String)(
+      build: org.apache.spark.sql.catalyst.expressions.Expression =>
+        org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != 1)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "1",
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      build(exprs(0))
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -36,5 +52,9 @@ object Registry {
     reg.createOrReplaceTempFunction(
       "vec_cosine",
       arity2("vec_cosine")(VectorExpressions.cosineExpr), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "char_run_stats", arity1("char_run_stats")(CharRunStats(_)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "bigram_stats", arity1("bigram_stats")(BigramStats(_)), "scala_udf")
   }
 }

@@ -43,6 +43,23 @@ class SourcesAndSqlSpec extends AnyFunSuite {
     assert(rows.forall(r => math.abs(r.getDouble(2) - 1.0) < 1e-12))
   }
 
+  test("char_run_stats / bigram_stats callable from spark.sql") {
+    graft.functions.Registry.register(spark)
+    val r = spark.sql(
+      "SELECT char_run_stats('aab') AS c, bigram_stats('x y x y') AS b")
+      .selectExpr("c.n_chars", "c.n_unique", "b.n_ngrams", "b.top_n")
+      .head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((3L, 2L, 3L, 2L)))
+    val wrongArity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT bigram_stats('a', 'b')").collect()
+    }
+    assert(wrongArity.getMessage.toLowerCase.contains("bigram_stats"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT char_run_stats(42)").collect()
+    }
+  }
+
   test("vec_dot rejects wrong arity and non-array inputs at analysis time") {
     graft.functions.Registry.register(spark)
     val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
