@@ -45,7 +45,9 @@ object Bench {
       timedBuild("dedup_shared_build")(
         graft.operators.Dedup.ensureSharedTables(spark, sfDir)),
       timedBuild("ivf_shared_build")(
-        graft.operators.Similarity.ensureIvfArtifacts(spark, sfDir)))
+        graft.operators.Similarity.ensureIvfArtifacts(spark, sfDir)),
+      timedBuild("pca_shared_build")(
+        graft.operators.Similarity.ensurePcaArtifact(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -497,7 +497,42 @@ object Similarity {
     * cannot sign-flip. Output: the direction scaled to max-component
     * 10⁶ after three rounds.
     */
-  private val pcaPower: Q = (s, d) => {
+  private val pcaPower: Q = (s, d) => pcaDirection(s, d)
+
+  /** The shared PCA-direction artifact: the 64-row integer dominant
+    * direction, trained once per dataset version by [[pcaPowerCompute]]
+    * and adopted by every consumer ([[embed_pca_power]] reads it
+    * verbatim; [[embedProject]] folds it into a per-row projection) —
+    * the same train-once/consume-many protocol as the IVF index.
+    */
+  private def pcaKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "embeddings.parquet",
+      s"pca:v1:iters$PowerIters")
+
+  private def pcaDirection(s: SparkSession, d: String): DataFrame = {
+    val base = SharedArtifacts.root.resolve(s"pca_${pcaKey(d)}")
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      pcaPowerCompute(s, d)
+        .write.mode("overwrite")
+        .parquet(staging.resolve("direction").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    s.read.parquet(base.resolve("direction").toString)
+  }
+
+  /** Eagerly train (or adopt) the shared PCA direction — the bench's
+    * visibility hook, like [[ensureIvfArtifacts]].
+    */
+  def ensurePcaArtifact(s: SparkSession, d: String): Boolean = {
+    val existed =
+      SharedArtifacts.isReady(SharedArtifacts.root.resolve(s"pca_${pcaKey(d)}"))
+    pcaDirection(s, d)
+    !existed
+  }
+
+  private def pcaPowerCompute(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
     val q = e.select(transform(col("embedding"),
       x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
@@ -531,9 +566,30 @@ object Similarity {
     vFinal.select(col("j").cast("long").as("i"), col("v").cast("long").as("v"))
   }
 
+  /** Project every embedding onto the shared dominant direction — the
+    * 1-D ordering key that makes vector data SKIPPABLE (sort/zorder the
+    * corpus by `proj` and a range of the first principal component
+    * prunes files, the embedding analog of `layout_zorder`). All
+    * integer: quantized elements × the integer direction, folded
+    * per-row by a codegen'd HOF over the broadcast 64-element literal —
+    * NO join, NO shuffle, one scan. The direction collect is a
+    * constant-size (d-row) model read, the same justified driver scalar
+    * as a centroid table.
+    */
+  private val embedProject: Q = (s, d) => {
+    val dir = pcaDirection(s, d).orderBy(col("i"))
+      .select(col("v")).collect().map(_.getLong(0))
+    val q = transform(col("embedding"),
+      x => round(x.cast("double") * lit(1000000d)).cast("long"))
+    T(s, d, "embeddings").select(col("vec_id"),
+      aggregate(zip_with(q, typedLit(dir.toSeq), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("proj"))
+  }
+
   val queries: Map[String, Q] = Map(
     "embed_covariance" -> covariance,
     "embed_pca_power" -> pcaPower,
+    "embed_project" -> embedProject,
     "sim_topk_bruteforce" -> bruteforce,
     "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
@@ -732,6 +788,20 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "embed_pca_power" -> pcaPowerOracle,
+    // the projection oracle re-derives the direction from the SAME
+    // unrolled recurrence and joins it back onto the quantized
+    // elements — exact integers end to end
+    "embed_project" ->
+      s"""WITH dir AS (SELECT i, v FROM ($pcaPowerOracle)),
+         |x AS (
+         |  SELECT vec_id, i,
+         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |               * 1000000) AS HUGEINT) AS q
+         |  FROM embeddings,
+         |       unnest(generate_series(0, len(embedding) - 1)) t(i))
+         |SELECT x.vec_id, CAST(sum(x.q * dir.v) AS BIGINT) AS proj
+         |FROM x JOIN dir ON dir.i = x.i
+         |GROUP BY 1""".stripMargin,
     // Exact-integer twin of the Spark side: identical 1e6 quantization,
     // HUGEINT (order-independent) sums, one double division at the end.
     "embed_covariance" ->

@@ -559,9 +559,9 @@ class DedupSimilaritySpec extends AnyFunSuite {
   }
 
   test("pca power iteration equals an exact BigInt recomputation") {
-    val vecs = Tables.load(spark, sf, "embeddings")
-      .select($"embedding").as[Array[Float]].collect()
-      .map(_.map(x => math.round(x.toDouble * 1e6)))
+    val rows = Tables.load(spark, sf, "embeddings")
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val vecs = rows.map(_._2.map(x => math.round(x.toDouble * 1e6)))
     val dim = vecs.head.length
     // exact Gram matrix + 3 power rounds in BigInt (truncating division
     // toward zero, matching Spark DIV / DuckDB //)
@@ -581,6 +581,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"component $i: got ${got(i.toLong)}, want ${v(i)}"))
     // the normalizer pins the dominant component at exactly ±1e6
     assert(got.values.map(x => math.abs(x)).max == 1000000L)
+    // and the projection query is the exact integer dot with that
+    // direction, for every vector
+    val wantProj = rows.map(_._1).zip(vecs.map(q =>
+      (0 until dim).map(i => BigInt(q(i)) * v(i)).sum.toLong)).toMap
+    val gotProj = Similarity.queries("embed_project")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    assert(gotProj == wantProj)
   }
 
   test("kmeans mix report partitions the corpus and is deterministic") {
