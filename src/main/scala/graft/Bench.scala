@@ -46,8 +46,8 @@ object Bench {
         graft.operators.Dedup.ensureSharedTables(spark, sfDir)),
       timedBuild("ivf_shared_build")(
         graft.operators.Similarity.ensureIvfArtifacts(spark, sfDir)),
-      timedBuild("pca_shared_build")(
-        graft.operators.Similarity.ensurePcaArtifact(spark, sfDir)))
+      timedBuild("moments_shared_build")(
+        graft.operators.Similarity.ensureMomentsArtifact(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -424,16 +424,11 @@ object Similarity {
 
   /** Upper-triangle covariance matrix of the embedding dimensions —
     * the one-pass statistic PCA/whitening/feature-correlation audits
-    * start from. Accumulates raw second moments so everything reduces
-    * in ONE distributed pass.
-    *
-    * Shape: two chained `posexplode`s pivot each vector into its
-    * `d(d+1)/2` upper-triangle products — codegen'd generators, NOT
-    * interpreted lambdas — and map-side partial aggregation collapses
-    * them to at most `d²/2` partials per task before the only
-    * exchange, so shuffle volume is O(d² · tasks), independent of
-    * corpus size. The 64-row per-dimension sum table broadcasts onto
-    * both triangle coordinates.
+    * start from. The raw second moments come from the SHARED
+    * [[moments]] artifact (built once per dataset version); this query
+    * is the d²/2-row arithmetic on top: the 64-row per-dimension sum
+    * table broadcasts onto both triangle coordinates, one float
+    * division and round at the end.
     *
     * Numerics: round-7 shipped this over raw double sums rounded to 6,
     * and the driver falsified the "rounding absorbs sum order" claim —
@@ -451,21 +446,8 @@ object Similarity {
     * statistic, and exactly reproducible at any cluster size).
     */
   private val covariance: Q = (s, d) => {
-    val e = T(s, d, "embeddings")
-    val q = e.select(transform(col("embedding"),
-      x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
-    val x = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
-      .select(col("i"), col("xv"),
-        posexplode(col("q")).as(Seq("j", "yv")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("xv").cast("decimal(19,0)") *
-          col("yv").cast("decimal(19,0)")).cast("decimal(38,0)")).as("sxy"),
-        count(lit(1)).as("n"))
-    val sums = q.select(posexplode(col("q")).as(Seq("i", "v")))
-      .groupBy(col("i"))
-      .agg(sum(col("v").cast("decimal(38,0)")).as("sx"))
-    x.join(broadcast(sums), Seq("i"))
+    val (gram, sums) = moments(s, d)
+    gram.join(broadcast(sums.select(col("i"), col("sx"))), Seq("i"))
       .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))),
         Seq("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
@@ -477,6 +459,61 @@ object Similarity {
   }
 
   private val PowerIters = 3
+
+  /** The shared integer-MOMENTS artifact: the exact second-moment
+    * statistics of the 1e-6-quantized embedding corpus — the Gram
+    * upper triangle `(i, j, Σqᵢqⱼ, n)` and the per-dimension sums
+    * `(i, Σqᵢ, n)` — built once per dataset version (the only
+    * corpus-sized pass any moment consumer needs) and adopted by
+    * [[covariance]], [[pcaPowerCompute]], and [[embedProject]]: the
+    * same train-once/consume-many protocol as the LSH signature and
+    * IVF artifacts. DECIMAL(38,0) end to end, so every consumer's
+    * arithmetic stays exact.
+    */
+  private def momentsKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "embeddings.parquet", "moments:v1")
+
+  private def moments(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = SharedArtifacts.root.resolve(s"moments_${momentsKey(d)}")
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      val q = T(s, d, "embeddings").select(transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
+      // upper triangle only (the matrix is symmetric): two chained
+      // posexplode GENERATORS — codegen'd, not interpreted lambdas —
+      // with map-side partial aggregation, so shuffle volume is
+      // O(d²·tasks), corpus-size independent
+      q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
+        .select(col("i"), col("xv"),
+          posexplode(col("q")).as(Seq("j", "yv")))
+        .filter(col("j") >= col("i"))
+        .groupBy(col("i"), col("j"))
+        .agg(sum((col("xv").cast("decimal(19,0)") *
+            col("yv").cast("decimal(19,0)")).cast("decimal(38,0)")).as("sxy"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(staging.resolve("gram").toString)
+      q.select(posexplode(col("q")).as(Seq("i", "v")))
+        .groupBy(col("i"))
+        .agg(sum(col("v").cast("decimal(38,0)")).as("sx"),
+          count(lit(1)).as("n"))
+        .write.mode("overwrite").parquet(staging.resolve("sums").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    (s.read.parquet(base.resolve("gram").toString),
+      s.read.parquet(base.resolve("sums").toString))
+  }
+
+  /** Eagerly build (or adopt) the shared moments artifact — the
+    * bench's visibility hook, like [[ensureIvfArtifacts]].
+    */
+  def ensureMomentsArtifact(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(
+      SharedArtifacts.root.resolve(s"moments_${momentsKey(d)}"))
+    moments(s, d)
+    pcaDirection(s, d) // the derived layer rides the same build slot
+    !existed
+  }
 
   /** Dominant principal direction of the embedding cloud by POWER
     * ITERATION on the exact integer second-moment matrix — the first
@@ -499,22 +536,18 @@ object Similarity {
     */
   private val pcaPower: Q = (s, d) => pcaDirection(s, d)
 
-  /** The shared PCA-direction artifact: the 64-row integer dominant
-    * direction, trained once per dataset version by [[pcaPowerCompute]]
-    * and adopted by every consumer ([[embed_pca_power]] reads it
-    * verbatim; [[embedProject]] folds it into a per-row projection) —
-    * the same train-once/consume-many protocol as the IVF index.
+  /** The direction artifact LAYERS on the moments artifact: the
+    * power iteration is constant-size (d²-row joins) but still ~1.7 s
+    * of plan overhead per call — materializing its 64-row result once
+    * per dataset version turns both consumers into plain reads.
     */
-  private def pcaKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "embeddings.parquet",
-      s"pca:v1:iters$PowerIters")
-
   private def pcaDirection(s: SparkSession, d: String): DataFrame = {
-    val base = SharedArtifacts.root.resolve(s"pca_${pcaKey(d)}")
+    val base = SharedArtifacts.root.resolve(
+      s"pca_${SharedArtifacts.fingerprint(d, "embeddings.parquet",
+        s"pca:v2:iters$PowerIters")}")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
-      pcaPowerCompute(s, d)
-        .write.mode("overwrite")
+      pcaPowerCompute(s, d).write.mode("overwrite")
         .parquet(staging.resolve("direction").toString)
       SharedArtifacts.publish(staging, base)
     }
@@ -522,36 +555,15 @@ object Similarity {
     s.read.parquet(base.resolve("direction").toString)
   }
 
-  /** Eagerly train (or adopt) the shared PCA direction — the bench's
-    * visibility hook, like [[ensureIvfArtifacts]].
-    */
-  def ensurePcaArtifact(s: SparkSession, d: String): Boolean = {
-    val existed =
-      SharedArtifacts.isReady(SharedArtifacts.root.resolve(s"pca_${pcaKey(d)}"))
-    pcaDirection(s, d)
-    !existed
-  }
-
   private def pcaPowerCompute(s: SparkSession, d: String): DataFrame = {
-    val e = T(s, d, "embeddings")
-    val q = e.select(transform(col("embedding"),
-      x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
-    // accumulate the UPPER TRIANGLE only (the Gram matrix is symmetric)
-    // and mirror the strict part afterwards — halves the generator
-    // volume of the one data-sized pass (measured 5.0 s → ~2.6 s at
-    // sf0.1 for the full query); the mirror runs on the d²/2-row
-    // AGGREGATED result, not the corpus
-    val upper = q.select(col("q"), posexplode(col("q")).as(Seq("i", "xv")))
-      .select(col("i"), col("xv"),
-        posexplode(col("q")).as(Seq("j", "yv")))
-      .filter(col("j") >= col("i"))
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("xv").cast("decimal(19,0)") *
-          col("yv").cast("decimal(19,0)")).cast("decimal(38,0)")).as("m"))
-    val m = upper.union(upper.filter(col("i") =!= col("j"))
+    // the Gram matrix comes from the shared moments artifact (upper
+    // triangle; mirror the strict part — the mirror runs on the
+    // d²/2-row AGGREGATED table, never the corpus), so the iteration
+    // here is constant-size work: d²-row joins, three rounds
+    val upper = moments(s, d)._1.select(col("i"), col("j"),
+      col("sxy").as("m"))
+    val mMat = upper.union(upper.filter(col("i") =!= col("j"))
       .select(col("j").as("i"), col("i").as("j"), col("m")))
-    // the iteration references the matrix once per round: pin it
-    val mMat = Dedup.materialize(m)
     val v0 = mMat.select(col("j")).distinct()
       .select(col("j"), lit(1000000L).cast("decimal(38,0)").as("v"))
     val vFinal = (1 to PowerIters).foldLeft(v0) { (v, _) =>
