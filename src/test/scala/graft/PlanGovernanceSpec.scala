@@ -47,6 +47,35 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " normalizer - bounded at one row forever"),
   )
 
+  test("column pruning reaches the scan on representative queries") {
+    // a scan that drags unused columns multiplies bytes read at any
+    // scale; pin the ReadSchema for queries whose operators touch wide
+    // tables but need few columns
+    val expect = Map(
+      "dedup_source_matrix" -> ("documents" -> Set("doc_id", "source")),
+      "events_anomaly" -> ("events" -> Set("ts", "event_type")),
+      "corpus_shuffle" -> ("documents" -> Set("doc_id")),
+      "corpus_token_budget" -> ("documents" ->
+        Set("doc_id", "text", "source")),
+      "gapfill_hours" -> ("events" -> Set("ts")),
+    )
+    expect.foreach { case (q, (table, cols)) =>
+      val plan = SparkEntry.queries(q)(spark, SparkTestSession.sf)
+        .queryExecution.executedPlan.toString
+      // the scan of `table` must read exactly `cols` (other scans in
+      // the same plan - shared artifacts etc. - are not constrained)
+      val reads = ("FileScan parquet [^\\n]*" + table +
+        "\\.parquet\\][^\\n]*ReadSchema: struct<([^>]*)>").r
+        .findAllMatchIn(plan).map(_.group(1)).toSeq
+      assert(reads.nonEmpty, s"$q: no $table scan found:\n$plan")
+      reads.foreach { r =>
+        val got = r.split(",").map(_.split(":")(0).trim).toSet
+        assert(got == cols,
+          s"$q: $table scan reads $got, want $cols")
+      }
+    }
+  }
+
   test("no registry query plans an unbounded nested-loop join") {
     val offenders = scala.collection.mutable.Map[String, String]()
     val fired = scala.collection.mutable.Set[String]()
