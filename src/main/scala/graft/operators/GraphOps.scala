@@ -219,10 +219,57 @@ object GraphOps {
         max(col("deg")).as("max_deg"))
   }
 
+  private val KcoreK = 2
+  private val KcoreRounds = 3
+
+  private val kcore: Q = (s, d) =>
+    kcorePeelOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** k-core PEELING over the near-dup graph: iteratively remove nodes
+    * with degree < k — the standard cluster-cleaning step that strips
+    * chains and pendants off dup components, leaving the densely
+    * duplicated cores a curator actually inspects. [[KcoreRounds]]
+    * unrolled rounds (the oracle-checkable face, like pagerank's fixed
+    * rounds); each round is one degree aggregation + two anti-joins —
+    * all equi-joins, volume shrinks monotonically. Emits every initial
+    * node exactly once: `(doc_id, peeled_round, final_deg)` with
+    * `peeled_round` 1..rounds (degree fell below k then) or 0 for
+    * survivors, whose residual degree rides along. A node isolated by
+    * its neighbors' peeling counts as degree 0 — the node table, not
+    * the edge table, drives each round's census.
+    */
+  private[graft] def kcorePeelOn(pairs: DataFrame): DataFrame = {
+    def deg(e: DataFrame): DataFrame =
+      e.select(col("a").as("doc_id")).union(e.select(col("b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val e0 = Dedup.materialize(pairs.toDF("a", "b"))
+    var nodes = deg(e0).select(col("doc_id"))
+    var edges = e0
+    var peeled: Option[DataFrame] = None
+    (1 to KcoreRounds).foreach { r =>
+      val dg = Dedup.materialize(
+        nodes.join(deg(edges), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg")))
+      val drop = dg.filter(col("deg") < KcoreK).select(col("doc_id"))
+      val mine = drop.select(col("doc_id"),
+        lit(r.toLong).as("peeled_round"), lit(0L).as("final_deg"))
+      peeled = Some(peeled.map(_.union(mine)).getOrElse(mine))
+      nodes = dg.filter(col("deg") >= KcoreK).select(col("doc_id"))
+      edges = Dedup.materialize(
+        edges.join(drop.select(col("doc_id").as("a")), Seq("a"), "left_anti")
+          .join(drop.select(col("doc_id").as("b")), Seq("b"), "left_anti"))
+    }
+    val survivors = nodes.join(deg(edges), Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(0L).as("peeled_round"),
+        coalesce(col("deg"), lit(0L)).as("final_deg"))
+    peeled.get.union(survivors)
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_degree_hist" -> degreeHist,
+    "graph_kcore_peel" -> kcore,
   )
 
   /** The same three integer rounds in SQL over the embedded LSH pair
@@ -280,9 +327,50 @@ object GraphOps {
        |  count(*) AS n_nodes, min(deg) AS min_deg, max(deg) AS max_deg
        |FROM deg GROUP BY 1""".stripMargin
 
+  /** The same unrolled peel in SQL: per round a degree census over the
+    * surviving node table (isolated nodes count as degree 0), a drop
+    * set, and an edge restriction. Every per-round CTE is MATERIALIZED
+    * — each round references its predecessor several times, and
+    * DuckDB's default CTE inlining would otherwise re-evaluate the
+    * whole minhash pipeline 2^rounds times (observed: minutes instead
+    * of seconds at sf0.01).
+    */
+  private val kcoreOracle: String = {
+    def degCte(e: String): String =
+      s"(SELECT doc_id, count(*) AS deg FROM (SELECT a AS doc_id FROM $e" +
+        s" UNION ALL SELECT b FROM $e) GROUP BY 1)"
+    val rounds = (1 to KcoreRounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         |  SELECT n${r - 1}.doc_id, coalesce(x.deg, 0) AS deg
+         |  FROM n${r - 1} LEFT JOIN ${degCte(s"e${r - 1}")} x USING (doc_id)),
+         |drop$r AS MATERIALIZED (SELECT doc_id FROM d$r WHERE deg < $KcoreK),
+         |n$r AS MATERIALIZED (SELECT doc_id FROM d$r WHERE deg >= $KcoreK),
+         |e$r AS MATERIALIZED (SELECT a, b FROM e${r - 1}
+         |        WHERE a NOT IN (SELECT doc_id FROM drop$r)
+         |          AND b NOT IN (SELECT doc_id FROM drop$r))""".stripMargin
+    }.mkString(",\n")
+    val peeled = (1 to KcoreRounds).map(r =>
+      s"SELECT doc_id, CAST($r AS BIGINT) AS peeled_round, " +
+        s"CAST(0 AS BIGINT) AS final_deg FROM drop$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (${Dedup.minhashOracle})),
+       |e0 AS MATERIALIZED (SELECT a_id AS a, b_id AS b FROM pairs),
+       |n0 AS MATERIALIZED (SELECT DISTINCT doc_id FROM
+       |  (SELECT a AS doc_id FROM e0 UNION ALL SELECT b FROM e0)),
+       |$rounds
+       |$peeled
+       |UNION ALL
+       |SELECT n$KcoreRounds.doc_id, CAST(0 AS BIGINT),
+       |  CAST(coalesce(x.deg, 0) AS BIGINT)
+       |FROM n$KcoreRounds LEFT JOIN ${degCte(s"e$KcoreRounds")} x
+       |  USING (doc_id)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_degree_hist" -> degreeHistOracle,
+    "graph_kcore_peel" -> kcoreOracle,
   )
 }

@@ -558,6 +558,21 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(mat.forall { case (a, b, _) => a <= b }, "unordered key normalized")
   }
 
+  test("k-core peel strips a lollipop's tail round by round, keeps the core") {
+    import graft.operators.GraphOps
+    // triangle {1,2,3} with a 3-link tail 3-4-5-6: the tail peels
+    // outside-in (6 in round 1, 5 in round 2, 4 in round 3) and the
+    // triangle survives as the 2-core with residual degree 2 each
+    val lollipop = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = GraphOps.kcorePeelOn(lollipop)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      6L -> ((1L, 0L)), 5L -> ((2L, 0L)), 4L -> ((3L, 0L)),
+      1L -> ((0L, 2L)), 2L -> ((0L, 2L)), 3L -> ((0L, 2L))), s"peel: $got")
+  }
+
   test("pca power iteration equals an exact BigInt recomputation") {
     val rows = Tables.load(spark, sf, "embeddings")
       .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
