@@ -356,6 +356,59 @@ object StreamingQueries {
         "w_cnt BIGINT, w_sum BIGINT, is_spike BOOLEAN").parquet(out)
   }
 
+  /** Streaming corrupt-record QUARANTINE — ingestion-door robustness as
+    * a streaming topology: the (deterministically dirtied) JSON feed
+    * splits at the door into parsed rows and a DEAD-LETTER sink, the
+    * side-output shape every production ingest runs (the batch face
+    * `json_quarantine` only counts the split; this one actually routes
+    * the records). Two single-sink streaming queries over the same
+    * staged source keep BOTH legs on the parquet sink's exactly-once
+    * file log — the one-query/two-writes alternative (foreachBatch)
+    * would need hand-built batchId idempotence on every leg (see
+    * stream_enrich's r7 lesson). The dead-letter leg carries the RAW
+    * malformed payload, which is the point of a quarantine: nothing is
+    * dropped, everything is replayable. Shares the batch face's DuckDB
+    * oracle.
+    */
+  private val streamQuarantine: Q = (s, d) => {
+    val run = freshRunDir("graft_quarstream_")
+    val good = run.resolve("good").toString
+    val dead = run.resolve("dead").toString
+    Seq(good, dead).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = T(s, d, "orders").schema
+    def feed() = {
+      val js = concat(lit("{\"k\":"), col("o_orderkey"),
+        lit(",\"s\":\""), col("o_orderstatus"), lit("\"}"))
+      s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet").parquet(d)
+        .select(when(pmod(col("o_orderkey"), lit(13)) === 0,
+          substring(js, 1, 9)).otherwise(js).as("js"))
+        .withColumn("k", get_json_object(col("js"), "$.k").cast("long"))
+    }
+    withStreamingParallelism(s) {
+      def route(df: DataFrame, out: String, chk: String): Unit = {
+        val q = df.writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve(chk).toString)
+          .start()
+        q.awaitTermination()
+      }
+      route(feed().filter(col("k").isNotNull).select(col("k")),
+        good, "chk_good")
+      route(feed().filter(col("k").isNull).select(col("js")),
+        dead, "chk_dead")
+    }
+    s.read.schema("k BIGINT").parquet(good)
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"))
+      .select(lit("parsed").as("bucket"), col("n"), col("k_sum"))
+      .union(s.read.schema("js STRING").parquet(dead)
+        .agg(count(lit(1)).as("n"),
+          lit(null).cast("long").as("k_sum"))
+        .select(lit("quarantined").as("bucket"), col("n"), col("k_sum")))
+  }
+
   /** `transformWithState` requires the RocksDB state store provider;
     * scope it to the run and restore the session's prior setting (the
     * other replays keep whatever the session was configured with).
@@ -579,6 +632,7 @@ object StreamingQueries {
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_enrich" -> streamEnrich,
     "stream_anomaly" -> streamAnomaly,
+    "stream_quarantine" -> streamQuarantine,
   )
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
@@ -597,6 +651,8 @@ object StreamingQueries {
     // the keyed trailing-baseline fold must agree with the batch
     // rowsBetween(-24,-1) window frame
     "stream_anomaly" -> TimeSeries.oracles("events_anomaly"),
+    // the streaming split must count exactly what the batch split does
+    "stream_quarantine" -> Profiling.oracles("json_quarantine"),
     // the stream-static enrich must agree with the batch join + group
     "stream_enrich" ->
       """SELECT c.c_mktsegment, e.user_id, count(*) AS n_events,
