@@ -506,6 +506,21 @@ object Dedup {
     connectedComponentsWithRounds(
       minhashVerified(s, d).select(col("a_id"), col("b_id")))._1
 
+  /** Log2 histogram of near-dup CLUSTER sizes — the first number a
+    * curator reads off a dedup run ("how much of the corpus sits in
+    * 2-doc pairs vs 100-doc boilerplate families?"). Component labels
+    * reduce to per-component sizes (one small shuffle over the label
+    * table), sizes to [[GraphOps]]-style integer bit-length buckets —
+    * the float-log pitfall documented there applies here too.
+    */
+  private val componentSizeHist: Q = (s, d) =>
+    components(s, d)
+      .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+      .groupBy((length(bin(col("sz"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("sz")).as("n_docs"),
+        min(col("sz")).as("min_sz"), max(col("sz")).as("max_sz"))
+
   /** Round cap: a runaway backstop, not a tuning knob. With the
     * pointer-doubling shortcut each round roughly HALVES the remaining
     * label-chain length, so 25 rounds covers component diameters beyond
@@ -784,6 +799,7 @@ object Dedup {
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_containment" -> containmentQ,
     "dedup_source_matrix" -> sourceMatrix,
+    "dedup_cluster_hist" -> componentSizeHist,
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -899,6 +915,14 @@ object Dedup {
   private val componentsOracle: String =
     s"WITH RECURSIVE $componentsCte SELECT doc_id, component FROM comp"
 
+  private val clusterHistOracle: String =
+    s"""WITH RECURSIVE $componentsCte,
+       |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)
+       |SELECT CAST(length(bin(sz)) - 1 AS BIGINT) AS bucket,
+       |  count(*) AS n_clusters, CAST(sum(sz) AS BIGINT) AS n_docs,
+       |  min(sz) AS min_sz, max(sz) AS max_sz
+       |FROM sz GROUP BY 1""".stripMargin
+
   /** Per-component argmax in deterministic two-step form (max, then min
     * doc_id among the maximal) — engine `arg_max` tie order is not
     * portable.
@@ -927,6 +951,7 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    "dedup_cluster_hist" -> clusterHistOracle,
     // the full LSH pair SQL restricted to pairs with an arriving endpoint
     "dedup_incremental" -> (s"SELECT a_id, b_id, n_bands FROM (\n" +
       s"$minhashOracle\n) WHERE a_id % 10 = 7 OR b_id % 10 = 7"),

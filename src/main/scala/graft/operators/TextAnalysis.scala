@@ -81,6 +81,22 @@ object TextAnalysis {
           best.as("lang_guess")): _*)
   }
 
+  /** Confusion matrix of the langid heuristic against the corpus's
+    * `lang` ground-truth column — the MODEL-EVAL report every
+    * classifier in a pipeline owes its operators (precision/recall per
+    * language derive from the integer cells). One scan + one tiny
+    * (langs²-bounded) aggregation; scales as a pure map-side-combinable
+    * count however big the corpus grows.
+    */
+  private val langidConfusion: Q = (s, d) => {
+    val ws = words(col("text"))
+    val scores = langMarkers.map { case (l, m) => l -> markerCount(ws, m) }
+    T(s, d, "documents")
+      .select(col("lang"), langGuessCol(scores).as("lang_guess"))
+      .groupBy(col("lang"), col("lang_guess"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Stopword removal: the cleaned-text transform of a training
     * pipeline — tokens minus the marker stopword set, rejoined.
     */
@@ -341,6 +357,7 @@ object TextAnalysis {
 
   val queries: Map[String, Q] = Map(
     "text_repetition" -> repetition,
+    "text_langid_confusion" -> langidConfusion,
     "text_entropy" -> entropy,
     "text_chunking" -> chunking,
     "text_token_count" -> tokenCount,
@@ -375,6 +392,11 @@ object TextAnalysis {
   private[operators] def langScoreColsSql: String = langMarkers
     .map { case (l, m) => s"${sqlMarkerCount(m)} AS score_$l" }
     .mkString(",\n  ")
+
+  private val langidConfusionOracle: String =
+    s"""SELECT lang, $langGuessSql AS lang_guess, count(*) AS n
+       |FROM (SELECT lang, $langScoreColsSql FROM documents)
+       |GROUP BY 1, 2""".stripMargin
 
   private val langidOracle: String =
     s"""SELECT doc_id, score_en, score_es, score_fr, score_de,
@@ -469,6 +491,7 @@ object TextAnalysis {
         "len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'), " +
         "t -> regexp_matches(t, '^[0-9]+$'))) AS n_number_tokens FROM documents"),
     "text_langid" -> langidOracle,
+    "text_langid_confusion" -> langidConfusionOracle,
     "text_stopword_removal" ->
       (s"SELECT doc_id, array_to_string(list_filter(" +
         s"regexp_split_to_array(trim(text), '\\s+'), " +
