@@ -42,9 +42,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "dq_checks" -> ("each rule's report row is a crossJoin of two" +
       " SINGLE-ROW aggregates (n_checked x n_violations) - bounded at" +
       " one row per side forever"),
-    "embed_pca_power" -> ("each power-iteration round crossJoins the" +
-      " d-row Mv vector with its broadcast SINGLE-ROW max(|Mv|)" +
-      " normalizer - bounded at one row forever"),
+    // embed_pca_power's per-round max-normalizer crossJoins moved into
+    // the shared direction-artifact BUILD; the registry query is now a
+    // plain artifact read with no nested loop in its plan
   )
 
   test("column pruning reaches the scan on representative queries") {
