@@ -265,11 +265,64 @@ object GraphOps {
     peeled.get.union(survivors)
   }
 
+  private val jaccard: Q = (s, d) =>
+    jaccardOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** Neighborhood Jaccard per near-dup EDGE — `|N(a)∩N(b)| /
+    * |N(a)∪N(b)|`, the classic link-prediction / cluster-refinement
+    * score: an LSH pair whose endpoints also share most of their other
+    * neighbors sits inside a dense duplicate cluster; one with zero
+    * common neighbors is a stray hash collision worth re-verifying.
+    * All counts are exact integers (`n_union = deg(a)+deg(b)−n_common`;
+    * endpoints exclude themselves because the graph has no self-loops),
+    * so only the final single division is float — deterministic IEEE
+    * on two exact longs, same as the containment score.
+    *
+    * Scale shape: common neighbors are wedges, enumerated from the
+    * (degree, id)-SMALLER endpoint of each pair via [[orientByDegree]]
+    * — fan-out per edge is min(deg a, deg b), so a hub never multiplies
+    * against its own degree (the triangle-count lesson applied to edge
+    * scoring); closure is one equi-join against the adjacency list.
+    * Pairs with no common neighbor survive via the left join, scored 0.
+    */
+  private[graft] def jaccardOn(pairs: DataFrame): DataFrame = {
+    val p = Dedup.materialize(
+      pairs.select(col("a_id").as("a"), col("b_id").as("b")))
+    val adj = p.select(col("a").as("x"), col("b").as("w"))
+      .union(p.select(col("b").as("x"), col("a").as("w")))
+    val deg = Dedup.materialize(
+      adj.groupBy(col("x").as("doc_id")).agg(count(lit(1)).as("deg")))
+    // (u, v): u is the (deg, id)-smaller endpoint; expand u's FULL
+    // adjacency (w ≠ u by no-self-loops, w = v filtered), close on the
+    // (v, w) adjacency — exactly the common-neighbor set
+    val o = orientByDegree(p, deg).select(col("u"), col("v"))
+    val wedges = o
+      .join(adj.select(col("x").as("u"), col("w")), Seq("u"))
+      .filter(col("w") =!= col("v"))
+    val common = wedges
+      .join(adj.select(col("x").as("v"), col("w")), Seq("v", "w"))
+      .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_common"))
+    // restore the id-normalized (a < b) face the pair table declares
+    val commonAb = common.select(
+      least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"),
+      col("n_common"))
+    p.join(deg.select(col("doc_id").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("doc_id").as("b"), col("deg").as("db")), Seq("b"))
+      .join(commonAb, Seq("a", "b"), "left")
+      .select(col("a").as("a_id"), col("b").as("b_id"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        (col("da") + col("db") - coalesce(col("n_common"), lit(0L)))
+          .as("n_union"))
+      .withColumn("jaccard",
+        round(col("n_common").cast("double") / col("n_union"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_degree_hist" -> degreeHist,
     "graph_kcore_peel" -> kcore,
+    "graph_jaccard" -> jaccard,
   )
 
   /** The same three integer rounds in SQL over the embedded LSH pair
@@ -367,10 +420,36 @@ object GraphOps {
        |  USING (doc_id)""".stripMargin
   }
 
+  /** Id-oriented common-neighbor enumeration (no degree orientation) —
+    * a deliberately DIFFERENT derivation of the same wedge set, like
+    * the triangles oracle. Endpoint exclusion is structural: w ranges
+    * over actual neighbors, and the graph has no self-loops.
+    */
+  private val jaccardOracle: String =
+    s"""WITH pairs AS (SELECT a_id, b_id FROM (${Dedup.minhashOracle})),
+       |adj AS (SELECT a_id AS x, b_id AS w FROM pairs
+       |        UNION ALL SELECT b_id, a_id FROM pairs),
+       |deg AS (SELECT x AS doc_id, count(*) AS deg FROM adj GROUP BY 1),
+       |cm AS (SELECT p.a_id, p.b_id, count(*) AS n_common
+       |       FROM pairs p
+       |       JOIN adj n1 ON n1.x = p.a_id
+       |       JOIN adj n2 ON n2.x = p.b_id AND n2.w = n1.w
+       |       GROUP BY 1, 2)
+       |SELECT p.a_id, p.b_id,
+       |  coalesce(cm.n_common, 0) AS n_common,
+       |  da.deg + db.deg - coalesce(cm.n_common, 0) AS n_union,
+       |  round(CAST(coalesce(cm.n_common, 0) AS DOUBLE) /
+       |        (da.deg + db.deg - coalesce(cm.n_common, 0)), 6) AS jaccard
+       |FROM pairs p
+       |JOIN deg da ON da.doc_id = p.a_id
+       |JOIN deg db ON db.doc_id = p.b_id
+       |LEFT JOIN cm ON cm.a_id = p.a_id AND cm.b_id = p.b_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_degree_hist" -> degreeHistOracle,
     "graph_kcore_peel" -> kcoreOracle,
+    "graph_jaccard" -> jaccardOracle,
   )
 }

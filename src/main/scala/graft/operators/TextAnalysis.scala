@@ -355,7 +355,58 @@ object TextAnalysis {
         col("f.mx").as("top_n"))
   }
 
+  /** A bigram is "common" when it appears in at least this many
+    * DISTINCT documents — the cross-doc frequency floor that separates
+    * boilerplate phrasing from doc-specific content.
+    */
+  private[operators] val NoveltyMinDocs = 5
+
+  /** Cross-document NOVELTY score — the boilerplate/template detector
+    * for corpora whose documents have no line structure: per document,
+    * the fraction of its distinct word-bigrams that are NOT corpus-
+    * common (`novelty = 1 − n_common/n_bigrams`). A near-zero score
+    * marks a templated page (every phrase recurs across the corpus);
+    * near-one marks genuinely novel text — the C4/RefinedWeb
+    * line-dedup idea expressed at the phrase level. All counts are
+    * exact integers; the single division + round at the end is
+    * deterministic IEEE on both engines.
+    *
+    * Scale shape: one explode to the distinct `(doc_id, bigram)` domain
+    * (map-side partial collapses in-doc repeats before the exchange), a
+    * map-side-combinable doc-frequency count on bigram, an equi-join
+    * back on bigram, and a per-doc fold — the exact tfidf topology, no
+    * all-pairs anything. Docs with fewer than two words have no bigrams
+    * and drop out, as declared.
+    */
+  private val novelty: Q = (s, d) => noveltyOn(T(s, d, "documents"))
+
+  /** The novelty body on an arbitrary `(doc_id, text)`-shaped frame —
+    * split out so the commonness floor is testable on literal docs.
+    */
+  private[graft] def noveltyOn(docs: DataFrame): DataFrame = {
+    val ws = col("ws")
+    val grams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val docGrams = docs
+      .select(col("doc_id"), words(col("text")).as("ws"))
+      .select(col("doc_id"), explode(grams).as("gram"))
+      .distinct()
+    val docFreq = docGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+    docGrams.join(docFreq, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_docs") >= NoveltyMinDocs, 1L).otherwise(0L))
+          .as("n_common"))
+      .withColumn("novelty",
+        round(lit(1.0) -
+          col("n_common").cast("double") / col("n_bigrams"), 6))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_langid_confusion" -> langidConfusion,
     "text_entropy" -> entropy,
@@ -434,6 +485,22 @@ object TextAnalysis {
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_novelty" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |g AS (
+         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] AS gram
+         |  FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)
+         |  WHERE len(ws) >= 2),
+         |c AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY 1)
+         |SELECT g.doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(CASE WHEN c.n_docs >= $NoveltyMinDocs THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_common,
+         |  round(1.0 - CAST(sum(CASE WHEN c.n_docs >= $NoveltyMinDocs
+         |                   THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         |    AS novelty
+         |FROM g JOIN c USING (gram) GROUP BY 1""".stripMargin,
     // independent derivation: explode bigrams + relational counts vs
     // the Spark side's per-row sorted fold — the two shapes must agree
     "text_repetition" ->

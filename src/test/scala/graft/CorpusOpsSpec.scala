@@ -13,6 +13,23 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
+  test("text_novelty: commonness floor on literal docs") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // bigram "a b" appears in 6 distinct docs (>= MinDocs=5 -> common);
+    // "b c" in one (rare). Doc 5: 2 bigrams, 1 common -> novelty 0.5.
+    // Doc 6 ("x") has no bigram and must drop out, as declared.
+    val docs = ((0L to 4L).map(i => (i, "a b")) ++
+      Seq((5L, "a b c"), (6L, "x"))).toDF("doc_id", "text")
+    val got = TextAnalysis.noveltyOn(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got.keySet == (0L to 5L).toSet, s"docs scored: ${got.keySet}")
+    assert((0L to 4L).forall(got(_) == ((1L, 1L, 0.0))),
+      s"template docs score zero novelty: $got")
+    assert(got(5L) == ((2L, 1L, 0.5)), s"doc 5: $got")
+  }
+
   test("sample_stratified two-phase salted top-k equals the naive per-stratum window") {
     val got = SparkEntry.queries("sample_stratified")(spark, sf)
     val docs = Tables.load(spark, sf, "documents")

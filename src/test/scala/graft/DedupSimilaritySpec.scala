@@ -526,6 +526,34 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((3L to 40L).forall(got(_) == ((1L, 0L))), "plain spokes: no tris")
   }
 
+  test("edge jaccard: exact scores on K4-plus-pendant") {
+    import graft.operators.GraphOps
+    // N1={2,3,4} N2={1,3,4} N3={1,2,4} N4={1,2,3,5} N5={4}; e.g. edge
+    // (1,4): common {2,3}, union 3+4-2=5 -> 0.4; pendant edge (4,5):
+    // no common neighbor, union 4+1=5 -> 0.0
+    val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L)).toDF("a_id", "b_id")
+    val got = GraphOps.jaccardOn(k4p)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((2L, 4L, 0.5)), (1L, 3L) -> ((2L, 4L, 0.5)),
+      (1L, 4L) -> ((2L, 5L, 0.4)), (2L, 3L) -> ((2L, 4L, 0.5)),
+      (2L, 4L) -> ((2L, 5L, 0.4)), (3L, 4L) -> ((2L, 5L, 0.4)),
+      (4L, 5L) -> ((0L, 5L, 0.0))), s"jaccard rows: $got")
+    // hub-and-spoke: wedge expansion must come from the SMALLER-degree
+    // endpoint, so every hub edge contributes ≤2 wedges, not 40
+    val hub = ((1L to 40L).map(i => (0L, i)) :+ (1L, 2L))
+      .toDF("a_id", "b_id")
+    val hubGot = GraphOps.jaccardOn(hub)
+      .as[(Long, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(hubGot((0L, 1L)) == 1L && hubGot((0L, 2L)) == 1L,
+      "triangle edges share exactly one neighbor")
+    assert((3L to 40L).forall(i => hubGot((0L, i)) == 0L),
+      "plain spokes share none")
+  }
+
   test("degree histogram buckets by bit-length on a literal graph") {
     import graft.operators.GraphOps
     // hub-and-spoke: hub degree 40 -> bucket 5 ([32,64)); 38 plain
