@@ -598,7 +598,51 @@ object Similarity {
         lit(0L), (acc, x) => acc + x).as("proj"))
   }
 
+  /** Norm-profile OUTLIER flags — the embedding sanity gate a training
+    * pipeline runs before indexing a new batch: a vector whose squared
+    * norm sits more than 2σ from the corpus mean is a truncated /
+    * zero-padded / mis-scaled export candidate. Works on n² (never
+    * takes the square root) and compares by the CROSS-MULTIPLIED
+    * integer inequality `(N·n²ᵢ − S)² > 4·(N·Q − S²)` (S = Σn², Q =
+    * Σ(n²)²) — all EXACT arithmetic on the 1e6-quantized elements, the
+    * pagerank/covariance discipline, so both engines agree on every
+    * flag with no epsilon. Magnitude envelope: |q| ≤ 1e6 ⟹ n² ≤
+    * 6.4e13 (64 dims); the squared z-score comparison peaks near
+    * N²·(n²)² ≈ 1e37 at N = 50k vectors — inside DECIMAL(38,0) /
+    * HUGEINT.
+    *
+    * Scale shape: one map-side pass folds each vector to its integer
+    * n² (no shuffle), one single-row global aggregate, and the stats
+    * row re-broadcasts onto the corpus — the text_bm25 single-row
+    * crossJoin pattern, bounded at one build row forever.
+    */
+  private val outliers: Q = (s, d) => outliersOn(T(s, d, "embeddings"))
+
+  /** The outlier body on an arbitrary `(vec_id, embedding)` frame —
+    * split out so the 2σ flag is testable on literal vectors.
+    */
+  private[graft] def outliersOn(emb: DataFrame): DataFrame = {
+    val d19 = "decimal(19,0)"
+    val q = emb.select(col("vec_id"),
+      transform(col("embedding"),
+        x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
+    val n2 = q.select(col("vec_id"),
+      aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("n2"))
+    val stats = n2.agg(
+      count(lit(1)).cast(d19).as("n"),
+      sum(col("n2").cast(d19)).cast("decimal(38,0)").as("s"),
+      sum((col("n2").cast(d19) * col("n2").cast(d19))
+        .cast("decimal(38,0)")).as("q2"))
+    n2.crossJoin(broadcast(stats))
+      .withColumn("dev", col("n").cast("decimal(38,0)") * col("n2") - col("s"))
+      .select(col("vec_id"), col("n2"),
+        (col("dev") * col("dev") >
+          lit(4) * (col("n").cast("decimal(38,0)") * col("q2") -
+            col("s") * col("s"))).as("is_outlier"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "embed_outliers" -> outliers,
     "embed_covariance" -> covariance,
     "embed_pca_power" -> pcaPower,
     "embed_project" -> embedProject,
@@ -799,6 +843,24 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical 1e6 quantization, HUGEINT (exact) sums, and the same
+    // cross-multiplied integer z-score inequality — no float anywhere
+    "embed_outliers" ->
+      """WITH x AS (
+        |  SELECT vec_id, i,
+        |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+        |               * 1000000) AS HUGEINT) AS v
+        |  FROM embeddings,
+        |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+        |n2 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
+        |       FROM x GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |         CAST(sum(n2) AS HUGEINT) AS s,
+        |         sum(CAST(n2 AS HUGEINT) * n2) AS q2
+        |       FROM n2)
+        |SELECT vec_id, n2,
+        |  (n * n2 - s) * (n * n2 - s) > 4 * (n * q2 - s * s) AS is_outlier
+        |FROM n2, st""".stripMargin,
     "embed_pca_power" -> pcaPowerOracle,
     // the projection oracle re-derives the direction from the SAME
     // unrolled recurrence and joins it back onto the quantized

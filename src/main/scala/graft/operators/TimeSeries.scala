@@ -236,7 +236,51 @@ object TimeSeries {
         col("w_cnt") > 0 && col("n") * col("w_cnt") > lit(2L) * col("w_sum"))
   }
 
+  /** Trailing window width in hours for [[slidingUniques]]. */
+  private val SlideHours = 3
+
+  private val slidingUniques: Q = (s, d) => slidingUniquesOn(T(s, d, "events"))
+
+  /** Sliding distinct-user counts — for each active hour, the events
+    * and UNIQUE users over the trailing [[SlideHours]]-hour window (the
+    * DAU/WAU-style reach metric). Unlike the event count, distinct
+    * users do NOT sum across hours (one user active in two hours is one
+    * user), so no window frame can fold them; the standard distributed
+    * answer is the COVER EXPLODE: each distinct `(user, hour)` pair
+    * covers the [[SlideHours]] window-ends it is visible to, a second
+    * distinct collapses multi-hour users, and a plain count per
+    * window-end is exact.
+    *
+    * Scale shape: the raw stream collapses to distinct `(user, hour)`
+    * FIRST (map-side partial, like the retention matrix) — every later
+    * step runs on that reduced domain; the cover explode multiplies it
+    * by only [[SlideHours]]. The trailing event sum uses a RANGE frame
+    * on the integer hour key (value-ranged, so hour gaps don't slide
+    * into the frame) over the collapsed hours domain — single-task but
+    * thousands of rows at any corpus size. Hours with zero events emit
+    * nothing, as declared; the inner join back to the hourly table
+    * drops the phantom window-ends the explode invents past a gap.
+    */
+  private[graft] def slidingUniquesOn(events: DataFrame): DataFrame = {
+    val ev = events.select(col("user_id"),
+      expr("unix_seconds(date_trunc('hour', ts)) DIV 3600").as("h"))
+    val hourly = ev.groupBy(col("h")).agg(count(lit(1)).as("n_events"))
+    val pairs = ev.distinct()
+    val u1 = pairs.groupBy(col("h")).agg(count(lit(1)).as("n_uniques"))
+    val cov = pairs
+      .select(col("user_id"),
+        explode(sequence(col("h"), col("h") + (SlideHours - 1))).as("h"))
+      .distinct()
+    val u3 = cov.groupBy(col("h")).agg(count(lit(1)).as("n_uniques_3h"))
+    val w = Window.orderBy(col("h")).rangeBetween(-(SlideHours - 1), 0)
+    hourly.join(u1, Seq("h")).join(u3, Seq("h"))
+      .withColumn("n_events_3h", sum(col("n_events")).over(w))
+      .select(col("h").as("hour_epoch"), col("n_events"), col("n_uniques"),
+        col("n_events_3h"), col("n_uniques_3h"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_sliding_uniques" -> slidingUniques,
     "retention_cohorts" -> retention,
     "funnel_conversion" -> funnel,
     "asof_join" -> asofJoin,
@@ -248,6 +292,23 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_sliding_uniques" ->
+      s"""WITH e AS (
+         |  SELECT user_id,
+         |    CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) // 3600 AS h
+         |  FROM events),
+         |hourly AS (SELECT h, count(*) AS n_events FROM e GROUP BY 1),
+         |pairs AS (SELECT DISTINCT user_id, h FROM e),
+         |u1 AS (SELECT h, count(*) AS n_uniques FROM pairs GROUP BY 1),
+         |cov AS (SELECT DISTINCT user_id, h + i AS h
+         |        FROM pairs, unnest(generate_series(0, ${SlideHours - 1})) t(i)),
+         |u3 AS (SELECT h, count(*) AS n_uniques_3h FROM cov GROUP BY 1)
+         |SELECT h AS hour_epoch, n_events, n_uniques,
+         |  CAST(sum(n_events) OVER (ORDER BY h
+         |    RANGE BETWEEN ${SlideHours - 1} PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS n_events_3h,
+         |  n_uniques_3h
+         |FROM hourly JOIN u1 USING (h) JOIN u3 USING (h)""".stripMargin,
     "retention_cohorts" ->
       """WITH wk AS (
         |  SELECT user_id,

@@ -107,6 +107,22 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1).getLong(3) == -127) // -2 -> -127 exactly
   }
 
+  test("embed_outliers: exact 2-sigma flag on literal norms") {
+    import spark.implicits._
+    // nine vectors with n2 = 10^4 and one with n2 = 10^6: S = 1.09e6,
+    // N*Q - S^2 = 8.82e12; the big vector's (N*n2 - S)^2 = 7.94e13
+    // exceeds 4*8.82e12 = 3.53e13 -> flagged; the nine others'
+    // (10*10^4 - S)^2 = 9.8e11 stays well under
+    val emb = ((1L to 9L).map(i => (i, Array(0.0001f))) :+
+      (10L, Array(0.001f))).toDF("vec_id", "embedding")
+    val got = graft.operators.Similarity.outliersOn(emb)
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(10L) == ((1000000L, true)), s"big vector: $got")
+    assert((1L to 9L).forall(got(_) == ((10000L, false))),
+      s"inliers: $got")
+  }
+
   test("ngrams_heavyhitters: Misra-Gries bounds hold against exact counts") {
     import spark.implicits._
     val sketch = SparkEntry.queries("ngrams_heavyhitters")(spark, sf)

@@ -24,6 +24,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "sim_ann_ivf" -> ("crossJoin against the broadcast centroid table - the" +
       " O(n*C) quantizer training/assignment cost, linear in the corpus" +
       " per centroid, not an unbounded pair product"),
+    "embed_outliers" -> ("crossJoin against the broadcast SINGLE-ROW" +
+      " norm statistics (N, Σn², Σ(n²)²) - the scalar-stats pattern," +
+      " bounded at one build row forever"),
     "text_bm25_topk" -> ("crossJoin against the broadcast SINGLE-ROW corpus" +
       " stats (N, total tokens, per-term df) - how scalar statistics" +
       " reach every row; bounded at one build row forever"),

@@ -14,6 +14,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("user_id", "event_type", "s")
       .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
 
+  test("events_sliding_uniques: cover-explode dedups multi-hour users") {
+    // u1 twice in hour 0 and again in hour 2, u2 in hour 0, u3 in hour
+    // 5. Window ending at hour 2 spans hours 0..2: 4 events but only 2
+    // unique users (u1 must not double-count); the gap before hour 5
+    // resets reach to u3 alone, and phantom hours 1, 3, 4, 6, 7 (which
+    // the explode covers but have no events) must not emit.
+    val events = ev((1L, "view", 100L), (1L, "view", 150L),
+      (2L, "view", 200L), (1L, "view", 7300L), (3L, "view", 18100L))
+    val got = TimeSeries.slidingUniquesOn(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val epoch0 = 0L // timestamp_seconds(100) sits in epoch-hour 0
+    assert(got.keySet == Set(epoch0, epoch0 + 2, epoch0 + 5),
+      s"active hours only: ${got.keySet}")
+    assert(got(epoch0) == ((3L, 2L, 3L, 2L)), s"hour 0: $got")
+    assert(got(epoch0 + 2) == ((1L, 1L, 4L, 2L)), s"hour 2: $got")
+    assert(got(epoch0 + 5) == ((1L, 1L, 1L, 1L)), s"hour 5: $got")
+  }
+
   test("events_anomaly trailing window agrees with a Scala recomputation") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_anomaly")(spark, sf)
