@@ -356,6 +356,94 @@ object StreamingQueries {
         "w_cnt BIGINT, w_sum BIGINT, is_spike BOOLEAN").parquet(out)
   }
 
+  /** Streaming CONVERSION FUNNEL — the per-user view → click → purchase
+    * state machine as a streaming topology, sharing the batch
+    * `funnel_conversion` oracle. Stage 1 finalizes `(user, hour, type)`
+    * rows carrying EVERY raw timestamp for that cell (append-mode
+    * hourly windows — the list, not the min, is what makes the fold
+    * exact; see [[graft.streaming.UserHourEvents]]); stage 2 folds them
+    * into three longs of keyed state per user
+    * ([[graft.streaming.FunnelStageProcessor]] on RocksDB), emitting a
+    * snapshot only on change. Watermark ordering makes the incremental
+    * fold equal the batch three-window chain — the argument lives on
+    * [[graft.streaming.FunnelFold.step]], where it is spec'd without a
+    * harness. Read-back: per-user min of the set-once fields, then the
+    * same three-row stage count the batch face emits.
+    */
+  private val streamFunnel: Q = (s, d) => {
+    val run = freshRunDir("graft_funstream_")
+    val mid = run.resolve("mid").toString
+    val out = run.resolve("out").toString
+    Seq(mid, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      // stage 1: finalized per-(user, hour, type) timestamp lists; the
+      // sentinel row must pass the filter to drive the final watermark
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .filter(col("event_type").isin("view", "click", "purchase") ||
+          col("user_id") === SentinelUser)
+        .withColumn("ts_nanos", col("ts"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"),
+          col("event_type"))
+        .agg(collect_list(col("ts_nanos")).as("ts_list"))
+        .select(col("user_id"),
+          unix_seconds(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("ts_list"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", mid)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      // stage 2: keyed three-long funnel state per user
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("user_id BIGINT, hour_epoch BIGINT, " +
+            "event_type STRING, ts_list ARRAY<BIGINT>")
+          .option("pathGlobFilter", "*.parquet").parquet(mid)
+          .filter(col("user_id") =!= SentinelUser &&
+            col("event_type").isNotNull)
+          .as[graft.streaming.UserHourEvents]
+        val q2 = rows.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.FunnelStageProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    val unset = graft.streaming.FunnelFold.Unset
+    val finals = s.read
+      .schema("user_id BIGINT, v BIGINT, c BIGINT, p BIGINT").parquet(out)
+      .groupBy(col("user_id"))
+      .agg(min(col("v")).as("v"), min(col("c")).as("c"),
+        min(col("p")).as("p"))
+    val counts = finals.agg(
+      sum(when(col("v") =!= unset, 1L).otherwise(0L)).as("n_view"),
+      sum(when(col("c") =!= unset, 1L).otherwise(0L)).as("n_click"),
+      sum(when(col("p") =!= unset, 1L).otherwise(0L)).as("n_purchase"))
+    counts.select(explode(array(
+      struct(lit("view").as("stage"), col("n_view").as("n_users")),
+      struct(lit("click").as("stage"), col("n_click").as("n_users")),
+      struct(lit("purchase").as("stage"),
+        col("n_purchase").as("n_users")))).as("s"))
+      .select(col("s.*"))
+  }
+
   /** Streaming corrupt-record QUARANTINE — ingestion-door robustness as
     * a streaming topology: the (deterministically dirtied) JSON feed
     * splits at the door into parsed rows and a DEAD-LETTER sink, the
@@ -632,6 +720,7 @@ object StreamingQueries {
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_enrich" -> streamEnrich,
     "stream_anomaly" -> streamAnomaly,
+    "stream_funnel" -> streamFunnel,
     "stream_quarantine" -> streamQuarantine,
   )
 
@@ -651,6 +740,9 @@ object StreamingQueries {
     // the keyed trailing-baseline fold must agree with the batch
     // rowsBetween(-24,-1) window frame
     "stream_anomaly" -> TimeSeries.oracles("events_anomaly"),
+    // the keyed per-user state machine must agree with the batch
+    // three-window strict-ordering chain
+    "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),
     // the streaming split must count exactly what the batch split does
     "stream_quarantine" -> Profiling.oracles("json_quarantine"),
     // the stream-static enrich must agree with the batch join + group

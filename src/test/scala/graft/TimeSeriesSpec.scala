@@ -33,6 +33,63 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(epoch0 + 5) == ((1L, 1L, 1L, 1L)), s"hour 5: $got")
   }
 
+  test("FunnelFold: same-hour and cross-batch orderings") {
+    import graft.streaming.{FunnelFold, UserHourEvents}
+    val U = FunnelFold.Unset
+    // same hour, click 5200 precedes view 5500 but click 5800 follows:
+    // only the min would wrongly reject the stage (the reason ts_list
+    // carries every timestamp)
+    val a = FunnelFold.step((U, U, U), Seq(
+      UserHourEvents(1, 5, "view", Seq(5500L)),
+      UserHourEvents(1, 5, "click", Seq(5200L, 5800L))))
+    assert(a == ((5500L, 5800L, U)), s"same-hour interleave: $a")
+    // click arrives an hour BEFORE the first view: when its batch
+    // applies there is no view yet, and the later view (larger ts)
+    // can't retroactively qualify it — matching the batch strict chain
+    val b1 = FunnelFold.step((U, U, U),
+      Seq(UserHourEvents(2, 5, "click", Seq(5200L))))
+    val b2 = FunnelFold.step(b1,
+      Seq(UserHourEvents(2, 7, "view", Seq(7000L))))
+    assert(b2 == ((7000L, U, U)), s"early click never qualifies: $b2")
+    // full chain across three single-hour batches
+    val c = Seq(
+      Seq(UserHourEvents(3, 0, "view", Seq(100L))),
+      Seq(UserHourEvents(3, 1, "click", Seq(5000L))),
+      Seq(UserHourEvents(3, 2, "purchase", Seq(9000L))))
+      .foldLeft((U, U, U))(FunnelFold.step)
+    assert(c == ((100L, 5000L, 9000L)), s"full chain: $c")
+  }
+
+  test("FunnelFold equals the batch three-window funnel on a random replay") {
+    import graft.streaming.{FunnelFold, UserHourEvents}
+    val rnd = new scala.util.Random(7)
+    val types = Vector("view", "click", "purchase", "error")
+    val evs = (1 to 400).map { _ =>
+      (rnd.nextInt(50).toLong, types(rnd.nextInt(4)),
+        rnd.nextInt(3 * 3600).toLong)
+    }
+    val batch = TimeSeries.funnelOn(ev(evs: _*))
+      .as[(String, Long)].collect().toMap
+    // replay: one micro-batch per hour in watermark (ascending) order,
+    // each carrying that hour's finalized per-type timestamp lists
+    val U = FunnelFold.Unset
+    val finals = evs
+      .filter(e => Set("view", "click", "purchase")(e._2))
+      .groupBy(_._1).map { case (u, es) =>
+        val hours = es.groupBy(e => (e._3 / 3600, e._2)).toSeq
+          .map { case ((h, t), g) => UserHourEvents(u, h, t, g.map(_._3)) }
+        hours.groupBy(_.hour_epoch).toSeq.sortBy(_._1)
+          .foldLeft((U, U, U)) { case (st, (_, hb)) =>
+            FunnelFold.step(st, hb)
+          }
+      }.toSeq
+    val want = Map(
+      "view" -> finals.count(_._1 != U).toLong,
+      "click" -> finals.count(_._2 != U).toLong,
+      "purchase" -> finals.count(_._3 != U).toLong)
+    assert(batch == want, s"batch=$batch fold=$want")
+  }
+
   test("events_anomaly trailing window agrees with a Scala recomputation") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_anomaly")(spark, sf)
