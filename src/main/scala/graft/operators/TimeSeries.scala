@@ -192,10 +192,93 @@ object TimeSeries {
     * count — since `(user, week)` is already distinct, the cohort cell
     * count is a plain `count(*)`, not a second distinct aggregate.
     */
+  /** Monday-truncated week of a timestamp as an epoch-DAY integer —
+    * the cross-engine-stable week key shared by [[retention]] and
+    * [[churn]] (raw DATE columns render differently between engines).
+    */
+  private def weekDay(ts: Column): Column =
+    datediff(to_date(date_trunc("week", ts)), to_date(lit("1970-01-01")))
+      .cast("long")
+
+  /** Weekly ACTIVITY-ACCOUNTING report — the churn dashboard next to
+    * the retention matrix: per observed week, how many users were
+    * active, how many of those were new (first-ever activity), how
+    * many were retained from the immediately preceding week, and how
+    * many of the preceding week's actives went silent (churned). All
+    * four are exact integer counts off the distinct `(user, week)`
+    * domain; `n_active = n_new + n_retained + resurrected` is NOT an
+    * identity (returning users who skipped ≥1 week are neither new nor
+    * retained), which is the point of reporting the components.
+    *
+    * Scale shape: the event stream collapses to distinct `(user,
+    * week)` first (map-side partial); everything else — the first-week
+    * table, the self-join against the week-shifted copy — runs on that
+    * reduced domain, co-keyed on user. Only OBSERVED weeks emit rows
+    * (a fully-silent calendar week has no anchor row); churn for week
+    * w counts prev-week actives absent in w, so the week after the
+    * stream's end is out of scope by construction, as declared.
+    */
+  private val churn: Q = (s, d) => churnOn(T(s, d, "events"))
+
+  /** The churn body on an arbitrary `(user_id, ts)`-shaped frame —
+    * split out so the week-accounting identities are testable on
+    * literal activity patterns (gap weeks, one-week users).
+    */
+  private[graft] def churnOn(events: DataFrame): DataFrame = {
+    val uw = events
+      .select(col("user_id"), weekDay(col("ts")).as("w")).distinct()
+    val first = uw.groupBy(col("user_id")).agg(min(col("w")).as("fw"))
+    val prev = uw.select(col("user_id"), (col("w") + 7).as("w"))
+    val active = uw.join(first, Seq("user_id"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_active"),
+        sum(when(col("fw") === col("w"), 1L).otherwise(0L)).as("n_new"))
+    val retained = uw.join(prev, Seq("user_id", "w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_retained"))
+    val churned = prev.join(uw, Seq("user_id", "w"), "left_anti")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_churned"))
+    active.join(retained, Seq("w"), "left").join(churned, Seq("w"), "left")
+      .select(col("w").as("week_day"), col("n_active"), col("n_new"),
+        coalesce(col("n_retained"), lit(0L)).as("n_retained"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+  }
+
+  private val PathsTopK = 10
+
+  /** Top-[[PathsTopK]] most-travelled 3-step event-type PATHS — the
+    * product-analytics "user journeys" query: consecutive event-type
+    * trigrams per user in timestamp order (ties broken by event id, so
+    * both engines walk identical sequences), counted corpus-wide, with
+    * a TOTAL (count desc, path) tie-break order making the rank-10 cut
+    * deterministic.
+    *
+    * Scale shape: one exchange on user for the ordered walk (two lead()
+    * passes pipeline over the same sort), then the trigram count
+    * collapses to the tiny distinct-path domain before the top-k sort —
+    * the corpus_ngrams topology over sequences instead of text.
+    */
+  private val paths: Q = (s, d) => pathsOn(T(s, d, "events"))
+
+  /** The paths body on an arbitrary `(user_id, event_id, ts,
+    * event_type)`-shaped frame — split out so the walk order and the
+    * user boundary are testable on literal sequences.
+    */
+  private[graft] def pathsOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(PathsTopK)
+  }
+
   private val retention: Q = (s, d) => {
-    def weekDay(ts: Column): Column =
-      datediff(to_date(date_trunc("week", ts)), to_date(lit("1970-01-01")))
-        .cast("long")
     val ev = T(s, d, "events")
     val cohorts = ev.groupBy(col("user_id"))
       .agg(min(col("ts")).as("first_ts"))
@@ -281,6 +364,8 @@ object TimeSeries {
 
   val queries: Map[String, Q] = Map(
     "events_sliding_uniques" -> slidingUniques,
+    "events_churn" -> churn,
+    "events_paths" -> paths,
     "retention_cohorts" -> retention,
     "funnel_conversion" -> funnel,
     "asof_join" -> asofJoin,
@@ -292,6 +377,39 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_churn" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('week', ts) AS DATE)) AS w
+        |  FROM events),
+        |f AS (SELECT user_id, min(w) AS fw FROM uw GROUP BY 1),
+        |p AS (SELECT user_id, w + 7 AS w FROM uw),
+        |a AS (SELECT w, count(*) AS n_active,
+        |        CAST(sum(CASE WHEN fw = w THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_new
+        |      FROM uw JOIN f USING (user_id) GROUP BY 1),
+        |r AS (SELECT uw.w, count(*) AS n_retained
+        |      FROM uw JOIN p ON p.user_id = uw.user_id AND p.w = uw.w
+        |      GROUP BY 1),
+        |c AS (SELECT p.w, count(*) AS n_churned
+        |      FROM p LEFT JOIN uw ON uw.user_id = p.user_id AND uw.w = p.w
+        |      WHERE uw.user_id IS NULL GROUP BY 1)
+        |SELECT a.w AS week_day, a.n_active, a.n_new,
+        |  coalesce(r.n_retained, 0) AS n_retained,
+        |  coalesce(c.n_churned, 0) AS n_churned
+        |FROM a LEFT JOIN r USING (w) LEFT JOIN c USING (w)""".stripMargin,
+    "events_paths" ->
+      s"""WITH o AS (
+         |  SELECT event_type,
+         |    lead(event_type, 1) OVER w AS t2,
+         |    lead(event_type, 2) OVER w AS t3
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+         |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+         |  count(*) AS n
+         |FROM o WHERE t3 IS NOT NULL
+         |GROUP BY 1 ORDER BY n DESC, path LIMIT $PathsTopK""".stripMargin,
     "events_sliding_uniques" ->
       s"""WITH e AS (
          |  SELECT user_id,

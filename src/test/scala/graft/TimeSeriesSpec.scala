@@ -33,6 +33,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got(epoch0 + 5) == ((1L, 1L, 1L, 1L)), s"hour 5: $got")
   }
 
+  test("events_churn: gap weeks are neither new nor retained") {
+    // weeks are Monday-truncated; 1970-01-05 is a Monday (epoch day 4).
+    // u1 active weeks A,B,C; u2 A only; u3 A and C (gap week B);
+    // u4 B only. Week C: u3 returns but is NOT retained (resurrected),
+    // u4's silence churns into C.
+    def at(day: Long) = day * 86400L + 60
+    val events = Seq(
+      (1L, "view", at(4)), (1L, "view", at(11)), (1L, "view", at(18)),
+      (2L, "view", at(5)),
+      (3L, "view", at(6)), (3L, "view", at(20)),
+      (4L, "view", at(12))).toDF("user_id", "event_type", "s")
+      .selectExpr("user_id", "timestamp_seconds(s) AS ts")
+    val got = TimeSeries.churnOn(events)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(
+      4L -> ((3L, 3L, 0L, 0L)),
+      11L -> ((2L, 1L, 1L, 2L)),
+      18L -> ((2L, 0L, 1L, 1L))), s"churn rows: $got")
+  }
+
+  test("events_paths: walk order, ties by event id, user boundary") {
+    // u1: view,click,purchase,view in ts order (tie at s=30 broken by
+    // event_id: 2 before 3) -> trigrams v>c>p and c>p>v; u2 has only
+    // two events -> no trigram crosses the user boundary
+    val events = Seq(
+      (1L, 1L, 10L, "view"), (1L, 2L, 30L, "click"),
+      (1L, 3L, 30L, "purchase"), (1L, 4L, 40L, "view"),
+      (2L, 5L, 20L, "view"), (2L, 6L, 25L, "click"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+    val got = TimeSeries.pathsOn(events)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("view>click>purchase" -> 1L,
+      "click>purchase>view" -> 1L), s"paths: $got")
+  }
+
   test("FunnelFold: same-hour and cross-batch orderings") {
     import graft.streaming.{FunnelFold, UserHourEvents}
     val U = FunnelFold.Unset
