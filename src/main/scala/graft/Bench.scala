@@ -47,7 +47,9 @@ object Bench {
       timedBuild("ivf_shared_build")(
         graft.operators.Similarity.ensureIvfArtifacts(spark, sfDir)),
       timedBuild("moments_shared_build")(
-        graft.operators.Similarity.ensureMomentsArtifact(spark, sfDir)))
+        graft.operators.Similarity.ensureMomentsArtifact(spark, sfDir)),
+      timedBuild("cc_shared_build")(
+        graft.operators.Dedup.ensureComponentsArtifact(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -479,11 +479,16 @@ object Dedup {
     val (sh, sigN) = sharedTables(s, d)
     val cand = bandPairs(sigN).select(col("a_id"), col("b_id"))
     val sizes = sigN.select(col("doc_id"), col("n"))
+    // the b-side closes on the (b_id, shingle) EQUI-join — shingle in
+    // the join key, not a post-join filter, so volume is O(|A|) probes
+    // per candidate instead of an |A|×|B| shingle product first (the
+    // containment query's shape; measured 2.4 s → 1.0 s at sf0.1, and
+    // the bucketed-join co-location on doc_id survives because the
+    // bucket column stays inside the join key set)
     val inter = cand
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
-      .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("sh_b")),
-        Seq("b_id"))
-      .filter(col("shingle") === col("sh_b"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
       .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "a_id")
@@ -502,9 +507,49 @@ object Dedup {
     * per-PAIR greedy dropping is order-dependent; per-COMPONENT
     * keep-one is canonical.
     */
-  private val components: Q = (s, d) =>
-    connectedComponentsWithRounds(
-      minhashVerified(s, d).select(col("a_id"), col("b_id")))._1
+  private val components: Q = (s, d) => componentsTable(s, d)
+
+  /** The `cc:v1` layout tag pins the component-label artifact to the
+    * minhash layout it was clustered under (`mh:v1` banding feeds the
+    * verified pairs) — bump BOTH when the LSH parameters change, or an
+    * old clustering would be served over new candidate semantics.
+    */
+  private def componentsKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "documents.parquet", "cc:v1:mh:v1")
+
+  /** The shared COMPONENT-LABEL artifact: `(doc_id, component)` for
+    * every doc in any verified near-dup pair — built once per dataset
+    * version by the iterative [[connectedComponentsWithRounds]] loop
+    * and adopted by every consumer (the registry query, the cluster
+    * histogram, [[keepBest]]): the same train-once/consume-many
+    * protocol as the LSH signature, IVF, and moments artifacts. The
+    * point at 100 TB: the clustering is the EXPENSIVE iterative pass,
+    * and before this artifact each consumer re-ran the whole loop —
+    * measured 3.0 s (components) + 2.9 s (hist) + 2.4 s (keep_best) at
+    * sf0.1 for three recomputations of one result.
+    */
+  private def componentsTable(s: SparkSession, d: String): DataFrame = {
+    val base = SharedArtifacts.root.resolve(s"cc_${componentsKey(d)}")
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      connectedComponentsWithRounds(
+        minhashVerified(s, d).select(col("a_id"), col("b_id")))._1
+        .write.mode("overwrite").parquet(staging.resolve("labels").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    s.read.parquet(base.resolve("labels").toString)
+  }
+
+  /** Eagerly build (or adopt) the shared component-label artifact —
+    * the bench's visibility hook, like `ensureSharedTables`.
+    */
+  def ensureComponentsArtifact(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(
+      SharedArtifacts.root.resolve(s"cc_${componentsKey(d)}"))
+    componentsTable(s, d)
+    !existed
+  }
 
   /** Log2 histogram of near-dup CLUSTER sizes — the first number a
     * curator reads off a dedup run ("how much of the corpus sits in
@@ -715,10 +760,10 @@ object Dedup {
     * corpus (one row per doc that appears in any verified pair); the
     * token counts come from one pruned scan of `documents`; the argmax
     * is two ordinary hash aggregations (max then min-on-ties — fully
-    * deterministic, unlike engine-specific `max_by` tie behavior). In a
-    * production pipeline the label table is a maintained artifact and
-    * this query is its cheap consumer; here it recomputes components so
-    * the oracle covers the whole path.
+    * deterministic, unlike engine-specific `max_by` tie behavior). The
+    * label table IS a maintained artifact ([[componentsTable]]) and
+    * this query is its cheap consumer; the artifact's builder runs the
+    * whole clustering path, which the `dedup_components` oracle checks.
     */
   private val keepBest: Q = (s, d) => {
     val comp = components(s, d)

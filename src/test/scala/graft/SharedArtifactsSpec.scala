@@ -42,6 +42,23 @@ class SharedArtifactsSpec extends AnyFunSuite {
     } finally SharedArtifacts.deleteRecursively(base1)
   }
 
+  test("component-label artifact: adopt-after-build, labels equal a direct recompute") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    // first call builds or adopts; the second MUST adopt (fresh=false)
+    graft.operators.Dedup.ensureComponentsArtifact(spark, sf)
+    assert(!graft.operators.Dedup.ensureComponentsArtifact(spark, sf),
+      "second ensure must adopt the published artifact, not rebuild")
+    val viaArtifact = SparkEntry.queries("dedup_components")(spark, sf)
+      .as[(Long, Long)].collect().toSet
+    val direct = graft.operators.Dedup.connectedComponentsWithRounds(
+      SparkEntry.queries("dedup_minhash_verified")(spark, sf)
+        .select($"a_id", $"b_id"))._1
+      .as[(Long, Long)].collect().toSet
+    assert(viaArtifact == direct,
+      s"artifact labels diverge from recompute: ${(viaArtifact diff direct).take(3)}")
+  }
+
   test("markUsed refreshes the lease: an adopted artifact survives the stale sweep, an abandoned one does not") {
     val base = SharedArtifacts.root.resolve("spec_lease_artifact")
     val staging = SharedArtifacts.stagingFor(base)
