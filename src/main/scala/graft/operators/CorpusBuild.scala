@@ -63,7 +63,11 @@ object CorpusBuild {
       .withColumn("_keep",
         min(col("doc_id")).over(Window.partitionBy(col("fingerprint"))))
       .filter(col("doc_id") === col("_keep"))
-    val nearDupLosers = Dedup.queries("dedup_minhash_verified")(s, d)
+    // the pairs face of the shared clustering artifact — a flat parquet
+    // scan, not a re-derivation of the banding + verify pipeline (the
+    // live dedup_minhash_verified query remains the oracle-checked
+    // derivation of the same rows)
+    val nearDupLosers = Dedup.verifiedPairsTable(s, d)
       .select(col("b_id").as("doc_id"))
     exactKept.join(nearDupLosers, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("n_words"), col("fingerprint"))

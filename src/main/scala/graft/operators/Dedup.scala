@@ -515,7 +515,7 @@ object Dedup {
     * old clustering would be served over new candidate semantics.
     */
   private def componentsKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "documents.parquet", "cc:v1:mh:v1")
+    SharedArtifacts.fingerprint(d, "documents.parquet", "cc:v2:mh:v1")
 
   /** The shared COMPONENT-LABEL artifact: `(doc_id, component)` for
     * every doc in any verified near-dup pair — built once per dataset
@@ -528,17 +528,41 @@ object Dedup {
     * measured 3.0 s (components) + 2.9 s (hist) + 2.4 s (keep_best) at
     * sf0.1 for three recomputations of one result.
     */
-  private def componentsTable(s: SparkSession, d: String): DataFrame = {
+  private def componentsTable(s: SparkSession, d: String): DataFrame =
+    ccArtifact(s, d, "labels")
+
+  /** The verified near-dup PAIRS face of the same artifact —
+    * `(a_id, b_id, jaccard)`, the input the clustering consumed. The
+    * build pays the banding + intersection verify once; downstream
+    * consumers (the corpus gate's near-dup losers, incremental probes)
+    * read a flat parquet instead of re-deriving the pair pipeline. The
+    * live `dedup_minhash_verified` registry query still derives pairs
+    * from scratch every gate run — it is the oracle-checked derivation
+    * the artifact's builder shares code with.
+    */
+  private[operators] def verifiedPairsTable(s: SparkSession, d: String)
+      : DataFrame =
+    ccArtifact(s, d, "pairs")
+
+  /** Build-or-adopt the clustering artifact and read one face of it:
+    * the verified pair list and the component labels are ONE build
+    * (labels are derived from pairs), published atomically together.
+    */
+  private def ccArtifact(s: SparkSession, d: String,
+      face: String): DataFrame = {
     val base = SharedArtifacts.root.resolve(s"cc_${componentsKey(d)}")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
+      minhashVerified(s, d)
+        .write.mode("overwrite").parquet(staging.resolve("pairs").toString)
       connectedComponentsWithRounds(
-        minhashVerified(s, d).select(col("a_id"), col("b_id")))._1
+        s.read.parquet(staging.resolve("pairs").toString)
+          .select(col("a_id"), col("b_id")))._1
         .write.mode("overwrite").parquet(staging.resolve("labels").toString)
       SharedArtifacts.publish(staging, base)
     }
     SharedArtifacts.markUsed(base)
-    s.read.parquet(base.resolve("labels").toString)
+    s.read.parquet(base.resolve(face).toString)
   }
 
   /** Eagerly build (or adopt) the shared component-label artifact —

@@ -444,6 +444,75 @@ object StreamingQueries {
       .select(col("s.*"))
   }
 
+  /** Streaming RETENTION COHORTS — the weekly engagement matrix as a
+    * streaming topology, sharing the batch `retention_cohorts` oracle.
+    * Stage 1 finalizes the distinct `(user, week)` activity domain with
+    * Monday-aligned 7-day event-time windows (`startTime = 4 days`
+    * shifts the epoch-Thursday origin to Monday, matching the batch
+    * face's `date_trunc('week')`); stage 2 assigns each user's cohort
+    * with ONE long of keyed state — watermark ordering makes the first
+    * seen week the min week, so no history is ever stored
+    * ([[graft.streaming.RetentionCohortProcessor]]). The sentinel sits
+    * 9 days past the stream end so the final watermark closes the last
+    * real week.
+    */
+  private val streamRetention: Q = (s, d) => {
+    val run = freshRunDir("graft_retstream_")
+    val mid = run.resolve("mid").toString
+    val out = run.resolve("out").toString
+    Seq(mid, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 9 * 24 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "7 days", "7 days", "4 days"),
+          col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"),
+          (unix_seconds(col("window.start")) / 86400L).cast("long")
+            .as("week_day"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", mid)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("user_id BIGINT, week_day BIGINT")
+          .option("pathGlobFilter", "*.parquet").parquet(mid)
+          .filter(col("user_id") =!= SentinelUser)
+          .as[graft.streaming.WeekActive]
+        val q2 = rows.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.RetentionCohortProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    s.read
+      .schema("user_id BIGINT, cohort_day BIGINT, week_day BIGINT")
+      .parquet(out)
+      .groupBy(col("cohort_day"),
+        ((col("week_day") - col("cohort_day")) / 7).cast("long")
+          .as("weeks_since"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Streaming corrupt-record QUARANTINE — ingestion-door robustness as
     * a streaming topology: the (deterministically dirtied) JSON feed
     * splits at the door into parsed rows and a DEAD-LETTER sink, the
@@ -721,6 +790,7 @@ object StreamingQueries {
     "stream_enrich" -> streamEnrich,
     "stream_anomaly" -> streamAnomaly,
     "stream_funnel" -> streamFunnel,
+    "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
   )
 
@@ -743,6 +813,8 @@ object StreamingQueries {
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),
+    // one-long cohort state must reproduce the batch min-week matrix
+    "stream_retention" -> TimeSeries.oracles("retention_cohorts"),
     // the streaming split must count exactly what the batch split does
     "stream_quarantine" -> Profiling.oracles("json_quarantine"),
     // the stream-static enrich must agree with the batch join + group

@@ -204,6 +204,48 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(want.exists(_._6), "premise: the spike hour must flag")
   }
 
+  test("retention cohort processor: first finalized week is the cohort, batching-invariant") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{WeekActive, RetentionCohortProcessor}
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(provKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // u1 active weeks 4, 11, 25 (gap); u2 weeks 11, 18; u3 week 18 only.
+    // Batch split mid-stream; the second batch arrives SHUFFLED within
+    // itself (watermark ordering is across batches, not within)
+    val weeks = Seq(WeekActive(1, 4), WeekActive(2, 11), WeekActive(1, 11),
+      WeekActive(2, 18), WeekActive(3, 18), WeekActive(1, 25))
+    val (b1, b2) = weeks.partition(_.week_day <= 11)
+    val mem = MemoryStream[WeekActive](spark)
+    val name = s"ret_${System.nanoTime()}"
+    val q = mem.toDS().groupByKey(_.user_id)
+      .transformWithState(new RetentionCohortProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Append())
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .start()
+    try {
+      mem.addData(b1)
+      q.processAllAvailable()
+      mem.addData(scala.util.Random.shuffle(b2))
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
+    val got = spark.table(name).as[(Long, Long, Long)].collect().toSet
+    val want = weeks.groupBy(_.user_id).toSeq.flatMap { case (u, ws) =>
+      val cohort = ws.map(_.week_day).min
+      ws.map(w => (u, cohort, w.week_day))
+    }.toSet
+    assert(got == want,
+      s"divergence: ${(got diff want).take(3)} ${(want diff got).take(3)}")
+  }
+
   test("funnel stages require strict event-time order, not mere presence") {
     // A: all three types but in REVERSE order — only the view counts
     // B: the happy path — all three stages
