@@ -306,7 +306,44 @@ object Breadth {
         col("old_price"), col("new_price"))
   }
 
+  private val BasketTopK = 50
+
+  /** Market-basket PAIR mining — which parts are bought together: the
+    * co-occurrence count of every part pair within an order, top-
+    * [[BasketTopK]] by (support desc, part ids) so the rank cut is a
+    * total order. The classic association-rule support table (lift /
+    * confidence derive from these integers plus the per-part counts —
+    * kept as exact counts so the row stays hash-comparable).
+    *
+    * Scale shape: the self-join is WITHIN-ORDER — equi-join on
+    * l_orderkey with `a < b` de-duplication, so fan-out per order is
+    * C(items, 2) with items bounded by order size (TPC-H ≤ 7, retail
+    * baskets ~tens), never a cross-corpus product; the pair count
+    * collapses map-side before one shuffle on the pair key, and the
+    * top-k sorts the (tiny) distinct-pair domain. Distinct parts per
+    * order first (a part twice in one order is one basket membership).
+    */
+  private val basketPairs: Q = (s, d) => basketPairsOn(T(s, d, "lineitem"))
+
+  /** The basket body on an arbitrary `(l_orderkey, l_partkey)`-shaped
+    * frame — split out so the in-basket dedup and pair orientation are
+    * testable on literal orders.
+    */
+  private[graft] def basketPairsOn(lineitem: DataFrame): DataFrame = {
+    val items = lineitem
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
+      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
+        Seq("l_orderkey"))
+      .filter(col("part_a") < col("part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(BasketTopK)
+  }
+
   val queries: Map[String, Q] = Map(
+    "basket_pairs" -> basketPairs,
     "snapshot_diff" -> snapshotDiff,
     "sample_hash" -> sampleHash,
     "listagg_op" -> listaggOp,
@@ -329,6 +366,16 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "basket_pairs" ->
+      s"""WITH items AS (
+         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+         |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         |  count(*) AS n_orders
+         |FROM items a JOIN items b ON a.l_orderkey = b.l_orderkey
+         |  AND a.l_partkey < b.l_partkey
+         |GROUP BY 1, 2
+         |ORDER BY n_orders DESC, part_a, part_b
+         |LIMIT $BasketTopK""".stripMargin,
     "snapshot_diff" ->
       """SELECT o_orderkey, change, old_price, new_price FROM (
         |  SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,

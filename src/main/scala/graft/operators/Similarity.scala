@@ -331,10 +331,45 @@ object Similarity {
     nearestCentroid(e, cents)
   }
 
+  /** The shared K-MEANS ASSIGNMENT artifact: the converged
+    * `(vec_id, cid)` labels of [[kmeansAssign]] — the expensive
+    * multi-round Lloyd training, built once per dataset version and
+    * adopted by [[kmeansMix]] and [[semanticDedup]] (which previously
+    * each re-ran the full training: 2×~2.5 s at sf0.1 for one
+    * deterministic result). Layout key pins the seed stride and
+    * iteration count — a parameter change can never adopt stale labels.
+    */
+  private def kmAssignTable(s: SparkSession, d: String): DataFrame = {
+    val key = SharedArtifacts.fingerprint(d, "embeddings.parquet",
+      s"km:v1:seed$IvfSeedStep:it$KmIters")
+    val base = SharedArtifacts.root.resolve(s"km_$key")
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      val e = T(s, d, "embeddings")
+        .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      kmeansAssign(e)
+        .write.mode("overwrite").parquet(staging.resolve("assign").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    s.read.parquet(base.resolve("assign").toString)
+  }
+
+  /** Eagerly build (or adopt) the shared k-means assignment — the
+    * bench's visibility hook, like [[ensureMomentsArtifact]].
+    */
+  def ensureKmeansArtifact(s: SparkSession, d: String): Boolean = {
+    val key = SharedArtifacts.fingerprint(d, "embeddings.parquet",
+      s"km:v1:seed$IvfSeedStep:it$KmIters")
+    val existed = SharedArtifacts.isReady(
+      SharedArtifacts.root.resolve(s"km_$key"))
+    kmAssignTable(s, d)
+    !existed
+  }
+
   private val kmeansMix: Q = (s, d) => {
     val emb = T(s, d, "embeddings")
-    val e = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val af = kmeansAssign(e)
+    val af = kmAssignTable(s, d)
     val mix = af.join(emb.select(col("vec_id"), col("label")), Seq("vec_id"))
       .groupBy(col("cid"), col("label")).agg(count(lit(1)).as("n"))
     val byCid = Window.partitionBy(col("cid"))
@@ -372,7 +407,7 @@ object Similarity {
   private val semanticDedup: Q = (s, d) => {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
-    val m = kmeansAssign(e)
+    val m = kmAssignTable(s, d)
       .join(e.withColumn("nrm", norm2(col("v"))), Seq("vec_id"))
     val a = m.select(col("cid"), col("vec_id").as("a_id"),
       col("v").as("va"), col("nrm").as("na"))

@@ -107,6 +107,19 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(out(1).getLong(3) == -127) // -2 -> -127 exactly
   }
 
+  test("basket_pairs: in-order dedup and pair orientation on literal orders") {
+    import spark.implicits._
+    // order 1 holds parts 10, 20, 30 with part 20 listed TWICE (two
+    // lineitems, one basket membership); order 2 holds 10, 20. Pairs:
+    // (10,20) in both orders, (10,30) and (20,30) in order 1 only.
+    val li = Seq((1L, 10L), (1L, 20L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L)).toDF("l_orderkey", "l_partkey")
+    val got = graft.operators.Breadth.basketPairsOn(li)
+      .as[(Long, Long, Long)].collect().toList
+    assert(got == List((10L, 20L, 2L), (10L, 30L, 1L), (20L, 30L, 1L)),
+      s"pairs: $got")
+  }
+
   test("embed_outliers: exact 2-sigma flag on literal norms") {
     import spark.implicits._
     // nine vectors with n2 = 10^4 and one with n2 = 10^6: S = 1.09e6,

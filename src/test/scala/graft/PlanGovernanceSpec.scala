@@ -33,12 +33,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "hybrid_rrf" -> ("the BM25 leg's single-row stats crossJoin plus the" +
       " vector leg's broadcast ONE-ROW query embedding - both bounded" +
       " at one build row forever"),
-    "embed_kmeans_mix" -> ("crossJoin against the broadcast centroid" +
-      " table per Lloyd round - the same O(n*C) assignment shape as" +
-      " sim_ann_ivf, never an unbounded pair product"),
-    "dedup_semantic" -> ("the same Lloyd-round centroid crossJoins as" +
-      " embed_kmeans_mix; the pair stage itself is a bounded equi-join" +
-      " on cid"),
+    // embed_kmeans_mix / dedup_semantic's Lloyd-round centroid
+    // crossJoins moved into the shared k-means assignment-artifact
+    // BUILD; the registry queries are now plain artifact reads with
+    // no nested loop in their plans
     "bloom_semijoin" -> ("crossJoin against the broadcast SINGLE-ROW" +
       " Bloom bitset (128 KiB map) - the pre-filter that spares the" +
       " big side's exchange; bounded at one build row forever"),
