@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables.{load => T}
 
 /** Text-analysis operators for training-data pipelines (north-star Ext3):
@@ -173,7 +174,10 @@ object TextAnalysis {
     * reproduces them exactly (Spark `slice` and DuckDB list slicing are
     * both 1-based and clamp at the end).
     */
-  private val chunking: Q = (s, d) =>
+  /** The exploded chunk frame `(doc_id, chunk_idx, chunk_text)` —
+    * shared by the chunking query and [[chunkDedup]].
+    */
+  private def chunkFrame(s: SparkSession, d: String): DataFrame =
     T(s, d, "documents")
       .select(col("doc_id"), words(col("text")).as("ws"))
       .select(col("doc_id"), posexplode(expr(
@@ -182,6 +186,44 @@ object TextAnalysis {
         .as(Seq("chunk_idx", "chunk_text")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("chunk_text"))
+
+  private val chunking: Q = (s, d) => chunkFrame(s, d)
+
+  /** C4-style CHUNK-GRANULARITY dedup accounting — across the whole
+    * corpus, a chunk text occurring in several places is KEPT only at
+    * its first occurrence (smallest `(doc_id, chunk_idx)`) and counted
+    * dropped everywhere else; the per-doc `(n_chunks, n_kept,
+    * n_dropped)` profile is the sub-document dedup report (document-
+    * level minhash blurs partial copies; this is the exact
+    * chunk-level account that C4/RefinedWeb-style pipelines act on).
+    *
+    * Scale shape: the global first-occurrence rank shuffles on the
+    * chunk's 128-bit MD5 FINGERPRINT, projected BEFORE the exchange —
+    * the chunk text itself never moves (at 100 TB the text dominates
+    * bytes; the fingerprint is 16 bytes regardless of chunk size).
+    * The rank itself is deterministic: identical texts have identical
+    * fingerprints, and the (doc_id, chunk_idx) order within a
+    * fingerprint is a total order. One more map-side-combinable
+    * group-by on doc_id folds the flags back to the doc profile.
+    */
+  private val chunkDedup: Q = (s, d) => chunkDedupOn(chunkFrame(s, d))
+
+  /** The dedup-accounting body on an arbitrary `(doc_id, chunk_idx,
+    * chunk_text)` frame — split out so first-occurrence semantics are
+    * testable on literal chunk layouts.
+    */
+  private[graft] def chunkDedupOn(chunks: DataFrame): DataFrame = {
+    val byFp = Window.partitionBy(col("fp"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+    chunks
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk_text")).as("fp"))
+      .withColumn("rk", row_number().over(byFp))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rk") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"), col("n_chunks"), col("n_kept"),
+        (col("n_chunks") - col("n_kept")).as("n_dropped"))
+  }
 
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25TopK = 20
@@ -406,6 +448,7 @@ object TextAnalysis {
   }
 
   val queries: Map[String, Q] = Map(
+    "dedup_chunks" -> chunkDedup,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_langid_confusion" -> langidConfusion,
@@ -541,6 +584,28 @@ object TextAnalysis {
         s"SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
         s"array_to_string(ws[i * $ChunkStep + 1 : i * $ChunkStep + $ChunkSize], ' ') AS chunk_text " +
         s"FROM w, unnest(generate_series(0, CAST(floor((len(ws) - 1) / $ChunkStep) AS INT))) t(i)"),
+    "dedup_chunks" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+         |    array_to_string(
+         |      ws[i * $ChunkStep + 1 : i * $ChunkStep + $ChunkSize], ' ')
+         |      AS chunk_text
+         |  FROM w, unnest(generate_series(0,
+         |    CAST(floor((len(ws) - 1) / $ChunkStep) AS INT))) t(i)),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rk
+         |  FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  count(*) - CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped
+         |FROM r GROUP BY 1""".stripMargin,
     "text_token_count" ->
       ("SELECT doc_id, len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens, " +
         "length(text) AS n_chars_computed FROM documents"),

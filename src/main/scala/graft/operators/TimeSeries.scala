@@ -242,6 +242,85 @@ object TimeSeries {
         coalesce(col("n_churned"), lit(0L)).as("n_churned"))
   }
 
+  /** SCD2-style STATE HISTORY from the event log — each user's
+    * consecutive run of equal event_type collapsed into one validity
+    * interval `[valid_from, valid_to)`, versioned per user, with the
+    * current state's `valid_to` NULL: the slowly-changing-dimension
+    * table a CDC consumer materializes from a change stream (the
+    * interval-building sibling of `snapshot_diff`, which compares two
+    * snapshots instead). Gaps-and-islands: a lag() change flag and a
+    * running sum assign run ids, one aggregate per run, and a lead()
+    * over the (tiny) run domain closes each interval with the next
+    * run's start.
+    *
+    * Scale shape: one exchange on user_id serves the change-flag and
+    * running-sum windows AND the run group-by AND the closing lead()
+    * (all co-partitioned on user) — one shuffle of the raw stream
+    * total, then everything runs on the collapsed run domain.
+    */
+  private val stateHistory: Q = (s, d) => stateHistoryOn(T(s, d, "events"))
+
+  /** The state-history body on an arbitrary `(user_id, event_id, ts,
+    * event_type)`-shaped frame — split out so run collapsing,
+    * versioning, and interval closure are testable on literal
+    * sequences.
+    */
+  private[graft] def stateHistoryOn(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+      .withColumn("chg",
+        when(col("prev").isNull || col("prev") =!= col("event_type"), 1L)
+          .otherwise(0L))
+      .withColumn("version", sum(col("chg")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("event_type")).as("state"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    runs.withColumn("valid_to",
+      lead(col("valid_from"), 1).over(
+        Window.partitionBy(col("user_id")).orderBy(col("version"))))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
+  /** AUDIENCE OVERLAP matrix — for every pair of event types, how many
+    * users did both, each type's audience size, and the Jaccard of the
+    * two audiences: the segment-overlap report behind "users who X
+    * also Y" (and the exact-count twin of sketch-based overlap
+    * estimators). Jaccard is the ONE float: a single IEEE division of
+    * exact integers, rounded once — bit-identical across engines.
+    *
+    * Scale shape: the raw stream collapses to distinct `(user, type)`
+    * FIRST (map-side partial; rows ≤ users × |types|); the self-join
+    * is per-user with fan-out C(|types|, 2) — |types| is the SCHEMA's
+    * enum cardinality, not a data-scaled quantity — and the pair count
+    * collapses map-side onto the |types|² domain. The audience-size
+    * join attaches a |types|-row table: broadcast by size forever.
+    */
+  private val audienceOverlap: Q = (s, d) => {
+    val ut = T(s, d, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .join(broadcast(sizes.select(col("event_type").as("type_a"),
+        col("n").as("n_a"))), Seq("type_a"))
+      .join(broadcast(sizes.select(col("event_type").as("type_b"),
+        col("n").as("n_b"))), Seq("type_b"))
+      .select(col("type_a"), col("type_b"), col("n_both"), col("n_a"),
+        col("n_b"),
+        round(col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
+  }
+
   private val PathsTopK = 10
 
   /** Top-[[PathsTopK]] most-travelled 3-step event-type PATHS — the
@@ -363,6 +442,8 @@ object TimeSeries {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_state_history" -> stateHistory,
+    "audience_overlap" -> audienceOverlap,
     "events_sliding_uniques" -> slidingUniques,
     "events_churn" -> churn,
     "events_paths" -> paths,
@@ -377,6 +458,42 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_state_history" ->
+      """WITH o AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    lag(event_type, 1) OVER w AS prev
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |f AS (
+        |  SELECT *, CAST(sum(CASE WHEN prev IS NULL
+        |      OR prev <> event_type THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS version
+        |  FROM o),
+        |runs AS (
+        |  SELECT user_id, version, min(event_type) AS state,
+        |    min(ts) AS valid_from, count(*) AS n_events
+        |  FROM f GROUP BY 1, 2)
+        |SELECT user_id, version, state, valid_from,
+        |  lead(valid_from, 1) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  n_events
+        |FROM runs""".stripMargin,
+    "audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |sizes AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+        |b AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*) AS n_both
+        |  FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |    AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n_both, sa.n AS n_a, sb.n AS n_b,
+        |  round(CAST(n_both AS DOUBLE) / (sa.n + sb.n - n_both), 6)
+        |    AS jaccard
+        |FROM b
+        |JOIN sizes sa ON sa.event_type = type_a
+        |JOIN sizes sb ON sb.event_type = type_b""".stripMargin,
     "events_churn" ->
       """WITH uw AS (
         |  SELECT DISTINCT user_id,

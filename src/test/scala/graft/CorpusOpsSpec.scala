@@ -120,6 +120,19 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"pairs: $got")
   }
 
+  test("dedup_chunks: first occurrence keeps, corpus-wide, by (doc, idx)") {
+    import spark.implicits._
+    // "x" repeats WITHIN doc 1 (idx 0 keeps, idx 2 drops); "y" repeats
+    // ACROSS docs (doc 1 keeps, doc 2 drops); "z" is unique.
+    val chunks = Seq((1L, 0L, "x"), (1L, 1L, "y"), (1L, 2L, "x"),
+      (2L, 0L, "y"), (2L, 1L, "z"))
+      .toDF("doc_id", "chunk_idx", "chunk_text")
+    val got = graft.operators.TextAnalysis.chunkDedupOn(chunks)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toList
+    assert(got == List((1L, 3L, 2L, 1L), (2L, 2L, 1L, 1L)),
+      s"profiles: $got")
+  }
+
   test("embed_outliers: exact 2-sigma flag on literal norms") {
     import spark.implicits._
     // nine vectors with n2 = 10^4 and one with n2 = 10^6: S = 1.09e6,

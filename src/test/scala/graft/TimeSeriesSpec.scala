@@ -14,6 +14,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("user_id", "event_type", "s")
       .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
 
+  test("events_state_history: run collapsing, versioning, interval closure") {
+    // user 1 alternates view,view,click,view,view → three runs; each
+    // interval closes at the NEXT run's start, the last stays open.
+    // user 3 has two different types at the SAME ts — event_id order
+    // decides which run comes first, and the first's interval closes
+    // at the shared ts (zero-length intervals are real in CDC).
+    val events = Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "view"),
+      (1L, 3L, 300L, "click"), (1L, 4L, 400L, "view"),
+      (1L, 5L, 500L, "view"),
+      (3L, 10L, 100L, "a"), (3L, 11L, 100L, "b"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+    val got = TimeSeries.stateHistoryOn(events)
+      .selectExpr("user_id", "version", "state",
+        "unix_seconds(valid_from) AS f", "unix_seconds(valid_to) AS t",
+        "n_events")
+      .as[(Long, Long, String, Long, Option[Long], Long)]
+      .collect().sortBy(r => (r._1, r._2)).toList
+    assert(got == List(
+      (1L, 1L, "view", 100L, Some(300L), 2L),
+      (1L, 2L, "click", 300L, Some(400L), 1L),
+      (1L, 3L, "view", 400L, None, 2L),
+      (3L, 1L, "a", 100L, Some(100L), 1L),
+      (3L, 2L, "b", 100L, None, 1L)), s"history: $got")
+  }
+
   test("events_sliding_uniques: cover-explode dedups multi-hour users") {
     // u1 twice in hour 0 and again in hour 2, u2 in hour 0, u3 in hour
     // 5. Window ending at hour 2 spans hours 0..2: 4 events but only 2
