@@ -330,12 +330,20 @@ object Breadth {
     * testable on literal orders.
     */
   private[graft] def basketPairsOn(lineitem: DataFrame): DataFrame = {
-    val items = lineitem
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    items.select(col("l_orderkey"), col("l_partkey").as("part_a"))
-      .join(items.select(col("l_orderkey"), col("l_partkey").as("part_b")),
-        Seq("l_orderkey"))
-      .filter(col("part_a") < col("part_b"))
+    // collect_set dedups in-basket repeats during the ONE per-order
+    // exchange (map-side partial sets), the C(items,2) pair expansion
+    // is a map-side array comprehension over the sorted basket (order
+    // size bounds the blow-up, as above), and the pair count collapses
+    // map-side before the second exchange — two shuffles total where
+    // the distinct + self-join formulation takes three.
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (a, i) -> " +
+          "transform(slice(ps, i + 2, size(ps)), " +
+          "b -> struct(a AS part_a, b AS part_b))))")).as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
       .groupBy(col("part_a"), col("part_b"))
       .agg(count(lit(1)).as("n_orders"))
       .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))

@@ -676,7 +676,46 @@ object Similarity {
             col("s") * col("s"))).as("is_outlier"))
   }
 
+  private val KnnK = 3
+
+  /** Blocked exact K-NEAREST-NEIGHBOR GRAPH — every vector's top-
+    * [[KnnK]] cosine neighbors within its label block, ranked
+    * `(sim desc, nbr_id)` so the cut is a total order: the kNN graph
+    * is THE input artifact for graph clustering / label propagation
+    * over embeddings (`dedup_components` consumes exactly this edge
+    * shape), and the per-vector generalization of the single-query
+    * `sim_topk_*` family.
+    *
+    * Scale shape: candidate generation is a BLOCKED equi-join — here
+    * the label column; at corpus scale the production path swaps in
+    * the IVF cell assignment artifact (`sim_ann_ivf`'s `ivfIndex`),
+    * identical join shape, so fan-out per vector is the cell size,
+    * never the corpus. The per-vector k-select runs on the joined
+    * (block-bounded) domain partitioned by vec_id. Cosine values are
+    * fixed-order double sums — bit-identical across IEEE engines
+    * (`dedup_embedding_cosine` precedent) — so rank ties resolve
+    * identically everywhere.
+    */
+  private val knnGraph: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val nbr = e.select(col("label"), col("vec_id").as("nbr_id"),
+      col("v").as("vb"), col("nrm").as("nb"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    e.join(nbr, Seq("label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
+      .withColumn("rank", row_number().over(byVec))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), round(col("sim"), 4).as("sim"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sim_knn_graph" -> knnGraph,
     "embed_outliers" -> outliers,
     "embed_covariance" -> covariance,
     "embed_pca_power" -> pcaPower,
@@ -878,6 +917,19 @@ object Similarity {
   }
 
   val oracles: Map[String, String] = Map(
+    "sim_knn_graph" ->
+      s"""SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id,
+         |  round(sim, 4) AS sim
+         |FROM (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    list_cosine_similarity(a.embedding::DOUBLE[],
+         |                           b.embedding::DOUBLE[]) AS sim,
+         |    row_number() OVER (PARTITION BY a.vec_id
+         |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+         |                 b.embedding::DOUBLE[]) DESC, b.vec_id) AS rk
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+         |WHERE rk <= $KnnK""".stripMargin,
     // identical 1e6 quantization, HUGEINT (exact) sums, and the same
     // cross-multiplied integer z-score inequality — no float anywhere
     "embed_outliers" ->

@@ -781,7 +781,86 @@ object StreamingQueries {
         round(sum(col("value")), 2).as("total_value"))
   }
 
+  /** Streaming face of `events_state_history` — the CDC-consumer SCD2
+    * materializer run as a stream: watermark-finalized per-(user,
+    * hour) event lists feed a keyed open-run fold
+    * ([[graft.streaming.StateHistoryFold]], where the ordering
+    * exactness argument is spec'd without a harness), emitting run
+    * snapshots whose per-version `max(n_events)` read-back is the
+    * batch table; interval closure (`valid_to` = next run's start) is
+    * recomputed from the finalized version starts, exactly as the
+    * batch face's lead().
+    */
+  private val streamStateHistory: Q = (s, d) => {
+    val run = freshRunDir("graft_scd2stream_")
+    val mid = run.resolve("mid").toString
+    val out = run.resolve("out").toString
+    Seq(mid, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      // stage 1: finalized per-(user, hour) event lists in MICROS (the
+      // batch face's ts precision — see EventAt); the sentinel row
+      // drives the final watermark past every real window
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(collect_list(struct(col("ts_us").as("ts"), col("event_id"),
+          col("event_type"))).as("evs"))
+        .select(col("user_id"),
+          unix_seconds(col("window.start")).as("hour_epoch"), col("evs"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", mid)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      // stage 2: keyed open-run fold per user
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("user_id BIGINT, hour_epoch BIGINT, evs ARRAY<STRUCT<" +
+            "ts: BIGINT, event_id: BIGINT, event_type: STRING>>")
+          .option("pathGlobFilter", "*.parquet").parquet(mid)
+          .filter(col("user_id") =!= SentinelUser)
+          .as[graft.streaming.UserHourTyped]
+        val q2 = rows.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.StateHistoryProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    val byVersion = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("version"))
+    s.read.schema("user_id BIGINT, version BIGINT, state STRING, " +
+        "valid_from_us BIGINT, n_events BIGINT").parquet(out)
+      .groupBy(col("user_id"), col("version"))
+      .agg(min(col("state")).as("state"),
+        min(col("valid_from_us")).as("vf"),
+        max(col("n_events")).as("n_events"))
+      .withColumn("valid_from",
+        expr("timestamp_micros(vf)").cast("timestamp_ntz"))
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"), col("n_events"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_state_history" -> streamStateHistory,
     "stream_inprogress" -> streamInProgress,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
@@ -798,6 +877,9 @@ object StreamingQueries {
     * agree with the declarative window-query semantics.
     */
   val oracles: Map[String, String] = Map(
+    // the keyed open-run fold must agree with the batch
+    // gaps-and-islands interval table
+    "stream_state_history" -> TimeSeries.oracles("events_state_history"),
     "stream_inprogress" -> ReferenceOps.oracles("k23_inprogress_set"),
     "stream_windowed_counts" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,

@@ -156,6 +156,75 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(batch == want, s"batch=$batch fold=$want")
   }
 
+  test("StateHistoryFold: cross-batch run growth, in-batch boundaries, snapshots") {
+    import graft.streaming.{EventAt, StateHistoryFold, UserHourTyped}
+    // batch 1: two 'a' events → one open run, snapshot (v1, n=2).
+    // batch 2: another 'a' (run grows) then 'b' → batch emits v1's
+    // FINAL count (3) and the new open v2 — so max(n) per version at
+    // read-back is exact even though v1 closed in a later batch.
+    val (s1, o1) = StateHistoryFold.step(7L, StateHistoryFold.Empty, Seq(
+      UserHourTyped(7L, 0L, Seq(EventAt(100L, 1L, "a"), EventAt(200L, 2L, "a")))))
+    assert(o1.map(r => (r.version, r.state, r.valid_from_us, r.n_events)) ==
+      Seq((1L, "a", 100L, 2L)), s"batch1: $o1")
+    val (s2, o2) = StateHistoryFold.step(7L, s1, Seq(
+      UserHourTyped(7L, 1L, Seq(EventAt(3700L, 3L, "a"), EventAt(3800L, 4L, "b")))))
+    assert(o2.map(r => (r.version, r.state, r.valid_from_us, r.n_events)) ==
+      Seq((1L, "a", 100L, 3L), (2L, "b", 3800L, 1L)), s"batch2: $o2")
+    assert(s2 == ((2L, "b", 3800L, 1L)), s"open run: $s2")
+    // same-ts different-type: event_id order decides the boundary, and
+    // the out-of-order list inside one hour row is sorted by the fold
+    val (_, o3) = StateHistoryFold.step(8L, StateHistoryFold.Empty, Seq(
+      UserHourTyped(8L, 0L, Seq(EventAt(100L, 11L, "b"), EventAt(100L, 10L, "a")))))
+    assert(o3.map(r => (r.version, r.state, r.n_events)) ==
+      Seq((1L, "a", 1L), (2L, "b", 1L)), s"tie order: $o3")
+  }
+
+  test("StateHistoryFold equals the batch gaps-and-islands on a random replay") {
+    import graft.streaming.{EventAt, StateHistoryFold, UserHourTyped}
+    val rnd = new scala.util.Random(11)
+    val types = Vector("a", "b", "c")
+    val evs = (1 to 400).map { i =>
+      (rnd.nextInt(30).toLong, i.toLong, types(rnd.nextInt(3)),
+        rnd.nextInt(3 * 3600).toLong)
+    }
+    val df = evs.toDF("user_id", "event_id", "event_type", "s")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+    val batch = TimeSeries.stateHistoryOn(df)
+      .selectExpr("user_id", "version", "state",
+        "unix_seconds(valid_from) AS f", "unix_seconds(valid_to) AS t",
+        "n_events")
+      .as[(Long, Long, String, Long, Option[Long], Long)].collect().toSet
+    // replay: one micro-batch per hour in watermark order; read-back
+    // contract: min(state, vf), max(n_events) per version, then
+    // valid_to from the next version's start
+    val agg = scala.collection.mutable.Map[(Long, Long), (String, Long, Long)]()
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      var st = StateHistoryFold.Empty
+      es.groupBy(_._4 / 3600).toSeq.sortBy(_._1).foreach { case (h, g) =>
+        val hr = UserHourTyped(u, h,
+          g.map(e => EventAt(e._4 * 1000000L, e._2, e._3)))
+        val (st2, out) = StateHistoryFold.step(u, st, Seq(hr))
+        st = st2
+        out.foreach { sn =>
+          val k = (sn.user_id, sn.version)
+          val prev = agg.get(k).map(_._3).getOrElse(0L)
+          agg(k) = (sn.state, sn.valid_from_us, math.max(prev, sn.n_events))
+        }
+      }
+    }
+    val want = agg.toSeq.groupBy(_._1._1).flatMap { case (u, runs) =>
+      val sorted = runs.sortBy(_._1._2)
+      sorted.zipWithIndex.map { case (((_, ver), (state, vf, n)), i) =>
+        val to = if (i + 1 < sorted.size) Some(sorted(i + 1)._2._2 / 1000000L)
+          else None
+        (u, ver, state, vf / 1000000L, to, n)
+      }
+    }.toSet
+    assert(batch == want,
+      s"divergence: ${(batch diff want).take(3)} ${(want diff batch).take(3)}")
+  }
+
   test("events_anomaly trailing window agrees with a Scala recomputation") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_anomaly")(spark, sf)
