@@ -317,7 +317,57 @@ object GraphOps {
         round(col("n_common").cast("double") / col("n_union"), 6))
   }
 
+  private val BfsRounds = 3
+  private val BfsSeedMod = 7L
+
+  /** Multi-source BFS DISTANCE over the near-dup graph — how many
+    * hops each document sits from the nearest SEED (here the
+    * deterministic `doc_id % `[[BfsSeedMod]]` == 0` slice; in
+    * production the flagged/curated set): the reachability primitive
+    * behind contamination blast-radius and trusted-source propagation
+    * queries. Unrolled to [[BfsRounds]] hops in the registry (the
+    * convergence loop is the `connectedComponentsWithRounds` /
+    * `pagerankConverged` machinery); nodes beyond the horizon emit
+    * nothing, as declared.
+    *
+    * Scale shape: textbook FRONTIER expansion — each round joins only
+    * the frontier (rows whose distance was just assigned) against the
+    * edge list and anti-joins the visited set, so total work is
+    * O(edges touched), never rounds × edges; frontier and visited
+    * materialize per generation exactly like the components loop.
+    * First visit is minimal distance by construction — no min()
+    * re-aggregation needed.
+    */
+  private val bfs: Q = (s, d) =>
+    bfsOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  /** The frontier loop on an arbitrary undirected `(a_id, b_id)` pair
+    * frame — split out so hop counting and seed handling are testable
+    * on a literal graph.
+    */
+  private[graft] def bfsOn(pairs: DataFrame): DataFrame = {
+    val p = Dedup.materialize(pairs.toDF("a_id", "b_id"))
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val seeds = edges.select(col("src").as("doc_id")).distinct()
+      .filter(col("doc_id") % BfsSeedMod === 0)
+      .select(col("doc_id"), lit(0L).as("dist"))
+    var visited = Dedup.materialize(seeds)
+    var frontier = visited
+    for (r <- 1 to BfsRounds) {
+      val next = frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(r.toLong).as("dist"))
+      frontier = Dedup.materialize(next)
+      visited = Dedup.materialize(visited.union(frontier))
+    }
+    visited
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_bfs_dist" -> bfs,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
     "graph_degree_hist" -> degreeHist,
@@ -445,7 +495,29 @@ object GraphOps {
        |JOIN deg db ON db.doc_id = p.b_id
        |LEFT JOIN cm ON cm.a_id = p.a_id AND cm.b_id = p.b_id""".stripMargin
 
+  /** True BFS via recursive CTE, capped at the same hop horizon; the
+    * UNION-distinct recursion plus the `dist` cap bounds the
+    * iteration, and min(dist) per node is the BFS distance. The pair
+    * CTE is MATERIALIZED — the kcore lesson: DuckDB would otherwise
+    * re-inline the whole minhash pipeline per recursion step.
+    */
+  private val bfsOracle: String =
+    s"""WITH RECURSIVE pairs AS MATERIALIZED (
+       |  SELECT a_id, b_id FROM (${Dedup.minhashOracle})),
+       |edges AS MATERIALIZED (
+       |  SELECT a_id AS src, b_id AS dst FROM pairs
+       |  UNION ALL SELECT b_id, a_id FROM pairs),
+       |bfs(doc_id, dist) AS (
+       |  SELECT DISTINCT src, 0 FROM edges WHERE src % $BfsSeedMod = 0
+       |  UNION
+       |  SELECT e.dst, b.dist + 1
+       |  FROM bfs b JOIN edges e ON e.src = b.doc_id
+       |  WHERE b.dist < $BfsRounds)
+       |SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist
+       |FROM bfs GROUP BY 1""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_bfs_dist" -> bfsOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_degree_hist" -> degreeHistOracle,

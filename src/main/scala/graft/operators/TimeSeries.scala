@@ -321,6 +321,91 @@ object TimeSeries {
           (col("n_a") + col("n_b") - col("n_both")), 6).as("jaccard"))
   }
 
+  /** Distributed exact ntile(k) by `(key, user_id)` — the two-phase
+    * global-rank recipe of `window_ntile`/`corpus_pack_sequences`
+    * (literal sketch boundaries → bucket-local row_number → broadcast
+    * offsets → ntile's first-heavy closed form), factored for reuse:
+    * no row ever passes through a single-task total-order window, so
+    * the scoring survives a user domain of any size. Bucket membership
+    * depends only on `key`, so equal keys share a bucket and the
+    * in-bucket `(key, user_id)` order is the global total order.
+    */
+  private def ntileScore(df: DataFrame, key: String, k: Int,
+      out: String): DataFrame = {
+    val bounds = df.stat.approxQuantile(
+      key, (1 until 32).map(_ / 32.0).toArray, 0.001)
+    val pid = bounds.distinct
+      .map(b => when(col(key) > b, 1).otherwise(0))
+      .reduceOption((a: Column, b: Column) => a + b)
+      .getOrElse(lit(0): Column)
+    val parted = df.withColumn("_pid", pid)
+    val rn = parted.withColumn("_rn", row_number().over(
+      Window.partitionBy(col("_pid")).orderBy(col(key), col("user_id"))))
+    val offsets = rn.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(sum(col("_cnt")).over(
+        Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("_n", sum(col("_cnt")).over(
+        Window.orderBy(col("_pid")).rowsBetween(
+          Window.unboundedPreceding, Window.unboundedFollowing)))
+    val g = rn.join(broadcast(offsets
+        .select(col("_pid"), col("_off"), col("_n"))), Seq("_pid"))
+      .withColumn("_g", col("_rn") + col("_off"))
+      .withColumn("_base", (col("_n") / k).cast("long"))
+      .withColumn("_rem", col("_n") % k)
+    val inBig = col("_g") <= col("_rem") * (col("_base") + 1)
+    g.withColumn(out,
+        when(inBig, (col("_g") - 1) / (col("_base") + 1) + 1)
+          .otherwise(col("_rem") +
+            (col("_g") - col("_rem") * (col("_base") + 1) - 1) /
+              col("_base") + 1)
+          .cast("long"))
+      .drop("_pid", "_rn", "_off", "_n", "_g", "_base", "_rem")
+  }
+
+  /** RFM SEGMENTATION — the marketing-analytics classic: per user,
+    * recency (days since last event, against the stream's own max day
+    * as the anchor), frequency (event count), monetary (exact-cents
+    * value sum — integer, so ordering and hashing never touch float
+    * summation), each scored into quintiles, plus the composite
+    * 3-digit RFM code. Scores are data-adaptive ranks, not value
+    * cuts: quintile boundaries follow the population, and the
+    * `(metric, user_id)` total order makes every assignment
+    * deterministic and engine-identical (ntile's first-heavy
+    * allocation in closed form — see [[ntileScore]]).
+    *
+    * Scale shape: events collapse to one row per user FIRST (map-side
+    * combinable), materialized once so the three scoring passes and
+    * the sketch scans reuse it; each quintile pass is the two-phase
+    * distributed rank — the only total-order windows run over the
+    * ~32-row bucket-count domain. The day anchor is the
+    * governance-allowlisted single-row broadcast.
+    */
+  private val rfm: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val anchor = ev.agg(max(to_date(col("ts"))).as("anchor_day"))
+    val u = Dedup.materialize(
+      ev.groupBy(col("user_id"))
+        .agg(max(to_date(col("ts"))).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(round(col("value") * 100).cast("long")).as("m_cents"))
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          datediff(col("anchor_day"), col("last_day")).cast("long")
+            .as("r_days"),
+          col("f"), col("m_cents"))
+        // recency scored on the NEGATED key: most-recent = highest
+        .withColumn("neg_r", -col("r_days")))
+    val scored = ntileScore(
+      ntileScore(ntileScore(u, "neg_r", 5, "r_score"),
+        "f", 5, "f_score"),
+      "m_cents", 5, "m_score")
+    scored.select(col("user_id"), col("r_days"), col("f"), col("m_cents"),
+      col("r_score"), col("f_score"), col("m_score"),
+      (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .as("rfm_code"))
+  }
+
   private val PathsTopK = 10
 
   /** Top-[[PathsTopK]] most-travelled 3-step event-type PATHS — the
@@ -442,6 +527,7 @@ object TimeSeries {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_rfm" -> rfm,
     "events_state_history" -> stateHistory,
     "audience_overlap" -> audienceOverlap,
     "events_sliding_uniques" -> slidingUniques,
@@ -458,6 +544,27 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_rfm" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    date_diff('day', CAST(max(ts) AS DATE),
+        |      (SELECT CAST(max(ts) AS DATE) FROM events)) AS r_days,
+        |    count(*) AS f,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |      AS m_cents
+        |  FROM events GROUP BY 1),
+        |sc AS (
+        |  SELECT user_id, r_days, f, m_cents,
+        |    CAST(ntile(5) OVER (ORDER BY -r_days, user_id) AS BIGINT)
+        |      AS r_score,
+        |    CAST(ntile(5) OVER (ORDER BY f, user_id) AS BIGINT)
+        |      AS f_score,
+        |    CAST(ntile(5) OVER (ORDER BY m_cents, user_id) AS BIGINT)
+        |      AS m_score
+        |  FROM u)
+        |SELECT user_id, r_days, f, m_cents, r_score, f_score, m_score,
+        |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+        |FROM sc""".stripMargin,
     "events_state_history" ->
       """WITH o AS (
         |  SELECT user_id, event_id, ts, event_type,

@@ -458,6 +458,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L))
   }
 
+  test("bfs distances: hops from the seed, horizon cutoff, no revisits") {
+    import graft.operators.GraphOps
+    // path 0-1-2-3-4-5 plus a shortcut 0-3: seed is node 0 (the only
+    // %7==0 node). Distances: 1→1, 3→1 (the shortcut, NOT 3 via the
+    // path), 2→2 (via 1 or 3, first visit wins identically), 4→2,
+    // 5→3. A 7-node path tail (node 6 at hop 4) sits past the 3-hop
+    // horizon and must not emit.
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val got = GraphOps.bfsOn(g).as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L,
+      4L -> 2L, 5L -> 3L), s"distances: $got")
+  }
+
   test("triangle counts: K4 plus a pendant node, zero on a path") {
     import graft.operators.GraphOps
     val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),

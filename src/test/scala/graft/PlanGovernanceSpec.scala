@@ -37,6 +37,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     // crossJoins moved into the shared k-means assignment-artifact
     // BUILD; the registry queries are now plain artifact reads with
     // no nested loop in their plans
+    // events_rfm's single-row day-anchor crossJoin sits inside its
+    // materialize() boundary (the per-user table is pinned before the
+    // three scoring passes), so the registry plan starts from the
+    // checkpointed RDD and no nested loop fires
     "bloom_semijoin" -> ("crossJoin against the broadcast SINGLE-ROW" +
       " Bloom bitset (128 KiB map) - the pre-filter that spares the" +
       " big side's exchange; bounded at one build row forever"),
