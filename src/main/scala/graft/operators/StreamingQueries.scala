@@ -791,8 +791,19 @@ object StreamingQueries {
     * recomputed from the finalized version starts, exactly as the
     * batch face's lead().
     */
-  private val streamStateHistory: Q = (s, d) => {
-    val run = freshRunDir("graft_scd2stream_")
+  /** Shared two-stage topology for the keyed walk replays
+    * (`stream_state_history`, `stream_paths`): stage 1 finalizes
+    * per-(user, hour) event lists in MICROS (the batch faces' ts
+    * precision — see [[graft.streaming.EventAt]]) with the sentinel
+    * row driving the final watermark; stage 2 runs the given
+    * `transformWithState` processor per user on RocksDB and writes
+    * its emissions to `out`, which the caller reads back.
+    */
+  private def runUserWalkTopology[O](s: SparkSession, d: String,
+      run: java.nio.file.Path,
+      processor: org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, graft.streaming.UserHourTyped, O],
+      outEncoder: org.apache.spark.sql.Encoder[O]): String = {
     val mid = run.resolve("mid").toString
     val out = run.resolve("out").toString
     Seq(mid, out).foreach(p =>
@@ -804,9 +815,6 @@ object StreamingQueries {
     val src = stageSessionSource(s, d, schema, run,
       sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
     withStreamingParallelism(s) {
-      // stage 1: finalized per-(user, hour) event lists in MICROS (the
-      // batch face's ts precision — see EventAt); the sentinel row
-      // drives the final watermark past every real window
       val raw = s.readStream.schema(schema)
         .option("pathGlobFilter", "*.parquet").parquet(src)
         .withColumn("ts_us", expr("ts div 1000"))
@@ -823,7 +831,6 @@ object StreamingQueries {
         .option("checkpointLocation", run.resolve("chk1").toString)
         .start()
       q1.awaitTermination()
-      // stage 2: keyed open-run fold per user
       withRocksDbStateStore(s) {
         import s.implicits._
         val rows = s.readStream
@@ -833,9 +840,9 @@ object StreamingQueries {
           .filter(col("user_id") =!= SentinelUser)
           .as[graft.streaming.UserHourTyped]
         val q2 = rows.groupByKey(_.user_id)
-          .transformWithState(new graft.streaming.StateHistoryProcessor,
+          .transformWithState(processor,
             org.apache.spark.sql.streaming.TimeMode.None(),
-            org.apache.spark.sql.streaming.OutputMode.Append())
+            org.apache.spark.sql.streaming.OutputMode.Append())(outEncoder)
           .writeStream.outputMode("append")
           .format("parquet").option("path", out)
           .trigger(Trigger.AvailableNow())
@@ -844,6 +851,14 @@ object StreamingQueries {
         q2.awaitTermination()
       }
     }
+    out
+  }
+
+  private val streamStateHistory: Q = (s, d) => {
+    val run = freshRunDir("graft_scd2stream_")
+    val out = runUserWalkTopology(s, d, run,
+      new graft.streaming.StateHistoryProcessor,
+      org.apache.spark.sql.Encoders.product[graft.streaming.RunSnapshot])
     val byVersion = org.apache.spark.sql.expressions.Window
       .partitionBy(col("user_id")).orderBy(col("version"))
     s.read.schema("user_id BIGINT, version BIGINT, state STRING, " +
@@ -859,7 +874,26 @@ object StreamingQueries {
         col("valid_from"), col("valid_to"), col("n_events"))
   }
 
+  /** Streaming face of `events_paths` — the journey miner as a
+    * stream: the shared user-walk topology feeds a keyed LAST-TWO
+    * state ([[graft.streaming.PathsFold]], ordering argument spec'd
+    * pure) that emits one trigram per post-warmup event; every
+    * emission is final (append-clean), so the read-back is a plain
+    * count + the batch face's total-order top-10 cut.
+    */
+  private val streamPaths: Q = (s, d) => {
+    val run = freshRunDir("graft_pathstream_")
+    val out = runUserWalkTopology(s, d, run,
+      new graft.streaming.PathsProcessor,
+      org.apache.spark.sql.Encoders.product[graft.streaming.PathHit])
+    s.read.schema("user_id BIGINT, path STRING").parquet(out)
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(10)
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_paths" -> streamPaths,
     "stream_state_history" -> streamStateHistory,
     "stream_inprogress" -> streamInProgress,
     "stream_windowed_counts" -> streamWindowed,
@@ -880,6 +914,9 @@ object StreamingQueries {
     // the keyed open-run fold must agree with the batch
     // gaps-and-islands interval table
     "stream_state_history" -> TimeSeries.oracles("events_state_history"),
+    // the keyed last-two walk must agree with the batch double-lead
+    // journey enumeration
+    "stream_paths" -> TimeSeries.oracles("events_paths"),
     "stream_inprogress" -> ReferenceOps.oracles("k23_inprogress_set"),
     "stream_windowed_counts" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,

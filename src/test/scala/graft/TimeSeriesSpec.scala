@@ -225,6 +225,52 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"divergence: ${(batch diff want).take(3)} ${(want diff batch).take(3)}")
   }
 
+  test("PathsFold: warmup carries across batches, ties walk by event_id") {
+    import graft.streaming.{EventAt, PathsFold, UserHourTyped}
+    // batch 1 holds two events (warmup only — no trigram yet); batch 2
+    // delivers the third and fourth: consecutiveness must span the
+    // boundary, emitting a>b>c then b>c>a
+    val (s1, o1) = PathsFold.step(5L, PathsFold.Empty, Seq(
+      UserHourTyped(5L, 0L, Seq(EventAt(100L, 1L, "a"), EventAt(200L, 2L, "b")))))
+    assert(o1.isEmpty, s"warmup emits nothing: $o1")
+    val (_, o2) = PathsFold.step(5L, s1, Seq(
+      UserHourTyped(5L, 1L, Seq(EventAt(3700L, 3L, "c"), EventAt(3800L, 4L, "a")))))
+    assert(o2.map(_.path) == Seq("a>b>c", "b>c>a"), s"trigrams: $o2")
+    // same-ts events order by event_id inside the fold
+    val (_, o3) = PathsFold.step(6L, PathsFold.Empty, Seq(
+      UserHourTyped(6L, 0L, Seq(EventAt(100L, 12L, "z"), EventAt(100L, 10L, "x"),
+        EventAt(100L, 11L, "y")))))
+    assert(o3.map(_.path) == Seq("x>y>z"), s"tie walk: $o3")
+  }
+
+  test("PathsFold equals the batch double-lead walk on a random replay") {
+    import graft.streaming.{EventAt, PathsFold, UserHourTyped}
+    val rnd = new scala.util.Random(13)
+    val types = Vector("view", "click", "purchase", "error")
+    val evs = (1 to 400).map { i =>
+      (rnd.nextInt(30).toLong, i.toLong, types(rnd.nextInt(4)),
+        rnd.nextInt(3 * 3600).toLong)
+    }
+    val df = evs.toDF("user_id", "event_id", "event_type", "s")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+    val batch = TimeSeries.pathsOn(df)
+      .as[(String, Long)].collect().toMap
+    val counts = scala.collection.mutable.Map[String, Long]()
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      var st = PathsFold.Empty
+      es.groupBy(_._4 / 3600).toSeq.sortBy(_._1).foreach { case (h, g) =>
+        val hr = UserHourTyped(u, h,
+          g.map(e => EventAt(e._4 * 1000000L, e._2, e._3)))
+        val (st2, out) = PathsFold.step(u, st, Seq(hr))
+        st = st2
+        out.foreach(p => counts(p.path) = counts.getOrElse(p.path, 0L) + 1L)
+      }
+    }
+    val want = counts.toSeq.sortBy(p => (-p._2, p._1)).take(10).toMap
+    assert(batch == want, s"batch=$batch fold=$want")
+  }
+
   test("events_anomaly trailing window agrees with a Scala recomputation") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_anomaly")(spark, sf)
