@@ -350,7 +350,63 @@ object Breadth {
       .limit(BasketTopK)
   }
 
+  /** TPC-H Q8-shaped MARKET SHARE — per order year, the revenue share
+    * one supplier nation holds of the PROMO-part market in the
+    * AMERICA customer region: the multi-dimension star-join flagship
+    * (fact ⋈ 2 mid dims ⋈ 5 small dims). Revenue is EXACT integer
+    * throughout — cents × (100 − discount%) per lineitem, summed as
+    * DECIMAL(38,0) (order-insensitive), with the share the single
+    * rounded division at the end; outputs cast to BIGINT (per-year
+    * totals sit far inside int64 even at a 100 TB corpus).
+    *
+    * Scale shape: region, the filtered part slice, supplier, and both
+    * nation copies broadcast (small forever or filter-shrunk);
+    * lineitem flows through ONE shuffle to meet orders⋈customer, and
+    * the aggregate collapses map-side onto the (year) domain. The
+    * filters sit on the dimension side of each broadcast join, so the
+    * fact scan prunes to joined keys only.
+    */
+  private val q8MarketShare: Q = (s, d) => {
+    val cents = (c: Column) => round(c * 100).cast("long")
+    val li = T(s, d, "lineitem").select(col("l_orderkey"),
+      col("l_partkey"), col("l_suppkey"),
+      (cents(col("l_extendedprice")) *
+        (lit(100L) - cents(col("l_discount")))).as("rev"))
+    val ord = T(s, d, "orders").select(col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("o_year"), col("o_custkey"))
+    val cust = T(s, d, "customer")
+      .select(col("c_custkey"), col("c_nationkey"))
+    val cnat = T(s, d, "nation")
+      .select(col("n_nationkey").as("c_nationkey"), col("n_regionkey"))
+    val reg = T(s, d, "region").filter(col("r_name") === "AMERICA")
+      .select(col("r_regionkey").as("n_regionkey"))
+    val prt = T(s, d, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey").as("l_partkey"))
+    val supp = T(s, d, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    val snat = T(s, d, "nation")
+      .select(col("n_nationkey").as("s_nationkey"),
+        col("n_name").as("supp_nation"))
+    val d38 = "decimal(38,0)"
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnat), Seq("c_nationkey"))
+      .join(broadcast(reg), Seq("n_regionkey"))
+      .join(broadcast(prt), Seq("l_partkey"))
+      .join(broadcast(supp), Seq("l_suppkey"))
+      .join(broadcast(snat), Seq("s_nationkey"))
+      .groupBy(col("o_year"))
+      .agg(sum(col("rev").cast(d38)).as("mkt"),
+        sum(when(col("supp_nation") === "NATION_3", col("rev"))
+          .otherwise(0L).cast(d38)).as("nat"))
+      .select(col("o_year"), col("mkt").cast("long").as("mkt_total"),
+        col("nat").cast("long").as("nat_rev"),
+        round(col("nat").cast("double") / col("mkt").cast("double"), 6)
+          .as("share"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q8_market_share" -> q8MarketShare,
     "basket_pairs" -> basketPairs,
     "snapshot_diff" -> snapshotDiff,
     "sample_hash" -> sampleHash,
@@ -374,6 +430,30 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q8_market_share" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_partkey, l_suppkey,
+        |    CAST(round(l_extendedprice * 100) AS HUGEINT) *
+        |      (100 - CAST(round(l_discount * 100) AS HUGEINT)) AS rev
+        |  FROM lineitem)
+        |SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(rev) AS BIGINT) AS mkt_total,
+        |  CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN rev ELSE 0 END)
+        |    AS BIGINT) AS nat_rev,
+        |  round(CAST(sum(CASE WHEN sn.n_name = 'NATION_3' THEN rev
+        |      ELSE 0 END) AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6)
+        |    AS share
+        |FROM li
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+        |JOIN region r ON cn.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'AMERICA'
+        |JOIN part p ON li.l_partkey = p.p_partkey
+        |  AND p.p_type = 'PROMO'
+        |JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        |JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+        |GROUP BY 1""".stripMargin,
     "basket_pairs" ->
       s"""WITH items AS (
          |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

@@ -531,6 +531,12 @@ object Dedup {
   private def componentsTable(s: SparkSession, d: String): DataFrame =
     ccArtifact(s, d, "labels")
 
+  /** The component-label face of the shared artifact, for graph
+    * consumers ([[GraphOps]]' modularity report).
+    */
+  private[operators] def componentLabels(s: SparkSession, d: String)
+      : DataFrame = componentsTable(s, d)
+
   /** The verified near-dup PAIRS face of the same artifact —
     * `(a_id, b_id, jaccard)`, the input the clustering consumed. The
     * build pays the banding + intersection verify once; downstream
@@ -970,7 +976,7 @@ object Dedup {
     * component = min reachable node (including self). Factored as a CTE
     * body so [[keepBestOracle]] composes on the same closure.
     */
-  private val componentsCte: String =
+  private[operators] val componentsCte: String =
     s"""vp AS (${minhashVerifiedOracle}),
        |edges AS (SELECT a_id AS u, b_id AS v FROM vp
        |          UNION ALL SELECT b_id, a_id FROM vp),

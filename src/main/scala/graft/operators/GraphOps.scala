@@ -366,7 +366,56 @@ object GraphOps {
     visited
   }
 
+  /** COMMUNITY-QUALITY (modularity) report — per connected component
+    * of the verified near-dup graph: node count, internal edges,
+    * degree sum, and the component's modularity contribution as the
+    * EXACT integer `4m·e_c − d_c²` (units of 1/(4m²); global Q is the
+    * one division Σ/(4m²) a consumer runs on the report). Scores how
+    * cleanly the clustering partitions the similarity graph — the
+    * quality gate next to the cluster-size histogram.
+    *
+    * Scale shape: both inputs are the SHARED clustering artifact
+    * (labels + verified pairs) — nothing re-derives; two broadcast-
+    * label equi-joins tag each edge's endpoints, the per-component
+    * counts collapse map-side, and the edge total is the governance-
+    * allowlisted single-row broadcast. Contributions stay in int64
+    * while `4m·e_c` < 9·10¹⁸ (m ≈ 10⁹ edges with 10⁹-edge
+    * components); past that, the same report in DECIMAL(38,0).
+    */
+  private val modularity: Q = (s, d) =>
+    modularityOn(Dedup.componentLabels(s, d),
+      Dedup.verifiedPairsTable(s, d).select(col("a_id"), col("b_id")))
+
+  /** The report body on arbitrary `(doc_id, component)` labels and
+    * `(a_id, b_id)` edges — split out so the accounting is testable
+    * on a literal clustering (including cross-community edges, which
+    * count toward degree but not internal edges).
+    */
+  private[graft] def modularityOn(labels: DataFrame,
+      pairs: DataFrame): DataFrame = {
+    val la = labels.select(col("doc_id").as("a_id"), col("component").as("ca"))
+    val lb = labels.select(col("doc_id").as("b_id"), col("component").as("cb"))
+    val e = Dedup.materialize(
+      pairs.join(la, Seq("a_id")).join(lb, Seq("b_id")))
+    val mrow = e.agg(count(lit(1)).as("m"))
+    val dsum = e.select(col("ca").as("component"))
+      .union(e.select(col("cb").as("component")))
+      .groupBy(col("component")).agg(count(lit(1)).as("d_sum"))
+    val ein = e.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("component")).agg(count(lit(1)).as("e_in"))
+    val nn = labels.groupBy(col("component"))
+      .agg(count(lit(1)).as("n_nodes"))
+    dsum.join(ein, Seq("component"), "left")
+      .na.fill(0L, Seq("e_in"))
+      .join(nn, Seq("component"))
+      .crossJoin(broadcast(mrow))
+      .select(col("component"), col("n_nodes"), col("e_in"), col("d_sum"),
+        (lit(4L) * col("m") * col("e_in") - col("d_sum") * col("d_sum"))
+          .as("q_contrib_4m2"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_modularity" -> modularity,
     "graph_bfs_dist" -> bfs,
     "graph_pagerank" -> pagerank,
     "graph_triangles" -> triangles,
@@ -516,7 +565,30 @@ object GraphOps {
        |SELECT doc_id, CAST(min(dist) AS BIGINT) AS dist
        |FROM bfs GROUP BY 1""".stripMargin
 
+  private val modularityOracle: String =
+    s"""WITH RECURSIVE ${Dedup.componentsCte},
+       |e AS (
+       |  SELECT ca.component AS ca, cb.component AS cb
+       |  FROM vp
+       |  JOIN comp ca ON ca.doc_id = vp.a_id
+       |  JOIN comp cb ON cb.doc_id = vp.b_id),
+       |m AS (SELECT count(*) AS m FROM e),
+       |ds AS (SELECT component, count(*) AS d_sum FROM (
+       |    SELECT ca AS component FROM e
+       |    UNION ALL SELECT cb FROM e) GROUP BY 1),
+       |ei AS (SELECT ca AS component, count(*) AS e_in
+       |       FROM e WHERE ca = cb GROUP BY 1),
+       |nn AS (SELECT component, count(*) AS n_nodes FROM comp GROUP BY 1)
+       |SELECT ds.component, nn.n_nodes,
+       |  coalesce(ei.e_in, 0) AS e_in, ds.d_sum,
+       |  CAST(4 * m.m * coalesce(ei.e_in, 0) - ds.d_sum * ds.d_sum
+       |    AS BIGINT) AS q_contrib_4m2
+       |FROM ds
+       |JOIN nn USING (component)
+       |LEFT JOIN ei USING (component), m""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "graph_modularity" -> modularityOracle,
     "graph_bfs_dist" -> bfsOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_triangles" -> trianglesOracle,

@@ -458,6 +458,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L))
   }
 
+  test("modularity report: exact integer accounting incl. a cross-community edge") {
+    import graft.operators.GraphOps
+    // community A = {1,2,3} (a triangle), community B = {4,5} (an
+    // edge), plus the cross edge 3-4: m = 5. Degrees: A gets 6
+    // triangle endpoints + 1 cross = 7; B gets 2 + 1 = 3. Internal
+    // edges: A 3, B 1 (the cross edge counts toward NEITHER).
+    // Contributions 4m·e − d²: A = 60 − 49 = 11, B = 20 − 9 = 11.
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "component")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (3L, 4L))
+      .toDF("a_id", "b_id")
+    val got = GraphOps.modularityOn(labels, edges)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got == Map(1L -> ((3L, 3L, 7L, 11L)),
+      4L -> ((2L, 1L, 3L, 11L))), s"report: $got")
+  }
+
   test("bfs distances: hops from the seed, horizon cutoff, no revisits") {
     import graft.operators.GraphOps
     // path 0-1-2-3-4-5 plus a shortcut 0-3: seed is node 0 (the only

@@ -41,6 +41,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     // materialize() boundary (the per-user table is pinned before the
     // three scoring passes), so the registry plan starts from the
     // checkpointed RDD and no nested loop fires
+    "graph_modularity" -> ("crossJoin against the broadcast SINGLE-ROW" +
+      " edge total (m) - the scalar-stats pattern, bounded at one" +
+      " build row forever"),
     "bloom_semijoin" -> ("crossJoin against the broadcast SINGLE-ROW" +
       " Bloom bitset (128 KiB map) - the pre-filter that spares the" +
       " big side's exchange; bounded at one build row forever"),
