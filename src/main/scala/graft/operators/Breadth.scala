@@ -405,7 +405,123 @@ object Breadth {
           .as("share"))
   }
 
+  /** TPC-H Q13-shaped ORDER-COUNT DISTRIBUTION — how many customers
+    * placed exactly N orders, INCLUDING the zero-order customers the
+    * inner join would silently drop (the reason Q13 is the canonical
+    * left-outer + double-aggregate shape).
+    *
+    * Scale shape: orders collapse to per-customer counts FIRST (one
+    * shuffle with map-side combine — the fact table never reaches the
+    * join at raw granularity); the left join meets customer on the
+    * same custkey (co-located and shuffle-free when both sides are
+    * bucketed on the key, the production layout); the final group-by
+    * runs over the tiny count domain and collapses map-side. The
+    * classic Q13 skew point — one mega-customer — is already gone by
+    * the time the join runs, because the count pre-agg reduced each
+    * customer to one row.
+    */
+  private val q13OrderDist: Q = (s, d) => {
+    val oc = T(s, d, "orders").groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    T(s, d, "customer").select(col("c_custkey"))
+      .join(oc, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("n_custs"))
+  }
+
+  /** [[q18LargeOrders]] keeps orders whose total quantity exceeds this
+    * (in quantity-cents; 250 units). sf0.01: 204 of 15k orders — the
+    * distribution tail, small at every scale factor.
+    */
+  private val Q18QtyCents = 25000L
+
+  /** TPC-H Q18-shaped LARGE-ORDER REPORT — orders whose total lineitem
+    * quantity exceeds a tail threshold, with their customer. Quantity
+    * sums in exact integer cents (order-insensitive).
+    *
+    * Scale shape: the ONLY full-size work is lineitem's one per-order
+    * count shuffle; the HAVING slice is the far tail of the quantity
+    * distribution (~1% of orders, shrinking with the threshold), so it
+    * BROADCASTS to orders — the fact-sized orders table never
+    * shuffles — and the joined result (same ~1%) broadcasts again to
+    * customer. Two broadcast joins, one real exchange.
+    */
+  private val q18LargeOrders: Q = (s, d) => {
+    val big = T(s, d, "lineitem").groupBy(col("l_orderkey"))
+      .agg(sum(round(col("l_quantity") * 100).cast("long")).as("qty_c"))
+      .filter(col("qty_c") > Q18QtyCents)
+    val o = T(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+      round(col("o_totalprice") * 100).cast("long").as("price_c"))
+    val c = T(s, d, "customer").select(col("c_custkey"), col("c_name"))
+    broadcast(o.join(broadcast(big), col("o_orderkey") === col("l_orderkey")))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("price_c"), col("qty_c"))
+  }
+
+  /** Batch MERGE (upsert-apply) — the other half of [[snapshotDiff]]:
+    * given a base snapshot and a keyed changeset of upserts and
+    * deletes, emit the next snapshot with per-row provenance
+    * (`base` untouched / `updated` / `inserted`; deleted keys
+    * disappear). Both inputs derive deterministically from `orders`
+    * (residues pick membership, an exact integer-cent bump makes the
+    * new values) so the oracle reproduces them bit-for-bit.
+    *
+    * Scale shape: one full-outer equi-join on the key — the same
+    * two-shuffle (or zero, bucketed) plan as the diff direction; the
+    * changeset is usually ≪ base, so AQE broadcasts it and the base
+    * never moves. MERGE semantics pinned here: delete of an absent
+    * key is a no-op, upsert of an absent key inserts.
+    */
+  private val mergeUpsert: Q = (s, d) => {
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val base = T(s, d, "orders").filter(pmod(col("o_orderkey"), lit(5)) =!= 0)
+      .select(col("o_orderkey"), cents.as("base_c"))
+    val changes = T(s, d, "orders")
+      .filter(pmod(col("o_orderkey"), lit(3)) === 0)
+      .select(col("o_orderkey"),
+        when(pmod(col("o_orderkey"), lit(7)) === 0, lit("delete"))
+          .otherwise(lit("upsert")).as("op"),
+        (cents + 1L).as("new_c"))
+    base.join(changes, Seq("o_orderkey"), "full_outer")
+      .filter(col("op").isNull || col("op") =!= "delete")
+      .select(col("o_orderkey"),
+        when(col("op") === "upsert", col("new_c")).otherwise(col("base_c"))
+          .as("price_c"),
+        when(col("op").isNull, lit("base"))
+          .when(col("base_c").isNull, lit("inserted"))
+          .otherwise(lit("updated")).as("src"))
+  }
+
+  /** Per-language keep rate (permille) for [[sampleWeighted]] — the
+    * corpus-mixing move: downsample the over-represented language,
+    * keep the long tail whole.
+    */
+  private val LangPermille: Map[String, Int] =
+    Map("en" -> 300, "zh" -> 800).withDefaultValue(1000)
+
+  /** WEIGHTED deterministic sampling — Bernoulli(keep-rate) per row
+    * where the rate is a per-stratum weight (here language), decided
+    * by a CONTENT hash instead of an RNG: the same property as
+    * [[sampleHash]] (reproducible across engines, layouts, reruns —
+    * what lets a 100 TB corpus mix be re-derived anywhere), but with
+    * per-stratum rates instead of one global one. Pure map-side: no
+    * shuffle, no state, embarrassingly parallel.
+    */
+  private val sampleWeighted: Q = (s, d) => {
+    val bucket = conv(substring(md5(col("doc_id").cast("string")
+      .cast("binary")), 1, 8), 16, 10).cast("long") % 1000
+    val rate = LangPermille.foldLeft(lit(1000)) { case (e, (k, v)) =>
+      when(col("lang") === k, lit(v)).otherwise(e)
+    }
+    T(s, d, "documents").filter(bucket < rate)
+      .select(col("doc_id"), col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q13_order_dist" -> q13OrderDist,
+    "q18_large_orders" -> q18LargeOrders,
+    "merge_upsert" -> mergeUpsert,
+    "sample_weighted" -> sampleWeighted,
     "q8_market_share" -> q8MarketShare,
     "basket_pairs" -> basketPairs,
     "snapshot_diff" -> snapshotDiff,
@@ -430,6 +546,50 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "q13_order_dist" ->
+      """WITH oc AS (
+        |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT coalesce(n_orders, 0) AS c_count, count(*) AS n_custs
+        |FROM customer LEFT JOIN oc ON c_custkey = o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey,
+         |    CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         |      AS qty_c
+         |  FROM lineitem GROUP BY 1
+         |  HAVING sum(CAST(round(l_quantity * 100) AS BIGINT))
+         |    > $Q18QtyCents)
+         |SELECT c_name, o_orderkey,
+         |  CAST(round(o_totalprice * 100) AS BIGINT) AS price_c, qty_c
+         |FROM big
+         |JOIN orders ON o_orderkey = l_orderkey
+         |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+    "merge_upsert" ->
+      """WITH base AS (
+        |  SELECT o_orderkey,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) AS base_c
+        |  FROM orders WHERE o_orderkey % 5 <> 0),
+        |changes AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'delete'
+        |         ELSE 'upsert' END AS op,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) + 1 AS new_c
+        |  FROM orders WHERE o_orderkey % 3 = 0)
+        |SELECT coalesce(b.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN c.op = 'upsert' THEN c.new_c ELSE b.base_c END
+        |    AS price_c,
+        |  CASE WHEN c.op IS NULL THEN 'base'
+        |       WHEN b.base_c IS NULL THEN 'inserted'
+        |       ELSE 'updated' END AS src
+        |FROM base b FULL OUTER JOIN changes c
+        |  ON b.o_orderkey = c.o_orderkey
+        |WHERE c.op IS NULL OR c.op <> 'delete'""".stripMargin,
+    "sample_weighted" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 1000
+        |  < CASE lang WHEN 'en' THEN 300 WHEN 'zh' THEN 800
+        |    ELSE 1000 END""".stripMargin,
     "q8_market_share" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_partkey, l_suppkey,

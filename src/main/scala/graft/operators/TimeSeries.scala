@@ -526,7 +526,82 @@ object TimeSeries {
         col("n_events_3h"), col("n_uniques_3h"))
   }
 
+  /** MARKOV TRANSITION MATRIX of the user journey — for every ordered
+    * pair of event types, how often one follows the other in some
+    * user's walk, and the row-normalized transition probability (the
+    * first-order model behind next-step prediction and journey
+    * simulation; [[paths]]' trigrams are this model's order-2 cousin).
+    * Counts are exact integers; the probability is the single rounded
+    * division at the end, so cross-engine float order can't drift.
+    *
+    * Scale shape: ONE exchange on user for the ordered walk (the same
+    * sort [[paths]] rides), then the (from, to) count collapses
+    * map-side onto the ≤ |types|² domain — the row-total window runs
+    * over that tiny matrix, never over raw events.
+    */
+  private val markov: Q = (s, d) => markovOn(T(s, d, "events"))
+
+  /** The transition-matrix body on an arbitrary events-shaped frame —
+    * split out so row normalization and the tie order are testable on
+    * literal walks.
+    */
+  private[graft] def markovOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val m = events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    m.withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from").cast("double"), 6)
+          .as("p"))
+  }
+
+  /** TIME-WEIGHTED AVERAGE value per user (the TWAP shape — sensor
+    * readings, position marks, price ticks): each observation counts
+    * for the seconds until the next one, over the user's observed
+    * span. The weighted sum stays in exact integers (value-cents ×
+    * whole seconds), so the accumulation is order-insensitive and the
+    * single division at the end is the only float op. Users with one
+    * event have no observed span and drop out, declared.
+    *
+    * Scale shape: one exchange on user for the lead(), then the
+    * weighted sums collapse map-side per user — linear, no state, and
+    * the int64 headroom is ample (cents × seconds × events per user).
+    */
+  private val timeWeighted: Q = (s, d) => timeWeightedOn(T(s, d, "events"))
+
+  /** The TWAP body on an arbitrary events-shaped frame — split out so
+    * the duration weighting and the degenerate-span drops are testable
+    * on literal tick sequences.
+    */
+  private[graft] def timeWeightedOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        round(col("value") * 100).cast("long").as("v_c"))
+      .withColumn("dur", // NTZ→LTZ cast is exact under the pinned-UTC session
+        unix_seconds(lead(col("ts"), 1).over(w).cast("timestamp"))
+          - unix_seconds(col("ts").cast("timestamp")))
+      .filter(col("dur").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(sum(col("v_c") * col("dur")).as("vd"),
+        sum(col("dur")).as("span_s"))
+      .filter(col("span_s") > 0)
+      .select(col("user_id"), col("span_s"),
+        round(col("vd").cast("double") / col("span_s").cast("double"), 6)
+          .as("twap_c"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_markov" -> markov,
+    "events_timeweighted" -> timeWeighted,
     "events_rfm" -> rfm,
     "events_state_history" -> stateHistory,
     "audience_overlap" -> audienceOverlap,
@@ -544,6 +619,34 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    "events_markov" ->
+      """WITH o AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS to_type
+        |  FROM events),
+        |m AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM o WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE) /
+        |    CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6) AS p
+        |FROM m""".stripMargin,
+    "events_timeweighted" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |    CAST(round(value * 100) AS BIGINT) AS v_c,
+        |    CAST(floor(epoch(lead(ts, 1) OVER (PARTITION BY user_id
+        |        ORDER BY ts, event_id))) AS BIGINT)
+        |      - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+        |  FROM events),
+        |a AS (
+        |  SELECT user_id, CAST(sum(v_c * dur) AS BIGINT) AS vd,
+        |    CAST(sum(dur) AS BIGINT) AS span_s
+        |  FROM o WHERE dur IS NOT NULL GROUP BY 1)
+        |SELECT user_id, span_s,
+        |  round(CAST(vd AS DOUBLE) / CAST(span_s AS DOUBLE), 6) AS twap_c
+        |FROM a WHERE span_s > 0""".stripMargin,
     "events_rfm" ->
       """WITH u AS (
         |  SELECT user_id,

@@ -413,4 +413,41 @@ class TimeSeriesSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(funnel == Map("view" -> 1L, "click" -> 1L, "purchase" -> 1L))
   }
+
+  private def walk(rows: (Long, Long, Long, String)*) =
+    rows.toDF("user_id", "event_id", "s", "event_type")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+
+  test("markov transitions: user boundaries, tie order, row-normalized p") {
+    // user 1 walks a>b>a>c (transitions ab, ba, ac); user 2 walks a>b.
+    // No transition crosses users. At user 1's tie (300), event_id
+    // orders a before c. From-row 'a' has ab, ab, ac → p(a>b)=2/3.
+    val got = TimeSeries.markovOn(walk(
+      (1L, 1L, 100L, "a"), (1L, 2L, 200L, "b"), (1L, 3L, 300L, "a"),
+      (1L, 4L, 300L, "c"), (2L, 5L, 100L, "a"), (2L, 6L, 200L, "b")))
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((2L, 0.666667)), ("a", "c") -> ((1L, 0.333333)),
+      ("b", "a") -> ((1L, 1.0))), s"matrix: $got")
+  }
+
+  test("timeweighted: duration weighting, last-tick and zero-span drops") {
+    // user 1: value 100 held 10 s then 200 held 30 s → span 40,
+    //   twap = (10000*10 + 20000*30)/40 = 17500 cents. The final tick's
+    //   value never enters (no observed duration after it).
+    // user 2: one event → no span → dropped.
+    // user 3: two events at the SAME second → span 0 → dropped.
+    val rows = Seq(
+      (1L, 1L, 100L, 100.0), (1L, 2L, 110L, 200.0), (1L, 3L, 140L, 999.0),
+      (2L, 4L, 100L, 50.0),
+      (3L, 5L, 100L, 1.0), (3L, 6L, 100L, 2.0))
+      .toDF("user_id", "event_id", "s", "value")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "value")
+    val got = TimeSeries.timeWeightedOn(rows)
+      .as[(Long, Long, Double)].collect().toList
+    assert(got == List((1L, 40L, 17500.0)), s"twap: $got")
+  }
 }
