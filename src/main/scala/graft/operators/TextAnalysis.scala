@@ -447,7 +447,50 @@ object TextAnalysis {
           col("n_common").cast("double") / col("n_bigrams"), 6))
   }
 
+  /** IN-CORPUS BIGRAM LANGUAGE-MODEL score — the KenLM-perplexity-
+    * filter idea (CCNet/Dolma's quality gate) in exact integer
+    * arithmetic: train a character-bigram model on the corpus itself
+    * (`p(c₂|c₁) = count(c₁c₂) / count(c₁·)` as parts-per-million via
+    * integer division — the [[CorpusBuild]] tfidf move, no float log
+    * whose last ulp differs between engines), then score each document
+    * by its occurrence-weighted mean bigram probability. Low scores
+    * mark documents whose character statistics diverge from the
+    * corpus — mojibake, binary spill, wrong-language or generated
+    * text; the training-data gate next to [[quality]] and [[novelty]].
+    *
+    * Scale shape: the tfidf topology — one explode to `(doc, bigram)`
+    * counts (map-side partial absorbs in-doc repeats), the model
+    * collapses onto the ≤ alphabet² domain (tiny forever — its window
+    * runs over that, never over text), a broadcast-sized equi-join
+    * back, and a per-doc fold. Headroom: `cnt·10⁶` holds to ~9·10¹²
+    * occurrences of one prefix char; past that the model arithmetic
+    * moves to DECIMAL(38,0), the report shape unchanged.
+    */
+  private val bigramLm: Q = (s, d) => bigramLmOn(T(s, d, "documents"))
+
+  /** The LM body on an arbitrary `(doc_id, text)`-shaped frame — split
+    * out so the probability accounting is testable on a literal
+    * corpus.
+    */
+  private[graft] def bigramLmOn(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val grams = when(length(t) >= 2,
+      transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val docBg = docs.select(col("doc_id"), explode(grams).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("n"))
+    val model = docBg.groupBy(col("bg")).agg(sum(col("n")).as("cnt"))
+      .withColumn("tot", sum(col("cnt"))
+        .over(Window.partitionBy(substring(col("bg"), 1, 1))))
+      .select(col("bg"), expr("cnt * 1000000L div tot").as("p_ppm"))
+    docBg.join(model, Seq("bg"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        expr("sum(n * p_ppm) div sum(n)").as("score_ppm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "text_bigram_lm" -> bigramLm,
     "dedup_chunks" -> chunkDedup,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
@@ -528,6 +571,22 @@ object TextAnalysis {
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // NOTE substr/length are UTF-16-unit-based in Spark and
+    // codepoint-based in DuckDB — identical on BMP-only corpora like
+    // this one; an astral-plane corpus would need a byte-level model.
+    "text_bigram_lm" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, i, 2) AS bg
+        |  FROM documents, unnest(generate_series(1, length(text) - 1)) t(i)
+        |  WHERE length(text) >= 2),
+        |db AS (SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY 1, 2),
+        |m AS (SELECT bg, CAST(sum(n) AS HUGEINT) AS cnt FROM db GROUP BY 1),
+        |mp AS (SELECT bg, CAST(cnt * 1000000 //
+        |    sum(cnt) OVER (PARTITION BY substr(bg, 1, 1)) AS BIGINT)
+        |    AS p_ppm FROM m)
+        |SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(n * p_ppm) // sum(n) AS BIGINT) AS score_ppm
+        |FROM db JOIN mp USING (bg) GROUP BY 1""".stripMargin,
     "text_novelty" ->
       s"""WITH w AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

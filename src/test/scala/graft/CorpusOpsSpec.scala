@@ -193,4 +193,20 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(per.filter(col("count") > 3).isEmpty)
     assert(per.filter(col("count") === 3).count() > 0)
   }
+
+  test("bigram LM: ppm model from corpus counts, occurrence-weighted doc score") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // corpus bigrams: "aab" → aa, ab; "ab" → ab. Prefix 'a' total = 3,
+    // so p(aa) = 333333 ppm, p(ab) = 666666 ppm (integer div). Doc 1
+    // scores (333333 + 666666) div 2 = 499999; doc 2 scores 666666.
+    // Doc 3 is a single char: no bigrams, drops out by declaration.
+    val docs = Seq((1L, "aab"), (2L, "ab"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmOn(docs)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((2L, 499999L)), 2L -> ((1L, 666666L))),
+      s"scores: $got")
+  }
 }
