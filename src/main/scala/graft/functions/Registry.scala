@@ -56,5 +56,7 @@ object Registry {
       "char_run_stats", arity1("char_run_stats")(CharRunStats(_)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "bigram_stats", arity1("bigram_stats")(BigramStats(_)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "char_bigrams", arity1("char_bigrams")(CharBigrams(_)), "scala_udf")
   }
 }

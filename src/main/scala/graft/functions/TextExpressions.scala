@@ -4,6 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -165,6 +166,70 @@ object BigramStats {
   }
 }
 
+/** Native expression producing every consecutive CODE-POINT bigram of
+  * a string — the tokenizer feed for `text_bigram_lm`. The HOF
+  * formulation (`transform(sequence(1, length-1), i ⇒ substr(i, 2))`)
+  * re-scans the string from its head on EVERY position (SQL substr is
+  * code-point-indexed, so each call walks the UTF-8 bytes to position
+  * i): O(len²) per document, measured 3.6 s for the sf0.1 corpus. This
+  * walks the code points once and slices — O(len), same output,
+  * including the same 2-code-point bigram semantics DuckDB's substr
+  * oracle sees.
+  */
+case class CharBigrams(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "char_bigrams"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CharBigrams.bigrams(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CharBigrams.bigrams($c);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CharBigrams {
+
+  def bigrams(s: UTF8String): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    // UTF-16 offset of each code point start, plus the end sentinel —
+    // bigram k spans [starts(k), starts(k+2))
+    val starts = new Array[Int](n + 1)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      starts(m) = i
+      m += 1
+      i += Character.charCount(str.codePointAt(i))
+    }
+    starts(m) = n
+    if (m < 2) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - 1)
+    var k = 0
+    while (k < m - 1) {
+      out(k) = UTF8String.fromString(str.substring(starts(k), starts(k + 2)))
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -173,4 +238,7 @@ object TextExpressions {
 
   def bigram_stats(text: Column): Column =
     column(BigramStats(expression(text)))
+
+  def char_bigrams(text: Column): Column =
+    column(CharBigrams(expression(text)))
 }

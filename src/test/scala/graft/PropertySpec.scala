@@ -79,6 +79,29 @@ class PropertySpec extends AnyFunSuite {
     assert(repNative == repHof)
   }
 
+  test("CharBigrams equals the transform+substr HOF twin, incl. astral chars") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // astral chars (surrogate pairs) are where a UTF-16-offset slice
+    // could drift from SQL substr's code-point indexing
+    val texts = samples(genDoc, 150) ++
+      Seq("", "x", "ab", "日本語テキスト", "a😀b😁c")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val t = col("text")
+    val hof = when(length(t) >= 2,
+      transform(sequence(lit(1), length(t) - 1), i => t.substr(i, lit(2))))
+      .otherwise(array().cast("array<string>"))
+    val both = docs.select(col("doc_id"),
+      graft.functions.TextExpressions.char_bigrams(t).as("nat"),
+      hof.as("hof"))
+      .as[(Long, Seq[String], Seq[String])].collect()
+    both.foreach { case (id, nat, h) =>
+      assert(nat == h, s"doc $id: native $nat vs hof $h")
+    }
+  }
+
   // ---- publish-log codec ------------------------------------------------
 
   test("publish log round-trips ARBITRARY keys and payloads") {
