@@ -1,19 +1,56 @@
 package graft
 
-/** Dev tool: dump formatted plans for the scale-critical queries so
-  * pushdown/pruning/broadcast regressions are visible.
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit artifact: dump the formatted (and cost-annotated) plans
+  * of the scale-critical queries to a markdown file the round pipeline
+  * archives, so pushdown/pruning/broadcast regressions are visible as
+  * a DIFF between rounds instead of requiring an interactive
+  * `.explain()` session. Each section leads with a one-line red-flag
+  * summary (cartesian/nested-loop joins, exchange count, whole-stage
+  * codegen spans, pushed-filter presence) — the grep targets of the
+  * per-round plan review.
+  *
+  * Usage: `runMain graft.ExplainAudit [outFile] [queryName...]`
+  * (defaults: `EXPLAIN_AUDIT.md`, the headline set below).
   */
 object ExplainAudit {
+
+  private val Headline = Seq(
+    "q1_agg", "q3_topk_revenue", "q5_nation_revenue", "q8_market_share",
+    "q18_large_orders", "f2_filter_predicate", "sort_topk",
+    "dedup_minhash_lsh", "dedup_components", "sim_topk_bruteforce",
+    "sim_ann_ivf", "embed_covariance", "text_bm25_topk", "text_novelty",
+    "graph_pagerank", "graph_triangles", "events_rfm", "events_funnel",
+    "corpus_tfidf", "ngrams_topk")
+
   def main(args: Array[String]): Unit = {
+    val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")
+    val names = if (args.length > 1) args.drop(1).toSeq
+      else Headline.filter(SparkEntry.queries.contains)
     val spark = GraftSession.local(4)
-    val dir = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
-      else Seq("q1_agg", "q3_topk_revenue", "f2_filter_predicate",
-        "sort_topk", "dedup_minhash_lsh", "sim_topk_bruteforce")
-    names.foreach { n =>
-      println(s"######## $n")
-      SparkEntry.queries(n)(spark, dir).explain("formatted")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val sb = new StringBuilder
+    sb ++= s"# Plan audit (`$dir`)\n\n"
+    sb ++= "| query | nested loops | exchanges | codegen spans | pushed filters |\n"
+    sb ++= "|---|---|---|---|---|\n"
+    val sections = names.map { n =>
+      val qe = SparkEntry.queries(n)(spark, dir).queryExecution
+      val formatted = qe.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      val nested = "CartesianProduct|BroadcastNestedLoopJoin".r
+        .findAllIn(formatted).length
+      val exchanges = "\\bExchange\\b".r.findAllIn(formatted).length
+      val wsg = "WholeStageCodegen".r.findAllIn(formatted).length
+      val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(formatted).length
+      sb ++= s"| $n | $nested | $exchanges | $wsg | $pushed |\n"
+      s"\n## $n\n\n```\n$formatted```\n"
     }
+    sections.foreach(sb ++= _)
+    Files.write(Paths.get(outFile),
+      sb.toString.getBytes(StandardCharsets.UTF_8))
+    println(s"[explain-audit] wrote ${names.length} plans to $outFile")
     spark.stop()
   }
 }

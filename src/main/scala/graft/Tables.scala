@@ -15,19 +15,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects. We read nanos as raw long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
-    * TIMESTAMP_NTZ — the testdata has microsecond precision, so this is
-    * lossless, and NTZ matches DuckDB's naive timestamp semantics.
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * surfaces as a raw nanos long under
+    * `spark.sql.legacy.parquet.nanosAsLong` — or native micros
+    * (TIMESTAMP/TIMESTAMP_NTZ). Normalize BY THE SCHEMA WE GOT, not by
+    * assumption, to a microsecond TIMESTAMP_NTZ either way: lossless
+    * (the data is micro-precision), and NTZ matches DuckDB's naive
+    * timestamp semantics. The session is pinned UTC, so the
+    * TIMESTAMP→NTZ cast is wall-clock-preserving.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.expr(
-          "CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => df.withColumn("ts",
+          expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"))
+        case _: org.apache.spark.sql.types.TimestampNTZType => df
+        case _ => df.withColumn("ts", col("ts").cast("timestamp_ntz"))
+      }
+    } else df
   }
 
   /** Register every table as a temp view so `spark.sql` works too. */

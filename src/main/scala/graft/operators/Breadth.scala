@@ -110,8 +110,8 @@ object Breadth {
   /** Correlation / covariance aggregates. */
   private val aggCorr: Q = (s, d) =>
     T(s, d, "lineitem").agg(
-      round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
-      round(covar_samp(col("l_discount"), col("l_tax")), 6).as("covar_dt"))
+      (round(corr(col("l_quantity"), col("l_extendedprice")), 4) + lit(0.0)).as("corr_qp"),
+      (round(covar_samp(col("l_discount"), col("l_tax")), 6) + lit(0.0)).as("covar_dt"))
 
   /** Approximate quantiles via percentile_approx, bound-checked IN the
     * query: the sketch guarantees rank error ≤ n/accuracy, so the approx
@@ -705,8 +705,8 @@ object Breadth {
         |  round(quantile_cont(o_totalprice, 0.9), 4) AS p90
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "agg_corr" ->
-      """SELECT round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
-        |  round(covar_samp(l_discount, l_tax), 6) AS covar_dt
+      """SELECT round(corr(l_quantity, l_extendedprice), 4) + 0.0 AS corr_qp,
+        |  round(covar_samp(l_discount, l_tax), 6) + 0.0 AS covar_dt
         |FROM lineitem""".stripMargin,
     // the sketch VALUES are engine-specific, but the exact columns and
     // the within-bound verdicts are oracle-reproducible: any sketch

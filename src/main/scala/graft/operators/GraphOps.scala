@@ -366,6 +366,43 @@ object GraphOps {
     visited
   }
 
+  /** [[bfsOn]] run to CONVERGENCE instead of a declared horizon:
+    * frontiers expand until one comes back empty — every reachable
+    * node then holds its minimal distance — with a `maxRounds` guard
+    * for pathological diameters. The registry face keeps the fixed
+    * [[BfsRounds]]-hop unroll (declared, DuckDB-oracle-matched
+    * semantics); this is the production entry when the caller wants
+    * full reachability. Same O(edges touched) frontier + anti-join
+    * per generation; the only addition is the one-scalar emptiness
+    * read per round that gates the loop — the `pagerankConverged` /
+    * `connectedComponentsWithRounds` convergence-driver pattern, so
+    * total driver traffic is one long per generation, never data.
+    */
+  private[graft] def bfsToFixpoint(pairs: DataFrame,
+      maxRounds: Int = 64): DataFrame = {
+    val p = Dedup.materialize(pairs.toDF("a_id", "b_id"))
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val seeds = edges.select(col("src").as("doc_id")).distinct()
+      .filter(col("doc_id") % BfsSeedMod === 0)
+      .select(col("doc_id"), lit(0L).as("dist"))
+    var visited = Dedup.materialize(seeds)
+    var frontier = visited
+    var r = 1
+    while (r <= maxRounds && !frontier.isEmpty) {
+      val next = frontier
+        .join(edges, frontier("doc_id") === edges("src"))
+        .select(col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), lit(r.toLong).as("dist"))
+      frontier = Dedup.materialize(next)
+      if (!frontier.isEmpty)
+        visited = Dedup.materialize(visited.union(frontier))
+      r += 1
+    }
+    visited
+  }
+
   /** COMMUNITY-QUALITY (modularity) report — per connected component
     * of the verified near-dup graph: node count, internal edges,
     * degree sum, and the component's modularity contribution as the

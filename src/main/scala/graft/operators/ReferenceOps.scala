@@ -30,18 +30,24 @@ object ReferenceOps {
 
   /** Filter: predicate scan (F2, AlertService.py:60 `$lt` pushdown).
     *
-    * The filter is applied to the RAW nanosecond column, not the rebuilt
-    * TIMESTAMP_NTZ: a predicate on the derived column cannot reach the
-    * parquet scan, but `ts < const` on the stored int64 pushes down
-    * (`PushedFilters: LessThan(ts, …)`) — the conversion is monotonic so
-    * the two are equivalent.
+    * The filter is applied to the RAW stored column, not a derived
+    * expression: a predicate on a rebuilt column cannot reach the
+    * parquet scan, but `ts < const` on the stored value pushes down
+    * (`PushedFilters: LessThan(ts, …)`). The stored type varies by
+    * testdata generation — int64 nanos (via nanosAsLong) or a native
+    * micros timestamp — so the cutoff literal is typed to match; the
+    * conversion is monotonic, so the predicates are equivalent.
     */
   private val f2: Q = (s, d) => {
-    val cutoffNanos = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
-      .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000000L
-    s.read.parquet(s"$d/events.parquet") // raw: ts is int64 nanos
-      .filter(col("ts") < lit(cutoffNanos))
-      .select(col("event_id"), col("event_type"))
+    val cutoff = java.time.LocalDateTime.parse("2024-01-05T00:00:00")
+    val raw = s.read.parquet(s"$d/events.parquet")
+    val pred = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        col("ts") < lit(cutoff.toEpochSecond(java.time.ZoneOffset.UTC)
+          * 1000000000L)
+      case _ => col("ts") < lit(cutoff)
+    }
+    raw.filter(pred).select(col("event_id"), col("event_type"))
   }
 
   /** Filter: point lookup by key (F3, AlertService.py:38-48 `find_one`). */

@@ -164,7 +164,7 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("n_customers"),
-        round(sum(col("c_acctbal")), 2).as("acctbal"))
+        (round(sum(col("c_acctbal")), 2) + lit(0.0)).as("acctbal"))
 
   /** Set op: EXCEPT (distinct) — nations with customers but no suppliers. */
   private val setopExcept: Q = (s, d) =>
@@ -183,7 +183,7 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .cube(col("n_name"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        (round(avg(col("c_acctbal")), 2) + lit(0.0)).as("avg_bal"))
 
   /** Set op: EXCEPT ALL — bag semantics, multiplicities preserved
     * (customer nation keys minus one occurrence per supplier key).
@@ -197,7 +197,7 @@ object Relational {
     */
   private val unpivotOp: Q = (s, d) =>
     T(s, d, "customer").select(col("c_custkey"),
-      expr("stack(2, 'acctbal', round(c_acctbal, 2), " +
+      expr("stack(2, 'acctbal', round(c_acctbal, 2) + 0.0, " +
         "'nationkey', CAST(c_nationkey AS DOUBLE)) AS (metric, value)"))
 
   /** Fuzzy string matching via edit distance: customer/supplier name
@@ -369,13 +369,13 @@ object Relational {
         |FROM events""".stripMargin,
     "rollup_agg" ->
       """SELECT r_name, n_name, count(*) AS n_customers,
-        |  round(sum(c_acctbal), 2) AS acctbal
+        |  round(sum(c_acctbal), 2) + 0.0 AS acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "cube_agg" ->
       """SELECT n_name, c_mktsegment, count(*) AS n,
-        |  round(avg(c_acctbal), 2) AS avg_bal
+        |  round(avg(c_acctbal), 2) + 0.0 AS avg_bal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
     "setop_except" ->
@@ -384,7 +384,7 @@ object Relational {
       "SELECT c_nationkey AS nationkey FROM customer EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier",
     "unpivot_op" ->
       """SELECT c_custkey, metric, value FROM (
-        |  SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value FROM customer
+        |  SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) + 0.0 AS value FROM customer
         |  UNION ALL
         |  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer)""".stripMargin,
     "string_distance" ->

@@ -45,7 +45,7 @@ object Similarity {
     joined.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("sim"), 4).as("sim"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
   private val Tables = 6 // hash tables (L)
@@ -108,7 +108,7 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("sim"), 4).as("sim"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
   /** Same exact top-k, computed with the typed bounded-top-k Aggregator
@@ -137,7 +137,7 @@ object Similarity {
         }
       }
       .toDF("q_id", "neighbor_id", "rank", "sim")
-      .withColumn("sim", round(col("sim"), 4))
+      .withColumn("sim", round(col("sim"), 4) + lit(0.0))
   }
 
   private val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
@@ -274,7 +274,7 @@ object Similarity {
     candidates.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
-        round(col("sim"), 4).as("sim"))
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
   private val KmIters = 3
@@ -486,11 +486,11 @@ object Similarity {
       .join(broadcast(sums.select(col("i").as("j"), col("sx").as("sx_j"))),
         Seq("j"))
       .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
-        round(
+        (round(
           (col("n").cast("decimal(38,0)") * col("sxy") -
             col("sx") * col("sx_j")).cast("double") /
           (col("n").cast("double") * col("n").cast("double") * lit(1e12)),
-          6).as("cov"))
+          6) + lit(0.0)).as("cov"))
   }
 
   private val PowerIters = 3
@@ -639,12 +639,16 @@ object Similarity {
     * zero-padded / mis-scaled export candidate. Works on n² (never
     * takes the square root) and compares by the CROSS-MULTIPLIED
     * integer inequality `(N·n²ᵢ − S)² > 4·(N·Q − S²)` (S = Σn², Q =
-    * Σ(n²)²) — all EXACT arithmetic on the 1e6-quantized elements, the
+    * Σ(n²)²) — all EXACT arithmetic on the 1e3-quantized elements, the
     * pagerank/covariance discipline, so both engines agree on every
-    * flag with no epsilon. Magnitude envelope: |q| ≤ 1e6 ⟹ n² ≤
-    * 6.4e13 (64 dims); the squared z-score comparison peaks near
-    * N²·(n²)² ≈ 1e37 at N = 50k vectors — inside DECIMAL(38,0) /
-    * HUGEINT.
+    * flag with no epsilon. The gate is a 2σ sanity flag, so the coarser
+    * 1e3 quantization (vs the 1e6 the moment statistics use) loses
+    * nothing it needs — and it buys the 100× corpus: |q| ≤ 1e3 ⟹
+    * n² ≤ 6.4e7 (64 dims), so the comparison peaks near N²·(n²)² ≈
+    * 4e33 at N = 1e9 vectors — comfortably inside DECIMAL(38,0) /
+    * HUGEINT (the previous 1e6 quantization overflowed — nulled the
+    * flag — past N ≈ 160k; OutlierEnvelopeSpec pins a literal N in
+    * that band).
     *
     * Scale shape: one map-side pass folds each vector to its integer
     * n² (no shuffle), one single-row global aggregate, and the stats
@@ -660,7 +664,7 @@ object Similarity {
     val d19 = "decimal(19,0)"
     val q = emb.select(col("vec_id"),
       transform(col("embedding"),
-        x => round(x.cast("double") * lit(1000000d)).cast("long")).as("q"))
+        x => round(x.cast("double") * lit(1000d)).cast("long")).as("q"))
     val n2 = q.select(col("vec_id"),
       aggregate(col("q"), lit(0L), (acc, x) => acc + x * x).as("n2"))
     val stats = n2.agg(
@@ -711,7 +715,7 @@ object Similarity {
       .withColumn("rank", row_number().over(byVec))
       .filter(col("rank") <= KnnK)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
-        col("nbr_id"), round(col("sim"), 4).as("sim"))
+        col("nbr_id"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -730,7 +734,7 @@ object Similarity {
   )
 
   private val topkOracle: String =
-    s"""SELECT q_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+    s"""SELECT q_id, neighbor_id, rank, round(sim, 4) + 0.0 AS sim FROM (
        |  SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
        |    list_cosine_similarity(q.embedding::DOUBLE[], e.embedding::DOUBLE[]) AS sim,
        |    row_number() OVER (PARTITION BY q.vec_id
@@ -794,7 +798,7 @@ object Similarity {
        |    FROM e CROSS JOIN centroids c)
        |  WHERE rn = 1
        |)
-       |SELECT q_id, neighbor_id, rank, round(sim, 4) AS sim FROM (
+       |SELECT q_id, neighbor_id, rank, round(sim, 4) + 0.0 AS sim FROM (
        |  SELECT c.q_id, c.vec_id AS neighbor_id,
        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim,
        |    row_number() OVER (PARTITION BY c.q_id
@@ -930,13 +934,13 @@ object Similarity {
          |  FROM embeddings a JOIN embeddings b
          |    ON a.label = b.label AND a.vec_id <> b.vec_id)
          |WHERE rk <= $KnnK""".stripMargin,
-    // identical 1e6 quantization, HUGEINT (exact) sums, and the same
+    // identical 1e3 quantization, HUGEINT (exact) sums, and the same
     // cross-multiplied integer z-score inequality — no float anywhere
     "embed_outliers" ->
       """WITH x AS (
         |  SELECT vec_id, i,
         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
-        |               * 1000000) AS HUGEINT) AS v
+        |               * 1000) AS HUGEINT) AS v
         |  FROM embeddings,
         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
         |n2 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2
@@ -981,7 +985,7 @@ object Similarity {
         |SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
         |  round(CAST(CAST(n AS HUGEINT) * sxy - mi.sx * mj.sx AS DOUBLE)
         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * 1e12),
-        |        6) AS cov
+        |        6) + 0.0 AS cov
         |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin,
     "sim_topk_bruteforce" -> topkOracle,
     "embed_kmeans_mix" -> kmeansMixOracle,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables.{load => T}
-import graft.streaming.{AlertPipeline, AlertStateTable}
+import graft.streaming.{AlertPipeline, AlertStateTable, AlertUpdate, LiveCountsView}
 
 /** The live pipeline (SURVEY.md §3.1) exercised end-to-end as a real
   * Structured Streaming job and exposed through the batch-query contract:
@@ -32,15 +32,16 @@ object StreamingQueries {
     // appends with bounded compaction, all executor-side
     val run = freshRunDir("graft_inprog_")
     val tableDir = run.resolve("table").toString
-    // ask the reader for raw nanos (LongType, via nanosAsLong) and rebuild
-    // the NTZ timestamp exactly as Tables.load does for batch reads
+    // ask the reader for raw nanos (LongType, staged by stageNanosEvents)
+    // and rebuild the NTZ timestamp exactly as Tables.load does for batch
     val schema = org.apache.spark.sql.types.StructType(
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
         else f))
     // the file streaming source wants a directory; glob-select the table
     val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(stageNanosEvents(s, d, run.resolve("src")))
     val events = AlertPipeline.eventsTableAsAlerts(s,
       raw.withColumn("ts",
         expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
@@ -55,6 +56,55 @@ object StreamingQueries {
     table.snapshot(s)
       .select(col("id").cast("long").as("user_id"),
         col("eventId").cast("long").as("last_event_id"))
+  }
+
+  /** INCREMENTAL VIEW MAINTENANCE end-to-end: the events replay drives
+    * the durable [[graft.streaming.AlertStateTable]] through FOUR
+    * micro-batches (`maxFilesPerTrigger=1` over a 4-file staging of
+    * the table), and after every merge a
+    * [[graft.streaming.LiveCountsView]] refreshes by folding the
+    * table's CHANGE FEED ([[graft.streaming.AlertStateTable
+    * .changesBetween]]) into its stored counts — O(|changes|) per
+    * refresh, never recounting the table. `compactEvery = 3` forces a
+    * compaction MID-replay, so the gate run exercises BOTH feed paths:
+    * the O(|delta|) candidate semi-join and the post-compaction full
+    * diff. The emitted view must hash-match the from-scratch batch
+    * SQL — the IVM correctness statement: fold-of-changes ≡ recompute.
+    */
+  private val streamIvmCounts: Q = (s, d) => {
+    val run = freshRunDir("graft_ivm_")
+    val srcDir = run.resolve("src").toString
+    // stage the replay as 4 nanos-long files so AvailableNow +
+    // maxFilesPerTrigger=1 yields 4 micro-batches → 4 table versions
+    T(s, d, "events")
+      .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val events = AlertPipeline.eventsTableAsAlerts(s,
+      raw.withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
+    val table = new AlertStateTable(run.resolve("table").toString,
+      compactEvery = 3)
+    val view = new LiveCountsView(run.resolve("view").toString)
+    withStreamingParallelism(s) {
+      val q = AlertPipeline.updates(events, ttlSeconds = None)
+        .writeStream.outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[AlertUpdate], _: Long) =>
+            table.merge(batch.sparkSession, batch.toDF())
+            view.refresh(batch.sparkSession, table)
+        }
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    view.read(s).select(col("world_bucket"), col("n_live"))
   }
 
   /** Run a drain-and-stop streaming replay with shuffle parallelism
@@ -103,7 +153,8 @@ object StreamingQueries {
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
         else f))
     val raw = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(stageNanosEvents(s, d, run.resolve("src")))
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     withStreamingParallelism(s) {
       val q = raw
@@ -202,18 +253,48 @@ object StreamingQueries {
     * close (default: three 30-min session gaps; the hourly-window
     * replays pass three hours).
     */
+  /** Stage `events.parquet` under `dest` with `ts` as a raw LONG of
+    * NANOS — the one shape every replay below consumes. Old testdata
+    * stores TIMESTAMP(NANOS), which the nanosAsLong reader already
+    * surfaces as long, so staging is a zero-copy hard link; round-10
+    * testdata stores native micros timestamps, so the staged copy
+    * rebuilds `nanos = micros · 1000` (lossless, UTC-pinned session)
+    * once per run dir. Downstream replay logic — nanos sentinels,
+    * `ts div 1000`, per-event nanos lists — is identical either way,
+    * so the physical-type change in the generator never reaches the
+    * stateful operators.
+    */
+  private def stageNanosEvents(s: SparkSession, d: String,
+      dest: java.nio.file.Path): String = {
+    import java.nio.file.{Files, Paths}
+    Files.createDirectories(dest)
+    val events = Paths.get(d, "events.parquet")
+    val onDisk = s.read.parquet(events.toString).schema("ts").dataType
+    if (onDisk == org.apache.spark.sql.types.LongType) {
+      try Files.createLink(dest.resolve("events.parquet"), events)
+      catch { case _: java.io.IOException =>
+        Files.copy(events, dest.resolve("events.parquet"))
+      }
+    } else {
+      val stage = dest.resolve("_nanos_stage")
+      s.read.parquet(events.toString)
+        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, dest.resolve("events.parquet"))
+    }
+    dest.toString
+  }
+
   private def stageSessionSource(s: SparkSession, d: String,
       schema: org.apache.spark.sql.types.StructType,
       run: java.nio.file.Path,
       sentinelOffsetNanos: Long = 3 * 1800L * 1000 * 1000 * 1000): String = {
     import java.nio.file.{Files, Paths}
     val src = run.resolve("src")
-    Files.createDirectories(src)
-    val events = Paths.get(d, "events.parquet")
-    try Files.createLink(src.resolve("events.parquet"), events)
-    catch { case _: java.io.IOException =>
-      Files.copy(events, src.resolve("events.parquet"))
-    }
+    stageNanosEvents(s, d, src)
     // one-row sentinel: max raw ts (nanos) + the offset; the single
     // driver scalar here is the same justified collect as a drain marker
     val maxTs = s.read.schema(schema)
@@ -692,10 +773,11 @@ object StreamingQueries {
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
         else f))
+    val src = stageNanosEvents(s, d, run.resolve("src"))
     // two independent stream readers over the same replay file — the
     // shape of two genuinely distinct topics sharing an event-time axis
     def feed = s.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .option("pathGlobFilter", "events.parquet").parquet(src)
       // plain UTC TIMESTAMP: watermarks reject TIMESTAMP_NTZ (run is UTC)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     withStreamingParallelism(s) {
@@ -750,10 +832,9 @@ object StreamingQueries {
     val run = freshRunDir("graft_enrich_")
     val out = run.resolve("out").toString
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    val schema = org.apache.spark.sql.types.StructType(
-      T(s, d, "events").schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
+    // this replay never touches ts — read with the table's own on-disk
+    // schema so the stream is physical-type-agnostic, no staging needed
+    val schema = s.read.parquet(s"$d/events.parquet").schema
     val raw = s.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(d)
     val dim = T(s, d, "customer")
@@ -896,6 +977,7 @@ object StreamingQueries {
     "stream_paths" -> streamPaths,
     "stream_state_history" -> streamStateHistory,
     "stream_inprogress" -> streamInProgress,
+    "stream_ivm_counts" -> streamIvmCounts,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
@@ -918,6 +1000,14 @@ object StreamingQueries {
     // journey enumeration
     "stream_paths" -> TimeSeries.oracles("events_paths"),
     "stream_inprogress" -> ReferenceOps.oracles("k23_inprogress_set"),
+    // the incrementally-maintained count view must equal the
+    // from-scratch batch aggregate over the same live-set window
+    "stream_ivm_counts" ->
+      """SELECT user_id % 10 AS world_bucket, count(*) AS n_live FROM (
+        |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type = 'signup'
+        |GROUP BY 1""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n

@@ -280,7 +280,7 @@ object TextAnalysis {
     }
     perDoc.crossJoin(broadcast(stats))
       .select(col("doc_id"),
-        round(termScores.reduce(_ + _), 4).as("bm25"))
+        (round(termScores.reduce(_ + _), 4) + lit(0.0)).as("bm25"))
   }
 
   /** Character-level Shannon entropy per document — the classic
@@ -312,7 +312,7 @@ object TextAnalysis {
       .select(col("doc_id"),
         col("st.n_chars").as("n_chars"),
         col("st.n_unique").as("n_unique"),
-        round(log2(n) - col("st.clog") / n, 6).as("entropy_bits"))
+        (round(log2(n) - col("st.clog") / n, 6) + lit(0.0)).as("entropy_bits"))
   }
 
   /** The pre-expression HOF formulation of [[entropy]] — kept as the
@@ -336,7 +336,7 @@ object TextAnalysis {
       col("doc_id"),
       length(col("text")).cast("long").as("n_chars"),
       size(array_distinct(chars)).cast("long").as("n_unique"),
-      round(log2(n) - folded / n, 6).as("entropy_bits"))
+      (round(log2(n) - folded / n, 6) + lit(0.0)).as("entropy_bits"))
   }
 
   /** Duplicate-bigram repetition profile — the repetition family of
@@ -564,7 +564,7 @@ object TextAnalysis {
        |           FROM tok GROUP BY doc_id),
        |stats AS (SELECT count(*) AS n, sum(dl) AS total, $dfCols
        |          FROM perdoc),
-       |scored AS (SELECT doc_id, round($scoreSum, 4) AS bm25
+       |scored AS (SELECT doc_id, round($scoreSum, 4) + 0.0 AS bm25
        |           FROM perdoc CROSS JOIN stats)""".stripMargin
   }
 
@@ -637,7 +637,7 @@ object TextAnalysis {
         |  CAST(len(counts) AS BIGINT) AS n_unique,
         |  round(log2(n) -
         |    list_sum(list_transform(counts, c -> c * log2(c))) / n,
-        |    6) AS entropy_bits
+        |    6) + 0.0 AS entropy_bits
         |FROM h""".stripMargin,
     "text_bm25_topk" -> bm25Oracle,
     "text_chunking" ->

@@ -114,6 +114,66 @@ class AlertStateTable(path: String, compactEvery: Int = 8,
   def snapshot(spark: SparkSession): DataFrame =
     raw(spark).filter(col("status") === "live")
 
+  /** CHANGE-DATA FEED between two retained versions — the Delta CDF
+    * analog the log+compact layout gives for free, and the input that
+    * makes downstream materialized views INCREMENTALLY maintainable
+    * ([[LiveCountsView]]): one row per net change to the LIVE set,
+    * Delta-CDF-shaped so aggregates fold it directly —
+    * `insert` (post-image), `delete` (pre-image), and an
+    * `update_preimage`/`update_postimage` pair (so a view keyed on any
+    * column handles key-moving updates as −1/+1 without special cases).
+    *
+    * Scale shape: when `from`'s segments all survive into `to` (no
+    * compaction crossed the window) the only ids that CAN have changed
+    * are those appearing in `to`'s new delta segments — the feed reads
+    * O(|delta|) and semi-joins both versions down to the candidates
+    * before the full-outer compare, never diffing two full table scans.
+    * A compaction inside the window rewrites history into one base
+    * segment, so the feed falls back to the full diff — bounded by
+    * `compactEvery` merges per occurrence.
+    */
+  def changesBetween(spark: SparkSession, fromVersion: String,
+      toVersion: String): DataFrame = {
+    val fromSegs = manifestOf(fromVersion)
+    val toSegs = manifestOf(toVersion)
+    val before0 = readSegments(spark, fromSegs)
+    val after0 = readSegments(spark, toSegs)
+    val (before, after) =
+      if (fromSegs.forall(toSegs.contains)) {
+        val newSegs = toSegs.filterNot(fromSegs.contains)
+        if (newSegs.isEmpty) return changeFrame(spark, before0.limit(0),
+          after0.limit(0))
+        val cand = spark.read
+          .parquet(newSegs.map(s => s"$path/$s"): _*)
+          .select(col("id")).distinct()
+        (before0.join(cand, Seq("id"), "left_semi"),
+          after0.join(cand, Seq("id"), "left_semi"))
+      } else (before0, after0)
+    changeFrame(spark, before, after)
+  }
+
+  private def changeFrame(spark: SparkSession, before: DataFrame,
+      after: DataFrame): DataFrame = {
+    val img = (d: DataFrame) => d.filter(col("status") === "live")
+      .select(col("id"), struct(col("eventId"), col("worldId"),
+        col("timestamp")).as("img"))
+    val joined = img(before).withColumnRenamed("img", "b")
+      .join(img(after).withColumnRenamed("img", "a"), Seq("id"), "full_outer")
+    joined.select(col("id"), explode(
+      when(col("b").isNull && col("a").isNotNull,
+        array(struct(lit("insert").as("change"), col("a").as("img"))))
+      .when(col("b").isNotNull && col("a").isNull,
+        array(struct(lit("delete").as("change"), col("b").as("img"))))
+      .when(col("b") =!= col("a"),
+        array(struct(lit("update_preimage").as("change"), col("b").as("img")),
+          struct(lit("update_postimage").as("change"), col("a").as("img"))))
+      .otherwise(array())).as("c"))
+      .select(col("id"), col("c.change").as("change"),
+        col("c.img.eventId").as("eventId"),
+        col("c.img.worldId").as("worldId"),
+        col("c.img.timestamp").as("timestamp"))
+  }
+
   /** Merge one batch of updates into the table: write the batch as a new
     * delta segment (cost scales with the batch), fold into a fresh base
     * only when the segment count reaches `compactEvery`.

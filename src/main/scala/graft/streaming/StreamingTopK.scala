@@ -199,6 +199,6 @@ object StreamingTopK {
         }
       }
       .toDF("q_id", "neighbor_id", "rank", "sim")
-      .withColumn("sim", round(col("sim"), 4))
+      .withColumn("sim", round(col("sim"), 4) + lit(0.0))
   }
 }

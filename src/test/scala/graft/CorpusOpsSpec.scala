@@ -139,8 +139,8 @@ class CorpusOpsSpec extends AnyFunSuite {
     // N*Q - S^2 = 8.82e12; the big vector's (N*n2 - S)^2 = 7.94e13
     // exceeds 4*8.82e12 = 3.53e13 -> flagged; the nine others'
     // (10*10^4 - S)^2 = 9.8e11 stays well under
-    val emb = ((1L to 9L).map(i => (i, Array(0.0001f))) :+
-      (10L, Array(0.001f))).toDF("vec_id", "embedding")
+    val emb = ((1L to 9L).map(i => (i, Array(0.1f))) :+
+      (10L, Array(1.0f))).toDF("vec_id", "embedding")
     val got = graft.operators.Similarity.outliersOn(emb)
       .as[(Long, Long, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3))).toMap

@@ -490,6 +490,41 @@ class DedupSimilaritySpec extends AnyFunSuite {
       4L -> 2L, 5L -> 3L), s"distances: $got")
   }
 
+  test("bfs to fixpoint: converges past the horizon, agrees under it") {
+    import graft.operators.GraphOps
+    // same graph as the horizon test: node 6 sits at hop 4, beyond the
+    // registry's 3-hop unroll but reachable — the fixpoint face must
+    // emit it, stop there (frontier drains at round 5), and agree with
+    // bfsOn on every node inside the horizon
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (0L, 3L), (5L, 6L)).toDF("a_id", "b_id")
+    val full = GraphOps.bfsToFixpoint(g).as[(Long, Long)].collect().toMap
+    assert(full == Map(0L -> 0L, 1L -> 1L, 3L -> 1L, 2L -> 2L,
+      4L -> 2L, 5L -> 3L, 6L -> 4L), s"fixpoint distances: $full")
+    val horizon = GraphOps.bfsOn(g).as[(Long, Long)].collect().toMap
+    assert(horizon.forall { case (k, v) => full(k) == v },
+      s"fixpoint disagrees inside the horizon: $full vs $horizon")
+    // maxRounds guard: capped at 2 rounds it must match the 2-hop set
+    val capped = GraphOps.bfsToFixpoint(g, maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped == horizon.filter(_._2 <= 2L), s"capped: $capped")
+  }
+
+  test("bfs fixpoint on the real near-dup graph: extends the 3-hop face") {
+    import graft.operators.GraphOps
+    val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sf)
+      .select(col("a_id"), col("b_id"))
+    val face = GraphOps.bfsOn(pairs).as[(Long, Long)].collect().toMap
+    val full = GraphOps.bfsToFixpoint(pairs).as[(Long, Long)].collect().toMap
+    assert(face.nonEmpty)
+    // inside the horizon the two faces agree exactly; past it the
+    // fixpoint only ever ADDS nodes, at distances > the horizon
+    assert(face.forall { case (k, v) => full.get(k).contains(v) },
+      "fixpoint disagrees with the registry face inside the horizon")
+    assert((full.keySet -- face.keySet).forall(k => full(k) > 3L),
+      "fixpoint added a node at or under the horizon the face missed")
+  }
+
   test("triangle counts: K4 plus a pendant node, zero on a path") {
     import graft.operators.GraphOps
     val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),

@@ -77,16 +77,18 @@ class WindowedAggsSpec extends AnyFunSuite {
     assert(batch.nonEmpty)
     // streaming: same rows through readStream -> session_window, append
     // mode (a session is emitted once the watermark passes its close)
-    val schema = org.apache.spark.sql.types.StructType(
-      Tables.load(spark, sf, "events").schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    val raw = spark.readStream.schema(schema)
+    // read with the on-disk schema (long nanos in old testdata, native
+    // micros in new) and normalize to a plain UTC TIMESTAMP: watermarks
+    // reject TIMESTAMP_NTZ; the session runs in UTC so the rendered
+    // strings match the batch NTZ side either way
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw0 = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet").parquet(sf)
-      // plain UTC TIMESTAMP: watermarks reject TIMESTAMP_NTZ; the session
-      // runs in UTC so the rendered strings match the batch NTZ side
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      .select(col("user_id"), col("ts"))
+    val raw = (schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw0.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => raw0.withColumn("ts", col("ts").cast("timestamp"))
+    }).select(col("user_id"), col("ts"))
     val name = s"sess_${System.nanoTime()}"
     val q = WindowedAggs.sessionWindows(raw)
       .writeStream.outputMode("append").format("memory").queryName(name)

@@ -6,5 +6,6 @@ sbt -batch compile test
 OUT=$(mktemp -d)
 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 $OUT"
 python3 tools/verify_local.py /root/testdata/sf0.01 "$OUT"
+sbt -batch "runMain graft.ExplainAudit EXPLAIN_AUDIT.md"
 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 SPARK_DRIVER_MEM=32g \
   sbt -batch "runMain graft.Bench" | grep '"metric"' || true

@@ -10,6 +10,7 @@ Usage: verify_local.py <sfDir> <outDir>
 """
 import sys, json, glob, os
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 import pandas as pd
 
@@ -21,7 +22,15 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) is not None else df[c]
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(9)
+            # HASH-FAITHFUL float compare: the driver hashes the raw bytes
+            # of each value, so -0.0 vs +0.0 and last-ulp differences are
+            # driver failures and must fail here too. The old gate used
+            # pandas value-equality after round(9), which treats
+            # -0.0 == 0.0 and masks last-ulp diffs — that blind spot let
+            # embed_covariance ship driver-red for two rounds. Compare the
+            # IEEE-754 bit pattern instead (sorting by the uint view is
+            # consistent across both sides, which is all equality needs).
+            df[c] = df[c].to_numpy(dtype=np.float64).view(np.uint64)
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
         else:
