@@ -437,7 +437,39 @@ object CorpusBuild {
         col("cum_before"))
   }
 
+  /** TEMPERATURE-REBALANCED language mixing (the CCNet / multilingual-LM
+    * α = 0.5 recipe): downsample each language to a kept share ∝
+    * √n_lang, so the dominant language stops drowning the tail without
+    * upsampling anyone — keep-probability √(n_min/n_lang), the smallest
+    * language surviving whole. Membership is decided by the
+    * `sample_hash` md5-prefix hash of the doc id against an EXACT
+    * INTEGER threshold: keep iff `h²·n_lang < 2⁶⁴·n_min` (h < 2³²; the
+    * squared form of `h < 2³²·√(n_min/n_lang)`, monotone for h ≥ 0) —
+    * no RNG state, no float rounding to diverge across engines, and
+    * the magnitudes peak near h²·n_lang ≈ 1.8e19·n — inside
+    * DECIMAL(38,0)/HUGEINT out past 10¹⁸ docs per language.
+    *
+    * Scale shape: the per-language count domain is |langs| rows; the
+    * single-row min crossJoins onto it (governance-allowlisted scalar
+    * pattern) and the result broadcasts onto the corpus — the decision
+    * itself is pure map-side.
+    */
+  private val mixSample: Q = (s, d) => {
+    val docs = T(s, d, "documents").select(col("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val nmin = counts.agg(min(col("n_lang")).as("n_min"))
+    val rates = counts.crossJoin(broadcast(nmin))
+    docs.join(broadcast(rates), Seq("lang"))
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+          1, 8), 16, 10).cast("decimal(38,0)"))
+      .filter(col("h") * col("h") * col("n_lang") <
+        lit("18446744073709551616").cast("decimal(38,0)") * col("n_min"))
+      .select(col("doc_id"), col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_mix_sample" -> mixSample,
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
     "contamination_check" -> contamination,
@@ -605,6 +637,17 @@ object CorpusBuild {
        |FROM c WHERE cum_before < $TokenBudget""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same exact-integer temperature threshold, HUGEINT-exact
+    "corpus_mix_sample" ->
+      """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_lang) AS n_min FROM c),
+        |h AS (SELECT doc_id, lang,
+        |        (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT)::HUGEINT AS h
+        |      FROM documents)
+        |SELECT doc_id, lang
+        |FROM h JOIN c USING (lang) CROSS JOIN m
+        |WHERE h * h * n_lang < 18446744073709551616::HUGEINT * n_min"""
+        .stripMargin,
     "corpus_build" -> corpusOracle,
     "corpus_ngrams" -> ngramsOracle,
     "contamination_check" -> contaminationOracle,

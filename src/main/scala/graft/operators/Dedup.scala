@@ -862,9 +862,40 @@ object Dedup {
       case _ => ()
     }
 
+  /** LEAKAGE-SAFE train/val/test split — the assignment every training
+    * pipeline needs BEFORE it can trust an eval number: a near-duplicate
+    * of a training document in the eval set inflates the score, so the
+    * split key is the near-dup CLUSTER (the shared component-label
+    * artifact), not the document — every member of a verified cluster
+    * lands in the same split by construction. Singletons (docs in no
+    * verified pair) key by their own id. The bucket is the
+    * `sample_hash` cross-engine discipline: first 8 hex chars of
+    * md5(key) as an integer, mod 20 → 5% val, 5% test, 90% train —
+    * deterministic on any cluster, reproducible forever, no RNG state.
+    *
+    * Scale shape: one equi-join of the corpus ids against the (≤ corpus)
+    * label artifact — co-partitionable on doc_id — then pure map-side
+    * hashing; nothing global, nothing driver-side.
+    */
+  private val splitAssign: Q = (s, d) => {
+    val docs = T(s, d, "documents").select(col("doc_id"))
+    val keyed = docs.join(componentLabels(s, d), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("split_group"))
+    keyed
+      .withColumn("bucket",
+        conv(substring(md5(col("split_group").cast("string")
+          .cast("binary")), 1, 8), 16, 10).cast("long") % 20)
+      .select(col("doc_id"), col("split_group"),
+        when(col("bucket") === 0, "val")
+          .when(col("bucket") === 1, "test")
+          .otherwise("train").as("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_components" -> components,
+    "dedup_split_assign" -> splitAssign,
     "dedup_keep_best" -> keepBest,
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -1018,9 +1049,23 @@ object Dedup {
        |  AND j.n_words = m.best_words
        |GROUP BY m.component, m.best_words, m.n_members""".stripMargin
 
+  /** The same cluster-keyed assignment: components CTE + the
+    * `sample_hash` md5-prefix bucket, singletons keyed by doc_id.
+    */
+  private val splitAssignOracle: String =
+    s"""WITH RECURSIVE $componentsCte,
+       |grp AS (SELECT d.doc_id, coalesce(c.component, d.doc_id) AS split_group
+       |        FROM documents d LEFT JOIN comp c USING (doc_id))
+       |SELECT doc_id, split_group,
+       |  CASE (('0x' || substr(md5(split_group::VARCHAR), 1, 8))::BIGINT % 20)
+       |    WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train'
+       |  END AS split
+       |FROM grp""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dedup_minhash_verified" -> minhashVerifiedOracle,
     "dedup_components" -> componentsOracle,
+    "dedup_split_assign" -> splitAssignOracle,
     "dedup_keep_best" -> keepBestOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -599,7 +599,37 @@ object TimeSeries {
           .as("twap_c"))
   }
 
+  /** LAST-TOUCH REVENUE ATTRIBUTION — the marketing-analytics closer of
+    * the funnel/paths family: every `purchase` credits its user's most
+    * recent PRECEDING touch event (`view`/`click`) — strictly before
+    * the purchase in the `(ts, event_id)` total order — and the report
+    * rolls credited purchases and exact-cents revenue up by touch type;
+    * first-session purchases with no prior touch land in the `direct`
+    * bucket. The carry is `last(touch, ignoreNulls)` over an
+    * unbounded-preceding-to--1 frame — one pass, no self-join of
+    * purchases back onto touches.
+    *
+    * Scale shape: ONE shuffle on user_id for the carry window (frames
+    * are running, never re-scanned), then the credited rows collapse
+    * map-side onto the |touch-types| domain. Revenue accumulates as
+    * integer cents, so summation order can never shift a hash.
+    */
+  private val attribution: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    T(s, d, "events")
+      .withColumn("touch",
+        last(when(col("event_type").isin("view", "click"),
+          col("event_type")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("direct")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_attribution" -> attribution,
     "events_markov" -> markov,
     "events_timeweighted" -> timeWeighted,
     "events_rfm" -> rfm,
@@ -619,6 +649,23 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same carry window; DuckDB's IGNORE NULLS last_value over the
+    // strictly-preceding frame
+    "events_attribution" ->
+      """WITH c AS (
+        |  SELECT event_type, value,
+        |    last_value(CASE WHEN event_type IN ('view', 'click')
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT coalesce(touch, 'direct') AS touch_type,
+        |  count(*) AS n_purchases,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM c WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
     "events_markov" ->
       """WITH o AS (
         |  SELECT event_type AS from_type,

@@ -510,6 +510,25 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped == horizon.filter(_._2 <= 2L), s"capped: $capped")
   }
 
+  test("split_assign: cluster members never straddle splits, all docs covered") {
+    val sp = Dedup.queries("dedup_split_assign")(spark, sf)
+    val nDocs = Tables.load(spark, sf, "documents").count()
+    assert(sp.count() == nDocs, "every document gets exactly one split row")
+    // the leakage guarantee: one split per group — including the planted
+    // near-dup clusters, whose members must all land together
+    val straddlers = sp.groupBy(col("split_group"))
+      .agg(countDistinct(col("split")).as("k")).filter(col("k") > 1)
+    assert(straddlers.isEmpty, "a near-dup cluster straddles splits")
+    val dupPair = Dedup.queries("dedup_minhash_verified")(spark, sf)
+      .select("a_id", "b_id").as[(Long, Long)].collect()
+    assert(dupPair.nonEmpty)
+    val splitOf = sp.select("doc_id", "split").as[(Long, String)]
+      .collect().toMap
+    dupPair.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"near-dups $a/$b split apart")
+    }
+  }
+
   test("bfs fixpoint on the real near-dup graph: extends the 3-hop face") {
     import graft.operators.GraphOps
     val pairs = Dedup.queries("dedup_minhash_lsh")(spark, sf)

@@ -30,6 +30,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "text_bm25_topk" -> ("crossJoin against the broadcast SINGLE-ROW corpus" +
       " stats (N, total tokens, per-term df) - how scalar statistics" +
       " reach every row; bounded at one build row forever"),
+    "corpus_mix_sample" -> ("the single-row n_min crossJoin onto the" +
+      " |langs|-row count domain - the scalar-stats pattern; the corpus" +
+      " itself joins by lang equi-key"),
     "hybrid_rrf" -> ("the BM25 leg's single-row stats crossJoin plus the" +
       " vector leg's broadcast ONE-ROW query embedding - both bounded" +
       " at one build row forever"),
