@@ -451,7 +451,53 @@ object GraphOps {
           .as("q_contrib_4m2"))
   }
 
+  private val LpaRounds = 3
+
+  /** SYNCHRONOUS LABEL PROPAGATION — the classic near-linear community
+    * detector, [[LpaRounds]] declared rounds (the same declared-horizon
+    * contract as `graph_bfs_dist`; the convergence loop is the
+    * [[bfsToFixpoint]] machinery if a caller wants fixpoint): labels
+    * init to each node's own id, and every round each node adopts the
+    * label carried by the PLURALITY of its neighbors, ties to the
+    * smallest label — a total order, so the sync update is
+    * deterministic on any engine and any partitioning (async LPA's
+    * update-order sensitivity is exactly what this formulation buys
+    * out of). Communities differ from connected components on bridged
+    * topologies — this is the finer-grained signal.
+    *
+    * Scale shape: per round, one equi-join of the edge list against
+    * the label table (both partitionable on the join key), a map-side-
+    * combinable (node, label) count, and the per-node argmax window
+    * over that collapsed domain — O(edges) per round, materialized per
+    * generation like the components/pagerank loops.
+    */
+  private val labelProp: Q = (s, d) =>
+    labelPropOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
+
+  private[graft] def labelPropOn(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = Dedup.materialize(pairs.toDF("a_id", "b_id"))
+    val edges = p.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(p.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+    for (_ <- 1 to LpaRounds) {
+      val counts = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"), col("label"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("n").desc, col("label"))
+      labels = Dedup.materialize(counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("label")))
+    }
+    labels
+  }
+
   val queries: Map[String, Q] = Map(
+    "graph_label_prop" -> labelProp,
     "graph_modularity" -> modularity,
     "graph_bfs_dist" -> bfs,
     "graph_pagerank" -> pagerank,
@@ -624,7 +670,32 @@ object GraphOps {
        |JOIN nn USING (component)
        |LEFT JOIN ei USING (component), m""".stripMargin
 
+  /** The same [[LpaRounds]] synchronous rounds unrolled: per round, a
+    * grouped (node, label) count with the argmax taken by a
+    * `row_number` over `(n DESC, label)` — the identical total order.
+    */
+  private val labelPropOracle: String = {
+    val rounds = (1 to LpaRounds).map { i =>
+      s"""r$i AS (
+         |  SELECT doc_id, label FROM (
+         |    SELECT e.dst AS doc_id, l.label, count(*) AS n,
+         |      row_number() OVER (PARTITION BY e.dst
+         |        ORDER BY count(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN r${i - 1} l ON l.doc_id = e.src
+         |    GROUP BY e.dst, l.label)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT a_id, b_id FROM (${Dedup.minhashOracle})),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT b_id AS src, a_id AS dst FROM pairs),
+       |r0 AS (SELECT DISTINCT src AS doc_id, src AS label FROM edges),
+       |$rounds
+       |SELECT doc_id, label FROM r$LpaRounds""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_label_prop" -> labelPropOracle,
     "graph_modularity" -> modularityOracle,
     "graph_bfs_dist" -> bfsOracle,
     "graph_pagerank" -> pagerankOracle,

@@ -225,6 +225,60 @@ object TextAnalysis {
         (col("n_chunks") - col("n_kept")).as("n_dropped"))
   }
 
+  private val CdcWindow = 8 // rolling-window width (chars)
+  private val CdcMask = 32L // boundary when window-hash % mask == 0
+
+  /** CONTENT-DEFINED chunking (the rsync/LBFS/CDC idea): a chunk
+    * boundary falls wherever the hash of the trailing [[CdcWindow]]
+    * chars hits `≡ 0 (mod CdcMask)` — so boundaries are a function of
+    * LOCAL CONTENT, not position. Insert a sentence into a document and
+    * only the chunks touching the edit change; every fixed-window
+    * scheme ([[chunkFrame]]) shifts every later chunk and loses all
+    * downstream matches. That shift-robustness is why dedup over
+    * near-identical scraped/revisioned pages chunks this way. The
+    * rolling hash here is the md5-prefix of the window — O(window) per
+    * position rather than a gear-hash's O(1), chosen because it is
+    * bit-reproducible in ANY engine (same discipline as
+    * `sample_hash`); swap in a native gear-hash Expression if the
+    * constant ever matters (same boundaries contract, spec'd the same
+    * way).
+    *
+    * Scale shape: pure map-side per document (position lambda → filter
+    * → slice); the only shuffle is the downstream accounting's
+    * fingerprint window, identical to `dedup_chunks`.
+    */
+  private def cdcChunkFrame(s: SparkSession, d: String): DataFrame =
+    cdcChunksOn(T(s, d, "documents"))
+
+  /** The chunker body on an arbitrary `(doc_id, text)` frame — split
+    * out so the shift-robustness contract is testable on literal edits.
+    */
+  private[graft] def cdcChunksOn(docs: DataFrame): DataFrame = {
+    val len = length(col("text"))
+    val hashAt = (i: Column) =>
+      conv(substring(md5(col("text").substr(i - lit(CdcWindow - 1),
+        lit(CdcWindow)).cast("binary")), 1, 8), 16, 10)
+        .cast("long") % CdcMask === 0
+    val bs = concat(
+      array(lit(0)),
+      when(len >= CdcWindow,
+        filter(sequence(lit(CdcWindow), len), hashAt))
+        .otherwise(expr("CAST(array() AS ARRAY<INT>)")),
+      array(len))
+    val chunks = filter(
+      transform(sequence(lit(0), size(col("bs")) - 2),
+        k => col("text").substr(element_at(col("bs"), k + 1) + 1,
+          element_at(col("bs"), k + 2) - element_at(col("bs"), k + 1))),
+      c => length(c) > 0)
+    docs
+      .select(col("doc_id"), col("text"), bs.as("bs"))
+      .select(col("doc_id"), posexplode(chunks))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk_text"))
+  }
+
+  private val cdcChunkDedup: Q = (s, d) => chunkDedupOn(cdcChunkFrame(s, d))
+
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25TopK = 20
 
@@ -495,6 +549,7 @@ object TextAnalysis {
   val queries: Map[String, Q] = Map(
     "text_bigram_lm" -> bigramLm,
     "dedup_chunks" -> chunkDedup,
+    "dedup_cdc_chunks" -> cdcChunkDedup,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_langid_confusion" -> langidConfusion,
@@ -646,6 +701,40 @@ object TextAnalysis {
         s"SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, " +
         s"array_to_string(ws[i * $ChunkStep + 1 : i * $ChunkStep + $ChunkSize], ' ') AS chunk_text " +
         s"FROM w, unnest(generate_series(0, CAST(floor((len(ws) - 1) / $ChunkStep) AS INT))) t(i)"),
+    // content-defined boundaries: position i (1-based, i >= window)
+    // ends a chunk when the md5-prefix hash of the trailing 8-char
+    // window is divisible by the mask; spans between boundaries (plus
+    // the 0/len sentinels) are the chunks, then the identical
+    // first-occurrence accounting as dedup_chunks
+    "dedup_cdc_chunks" ->
+      s"""WITH bnd AS (
+         |  SELECT doc_id, i FROM documents,
+         |    unnest(generate_series($CdcWindow, length(text))) t(i)
+         |  WHERE ('0x' || substr(md5(substr(text, i - ${CdcWindow - 1},
+         |          $CdcWindow)), 1, 8))::BIGINT % $CdcMask = 0),
+         |b AS (SELECT doc_id, 0 AS p FROM documents
+         |      UNION SELECT doc_id, length(text) FROM documents
+         |      UNION SELECT doc_id, i FROM bnd),
+         |spans AS (SELECT doc_id, p AS st,
+         |            lead(p) OVER (PARTITION BY doc_id ORDER BY p) AS en
+         |          FROM b),
+         |c AS (SELECT s.doc_id,
+         |        row_number() OVER (PARTITION BY s.doc_id
+         |          ORDER BY s.st) - 1 AS chunk_idx,
+         |        substr(d.text, s.st + 1, s.en - s.st) AS chunk_text
+         |      FROM spans s JOIN documents d USING (doc_id)
+         |      WHERE s.en IS NOT NULL AND s.en > s.st),
+         |r AS (
+         |  SELECT doc_id, row_number() OVER (
+         |      PARTITION BY md5(chunk_text)
+         |      ORDER BY doc_id, chunk_idx) AS rk
+         |  FROM c)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_kept,
+         |  count(*) - CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dropped
+         |FROM r GROUP BY doc_id""".stripMargin,
     "dedup_chunks" ->
       s"""WITH w AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

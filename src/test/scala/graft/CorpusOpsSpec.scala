@@ -120,6 +120,28 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"pairs: $got")
   }
 
+  test("cdc chunks: boundaries are content-defined, so an insertion only " +
+      "perturbs the chunks touching the edit") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 1200).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = "INSERTED PREAMBLE " + base
+    val chunks = graft.operators.TextAnalysis.cdcChunksOn(
+      Seq((1L, base), (2L, edited)).toDF("doc_id", "text"))
+      .select("doc_id", "chunk_text").as[(Long, String)].collect()
+    val a = chunks.filter(_._1 == 1L).map(_._2)
+    val b = chunks.filter(_._1 == 2L).map(_._2).toSet
+    assert(a.length >= 10, s"expected many chunks, got ${a.length}")
+    // every chunk of the original after the first content-defined
+    // boundary reappears verbatim in the edited doc — the alignment a
+    // fixed-window chunker loses for ALL chunks after an insertion
+    val surviving = a.count(b.contains)
+    assert(surviving >= a.length - 2,
+      s"only $surviving/${a.length} chunks survived the insertion")
+    // chunks reassemble the document exactly (no loss, no overlap)
+    assert(a.mkString == base, "chunks must partition the text")
+  }
+
   test("dedup_chunks: first occurrence keeps, corpus-wide, by (doc, idx)") {
     import spark.implicits._
     // "x" repeats WITHIN doc 1 (idx 0 keeps, idx 2 drops); "y" repeats

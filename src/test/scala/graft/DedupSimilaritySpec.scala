@@ -544,6 +544,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
       "fixpoint added a node at or under the horizon the face missed")
   }
 
+  test("label propagation: two bridged triangles split into two communities") {
+    import graft.operators.GraphOps
+    // one connected component (bridge 3-4), but plurality voting keeps
+    // the triangles as distinct communities — hand-simulated 3 sync
+    // rounds with (count desc, label asc) tie-break:
+    // r1: 1→2 2→1 3→1 4→3 5→4 6→4; r2: 1→1 2→1 3→1 4→4 5→3 6→3;
+    // r3: 1→1 2→1 3→1 4→3 5→3 6→3
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L)).toDF("a_id", "b_id")
+    val got = GraphOps.labelPropOn(g).as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 3L, 5L -> 3L, 6L -> 3L), s"labels: $got")
+    // a lone triangle converges to its minimum id
+    val k3 = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("a_id", "b_id")
+    val one = GraphOps.labelPropOn(k3).as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"K3: $one")
+  }
+
   test("triangle counts: K4 plus a pendant node, zero on a path") {
     import graft.operators.GraphOps
     val k4p = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
