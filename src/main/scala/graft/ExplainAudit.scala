@@ -33,16 +33,29 @@ object ExplainAudit {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val sb = new StringBuilder
     sb ++= s"# Plan audit (`$dir`)\n\n"
+    sb ++= "Nested loops > 0 is a scale flag unless the query is on the\n"
+    sb ++= "PlanGovernanceSpec allowlist (bounded broadcast build sides).\n"
+    sb ++= "Codegen spans count distinct `codegen id`s; Spark's formatted\n"
+    sb ++= "explain omits the annotation on AQE-replanned stages, so 0 on\n"
+    sb ++= "a multi-exchange plan means *not annotated*, not *interpreted*.\n\n"
     sb ++= "| query | nested loops | exchanges | codegen spans | pushed filters |\n"
     sb ++= "|---|---|---|---|---|\n"
     val sections = names.map { n =>
-      val qe = SparkEntry.queries(n)(spark, dir).queryExecution
+      val df = SparkEntry.queries(n)(spark, dir)
+      // run the query first (noop sink): with AQE the pre-execution plan
+      // is a placeholder — codegen spans, final join strategies and
+      // coalesced exchanges only appear in the isFinalPlan=true tree
+      df.write.format("noop").mode("overwrite").save()
+      val qe = df.queryExecution
       val formatted = qe.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       val nested = "CartesianProduct|BroadcastNestedLoopJoin".r
         .findAllIn(formatted).length
       val exchanges = "\\bExchange\\b".r.findAllIn(formatted).length
-      val wsg = "WholeStageCodegen".r.findAllIn(formatted).length
+      // formatted mode tags codegen membership per operator as
+      // "[codegen id : N]" — count DISTINCT ids (the spans)
+      val wsg = "codegen id : (\\d+)".r.findAllMatchIn(formatted)
+        .map(_.group(1)).toSet.size
       val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(formatted).length
       sb ++= s"| $n | $nested | $exchanges | $wsg | $pushed |\n"
       s"\n## $n\n\n```\n$formatted```\n"

@@ -277,6 +277,72 @@ object Similarity {
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  private val PqSubspaces = 8 // 64 dims = 8 subspaces × 8 dims
+  private val PqSubDim = 8
+  private val PqK = 4 // centroids per subspace codebook
+  private val PqSeedStep = 125 // stride seeds: vec_id ∈ {0, 125, 250, 375}
+
+  /** PRODUCT-QUANTIZATION ANN — the other half of the FAISS-standard
+    * IVF+PQ pairing (`sim_ann_ivf` prunes WHICH vectors to score; PQ
+    * compresses HOW each candidate is scored): every vector encodes as
+    * [[PqSubspaces]] codebook ids (here 8 × 2 bits — a 64-dim float
+    * vector in 2 bytes), and a query scores candidates via its
+    * per-subspace distance TABLE — [[PqSubspaces]] integer lookups per
+    * candidate instead of a 64-dim dot product, the asymmetric-distance
+    * (ADC) trick. Codebooks are the deterministic stride-seed rule
+    * (every [[PqSeedStep]]th vector, the IVF seeding discipline — a
+    * Lloyd refinement would reuse [[lloydStep]] per subspace without
+    * changing any join shape). EVERYTHING is exact integers on the
+    * 1e3-quantized elements — subspace distances peak at 8·(2e3)² ≈
+    * 3.2e7, ADC sums < 3e8 — so encode, tables, and ranking are
+    * bit-identical on any engine, and the DuckDB oracle hash-checks
+    * the whole structure (LSH is the only ANN face left rows-only).
+    *
+    * Scale shape: encoding is one broadcast (32-row codebook) join +
+    * per-(vector, subspace) argmin on map-side-combinable groups; the
+    * query tables broadcast (queries × 32 rows); ADC is a broadcast
+    * equi-join on (m, k) collapsing to (query, candidate) sums. At
+    * corpus scale the codes table IS the index — 2 bytes a vector —
+    * and the candidate set comes from the IVF lists, identical joins.
+    */
+  private val annPq: Q = (s, d) =>
+    annPqOn(T(s, d, "embeddings"), PqSeedStep)
+
+  private[graft] def annPqOn(emb: DataFrame, seedStep: Int): DataFrame = {
+    val el = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+      .select(col("vec_id"),
+        expr(s"i div $PqSubDim").cast("long").as("m"),
+        expr(s"i % $PqSubDim").cast("long").as("j"),
+        round(col("e").cast("double") * lit(1000d)).cast("long").as("x"))
+    val cb = el.filter(col("vec_id") % seedStep === 0 &&
+        col("vec_id") < PqK.toLong * seedStep)
+      .select((col("vec_id") / seedStep).cast("long").as("k"),
+        col("m"), col("j"), col("x").as("cx"))
+    // per (vector, subspace, centroid): exact integer subspace distance
+    val sub2 = el.join(broadcast(cb), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("k"))
+    val codes = sub2.withColumn("rn", row_number().over(wEnc))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k"))
+    // the queries' ADC distance tables are the same sub2 rows
+    val dt = sub2.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("m"), col("k"), col("d2"))
+    val adc = codes.join(broadcast(dt), Seq("m", "k"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("adc_dist"))
+  }
+
   private val KmIters = 3
 
   /** One Lloyd step: assign every vector to its nearest centroid, then
@@ -728,6 +794,7 @@ object Similarity {
     "sim_topk_agg" -> bruteforceAgg,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
+    "sim_ann_pq" -> annPq,
     "embed_quantize" -> quantize,
     "embed_kmeans_mix" -> kmeansMix,
     "dedup_semantic" -> semanticDedup,
@@ -996,6 +1063,47 @@ object Similarity {
     // the IVF construction is plain relational algebra, so unlike
     // sim_ann_lsh it graduates to a full hash-checked row
     "sim_ann_ivf" -> ivfOracle,
+    // the full PQ structure — codebooks, codes, ADC tables, ranking —
+    // in exact integers, so the whole index hash-checks
+    "sim_ann_pq" ->
+      s"""WITH el AS (
+         |  SELECT vec_id,
+         |    CAST(i // $PqSubDim AS BIGINT) AS m,
+         |    CAST(i % $PqSubDim AS BIGINT) AS j,
+         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |               * 1000) AS BIGINT) AS x
+         |  FROM embeddings,
+         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+         |cb AS (
+         |  SELECT CAST(vec_id // $PqSeedStep AS BIGINT) AS k, m, j,
+         |    x AS cx
+         |  FROM el
+         |  WHERE vec_id % $PqSeedStep = 0
+         |    AND vec_id < ${PqK.toLong * PqSeedStep}),
+         |sub2 AS (
+         |  SELECT el.vec_id, el.m, cb.k,
+         |    sum((el.x - cb.cx) * (el.x - cb.cx)) AS d2
+         |  FROM el JOIN cb ON cb.m = el.m AND cb.j = el.j
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m
+         |        ORDER BY d2, k) AS rn
+         |    FROM sub2) WHERE rn = 1),
+         |dt AS (SELECT vec_id AS q_id, m, k, d2 FROM sub2
+         |       WHERE vec_id < $NQueries),
+         |adc AS (
+         |  SELECT dt.q_id, c.vec_id AS neighbor_id,
+         |    CAST(sum(dt.d2) AS BIGINT) AS adc_dist
+         |  FROM codes c JOIN dt ON dt.m = c.m AND dt.k = c.k
+         |  WHERE c.vec_id <> dt.q_id
+         |  GROUP BY 1, 2)
+         |SELECT q_id, neighbor_id, rank, adc_dist FROM (
+         |  SELECT q_id, neighbor_id, adc_dist,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+         |  FROM adc) WHERE rank <= $K""".stripMargin,
     // sim_ann_lsh: intentionally no oracle — hyperplane hashing is not
     // reproducible in DuckDB; correctness = recall test in SimilaritySpec.
     "embed_quantize" ->

@@ -628,7 +628,38 @@ object TimeSeries {
         sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
   }
 
+  /** COHORT LIFETIME VALUE — the revenue companion of
+    * `retention_cohorts`: purchases bucket into (signup-week cohort,
+    * weeks-since-signup) cells with exact-cents revenue, and the
+    * running sum per cohort is the LTV curve every growth dashboard
+    * plots. Weeks with no purchases are absent by declaration (the
+    * cumulative walks the observed weeks), matching the oracle.
+    *
+    * Scale shape: events collapse to per-user first-ts once (the
+    * retention cohort table, broadcast-sized at user cardinality ≪
+    * events); purchases shuffle once onto the user key for the cohort
+    * tag; the cumulative window runs over the cohort × weeks domain —
+    * tiny forever. Integer cents end to end.
+    */
+  private val cohortLtv: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val cohorts = ev.groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"))
+      .select(col("user_id"), weekDay(col("first_ts")).as("cohort_day"))
+    val weekly = ev.filter(col("event_type") === "purchase")
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"),
+        ((weekDay(col("ts")) - col("cohort_day")) / 7).cast("long")
+          .as("weeks_since"))
+      .agg(sum(round(col("value") * 100).cast("long")).as("revenue_cents"))
+    val w = Window.partitionBy(col("cohort_day")).orderBy(col("weeks_since"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    weekly.withColumn("cum_revenue_cents",
+      sum(col("revenue_cents")).over(w))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_cohort_ltv" -> cohortLtv,
     "events_attribution" -> attribution,
     "events_markov" -> markov,
     "events_timeweighted" -> timeWeighted,
@@ -649,6 +680,30 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the retention cohort CTEs + exact-cents weekly revenue and a
+    // running sum over the observed weeks
+    "events_cohort_ltv" ->
+      """WITH wk AS (
+        |  SELECT user_id, event_type, value,
+        |    date_diff('day', DATE '1970-01-01',
+        |              CAST(date_trunc('week', ts) AS DATE)) AS week_day
+        |  FROM events),
+        |cohorts AS (
+        |  SELECT user_id, min(week_day) AS cohort_day FROM wk GROUP BY 1),
+        |weekly AS (
+        |  SELECT c.cohort_day,
+        |    CAST((w.week_day - c.cohort_day) // 7 AS BIGINT) AS weeks_since,
+        |    CAST(sum(CAST(round(w.value * 100) AS BIGINT)) AS BIGINT)
+        |      AS revenue_cents
+        |  FROM wk w JOIN cohorts c USING (user_id)
+        |  WHERE w.event_type = 'purchase'
+        |  GROUP BY 1, 2)
+        |SELECT cohort_day, weeks_since, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_day
+        |    ORDER BY weeks_since
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_revenue_cents
+        |FROM weekly""".stripMargin,
     // the same carry window; DuckDB's IGNORE NULLS last_value over the
     // strictly-preceding frame
     "events_attribution" ->

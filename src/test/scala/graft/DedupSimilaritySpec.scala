@@ -510,6 +510,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped == horizon.filter(_._2 <= 2L), s"capped: $capped")
   }
 
+  test("pq ann: cluster-mates rank before the far cluster, self excluded") {
+    import graft.operators.Similarity
+    // 8 vectors in two well-separated 64-dim clusters (around +1 and
+    // -1) with per-vector jitter; seedStep=2 puts codebook seeds
+    // {0,2,4,6} across both clusters. Query 0's ADC ranking must place
+    // all of cluster A (ids 1-3) before any of cluster B (ids 4-7).
+    val vecs = (0L to 7L).map { id =>
+      val base = if (id < 4) 1.0f else -1.0f
+      (id, Array.tabulate(64)(i => base + 0.001f * ((id * 7 + i) % 5)))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.annPqOn(emb, seedStep = 2)
+      .orderBy(col("q_id"), col("rank"))
+      .as[(Long, Long, Long, Long)].collect()
+    val q0 = got.filter(_._1 == 0L).map(_._2)
+    assert(q0.length == 5, s"expected top-5, got ${q0.toSeq}")
+    assert(!q0.contains(0L), "self must be excluded")
+    assert(q0.take(3).forall(_ < 4L),
+      s"cluster A must rank first for an A query: ${q0.toSeq}")
+  }
+
   test("split_assign: cluster members never straddle splits, all docs covered") {
     val sp = Dedup.queries("dedup_split_assign")(spark, sf)
     val nDocs = Tables.load(spark, sf, "documents").count()
