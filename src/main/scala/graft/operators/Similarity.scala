@@ -277,6 +277,28 @@ object Similarity {
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  /** ANN QUALITY REPORT — recall@[[K]] of the IVF index against the
+    * exact brute-force ranking, per query: the measure-don't-guess
+    * number an index rollout gates on (probe counts and list sizes are
+    * tuned against exactly this curve). Both sides are the registry's
+    * own deterministic rankings, so the report is itself
+    * hash-checkable — a recall regression in either index flips an
+    * integer and fails the gate, turning index quality into a
+    * correctness invariant rather than a dashboard.
+    *
+    * Scale shape: two top-k frames of NQueries·K rows joined on the
+    * pair key — negligible next to the indexes it audits.
+    */
+  private val annRecall: Q = (s, d) => {
+    val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+    val iv = annIvf(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(iv, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+  }
+
   private val PqSubspaces = 8 // 64 dims = 8 subspaces × 8 dims
   private val PqSubDim = 8
   private val PqK = 4 // centroids per subspace codebook
@@ -308,7 +330,11 @@ object Similarity {
   private val annPq: Q = (s, d) =>
     annPqOn(T(s, d, "embeddings"), PqSeedStep)
 
-  private[graft] def annPqOn(emb: DataFrame, seedStep: Int): DataFrame = {
+  /** The PQ model pieces: per-vector codes `(vec_id, m, k)` and the
+    * queries' ADC distance tables `(q_id, m, k, d2)`.
+    */
+  private def pqModel(emb: DataFrame, seedStep: Int)
+      : (DataFrame, DataFrame) = {
     val el = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
       .select(col("vec_id"),
@@ -328,9 +354,50 @@ object Similarity {
     val codes = sub2.withColumn("rn", row_number().over(wEnc))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("k"))
-    // the queries' ADC distance tables are the same sub2 rows
     val dt = sub2.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("k"), col("d2"))
+    (codes, dt)
+  }
+
+  /** IVF + PQ — the composition FAISS ships as its workhorse: the IVF
+    * inverted lists prune WHICH candidates a query touches (probed
+    * cells only, never the corpus), and PQ's ADC tables price each
+    * survivor in [[PqSubspaces]] integer lookups instead of a full
+    * 64-dim dot product. Both halves are this registry's own
+    * hash-checked structures (`sim_ann_ivf` candidates, `sim_ann_pq`
+    * codes/tables), composed by two equi-joins — so the full
+    * production ANN shape is itself oracle-hash-checked end to end.
+    *
+    * Scale shape: candidates = lists ⋈ broadcast probes (cell-bounded
+    * fan-out, the IVF contract); each candidate picks up its 8 code
+    * rows by vec_id equi-join and its 8 table cells by broadcast
+    * (q, m, k) equi-join; the sum collapses map-side. Nothing touches
+    * vectors after the model builds.
+    */
+  private val annIvfPq: Q = (s, d) => {
+    val (e, _, probes, _) = ivfModel(s, d)
+    val lists = ivfArtifacts(s, d, e)._2
+    val cand = lists.join(broadcast(probes.select(col("q_id"), col("cid"))),
+        Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+    val (codes, dt) = pqModel(T(s, d, "embeddings"), PqSeedStep)
+    val adc = cand.join(codes, Seq("vec_id"))
+      .join(broadcast(dt), Seq("q_id", "m", "k"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("d2")).as("adc_dist"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc_dist"), col("vec_id"))
+    adc.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("adc_dist"))
+  }
+
+  private[graft] def annPqOn(emb: DataFrame, seedStep: Int): DataFrame = {
+    val (codes, dt) = pqModel(emb, seedStep)
+    // exhaustive ADC: every code row meets the query tables through the
+    // (m, k) equi-join — no candidate cross product materializes
     val adc = codes.join(broadcast(dt), Seq("m", "k"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -795,6 +862,8 @@ object Similarity {
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
+    "sim_ann_ivfpq" -> annIvfPq,
+    "sim_ann_recall" -> annRecall,
     "embed_quantize" -> quantize,
     "embed_kmeans_mix" -> kmeansMix,
     "dedup_semantic" -> semanticDedup,
@@ -820,8 +889,44 @@ object Similarity {
     * noise (~1e-15 relative), so the discrete argmin/probe choices agree;
     * the continuous output column carries the usual round(...,4) guard.
     */
-  private val ivfOracle: String =
-    s"""WITH e AS (
+  private val pqCtes: String =
+    s"""el AS (
+       |  SELECT vec_id,
+       |    CAST(i // $PqSubDim AS BIGINT) AS m,
+       |    CAST(i % $PqSubDim AS BIGINT) AS j,
+       |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+       |               * 1000) AS BIGINT) AS x
+       |  FROM embeddings,
+       |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+       |cb AS (
+       |  SELECT CAST(vec_id // $PqSeedStep AS BIGINT) AS k, m, j,
+       |    x AS cx
+       |  FROM el
+       |  WHERE vec_id % $PqSeedStep = 0
+       |    AND vec_id < ${PqK.toLong * PqSeedStep}),
+       |sub2 AS (
+       |  SELECT el.vec_id, el.m, cb.k,
+       |    sum((el.x - cb.cx) * (el.x - cb.cx)) AS d2
+       |  FROM el JOIN cb ON cb.m = el.m AND cb.j = el.j
+       |  GROUP BY 1, 2, 3),
+       |codes AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY d2, k) AS rn
+       |    FROM sub2) WHERE rn = 1),
+       |dt AS (SELECT vec_id AS q_id, m, k, d2 FROM sub2
+       |       WHERE vec_id < $NQueries)""".stripMargin
+
+  private val adcRankSql: String =
+    s"""SELECT q_id, neighbor_id, rank, adc_dist FROM (
+       |  SELECT q_id, neighbor_id, adc_dist,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
+       |  FROM adc) WHERE rank <= $K""".stripMargin
+
+  private val ivfCtes: String =
+    s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |),
        |seeds AS (
@@ -864,7 +969,10 @@ object Similarity {
        |                 - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
        |    FROM e CROSS JOIN centroids c)
        |  WHERE rn = 1
-       |)
+       |)""".stripMargin
+
+  private val ivfOracle: String =
+    s"""WITH $ivfCtes
        |SELECT q_id, neighbor_id, rank, round(sim, 4) + 0.0 AS sim FROM (
        |  SELECT c.q_id, c.vec_id AS neighbor_id,
        |    list_cosine_similarity(qe.embedding::DOUBLE[], ne.embedding::DOUBLE[]) AS sim,
@@ -1063,47 +1171,43 @@ object Similarity {
     // the IVF construction is plain relational algebra, so unlike
     // sim_ann_lsh it graduates to a full hash-checked row
     "sim_ann_ivf" -> ivfOracle,
+    // recall of the IVF ranking against brute force, both sides the
+    // oracles' own CTEs (DuckDB allows WITH inside a derived table)
+    "sim_ann_recall" ->
+      s"""SELECT bf.q_id,
+         |  CAST(count(iv.neighbor_id) AS BIGINT) AS n_hits,
+         |  count(*) AS k
+         |FROM (SELECT q_id, neighbor_id FROM ($topkOracle)) bf
+         |LEFT JOIN (SELECT q_id, neighbor_id FROM ($ivfOracle)) iv
+         |  ON iv.q_id = bf.q_id AND iv.neighbor_id = bf.neighbor_id
+         |GROUP BY 1""".stripMargin,
     // the full PQ structure — codebooks, codes, ADC tables, ranking —
     // in exact integers, so the whole index hash-checks
     "sim_ann_pq" ->
-      s"""WITH el AS (
-         |  SELECT vec_id,
-         |    CAST(i // $PqSubDim AS BIGINT) AS m,
-         |    CAST(i % $PqSubDim AS BIGINT) AS j,
-         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
-         |               * 1000) AS BIGINT) AS x
-         |  FROM embeddings,
-         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
-         |cb AS (
-         |  SELECT CAST(vec_id // $PqSeedStep AS BIGINT) AS k, m, j,
-         |    x AS cx
-         |  FROM el
-         |  WHERE vec_id % $PqSeedStep = 0
-         |    AND vec_id < ${PqK.toLong * PqSeedStep}),
-         |sub2 AS (
-         |  SELECT el.vec_id, el.m, cb.k,
-         |    sum((el.x - cb.cx) * (el.x - cb.cx)) AS d2
-         |  FROM el JOIN cb ON cb.m = el.m AND cb.j = el.j
-         |  GROUP BY 1, 2, 3),
-         |codes AS (
-         |  SELECT vec_id, m, k FROM (
-         |    SELECT vec_id, m, k,
-         |      row_number() OVER (PARTITION BY vec_id, m
-         |        ORDER BY d2, k) AS rn
-         |    FROM sub2) WHERE rn = 1),
-         |dt AS (SELECT vec_id AS q_id, m, k, d2 FROM sub2
-         |       WHERE vec_id < $NQueries),
+      s"""WITH $pqCtes,
          |adc AS (
          |  SELECT dt.q_id, c.vec_id AS neighbor_id,
          |    CAST(sum(dt.d2) AS BIGINT) AS adc_dist
          |  FROM codes c JOIN dt ON dt.m = c.m AND dt.k = c.k
          |  WHERE c.vec_id <> dt.q_id
          |  GROUP BY 1, 2)
-         |SELECT q_id, neighbor_id, rank, adc_dist FROM (
-         |  SELECT q_id, neighbor_id, adc_dist,
-         |    CAST(row_number() OVER (PARTITION BY q_id
-         |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
-         |  FROM adc) WHERE rank <= $K""".stripMargin,
+         |$adcRankSql""".stripMargin,
+    // the composed production shape: IVF candidates priced by PQ — the
+    // ivf CTEs and the pq CTEs of the two standalone oracles, joined
+    "sim_ann_ivfpq" ->
+      s"""WITH $ivfCtes,
+         |$pqCtes,
+         |cand AS (SELECT p.q_id, l.vec_id
+         |         FROM lists l JOIN probes p USING (cid)
+         |         WHERE l.vec_id <> p.q_id),
+         |adc AS (
+         |  SELECT c.q_id, c.vec_id AS neighbor_id,
+         |    CAST(sum(dt.d2) AS BIGINT) AS adc_dist
+         |  FROM cand c
+         |  JOIN codes co ON co.vec_id = c.vec_id
+         |  JOIN dt ON dt.q_id = c.q_id AND dt.m = co.m AND dt.k = co.k
+         |  GROUP BY 1, 2)
+         |$adcRankSql""".stripMargin,
     // sim_ann_lsh: intentionally no oracle — hyperplane hashing is not
     // reproducible in DuckDB; correctness = recall test in SimilaritySpec.
     "embed_quantize" ->

@@ -24,6 +24,12 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "sim_ann_ivf" -> ("crossJoin against the broadcast centroid table - the" +
       " O(n*C) quantizer training/assignment cost, linear in the corpus" +
       " per centroid, not an unbounded pair product"),
+    "sim_ann_recall" -> ("composes sim_topk_bruteforce and sim_ann_ivf, so" +
+      " it inherits exactly their allowlisted broadcast nested loops;" +
+      " the recall join itself is an equi-join on the pair key"),
+    "sim_ann_ivfpq" -> ("inherits sim_ann_ivf's broadcast centroid-table" +
+      " crossJoins (probe selection); the PQ pricing side is pure" +
+      " (m, k) / vec_id equi-joins"),
     "embed_outliers" -> ("crossJoin against the broadcast SINGLE-ROW" +
       " norm statistics (N, Σn², Σ(n²)²) - the scalar-stats pattern," +
       " bounded at one build row forever"),
