@@ -892,10 +892,31 @@ object Dedup {
           .otherwise("train").as("split"))
   }
 
+  /** LSH RECALL REPORT — the banding parameters' quality number as a
+    * hash-checked registry row (the DedupSimilaritySpec property,
+    * promoted to the oracle gate): every ground-truth near-dup pair
+    * (exact n-gram jaccard ≥ 0.9 on the jaccard query's own sampled
+    * block) tagged with whether the minhash banding surfaced it. A
+    * banding regression (fewer bands, wider rows, a broken hash) flips
+    * `captured` booleans and fails the gate — recall is a correctness
+    * invariant here, not a dashboard. The 0.9 cut is applied to the
+    * ROUNDED jaccard both engines already hash-agree on.
+    */
+  private val lshRecall: Q = (s, d) => {
+    val truth = ngramJaccard(s, d).filter(col("jaccard") >= 0.9)
+      .select(col("a_id"), col("b_id"))
+    val cand = minhashLsh(s, d)
+      .select(col("a_id"), col("b_id"), lit(true).as("c"))
+    truth.join(cand, Seq("a_id", "b_id"), "left")
+      .select(col("a_id"), col("b_id"),
+        coalesce(col("c"), lit(false)).as("captured"))
+  }
+
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> exact,
     "dedup_components" -> components,
     "dedup_split_assign" -> splitAssign,
+    "dedup_lsh_recall" -> lshRecall,
     "dedup_keep_best" -> keepBest,
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
@@ -1066,6 +1087,12 @@ object Dedup {
     "dedup_minhash_verified" -> minhashVerifiedOracle,
     "dedup_components" -> componentsOracle,
     "dedup_split_assign" -> splitAssignOracle,
+    "dedup_lsh_recall" ->
+      s"""SELECT t.a_id, t.b_id, (c.a_id IS NOT NULL) AS captured
+         |FROM (SELECT a_id, b_id FROM ($jaccardOracle)
+         |      WHERE jaccard >= 0.9) t
+         |LEFT JOIN (SELECT DISTINCT a_id, b_id FROM ($minhashOracle)) c
+         |  ON c.a_id = t.a_id AND c.b_id = t.b_id""".stripMargin,
     "dedup_keep_best" -> keepBestOracle,
     "dedup_exact" ->
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups

@@ -658,7 +658,45 @@ object TimeSeries {
       sum(col("revenue_cents")).over(w))
   }
 
+  private val EwmaScale = 1000L
+
+  /** INTEGER-EXACT EWMA (α = 1/2) over the hourly count series — the
+    * smoothing primitive under burn-rate alerts and capacity curves,
+    * formulated so both engines agree on every value: the state is the
+    * [[EwmaScale]]-scaled integer `s ← (s + n·S) div 2` (floor), seeded
+    * at the first hour's `n·S`. α = 1/2 makes the update a plain
+    * integer halving — no float accumulation to diverge, at the cost
+    * of the usual ~1/S quantization, irrelevant for a smoothing gauge.
+    *
+    * Scale shape: the stream collapses map-side to the (type, hour)
+    * count domain first; the sequential fold runs INSIDE one codegen'd
+    * `aggregate` HOF over each type's sorted hour list — types ×
+    * hours rows total, a recurrence a window cannot express (each
+    * output depends on the previous OUTPUT, not previous inputs) done
+    * without a single cross-row shuffle beyond the count itself.
+    */
+  private val ewma: Q = (s, d) => {
+    val hourly = T(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val listed = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("h"), col("n")))).as("xs"))
+    val folded = listed.select(col("event_type"), explode(expr(
+      s"""aggregate(xs,
+         |  slice(transform(xs, x -> named_struct(
+         |    'h', x.h, 'n', x.n, 's', x.n * $EwmaScale)), 1, 0),
+         |  (acc, x) -> concat(acc, array(named_struct(
+         |    'h', x.h, 'n', x.n,
+         |    's', CASE WHEN size(acc) = 0 THEN x.n * $EwmaScale
+         |         ELSE (element_at(acc, -1).s + x.n * $EwmaScale) div 2
+         |         END))))""".stripMargin)).as("e"))
+    folded.select(col("event_type"),
+      unix_seconds(col("e.h").cast("timestamp")).as("hour_epoch"),
+      col("e.n").as("n"), col("e.s").as("ewma_scaled"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_ewma" -> ewma,
     "events_cohort_ltv" -> cohortLtv,
     "events_attribution" -> attribution,
     "events_markov" -> markov,
@@ -680,6 +718,24 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical integer recurrence as a recursive CTE over the
+    // per-type hour sequence; // floors like Spark's div on nonnegatives
+    "events_ewma" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY date_trunc('hour', ts)) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT event_type, rn, h, n, n * 1000 AS s
+        |  FROM hourly WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn, h.h, h.n, (r.s + h.n * 1000) // 2
+        |  FROM rec r JOIN hourly h
+        |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+        |  n, CAST(s AS BIGINT) AS ewma_scaled
+        |FROM rec""".stripMargin,
     // the retention cohort CTEs + exact-cents weekly revenue and a
     // running sum over the observed weeks
     "events_cohort_ltv" ->
