@@ -468,7 +468,54 @@ object CorpusBuild {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** THE CURATION FUNNEL — the one-table answer to "where did my
+    * corpus go": document counts surviving each curation stage, every
+    * stage the conjunction of predicates this registry already
+    * hash-checks individually (exact-dedup keepers, near-dup cluster
+    * keepers via the shared component artifact, the quality-percentile
+    * gate, eval-contamination removal). The report every training run
+    * attaches to its data card — and because it composes the other
+    * queries' exact semantics, a drift in ANY upstream stage moves an
+    * integer here and fails the gate.
+    *
+    * Scale shape: each stage is a semi/anti-join chain over doc_id
+    * keys plus the governance-allowlisted single-row percentile
+    * broadcast; a production pipeline materializes the stage tables it
+    * already writes — this report reads their counts, nothing more.
+    */
+  private val funnelReport: Q = (s, d) => {
+    val docs = T(s, d, "documents")
+    def stage(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(name).as("stage"), col("n_docs"))
+    val exactKeep = docs.groupBy(md5(col("text")))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val keep = Dedup.queries("dedup_keep_best")(s, d)
+      .select(col("component"), col("keep_id"))
+    val ndKeep = docs.select(col("doc_id"))
+      .join(Dedup.componentLabels(s, d), Seq("doc_id"), "left")
+      .join(keep, Seq("component"), "left")
+      .filter(col("component").isNull || col("doc_id") === col("keep_id"))
+      .select("doc_id")
+    val s2 = Dedup.materialize(exactKeep.join(ndKeep, Seq("doc_id")))
+    val qn = docs.select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_words"))
+    val thr = qn.agg(expr(s"percentile(n_words, $GateQuantile)").as("t"))
+    val s3 = Dedup.materialize(s2.join(qn, Seq("doc_id"))
+      .crossJoin(broadcast(thr))
+      .filter(col("n_words") >= col("t")).select("doc_id"))
+    val contaminated = contamination(s, d)
+      .select(col("train_id").as("doc_id")).distinct()
+    val s4 = s3.join(contaminated, Seq("doc_id"), "left_anti")
+    stage("0_raw", docs)
+      .unionAll(stage("1_exact", exactKeep))
+      .unionAll(stage("2_neardup", s2))
+      .unionAll(stage("3_quality", s3))
+      .unionAll(stage("4_decontam", s4))
+  }
+
   val queries: Map[String, Q] = Map(
+    "corpus_funnel_report" -> funnelReport,
     "corpus_mix_sample" -> mixSample,
     "corpus_build" -> corpus,
     "corpus_ngrams" -> ngrams,
@@ -637,6 +684,44 @@ object CorpusBuild {
        |FROM c WHERE cum_before < $TokenBudget""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the funnel re-states each stage's oracle semantics: exact-dedup
+    // keepers, component keepers (argmax words, min id), the
+    // quantile_cont gate, and the contamination oracle's train side
+    "corpus_funnel_report" ->
+      s"""WITH RECURSIVE ${Dedup.componentsCte},
+         |qn AS (SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(trim(text), '\\s+'))
+         |           AS BIGINT) AS n_words
+         |       FROM documents),
+         |j AS (SELECT c.component, c.doc_id, q.n_words
+         |      FROM comp c JOIN qn q USING (doc_id)),
+         |mx AS (SELECT component, max(n_words) AS best
+         |       FROM j GROUP BY 1),
+         |keep AS (SELECT j.component, min(j.doc_id) AS keep_id
+         |         FROM j JOIN mx ON mx.component = j.component
+         |           AND j.n_words = mx.best
+         |         GROUP BY 1),
+         |exact_keep AS (SELECT min(doc_id) AS doc_id FROM documents
+         |               GROUP BY md5(text)),
+         |nd_keep AS (SELECT d.doc_id FROM documents d
+         |            LEFT JOIN comp c USING (doc_id)
+         |            LEFT JOIN keep k ON k.component = c.component
+         |            WHERE c.doc_id IS NULL OR d.doc_id = k.keep_id),
+         |s2 AS (SELECT e.doc_id FROM exact_keep e
+         |       JOIN nd_keep n USING (doc_id)),
+         |thr AS (SELECT quantile_cont(n_words, $GateQuantile) AS t
+         |        FROM qn),
+         |s3 AS (SELECT s2.doc_id FROM s2 JOIN qn USING (doc_id), thr
+         |       WHERE qn.n_words >= thr.t),
+         |bad AS (SELECT DISTINCT train_id AS doc_id
+         |        FROM ($contaminationOracle)),
+         |s4 AS (SELECT doc_id FROM s3 WHERE doc_id NOT IN
+         |         (SELECT doc_id FROM bad))
+         |SELECT '0_raw' AS stage, count(*) AS n_docs FROM documents
+         |UNION ALL SELECT '1_exact', count(*) FROM exact_keep
+         |UNION ALL SELECT '2_neardup', count(*) FROM s2
+         |UNION ALL SELECT '3_quality', count(*) FROM s3
+         |UNION ALL SELECT '4_decontam', count(*) FROM s4""".stripMargin,
     // the same exact-integer temperature threshold, HUGEINT-exact
     "corpus_mix_sample" ->
       """WITH c AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),

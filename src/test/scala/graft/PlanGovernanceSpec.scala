@@ -39,6 +39,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "corpus_mix_sample" -> ("the single-row n_min crossJoin onto the" +
       " |langs|-row count domain - the scalar-stats pattern; the corpus" +
       " itself joins by lang equi-key"),
+    // corpus_funnel_report: the percentile-threshold crossJoin plans as
+    // a plain broadcast exchange (single-row build side under AQE), so
+    // no nested loop fires and no exemption is needed - the firing
+    // check below proved it
     "hybrid_rrf" -> ("the BM25 leg's single-row stats crossJoin plus the" +
       " vector leg's broadcast ONE-ROW query embedding - both bounded" +
       " at one build row forever"),
