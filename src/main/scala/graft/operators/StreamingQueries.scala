@@ -437,6 +437,64 @@ object StreamingQueries {
         "w_cnt BIGINT, w_sum BIGINT, is_spike BOOLEAN").parquet(out)
   }
 
+  /** Streaming EWMA — the `events_ewma` recurrence as a streaming
+    * topology, sharing its oracle: stage 1 finalizes hourly counts
+    * (append-mode watermarked windows, identical to [[streamAnomaly]]'s
+    * first stage), stage 2 folds them through ONE long of keyed state
+    * per event type ([[graft.streaming.EwmaProcessor]] on RocksDB) —
+    * the O(1)-state streaming shape of a recurrence that batch SQL can
+    * only express as a sequential fold.
+    */
+  private val streamEwma: Q = (s, d) => {
+    val run = freshRunDir("graft_ewmastream_")
+    val win = run.resolve("win").toString
+    val out = run.resolve("out").toString
+    Seq(win, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", win)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("event_type STRING, hour_epoch BIGINT, n BIGINT")
+          .option("pathGlobFilter", "*.parquet").parquet(win)
+          .filter(col("event_type").isNotNull)
+          .as[graft.streaming.HourCount]
+        val q2 = rows.groupByKey(_.event_type)
+          .transformWithState(new graft.streaming.EwmaProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    s.read.schema("event_type STRING, hour_epoch BIGINT, n BIGINT, " +
+        "ewma_scaled BIGINT").parquet(out)
+  }
+
   /** Streaming CONVERSION FUNNEL — the per-user view → click → purchase
     * state machine as a streaming topology, sharing the batch
     * `funnel_conversion` oracle. Stage 1 finalizes `(user, hour, type)`
@@ -984,6 +1042,7 @@ object StreamingQueries {
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_enrich" -> streamEnrich,
     "stream_anomaly" -> streamAnomaly,
+    "stream_ewma" -> streamEwma,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
@@ -1019,6 +1078,9 @@ object StreamingQueries {
     // the keyed trailing-baseline fold must agree with the batch
     // rowsBetween(-24,-1) window frame
     "stream_anomaly" -> TimeSeries.oracles("events_anomaly"),
+    // the one-long keyed fold must agree with the batch aggregate-HOF
+    // recurrence
+    "stream_ewma" -> TimeSeries.oracles("events_ewma"),
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),

@@ -59,3 +59,47 @@ class TrailingBaselineProcessor(window: Int = 24)
     out.iterator
   }
 }
+
+/** One EWMA-smoothed hour for one event type — the same row the batch
+  * `events_ewma` query emits (`ewma_scaled` = the 1000-scaled integer
+  * state).
+  */
+case class HourEwma(event_type: String, hour_epoch: Long, n: Long,
+    ewma_scaled: Long)
+
+/** Keyed integer EWMA (α = 1/2) over a stream of FINALIZED hourly
+  * counts: per event type, ONE long of keyed state (the scaled
+  * smoothed value), updated `s ← (s + n·scale) div 2` per arriving
+  * hour, seeded at the first hour's `n·scale` — the streaming shape of
+  * the batch query's `aggregate`-HOF recurrence, O(1) state per key.
+  * The same watermark-ordering argument as
+  * [[TrailingBaselineProcessor]] (hours arrive in ascending event-time
+  * order across batches; within a batch the processor sorts) makes the
+  * fold equal to the batch recurrence, so the two faces share one
+  * oracle.
+  */
+class EwmaProcessor(scale: Long = 1000L)
+    extends StatefulProcessor[String, HourCount, HourEwma] {
+
+  @transient private var st: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[Long]("s", Encoders.scalaLong,
+      TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[HourCount],
+      timerValues: TimerValues): Iterator[HourEwma] = {
+    var has = st.exists()
+    var s0 = if (has) st.get() else 0L
+    val out = scala.collection.mutable.ArrayBuffer.empty[HourEwma]
+    rows.toArray.sortBy(_.hour_epoch).foreach { r =>
+      s0 = if (!has) { has = true; r.n * scale }
+        else (s0 + r.n * scale) / 2
+      out += HourEwma(key, r.hour_epoch, r.n, s0)
+    }
+    if (has) st.update(s0)
+    out.iterator
+  }
+}
