@@ -20,10 +20,12 @@ object ExplainAudit {
   private val Headline = Seq(
     "q1_agg", "q3_topk_revenue", "q5_nation_revenue", "q8_market_share",
     "q18_large_orders", "f2_filter_predicate", "sort_topk",
-    "dedup_minhash_lsh", "dedup_components", "sim_topk_bruteforce",
-    "sim_ann_ivf", "embed_covariance", "text_bm25_topk", "text_novelty",
-    "graph_pagerank", "graph_triangles", "events_rfm", "events_funnel",
-    "corpus_tfidf", "ngrams_topk")
+    "dedup_minhash_lsh", "dedup_components", "dedup_split_assign",
+    "dedup_cdc_chunks", "sim_topk_bruteforce", "sim_ann_ivf",
+    "sim_ann_ivfpq", "embed_covariance", "text_bm25_topk", "text_novelty",
+    "graph_pagerank", "graph_triangles", "graph_label_prop", "events_rfm",
+    "events_ewma", "corpus_tfidf", "corpus_funnel_report",
+    "corpus_mix_sample")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -299,6 +299,20 @@ object Similarity {
         count(lit(1)).as("k"))
   }
 
+  /** [[annRecall]]'s PQ twin — recall@[[K]] of the ADC ranking vs brute
+    * force: the compression loss number (how much the 2-bit codes cost
+    * against exact cosine), next to the IVF report's pruning loss.
+    */
+  private val pqRecall: Q = (s, d) => {
+    val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+    val pq = annPq(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(pq, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+  }
+
   private val PqSubspaces = 8 // 64 dims = 8 subspaces × 8 dims
   private val PqSubDim = 8
   private val PqK = 4 // centroids per subspace codebook
@@ -876,6 +890,7 @@ object Similarity {
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
     "sim_ann_recall" -> annRecall,
+    "sim_pq_recall" -> pqRecall,
     "embed_quantize" -> quantize,
     "embed_kmeans_mix" -> kmeansMix,
     "dedup_semantic" -> semanticDedup,
@@ -929,6 +944,16 @@ object Similarity {
        |    FROM sub2) WHERE rn = 1),
        |dt AS (SELECT vec_id AS q_id, m, k, d2 FROM sub2
        |       WHERE vec_id < $NQueries)""".stripMargin
+
+  private lazy val pqOracle: String =
+    s"""WITH $pqCtes,
+       |adc AS (
+       |  SELECT dt.q_id, c.vec_id AS neighbor_id,
+       |    CAST(sum(dt.d2) AS BIGINT) AS adc_dist
+       |  FROM codes c JOIN dt ON dt.m = c.m AND dt.k = c.k
+       |  WHERE c.vec_id <> dt.q_id
+       |  GROUP BY 1, 2)
+       |$adcRankSql""".stripMargin
 
   private val adcRankSql: String =
     s"""SELECT q_id, neighbor_id, rank, adc_dist FROM (
@@ -1195,15 +1220,17 @@ object Similarity {
          |GROUP BY 1""".stripMargin,
     // the full PQ structure — codebooks, codes, ADC tables, ranking —
     // in exact integers, so the whole index hash-checks
-    "sim_ann_pq" ->
-      s"""WITH $pqCtes,
-         |adc AS (
-         |  SELECT dt.q_id, c.vec_id AS neighbor_id,
-         |    CAST(sum(dt.d2) AS BIGINT) AS adc_dist
-         |  FROM codes c JOIN dt ON dt.m = c.m AND dt.k = c.k
-         |  WHERE c.vec_id <> dt.q_id
-         |  GROUP BY 1, 2)
-         |$adcRankSql""".stripMargin,
+    "sim_ann_pq" -> pqOracle,
+    // recall of the ADC ranking vs brute force — the compression-loss
+    // number as a hash-checked report, like sim_ann_recall for pruning
+    "sim_pq_recall" ->
+      s"""SELECT bf.q_id,
+         |  CAST(count(pq.neighbor_id) AS BIGINT) AS n_hits,
+         |  count(*) AS k
+         |FROM (SELECT q_id, neighbor_id FROM ($topkOracle)) bf
+         |LEFT JOIN (SELECT q_id, neighbor_id FROM ($pqOracle)) pq
+         |  ON pq.q_id = bf.q_id AND pq.neighbor_id = bf.neighbor_id
+         |GROUP BY 1""".stripMargin,
     // the composed production shape: IVF candidates priced by PQ — the
     // ivf CTEs and the pq CTEs of the two standalone oracles, joined
     "sim_ann_ivfpq" ->

@@ -30,6 +30,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "sim_ann_ivfpq" -> ("inherits sim_ann_ivf's broadcast centroid-table" +
       " crossJoins (probe selection); the PQ pricing side is pure" +
       " (m, k) / vec_id equi-joins"),
+    "sim_pq_recall" -> ("composes sim_topk_bruteforce (its broadcast" +
+      " 10-row query-set nested loop) with the pure-equi-join PQ side;" +
+      " the recall join is an equi-join on the pair key"),
     "embed_outliers" -> ("crossJoin against the broadcast SINGLE-ROW" +
       " norm statistics (N, Σn², Σ(n²)²) - the scalar-stats pattern," +
       " bounded at one build row forever"),
