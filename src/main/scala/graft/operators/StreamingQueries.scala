@@ -993,6 +993,73 @@ object StreamingQueries {
     out
   }
 
+  /** Streaming LAST-TOUCH ATTRIBUTION — the `events_attribution` carry
+    * window as a streaming topology sharing its oracle: stage 1
+    * finalizes `(user, hour)` rows carrying every event's `(ts, id,
+    * type, exact cents)` (the [[runUserWalkTopology]] shape, restaged
+    * here because that topology's rows carry no values); stage 2 walks
+    * them through ONE STRING of keyed state per user
+    * ([[graft.streaming.AttributionProcessor]] on RocksDB — the
+    * carried touch), emitting one final credit row per purchase; the
+    * read side is the same groupBy the batch face ends with.
+    */
+  private val streamAttribution: Q = (s, d) => {
+    val run = freshRunDir("graft_attrstream_")
+    val mid = run.resolve("mid").toString
+    val out = run.resolve("out").toString
+    Seq(mid, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts_us", expr("ts div 1000"))
+        .withColumn("cents", expr("CAST(round(value * 100) AS BIGINT)"))
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+        .agg(collect_list(struct(col("ts_us").as("ts"), col("event_id"),
+          col("event_type"), col("cents"))).as("evs"))
+        .select(col("user_id"),
+          unix_seconds(col("window.start")).as("hour_epoch"), col("evs"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", mid)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("user_id BIGINT, hour_epoch BIGINT, evs ARRAY<STRUCT<" +
+            "ts: BIGINT, event_id: BIGINT, event_type: STRING, cents: BIGINT>>")
+          .option("pathGlobFilter", "*.parquet").parquet(mid)
+          .filter(col("user_id") =!= SentinelUser)
+          .as[graft.streaming.UserHourValued]
+        val q2 = rows.groupByKey(_.user_id)
+          .transformWithState(new graft.streaming.AttributionProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    s.read.schema("user_id BIGINT, touch_type STRING, cents BIGINT")
+      .parquet(out)
+      .groupBy(col("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("revenue_cents"))
+  }
+
   private val streamStateHistory: Q = (s, d) => {
     val run = freshRunDir("graft_scd2stream_")
     val out = runUserWalkTopology(s, d, run,
@@ -1043,6 +1110,7 @@ object StreamingQueries {
     "stream_enrich" -> streamEnrich,
     "stream_anomaly" -> streamAnomaly,
     "stream_ewma" -> streamEwma,
+    "stream_attribution" -> streamAttribution,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
@@ -1081,6 +1149,9 @@ object StreamingQueries {
     // the one-long keyed fold must agree with the batch aggregate-HOF
     // recurrence
     "stream_ewma" -> TimeSeries.oracles("events_ewma"),
+    // the one-string keyed carry must agree with the batch ignoreNulls
+    // carry window
+    "stream_attribution" -> TimeSeries.oracles("events_attribution"),
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),

@@ -225,6 +225,32 @@ class TimeSeriesSpec extends AnyFunSuite {
       s"divergence: ${(batch diff want).take(3)} ${(want diff batch).take(3)}")
   }
 
+  test("AttributionFold: carry spans batches, direct bucket, in-order walk") {
+    import graft.streaming.{AttributionFold, TouchCredit, UserHourValued, ValuedEv}
+    def hr(h: Long, evs: (Long, Long, String, Long)*) =
+      UserHourValued(1L, h, evs.map(e => ValuedEv(e._1, e._2, e._3, e._4)))
+    // view → purchase (credited to view) → click, all in one batch
+    val (s1, o1) = AttributionFold.step(1L, "", Seq(
+      hr(0L, (1L, 1L, "view", 0L), (2L, 2L, "purchase", 100L),
+        (3L, 3L, "click", 0L))))
+    assert(o1 == Seq(TouchCredit(1L, "view", 100L)), s"credits: $o1")
+    assert(s1 == "click")
+    // next batch's purchase credits the CARRIED click across the boundary
+    val (s2, o2) = AttributionFold.step(1L, s1, Seq(
+      hr(3600L, (4000L, 4L, "purchase", 250L))))
+    assert(o2 == Seq(TouchCredit(1L, "click", 250L)), s"carry: $o2")
+    assert(s2 == "click")
+    // a purchase with no prior touch lands in the direct bucket
+    val (_, o3) = AttributionFold.step(2L, "", Seq(
+      hr(0L, (1L, 1L, "purchase", 42L))))
+    assert(o3 == Seq(TouchCredit(2L, "direct", 42L)), s"direct: $o3")
+    // hours arriving out of order within the batch sort before walking
+    val (_, o4) = AttributionFold.step(3L, "", Seq(
+      hr(3600L, (4000L, 9L, "purchase", 5L)),
+      hr(0L, (1L, 1L, "click", 0L))))
+    assert(o4 == Seq(TouchCredit(3L, "click", 5L)), s"hour order: $o4")
+  }
+
   test("PathsFold: warmup carries across batches, ties walk by event_id") {
     import graft.streaming.{EventAt, PathsFold, UserHourTyped}
     // batch 1 holds two events (warmup only — no trigram yet); batch 2
