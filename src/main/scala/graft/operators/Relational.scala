@@ -143,6 +143,22 @@ object Relational {
         col("rn"))
   }
 
+  /** Relative-rank windows — `percent_rank` ((rank−1)/(n−1)) and
+    * `cume_dist` (rows ≤ current / n): both single integer divisions of
+    * window-local counts, so the doubles are bit-identical on any
+    * IEEE engine (no accumulation), and nonnegative (no signed-zero
+    * hazard). Partitioned by order status — the per-group relative
+    * standing report percentile dashboards read.
+    */
+  private val windowRankStats: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    T(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+  }
+
   /** Running (prefix) sum per key — sequential within partition, so the
     * floating-point fold order is deterministic and engine-independent.
     */
@@ -286,6 +302,7 @@ object Relational {
     "window_lead_lag" -> windowLeadLag,
     "sort_topk" -> sortTopk,
     "window_rank" -> windowRank,
+    "window_rank_stats" -> windowRankStats,
     "window_running" -> windowRunning,
     "rollup_agg" -> rollupAgg,
     "cube_agg" -> cubeAgg,
@@ -362,6 +379,13 @@ object Relational {
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
         |  FROM orders) WHERE rn <= 3""".stripMargin,
+    "window_rank_stats" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  percent_rank() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS pct_rank,
+        |  cume_dist() OVER (PARTITION BY o_orderstatus
+        |    ORDER BY o_totalprice, o_orderkey) AS cume
+        |FROM orders""".stripMargin,
     "window_running" ->
       """SELECT event_id, user_id,
         |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
