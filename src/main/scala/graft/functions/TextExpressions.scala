@@ -230,6 +230,102 @@ object CharBigrams {
   }
 }
 
+/** Native expression emitting the content-defined chunk boundaries of a
+  * document — every 1-based code-point position `i ≥ window` where the
+  * polynomial hash of the trailing `window` code points satisfies
+  * `(h mod P) mod mask == 0` — in ONE O(len) rolling pass per row.
+  *
+  * This replaces the per-position md5-prefix boundary test (O(window)
+  * digest work at EVERY character — ~50× the arithmetic of the standard
+  * Gear/Rabin shape, and the bench's top text cost). The hash is the
+  * classic Rabin-Karp polynomial `Σ c(i−k)·B^k mod P` over a Mersenne
+  * prime, updated per position with one multiply, one add, one
+  * subtract, one mod — and chosen over a Gear table because the closed
+  * form is 8 integer multiply-adds any SQL engine can state verbatim:
+  * the DuckDB oracle computes the IDENTICAL window sum with the same
+  * precomputed `B^k mod P` constants, so boundaries are bit-identical
+  * cross-engine (all arithmetic exact in int64: `c·B^k mod P` ≤
+  * 0x10FFFF·(P−1) ≈ 2.3e15, window sums ≤ 8× that).
+  */
+case class CdcBoundaries(child: Expression, window: Int, mask: Long)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcBoundaries.boundaries(input.asInstanceOf[UTF8String], window, mask)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CdcBoundaries.boundaries($c, $window, ${mask}L);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object CdcBoundaries {
+
+  /** Polynomial base and modulus — PUBLIC constants of the boundary
+    * contract: the DuckDB oracle's `B^k mod P` literals derive from
+    * these same values, so the two engines cannot drift.
+    */
+  val Base = 257L
+  val Prime = 2147483647L // 2^31 − 1 (Mersenne)
+
+  /** `B^k mod P` for `k = 0 until n` — the closed-form coefficients the
+    * oracle SQL states verbatim (leftmost window char carries the
+    * highest power).
+    */
+  def powers(n: Int): IndexedSeq[Long] =
+    (1 until n).scanLeft(1L)((p, _) => p * Base % Prime).toIndexedSeq
+
+  /** One rolling pass: after consuming code point at 1-based position
+    * `pos`, `h = Σ_{k=0}^{W−1} c(pos−k)·B^k mod P` (induction: multiply
+    * by B shifts every power up, adding the new char supplies B^0,
+    * subtracting the evicted char's `c·B^W` restores the window). The
+    * evicted code point is read from a W-slot ring at `pos mod W` —
+    * position `pos−W` wrote that same slot — just before the new char
+    * overwrites it.
+    */
+  def boundaries(s: UTF8String, window: Int, mask: Long): ArrayData = {
+    val str = s.toString
+    var powW = 1L
+    var k = 0
+    while (k < window) { powW = powW * Base % Prime; k += 1 }
+    val ring = new Array[Long](window)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var pos = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      pos += 1
+      h = (h * Base + cp) % Prime
+      if (pos > window) {
+        val slot = pos % window
+        h = java.lang.Math.floorMod(h - ring(slot) * powW % Prime, Prime)
+        ring(slot) = cp.toLong
+      } else {
+        ring(pos % window) = cp.toLong
+      }
+      if (pos >= window && h % mask == 0L) out += pos
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -241,4 +337,7 @@ object TextExpressions {
 
   def char_bigrams(text: Column): Column =
     column(CharBigrams(expression(text)))
+
+  def cdc_boundaries(text: Column, window: Int, mask: Long): Column =
+    column(CdcBoundaries(expression(text), window, mask))
 }

@@ -75,10 +75,31 @@ object StreamingQueries {
     val run = freshRunDir("graft_ivm_")
     val srcDir = run.resolve("src").toString
     // stage the replay as 4 nanos-long files so AvailableNow +
-    // maxFilesPerTrigger=1 yields 4 micro-batches → 4 table versions
-    T(s, d, "events")
-      .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
-      .repartition(4).write.mode("overwrite").parquet(srcDir)
+    // maxFilesPerTrigger=1 yields 4 micro-batches → 4 table versions;
+    // like stageNanosEvents, the split is a pure function of the
+    // source table, so it is built once per dataset version and
+    // hard-linked here (r10 rewrote the whole events table per
+    // invocation — the head of stream_ivm_counts' 7 s bench bill)
+    locally {
+      import java.nio.file.Files
+      import scala.jdk.CollectionConverters._
+      val base = SharedArtifacts.root.resolve("ivm_events4_" +
+        SharedArtifacts.fingerprint(d, "events.parquet", "nanos-4part-v1"))
+      if (!SharedArtifacts.isReady(base)) {
+        val staging = SharedArtifacts.stagingFor(base)
+        T(s, d, "events")
+          .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+          .repartition(4).write.mode("overwrite")
+          .parquet(staging.resolve("data").toString)
+        SharedArtifacts.publish(staging, base)
+      }
+      SharedArtifacts.markUsed(base)
+      Files.createDirectories(run.resolve("src"))
+      Files.list(base.resolve("data")).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => linkOrCopy(p, run.resolve("src").resolve(
+          p.getFileName.toString)))
+    }
     val schema = org.apache.spark.sql.types.StructType(
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
@@ -271,21 +292,50 @@ object StreamingQueries {
     val events = Paths.get(d, "events.parquet")
     val onDisk = s.read.parquet(events.toString).schema("ts").dataType
     if (onDisk == org.apache.spark.sql.types.LongType) {
-      try Files.createLink(dest.resolve("events.parquet"), events)
-      catch { case _: java.io.IOException =>
-        Files.copy(events, dest.resolve("events.parquet"))
-      }
+      linkOrCopy(events, dest.resolve("events.parquet"))
     } else {
-      val stage = dest.resolve("_nanos_stage")
-      s.read.parquet(events.toString)
-        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
-        .coalesce(1).write.mode("overwrite").parquet(stage.toString)
-      import scala.jdk.CollectionConverters._
-      val part = Files.list(stage).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, dest.resolve("events.parquet"))
+      // native-micros testdata: the nanos-long rebuild is a pure
+      // function of the source file, so build it ONCE per dataset
+      // version via the SharedArtifacts publish/adopt protocol and
+      // hard-link it into every replay's run dir — before r11 every
+      // replay invocation re-ran this full read→rewrite (the dominant
+      // fixed cost of the 15 streaming bench entries, ~45 s of the
+      // r10 total)
+      val part = nanosEventsArtifact(s, d)
+      linkOrCopy(part, dest.resolve("events.parquet"))
     }
     dest.toString
+  }
+
+  /** The single-file nanos-long staging of `d/events.parquet`, built at
+    * most once per DATASET VERSION (SharedArtifacts keys on the source
+    * file's name/mtime/size, so regenerated testdata can never be
+    * served a stale staging) and adopted by hard link everywhere else.
+    */
+  private def nanosEventsArtifact(s: SparkSession,
+      d: String): java.nio.file.Path = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val base = SharedArtifacts.root.resolve("nanos_events_" +
+      SharedArtifacts.fingerprint(d, "events.parquet", "nanos-long-v1"))
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      s.read.parquet(java.nio.file.Paths.get(d, "events.parquet").toString)
+        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(staging.resolve("data").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    Files.list(base.resolve("data")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+  }
+
+  private def linkOrCopy(src: java.nio.file.Path,
+      dst: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    try Files.createLink(dst, src)
+    catch { case _: java.io.IOException => Files.copy(src, dst) }
   }
 
   private def stageSessionSource(s: SparkSession, d: String,

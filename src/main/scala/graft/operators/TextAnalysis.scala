@@ -236,12 +236,14 @@ object TextAnalysis {
     * scheme ([[chunkFrame]]) shifts every later chunk and loses all
     * downstream matches. That shift-robustness is why dedup over
     * near-identical scraped/revisioned pages chunks this way. The
-    * rolling hash here is the md5-prefix of the window — O(window) per
-    * position rather than a gear-hash's O(1), chosen because it is
-    * bit-reproducible in ANY engine (same discipline as
-    * `sample_hash`); swap in a native gear-hash Expression if the
-    * constant ever matters (same boundaries contract, spec'd the same
-    * way).
+    * boundary test is the Rabin-Karp polynomial hash of the window mod
+    * a Mersenne prime, computed by the native
+    * [[graft.functions.CdcBoundaries]] expression as ONE O(len) rolling
+    * pass per document (one multiply/add/subtract/mod per position —
+    * this replaced a per-position md5-prefix digest, ~50× the
+    * arithmetic); bit-reproducible in ANY engine because the closed
+    * form is 8 exact-int64 multiply-adds the DuckDB oracle states
+    * verbatim with the same `B^k mod P` constants.
     *
     * Scale shape: pure map-side per document (position lambda → filter
     * → slice); the only shuffle is the downstream accounting's
@@ -255,15 +257,10 @@ object TextAnalysis {
     */
   private[graft] def cdcChunksOn(docs: DataFrame): DataFrame = {
     val len = length(col("text"))
-    val hashAt = (i: Column) =>
-      conv(substring(md5(col("text").substr(i - lit(CdcWindow - 1),
-        lit(CdcWindow)).cast("binary")), 1, 8), 16, 10)
-        .cast("long") % CdcMask === 0
     val bs = concat(
       array(lit(0)),
-      when(len >= CdcWindow,
-        filter(sequence(lit(CdcWindow), len), hashAt))
-        .otherwise(expr("CAST(array() AS ARRAY<INT>)")),
+      graft.functions.TextExpressions.cdc_boundaries(
+        col("text"), CdcWindow, CdcMask),
       array(len))
     val chunks = filter(
       transform(sequence(lit(0), size(col("bs")) - 2),
@@ -278,6 +275,19 @@ object TextAnalysis {
   }
 
   private val cdcChunkDedup: Q = (s, d) => chunkDedupOn(cdcChunkFrame(s, d))
+
+  /** The oracle-side closed form of [[graft.functions.CdcBoundaries]]'
+    * rolling hash: `Σ_{k=0}^{W−1} c(i−k)·(B^k mod P)` with the `B^k mod
+    * P` literals generated from the expression's own constants, so the
+    * two engines cannot drift. Each term ≤ 0x10FFFF·(P−1) ≈ 2.3e15 and
+    * the 8-term sum ≈ 1.9e16 — exact in int64 on both engines.
+    */
+  private def cdcWindowHashSql: String = {
+    val pows = graft.functions.CdcBoundaries.powers(CdcWindow)
+    (0 until CdcWindow).map(k =>
+      s"CAST(unicode(substr(text, i - $k, 1)) AS BIGINT) * ${pows(k)}")
+      .mkString(" + ")
+  }
 
   private val Bm25Terms = Seq("spark", "merge", "window")
   private val Bm25TopK = 20
@@ -702,16 +712,18 @@ object TextAnalysis {
         s"array_to_string(ws[i * $ChunkStep + 1 : i * $ChunkStep + $ChunkSize], ' ') AS chunk_text " +
         s"FROM w, unnest(generate_series(0, CAST(floor((len(ws) - 1) / $ChunkStep) AS INT))) t(i)"),
     // content-defined boundaries: position i (1-based, i >= window)
-    // ends a chunk when the md5-prefix hash of the trailing 8-char
-    // window is divisible by the mask; spans between boundaries (plus
-    // the 0/len sentinels) are the chunks, then the identical
-    // first-occurrence accounting as dedup_chunks
+    // ends a chunk when the Rabin-Karp polynomial hash of the trailing
+    // 8-char window (mod the Mersenne prime, leftmost char highest
+    // power — the closed form of CdcBoundaries' rolling recurrence,
+    // same B^k mod P constants) is divisible by the mask; spans between
+    // boundaries (plus the 0/len sentinels) are the chunks, then the
+    // identical first-occurrence accounting as dedup_chunks
     "dedup_cdc_chunks" ->
       s"""WITH bnd AS (
          |  SELECT doc_id, i FROM documents,
          |    unnest(generate_series($CdcWindow, length(text))) t(i)
-         |  WHERE ('0x' || substr(md5(substr(text, i - ${CdcWindow - 1},
-         |          $CdcWindow)), 1, 8))::BIGINT % $CdcMask = 0),
+         |  WHERE ((${cdcWindowHashSql}) % ${graft.functions.CdcBoundaries.Prime})
+         |        % $CdcMask = 0),
          |b AS (SELECT doc_id, 0 AS p FROM documents
          |      UNION SELECT doc_id, length(text) FROM documents
          |      UNION SELECT doc_id, i FROM bnd),

@@ -142,6 +142,42 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(a.mkString == base, "chunks must partition the text")
   }
 
+  test("cdc_boundaries: rolling recurrence equals the closed-form window " +
+      "polynomial on adversarial texts") {
+    import graft.functions.CdcBoundaries
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // independent reimplementation: the oracle's closed form — per
+    // position, the 8-term Σ c(i−k)·(B^k mod P), NOT the rolling update
+    def closedForm(text: String, w: Int, mask: Long): Seq[Int] = {
+      val cps = text.codePoints().toArray
+      val pows = CdcBoundaries.powers(w)
+      (w to cps.length).filter { i =>
+        val h = (0 until w).map(k =>
+          cps(i - 1 - k) * pows(k) % CdcBoundaries.Prime).sum %
+          CdcBoundaries.Prime
+        h % mask == 0
+      }
+    }
+    val rnd = new scala.util.Random(11)
+    val texts = Seq("", "short", "exactly8", "sevench",
+      "é" * 20,                                   // 2-byte UTF-8
+      new String(Character.toChars(0x1F600)) * 12,     // non-BMP
+      "a" * 300) ++
+      (1 to 8).map(_ => (1 to 200 + rnd.nextInt(400))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    for ((w, mask) <- Seq((8, 32L), (4, 16L)); (t, id) <- texts.zipWithIndex) {
+      val got = texts.zipWithIndex.map(p => (p._2.toLong, p._1))
+        .toDF("doc_id", "text")
+        .where(col("doc_id") === id)
+        .select(graft.functions.TextExpressions
+          .cdc_boundaries(col("text"), w, mask).as("bs"))
+        .as[Seq[Int]].head()
+      assert(got == closedForm(t, w, mask),
+        s"w=$w mask=$mask doc=$id: $got vs ${closedForm(t, w, mask)}")
+    }
+  }
+
   test("dedup_chunks: first occurrence keeps, corpus-wide, by (doc, idx)") {
     import spark.implicits._
     // "x" repeats WITHIN doc 1 (idx 0 keeps, idx 2 drops); "y" repeats
