@@ -315,8 +315,9 @@ object Similarity {
 
   private val PqSubspaces = 8 // 64 dims = 8 subspaces × 8 dims
   private val PqSubDim = 8
-  private val PqK = 4 // centroids per subspace codebook
-  private val PqSeedStep = 125 // stride seeds: vec_id ∈ {0, 125, 250, 375}
+  private val PqK = 16 // centroids per subspace codebook (4-bit codes)
+  private val PqSeedStep = 31 // stride seeds: vec_id ∈ {0, 31, …, 465}
+  private val PqIters = 2 // Lloyd refinement rounds per subspace
 
   /** PRODUCT-QUANTIZATION ANN — the other half of the FAISS-standard
     * IVF+PQ pairing (`sim_ann_ivf` prunes WHICH vectors to score; PQ
@@ -325,14 +326,20 @@ object Similarity {
     * vector in 2 bytes), and a query scores candidates via its
     * per-subspace distance TABLE — [[PqSubspaces]] integer lookups per
     * candidate instead of a 64-dim dot product, the asymmetric-distance
-    * (ADC) trick. Codebooks are the deterministic stride-seed rule
-    * (every [[PqSeedStep]]th vector, the IVF seeding discipline — a
-    * Lloyd refinement would reuse [[lloydStep]] per subspace without
-    * changing any join shape). EVERYTHING is exact integers on the
-    * 1e3-quantized elements — subspace distances peak at 8·(2e3)² ≈
-    * 3.2e7, ADC sums < 3e8 — so encode, tables, and ranking are
-    * bit-identical on any engine, and the DuckDB oracle hash-checks
-    * the whole structure (LSH is the only ANN face left rows-only).
+    * (ADC) trick. Codebooks start from the deterministic stride-seed
+    * rule (every [[PqSeedStep]]th vector, the IVF seeding discipline)
+    * and are then LLOYD-REFINED for [[PqIters]] rounds per subspace —
+    * assignment is the usual integer-d2 argmin, and the centroid
+    * update is the round-half-away-from-zero INTEGER mean
+    * `sign(s)·((2|s|+n) div 2n)` (sign-split so Spark's truncating
+    * `div` and DuckDB's flooring `//` see only positive numerators),
+    * with empty clusters inheriting their previous centroid — so the
+    * trained codebook is still exact integers. EVERYTHING stays
+    * integer on the 1e3-quantized elements — subspace distances peak
+    * at 8·(2e3)² ≈ 3.2e7, ADC sums < 3e8 — so encode, tables, and
+    * ranking are bit-identical on any engine, and the DuckDB oracle
+    * hash-checks the whole TRAINED structure, unrolled Lloyd rounds
+    * included (LSH is the only ANN face left rows-only).
     *
     * Scale shape: encoding is one broadcast (32-row codebook) join +
     * per-(vector, subspace) argmin on map-side-combinable groups; the
@@ -341,24 +348,38 @@ object Similarity {
     * corpus scale the codes table IS the index — 2 bytes a vector —
     * and the candidate set comes from the IVF lists, identical joins.
     */
-  private val annPq: Q = (s, d) =>
-    annPqOn(T(s, d, "embeddings"), PqSeedStep)
+  private val annPq: Q = (s, d) => {
+    val (codes, dt) = pqModelCached(s, d)
+    adcRank(codes, dt)
+  }
 
-  /** The PQ model pieces: per-vector codes `(vec_id, m, k)` and the
-    * queries' ADC distance tables `(q_id, m, k, d2)`.
+  /** The quantized element stream `(vec_id, m, j, x)` every PQ stage
+    * consumes.
     */
-  private def pqModel(emb: DataFrame, seedStep: Int)
-      : (DataFrame, DataFrame) = {
-    val el = emb
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
-      .select(col("vec_id"),
-        expr(s"i div $PqSubDim").cast("long").as("m"),
-        expr(s"i % $PqSubDim").cast("long").as("j"),
-        round(col("e").cast("double") * lit(1000d)).cast("long").as("x"))
-    val cb = el.filter(col("vec_id") % seedStep === 0 &&
+  private def pqElements(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+    .select(col("vec_id"),
+      expr(s"i div $PqSubDim").cast("long").as("m"),
+      expr(s"i % $PqSubDim").cast("long").as("j"),
+      round(col("e").cast("double") * lit(1000d)).cast("long").as("x"))
+
+  /** Train the per-subspace codebooks: stride seeds, then [[PqIters]]
+    * integer Lloyd rounds ([[pqLloydStep]]).
+    */
+  private def pqTrain(el: DataFrame, seedStep: Int): DataFrame = {
+    val cb0 = el.filter(col("vec_id") % seedStep === 0 &&
         col("vec_id") < PqK.toLong * seedStep)
       .select((col("vec_id") / seedStep).cast("long").as("k"),
         col("m"), col("j"), col("x").as("cx"))
+    (1 to PqIters).foldLeft(cb0)((c, _) => pqLloydStep(el, c))
+  }
+
+  /** The PQ model pieces given a trained codebook: per-vector codes
+    * `(vec_id, m, k)` and the queries' ADC distance tables
+    * `(q_id, m, k, d2)`.
+    */
+  private def pqFromCodebook(el: DataFrame, cb: DataFrame)
+      : (DataFrame, DataFrame) = {
     // per (vector, subspace, centroid): exact integer subspace distance
     val sub2 = el.join(broadcast(cb), Seq("m", "j"))
       .groupBy(col("vec_id"), col("m"), col("k"))
@@ -371,6 +392,97 @@ object Similarity {
     val dt = sub2.filter(col("vec_id") < NQueries)
       .select(col("vec_id").as("q_id"), col("m"), col("k"), col("d2"))
     (codes, dt)
+  }
+
+  /** The SHARED TRAINED CODEBOOK artifact — Lloyd training is a pure
+    * function of the embeddings table and the PQ parameters, so it runs
+    * once per dataset version (layout key pins K/stride/iters/subspace
+    * geometry — a parameter change can never adopt a stale codebook)
+    * and every PQ face adopts the ≤ K·M·[[PqSubDim]]-row parquet. This
+    * is also what made Lloyd refinement affordable: training inline put
+    * 2 argmin+mean rounds into EVERY downstream query's lineage
+    * (measured 1.4 → 5.8 s per PQ bench entry); the artifact restores
+    * flat per-query cost and is the production shape — train once,
+    * encode once, query with frozen codes. The artifact holds all
+    * three derived tables (`cb`, per-vector `codes`, query ADC `dt`),
+    * so query faces never touch raw vectors.
+    */
+  private def pqArtifactBase(d: String): java.nio.file.Path =
+    SharedArtifacts.root.resolve("pqcb_" +
+      SharedArtifacts.fingerprint(d, "embeddings.parquet",
+        s"pqcb:v2:K$PqK:step$PqSeedStep:it$PqIters:m$PqSubspaces:j$PqSubDim"))
+
+  private def pqArtifacts(s: SparkSession, d: String): Unit = {
+    val base = pqArtifactBase(d)
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      val el = pqElements(T(s, d, "embeddings"))
+      val cb = pqTrain(el, PqSeedStep)
+      cb.write.mode("overwrite").parquet(staging.resolve("cb").toString)
+      val frozen = s.read.parquet(staging.resolve("cb").toString)
+      val (codes, dt) = pqFromCodebook(el, frozen)
+      codes.write.mode("overwrite").parquet(staging.resolve("codes").toString)
+      dt.write.mode("overwrite").parquet(staging.resolve("dt").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+  }
+
+  /** Eagerly build (or adopt) the trained PQ codebook — the bench's
+    * visibility hook, like [[ensureKmeansArtifact]].
+    */
+  def ensurePqArtifact(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(pqArtifactBase(d))
+    pqArtifacts(s, d)
+    !existed
+  }
+
+  /** Registry-face model: codes and query ADC tables adopted straight
+    * from the shared artifact — at query time PQ touches no vectors at
+    * all, the production contract ("the codes table IS the index").
+    */
+  private def pqModelCached(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    pqArtifacts(s, d)
+    val base = pqArtifactBase(d)
+    (s.read.parquet(base.resolve("codes").toString),
+      s.read.parquet(base.resolve("dt").toString))
+  }
+
+  /** One per-subspace Lloyd round on the QUANTIZED integer elements:
+    * assign each (vector, subspace) block to its nearest centroid by
+    * exact integer d2 (ties → smallest k, the registry-wide rule), then
+    * move each centroid to the round-half-away-from-zero integer mean
+    * of its members' coordinates. The sign split keeps every integer
+    * division's numerator positive, where Spark's truncating `div` and
+    * DuckDB's flooring `//` agree — the whole training loop stays
+    * bit-identical cross-engine. A centroid with no members keeps its
+    * previous coordinates (the left join's coalesce), so the codebook
+    * never shrinks and `k` stays a stable code.
+    *
+    * Scale shape per round: one broadcast of the ≤ [[PqK]]·[[PqSubspaces]]
+    * ·[[PqSubDim]]-row codebook, one map-side-combinable argmin, one
+    * (m, k, j)-keyed sum — O(n·K) compute, O(n) shuffle, same as
+    * [[lloydStep]] but in exact integers.
+    */
+  private def pqLloydStep(el: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = el.join(broadcast(cb), Seq("m", "j"))
+      .groupBy(col("vec_id"), col("m"), col("k"))
+      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    val w = Window.partitionBy(col("vec_id"), col("m"))
+      .orderBy(col("d2"), col("k"))
+    val assign = d2.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("k"))
+    val means = assign.join(el, Seq("vec_id", "m"))
+      .groupBy(col("m"), col("k"), col("j"))
+      .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+      .select(col("m"), col("k"), col("j"),
+        when(col("s") >= 0, expr("(2*s + n) div (2*n)"))
+          .otherwise(-expr("(2*(-s) + n) div (2*n)")).as("cm"))
+    cb.join(means, Seq("m", "k", "j"), "left")
+      .select(col("k"), col("m"), col("j"),
+        coalesce(col("cm"), col("cx")).as("cx"))
   }
 
   /** IVF + PQ — the composition FAISS ships as its workhorse: the IVF
@@ -395,7 +507,7 @@ object Similarity {
         Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"))
-    val (codes, dt) = pqModel(T(s, d, "embeddings"), PqSeedStep)
+    val (codes, dt) = pqModelCached(s, d)
     val adc = cand.join(codes, Seq("vec_id"))
       .join(broadcast(dt), Seq("q_id", "m", "k"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -409,9 +521,16 @@ object Similarity {
   }
 
   private[graft] def annPqOn(emb: DataFrame, seedStep: Int): DataFrame = {
-    val (codes, dt) = pqModel(emb, seedStep)
-    // exhaustive ADC: every code row meets the query tables through the
-    // (m, k) equi-join — no candidate cross product materializes
+    val el = pqElements(emb)
+    val (codes, dt) = pqFromCodebook(el, pqTrain(el, seedStep))
+    adcRank(codes, dt)
+  }
+
+  /** Exhaustive ADC ranking from model pieces: every code row meets the
+    * query tables through the (m, k) equi-join — no candidate cross
+    * product materializes.
+    */
+  private def adcRank(codes: DataFrame, dt: DataFrame): DataFrame = {
     val adc = codes.join(broadcast(dt), Seq("m", "k"))
       .filter(col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
@@ -916,6 +1035,35 @@ object Similarity {
     * noise (~1e-15 relative), so the discrete argmin/probe choices agree;
     * the continuous output column carries the usual round(...,4) guard.
     */
+  /** One unrolled oracle Lloyd round: assignment argmin against
+    * `cb${i-1}`, the (m, k, j)-keyed integer sums, and the sign-split
+    * round-half-away integer mean — `//` on positive numerators only,
+    * where DuckDB's floor division equals Spark's truncating `div`.
+    */
+  private def pqLloydCte(i: Int): String =
+    s"""pd$i AS (
+       |  SELECT el.vec_id, el.m, cb${i - 1}.k,
+       |    sum((el.x - cb${i - 1}.cx) * (el.x - cb${i - 1}.cx)) AS d2
+       |  FROM el JOIN cb${i - 1}
+       |    ON cb${i - 1}.m = el.m AND cb${i - 1}.j = el.j
+       |  GROUP BY 1, 2, 3),
+       |pa$i AS (
+       |  SELECT vec_id, m, k FROM (
+       |    SELECT vec_id, m, k,
+       |      row_number() OVER (PARTITION BY vec_id, m
+       |        ORDER BY d2, k) AS rn
+       |    FROM pd$i) WHERE rn = 1),
+       |ps$i AS (
+       |  SELECT el.m, a.k, el.j, sum(el.x) AS s, count(*) AS n
+       |  FROM pa$i a JOIN el ON el.vec_id = a.vec_id AND el.m = a.m
+       |  GROUP BY 1, 2, 3),
+       |cb$i AS (
+       |  SELECT c.k, c.m, c.j,
+       |    coalesce(CASE WHEN p.s >= 0 THEN (2*p.s + p.n) // (2*p.n)
+       |             ELSE -((2*(-p.s) + p.n) // (2*p.n)) END, c.cx) AS cx
+       |  FROM cb${i - 1} c LEFT JOIN ps$i p
+       |    ON p.m = c.m AND p.k = c.k AND p.j = c.j)""".stripMargin
+
   private val pqCtes: String =
     s"""el AS (
        |  SELECT vec_id,
@@ -925,12 +1073,14 @@ object Similarity {
        |               * 1000) AS BIGINT) AS x
        |  FROM embeddings,
        |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
-       |cb AS (
+       |cb0 AS (
        |  SELECT CAST(vec_id // $PqSeedStep AS BIGINT) AS k, m, j,
        |    x AS cx
        |  FROM el
        |  WHERE vec_id % $PqSeedStep = 0
        |    AND vec_id < ${PqK.toLong * PqSeedStep}),
+       |${(1 to PqIters).map(pqLloydCte).mkString(",\n")},
+       |cb AS (SELECT * FROM cb$PqIters),
        |sub2 AS (
        |  SELECT el.vec_id, el.m, cb.k,
        |    sum((el.x - cb.cx) * (el.x - cb.cx)) AS d2
