@@ -71,7 +71,39 @@ object StreamingQueries {
     * diff. The emitted view must hash-match the from-scratch batch
     * SQL — the IVM correctness statement: fold-of-changes ≡ recompute.
     */
-  private val streamIvmCounts: Q = (s, d) => {
+  private val streamIvmCounts: Q = (s, d) =>
+    ivmReplay(s, d,
+      run => Seq(new LiveCountsView(run.resolve("view").toString)))
+      .head.read(s).select(col("world_bucket"), col("n_live"))
+
+  /** The SECOND consumer of the same change feed — the proof
+    * [[graft.streaming.AlertStateTable.changesBetween]] is an API, not
+    * a one-view trick: the same replay maintains BOTH the per-world
+    * counts view and a view keyed on `eventId` — the column K2 upserts
+    * MUTATE, so a re-signup that moves a live user from event A to
+    * event B reaches this view precisely as the
+    * `update_preimage`(−1 at A)/`update_postimage`(+1 at B) pair; a
+    * view folding only inserts/deletes would drift on exactly those
+    * rows. Emits the per-event view; hash-checked against the
+    * from-scratch batch SQL (last-event-wins per user, grouped by
+    * event) — fold-of-changes ≡ recompute, per key that moves.
+    */
+  private val streamIvmEvents: Q = (s, d) =>
+    ivmReplay(s, d, run => Seq(
+      new LiveCountsView(run.resolve("view").toString),
+      new LiveCountsView(run.resolve("view_ev").toString,
+        bucketExpr = "eventId", keyName = "event_id")))
+      .last.read(s).select(col("event_id"), col("n_live"))
+
+  /** The shared IVM replay harness: 4-file staged events →
+    * `maxFilesPerTrigger=1` AvailableNow replay → durable
+    * [[graft.streaming.AlertStateTable]] merges (compaction forced
+    * mid-replay) with every registered view refreshed from the change
+    * feed after each merge. Returns the views for the caller to read.
+    */
+  private def ivmReplay(s: SparkSession, d: String,
+      mkViews: java.nio.file.Path => Seq[LiveCountsView])
+      : Seq[LiveCountsView] = {
     val run = freshRunDir("graft_ivm_")
     val srcDir = run.resolve("src").toString
     // stage the replay as 4 nanos-long files so AvailableNow +
@@ -80,26 +112,7 @@ object StreamingQueries {
     // source table, so it is built once per dataset version and
     // hard-linked here (r10 rewrote the whole events table per
     // invocation — the head of stream_ivm_counts' 7 s bench bill)
-    locally {
-      import java.nio.file.Files
-      import scala.jdk.CollectionConverters._
-      val base = SharedArtifacts.root.resolve("ivm_events4_" +
-        SharedArtifacts.fingerprint(d, "events.parquet", "nanos-4part-v1"))
-      if (!SharedArtifacts.isReady(base)) {
-        val staging = SharedArtifacts.stagingFor(base)
-        T(s, d, "events")
-          .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
-          .repartition(4).write.mode("overwrite")
-          .parquet(staging.resolve("data").toString)
-        SharedArtifacts.publish(staging, base)
-      }
-      SharedArtifacts.markUsed(base)
-      Files.createDirectories(run.resolve("src"))
-      Files.list(base.resolve("data")).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet"))
-        .foreach(p => linkOrCopy(p, run.resolve("src").resolve(
-          p.getFileName.toString)))
-    }
+    stageIvmSource(s, d, run)
     val schema = org.apache.spark.sql.types.StructType(
       T(s, d, "events").schema.map(f =>
         if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
@@ -111,7 +124,7 @@ object StreamingQueries {
         expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
     val table = new AlertStateTable(run.resolve("table").toString,
       compactEvery = 3)
-    val view = new LiveCountsView(run.resolve("view").toString)
+    val views = mkViews(run)
     withStreamingParallelism(s) {
       val q = AlertPipeline.updates(events, ttlSeconds = None)
         .writeStream.outputMode("update")
@@ -119,13 +132,38 @@ object StreamingQueries {
         .foreachBatch {
           (batch: org.apache.spark.sql.Dataset[AlertUpdate], _: Long) =>
             table.merge(batch.sparkSession, batch.toDF())
-            view.refresh(batch.sparkSession, table)
+            views.foreach(_.refresh(batch.sparkSession, table))
         }
         .option("checkpointLocation", run.resolve("chk").toString)
         .start()
       q.awaitTermination()
     }
-    view.read(s).select(col("world_bucket"), col("n_live"))
+    views
+  }
+
+  /** Build (or adopt) and hard-link the 4-file nanos staging for the
+    * IVM replays.
+    */
+  private def stageIvmSource(s: SparkSession, d: String,
+      run: java.nio.file.Path): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val base = SharedArtifacts.root.resolve("ivm_events4_" +
+      SharedArtifacts.fingerprint(d, "events.parquet", "nanos-4part-v1"))
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      T(s, d, "events")
+        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
+        .repartition(4).write.mode("overwrite")
+        .parquet(staging.resolve("data").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    Files.createDirectories(run.resolve("src"))
+    Files.list(base.resolve("data")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .foreach(p => linkOrCopy(p, run.resolve("src").resolve(
+        p.getFileName.toString)))
   }
 
   /** Run a drain-and-stop streaming replay with shuffle parallelism
@@ -1153,6 +1191,7 @@ object StreamingQueries {
     "stream_state_history" -> streamStateHistory,
     "stream_inprogress" -> streamInProgress,
     "stream_ivm_counts" -> streamIvmCounts,
+    "stream_ivm_events" -> streamIvmEvents,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
@@ -1182,6 +1221,15 @@ object StreamingQueries {
     "stream_ivm_counts" ->
       """SELECT user_id % 10 AS world_bucket, count(*) AS n_live FROM (
         |  SELECT user_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1 AND event_type = 'signup'
+        |GROUP BY 1""".stripMargin,
+    // the second feed consumer: a view keyed on the column updates
+    // mutate — the update_preimage/postimage fold must reproduce the
+    // from-scratch per-event live census
+    "stream_ivm_events" ->
+      """SELECT CAST(event_id AS BIGINT) AS event_id, count(*) AS n_live FROM (
+        |  SELECT user_id, event_id, event_type,
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type = 'signup'
         |GROUP BY 1""".stripMargin,

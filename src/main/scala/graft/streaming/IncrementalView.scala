@@ -27,7 +27,8 @@ import org.apache.spark.sql.functions._
   * than adding blindly — it recomputes `stored + delta` from the same
   * stored generation).
   */
-class LiveCountsView(path: String, bucketExpr: String = "worldId % 10") {
+class LiveCountsView(path: String, bucketExpr: String = "worldId % 10",
+    keyName: String = "world_bucket") {
 
   private def pointer: Path = Paths.get(path, "_CURRENT")
 
@@ -45,13 +46,13 @@ class LiveCountsView(path: String, bucketExpr: String = "worldId % 10") {
   def read(spark: SparkSession): DataFrame = current match {
     case Some((dir, _)) => spark.read.parquet(s"$path/$dir")
     case None => spark.emptyDataFrame
-      .select(lit(0L).as("world_bucket"), lit(0L).as("n_live"))
+      .select(lit(0L).as(keyName), lit(0L).as("n_live"))
   }
 
   private def fullCounts(table: AlertStateTable,
       spark: SparkSession): DataFrame =
     table.snapshot(spark)
-      .groupBy(expr(bucketExpr).cast("long").as("world_bucket"))
+      .groupBy(expr(bucketExpr).cast("long").as(keyName))
       .agg(count(lit(1)).as("n_live"))
 
   /** Bring the view up to the table's newest version. */
@@ -66,13 +67,13 @@ class LiveCountsView(path: String, bucketExpr: String = "worldId % 10") {
         case Some((dir, seen)) if vs.contains(seen) =>
           // the IVM path: fold the change feed into the stored counts
           val deltas = table.changesBetween(spark, seen, cur)
-            .select(expr(bucketExpr).cast("long").as("world_bucket"),
+            .select(expr(bucketExpr).cast("long").as(keyName),
               when(col("change").isin("insert", "update_postimage"), 1L)
                 .otherwise(-1L).as("d"))
-            .groupBy(col("world_bucket")).agg(sum(col("d")).as("d"))
+            .groupBy(col(keyName)).agg(sum(col("d")).as("d"))
           spark.read.parquet(s"$path/$dir")
-            .join(deltas, Seq("world_bucket"), "full_outer")
-            .select(col("world_bucket"),
+            .join(deltas, Seq(keyName), "full_outer")
+            .select(col(keyName),
               (coalesce(col("n_live"), lit(0L)) +
                 coalesce(col("d"), lit(0L))).as("n_live"))
             // a bucket whose last member left must VANISH, exactly as a

@@ -76,4 +76,35 @@ class IncrementalViewSpec extends AnyFunSuite {
     // refresh with no new table version is a no-op
     view.refresh(spark, table); check("idempotent refresh")
   }
+
+  test("event-keyed view: key-moving updates fold as preimage −1 / postimage +1") {
+    val dir = Files.createTempDirectory("cdc_table3").toString
+    val table = new AlertStateTable(dir)
+    val view = new LiveCountsView(
+      Files.createTempDirectory("cdc_view_ev").toString,
+      bucketExpr = "eventId", keyName = "event_id")
+    def check(step: String): Unit = {
+      val got = view.read(spark).as[(Long, Long)].collect().toMap
+      val want = table.snapshot(spark)
+        .selectExpr("CAST(eventId AS LONG) AS e")
+        .groupBy("e").count().as[(Long, Long)].collect().toMap
+      assert(got == want, s"$step: view $got vs recompute $want")
+    }
+    table.merge(spark, Seq(up("a", "live", 100, 10, 1000),
+      up("b", "live", 100, 11, 1000), up("c", "live", 200, 12, 1000)).toDF())
+    view.refresh(spark, table); check("first build")
+    // a and c both MOVE events: the view key changes, so these reach the
+    // fold ONLY as the update_preimage/update_postimage pair — an
+    // insert/delete-only fold would leave event 100 overcounted and
+    // event 300 missing
+    table.merge(spark, Seq(up("a", "live", 300, 10, 2000),
+      up("c", "live", 100, 12, 2000)).toDF())
+    view.refresh(spark, table); check("key-moving updates")
+    assert(view.read(spark).as[(Long, Long)].collect().toMap ==
+      Map(100L -> 2L, 300L -> 1L), "post-move census")
+    // same-key update (new timestamp, same eventId): pre/post land in
+    // one bucket and must net to zero, not double-count
+    table.merge(spark, Seq(up("b", "live", 100, 11, 3000)).toDF())
+    view.refresh(spark, table); check("same-key update nets zero")
+  }
 }
