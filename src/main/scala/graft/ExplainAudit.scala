@@ -39,9 +39,17 @@ object ExplainAudit {
     sb ++= "PlanGovernanceSpec allowlist (bounded broadcast build sides).\n"
     sb ++= "Codegen spans count distinct `codegen id`s; Spark's formatted\n"
     sb ++= "explain omits the annotation on AQE-replanned stages, so 0 on\n"
-    sb ++= "a multi-exchange plan means *not annotated*, not *interpreted*.\n\n"
-    sb ++= "| query | nested loops | exchanges | codegen spans | pushed filters |\n"
-    sb ++= "|---|---|---|---|---|\n"
+    sb ++= "a multi-exchange plan means *not annotated*, not *interpreted*.\n"
+    sb ++= "Runtime filters counts injected bloom probes (`might_contain`)\n"
+    sb ++= "plus dynamic partition pruning subqueries. 0 on the star joins\n"
+    sb ++= "is EXPECTED at this SF: their dims broadcast, the degenerate\n"
+    sb ++= "best case of a runtime filter (the build side reaches the probe\n"
+    sb ++= "as a complete hash table, so there is nothing left to inject).\n"
+    sb ++= "PlanGovernanceSpec pins that the machinery stays armed — with\n"
+    sb ++= "broadcast off (the 100 TB dim case), the q5 star core DOES\n"
+    sb ++= "inject a bloom filter on l_orderkey before the exchange.\n\n"
+    sb ++= "| query | nested loops | exchanges | codegen spans | pushed filters | runtime filters |\n"
+    sb ++= "|---|---|---|---|---|---|\n"
     val sections = names.map { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       // run the query first (noop sink): with AQE the pre-execution plan
@@ -59,7 +67,8 @@ object ExplainAudit {
       val wsg = "codegen id : (\\d+)".r.findAllMatchIn(formatted)
         .map(_.group(1)).toSet.size
       val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(formatted).length
-      sb ++= s"| $n | $nested | $exchanges | $wsg | $pushed |\n"
+      val rf = "might_contain|dynamicpruning".r.findAllIn(formatted).length
+      sb ++= s"| $n | $nested | $exchanges | $wsg | $pushed | $rf |\n"
       s"\n## $n\n\n```\n$formatted```\n"
     }
     sections.foreach(sb ++= _)

@@ -100,6 +100,43 @@ class PlanGovernanceSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime-filter machinery stays armed: bloom filter injects on the " +
+      "q5 star core under shuffle-join conditions") {
+    // At bench scale the star joins broadcast their dims — the
+    // degenerate best case of a runtime filter (the build side reaches
+    // the probe as a complete hash table), so InjectRuntimeFilter has
+    // nothing to add and the audit's runtime-filter column reads 0.
+    // This spec pins the part that must not rot: the session leaves
+    // Spark's runtime bloom filter ENABLED, and on the q5 core shape
+    // (lineitem ⋈ selectively-filtered orders) under the conditions
+    // where it matters at 100 TB — dims too big to broadcast, big-side
+    // scan dominating — the filter actually injects. A conf regression
+    // that silently disarms it fails here, not at the cluster.
+    assert(spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true",
+      "runtime bloom filter must be enabled in the tuned session")
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    val prev = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set(keys(0), "-1") // the 100 TB case: no broadcast
+      spark.conf.set(keys(1), "0")  // sf-independent: any scan qualifies
+      import org.apache.spark.sql.functions._
+      val o = Tables.load(spark, sf, "orders")
+        .filter(col("o_orderstatus") === "F")
+      val l = Tables.load(spark, sf, "lineitem")
+      val plan = PlanCheck.finalPlanString(
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderstatus"))
+          .agg(sum(col("l_quantity")).as("q")))
+      assert(plan.contains("might_contain"),
+        s"no runtime bloom filter injected on the star core:\n$plan")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("no registry query plans an unbounded nested-loop join") {
     val offenders = scala.collection.mutable.Map[String, String]()
     val fired = scala.collection.mutable.Set[String]()
