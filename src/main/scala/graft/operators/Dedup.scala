@@ -202,17 +202,42 @@ object Dedup {
       .agg(count(lit(1)).as("n_bands"))
   }
 
-  /** Exact n-gram (3-shingle) Jaccard audit over a bounded doc prefix.
-    * At scale this runs on LSH candidates; the doc_id < 300 cap here keeps
-    * the demonstration all-pairs join bounded at every SF. Shingles are
-    * computed directly from the FILTERED documents scan — NOT the shared
-    * shingle table: bucketing is an equality-hash layout, it cannot prune
-    * the `doc_id < 300` range, so the shared table would scan every
-    * shingle of every doc to keep 300 docs' worth. The direct shape
-    * pushes the range predicate into the parquet scan.
+  /** How many distinct content-head keys the exact-Jaccard audit
+    * samples (≈ that many docs, since head keys nearly identify docs).
+    */
+  private val JaccardSampleKeys = 280
+
+  /** The audit's doc sample: the [[JaccardSampleKeys]] smallest DISTINCT
+    * `md5(first 32 chars)` keys, adopted by semi-join. CONTENT-keyed so
+    * near-duplicates — which share their head — land in or out of the
+    * sample TOGETHER: the old `doc_id < 300` prefix rule silently went
+    * vacuous beyond sf0.01 (planted pairs straddle the id range, so the
+    * truth set and the recall gate built on it were empty at sf0.1 and
+    * at the 10× rung). Key-level selection also keeps the sample's
+    * expected PAIR count roughly constant as the corpus grows (the
+    * sampled key fraction shrinks as 1/n while pairs grow as n).
+    * Scale shape: distinct (one shuffle of keys) → TakeOrdered limit →
+    * broadcast semi-join; the constant is the key budget, never a
+    * fraction of the corpus.
+    */
+  private def jaccardSample(docs: DataFrame): DataFrame = {
+    val keyed = docs.withColumn("kk",
+      md5(substring(trim(col("text")), 1, 32).cast("binary")))
+    val keys = keyed.select(col("kk")).distinct()
+      .orderBy(col("kk")).limit(JaccardSampleKeys)
+    keyed.join(broadcast(keys), Seq("kk")).drop("kk")
+  }
+
+  /** Exact n-gram (3-shingle) Jaccard audit over a bounded doc sample
+    * ([[jaccardSample]]). At scale this runs on LSH candidates; the
+    * key-budget cap keeps the demonstration all-pairs join bounded at
+    * every SF. Shingles are computed directly from the SAMPLED documents
+    * scan — NOT the shared shingle table: bucketing is an equality-hash
+    * layout, it cannot prune the sample, so the shared table would scan
+    * every shingle of every doc to keep ~300 docs' worth.
     */
   private val ngramJaccard: Q = (s, d) => {
-    val sh = shingleRows(T(s, d, "documents").filter(col("doc_id") < 300))
+    val sh = shingleRows(jaccardSample(T(s, d, "documents")))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = sh.select(col("doc_id").as("a_id"), col("shingle"))
       .join(sh.select(col("doc_id").as("b_id"), col("shingle")), Seq("shingle"))
@@ -961,8 +986,12 @@ object Dedup {
   }
 
   private val jaccardOracle: String =
-    s"""WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '$WsRe') AS ws
-       |           FROM documents WHERE doc_id < 300),
+    s"""WITH sk AS (SELECT DISTINCT md5(substr(trim(text), 1, 32)) AS kk
+       |            FROM documents ORDER BY kk LIMIT $JaccardSampleKeys),
+       |samp AS (SELECT doc_id, text FROM documents
+       |         WHERE md5(substr(trim(text), 1, 32)) IN (SELECT kk FROM sk)),
+       |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '$WsRe') AS ws
+       |           FROM samp),
        |sh AS (SELECT DISTINCT doc_id,
        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
        |       FROM w, unnest(generate_series(1, len(ws) - 2)) t(i)),

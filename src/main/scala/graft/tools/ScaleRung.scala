@@ -1,0 +1,103 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale-evidence rung beyond the bench SF: synthesize an N× documents +
+  * embeddings dataset (same schemas as the testdata tables, deterministic
+  * perturbations so replicas are NEAR duplicates, not byte copies), then
+  * run the dedup/ANN shared-artifact builds and the recall-report queries
+  * against it, timing (a) the fresh build, (b) a second invocation that
+  * must ADOPT every artifact (near-zero cost — the amortization claim the
+  * registry makes at 100 TB, exercised live), and (c) the recall/envelope
+  * queries whose decimal envelopes and banded join shapes must survive
+  * the scale-up unchanged.
+  *
+  * Usage: `SPARK_GRAFT_CPUS=32 runMain graft.tools.ScaleRung [factor]`
+  * (default 10× sf0.1). Writes the generated set under /tmp and prints a
+  * markdown row per measurement — evidence for SURVEY §11, no registry
+  * change.
+  */
+object ScaleRung {
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val src = "/root/testdata/sf0.1"
+    val dest = s"/tmp/graft_scale_${factor}x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = graft.GraftSession.local(cpus.toInt)
+    import java.nio.file.{Files, Paths}
+
+    def timed[A](label: String)(f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"[scale-rung] $label%-34s $sec%8.2f s")
+      (a, sec)
+    }
+
+    if (!Files.exists(Paths.get(dest, "_DONE"))) {
+      timed(s"generate ${factor}x dataset") {
+        // each replica k gets a k-specific suffix token (near-dup, not
+        // byte-identical: the LSH/banding path has to work for its
+        // recall, not ride exact-hash shortcuts) and a deterministic
+        // +k*1e-4 embedding jitter (near-neighbor structure preserved,
+        // exact-dup vectors avoided)
+        val reps = spark.range(factor.toLong).select(col("id").as("rep"))
+        val docs = spark.read.parquet(s"$src/documents.parquet")
+        val nDocs = docs.count()
+        docs.crossJoin(reps)
+          .select((col("doc_id") + col("rep") * nDocs).as("doc_id"),
+            when(col("rep") === 0, col("text"))
+              .otherwise(concat(col("text"), lit(" rev"), col("rep")))
+              .as("text"),
+            col("lang"), col("source"),
+            (col("n_chars") + when(col("rep") === 0, 0L).otherwise(
+              length(concat(lit(" rev"), col("rep"))).cast("long")))
+              .as("n_chars"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dest/documents.parquet")
+        val emb = spark.read.parquet(s"$src/embeddings.parquet")
+        val nVec = emb.count()
+        emb.crossJoin(reps)
+          .select((col("vec_id") + col("rep") * nVec).as("vec_id"),
+            expr("transform(embedding, x -> CAST(x + rep * 1e-4 AS FLOAT))")
+              .as("embedding"),
+            col("label"))
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dest/embeddings.parquet")
+        Files.write(Paths.get(dest, "_DONE"), Array.emptyByteArray)
+      }
+    }
+    println(s"[scale-rung] dataset: $dest (${factor}x sf0.1: " +
+      s"${spark.read.parquet(s"$dest/documents.parquet").count()} docs, " +
+      s"${spark.read.parquet(s"$dest/embeddings.parquet").count()} vectors)")
+
+    val builds = Seq[(String, (SparkSession, String) => Boolean)](
+      "dedup_shared_build" -> graft.operators.Dedup.ensureSharedTables,
+      "cc_shared_build" -> graft.operators.Dedup.ensureComponentsArtifact,
+      "ivf_shared_build" -> graft.operators.Similarity.ensureIvfArtifacts,
+      "moments_shared_build" -> graft.operators.Similarity.ensureMomentsArtifact,
+      "km_shared_build" -> graft.operators.Similarity.ensureKmeansArtifact,
+      "pq_shared_build" -> graft.operators.Similarity.ensurePqArtifact)
+    println("\n| build | fresh (s) | adopt (s) | fresh? |")
+    builds.foreach { case (name, ensure) =>
+      val (fresh, t1) = timed(s"$name fresh")(ensure(spark, dest))
+      val (again, t2) = timed(s"$name adopt")(ensure(spark, dest))
+      println(f"| $name | $t1%.2f | $t2%.2f | $fresh/$again |")
+      assert(!again, s"$name rebuilt on second invocation — adoption broken")
+    }
+
+    val queries = Seq("dedup_lsh_recall", "sim_ann_recall", "sim_pq_recall",
+      "dedup_minhash_lsh", "embed_outliers", "dedup_components")
+    println("\n| query | seconds | rows |")
+    queries.foreach { name =>
+      val (rows, sec) = timed(name) {
+        val df = graft.SparkEntry.queries(name)(spark, dest)
+        df.write.format("noop").mode("overwrite").save()
+        df.count()
+      }
+      println(f"| $name | $sec%.2f | $rows |")
+    }
+    spark.stop()
+  }
+}
