@@ -97,8 +97,72 @@ object HybridRetrieval {
   private val hybrid: Q = (s, d) =>
     rrfFuse(lexRanked(s, d), vecRanked(s, d), TopK)
 
+  private val NdcgKs = Seq(5L, 10L, 20L)
+  private val NdcgScale = 1000000L
+
+  /** Discount weights `round(1e6 / log2(i+1))` for positions 1..TopK —
+    * computed ONCE here and embedded as integer literals in BOTH
+    * engines, so nDCG needs no runtime logarithm anywhere: libm `log`
+    * rounding differs across engines (the reason BM25 uses the odds
+    * ratio), but a constant table of pre-scaled discounts makes the
+    * whole report exact-integer arithmetic.
+    */
+  private[graft] val ndcgWeights: IndexedSeq[Long] =
+    (1 to TopK).map(i => BigDecimal(
+      NdcgScale.toDouble / (math.log(i + 1.0) / math.log(2.0)))
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong)
+
+  /** Prefix sums `P(0)=0, P(j)=Σ_{i≤j} W_i` — the ideal-DCG lookup:
+    * `IDCG@k = P(min(k, n_rel))`.
+    */
+  private[graft] val ndcgPrefix: IndexedSeq[Long] =
+    ndcgWeights.scanLeft(0L)(_ + _)
+
+  /** RETRIEVAL QUALITY as a gate invariant: nDCG@k of the fused
+    * ranking, graded by the labeled eval signal the corpus already
+    * carries (`embeddings.label` — a fused doc is relevant iff it
+    * shares the query doc's label; docs without an embedding row grade
+    * 0). Emits `(k, dcg_scaled, idcg_scaled, n_rel)` — all exact
+    * integers via the constant discount table, so ranking-quality
+    * regressions fail the hash gate the way `sim_*_recall` does for
+    * ANN; nDCG itself is the ratio of the two emitted columns.
+    *
+    * Scale shape: the fused list is ≤TopK rows; labels reach it by one
+    * equi-join against the (vec_id, label) projection; the query label
+    * and the relevant-total are broadcast single-row scalars (the
+    * governance-allowlisted pattern).
+    */
+  private val hybridNdcg: Q = (s, d) => {
+    val fused = hybrid(s, d).select(col("doc_id"), col("rrf"))
+    val pos = fused.withColumn("pos", row_number()
+      .over(Window.orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") === QueryDoc)
+      .select(col("label").as("q_label"))
+    val rel = pos.join(lbl, pos("doc_id") === lbl("vec_id"), "left")
+      .crossJoin(broadcast(q))
+      .withColumn("rel", when(col("label") === col("q_label"), 1L)
+        .otherwise(0L))
+      .withColumn("w",
+        element_at(typedLit(ndcgWeights), col("pos").cast("int")))
+    val nRel = lbl.filter(col("vec_id") =!= QueryDoc)
+      .crossJoin(broadcast(q))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_rel"))
+    NdcgKs.map { k =>
+      rel.agg(coalesce(sum(when(col("pos") <= k && col("rel") === 1L,
+          col("w"))), lit(0L)).as("dcg_scaled"))
+        .withColumn("k", lit(k))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(nRel))
+      .withColumn("idcg_scaled", element_at(typedLit(ndcgPrefix),
+        least(col("k"), col("n_rel")).cast("int") + 1))
+      .select(col("k"), col("dcg_scaled"), col("idcg_scaled"), col("n_rel"))
+  }
+
   val queries: Map[String, Q] = Map(
     "hybrid_rrf" -> hybrid,
+    "hybrid_ndcg" -> hybridNdcg,
   )
 
   /** The same two legs and fusion in DuckDB SQL: the BM25 CTEs are the
@@ -130,7 +194,45 @@ object HybridRetrieval {
        |FROM lex l FULL OUTER JOIN vec v ON l.doc_id = v.doc_id
        |ORDER BY rrf DESC, doc_id LIMIT $TopK""".stripMargin
 
+  /** The nDCG report in SQL: the fused CTE is [[hybridOracle]] itself;
+    * the discount and prefix tables are the SAME Scala-generated
+    * integer literals the Spark side embeds, so the report is pure
+    * integer arithmetic in both engines.
+    */
+  private val ndcgOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    val ks = NdcgKs.map(k => s"($k)").mkString(", ")
+    s"""WITH fused AS ($hybridOracle),
+       |p AS (SELECT doc_id,
+       |        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS BIGINT)
+       |          AS pos
+       |      FROM fused),
+       |ql AS (SELECT label FROM embeddings WHERE vec_id = $QueryDoc),
+       |r AS (SELECT p.pos,
+       |        CASE WHEN e.label = (SELECT label FROM ql) THEN 1 ELSE 0 END
+       |          AS rel
+       |      FROM p LEFT JOIN embeddings e ON e.vec_id = p.doc_id),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |nrel AS (SELECT count(CASE WHEN label = (SELECT label FROM ql)
+       |                     THEN 1 END) AS n_rel
+       |         FROM embeddings WHERE vec_id <> $QueryDoc),
+       |ks(k) AS (VALUES $ks)
+       |SELECT CAST(k AS BIGINT) AS k,
+       |  CAST((SELECT coalesce(sum(w), 0) FROM r JOIN wts ON wts.pos = r.pos
+       |        WHERE r.pos <= k AND r.rel = 1) AS BIGINT) AS dcg_scaled,
+       |  CAST((SELECT s FROM pre
+       |        WHERE j = least(k, (SELECT n_rel FROM nrel))) AS BIGINT)
+       |    AS idcg_scaled,
+       |  (SELECT n_rel FROM nrel) AS n_rel
+       |FROM ks""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
+    "hybrid_ndcg" -> ndcgOracle,
   )
 }

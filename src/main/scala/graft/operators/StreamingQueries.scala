@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import graft.Tables.{load => T}
@@ -141,29 +142,110 @@ object StreamingQueries {
     views
   }
 
+  /** SNAPSHOT-ISOLATION TIME TRAVEL as a registry face: replay the
+    * 4-quartile staging through the durable [[AlertStateTable]] (4
+    * merges → 4 retained manifest versions), then read the table AS OF
+    * the SECOND version — `rawAt`, the `versionAsOf` analog the
+    * log+compact layout gives for free — and emit its live set. Because
+    * the staging split is data-defined (event-time quartiles under the
+    * (ts, event_id) row_number), "version 2" IS a SQL expression: the
+    * last-signup-wins census over the first half of the ordered events
+    * — so a lake-table feature (historical reads) becomes a
+    * hash-checked gate row, not a demo. `retainGenerations = 8` keeps
+    * every replay version readable (the default GC horizon of 2 would
+    * age version 2 out under the later merges — time travel is only as
+    * deep as retention, exactly like Delta).
+    */
+  private val stateTimeTravel: Q = (s, d) => {
+    val run = freshRunDir("graft_tt_")
+    stageIvmSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+    val events = AlertPipeline.eventsTableAsAlerts(s,
+      raw.withColumn("ts",
+        expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")))
+    val table = new AlertStateTable(run.resolve("table").toString,
+      retainGenerations = 8)
+    withStreamingParallelism(s) {
+      val q = AlertPipeline.updates(events, ttlSeconds = None)
+        .writeStream.outputMode("update")
+        .trigger(Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[AlertUpdate], _: Long) =>
+            table.merge(batch.sparkSession, batch.toDF())
+        }
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val vs = table.versions
+    assert(vs.size >= 2, s"expected ≥2 retained versions, got $vs")
+    table.rawAt(s, vs(1)).filter(col("status") === "live")
+      .select(col("id").cast("long").as("user_id"),
+        col("eventId").cast("long").as("last_event_id"))
+  }
+
   /** Build (or adopt) and hard-link the 4-file nanos staging for the
-    * IVM replays.
+    * IVM/time-travel replays. The split is DATA-DEFINED — file k holds
+    * event-time quartile k under `row_number() OVER (ORDER BY ts,
+    * event_id)`, i.e. `bucket = (rn−1)·4 div n` — so "the table as of
+    * version k" is a pure SQL function of the events table and the
+    * time-travel face can carry a DuckDB oracle (a repartition split
+    * would make historical versions unreconstructable). File names and
+    * explicitly ascending mtimes both follow bucket order, so the file
+    * source replays the quartiles in time order. The global row_number
+    * is a once-per-dataset staging cost (at real scale this is a range
+    * partition by time — the same rule without the single-partition
+    * window; rn is the cross-engine determinism anchor here).
     */
   private def stageIvmSource(s: SparkSession, d: String,
       run: java.nio.file.Path): Unit = {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     val base = SharedArtifacts.root.resolve("ivm_events4_" +
-      SharedArtifacts.fingerprint(d, "events.parquet", "nanos-4part-v1"))
+      SharedArtifacts.fingerprint(d, "events.parquet",
+        "nanos-4part-v2-timeordered"))
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
-      T(s, d, "events")
+      val w = Window.orderBy(col("ts"), col("event_id"))
+      val bucketed = T(s, d, "events")
         .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
-        .repartition(4).write.mode("overwrite")
-        .parquet(staging.resolve("data").toString)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+        .drop("rn", "n")
+        .persist()
+      try (0 until 4).foreach { k =>
+        val part = staging.resolve(s"part$k")
+        bucketed.filter(col("bucket") === k).drop("bucket")
+          .coalesce(1).write.mode("overwrite").parquet(part.toString)
+        val file = Files.list(part).iterator().asScala
+          .find(_.getFileName.toString.endsWith(".parquet")).get
+        Files.createDirectories(staging.resolve("data"))
+        Files.move(file, staging.resolve("data").resolve(s"b$k.parquet"))
+        SharedArtifacts.deleteRecursively(part)
+      } finally bucketed.unpersist()
       SharedArtifacts.publish(staging, base)
     }
     SharedArtifacts.markUsed(base)
     Files.createDirectories(run.resolve("src"))
     Files.list(base.resolve("data")).iterator().asScala
-      .filter(_.getFileName.toString.endsWith(".parquet"))
-      .foreach(p => linkOrCopy(p, run.resolve("src").resolve(
-        p.getFileName.toString)))
+      .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sorted
+      .zipWithIndex.foreach { case (p, i) =>
+        val dst = run.resolve("src").resolve(p.getFileName.toString)
+        linkOrCopy(p, dst)
+        // hard links share the inode's mtime; re-stamp ascending so the
+        // file source's (mtime, path) order equals bucket order
+        try Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(
+            System.currentTimeMillis() + i * 1000L))
+        catch { case _: java.io.IOException => () }
+      }
   }
 
   /** Run a drain-and-stop streaming replay with shuffle parallelism
@@ -1192,6 +1274,7 @@ object StreamingQueries {
     "stream_inprogress" -> streamInProgress,
     "stream_ivm_counts" -> streamIvmCounts,
     "stream_ivm_events" -> streamIvmEvents,
+    "state_time_travel" -> stateTimeTravel,
     "stream_windowed_counts" -> streamWindowed,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
@@ -1233,6 +1316,25 @@ object StreamingQueries {
         |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
         |  FROM events) WHERE rn = 1 AND event_type = 'signup'
         |GROUP BY 1""".stripMargin,
+    // the table as of the retained mid-replay version must equal the
+    // last-signup-wins census over the first HALF of the time-ordered
+    // events — the staging's quartile rule ((rn−1)·4 div n, rn over
+    // (ts, event_id)) restated in SQL; (rn−1)·4 is nonnegative, where
+    // DuckDB's flooring // equals the staging's div
+    "state_time_travel" ->
+      """WITH ordered AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |         row_number() OVER (ORDER BY ts, event_id) AS rn,
+        |         count(*) OVER () AS n
+        |  FROM events),
+        |half AS (SELECT * FROM ordered WHERE ((rn - 1) * 4) // n < 2),
+        |lastp AS (
+        |  SELECT user_id, event_id, event_type,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY ts DESC, event_id DESC) AS rn2
+        |  FROM half)
+        |SELECT user_id, event_id AS last_event_id
+        |FROM lastp WHERE rn2 = 1 AND event_type = 'signup'""".stripMargin,
     "stream_windowed_counts" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n

@@ -49,6 +49,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "hybrid_rrf" -> ("the BM25 leg's single-row stats crossJoin plus the" +
       " vector leg's broadcast ONE-ROW query embedding - both bounded" +
       " at one build row forever"),
+    "hybrid_ndcg" -> ("inherits hybrid_rrf's single-row crossJoins and" +
+      " adds its own broadcast ONE-ROW query-label and relevant-total" +
+      " scalars - every build side bounded at one row forever"),
     // embed_kmeans_mix / dedup_semantic's Lloyd-round centroid
     // crossJoins moved into the shared k-means assignment-artifact
     // BUILD; the registry queries are now plain artifact reads with
