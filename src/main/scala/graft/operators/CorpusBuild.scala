@@ -185,6 +185,80 @@ object CorpusBuild {
       .limit(TopPairs)
   }
 
+  private val BpeRounds = 3
+  private val BpeSep = "\u001f"
+
+  /** Tokenizer-training step two: the actual BPE MERGE LOOP —
+    * [[BpeRounds]] rounds over the word-frequency table, each round
+    * counting adjacent-symbol pairs (frequency-weighted, every
+    * adjacent position), fusing the argmax pair (ties: count desc,
+    * then left, then right symbol — total order) into every word's
+    * segmentation, and emitting the learned merge. This is the loop
+    * `corpus_bpe_pairs` is the first iteration of, and the part of
+    * tokenizer training that actually changes the corpus state between
+    * rounds.
+    *
+    * Determinism contract: segmentations live as 0x1F-separated symbol
+    * strings with sentinel separators at both ends, so a pair
+    * occurrence IS the 5-part substring sep+l+sep+r+sep and the merge
+    * is ONE left-to-right non-overlapping `replace` pass per word per
+    * round — identical semantics in both engines. Because adjacent
+    * occurrences SHARE a separator, a back-to-back repeat of the
+    * merged pair (the second ab of "abab", the tail of an "aaa" run)
+    * defers to a later round rather than fusing in the same pass — a
+    * deliberate, spec-pinned variant of the textbook greedy rule,
+    * chosen so the whole loop is expressible as the same one replace
+    * in any engine. Vocabulary restricts to lowercase-alphabetic
+    * words so the char split is engine-agnostic.
+    *
+    * Scale shape: BPE state is the DISTINCT-WORD table (vocabulary,
+    * not corpus: one count shuffle builds it, rounds touch only the
+    * vocab rows); each round is explode→count (map-side combinable)
+    * over symbol pairs, a 1-row argmax (TakeOrdered), and a broadcast
+    * single-row merge applied map-side. Rounds are sequential by
+    * nature — exactly how production BPE trainers iterate.
+    */
+  private val bpeTrain: Q = (s, d) => bpeTrainOn(T(s, d, "documents"))
+
+  /** The training body on an arbitrary `(text)` frame — split out so
+    * the greedy-merge and tie-break contracts are testable on literal
+    * vocabularies.
+    */
+  private[graft] def bpeTrainOn(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(explode(TextAnalysis.words(col("text"))).as("w"))
+      .filter(col("w").rlike("^[a-z]+$"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val seq0 = concat(lit(BpeSep),
+      array_join(expr("filter(split(w, ''), c -> c <> '')"), BpeSep),
+      lit(BpeSep))
+    var cur = vocab.select(seq0.as("seq"), col("n"))
+    val rounds = (1 to BpeRounds).map { r =>
+      val pairs = cur
+        .select(expr(s"filter(split(seq, '$BpeSep'), x -> x <> '')")
+          .as("sym"), col("n"))
+        .select(explode(expr(
+          // guard: Spark's sequence steps DOWNWARD when start > stop,
+          // so a 1-symbol word would enumerate [0, -1] and index past
+          // the array instead of yielding nothing
+          "CASE WHEN size(sym) >= 2 THEN " +
+            "transform(sequence(0, size(sym) - 2), i -> " +
+            "struct(sym[i] AS l, sym[i + 1] AS r)) " +
+            "ELSE array() END")).as("p"), col("n"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("pair_n"))
+      val top = pairs.orderBy(col("pair_n").desc, col("l"), col("r"))
+        .limit(1)
+      cur = cur.crossJoin(broadcast(top))
+        .select(expr(s"replace(seq, '$BpeSep' || l || '$BpeSep' || r || " +
+          s"'$BpeSep', '$BpeSep' || l || r || '$BpeSep')").as("seq"),
+          col("n"))
+      top.select(lit(r.toLong).as("round"), col("l").as("left"),
+        col("r").as("right"), col("pair_n"))
+    }
+    rounds.reduce(_ unionByName _)
+  }
+
   private val StrataQuota = 100
   private val SampleSalts = 32
 
@@ -522,6 +596,7 @@ object CorpusBuild {
     "contamination_check" -> contamination,
     "corpus_tfidf" -> tfidf,
     "corpus_bpe_pairs" -> bpePairs,
+    "corpus_bpe_train" -> bpeTrain,
     "sample_stratified" -> stratified,
     "corpus_mix_report" -> mixReport,
     "quality_gate" -> qualityGate,
@@ -601,6 +676,43 @@ object CorpusBuild {
        |      WHERE length(w) >= 2)
        |SELECT pair, count(*) AS n FROM p GROUP BY 1
        |ORDER BY n DESC, pair LIMIT $TopPairs""".stripMargin
+
+  /** The merge loop unrolled in SQL: each round's pair count, 1-row
+    * argmax, and single-`replace` merge restated verbatim — `chr(31)`
+    * is the Scala side's U+001F separator, and `replace` is
+    * left-to-right non-overlapping in both engines (the greedy rule).
+    */
+  private val bpeTrainOracle: String = {
+    val sep = "chr(31)"
+    def round(i: Int): String =
+      s"""p$i AS (
+         |  SELECT sym[k] AS l, sym[k + 1] AS r, CAST(sum(n) AS BIGINT) AS pair_n
+         |  FROM (SELECT list_filter(string_split(seq, $sep),
+         |               x -> x <> '') AS sym, n FROM s${i - 1}),
+         |       unnest(generate_series(1, len(sym) - 1)) t(k)
+         |  GROUP BY 1, 2),
+         |t$i AS (SELECT l, r, pair_n FROM p$i
+         |        ORDER BY pair_n DESC, l, r LIMIT 1),
+         |s$i AS (SELECT replace(seq, $sep || t$i.l || $sep || t$i.r || $sep,
+         |                       $sep || t$i.l || t$i.r || $sep) AS seq, n
+         |        FROM s${i - 1}, t$i)""".stripMargin
+    val selects = (1 to BpeRounds)
+      .map(i => s"""SELECT CAST($i AS BIGINT) AS round, l AS "left", """ +
+        s"""r AS "right", pair_n FROM t$i""")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH v AS (
+       |  SELECT w, count(*) AS n FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |    FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
+       |s0 AS (
+       |  SELECT $sep || array_to_string(
+       |           list_filter(string_split(w, ''), c -> c <> ''), $sep)
+       |         || $sep AS seq, n
+       |  FROM v),
+       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |$selects""".stripMargin
+  }
 
   private val stratifiedOracle: String =
     s"""SELECT source, doc_id, sample_key FROM (
@@ -738,6 +850,7 @@ object CorpusBuild {
     "contamination_check" -> contaminationOracle,
     "corpus_tfidf" -> tfidfOracle,
     "corpus_bpe_pairs" -> bpePairsOracle,
+    "corpus_bpe_train" -> bpeTrainOracle,
     "sample_stratified" -> stratifiedOracle,
     "corpus_mix_report" -> mixReportOracle,
     "quality_gate" -> qualityGateOracle,

@@ -178,6 +178,33 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("bpe_train: greedy left merge on runs, total tie-break, merged " +
+      "symbols pair in later rounds") {
+    import spark.implicits._
+    // vocabulary: "aaab" ×3, "abab" ×2, "cd" ×1.
+    // Round 1 pair counts (all adjacent positions, weighted):
+    //   (a,a): 2·3 = 6   (aaab has two a-a positions)
+    //   (a,b): 1·3 + 2·2 = 7   <- argmax
+    //   (b,a): 1·2 = 2, (c,d): 1
+    // Merge ab (ONE replace pass; an occurrence whose leading
+    // separator was consumed by the previous match defers):
+    //   aaab -> a,a,ab ; abab -> ab,a,b (the second ab defers) ; cd
+    // Round 2: (a,a): 3, (a,ab): 3, (ab,a): 2, (a,b): 2, (c,d): 1 —
+    //   count tie between (a,a) and (a,ab) breaks on the RIGHT
+    //   symbol: "a" < "ab" -> (a,a) wins.
+    //   Merge: a,a,ab -> aa,ab ; ab,a,b unchanged (no a,a run)
+    // Round 3: (aa,ab): 3, (ab,a): 2, (a,b): 2, (c,d): 1 -> (aa,ab) —
+    //   a pair of two MERGED symbols, proving rounds compose.
+    val docs = (Seq.fill(3)("aaab") ++ Seq.fill(2)("abab") ++ Seq("cd"))
+      .map(w => s" $w ").mkString
+    val got = graft.operators.CorpusBuild
+      .bpeTrainOn(Seq(docs).toDF("text"))
+      .orderBy("round")
+      .as[(Long, String, String, Long)].collect().toList
+    assert(got == List((1L, "a", "b", 7L), (2L, "a", "a", 3L),
+      (3L, "aa", "ab", 3L)), s"merges: $got")
+  }
+
   test("dedup_chunks: first occurrence keeps, corpus-wide, by (doc, idx)") {
     import spark.implicits._
     // "x" repeats WITHIN doc 1 (idx 0 keeps, idx 2 drops); "y" repeats
