@@ -42,6 +42,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "corpus_mix_sample" -> ("the single-row n_min crossJoin onto the" +
       " |langs|-row count domain - the scalar-stats pattern; the corpus" +
       " itself joins by lang equi-key"),
+    "corpus_bpe_train" -> ("each training round broadcasts its 1-row" +
+      " argmax merge pair onto the vocabulary - three single-row build" +
+      " sides, bounded at one row forever"),
     // corpus_funnel_report: the percentile-threshold crossJoin plans as
     // a plain broadcast exchange (single-row build side under AQE), so
     // no nested loop fires and no exemption is needed - the firing
