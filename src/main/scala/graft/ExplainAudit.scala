@@ -25,7 +25,8 @@ object ExplainAudit {
     "sim_ann_ivfpq", "embed_covariance", "text_bm25_topk", "text_novelty",
     "graph_pagerank", "graph_triangles", "graph_label_prop", "events_rfm",
     "events_ewma", "corpus_tfidf", "corpus_funnel_report",
-    "corpus_mix_sample")
+    "corpus_mix_sample", "corpus_bpe_train", "dedup_lsh_recall",
+    "hybrid_ndcg", "sim_ann_pq")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

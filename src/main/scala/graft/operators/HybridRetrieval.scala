@@ -149,15 +149,23 @@ object HybridRetrieval {
       .crossJoin(broadcast(q))
       .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
         .as("n_rel"))
-    NdcgKs.map { k =>
-      rel.agg(coalesce(sum(when(col("pos") <= k && col("rel") === 1L,
-          col("w"))), lit(0L)).as("dcg_scaled"))
-        .withColumn("k", lit(k))
-    }.reduce(_ unionByName _)
+    // ONE aggregate pass computes every k's DCG — a per-k union would
+    // re-run the whole fused-ranking lineage once per cutoff (the same
+    // inline-lineage trap the PQ training hit); the k rows then unfold
+    // from a literal array
+    val dcgCols = NdcgKs.map(k =>
+      coalesce(sum(when(col("pos") <= k && col("rel") === 1L, col("w"))),
+        lit(0L)).as(s"dcg_$k"))
+    rel.agg(dcgCols.head, dcgCols.tail: _*)
       .crossJoin(broadcast(nRel))
-      .withColumn("idcg_scaled", element_at(typedLit(ndcgPrefix),
-        least(col("k"), col("n_rel")).cast("int") + 1))
-      .select(col("k"), col("dcg_scaled"), col("idcg_scaled"), col("n_rel"))
+      .select(explode(array(NdcgKs.map(k =>
+        struct(lit(k).as("k"), col(s"dcg_$k").as("dcg_scaled"))): _*))
+        .as("kd"), col("n_rel"))
+      .select(col("kd.k").as("k"), col("kd.dcg_scaled").as("dcg_scaled"),
+        element_at(typedLit(ndcgPrefix),
+          least(col("kd.k"), col("n_rel")).cast("int") + 1)
+          .as("idcg_scaled"),
+        col("n_rel"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -378,12 +378,13 @@ object Similarity {
     * `(vec_id, m, k)` and the queries' ADC distance tables
     * `(q_id, m, k, d2)`.
     */
-  private def pqFromCodebook(el: DataFrame, cb: DataFrame)
-      : (DataFrame, DataFrame) = {
+  private def pqFromCodebook(el: DataFrame, cb: DataFrame,
+      cacheSub2: Boolean = false): (DataFrame, DataFrame) = {
     // per (vector, subspace, centroid): exact integer subspace distance
-    val sub2 = el.join(broadcast(cb), Seq("m", "j"))
+    val sub2base = el.join(broadcast(cb), Seq("m", "j"))
       .groupBy(col("vec_id"), col("m"), col("k"))
       .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
+    val sub2 = if (cacheSub2) sub2base.persist() else sub2base
     val wEnc = Window.partitionBy(col("vec_id"), col("m"))
       .orderBy(col("d2"), col("k"))
     val codes = sub2.withColumn("rn", row_number().over(wEnc))
@@ -416,13 +417,20 @@ object Similarity {
     val base = pqArtifactBase(d)
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
-      val el = pqElements(T(s, d, "embeddings"))
-      val cb = pqTrain(el, PqSeedStep)
-      cb.write.mode("overwrite").parquet(staging.resolve("cb").toString)
-      val frozen = s.read.parquet(staging.resolve("cb").toString)
-      val (codes, dt) = pqFromCodebook(el, frozen)
-      codes.write.mode("overwrite").parquet(staging.resolve("codes").toString)
-      dt.write.mode("overwrite").parquet(staging.resolve("dt").toString)
+      // el feeds every Lloyd round's assignment AND sums, plus the
+      // encode pass — pin it once for the build instead of re-exploding
+      // the embeddings per stage (and sub2 feeds both the codes and dt
+      // writes, so the encode is pinned too)
+      val el = pqElements(T(s, d, "embeddings")).persist()
+      try {
+        val cb = pqTrain(el, PqSeedStep)
+        cb.write.mode("overwrite").parquet(staging.resolve("cb").toString)
+        val frozen = s.read.parquet(staging.resolve("cb").toString)
+        val (codes, dt) = pqFromCodebook(el, frozen, cacheSub2 = true)
+        codes.write.mode("overwrite")
+          .parquet(staging.resolve("codes").toString)
+        dt.write.mode("overwrite").parquet(staging.resolve("dt").toString)
+      } finally el.unpersist()
       SharedArtifacts.publish(staging, base)
     }
     SharedArtifacts.markUsed(base)
