@@ -326,6 +326,87 @@ object CdcBoundaries {
   }
 }
 
+/** Every sliding-window polynomial hash of a document, one O(len)
+  * rolling pass — the cross-document repeated-n-gram primitive behind
+  * `dedup_repeated_ngrams` (Lee et al. 2021, "Deduplicating Training
+  * Data Makes Language Models Better": drop spans whose content
+  * reappears elsewhere in the corpus).
+  *
+  * Same recurrence and constants as [[CdcBoundaries]] ([[CdcBoundaries.Base]]
+  * / [[CdcBoundaries.Prime]]) but emitting the HASH at every complete
+  * window instead of boundary positions: element `i` (0-based) is
+  * `Σ_{k=0}^{W−1} c(i+W−k)·B^k mod P` — the hash of the window whose
+  * 1-based code-point start is `i + 1`. Array length is
+  * `max(0, n_codepoints − W + 1)`.
+  *
+  * Scale shape: map-side only. Downstream groups 8-byte longs (not
+  * W-char strings) to find candidate repeats, then verifies the
+  * surviving few by content — the standard hash-prefilter shape for
+  * substring-level dedup over 100 TB, where shuffling every raw window
+  * string would be W× the shuffle bytes for mostly-unique keys.
+  */
+case class RollingWindowHashes(child: Expression, window: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "rolling_window_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires string, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RollingWindowHashes.hashes(input.asInstanceOf[UTF8String], window)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RollingWindowHashes.hashes($c, $window);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RollingWindowHashes {
+  import CdcBoundaries.{Base, Prime}
+
+  /** The same ring-buffer rolling update as [[CdcBoundaries.boundaries]]
+    * (multiply by B, add the new code point, evict `c·B^W`), collecting
+    * the mod-P window hash at every position `pos ≥ W`.
+    */
+  def hashes(s: UTF8String, window: Int): ArrayData = {
+    val str = s.toString
+    var powW = 1L
+    var k = 0
+    while (k < window) { powW = powW * Base % Prime; k += 1 }
+    val ring = new Array[Long](window)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var h = 0L
+    var pos = 0
+    var i = 0
+    while (i < str.length) {
+      val cp = str.codePointAt(i)
+      i += Character.charCount(cp)
+      pos += 1
+      h = (h * Base + cp) % Prime
+      if (pos > window) {
+        val slot = pos % window
+        h = java.lang.Math.floorMod(h - ring(slot) * powW % Prime, Prime)
+        ring(slot) = cp.toLong
+      } else {
+        ring(pos % window) = cp.toLong
+      }
+      if (pos >= window) out += h
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
 object TextExpressions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
 
@@ -340,4 +421,7 @@ object TextExpressions {
 
   def cdc_boundaries(text: Column, window: Int, mask: Long): Column =
     column(CdcBoundaries(expression(text), window, mask))
+
+  def rolling_window_hashes(text: Column, window: Int): Column =
+    column(RollingWindowHashes(expression(text), window))
 }

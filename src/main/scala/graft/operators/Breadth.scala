@@ -517,7 +517,57 @@ object Breadth {
       .select(col("doc_id"), col("lang"))
   }
 
+  /** Count-min sketch rows (seed count) and counters per row (bucket
+    * modulus) — deliberately small so the sf-scale sketch actually
+    * collides and the overestimate column is non-trivially exercised.
+    */
+  private val CmsDepth = 4
+  private val CmsWidth = 32
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005): the mergeable
+    * fixed-size frequency sketch — `d × w` counters, point query =
+    * `min_i counter[i][h_i(key)]`, always ≥ the true count. THE
+    * streaming/distributed answer to "how often does key X occur in
+    * 100 TB" when the key space is too large to count exactly.
+    *
+    * Scale shape: the build is one `groupBy(row, bucket).count()` over
+    * `d` map-side-expanded cells per event — partial aggregation merges
+    * per-partition sub-sketches exactly like CMS merge (cellwise sum),
+    * so the shuffle carries at most `d·w` rows per partition regardless
+    * of input size; the probe side joins the 128-cell sketch by
+    * broadcast. The hash is the registry's cross-engine md5 idiom, so
+    * estimates — including which cells collide — are bit-identical in
+    * the oracle, and the report pins `est ≥ exact` per key (the CMS
+    * guarantee) as hash-checked integers.
+    */
+  private def cmsBucket(seed: Int, key: Column): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), key.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long") % CmsWidth
+
+  private val sketchCountmin: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val cells = ev.select(explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("user_id")).as("bucket"))
+      ): _*)).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val probes = ev.select(col("user_id")).where(col("user_id") < 20).distinct()
+    val est = probes
+      .select(col("user_id"), explode(array((0 until CmsDepth).map(i =>
+        struct(lit(i).as("row"), cmsBucket(i, col("user_id")).as("bucket"))
+      ): _*)).as("cell"))
+      .join(broadcast(cells),
+        col("cell.row") === cells("row") && col("cell.bucket") === cells("bucket"))
+      .groupBy("user_id").agg(min("c").as("est"))
+    val exact = ev.where(col("user_id") < 20)
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+    est.join(exact, "user_id")
+      .select(col("user_id"), col("est"), col("exact"),
+        (col("est") - col("exact")).as("overestimate"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "sketch_countmin" -> sketchCountmin,
     "q13_order_dist" -> q13OrderDist,
     "q18_large_orders" -> q18LargeOrders,
     "merge_upsert" -> mergeUpsert,
@@ -546,6 +596,28 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    "sketch_countmin" ->
+      s"""WITH cells AS (
+         |  SELECT t.i AS r,
+         |    ('0x' || substr(md5(t.i::VARCHAR || ':' || user_id::VARCHAR),
+         |      1, 8))::BIGINT % $CmsWidth AS bucket,
+         |    count(*) AS c
+         |  FROM events CROSS JOIN
+         |    unnest(generate_series(0, ${CmsDepth - 1})) t(i)
+         |  GROUP BY 1, 2),
+         |probes AS (SELECT DISTINCT user_id FROM events WHERE user_id < 20),
+         |est AS (
+         |  SELECT p.user_id, min(c.c) AS est
+         |  FROM probes p
+         |  CROSS JOIN unnest(generate_series(0, ${CmsDepth - 1})) t(i)
+         |  JOIN cells c ON c.r = t.i AND c.bucket =
+         |    ('0x' || substr(md5(t.i::VARCHAR || ':' || p.user_id::VARCHAR),
+         |      1, 8))::BIGINT % $CmsWidth
+         |  GROUP BY 1),
+         |ex AS (SELECT user_id, count(*) AS exact FROM events
+         |       WHERE user_id < 20 GROUP BY 1)
+         |SELECT user_id, est, exact, est - exact AS overestimate
+         |FROM est JOIN ex USING (user_id)""".stripMargin,
     "q13_order_dist" ->
       """WITH oc AS (
         |  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1)

@@ -1004,6 +1004,20 @@ object Similarity {
         col("nbr_id"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  /** The kNN graph as a directed `(src, dst)` edge list — the input
+    * `graph_scc` condenses (each vector points AT its neighbors; the
+    * relation is deliberately asymmetric, which is what makes its
+    * strongly-connected components — mutual-similarity cores — a
+    * different, stricter signal than the undirected components).
+    */
+  private[operators] def knnEdges(s: SparkSession, d: String): DataFrame =
+    knnGraph(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+
+  /** The `sim_knn_graph` oracle text, for composition into downstream
+    * oracles (it is WITH-free, so it embeds as a subquery verbatim).
+    */
+  private[operators] def knnOracleSql: String = oracles("sim_knn_graph")
+
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> knnGraph,
     "embed_outliers" -> outliers,

@@ -276,6 +276,77 @@ object TextAnalysis {
 
   private val cdcChunkDedup: Q = (s, d) => chunkDedupOn(cdcChunkFrame(s, d))
 
+  /** Sliding-window width for cross-document repeated-n-gram detection —
+    * the character-level proxy for Lee et al.'s 50-token span threshold,
+    * sized so the sf corpora still carry plenty of true repeats.
+    */
+  private[operators] val RepWindow = 16
+
+  /** Cross-document repeated n-grams — the substring-level dedup signal
+    * of Lee et al. 2021 ("Deduplicating Training Data Makes Language
+    * Models Better"): a window of text that reappears verbatim in ANY
+    * other document is memorization fuel, even when no whole document
+    * or chunk is a near-dup. Per document: how many of its
+    * [[RepWindow]]-char sliding windows also occur in at least one
+    * OTHER document, and how many characters those windows cover (union
+    * of overlapping spans, exact integer via the sorted-gap identity
+    * `Σ min(W, start − prev_start)`).
+    *
+    * Scale shape (the reason this is NOT one groupBy on the window
+    * strings): phase 1 groups the 8-byte rolling hashes
+    * ([[graft.functions.RollingWindowHashes]], one O(len) map-side pass
+    * per doc) — at 100 TB the overwhelmingly-unique keys shuffle as
+    * longs, not W-char strings, and `min(doc) < max(doc)` decides
+    * "≥ 2 distinct docs" with partial-aggregable min/max only. Phase 2
+    * re-extracts the window TEXT solely for the surviving candidates
+    * (hash → content verification, so a mod-P collision can never
+    * fabricate a duplicate) and regroups those few by content. The
+    * coverage fold is one per-doc sort — the same shape as sessionize.
+    */
+  private[graft] def repeatedNgramsOn(docs: DataFrame): DataFrame = {
+    val wins = docs
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextExpressions
+          .rolling_window_hashes(col("text"), RepWindow)))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+    val cand = wins.groupBy("h")
+      .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+      .where(col("dmin") < col("dmax"))
+      .select("h")
+    val candPos = wins.join(cand, "h").select("doc_id", "start")
+    val candWins = candPos.groupBy("doc_id")
+      .agg(collect_list("start").as("starts"))
+      .join(docs.select("doc_id", "text"), "doc_id")
+      .select(col("doc_id"), explode(transform(col("starts"),
+        p => struct(p.as("start"),
+          col("text").substr(p, lit(RepWindow)).as("win")))).as("sw"))
+      .select(col("doc_id"), col("sw.start").as("start"),
+        col("sw.win").as("win"))
+    val dupKeys = candWins.groupBy("win")
+      .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
+      .where(col("dmin") < col("dmax"))
+      .select("win")
+    val dupPos = candWins.join(dupKeys, "win").select("doc_id", "start")
+    val byDoc = Window.partitionBy("doc_id").orderBy("start")
+    val cov = dupPos
+      .withColumn("contrib", least(lit(RepWindow),
+        coalesce(col("start") - lag("start", 1).over(byDoc),
+          lit(RepWindow))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_dup_windows"),
+        sum("contrib").cast("long").as("dup_chars"))
+    docs.select(col("doc_id"),
+        greatest(length(col("text")) - (RepWindow - 1), lit(0))
+          .cast("long").as("n_windows"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_windows"),
+        coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"))
+  }
+
+  private val repeatedNgrams: Q = (s, d) =>
+    repeatedNgramsOn(T(s, d, "documents"))
+
   /** The oracle-side closed form of [[graft.functions.CdcBoundaries]]'
     * rolling hash: `Σ_{k=0}^{W−1} c(i−k)·(B^k mod P)` with the `B^k mod
     * P` literals generated from the expression's own constants, so the
@@ -560,6 +631,7 @@ object TextAnalysis {
     "text_bigram_lm" -> bigramLm,
     "dedup_chunks" -> chunkDedup,
     "dedup_cdc_chunks" -> cdcChunkDedup,
+    "dedup_repeated_ngrams" -> repeatedNgrams,
     "text_novelty" -> novelty,
     "text_repetition" -> repetition,
     "text_langid_confusion" -> langidConfusion,
@@ -747,6 +819,33 @@ object TextAnalysis {
          |  count(*) - CAST(sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END)
          |    AS BIGINT) AS n_dropped
          |FROM r GROUP BY doc_id""".stripMargin,
+    // States the CONTENT grouping directly: the Spark side's
+    // hash-prefilter phase admits every content-duplicate (equal text ⇒
+    // equal hash) and its verify phase regroups by the window text, so
+    // the two formulations are exactly equivalent — the hash pass only
+    // exists to shuffle longs instead of strings at scale.
+    "dedup_repeated_ngrams" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, i AS start, substr(text, i, $RepWindow) AS win
+         |  FROM documents,
+         |    unnest(generate_series(1, length(text) - ${RepWindow - 1})) t(i)),
+         |g AS (SELECT win FROM w GROUP BY win
+         |      HAVING min(doc_id) < max(doc_id)),
+         |dw AS (SELECT doc_id, start FROM w JOIN g USING (win)),
+         |cov AS (SELECT doc_id, least($RepWindow,
+         |          coalesce(start - lag(start) OVER (
+         |            PARTITION BY doc_id ORDER BY start), $RepWindow))
+         |          AS contrib
+         |        FROM dw),
+         |a AS (SELECT doc_id, count(*) AS n_dup_windows,
+         |        CAST(sum(contrib) AS BIGINT) AS dup_chars
+         |      FROM cov GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  CAST(greatest(length(d.text) - ${RepWindow - 1}, 0) AS BIGINT)
+         |    AS n_windows,
+         |  coalesce(a.n_dup_windows, 0) AS n_dup_windows,
+         |  coalesce(a.dup_chars, 0) AS dup_chars
+         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
     "dedup_chunks" ->
       s"""WITH w AS (
          |  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws

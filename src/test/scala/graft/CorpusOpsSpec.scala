@@ -178,6 +178,67 @@ class CorpusOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rolling_window_hashes: rolling recurrence equals the closed-form " +
+      "window polynomial on adversarial texts") {
+    import graft.functions.CdcBoundaries
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // independent reimplementation: per position the W-term
+    // Σ c(i−k)·(B^k mod P), NOT the rolling update
+    def closedForm(text: String, w: Int): Seq[Long] = {
+      val cps = text.codePoints().toArray
+      val pows = CdcBoundaries.powers(w)
+      (w to cps.length).map { i =>
+        (0 until w).map(k =>
+          cps(i - 1 - k) * pows(k) % CdcBoundaries.Prime).sum %
+          CdcBoundaries.Prime
+      }
+    }
+    val rnd = new scala.util.Random(13)
+    val texts = Seq("", "short text here", "sixteen chars ab",
+      "é" * 40,                                    // 2-byte UTF-8
+      new String(Character.toChars(0x1F600)) * 20, // non-BMP
+      "a" * 300) ++
+      (1 to 8).map(_ => (1 to 200 + rnd.nextInt(400))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    for (w <- Seq(16, 4); (t, id) <- texts.zipWithIndex) {
+      val got = texts.zipWithIndex.map(p => (p._2.toLong, p._1))
+        .toDF("doc_id", "text")
+        .where(col("doc_id") === id)
+        .select(graft.functions.TextExpressions
+          .rolling_window_hashes(col("text"), w).as("hs"))
+        .as[Seq[Long]].head()
+      assert(got == closedForm(t, w),
+        s"w=$w doc=$id: $got vs ${closedForm(t, w)}")
+    }
+  }
+
+  test("repeated n-grams: cross-doc spans detected with exact interval-" +
+      "union coverage; within-doc-only repeats excluded") {
+    import spark.implicits._
+    val S = "AAAABBBBCCCCDDDD"     // 16 chars shared by docs 1 & 2
+    val R = "EEEEFFFFGGGGHHHHIIII" // 20 chars shared by docs 4 & 5
+    val T = "JJJJKKKKLLLLMMMM"     // 16 chars repeated INSIDE doc 3 only
+    val docs = Seq(
+      (1L, S + "abcdefghijklmnopqrst"),
+      (2L, "uvwxyz0123456789" + S),
+      (3L, T + "nopq" + T),
+      (4L, R + "rstuvwxyzabc"),
+      (5L, "qrstuv0123wxyzab" + R),
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repeatedNgramsOn(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toList
+    // doc 1/2: exactly the one 16-char window S → 1 window, 16 chars.
+    // doc 3: T recurs but only within doc 3 → no cross-doc signal.
+    // doc 4/5: the 20-char span R = 5 overlapping windows; coverage is
+    // the interval union 16 + 4·1 = 20, not 5·16.
+    val expected = List(
+      (1L, 21L, 1L, 16L), (2L, 17L, 1L, 16L), (3L, 21L, 0L, 0L),
+      (4L, 17L, 5L, 20L), (5L, 21L, 5L, 20L))
+    assert(got == expected, s"got $got")
+  }
+
   test("bpe_train: greedy left merge on runs, total tie-break, merged " +
       "symbols pair in later rounds") {
     import spark.implicits._
