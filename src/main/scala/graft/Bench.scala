@@ -53,7 +53,9 @@ object Bench {
       timedBuild("km_shared_build")(
         graft.operators.Similarity.ensureKmeansArtifact(spark, sfDir)),
       timedBuild("pq_shared_build")(
-        graft.operators.Similarity.ensurePqArtifact(spark, sfDir)))
+        graft.operators.Similarity.ensurePqArtifact(spark, sfDir)),
+      timedBuild("knn_shared_build")(
+        graft.operators.Similarity.ensureKnnArtifact(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -496,7 +496,179 @@ object GraphOps {
     labels
   }
 
+  private val SccMaxRounds = 32
+  private val SccMaxIters = 64
+  private val SccHops = 2
+
+  /** STRONGLY CONNECTED COMPONENTS of a directed graph — the coloring /
+    * FW-BW algorithm (Orzan 2004; the standard distributed SCC, since
+    * Tarjan's stack is inherently sequential): each round, (1) propagate
+    * the MAX node label forward along edges to fixpoint — `color(u)` =
+    * the largest label that reaches `u`, so each color class is rooted
+    * at its own pivot (the node whose color is itself); (2) grow each
+    * pivot's SCC backward WITHIN its color class (`u` joins when an edge
+    * `u → w` lands on a member and `color(u)` equals the pivot — forward
+    * reachability from the pivot is exactly what the color certifies,
+    * so member ⟺ mutual reach); (3) remove found SCCs and repeat on the
+    * remainder. Every color class loses at least its pivot per round,
+    * and in practice (this is the published behavior, and what the kNN
+    * input shows) large SCCs fall out in the first rounds.
+    *
+    * Why not `(minFwdReach, minBwdReach)` equality — the tempting
+    * one-pass shortcut: it over-merges. `m' → u → m` and `m' → v → m`
+    * give `u` and `v` identical pairs `(m, m')` with no `u ↔ v` path;
+    * the spec pins exactly this topology.
+    *
+    * Scale shape: every step is an equi-join of the edge list against a
+    * per-node label table (both partitionable on the key) plus a
+    * map-side-combinable max/distinct — the `pagerankConverged` /
+    * `bfsToFixpoint` convergence-driver pattern; the per-iteration
+    * driver traffic is one scalar (a decimal color-sum, monotone
+    * nondecreasing, so equal sums ⟺ fixpoint; decimal so the check
+    * cannot overflow on 64-bit ids).
+    */
+  private[graft] def sccOn(edgesIn: DataFrame): DataFrame = {
+    val e0 = Dedup.materialize(edgesIn.toDF("src", "dst")
+      .where(col("src") =!= col("dst")).distinct())
+    var remaining = Dedup.materialize(
+      e0.select(col("src").as("id"))
+        .union(e0.select(col("dst").as("id"))).distinct())
+    var edges = e0
+    var result: Option[DataFrame] = None
+    var round = 0
+    var remCount = remaining.count()
+    while (remCount > 0 && round < SccMaxRounds) {
+      // bounded 2-hop shortcut edges: out-degree k gives ≤ k² shortcuts
+      // per node (NOT transitive closure — that explodes on hubs), so
+      // every propagation join below covers two hops for the price of
+      // one. Rebuilt per round: a shortcut through an intermediate that
+      // a previous round REMOVED is not a path in the remainder graph.
+      val e2 = edges.as("x").join(edges.as("y"),
+          col("x.dst") === col("y.src"))
+        .select(col("x.src").as("src"), col("y.dst").as("dst"))
+        .where(col("src") =!= col("dst"))
+      val hop = Dedup.materialize(edges.union(e2).distinct())
+      var colors = Dedup.materialize(
+        remaining.select(col("id"), col("id").as("color")))
+      def colorSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("color").cast("decimal(38,0)"))).head.getDecimal(0)
+      def pushColors(c: DataFrame): DataFrame =
+        c.join(hop, c("id") === hop("src"))
+          .select(col("dst").as("id"), col("color"))
+      var prevSum = colorSum(colors)
+      var it = 0
+      var converged = false
+      while (!converged && it < SccMaxIters) {
+        // SccHops chained joins per materialized step over the 2-hop
+        // shortcut graph = 2·SccHops hops covered per step. The loop is
+        // constant-bound (per-stage scheduling), not shuffle-bound, at
+        // every tested scale — measured 6.7 → 4.7 s at sf0.1 moving
+        // from plain edges/4-unroll to shortcuts/2-unroll; deeper
+        // unrolls regress (8-unroll doubled wall-clock on plan size)
+        var acc = colors
+        var cur = colors
+        for (_ <- 1 to SccHops) {
+          cur = pushColors(cur)
+          acc = acc.union(cur)
+        }
+        val next = Dedup.materialize(
+          acc.groupBy("id").agg(max("color").as("color")))
+        val nextSum = colorSum(next)
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        colors = next
+        it += 1
+      }
+      require(converged, s"scc color propagation exceeded $SccMaxIters")
+      // growth also walks the shortcut edges: adding `u` needs only
+      // u →* pivot AND color(u) = pivot — the intermediate of a 2-hop
+      // edge needn't be classified yet, its existence in the current
+      // round's graph is what certifies the path
+      val ec = Dedup.materialize(hop
+        .join(colors.select(col("id").as("src"), col("color").as("csrc")),
+          Seq("src"))
+        .join(colors.select(col("id").as("dst"), col("color").as("cdst")),
+          Seq("dst"))
+        .where(col("csrc") === col("cdst")))
+      var members = Dedup.materialize(colors
+        .where(col("id") === col("color"))
+        .select(col("id"), col("color").as("scc_id")))
+      def preds(m: DataFrame): DataFrame =
+        m.join(ec, m("id") === ec("dst"))
+          .where(col("csrc") === col("scc_id"))
+          .select(col("src").as("id"), col("scc_id"))
+      var frontier = members
+      var growing = true
+      it = 0
+      while (growing && it < SccMaxIters) {
+        // frontier-only expansion (grown members can't yield new preds
+        // their own add batch didn't), SccHops hops per step
+        var cur = preds(frontier)
+        var acc = cur
+        for (_ <- 2 to SccHops) {
+          cur = preds(cur)
+          acc = acc.union(cur)
+        }
+        val add = Dedup.materialize(acc.distinct()
+          .join(members.select("id"), Seq("id"), "left_anti"))
+        if (add.isEmpty) growing = false
+        else {
+          members = Dedup.materialize(members.union(add))
+          frontier = add
+        }
+        it += 1
+      }
+      require(!growing || it < SccMaxIters,
+        s"scc member growth exceeded $SccMaxIters")
+      result = Some(result.fold(members)(r =>
+        Dedup.materialize(r.union(members))))
+      remaining = Dedup.materialize(
+        remaining.join(members.select("id"), Seq("id"), "left_anti"))
+      edges = Dedup.materialize(edges
+        .join(members.select(col("id").as("src")), Seq("src"), "left_anti")
+        .join(members.select(col("id").as("dst")), Seq("dst"), "left_anti"))
+      remCount = remaining.count()
+      round += 1
+    }
+    require(remCount == 0, s"scc did not converge in $SccMaxRounds rounds")
+    // normalize the component id to the MIN member (the pivot is the
+    // max) so the id is the same stable choice the oracle states
+    val got = result.get
+    val norm = got.groupBy("scc_id").agg(min("id").as("scc_min"),
+      count(lit(1)).as("scc_size"))
+    got.join(norm, Seq("scc_id"))
+      .select(col("id").as("vec_id"), col("scc_min").as("scc_id"),
+        col("scc_size"))
+  }
+
+  /** Registry face: SCCs of the directed kNN similarity graph — the
+    * mutual-similarity cores (every member both points to and is
+    * pointed at, transitively) vs the looser undirected components of
+    * `dedup_components`.
+    */
+  private val scc: Q = (s, d) => sccOn(Similarity.knnEdges(s, d))
+
+  private val sccOracle: String =
+    s"""WITH RECURSIVE e AS (
+       |  SELECT DISTINCT vec_id AS src, nbr_id AS dst
+       |  FROM (${Similarity.knnOracleSql}) WHERE vec_id <> nbr_id),
+       |reach AS (
+       |  SELECT src, dst FROM e
+       |  UNION
+       |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON e2.src = r.dst),
+       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |mutual AS (
+       |  SELECT l.src AS u, l.dst AS v FROM reach l
+       |  JOIN reach r ON r.src = l.dst AND r.dst = l.src),
+       |scc AS (
+       |  SELECT n.id, least(n.id, coalesce(min(m.v), n.id)) AS scc_id
+       |  FROM n LEFT JOIN mutual m ON m.u = n.id GROUP BY n.id),
+       |sz AS (SELECT scc_id, count(*) AS scc_size FROM scc GROUP BY 1)
+       |SELECT s.id AS vec_id, s.scc_id, z.scc_size
+       |FROM scc s JOIN sz z USING (scc_id)""".stripMargin
+
   val queries: Map[String, Q] = Map(
+    "graph_scc" -> scc,
     "graph_label_prop" -> labelProp,
     "graph_modularity" -> modularity,
     "graph_bfs_dist" -> bfs,
@@ -695,6 +867,7 @@ object GraphOps {
   }
 
   val oracles: Map[String, String] = Map(
+    "graph_scc" -> sccOracle,
     "graph_label_prop" -> labelPropOracle,
     "graph_modularity" -> modularityOracle,
     "graph_bfs_dist" -> bfsOracle,

@@ -510,6 +510,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(capped == horizon.filter(_._2 <= 2L), s"capped: $capped")
   }
 
+  test("scc: cycles condense, DAG nodes stay singletons, and the " +
+      "(minFwd,minBwd) shortcut's over-merge topology does NOT merge") {
+    import spark.implicits._
+    // 2-cycle {1,2} fed by path node 6; 3-cycle {3,4,5}; and the
+    // over-merge counterexample m'=10 → {11,12} → m=0: nodes 11 and 12
+    // share forward-min 0 AND backward-min 10 with no 11 ↔ 12 path — a
+    // (minFwd,minBwd)-keyed SCC would merge them; the real answer is
+    // four singletons.
+    val e = Seq(
+      (1L, 2L), (2L, 1L), (6L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (10L, 11L), (10L, 12L), (11L, 0L), (12L, 0L),
+    ).toDF("src", "dst")
+    val got = graft.operators.GraphOps.sccOn(e)
+      .as[(Long, Long, Long)].collect().sorted.toList
+    val expected = List(
+      (0L, 0L, 1L), (1L, 1L, 2L), (2L, 1L, 2L),
+      (3L, 3L, 3L), (4L, 3L, 3L), (5L, 3L, 3L), (6L, 6L, 1L),
+      (10L, 10L, 1L), (11L, 11L, 1L), (12L, 12L, 1L))
+    assert(got == expected, s"scc: $got")
+  }
+
   test("pq ann: cluster-mates rank before the far cluster, self excluded") {
     import graft.operators.Similarity
     // 8 vectors in two well-separated 64-dim clusters (around +1 and
