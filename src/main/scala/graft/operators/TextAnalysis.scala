@@ -304,24 +304,28 @@ object TextAnalysis {
     * coverage fold is one per-doc sort — the same shape as sessionize.
     */
   private[graft] def repeatedNgramsOn(docs: DataFrame): DataFrame = {
-    val wins = docs
+    // pinned: referenced by the candidate aggregate AND the position
+    // re-join — unpinned, the rolling-hash explode re-runs per reference
+    val wins = Dedup.materialize(docs
       .select(col("doc_id"),
         posexplode(graft.functions.TextExpressions
           .rolling_window_hashes(col("text"), RepWindow)))
-      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h"))
+      .select(col("doc_id"), (col("pos") + 1).as("start"), col("col").as("h")))
     val cand = wins.groupBy("h")
       .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
       .where(col("dmin") < col("dmax"))
       .select("h")
     val candPos = wins.join(cand, "h").select("doc_id", "start")
-    val candWins = candPos.groupBy("doc_id")
+    // pinned: feeds both the content grouping and the duplicate-position
+    // join below
+    val candWins = Dedup.materialize(candPos.groupBy("doc_id")
       .agg(collect_list("start").as("starts"))
       .join(docs.select("doc_id", "text"), "doc_id")
       .select(col("doc_id"), explode(transform(col("starts"),
         p => struct(p.as("start"),
           col("text").substr(p, lit(RepWindow)).as("win")))).as("sw"))
       .select(col("doc_id"), col("sw.start").as("start"),
-        col("sw.win").as("win"))
+        col("sw.win").as("win")))
     val dupKeys = candWins.groupBy("win")
       .agg(min("doc_id").as("dmin"), max("doc_id").as("dmax"))
       .where(col("dmin") < col("dmax"))
