@@ -566,8 +566,39 @@ object Breadth {
         (col("est") - col("exact")).as("overestimate"))
   }
 
+  private val SaltBuckets = 8
+
+  /** Explicitly SALTED skewed join — the `salted_agg` pattern applied to
+    * a join: the fact side's hot key would otherwise land on one
+    * partition ("celebrity customer"); salting splits each key's rows
+    * across [[SaltBuckets]] sub-partitions (salt derived from the
+    * orderkey, so one customer's orders spread) and REPLICATES each dim
+    * row once per salt, so `(key, salt)` is an ordinary equi-join with
+    * bounded per-task fan-in. AQE's skew-join split handles this at
+    * runtime when statistics surface it (spec'd in SkewJoinSpec); this
+    * is the explicit, planner-independent form for when the skew is
+    * known — e.g. a dim too large to broadcast joined on a power-law
+    * key. The dim inflation is SaltBuckets×, the price of the bound.
+    *
+    * The aggregate after the join collapses map-side, so the salted
+    * shuffle is the only data movement; results are exact cents.
+    */
+  private val joinSkewSalted: Q = (s, d) => {
+    val o = T(s, d, "orders").select(col("o_custkey"),
+      pmod(col("o_orderkey"), lit(SaltBuckets.toLong)).as("_fs"),
+      round(col("o_totalprice") * 100).cast("long").as("_c"))
+    val c = T(s, d, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("_ds", explode(array((0 until SaltBuckets)
+        .map(i => lit(i.toLong)): _*)))
+    o.join(c, col("o_custkey") === col("c_custkey")
+        && col("_fs") === col("_ds"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("_c")).as("revenue_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
     "sketch_countmin" -> sketchCountmin,
+    "join_skew_salted" -> joinSkewSalted,
     "q13_order_dist" -> q13OrderDist,
     "q18_large_orders" -> q18LargeOrders,
     "merge_upsert" -> mergeUpsert,
@@ -596,6 +627,13 @@ object Breadth {
   )
 
   val oracles: Map[String, String] = Map(
+    // the salt is implementation plumbing — the oracle is the PLAIN join
+    "join_skew_salted" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
     "sketch_countmin" ->
       s"""WITH cells AS (
          |  SELECT t.i AS r,

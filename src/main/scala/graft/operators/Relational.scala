@@ -119,6 +119,24 @@ object Relational {
         .as("first_type"))
   }
 
+  /** Whole-partition frame window functions: first_value / last_value /
+    * nth_value over the full per-user session — the "compare every
+    * event to the session's endpoints" shape (`window_lead_lag` covers
+    * the running-prefix frame; this is the UNBOUNDED FOLLOWING face,
+    * which Spark executes with the same single per-partition sort).
+    */
+  private val windowFirstLast: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val full = w.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    T(s, d, "events").select(
+      col("event_id"), col("user_id"),
+      first(col("event_type")).over(full).as("first_type"),
+      last(col("event_type")).over(full).as("last_type"),
+      nth_value(col("event_type"), 2).over(full).as("second_type"))
+  }
+
   /** Left-anti join: NOT EXISTS — customers with no orders. */
   private val joinAnti: Q = (s, d) =>
     T(s, d, "customer")
@@ -300,6 +318,7 @@ object Relational {
     "join_left_outer" -> joinLeftOuter,
     "join_full_outer" -> joinFullOuter,
     "window_lead_lag" -> windowLeadLag,
+    "window_firstlast" -> windowFirstLast,
     "sort_topk" -> sortTopk,
     "window_rank" -> windowRank,
     "window_rank_stats" -> windowRankStats,
@@ -372,6 +391,14 @@ object Relational {
         |  first_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
         |FROM events""".stripMargin,
+    "window_firstlast" ->
+      """SELECT event_id, user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin,
     "sort_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
     "window_rank" ->
