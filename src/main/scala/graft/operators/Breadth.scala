@@ -521,8 +521,8 @@ object Breadth {
     * modulus) — deliberately small so the sf-scale sketch actually
     * collides and the overestimate column is non-trivially exercised.
     */
-  private val CmsDepth = 4
-  private val CmsWidth = 32
+  private[operators] val CmsDepth = 4
+  private[operators] val CmsWidth = 32
 
   /** Count-min sketch (Cormode & Muthukrishnan 2005): the mergeable
     * fixed-size frequency sketch — `d × w` counters, point query =
@@ -540,22 +540,28 @@ object Breadth {
     * the oracle, and the report pins `est ≥ exact` per key (the CMS
     * guarantee) as hash-checked integers.
     */
-  private def cmsBucket(seed: Int, key: Column): Column =
+  private[operators] def cmsBucket(seed: Int, key: Column): Column =
     conv(substring(md5(concat(lit(s"$seed:"), key.cast("string"))
       .cast("binary")), 1, 8), 16, 10).cast("long") % CmsWidth
 
-  private val sketchCountmin: Q = (s, d) => {
-    val ev = T(s, d, "events")
-    val cells = ev.select(explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsBucket(i, col("user_id")).as("bucket"))
-      ): _*)).as("cell"))
-      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
-      .agg(count(lit(1)).as("c"))
+  /** The `d` (row, bucket) cells of `key` — map-side expansion shared by
+    * the batch build, the streaming build, and the probe side.
+    */
+  private[operators] def cmsCells(key: Column): Column =
+    explode(array((0 until CmsDepth).map(i =>
+      struct(lit(i).as("row"), cmsBucket(i, key).as("bucket"))): _*))
+
+  /** Point-query report over an already-built counter table
+    * `(row, bucket, c)`: estimate = min over rows of the probed cell,
+    * next to the exact count and the (always ≥ 0) overestimate. Shared
+    * by `sketch_countmin` and its streaming twin, so both faces price
+    * the SAME sketch contract.
+    */
+  private[operators] def cmsReport(cells: DataFrame, ev: DataFrame)
+      : DataFrame = {
     val probes = ev.select(col("user_id")).where(col("user_id") < 20).distinct()
     val est = probes
-      .select(col("user_id"), explode(array((0 until CmsDepth).map(i =>
-        struct(lit(i).as("row"), cmsBucket(i, col("user_id")).as("bucket"))
-      ): _*)).as("cell"))
+      .select(col("user_id"), cmsCells(col("user_id")).as("cell"))
       .join(broadcast(cells),
         col("cell.row") === cells("row") && col("cell.bucket") === cells("bucket"))
       .groupBy("user_id").agg(min("c").as("est"))
@@ -564,6 +570,14 @@ object Breadth {
     est.join(exact, "user_id")
       .select(col("user_id"), col("est"), col("exact"),
         (col("est") - col("exact")).as("overestimate"))
+  }
+
+  private val sketchCountmin: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val cells = ev.select(cmsCells(col("user_id")).as("cell"))
+      .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+      .agg(count(lit(1)).as("c"))
+    cmsReport(cells, ev)
   }
 
   private val SaltBuckets = 8

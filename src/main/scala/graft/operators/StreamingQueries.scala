@@ -324,6 +324,56 @@ object StreamingQueries {
       .select(col("hour_epoch"), col("event_type"), col("n"))
   }
 
+  /** The count-min sketch maintained as STREAMING STATE — the sketch's
+    * native habitat (Cormode & Muthukrishnan wrote it for exactly this:
+    * a fixed-size frequency summary of an unbounded stream). The events
+    * replay runs as 4 micro-batches over the shared 4-file staging; the
+    * streaming aggregation holds the `d × w` counters as keyed state,
+    * each batch's cell increments MERGE into it (CMS merge ≡ cellwise
+    * sum ≡ what update-mode streaming aggregation does), and the final
+    * emission per cell is the whole-stream sketch. The point-query
+    * report is [[Breadth.cmsReport]] — the same probe contract as the
+    * batch face, so this shares `sketch_countmin`'s DuckDB oracle: a
+    * sketch accumulated INCREMENTALLY across batches must price
+    * identically to one built in a single pass.
+    */
+  private val streamCountmin: Q = (s, d) => {
+    val run = freshRunDir("graft_cms_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    stageIvmSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+    withStreamingParallelism(s) {
+      val q = raw
+        .select(Breadth.cmsCells(col("user_id")).as("cell"))
+        .groupBy(col("cell.row").as("row"), col("cell.bucket").as("bucket"))
+        .agg(count(lit(1)).as("c"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("row"), col("bucket"))
+      .orderBy(col("batch_id").desc)
+    val cells = s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("row"), col("bucket"), col("c"))
+    Breadth.cmsReport(cells, T(s, d, "events"))
+  }
+
   /** The id of the watermark-flush sentinel user (see
     * [[streamSessionize]]); real users are nonnegative.
     */
@@ -1276,6 +1326,7 @@ object StreamingQueries {
     "stream_ivm_events" -> streamIvmEvents,
     "state_time_travel" -> stateTimeTravel,
     "stream_windowed_counts" -> streamWindowed,
+    "stream_countmin" -> streamCountmin,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
     "stream_join_attrib" -> streamJoinAttrib,
@@ -1339,6 +1390,10 @@ object StreamingQueries {
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_epoch,
         |  event_type, count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // a sketch accumulated across micro-batches (CMS merge = cellwise
+    // sum = update-mode streaming aggregation) must price identically
+    // to the single-pass batch build
+    "stream_countmin" -> Breadth.oracles("sketch_countmin"),
     // ingest-time dedup is confluent with the all-at-once LSH pair query
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
     // streaming session merging must agree with batch interval-merge SQL
