@@ -26,7 +26,8 @@ object ExplainAudit {
     "graph_pagerank", "graph_triangles", "graph_label_prop", "events_rfm",
     "events_ewma", "corpus_tfidf", "corpus_funnel_report",
     "corpus_mix_sample", "corpus_bpe_train", "dedup_lsh_recall",
-    "hybrid_ndcg", "sim_ann_pq")
+    "hybrid_ndcg", "sim_ann_pq", "dedup_repeated_ngrams",
+    "sketch_countmin", "join_skew_salted", "graph_scc")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -695,8 +695,54 @@ object TimeSeries {
       col("e.n").as("n"), col("e.s").as("ewma_scaled"))
   }
 
+  /** INTEGER-EXACT Holt double-exponential smoothing (α = β = 1/2) —
+    * EWMA's trend-aware sibling: a LEVEL and a TREND state per series,
+    * `l' = (l + b + n·S) div 2`, `b' = (b + (l' − l)) div 2`, seeded at
+    * `(n₀·S, 0)`. The one-step forecast `l + b` is the burn-rate
+    * projection a capacity alert actually wants (EWMA lags a ramp;
+    * Holt tracks it). Halving is the α = β = 1/2 specialization that
+    * keeps every value an exact integer — and `div` truncates toward
+    * zero in BOTH engines (Spark `div`, DuckDB `//`, verified on
+    * negatives — the trend term goes negative on falling series), so
+    * the recursive-CTE oracle states the identical recurrence.
+    *
+    * Scale shape: identical to [[ewma]] — map-side collapse to the
+    * (type, hour) domain, then the two-state fold runs inside one
+    * codegen'd `aggregate` HOF per type.
+    */
+  private val holt: Q = (s, d) => {
+    val hourly = T(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val listed = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("h"), col("n")))).as("xs"))
+    val folded = listed.select(col("event_type"), explode(expr(
+      s"""aggregate(xs,
+         |  slice(transform(xs, x -> named_struct(
+         |    'h', x.h, 'n', x.n,
+         |    'l', x.n * $EwmaScale, 'b', CAST(0 AS BIGINT))), 1, 0),
+         |  (acc, x) -> concat(acc, array(
+         |    CASE WHEN size(acc) = 0 THEN named_struct(
+         |      'h', x.h, 'n', x.n,
+         |      'l', x.n * $EwmaScale, 'b', CAST(0 AS BIGINT))
+         |    ELSE named_struct('h', x.h, 'n', x.n,
+         |      'l', (element_at(acc, -1).l + element_at(acc, -1).b
+         |            + x.n * $EwmaScale) div 2,
+         |      'b', (element_at(acc, -1).b
+         |            + ((element_at(acc, -1).l + element_at(acc, -1).b
+         |                + x.n * $EwmaScale) div 2
+         |               - element_at(acc, -1).l)) div 2)
+         |    END)))""".stripMargin)).as("e"))
+    folded.select(col("event_type"),
+      unix_seconds(col("e.h").cast("timestamp")).as("hour_epoch"),
+      col("e.n").as("n"), col("e.l").as("level_scaled"),
+      col("e.b").as("trend_scaled"),
+      (col("e.l") + col("e.b")).as("forecast_scaled"))
+  }
+
   val queries: Map[String, Q] = Map(
     "events_ewma" -> ewma,
+    "events_holt" -> holt,
     "events_cohort_ltv" -> cohortLtv,
     "events_attribution" -> attribution,
     "events_markov" -> markov,
@@ -735,6 +781,29 @@ object TimeSeries {
         |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
         |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
         |  n, CAST(s AS BIGINT) AS ewma_scaled
+        |FROM rec""".stripMargin,
+    // the same two-state recurrence; `//` truncates toward zero exactly
+    // like Spark's `div`, including on the negative trend values
+    "events_holt" ->
+      """WITH RECURSIVE hourly AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY date_trunc('hour', ts)) AS rn
+        |  FROM events GROUP BY 1, 2),
+        |rec AS (
+        |  SELECT event_type, rn, h, n,
+        |    n * 1000 AS lv, CAST(0 AS BIGINT) AS tr
+        |  FROM hourly WHERE rn = 1
+        |  UNION ALL
+        |  SELECT h.event_type, h.rn, h.h, h.n,
+        |    (r.lv + r.tr + h.n * 1000) // 2,
+        |    (r.tr + ((r.lv + r.tr + h.n * 1000) // 2 - r.lv)) // 2
+        |  FROM rec r JOIN hourly h
+        |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+        |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+        |  n, CAST(lv AS BIGINT) AS level_scaled,
+        |  CAST(tr AS BIGINT) AS trend_scaled,
+        |  CAST(lv + tr AS BIGINT) AS forecast_scaled
         |FROM rec""".stripMargin,
     // the retention cohort CTEs + exact-cents weekly revenue and a
     // running sum over the observed weeks
