@@ -588,7 +588,21 @@ object CorpusBuild {
       .unionAll(stage("4_decontam", s4))
   }
 
+  /** Power-of-two document-length histogram — the data-card length
+    * panel: per bucket (`⌊log₂ len⌋ + 1`, computed WITHOUT a float log
+    * as the bit-length of the integer — `length(bin(n))` in both
+    * engines, so the boundary chars 2ᵏ land identically), doc count,
+    * min/max length, and total chars. One map-side pass, ≤ 64 groups.
+    */
+  private val lengthHist: Q = (s, d) =>
+    T(s, d, "documents")
+      .select(length(col("text")).cast("long").as("len"))
+      .groupBy(length(bin(col("len"))).cast("long").as("len_bits"))
+      .agg(count(lit(1)).as("n_docs"), min("len").as("min_len"),
+        max("len").as("max_len"), sum("len").as("total_chars"))
+
   val queries: Map[String, Q] = Map(
+    "corpus_length_hist" -> lengthHist,
     "corpus_funnel_report" -> funnelReport,
     "corpus_mix_sample" -> mixSample,
     "corpus_build" -> corpus,
@@ -796,6 +810,13 @@ object CorpusBuild {
        |FROM c WHERE cum_before < $TokenBudget""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "corpus_length_hist" ->
+      """SELECT CAST(length(bin(length(text))) AS BIGINT) AS len_bits,
+        |  count(*) AS n_docs,
+        |  CAST(min(length(text)) AS BIGINT) AS min_len,
+        |  CAST(max(length(text)) AS BIGINT) AS max_len,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY 1""".stripMargin,
     // the funnel re-states each stage's oracle semantics: exact-dedup
     // keepers, component keepers (argmax words, min id), the
     // quantile_cont gate, and the contamination oracle's train side

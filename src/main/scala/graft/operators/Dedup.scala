@@ -326,7 +326,12 @@ object Dedup {
     * Norms are precomputed once per vector; the per-pair hot path is a
     * single codegen'd dot product.
     */
-  private val embeddingCosine: Q = (s, d) => {
+  /** The blocked all-pairs cosine frame `(a_id, b_id, sim)` (unordered
+    * pairs once each, raw sims) — shared by `dedup_embedding_cosine`
+    * (τ-filtered face) and `dedup_threshold_sweep` (the calibration
+    * histogram over the SAME sims).
+    */
+  private def cosinePairFrame(s: SparkSession, d: String): DataFrame = {
     import graft.functions.VectorFunctions._
     val B = CosineBlocks
     val e = T(s, d, "embeddings")
@@ -343,11 +348,37 @@ object Dedup {
       // diagonal keys (p == q) pair a block with itself: keep one order
       .filter(col("kp") =!= col("kq") || col("a_id") < col("b_id"))
       .withColumn("sim", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+  }
+
+  private val embeddingCosine: Q = (s, d) =>
+    cosinePairFrame(s, d)
       .filter(col("sim") >= 0.4)
       .select(least(col("a_id"), col("b_id")).as("a_id"),
         greatest(col("a_id"), col("b_id")).as("b_id"),
         round(col("sim"), 4).as("sim"))
-  }
+
+  /** THRESHOLD CALIBRATION SWEEP — the curve a dedup operator's τ is
+    * chosen FROM: pair counts per 0.05-wide cosine bucket plus the
+    * suffix-cumulative "pairs at or above" column, so "how many
+    * near-dup pairs would τ = X admit" is one report instead of N
+    * re-runs. Buckets are `floor(sim·20)`: the sims are bit-identical
+    * cross-engine (fixed-order dot sums, the `dedup_embedding_cosine`
+    * precedent), so the bucket of every pair — and therefore every
+    * integer in this report — hash-matches exactly; no threshold ever
+    * sits on a float comparison the engines could disagree about.
+    *
+    * Scale shape: the pair frame is the shared blocked equi-join; the
+    * histogram collapses map-side to ≤ 41 buckets, and the one
+    * unpartitioned window runs over those ≤ 41 rows — bounded however
+    * large the corpus.
+    */
+  private val thresholdSweep: Q = (s, d) =>
+    cosinePairFrame(s, d)
+      .select(floor(col("sim") * 20).cast("long").as("bucket_5pct"))
+      .groupBy("bucket_5pct").agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_at_or_above", sum(col("n_pairs")).over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("bucket_5pct").desc)))
 
   /** The complete two-stage near-dup pipeline: LSH candidates (stage 1,
     * equi-join shaped) verified with exact shingle-Jaccard computed ONLY
@@ -949,6 +980,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash,
     "dedup_embedding_cosine" -> embeddingCosine,
+    "dedup_threshold_sweep" -> thresholdSweep,
     "dedup_containment" -> containmentQ,
     "dedup_source_matrix" -> sourceMatrix,
     "dedup_cluster_hist" -> componentSizeHist,
@@ -1138,6 +1170,19 @@ object Dedup {
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4""".stripMargin,
+    "dedup_threshold_sweep" ->
+      """WITH p AS (
+        |  SELECT list_cosine_similarity(a.embedding::DOUBLE[],
+        |                                b.embedding::DOUBLE[]) AS sim
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id),
+        |h AS (SELECT CAST(floor(sim * 20) AS BIGINT) AS bucket_5pct,
+        |        count(*) AS n_pairs
+        |      FROM p GROUP BY 1)
+        |SELECT bucket_5pct, n_pairs,
+        |  CAST(sum(n_pairs) OVER (ORDER BY bucket_5pct DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS n_at_or_above
+        |FROM h""".stripMargin,
     "dedup_containment" ->
       s"""WITH $shingleCte,
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1),

@@ -740,9 +740,31 @@ object TimeSeries {
       (col("e.l") + col("e.b")).as("forecast_scaled"))
   }
 
+
+  /** OUTAGE / SILENCE DETECTION — consecutive-event gaps longer than
+    * [[GapSeconds]] (the sessionize gap) per event type: the monitoring primitive behind
+    * "type X went quiet for half an hour" (the reference's outage gauge
+    * tracks source-connection silence; this is the same signal computed
+    * from the data itself, so it works retroactively over any archive).
+    * One lag window per type, integer epoch arithmetic.
+    */
+  private val outageGaps: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    T(s, d, "events")
+      .select(col("event_type"),
+        unix_seconds(col("ts").cast("timestamp")).as("te"),
+        lag(unix_seconds(col("ts").cast("timestamp")), 1).over(w).as("pe"))
+      .where(col("te") - col("pe") > GapSeconds)
+      .select(col("event_type"), col("pe").as("gap_start_epoch"),
+        col("te").as("gap_end_epoch"),
+        (col("te") - col("pe")).as("gap_seconds"))
+  }
+
   val queries: Map[String, Q] = Map(
     "events_ewma" -> ewma,
     "events_holt" -> holt,
+    "events_outage_gaps" -> outageGaps,
     "events_cohort_ltv" -> cohortLtv,
     "events_attribution" -> attribution,
     "events_markov" -> markov,
@@ -782,6 +804,15 @@ object TimeSeries {
         |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
         |  n, CAST(s AS BIGINT) AS ewma_scaled
         |FROM rec""".stripMargin,
+    "events_outage_gaps" ->
+      s"""WITH t AS (
+         |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS te,
+         |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+         |      PARTITION BY event_type ORDER BY ts, event_id) AS pe
+         |  FROM events)
+         |SELECT event_type, pe AS gap_start_epoch, te AS gap_end_epoch,
+         |  te - pe AS gap_seconds
+         |FROM t WHERE te - pe > $GapSeconds""".stripMargin,
     // the same two-state recurrence; `//` truncates toward zero exactly
     // like Spark's `div`, including on the negative trend values
     "events_holt" ->
