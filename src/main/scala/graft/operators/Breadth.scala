@@ -580,6 +580,68 @@ object Breadth {
     cmsReport(cells, ev)
   }
 
+  /** KMV sketch size — small enough that the estimate's error is
+    * non-trivially exercised at sf scale, large enough that sf0.001's
+    * per-type user counts still exceed it for some types.
+    */
+  private[operators] val KmvK = 32
+
+  /** The sketch's hash: the registry's cross-engine md5 idiom mapped
+    * onto the [0, 2³²) domain the estimator divides over.
+    */
+  private[operators] def kmvHash(key: Column): Column =
+    conv(substring(md5(concat(lit("kmv:"), key.cast("string"))
+      .cast("binary")), 1, 8), 16, 10).cast("long")
+
+  /** Report over a built KMV sketch table `(event_type, ks)` (ks =
+    * ascending min-k hash list): kept size, k-th smallest, the integer
+    * estimate `(k−1)·2³² div h_k` (exact when the sketch never filled —
+    * fewer than k distinct hashes IS the distinct count), the true
+    * distinct count, and the signed error. Shared by `sketch_kmv` and
+    * its streaming twin so both faces price the same sketch contract;
+    * the error column makes estimator regressions a hash failure.
+    */
+  private[operators] def kmvReport(sk: DataFrame, ev: DataFrame)
+      : DataFrame = {
+    val exact = ev.groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("exact_distinct"))
+    sk.select(col("event_type"), size(col("ks")).cast("long").as("n_kept"),
+        element_at(col("ks"), -1).as("kth_hash"))
+      .withColumn("est_distinct",
+        when(col("n_kept") === KmvK,
+          expr(s"${(KmvK - 1).toLong * 4294967296L} div greatest(kth_hash, 1)"))
+          .otherwise(col("n_kept")))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_kept"), col("kth_hash"),
+        col("est_distinct"), col("exact_distinct"),
+        (col("est_distinct") - col("exact_distinct")).as("err"))
+  }
+
+  /** K-minimum-values distinct sketch (Bar-Yossef et al. 2002) — the
+    * mergeable fixed-size DISTINCT-count summary, the third corner of
+    * the sketch family next to count-min (frequency) and bloom
+    * (membership): keep the k smallest distinct hash values; the k-th
+    * smallest fixes the estimate, and union = min-k of the union — so
+    * partitions combine map-side and streams accumulate batch over
+    * batch with the identical merge.
+    *
+    * Scale shape: the build is ONE aggregation through
+    * [[graft.functions.MinKAggregator]] — every partition reduces to
+    * ≤ k longs before the exchange, so the shuffle carries
+    * O(partitions·k) values regardless of input size (vs the window
+    * row_number form, which shuffles every distinct hash). Estimates
+    * are exact integers (`div`, no floats), so the report — including
+    * the estimator's error per type — is bit-identical in the oracle.
+    */
+  private val sketchKmv: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val mink = udaf(new graft.functions.MinKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = ev.select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .groupBy(col("event_type")).agg(mink(col("h")).as("ks"))
+    kmvReport(sk, ev)
+  }
+
   private val SaltBuckets = 8
 
   /** Explicitly SALTED skewed join — the `salted_agg` pattern applied to
@@ -611,6 +673,7 @@ object Breadth {
   }
 
   val queries: Map[String, Q] = Map(
+    "sketch_kmv" -> sketchKmv,
     "sketch_countmin" -> sketchCountmin,
     "join_skew_salted" -> joinSkewSalted,
     "q13_order_dist" -> q13OrderDist,
@@ -648,6 +711,32 @@ object Breadth {
         |    AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    // the window row_number form IS the oracle: min-k per type, k-th
+    // smallest = max of the kept set; // matches div on nonnegatives
+    "sketch_kmv" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 8))::BIGINT
+         |      AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, h, row_number() OVER (
+         |    PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, count(*) AS n_kept, max(h) AS kth_hash
+         |  FROM rk WHERE rn <= $KmvK GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, n_kept, kth_hash,
+         |    CASE WHEN n_kept = $KmvK
+         |      THEN ${(KmvK - 1).toLong * 4294967296L} // greatest(kth_hash, 1)
+         |      ELSE n_kept END AS est_distinct
+         |  FROM sk),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+         |       FROM events GROUP BY 1)
+         |SELECT event_type, n_kept, kth_hash, est_distinct, exact_distinct,
+         |  est_distinct - exact_distinct AS err
+         |FROM est JOIN ex USING (event_type)""".stripMargin,
     "sketch_countmin" ->
       s"""WITH cells AS (
          |  SELECT t.i AS r,

@@ -395,6 +395,53 @@ object CorpusBuild {
       .withColumn("zkey", interleave(col("n_words"), col("doc_id")))
   }
 
+  /** Zone-map layout: bucket count and the probe predicate's word-count
+    * band. The band is narrow so pruning is non-trivially exercised —
+    * most zones must NOT overlap it.
+    */
+  private val ZmBuckets = 16L
+  private val ZmLo = 30L
+  private val ZmHi = 34L
+
+  /** ZONE-MAP DATA SKIPPING over the z-ordered layout — the min/max
+    * file-statistics pruning every lakehouse scan does (parquet row
+    * groups, Delta/Iceberg file stats): rows range-partition into
+    * [[ZmBuckets]] "files" by [[zorder]]'s clustering key, each zone
+    * records min/max of BOTH layout dimensions, and the probe predicate
+    * (`n_words` in the [[ZmLo]]..[[ZmHi]] band) keeps only zones whose
+    * range overlaps. The report emits the zone stats, the pruning
+    * decision, and the zone's TRUE match count — so the skipping
+    * soundness invariant (a pruned zone contains zero matches) is
+    * itself hash-checked, and the z-order payoff is visible: a narrow
+    * band on one interleaved dimension prunes most zones.
+    *
+    * Scale shape: the global row_number is the once-per-layout staging
+    * cost (at real scale this is `repartitionByRange(zkey)` — the same
+    * assignment without the single-partition window); the zone census
+    * is one map-side-combinable aggregation on the bucket key. A real
+    * scan then reads ONLY surviving files — the read-path twin is
+    * pinned in StorageLayoutSpec's bucketed layouts; this face is the
+    * stats-building side.
+    */
+  private val zonemap: Q = (s, d) => {
+    val w = Window.orderBy(col("zkey"), col("doc_id"))
+    zorder(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr(s"((rn - 1) * $ZmBuckets) div n"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_words")).as("min_nw"), max(col("n_words")).as("max_nw"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"),
+        sum(when(col("n_words").between(ZmLo, ZmHi), lit(1L))
+          .otherwise(lit(0L))).as("n_match"))
+      .withColumn("overlaps",
+        when(col("min_nw") <= ZmHi && col("max_nw") >= ZmLo, lit(1L))
+          .otherwise(lit(0L)))
+      .select(col("bucket"), col("n_rows"), col("min_nw"), col("max_nw"),
+        col("min_id"), col("max_id"), col("overlaps"), col("n_match"))
+  }
+
   /** Sequence packing budget (tokens per training sequence). */
   private val PackBudget = 1024L
 
@@ -618,7 +665,8 @@ object CorpusBuild {
     "corpus_pack_sequences" -> packSequences,
     "corpus_shuffle" -> corpusShuffle,
     "corpus_token_budget" -> tokenBudget,
-    "layout_zorder" -> zorder)
+    "layout_zorder" -> zorder,
+    "layout_zonemap" -> zonemap)
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -769,6 +817,26 @@ object CorpusBuild {
        |  FROM documents)""".stripMargin
   }
 
+  /** The same range bucketing over the embedded zkey subquery, zone
+    * min/max census, overlap decision, and true match count.
+    */
+  private val zonemapOracle: String =
+    s"""WITH z AS ($zorderOracle),
+       |ord AS (
+       |  SELECT doc_id, n_words,
+       |    row_number() OVER (ORDER BY zkey, doc_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM z)
+       |SELECT ((rn - 1) * $ZmBuckets) // n AS bucket,
+       |  count(*) AS n_rows,
+       |  min(n_words) AS min_nw, max(n_words) AS max_nw,
+       |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+       |  CAST(CASE WHEN min(n_words) <= $ZmHi AND max(n_words) >= $ZmLo
+       |       THEN 1 ELSE 0 END AS BIGINT) AS overlaps,
+       |  CAST(sum(CASE WHEN n_words BETWEEN $ZmLo AND $ZmHi
+       |       THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+       |FROM ord GROUP BY 1""".stripMargin
+
   private val packSequencesOracle: String =
     s"""SELECT doc_id, n_tokens,
        |  CAST(floor(cum_before / $PackBudget) AS BIGINT) AS seq_id,
@@ -879,5 +947,6 @@ object CorpusBuild {
     "corpus_pack_sequences" -> packSequencesOracle,
     "corpus_shuffle" -> shuffleOracle,
     "corpus_token_budget" -> tokenBudgetOracle,
-    "layout_zorder" -> zorderOracle)
+    "layout_zorder" -> zorderOracle,
+    "layout_zonemap" -> zonemapOracle)
 }

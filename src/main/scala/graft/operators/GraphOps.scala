@@ -71,6 +71,48 @@ object GraphOps {
       .select(col("dst").as("doc_id"),
         (lit(15L * Scale / 100) + expr("(85 * sc) DIV 100")).as("rank"))
 
+  /** Seed predicate of the personalized walk — a deterministic slice of
+    * the node ids so both engines (and any sf) agree on the restart set.
+    */
+  private val PprSeedMod = 5L
+
+  /** PERSONALIZED PageRank (the random walk restarts only to a SEED
+    * set, not uniformly): rank mass decays with distance from the
+    * seeds, so scores mean "how reachable from these known-good nodes"
+    * — the curation primitive behind "find documents like this vetted
+    * set" over the near-dup graph, and the standard seeded-trust /
+    * spam-mass construction. Same integer recurrence as
+    * [[pagerankStep]] with the teleport term GATED on seed membership
+    * (`r' = [v∈S]·0.15·Scale + (85·Σ rank div deg) div 100`, `r₀ =
+    * [v∈S]·Scale`); non-seeds far from any seed decay geometrically to
+    * the integer floor — visible in the output as exact zeros, which
+    * plain PageRank never produces.
+    *
+    * Scale shape: identical to [[pagerankOn]] — the edge frame pins
+    * once, each round is one equi-join + map-side-combinable sum on the
+    * edge key, [[Iters]] rounds unrolled for the oracle face.
+    */
+  private[graft] def pprOn(pairs: DataFrame): DataFrame = {
+    val (e, deg) = prepareEdges(pairs)
+    def restart(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      when(pmod(id, lit(PprSeedMod)) === 0, lit(1L)).otherwise(lit(0L))
+    val r0 = deg.select(col("src").as("doc_id"),
+      (restart(col("src")) * Scale).as("rank"))
+    val ranks = (1 to Iters).foldLeft(r0) { (ranks, _) =>
+      e.join(ranks.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .select(col("dst"), expr("rank DIV deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("doc_id"),
+          (restart(col("dst")) * lit(15L * Scale / 100)
+            + expr("(85 * sc) DIV 100")).as("rank"))
+    }
+    ranks.select(col("doc_id"), col("rank"),
+      restart(col("doc_id")).as("is_seed"))
+  }
+
+  private val ppr: Q = (s, d) =>
+    pprOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
+
   /** PageRank run to CONVERGENCE — the production shape a real user
     * asks for, vs the registry query's fixed [[Iters]] rounds (kept as
     * the oracle-checkable face; both share [[pagerankStep]], so the
@@ -673,6 +715,7 @@ object GraphOps {
     "graph_modularity" -> modularity,
     "graph_bfs_dist" -> bfs,
     "graph_pagerank" -> pagerank,
+    "graph_ppr" -> ppr,
     "graph_triangles" -> triangles,
     "graph_degree_hist" -> degreeHist,
     "graph_kcore_peel" -> kcore,
@@ -701,6 +744,38 @@ object GraphOps {
        |r0 AS (SELECT src AS doc_id, CAST($Scale AS BIGINT) AS rank FROM deg),
        |$rounds
        |SELECT doc_id, rank FROM r$Iters""".stripMargin
+  }
+
+  /** [[pagerankOracle]] with the teleport term gated on the seed
+    * predicate — the same unrolled rounds, restart mass only to
+    * `doc_id % PprSeedMod = 0`.
+    */
+  private val pprOracle: String = {
+    val rounds = (1 to Iters).map { i =>
+      s"""r$i AS (
+         |  SELECT e.dst AS doc_id,
+         |    CAST(CASE WHEN e.dst % $PprSeedMod = 0
+         |           THEN ${15L * Scale / 100} ELSE 0 END
+         |         + (85 * sum(r.rank // d.deg)) // 100
+         |         AS BIGINT) AS rank
+         |  FROM edges e JOIN deg d ON e.src = d.src
+         |  JOIN r${i - 1} r ON r.doc_id = e.src
+         |  GROUP BY e.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH pairs AS (SELECT a_id, b_id FROM (${Dedup.minhashOracle})),
+       |edges AS (SELECT a_id AS src, b_id AS dst FROM pairs
+       |          UNION ALL
+       |          SELECT b_id AS src, a_id AS dst FROM pairs),
+       |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS doc_id,
+       |         CAST(CASE WHEN src % $PprSeedMod = 0 THEN $Scale ELSE 0 END
+       |              AS BIGINT) AS rank
+       |       FROM deg),
+       |$rounds
+       |SELECT doc_id, rank,
+       |  CAST(CASE WHEN doc_id % $PprSeedMod = 0 THEN 1 ELSE 0 END
+       |       AS BIGINT) AS is_seed
+       |FROM r$Iters""".stripMargin
   }
 
   private val trianglesOracle: String =
@@ -872,6 +947,7 @@ object GraphOps {
     "graph_modularity" -> modularityOracle,
     "graph_bfs_dist" -> bfsOracle,
     "graph_pagerank" -> pagerankOracle,
+    "graph_ppr" -> pprOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_degree_hist" -> degreeHistOracle,
     "graph_kcore_peel" -> kcoreOracle,

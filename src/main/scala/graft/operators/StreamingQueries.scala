@@ -205,20 +205,48 @@ object StreamingQueries {
     */
   private def stageIvmSource(s: SparkSession, d: String,
       run: java.nio.file.Path): Unit = {
-    import java.nio.file.Files
-    import scala.jdk.CollectionConverters._
-    val base = SharedArtifacts.root.resolve("ivm_events4_" +
-      SharedArtifacts.fingerprint(d, "events.parquet",
-        "nanos-4part-v2-timeordered"))
-    if (!SharedArtifacts.isReady(base)) {
-      val staging = SharedArtifacts.stagingFor(base)
-      val w = Window.orderBy(col("ts"), col("event_id"))
-      val bucketed = T(s, d, "events")
-        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000"))
-        .withColumn("rn", row_number().over(w))
+    val w = Window.orderBy(col("ts"), col("event_id"))
+    stage4Source(s, d, run, "ivm_events4_", "nanos-4part-v2-timeordered",
+      _.withColumn("rn", row_number().over(w))
         .withColumn("n", count(lit(1)).over(Window.partitionBy()))
         .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-        .drop("rn", "n")
+        .drop("rn", "n"))
+  }
+
+  /** The 4-file staging for the LATE-DATA replay: bucket = a content
+    * hash of the event id, so each micro-batch holds a uniform MIX of
+    * event times — the arrival order is genuinely out of time order and
+    * the watermark actually drops things (the time-ordered
+    * [[stageIvmSource]] split never produces late data). The hash is
+    * the registry's cross-engine md5 idiom, so the batch assignment —
+    * and therefore the watermark trajectory — is a pure SQL function of
+    * the events table that the DuckDB oracle restates.
+    */
+  private def stageLateSource(s: SparkSession, d: String,
+      run: java.nio.file.Path): Unit =
+    stage4Source(s, d, run, "late_events4_", "nanos-4part-v1-hashordered",
+      _.withColumn("bucket",
+        conv(substring(md5(concat(lit("late:"),
+          col("event_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+          .cast("long") % 4))
+
+  /** Shared machinery of the 4-file stagings: nanos-long `ts`, a
+    * caller-supplied deterministic `bucket` column, one file per
+    * bucket published once per dataset version via SharedArtifacts,
+    * hard-linked into the run dir with ascending mtimes so the file
+    * source's (mtime, path) order equals bucket order.
+    */
+  private def stage4Source(s: SparkSession, d: String,
+      run: java.nio.file.Path, prefix: String, salt: String,
+      assign: DataFrame => DataFrame): Unit = {
+    import java.nio.file.Files
+    import scala.jdk.CollectionConverters._
+    val base = SharedArtifacts.root.resolve(prefix +
+      SharedArtifacts.fingerprint(d, "events.parquet", salt))
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      val bucketed = assign(T(s, d, "events")
+        .withColumn("ts", expr("unix_micros(CAST(ts AS TIMESTAMP)) * 1000")))
         .persist()
       try (0 until 4).foreach { k =>
         val part = staging.resolve(s"part$k")
@@ -372,6 +400,117 @@ object StreamingQueries {
       .filter(col("rn") === 1)
       .select(col("row"), col("bucket"), col("c"))
     Breadth.cmsReport(cells, T(s, d, "events"))
+  }
+
+  /** The KMV distinct sketch maintained as STREAMING STATE — the other
+    * mergeable sketch's native habitat ("how many distinct users so
+    * far" over an unbounded stream in O(k) memory per key). The same
+    * 4-micro-batch replay; the streaming aggregation holds each type's
+    * min-k buffer ([[graft.functions.MinKAggregator]]) in keyed state,
+    * each batch's partials MERGE into it (KMV union ≡ min-k of the
+    * concatenation ≡ the aggregator's merge), and the final emission is
+    * the whole-stream sketch. The report is [[Breadth.kmvReport]] — the
+    * same contract as the batch face, so this shares `sketch_kmv`'s
+    * DuckDB oracle: a sketch accumulated incrementally across batches
+    * must estimate identically to one built in a single pass.
+    */
+  private val streamKmv: Q = (s, d) => {
+    val run = freshRunDir("graft_kmv_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    stageIvmSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+    val mink = udaf(new graft.functions.MinKAggregator(Breadth.KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    withStreamingParallelism(s) {
+      val q = raw
+        .select(col("event_type"), Breadth.kmvHash(col("user_id")).as("h"))
+        .groupBy(col("event_type")).agg(mink(col("h")).as("ks"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("batch_id").desc)
+    val sk = s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ks"))
+    Breadth.kmvReport(sk, T(s, d, "events"))
+  }
+
+  /** WATERMARK LATE-DATA SEMANTICS, hash-checked — the contract every
+    * other streaming face carefully avoids exercising (their stagings
+    * replay in time order, so nothing is ever late): here the 4-file
+    * split is HASH-ordered ([[stageLateSource]]), every micro-batch
+    * carries a uniform mix of event times, and the windowed aggregation
+    * genuinely drops rows that arrive after the watermark passed their
+    * window. APPEND mode makes the emission contract clean enough to
+    * restate in SQL: a window emits EXACTLY ONCE — at eviction, when
+    * the watermark passes its end — carrying exactly the rows the late
+    * filter admitted; rows arriving after eviction are provably late
+    * (their window end is already ≤ the older late-filter watermark)
+    * and vanish. The DuckDB oracle restates Spark's exact two-watermark
+    * rule (SPARK-40925, measured here batch by batch): the watermark
+    * PLANNED for batch k is `max event time over batches < k`, floored
+    * to MILLISECONDS (Spark tracks event-time stats in ms), minus the
+    * delay; EVICTION in batch k compares window-end micros ≤ that, but
+    * the LATE FILTER in batch k uses batch k−1's planned value — one
+    * batch older. A silent regression in any of it (delay parsing, ms
+    * flooring, the filter-vs-eviction skew) flips the hash.
+    *
+    * Scale shape: a plain watermarked tumbling-window aggregation —
+    * O(open windows) state, late rows discarded BEFORE the shuffle by
+    * the stateful operator's filter, each window emitted once and its
+    * state freed; the oracle-visible drops are the price of bounded
+    * state, the exact trade a 100 TB stream makes.
+    */
+  private val streamLateDrops: Q = (s, d) => {
+    val run = freshRunDir("graft_late_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    stageLateSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    withStreamingParallelism(s) {
+      val q = raw
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "1 hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_seconds(col("window.start")).as("hour_epoch"),
+          col("event_type"), col("n"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    // append mode: each window emitted exactly once — no compaction
+    s.read.parquet(out)
+      .select(col("hour_epoch"), col("event_type"), col("n"))
   }
 
   /** The id of the watermark-flush sentinel user (see
@@ -1327,6 +1466,8 @@ object StreamingQueries {
     "state_time_travel" -> stateTimeTravel,
     "stream_windowed_counts" -> streamWindowed,
     "stream_countmin" -> streamCountmin,
+    "stream_kmv" -> streamKmv,
+    "stream_late_drops" -> streamLateDrops,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
     "stream_join_attrib" -> streamJoinAttrib,
@@ -1394,6 +1535,43 @@ object StreamingQueries {
     // sum = update-mode streaming aggregation) must price identically
     // to the single-pass batch build
     "stream_countmin" -> Breadth.oracles("sketch_countmin"),
+    "stream_kmv" -> Breadth.oracles("sketch_kmv"),
+    // Spark's two-watermark rule over the hash-ordered split: planned
+    // wm(k) = max event-time ms over batches < k − 3_600_000 (0 if
+    // none); a window is EMITTED at the first batch k (incl. the final
+    // no-data batch 4) whose wm(k) passes its end (end_us ≤ wm·1000),
+    // counting rows from batches b ≤ min(k, 3) that the late filter
+    // admitted — batch b filters against wm(b−1), one batch older
+    "stream_late_drops" ->
+      """WITH b AS (
+        |  SELECT event_type, ts,
+        |    ('0x' || substr(md5('late:' || event_id::VARCHAR), 1, 8))::BIGINT
+        |      % 4 AS bucket
+        |  FROM events),
+        |mx AS (SELECT bucket, max(epoch_us(ts)) // 1000 AS mx_ms
+        |       FROM b GROUP BY 1),
+        |w AS (
+        |  SELECT k, coalesce(
+        |    (SELECT max(mx_ms) FROM mx WHERE bucket < k) - 3600000, 0)
+        |    AS wm_ms
+        |  FROM (SELECT unnest(generate_series(0, 4)) AS k)),
+        |rows_k AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS h, bucket,
+        |    epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR) AS end_us
+        |  FROM b),
+        |evict AS (
+        |  SELECT event_type, h, min(k) AS e
+        |  FROM (SELECT DISTINCT event_type, h, end_us FROM rows_k) kk
+        |  JOIN w ON kk.end_us <= w.wm_ms * 1000
+        |  GROUP BY 1, 2)
+        |SELECT CAST(floor(epoch(kk.h)) AS BIGINT) AS hour_epoch,
+        |  kk.event_type, count(*) AS n
+        |FROM rows_k kk
+        |JOIN evict ev ON kk.event_type = ev.event_type AND kk.h = ev.h
+        |JOIN w ON w.k = greatest(kk.bucket - 1, 0)
+        |WHERE kk.bucket <= least(ev.e, 3)
+        |  AND (kk.bucket = 0 OR kk.end_us > w.wm_ms * 1000)
+        |GROUP BY 1, 2""".stripMargin,
     // ingest-time dedup is confluent with the all-at-once LSH pair query
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
     // streaming session merging must agree with batch interval-merge SQL

@@ -761,7 +761,61 @@ object TimeSeries {
         (col("te") - col("pe")).as("gap_seconds"))
   }
 
+  /** Allowance (slack) of the CUSUM recurrence — deviations within
+    * ±[[CusumSlack]] of the mean accumulate nothing, so the statistic
+    * only charges sustained shifts.
+    */
+  private val CusumSlack = 1L
+
+  /** CUSUM CHANGEPOINT DETECTION (Page 1954) — the sequential
+    * shift-detector under every "did the rate move" alert: two one-sided
+    * statistics per series, `S⁺ ← max(0, S⁺ + (n − μ − k))` and
+    * `S⁻ ← max(0, S⁻ + (μ − n − k))`, flag when either exceeds the
+    * decision interval (here μ itself — a mean-sized cumulative
+    * deviation). Every term is a plain integer on the hourly count
+    * domain — μ is the floor mean `Σn div H` — so both engines agree on
+    * every value, and unlike [[ewma]]'s smoothing (which a threshold
+    * still reads pointwise) CUSUM accumulates small sustained drifts
+    * that no single point would trip.
+    *
+    * Scale shape: identical to [[ewma]] — the stream collapses map-side
+    * to the (type, hour) count domain, μ rides the same aggregation,
+    * and the two-state fold runs inside one codegen'd `aggregate` HOF
+    * per type; each output depends on the previous OUTPUT (the max-0
+    * clamp), which is exactly what a window frame cannot express.
+    */
+  private val cusum: Q = (s, d) => {
+    val hourly = T(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val listed = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("h"), col("n")))).as("xs"),
+        expr("sum(n) div count(1)").as("mu"))
+    val folded = listed.select(col("event_type"), col("mu"), explode(expr(
+      s"""aggregate(xs,
+         |  slice(transform(xs, x -> named_struct(
+         |    'h', x.h, 'n', x.n,
+         |    'sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT))), 1, 0),
+         |  (acc, x) -> concat(acc, array(named_struct(
+         |    'h', x.h, 'n', x.n,
+         |    'sp', greatest(CAST(0 AS BIGINT),
+         |      CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)
+         |           ELSE element_at(acc, -1).sp END
+         |      + (x.n - mu - $CusumSlack)),
+         |    'sn', greatest(CAST(0 AS BIGINT),
+         |      CASE WHEN size(acc) = 0 THEN CAST(0 AS BIGINT)
+         |           ELSE element_at(acc, -1).sn END
+         |      + (mu - x.n - $CusumSlack))))))""".stripMargin)).as("e"))
+    folded.select(col("event_type"),
+      unix_seconds(col("e.h").cast("timestamp")).as("hour_epoch"),
+      col("e.n").as("n"), col("mu"),
+      col("e.sp").as("cusum_pos"), col("e.sn").as("cusum_neg"),
+      when(col("e.sp") > col("mu") || col("e.sn") > col("mu"), lit(1L))
+        .otherwise(lit(0L)).as("alarm"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_cusum" -> cusum,
     "events_ewma" -> ewma,
     "events_holt" -> holt,
     "events_outage_gaps" -> outageGaps,
@@ -786,6 +840,34 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // the identical clamped two-state recurrence; mu = Σn // H is
+    // nonnegative, so // floors exactly like Spark's div here
+    "events_cusum" ->
+      s"""WITH RECURSIVE hourly AS (
+         |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY date_trunc('hour', ts)) AS rn
+         |  FROM events GROUP BY 1, 2),
+         |st AS (
+         |  SELECT event_type, sum(n) // count(*) AS mu FROM hourly
+         |  GROUP BY 1),
+         |rec AS (
+         |  SELECT h.event_type, h.rn, h.h, h.n, st.mu,
+         |    greatest(0, h.n - st.mu - $CusumSlack) AS sp,
+         |    greatest(0, st.mu - h.n - $CusumSlack) AS sn
+         |  FROM hourly h JOIN st USING (event_type) WHERE h.rn = 1
+         |  UNION ALL
+         |  SELECT h.event_type, h.rn, h.h, h.n, r.mu,
+         |    greatest(0, r.sp + (h.n - r.mu - $CusumSlack)),
+         |    greatest(0, r.sn + (r.mu - h.n - $CusumSlack))
+         |  FROM rec r JOIN hourly h
+         |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+         |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+         |  n, CAST(mu AS BIGINT) AS mu,
+         |  CAST(sp AS BIGINT) AS cusum_pos, CAST(sn AS BIGINT) AS cusum_neg,
+         |  CAST(CASE WHEN sp > mu OR sn > mu THEN 1 ELSE 0 END AS BIGINT)
+         |    AS alarm
+         |FROM rec""".stripMargin,
     // the identical integer recurrence as a recursive CTE over the
     // per-type hour sequence; // floors like Spark's div on nonnegatives
     "events_ewma" ->

@@ -279,6 +279,25 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"profiles: $got")
   }
 
+  test("layout_zonemap: pruning is sound and non-trivial on sf data") {
+    import spark.implicits._
+    val zones = SparkEntry.queries("layout_zonemap")(spark, sf)
+      .selectExpr("bucket", "n_rows", "min_nw", "max_nw", "overlaps",
+        "n_match")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // soundness: a pruned zone (no range overlap) contains NO matches
+    assert(zones.filter(_._5 == 0L).forall(_._6 == 0L),
+      s"unsound prune: ${zones.filter(z => z._5 == 0L && z._6 > 0L).toList}")
+    // the probe band must actually prune something AND keep something,
+    // or the face degenerates to a vacuous census
+    assert(zones.exists(_._5 == 0L), "no zone pruned — band too wide")
+    assert(zones.exists(z => z._5 == 1L && z._6 > 0L),
+      "no surviving zone has matches — band missed the data")
+    // zones partition the table: every doc lands in exactly one zone
+    val total = Tables.load(spark, sf, "documents").count()
+    assert(zones.map(_._2).sum == total)
+  }
+
   test("embed_outliers: exact 2-sigma flag on literal norms") {
     import spark.implicits._
     // nine vectors with n2 = 10^4 and one with n2 = 10^6: S = 1.09e6,

@@ -458,6 +458,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ranks(0L) > ranks(1L))
   }
 
+  test("personalized pagerank: exact gated recurrence, seedless component zeroes out") {
+    import graft.operators.GraphOps
+    // path 0-1-2-3 holds the only seed (0 % 5 == 0); component 6-7 has
+    // NO seed, so with the teleport gated off its rank mass must decay
+    // to EXACT ZERO — the signature plain pagerank can never produce
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (6L, 7L))
+    val got = GraphOps.pprOn(edges.toDF("a_id", "b_id"))
+      .select("doc_id", "rank").as[(Long, Long)].collect().toMap
+    // mirror the integer recurrence on an adjacency map
+    val adj = edges ++ edges.map(e => (e._2, e._1))
+    val deg = adj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = deg.keys.map(v =>
+      v -> (if (v % 5 == 0) 1000000L else 0L)).toMap
+    (1 to 3).foreach { _ =>
+      val contrib = adj.groupBy(_._2).view
+        .mapValues(_.map { case (u, _) => r(u) / deg(u) }.sum).toMap
+      r = deg.keys.map(v => v ->
+        ((if (v % 5 == 0) 150000L else 0L)
+          + 85L * contrib.getOrElse(v, 0L) / 100)).toMap
+    }
+    assert(got == r, s"got=$got want=$r")
+    assert(got(6L) == 0L && got(7L) == 0L,
+      s"seedless component must hold zero mass: $got")
+    assert(got(0L) > 0L && got(1L) > 0L, s"seeded component ranks: $got")
+  }
+
   test("modularity report: exact integer accounting incl. a cross-community edge") {
     import graft.operators.GraphOps
     // community A = {1,2,3} (a triangle), community B = {4,5} (an

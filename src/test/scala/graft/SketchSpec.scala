@@ -1,0 +1,54 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.MinKAggregator
+
+/** Invariants of the KMV sketch accumulator and estimator that the
+  * DuckDB oracle (which states the window-form equivalent) can't pin:
+  * mergeability (the distributed/streaming correctness property) and
+  * estimator accuracy bounds on scales the sf tables don't reach.
+  */
+class SketchSpec extends AnyFunSuite {
+  private val k = 8
+  private val agg = new MinKAggregator(k)
+
+  test("reduce keeps the k smallest distinct values in order") {
+    val buf = (100L to 1L by -1L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(buf) == (1L to k.toLong).toList)
+    // duplicates don't displace distinct values
+    val dup = Seq(5L, 5L, 5L, 2L, 2L).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(dup) == List(2L, 5L))
+  }
+
+  test("merge is the KMV union: min-k of the combined distinct sets") {
+    val a = Seq(1L, 4L, 9L, 16L, 25L, 36L, 49L, 64L).foldLeft(agg.zero)(agg.reduce)
+    val b = Seq(2L, 3L, 4L, 50L, 70L, 90L, 110L, 130L).foldLeft(agg.zero)(agg.reduce)
+    val direct = (Seq(1L, 4L, 9L, 16L, 25L, 36L, 49L, 64L) ++
+      Seq(2L, 3L, 4L, 50L, 70L, 90L, 110L, 130L))
+      .foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(agg.merge(a, b)) == agg.finish(direct))
+    assert(agg.finish(agg.merge(a, b)) ==
+      List(1L, 2L, 3L, 4L, 9L, 16L, 25L, 36L))
+    // merge order is immaterial (shuffle/batch arrival order freedom)
+    assert(agg.merge(a, b) == agg.merge(b, a))
+  }
+
+  test("estimator lands within KMV error bounds on a large synthetic set") {
+    // hash stand-in: a deterministic LCG spraying n keys over [0, 2^32)
+    // — the estimator only assumes uniformity, which the real md5-based
+    // hash supplies. stderr ≈ 1/√(k−1); assert a generous 4σ.
+    val bigK = 128
+    val big = new MinKAggregator(bigK)
+    val n = 100000
+    var x = 88172645463325252L
+    val buf = (1 to n).foldLeft(big.zero) { (b, _) =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      big.reduce(b, math.floorMod(x >>> 16, 1L << 32))
+    }
+    val ks = big.finish(buf)
+    assert(ks.length == bigK)
+    val est = (bigK - 1).toLong * 4294967296L / ks.last
+    val relErr = math.abs(est.toDouble - n) / n
+    assert(relErr < 4.0 / math.sqrt(bigK - 1.0), s"est=$est relErr=$relErr")
+  }
+}

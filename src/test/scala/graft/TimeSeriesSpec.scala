@@ -324,6 +324,34 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 24L), "sanity: full trailing windows exist")
   }
 
+  test("events_cusum agrees with a hand fold of the clamped recurrence") {
+    val sf = SparkTestSession.sf
+    val got = TimeSeries.queries("events_cusum")(spark, sf)
+      .selectExpr("event_type", "hour_epoch", "n", "mu", "cusum_pos",
+        "cusum_neg", "alarm")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val hourly = Tables.load(spark, sf, "events")
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("h"))
+      .count()
+      .selectExpr("event_type", "CAST(unix_seconds(h) AS LONG)", "count")
+      .as[(String, Long, Long)].collect()
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val mu = ordered.map(_._3).sum / ordered.length
+      ordered.scanLeft((t, 0L, 0L, mu, 0L, 0L, 0L)) {
+        case ((_, _, _, _, sp, sn, _), (_, h, n)) =>
+          val sp2 = math.max(0L, sp + (n - mu - 1))
+          val sn2 = math.max(0L, sn + (mu - n - 1))
+          (t, h, n, mu, sp2, sn2, if (sp2 > mu || sn2 > mu) 1L else 0L)
+      }.drop(1)
+    }.toSet
+    assert(got.toSet == want,
+      s"divergence: ${(got.toSet diff want).take(3)} ${(want diff got.toSet).take(3)}")
+    // the statistic must actually clamp and actually alarm somewhere
+    assert(got.exists(_._5 == 0L) && got.exists(r => r._5 > 0L || r._6 > 0L))
+  }
+
   test("trailing-baseline processor: batching-invariant, intra-batch order-free") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{HourCount, TrailingBaselineProcessor}

@@ -166,6 +166,37 @@ class WindowedAggsSpec extends AnyFunSuite {
       s"streaming/batch sessionize schemas diverged:\n  stream: $st\n  batch:  $bt")
   }
 
+  test("stream_late_drops: out-of-order replay drops late rows, emits only closed windows") {
+    val sf = SparkTestSession.sf
+    import spark.implicits._
+    val got = SparkEntry.queries("stream_late_drops")(spark, sf)
+      .as[(Long, String, Long)].collect()
+    // append mode: every window emitted at most once
+    assert(got.map(r => (r._1, r._2)).distinct.length == got.length)
+    val events = Tables.load(spark, sf, "events")
+    val hourly = events
+      .groupBy(org.apache.spark.sql.functions.date_trunc("hour", $"ts")
+        .as("h"), $"event_type")
+      .count()
+      .selectExpr("CAST(unix_seconds(h) AS LONG)", "event_type", "count")
+      .as[(Long, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // the hash-ordered replay must produce REAL drops: strictly fewer
+    // rows than arrived, and no window can exceed its true count
+    assert(got.map(_._3).sum < events.count(), "no late rows were dropped")
+    assert(got.forall(r => r._3 <= hourly((r._1, r._2))),
+      "a window counted more rows than exist")
+    // windows newer than the final watermark stay open and never emit:
+    // nothing within the last hour of the stream may appear
+    val maxEpoch = events
+      .selectExpr("max(CAST(unix_seconds(CAST(ts AS TIMESTAMP)) AS LONG))")
+      .as[Long].head()
+    // end ≤ final watermark (≈ max − 1 h; 1 s slack for ms flooring)
+    assert(got.forall(r => r._1 + 3600 <= maxEpoch - 3599),
+      "an un-evictable window was emitted")
+    assert(got.nonEmpty)
+  }
+
   test("dropDuplicatesWithinWatermark suppresses redelivered frames") {
     val mem = MemoryStream[MetagameEvent](spark)
     val name = s"dd_${System.nanoTime()}"
