@@ -25,7 +25,7 @@ object SparkEntry {
       Multimodal.queries ++ StreamingQueries.queries ++ Breadth.queries ++
       TimeSeries.queries ++ CorpusBuild.queries ++
       HybridRetrieval.queries ++ BloomJoin.queries ++ GraphOps.queries ++
-      Profiling.queries
+      Profiling.queries ++ BucketedJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys are non-SQL-expressible ops that
@@ -37,5 +37,5 @@ object SparkEntry {
       Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles ++
       TimeSeries.oracles ++ CorpusBuild.oracles ++
       HybridRetrieval.oracles ++ BloomJoin.oracles ++ GraphOps.oracles ++
-      Profiling.oracles
+      Profiling.oracles ++ BucketedJoin.oracles
 }

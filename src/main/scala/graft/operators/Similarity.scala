@@ -140,6 +140,47 @@ object Similarity {
       .withColumn("sim", round(col("sim"), 4) + lit(0.0))
   }
 
+  /** MAXIMUM INNER-PRODUCT SEARCH (MIPS) — the recommender/retrieval
+    * scoring the cosine faces deliberately normalize away: `argmax
+    * ⟨q, x⟩` favors large-MAGNITUDE items (a two-tower model's item
+    * popularity lives in the norm), so its ranking genuinely differs
+    * from cosine's. Computed as exact integers on the registry's
+    * 1e3-quantized elements (`Σ round(1000·qᵢ)·round(1000·xᵢ)`, one
+    * codegen'd zip_with/aggregate pair — no float summation order to
+    * diverge), so the scores themselves are hash-checked, not just the
+    * ranking. Brute force is the oracle-checkable face; at scale MIPS
+    * reduces to cosine ANN by the standard norm augmentation
+    * (Bachrach et al. 2014: append `√(M²−‖x‖²)` to items, 0 to
+    * queries) and rides the IVF/PQ indexes above.
+    *
+    * Scale shape: same as `sim_topk_bruteforce` — queries broadcast
+    * (allowlisted ≤[[NQueries]]-row build side), corpus scanned once,
+    * per-query top-k through one window on the candidate set.
+    */
+  private val mips: Q = (s, d) => mipsOn(T(s, d, "embeddings"))
+
+  /** The MIPS body on an arbitrary `(vec_id, embedding)` frame — split
+    * out so the magnitude-vs-angle semantics are testable on literal
+    * vectors.
+    */
+  private[graft] def mipsOn(emb: DataFrame): DataFrame = {
+    val qz = expr("transform(embedding, x -> " +
+      "CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))")
+    val e = emb.select(col("vec_id"), qz.as("v"))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), expr(
+        "aggregate(zip_with(qv, v, (a, b) -> a * b), 0L, (acc, p) -> acc + p)")
+        .as("score_scaled"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_scaled").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("score_scaled"))
+  }
+
   private val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
   private val NProbe = 4
 
@@ -1057,6 +1098,7 @@ object Similarity {
     "embed_project" -> embedProject,
     "sim_topk_bruteforce" -> bruteforce,
     "sim_topk_agg" -> bruteforceAgg,
+    "sim_mips" -> mips,
     "sim_ann_lsh" -> annLsh,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
@@ -1403,6 +1445,27 @@ object Similarity {
         |        6) + 0.0 AS cov
         |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin,
     "sim_topk_bruteforce" -> topkOracle,
+    // exact integer inner products on the 1e3-quantized elements
+    "sim_mips" ->
+      s"""WITH el AS (
+         |  SELECT vec_id, i,
+         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |               * 1000) AS BIGINT) AS x
+         |  FROM embeddings,
+         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+         |sc AS (
+         |  SELECT q.vec_id AS q_id, e.vec_id,
+         |    CAST(sum(q.x * e.x) AS BIGINT) AS score_scaled
+         |  FROM el q JOIN el e ON e.i = q.i AND e.vec_id <> q.vec_id
+         |  WHERE q.vec_id < $NQueries
+         |  GROUP BY 1, 2),
+         |rk AS (
+         |  SELECT q_id, vec_id, score_scaled, row_number() OVER (
+         |    PARTITION BY q_id ORDER BY score_scaled DESC, vec_id) AS rank
+         |  FROM sc)
+         |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+         |  score_scaled
+         |FROM rk WHERE rank <= $K""".stripMargin,
     "embed_kmeans_mix" -> kmeansMixOracle,
     "dedup_semantic" -> semanticDedupOracle,
     // the Aggregator formulation must reproduce the window formulation

@@ -814,7 +814,46 @@ object TimeSeries {
         .otherwise(lit(0L)).as("alarm"))
   }
 
+  /** M4 pixel-bucket width (seconds): 6 h → ~120 buckets over the
+    * month-long event range, a dashboard-like reduction.
+    */
+  private val M4Span = 21600L
+
+  /** M4 TIME-SERIES DOWNSAMPLING (Jugel et al., VLDB 2014) — the
+    * published error-free line-chart reduction: per (series, time
+    * bucket), keep exactly the FOUR values a pixel column can render —
+    * min, max, first, last — so the downsampled series draws the
+    * identical line at that resolution while shrinking 100 TB of points
+    * to O(pixels). Everything is exact integer cents; first/last are
+    * anchored on the registry's (ts, event_id) total order via window
+    * row numbers, so both engines pick the same endpoints even inside
+    * equal-timestamp bursts.
+    *
+    * Scale shape: ONE shuffle onto (type, bucket) for the window pass
+    * (running frames, no re-scan), and the final aggregation reuses the
+    * same key so it collapses map-side — the output is the bucket
+    * domain, tiny forever.
+    */
+  private val m4Downsample: Q = (s, d) => {
+    val w = Window.partitionBy(col("event_type"), col("bucket_epoch"))
+      .orderBy(col("te"), col("event_id"))
+    T(s, d, "events")
+      .select(col("event_type"), col("event_id"),
+        unix_seconds(col("ts").cast("timestamp")).as("te"),
+        round(col("value") * 100).cast("long").as("c"))
+      .withColumn("bucket_epoch", expr(s"te div $M4Span * $M4Span"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(
+        Window.partitionBy(col("event_type"), col("bucket_epoch"))))
+      .groupBy(col("event_type"), col("bucket_epoch"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("v_min_cents"), max(col("c")).as("v_max_cents"),
+        max(when(col("rn") === 1, col("c"))).as("v_first_cents"),
+        max(when(col("rn") === col("cnt"), col("c"))).as("v_last_cents"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_m4_downsample" -> m4Downsample,
     "events_cusum" -> cusum,
     "events_ewma" -> ewma,
     "events_holt" -> holt,
@@ -840,6 +879,26 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same bucketing, same (ts, event_id)-anchored endpoints
+    "events_m4_downsample" ->
+      s"""WITH t AS (
+         |  SELECT event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS te,
+         |    CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |b AS (
+         |  SELECT event_type, c,
+         |    (te // $M4Span) * $M4Span AS bucket_epoch,
+         |    row_number() OVER (PARTITION BY event_type, (te // $M4Span)
+         |      ORDER BY te, event_id) AS rn,
+         |    count(*) OVER (PARTITION BY event_type, (te // $M4Span))
+         |      AS cnt
+         |  FROM t)
+         |SELECT event_type, bucket_epoch, count(*) AS n,
+         |  min(c) AS v_min_cents, max(c) AS v_max_cents,
+         |  max(CASE WHEN rn = 1 THEN c END) AS v_first_cents,
+         |  max(CASE WHEN rn = cnt THEN c END) AS v_last_cents
+         |FROM b GROUP BY 1, 2""".stripMargin,
     // the identical clamped two-state recurrence; mu = Σn // H is
     // nonnegative, so // floors exactly like Spark's div here
     "events_cusum" ->

@@ -840,6 +840,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(vouched > 0, "no semantic drop overlaps the exact >=0.4 pairs")
   }
 
+  test("mips ranks by magnitude where cosine would rank by angle") {
+    import graft.operators.Similarity
+    // query 0 = (1, 0). vec 11 = (0.9, 0.1): nearly aligned, small.
+    // vec 12 = (3, 3): 45° off but huge — bigger inner product.
+    // MIPS must put 12 first; exact scaled scores pin the arithmetic.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (11L, Array(0.9f, 0.1f)),
+      (12L, Array(3.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.mipsOn(emb)
+      .select("q_id", "neighbor_id", "rank", "score_scaled")
+      .as[(Long, Long, Long, Long)].collect()
+      .filter(_._1 == 0L).sortBy(_._3).toList
+    assert(got == List((0L, 12L, 1L, 3000000L), (0L, 11L, 2L, 900000L)),
+      s"mips ranking: $got")
+  }
+
   test("cosine of a vector with itself is 1") {
     import graft.functions.VectorFunctions._
     val e = Tables.load(spark, sf, "embeddings").limit(10)

@@ -21,6 +21,7 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "cross_join_small" -> "deliberate cross join of two tiny dims (25 rows)",
     "sim_topk_bruteforce" -> "non-equi =!= join against a BROADCAST 10-row query set",
     "sim_topk_agg" -> "same broadcast 10-row query set",
+    "sim_mips" -> "same broadcast 10-row query set, integer-dot scoring",
     "sim_ann_ivf" -> ("crossJoin against the broadcast centroid table - the" +
       " O(n*C) quantizer training/assignment cost, linear in the corpus" +
       " per centroid, not an unbounded pair product"),

@@ -62,6 +62,18 @@ class StorageLayoutSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("join_bucketed registry face: the fact-fact join itself never shuffles") {
+    // first invocation builds-or-adopts the shared bucketed layout;
+    // run twice so the measured plan is the steady-state adopted one
+    SparkEntry.queries("join_bucketed")(spark, sf).collect()
+    val df = SparkEntry.queries("join_bucketed")(spark, sf)
+    val exchanges = shuffles(df)
+    // the one allowed exchange is the final tiny group-by rollup
+    assert(exchanges <= 1,
+      s"bucketed fact-fact join must not shuffle its inputs: $exchanges")
+    assert(df.count() > 0)
+  }
+
   test("partition pruning: date-partitioned write scans only matching partitions") {
     val dir = Files.createTempDirectory("graft_part").toString
     Tables.load(spark, sf, "events")
