@@ -168,8 +168,46 @@ object Profiling {
       .select(col("r.*"))
   }
 
+  /** Histogram bucket width: $5,000 in cents. */
+  private val HistWidth = 500000L
+
+  /** EQUI-WIDTH HISTOGRAM of `o_totalprice` — the ANALYZE statistic
+    * next to [[profileOrders]]'s min/max/distinct: per fixed-width
+    * bucket, the count plus the exact in-bucket extrema (which also
+    * hash-pin the bucketing rule itself). Exact integer cents; one
+    * map-side-combinable aggregation on the bucket key, output is the
+    * O(range/width) bucket domain however big the table.
+    */
+  private val profileHistogram: Q = (s, d) =>
+    T(s, d, "orders")
+      .select(round(col("o_totalprice") * 100).cast("long").as("c"))
+      .groupBy(expr(s"c div $HistWidth").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("c")).as("min_cents"), max(col("c")).as("max_cents"))
+
+  /** Minimum acceptable quasi-identifier group size. */
+  private val KAnon = 5L
+
+  /** K-ANONYMITY REPORT over the (nation, market-segment) quasi-
+    * identifier — the release-gate governance check: a customer row is
+    * k-anonymous when at least k rows share its quasi-identifier tuple,
+    * so the per-group census with a `< k` flag IS the re-identification
+    * risk surface (flagged groups are the rows a release would have to
+    * suppress or generalize). One aggregation on the QI key; the QI
+    * domain (|nations|·|segments|) stays tiny at any row count.
+    */
+  private val kAnonymity: Q = (s, d) =>
+    T(s, d, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("below_k",
+        when(col("n") < KAnon, lit(1L)).otherwise(lit(0L)))
+
   val queries: Map[String, Q] = Map(
     "profile_table" -> profileOrders,
+    "profile_histogram" -> profileHistogram,
+    "dq_k_anonymity" -> kAnonymity,
     "json_quarantine" -> jsonQuarantine,
     "dq_checks" -> dqChecks,
   )
@@ -199,6 +237,19 @@ object Profiling {
   }
 
   val oracles: Map[String, String] = Map(
+    "profile_histogram" ->
+      s"""SELECT CAST(round(o_totalprice * 100) AS BIGINT) // $HistWidth
+         |    AS bucket,
+         |  count(*) AS n,
+         |  min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+         |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+         |FROM orders GROUP BY 1""".stripMargin,
+    "dq_k_anonymity" ->
+      s"""SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+         |  count(*) AS n,
+         |  CAST(CASE WHEN count(*) < $KAnon THEN 1 ELSE 0 END AS BIGINT)
+         |    AS below_k
+         |FROM customer GROUP BY 1, 2""".stripMargin,
     "dq_checks" ->
       """SELECT 'orders_pk_unique' AS rule,
         |  (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_checked,

@@ -631,7 +631,35 @@ object TextAnalysis {
         expr("sum(n * p_ppm) div sum(n)").as("score_ppm"))
   }
 
+  /** Feature-hashing dimensionality. */
+  private val FhDims = 128
+
+  /** HASHING-TRICK FEATURIZATION (Weinberger et al. 2009) — the
+    * fixed-width bag-of-words vectorizer every scale pipeline reaches
+    * for when a vocabulary table won't fit or can't be coordinated:
+    * token → `md5 % FhDims` (no dictionary, no fit step, new tokens
+    * just land somewhere), count collisions and all. The output is the
+    * sparse matrix `(doc, dim, weight)` — the direct input to linear
+    * probes/classifiers — over a deterministic 1-in-5 doc sample so the
+    * gate stays bounded while the computation keeps its shape.
+    *
+    * Scale shape: pure map-side explode + one aggregation keyed
+    * (doc, dim) with map-side partials absorbing in-doc repeats; no
+    * model state of any kind, which is the entire point of the trick —
+    * embarrassingly parallel at any corpus size.
+    */
+  private val hashingFeatures: Q = (s, d) =>
+    T(s, d, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id"), explode(words(col("text"))).as("w"))
+      .select(col("doc_id"),
+        (conv(substring(md5(concat(lit("fh:"), col("w")).cast("binary")),
+          1, 8), 16, 10).cast("long") % FhDims).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("weight"))
+
   val queries: Map[String, Q] = Map(
+    "text_hashing_features" -> hashingFeatures,
     "text_bigram_lm" -> bigramLm,
     "dedup_chunks" -> chunkDedup,
     "dedup_cdc_chunks" -> cdcChunkDedup,
@@ -715,6 +743,14 @@ object TextAnalysis {
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "text_hashing_features" ->
+      s"""SELECT doc_id,
+         |  ('0x' || substr(md5('fh:' || w), 1, 8))::BIGINT % $FhDims AS dim,
+         |  count(*) AS weight
+         |FROM (SELECT doc_id,
+         |        unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+         |      FROM documents WHERE doc_id % 5 = 0)
+         |GROUP BY 1, 2""".stripMargin,
     // NOTE substr/length are UTF-16-unit-based in Spark and
     // codepoint-based in DuckDB — identical on BMP-only corpora like
     // this one; an astral-plane corpus would need a byte-level model.

@@ -852,7 +852,59 @@ object TimeSeries {
         max(when(col("rn") === col("cnt"), col("c"))).as("v_last_cents"))
   }
 
+  /** CEP pattern window (seconds): view→purchase within this. */
+  private val CepWindow = 3600L
+
+  /** COMPLEX-EVENT-PROCESSING PATTERN MATCH — `view → purchase within
+    * 1 h with NO error in between`, the NEGATIVE-condition sequence
+    * rule the funnel faces can't express (funnels count presence of
+    * stages; CEP also constrains what must NOT occur between them —
+    * SASE/MATCH_RECOGNIZE's `A ¬C B` shape). Per purchase, ONE carry
+    * window per user yields the most recent preceding view and error
+    * (as combined `ts·10⁷+event_id` ordinals, so "between" is exact on
+    * the registry's total order even inside same-second bursts); the
+    * match test is then row-local arithmetic, and matches roll up per
+    * day.
+    *
+    * Scale shape: one shuffle on user_id for the carry window (running
+    * frame, never re-scanned — the attribution topology), then map-side
+    * collapse onto the day domain. No self-join of purchases onto
+    * candidate views, no per-pattern state machine.
+    */
+  private val cepMatch: Q = (s, d) => cepMatchOn(T(s, d, "events"))
+
+  /** The CEP body on an arbitrary events frame — split out so the
+    * negative condition and window boundary are testable on literal
+    * sequences.
+    */
+  private[graft] def cepMatchOn(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("user_id"), col("event_type"),
+        unix_seconds(col("ts").cast("timestamp")).as("te"),
+        col("event_id"))
+      .withColumn("ord", col("te") * 10000000L + col("event_id"))
+      .withColumn("lv",
+        last(when(col("event_type") === "view", col("ord")),
+          ignoreNulls = true).over(w))
+      .withColumn("le",
+        last(when(col("event_type") === "error", col("ord")),
+          ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("matched",
+        when(col("lv").isNotNull
+          && col("te") - expr("lv div 10000000") <= CepWindow
+          && (col("le").isNull || col("le") < col("lv")), lit(1L))
+          .otherwise(lit(0L)))
+      .groupBy(expr("te div 86400 * 86400").as("day_epoch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("matched")).as("n_matched"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_cep_match" -> cepMatch,
     "events_m4_downsample" -> m4Downsample,
     "events_cusum" -> cusum,
     "events_ewma" -> ewma,
@@ -879,6 +931,32 @@ object TimeSeries {
   )
 
   val oracles: Map[String, String] = Map(
+    // same carry ordinals; lag-free formulation via last_value IGNORE
+    // NULLS over the identical frame
+    "events_cep_match" ->
+      s"""WITH t AS (
+         |  SELECT user_id, event_type, event_id,
+         |    CAST(floor(epoch(ts)) AS BIGINT) AS te
+         |  FROM events),
+         |o AS (
+         |  SELECT *, te * 10000000 + event_id AS ord FROM t),
+         |c AS (
+         |  SELECT user_id, event_type, te,
+         |    last_value(CASE WHEN event_type = 'view' THEN ord END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lv,
+         |    last_value(CASE WHEN event_type = 'error' THEN ord END
+         |      IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ord
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS le
+         |  FROM o)
+         |SELECT (te // 86400) * 86400 AS day_epoch,
+         |  count(*) AS n_purchases,
+         |  CAST(sum(CASE WHEN lv IS NOT NULL
+         |    AND te - lv // 10000000 <= $CepWindow
+         |    AND (le IS NULL OR le < lv) THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_matched
+         |FROM c WHERE event_type = 'purchase'
+         |GROUP BY 1""".stripMargin,
     // same bucketing, same (ts, event_id)-anchored endpoints
     "events_m4_downsample" ->
       s"""WITH t AS (

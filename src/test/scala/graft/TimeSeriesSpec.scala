@@ -324,6 +324,31 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.exists(_._4 == 24L), "sanity: full trailing windows exist")
   }
 
+  test("events_cep_match: negative condition, window boundary, same-ts ordering") {
+    // u1: view@100 → purchase@200 (match). u2: view@100, ERROR@150,
+    // purchase@200 (error between — NO match). u3: view@100,
+    // purchase@100+3601 (outside the 1 h window — NO match). u4:
+    // error@50, view@100, purchase@200 (error BEFORE the view — match).
+    // u5: view and error at the SAME ts, error's event_id larger (so
+    // after in the total order), purchase later — NO match.
+    val events = Seq(
+      (1L, 1L, 100L, "view"), (1L, 2L, 200L, "purchase"),
+      (2L, 3L, 100L, "view"), (2L, 4L, 150L, "error"),
+      (2L, 5L, 200L, "purchase"),
+      (3L, 6L, 100L, "view"), (3L, 7L, 3701L, "purchase"),
+      (4L, 8L, 50L, "error"), (4L, 9L, 100L, "view"),
+      (4L, 10L, 200L, "purchase"),
+      (5L, 11L, 100L, "view"), (5L, 12L, 100L, "error"),
+      (5L, 13L, 200L, "purchase"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+    val got = TimeSeries.cepMatchOn(events)
+      .as[(Long, Long, Long)].collect().toList
+    // all purchases land in day-epoch 0: 5 purchases, 2 matches (u1, u4)
+    assert(got == List((0L, 5L, 2L)), s"cep: $got")
+  }
+
   test("events_cusum agrees with a hand fold of the clamped recurrence") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_cusum")(spark, sf)
