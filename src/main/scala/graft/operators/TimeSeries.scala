@@ -741,6 +741,66 @@ object TimeSeries {
   }
 
 
+  /** INTEGER-EXACT HOLT-WINTERS additive smoothing (α = β = γ = 1/2,
+    * hour-of-day season L = 24) — the seasonal member of the
+    * [[ewma]]/[[holt]] recurrence family: a LEVEL, a TREND, and a
+    * 24-SLOT SEASONAL VECTOR per series, so the one-step forecast
+    * `l + b + s[next hour]` tracks the daily rhythm that makes plain
+    * Holt misread every evening peak as a trend change. Slots key on
+    * TRUE hour-of-day (`(epoch div 3600) mod 24`), so gaps in the
+    * series can't rotate the season. Updates are the halving
+    * specialization, exact integers end to end:
+    * `l' = (n·S − s_old + l + b) div 2`, `b' = (b + (l'−l)) div 2`,
+    * `s' = (s_old + n·S − l') div 2`, seeded `(n₀·S, 0, 0⃗)`. The next
+    * hour's slot is never the slot just written (mod-24 neighbors
+    * differ), so the forecast reads the PRE-update vector — both
+    * engines state that simplification.
+    *
+    * Scale shape: the [[ewma]] topology with VECTOR state — map-side
+    * collapse to the (type, hour) domain, then one codegen'd
+    * `aggregate` HOF per type whose accumulator carries (l, b, seas[24],
+    * out); the window-inexpressible part is the whole point.
+    */
+  private val holtWinters: Q = (s, d) => {
+    val S = EwmaScale
+    val idxE = "CAST((unix_seconds(CAST(x.h AS TIMESTAMP)) div 3600) % 24 AS INT)"
+    val sOld = s"element_at(acc.seas, $idxE + 1)"
+    val lp = s"((x.n * $S - $sOld + acc.l + acc.b) div 2)"
+    val bp = s"((acc.b + ($lp - acc.l)) div 2)"
+    val sn = s"(($sOld + x.n * $S - $lp) div 2)"
+    val seasUpd = s"transform(acc.seas, (v, i) -> IF(i = $idxE, $sn, v))"
+    val fc = s"($lp + $bp + element_at(acc.seas, (($idxE + 1) % 24) + 1))"
+    val outRow = s"named_struct('h', x.h, 'n', x.n, 'l', $lp, 'b', $bp, " +
+      s"'s', $sn, 'f', $fc)"
+    val seedRow = s"named_struct('h', x.h, 'n', x.n, " +
+      s"'l', x.n * $S, 'b', CAST(0 AS BIGINT), 's', CAST(0 AS BIGINT), " +
+      s"'f', x.n * $S)"
+    val hourly = T(s, d, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val listed = hourly.groupBy(col("event_type"))
+      .agg(array_sort(collect_list(struct(col("h"), col("n")))).as("xs"))
+    val folded = listed.select(col("event_type"), explode(expr(
+      s"""aggregate(xs,
+         |  named_struct(
+         |    'l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+         |    'seas', array_repeat(CAST(0 AS BIGINT), 24),
+         |    'out', slice(transform(xs, x -> $seedRow), 1, 0)),
+         |  (acc, x) -> CASE WHEN size(acc.out) = 0 THEN named_struct(
+         |      'l', x.n * $S, 'b', CAST(0 AS BIGINT), 'seas', acc.seas,
+         |      'out', array($seedRow))
+         |    ELSE named_struct(
+         |      'l', $lp, 'b', $bp, 'seas', $seasUpd,
+         |      'out', concat(acc.out, array($outRow)))
+         |    END,
+         |  acc -> acc.out)""".stripMargin)).as("e"))
+    folded.select(col("event_type"),
+      unix_seconds(col("e.h").cast("timestamp")).as("hour_epoch"),
+      col("e.n").as("n"), col("e.l").as("level_scaled"),
+      col("e.b").as("trend_scaled"), col("e.s").as("seasonal_scaled"),
+      col("e.f").as("forecast_scaled"))
+  }
+
   /** OUTAGE / SILENCE DETECTION — consecutive-event gaps longer than
     * [[GapSeconds]] (the sessionize gap) per event type: the monitoring primitive behind
     * "type X went quiet for half an hour" (the reference's outage gauge
@@ -904,6 +964,7 @@ object TimeSeries {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_holtwinters" -> holtWinters,
     "events_cep_match" -> cepMatch,
     "events_m4_downsample" -> m4Downsample,
     "events_cusum" -> cusum,
@@ -930,7 +991,49 @@ object TimeSeries {
     "events_anomaly" -> eventsAnomaly,
   )
 
+  /** The identical three-state recurrence as a recursive CTE whose rows
+    * CARRY the 24-slot seasonal vector as a list column, the slot write
+    * expressed with list slices; `//` matches `div` per the holt
+    * precedent, and the forecast reads the pre-update vector (the
+    * mod-24-neighbor simplification both engines share).
+    */
+  private val holtWintersOracle: String = {
+    val zeros = (1 to 24).map(_ => "0").mkString("[", ",", "]") + "::BIGINT[]"
+    val sOld = "r.seas[h.idx + 1]"
+    val lp = s"((h.n * 1000 - $sOld + r.l + r.b) // 2)"
+    val bp = s"((r.b + ($lp - r.l)) // 2)"
+    val sn = s"(($sOld + h.n * 1000 - $lp) // 2)"
+    val seasUpd = s"r.seas[1:h.idx] || [$sn] || r.seas[h.idx + 2:24]"
+    val fc = s"($lp + $bp + r.seas[((h.idx + 1) % 24) + 1])"
+    s"""WITH RECURSIVE hourly AS (
+       |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+       |    row_number() OVER (PARTITION BY event_type
+       |      ORDER BY date_trunc('hour', ts)) AS rn
+       |  FROM events GROUP BY 1, 2),
+       |hx AS (
+       |  SELECT *, CAST((CAST(floor(epoch(h)) AS BIGINT) // 3600) % 24
+       |    AS INT) AS idx
+       |  FROM hourly),
+       |rec AS (
+       |  SELECT event_type, rn, h, n,
+       |    CAST(n * 1000 AS BIGINT) AS l, CAST(0 AS BIGINT) AS b,
+       |    CAST(0 AS BIGINT) AS s, $zeros AS seas,
+       |    CAST(n * 1000 AS BIGINT) AS f
+       |  FROM hx WHERE rn = 1
+       |  UNION ALL
+       |  SELECT h.event_type, h.rn, h.h, h.n,
+       |    CAST($lp AS BIGINT), CAST($bp AS BIGINT), CAST($sn AS BIGINT),
+       |    $seasUpd, CAST($fc AS BIGINT)
+       |  FROM rec r JOIN hx h
+       |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+       |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+       |  n, l AS level_scaled, b AS trend_scaled, s AS seasonal_scaled,
+       |  f AS forecast_scaled
+       |FROM rec""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "events_holtwinters" -> holtWintersOracle,
     // same carry ordinals; lag-free formulation via last_value IGNORE
     // NULLS over the identical frame
     "events_cep_match" ->

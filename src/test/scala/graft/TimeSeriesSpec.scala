@@ -349,6 +349,44 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == List((0L, 5L, 2L)), s"cep: $got")
   }
 
+  test("events_holtwinters agrees with a hand fold carrying the seasonal vector") {
+    val sf = SparkTestSession.sf
+    val got = TimeSeries.queries("events_holtwinters")(spark, sf)
+      .selectExpr("event_type", "hour_epoch", "n", "level_scaled",
+        "trend_scaled", "seasonal_scaled", "forecast_scaled")
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    val hourly = Tables.load(spark, sf, "events")
+      .groupBy($"event_type",
+        org.apache.spark.sql.functions.date_trunc("hour", $"ts").as("h"))
+      .count()
+      .selectExpr("event_type", "CAST(unix_seconds(h) AS LONG)", "count")
+      .as[(String, Long, Long)].collect()
+    val want = hourly.groupBy(_._1).toSeq.flatMap { case (t, rows) =>
+      val ordered = rows.sortBy(_._2)
+      val seas = Array.fill(24)(0L)
+      var l = 0L; var b = 0L
+      ordered.zipWithIndex.map { case ((_, h, n), i) =>
+        val idx = ((h / 3600) % 24).toInt
+        if (i == 0) {
+          l = n * 1000; b = 0
+          (t, h, n, l, b, 0L, l + b + seas((idx + 1) % 24))
+        } else {
+          val sOld = seas(idx)
+          val lp = (n * 1000 - sOld + l + b) / 2
+          val bp = (b + (lp - l)) / 2
+          val sn = (sOld + n * 1000 - lp) / 2
+          val fc = lp + bp + seas((idx + 1) % 24)
+          seas(idx) = sn; l = lp; b = bp
+          (t, h, n, lp, bp, sn, fc)
+        }
+      }
+    }.toSet
+    assert(got.toSet == want,
+      s"divergence: ${(got.toSet diff want).take(3)} ${(want diff got.toSet).take(3)}")
+    // the seasonal vector must actually carry signal
+    assert(got.exists(_._6 != 0L), "seasonal slots never updated")
+  }
+
   test("events_cusum agrees with a hand fold of the clamped recurrence") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_cusum")(spark, sf)
