@@ -1419,6 +1419,29 @@ object StreamingQueries {
         sum(col("cents")).as("revenue_cents"))
   }
 
+  /** Streaming CEP — the `events_cep_match` negative-condition sequence
+    * rule run as a keyed stateful stream: the same user-walk topology as
+    * attribution/state-history (finalized hours → `transformWithState`
+    * on RocksDB), with a TWO-LONG carry per user (ordinals of the most
+    * recent view and error). A view in one micro-batch matches a
+    * purchase several batches later exactly as the batch carry window
+    * would — the confluence the shared oracle enforces. This is the
+    * production CEP shape: O(1) state per key however long the stream,
+    * each verdict emitted once and final, vs the CEP-engine
+    * alternative of buffering event history per pattern.
+    */
+  private val streamCepMatch: Q = (s, d) => {
+    val run = freshRunDir("graft_cepstream_")
+    val out = runUserWalkTopology(s, d, run,
+      new graft.streaming.CepProcessor,
+      org.apache.spark.sql.Encoders.product[graft.streaming.CepVerdict])
+    s.read.schema("user_id BIGINT, te BIGINT, matched BIGINT")
+      .parquet(out)
+      .groupBy(expr("te div 86400 * 86400").as("day_epoch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("matched")).as("n_matched"))
+  }
+
   private val streamStateHistory: Q = (s, d) => {
     val run = freshRunDir("graft_scd2stream_")
     val out = runUserWalkTopology(s, d, run,
@@ -1475,6 +1498,7 @@ object StreamingQueries {
     "stream_anomaly" -> streamAnomaly,
     "stream_ewma" -> streamEwma,
     "stream_attribution" -> streamAttribution,
+    "stream_cep_match" -> streamCepMatch,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
@@ -1585,6 +1609,7 @@ object StreamingQueries {
     // the one-string keyed carry must agree with the batch ignoreNulls
     // carry window
     "stream_attribution" -> TimeSeries.oracles("events_attribution"),
+    "stream_cep_match" -> TimeSeries.oracles("events_cep_match"),
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),

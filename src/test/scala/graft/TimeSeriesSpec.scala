@@ -387,6 +387,30 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.exists(_._6 != 0L), "seasonal slots never updated")
   }
 
+  test("CepFold: batch fold matches, state carries across batch boundaries") {
+    import graft.streaming.{CepCarry, CepFold, EventAt, UserHourTyped}
+    def hr(h: Long, evs: (Long, Long, String)*) =
+      UserHourTyped(1L, h, evs.map(e => EventAt(e._1 * 1000000L, e._2, e._3)))
+    // one-shot: view@100, error@150, purchase@200 → no match
+    val (_, out1) = CepFold.step(1L, CepCarry(0L, 0L),
+      Seq(hr(0L, (100L, 1L, "view"), (150L, 2L, "error"),
+        (200L, 3L, "purchase"))))
+    assert(out1.map(_.matched) == Seq(0L))
+    // split across batches: view arrives in batch 1, purchase in batch
+    // 2 — the carried ordinal must produce the SAME match a single
+    // batch would
+    val (st1, o1) = CepFold.step(1L, CepCarry(0L, 0L),
+      Seq(hr(0L, (100L, 1L, "view"))))
+    val (_, o2) = CepFold.step(1L, st1,
+      Seq(hr(0L, (200L, 2L, "purchase"))))
+    assert(o1.isEmpty && o2.map(_.matched) == Seq(1L), s"carry: $o2")
+    // window boundary rides the carried ordinal too: purchase 3601 s
+    // after the carried view must NOT match
+    val (_, o3) = CepFold.step(1L, st1,
+      Seq(hr(1L, (3701L, 2L, "purchase"))))
+    assert(o3.map(_.matched) == Seq(0L), s"boundary: $o3")
+  }
+
   test("events_cusum agrees with a hand fold of the clamped recurrence") {
     val sf = SparkTestSession.sf
     val got = TimeSeries.queries("events_cusum")(spark, sf)
