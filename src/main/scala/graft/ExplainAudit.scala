@@ -27,7 +27,10 @@ object ExplainAudit {
     "events_ewma", "corpus_tfidf", "corpus_funnel_report",
     "corpus_mix_sample", "corpus_bpe_train", "dedup_lsh_recall",
     "hybrid_ndcg", "sim_ann_pq", "dedup_repeated_ngrams",
-    "sketch_countmin", "join_skew_salted", "graph_scc")
+    "sketch_countmin", "join_skew_salted", "graph_scc",
+    "join_bucketed", "sim_mips", "sketch_kmv", "graph_ppr",
+    "events_holtwinters", "events_cep_match", "events_m4_downsample",
+    "layout_zonemap", "text_hashing_features")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")
