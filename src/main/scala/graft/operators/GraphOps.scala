@@ -113,6 +113,95 @@ object GraphOps {
   private val ppr: Q = (s, d) =>
     pprOn(Dedup.lshPairs(s, d).select(col("a_id"), col("b_id")))
 
+  /** The weighted undirected edge list for the spanning forest: the
+    * shared kNN graph, symmetrized, with the EXACT integer weight
+    * `10⁴ − round(sim·10⁴)` (sim is already the hash-checked 4-decimal
+    * rounding, so both engines derive the identical integer) — small
+    * weight = more similar.
+    */
+  private def mstEdges(s: SparkSession, d: String): DataFrame =
+    Similarity.knnShared(s, d)
+      .select(least(col("vec_id"), col("nbr_id")).as("u"),
+        greatest(col("vec_id"), col("nbr_id")).as("v"),
+        (lit(10000L) - round(col("sim") * 10000).cast("long")).as("w"))
+      .groupBy(col("u"), col("v")).agg(min(col("w")).as("w"))
+
+  /** MINIMUM SPANNING FOREST via distributed Boruvka — the backbone of
+    * single-linkage clustering over the similarity graph (cut the MSF's
+    * heaviest edges and the components ARE the single-linkage clusters)
+    * and the classic O(log n)-round distributed MST. Each round every
+    * component selects its minimum incident cross-component edge
+    * (map-side-combinable `min(struct)` — no sorting, no global
+    * sequential pass), selected edges join the forest, and the touched
+    * components contract through the registry's own pointer-doubling
+    * components machinery. Components at least HALVE per round, so the
+    * loop is O(log n) rounds of equi-joins however large the graph —
+    * the published distributed shape, vs Kruskal's inherently
+    * sequential sorted-edge walk.
+    *
+    * DETERMINISM: the comparator is the lexicographic `(w, u, v)` — a
+    * total order, i.e. all "weights" distinct — so the MSF is UNIQUE
+    * and the DuckDB oracle may compute it with sequential Kruskal (a
+    * recursive CTE walking the ranked edges, carrying the union-find
+    * label vector as a list column): two different published
+    * algorithms, one hash.
+    */
+  private[graft] def boruvkaMsf(edges0: DataFrame): DataFrame = {
+    val edges = Dedup.materialize(edges0.toDF("u", "v", "w"))
+    val nodes = edges.select(col("u").as("id"))
+      .union(edges.select(col("v").as("id"))).distinct()
+    var comp = Dedup.materialize(
+      nodes.select(col("id"), col("id").as("comp")))
+    val picked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var rounds = 0
+    var done = false
+    while (!done && rounds < 25) {
+      val cu = comp.select(col("id").as("u"), col("comp").as("cu"))
+      val cv = comp.select(col("id").as("v"), col("comp").as("cv"))
+      val e = edges.join(cu, Seq("u")).join(cv, Seq("v"))
+        .filter(col("cu") =!= col("cv"))
+      val m = struct(col("w"), col("u"), col("v"), col("cu"), col("cv"))
+      val chosen = Dedup.materialize(
+        e.select(col("cu").as("c"), m.as("m"))
+          .union(e.select(col("cv").as("c"), m.as("m")))
+          .groupBy(col("c")).agg(min(col("m")).as("m"))
+          .select(col("m.w").as("w"), col("m.u").as("u"),
+            col("m.v").as("v"), col("m.cu").as("cu"), col("m.cv").as("cv"))
+          .distinct())
+      if (chosen.isEmpty) done = true
+      else {
+        picked += chosen
+        // CC returns (doc_id, component) — rename BEFORE aliasing
+        // doc_id to comp, or Spark's lateral-column-alias resolution
+        // silently binds the second alias to the first (nc = doc_id,
+        // an identity relabel that never converges)
+        val (lbl, _) = Dedup.connectedComponentsWithRounds(
+          chosen.select(col("cu").as("a_id"), col("cv").as("b_id")))
+        val relbl = lbl.select(col("doc_id").as("comp"),
+          col("component").as("nc"))
+        val next = Dedup.materialize(
+          comp.join(relbl, Seq("comp"), "left")
+            .select(col("id"), coalesce(col("nc"), col("comp")).as("comp")))
+        Dedup.releaseCheckpoint(comp)
+        comp = next
+      }
+      rounds += 1
+    }
+    if (!done)
+      throw new IllegalStateException(
+        "boruvka did not converge in 25 rounds — components must halve " +
+          "per round, so this is a merge bug, not a data property")
+    Dedup.releaseCheckpoint(comp)
+    Dedup.releaseCheckpoint(edges)
+    // the per-round chosen frames stay checkpointed — the caller's
+    // action reads their union (each is ≤ components-that-round rows)
+    picked.map(_.select(col("u"), col("v"), col("w")))
+      .reduceOption(_.union(_))
+      .getOrElse(edges0.toDF("u", "v", "w").limit(0))
+  }
+
+  private val mst: Q = (s, d) => boruvkaMsf(mstEdges(s, d))
+
   /** PageRank run to CONVERGENCE — the production shape a real user
     * asks for, vs the registry query's fixed [[Iters]] rounds (kept as
     * the oracle-checkable face; both share [[pagerankStep]], so the
@@ -716,6 +805,7 @@ object GraphOps {
     "graph_bfs_dist" -> bfs,
     "graph_pagerank" -> pagerank,
     "graph_ppr" -> ppr,
+    "graph_mst" -> mst,
     "graph_triangles" -> triangles,
     "graph_degree_hist" -> degreeHist,
     "graph_kcore_peel" -> kcore,
@@ -745,6 +835,43 @@ object GraphOps {
        |$rounds
        |SELECT doc_id, rank FROM r$Iters""".stripMargin
   }
+
+  /** Sequential KRUSKAL over the ranked edge order, as a recursive CTE
+    * carrying the union-find labels as a LIST column (vec_ids are dense
+    * 0..N−1, so `comp[id+1]` indexes directly): the lexicographic
+    * `(w, u, v)` rank makes every weight distinct, the MSF unique, and
+    * therefore Kruskal-here ≡ Boruvka-in-Spark — two different
+    * published algorithms must produce the identical edge set.
+    */
+  private val mstOracle: String =
+    s"""WITH RECURSIVE ed AS (
+       |  SELECT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v,
+       |    CAST(min(10000 - round(sim * 10000)) AS BIGINT) AS w
+       |  FROM (${Similarity.knnOracleSql})
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS rn
+       |  FROM ed),
+       |rec AS (
+       |  SELECT CAST(0 AS BIGINT) AS rn,
+       |    (SELECT list(vec_id ORDER BY vec_id) FROM embeddings) AS comp,
+       |    CAST(NULL AS BIGINT) AS u, CAST(NULL AS BIGINT) AS v,
+       |    CAST(NULL AS BIGINT) AS w, FALSE AS acc
+       |  UNION ALL
+       |  SELECT e.rn,
+       |    CASE WHEN r.comp[CAST(e.u AS INT) + 1]
+       |           <> r.comp[CAST(e.v AS INT) + 1]
+       |      THEN list_transform(r.comp, x -> CASE
+       |        WHEN x = greatest(r.comp[CAST(e.u AS INT) + 1],
+       |                          r.comp[CAST(e.v AS INT) + 1])
+       |        THEN least(r.comp[CAST(e.u AS INT) + 1],
+       |                   r.comp[CAST(e.v AS INT) + 1])
+       |        ELSE x END)
+       |      ELSE r.comp END,
+       |    e.u, e.v, e.w,
+       |    r.comp[CAST(e.u AS INT) + 1] <> r.comp[CAST(e.v AS INT) + 1]
+       |  FROM rec r JOIN ranked e ON e.rn = r.rn + 1)
+       |SELECT u, v, w FROM rec WHERE acc""".stripMargin
 
   /** [[pagerankOracle]] with the teleport term gated on the seed
     * predicate — the same unrolled rounds, restart mass only to
@@ -948,6 +1075,7 @@ object GraphOps {
     "graph_bfs_dist" -> bfsOracle,
     "graph_pagerank" -> pagerankOracle,
     "graph_ppr" -> pprOracle,
+    "graph_mst" -> mstOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_degree_hist" -> degreeHistOracle,
     "graph_kcore_peel" -> kcoreOracle,

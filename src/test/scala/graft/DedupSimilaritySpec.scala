@@ -484,6 +484,39 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got(0L) > 0L && got(1L) > 0L, s"seeded component ranks: $got")
   }
 
+  test("boruvka msf: unique forest under the (w,u,v) order, cycles cut, ties broken") {
+    import graft.operators.GraphOps
+    // path 0-1-2-3 plus the cycle chord (0,2,9) and a disconnected
+    // pair (8,9): the chord is the heaviest edge on its cycle → cut;
+    // two components → a FOREST, not a tree
+    val edges = Seq((0L, 1L, 5L), (1L, 2L, 3L), (2L, 3L, 7L),
+      (8L, 9L, 1L), (0L, 2L, 9L))
+    val got = GraphOps.boruvkaMsf(edges.toDF("u", "v", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 5L), (1L, 2L, 3L), (2L, 3L, 7L),
+      (8L, 9L, 1L)), s"msf: $got")
+    // tie-break: triangle with ALL-EQUAL weights — the unique MSF under
+    // (w,u,v) keeps the two lexicographically smallest edges
+    val tie = Seq((1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L))
+    val got2 = GraphOps.boruvkaMsf(tie.toDF("u", "v", "w"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got2 == Set((1L, 2L, 4L), (1L, 3L, 4L)), s"tie msf: $got2")
+    // a mirror Kruskal on the same total order agrees (the oracle's
+    // algorithm, re-run here in Scala so the pin survives without DuckDB)
+    def kruskal(es: Seq[(Long, Long, Long)]): Set[(Long, Long, Long)] = {
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.sortBy(e => (e._3, e._1, e._2)).filter { case (u, v, _) =>
+        val (ru, rv) = (find(u), find(v))
+        if (ru == rv) false else { parent(math.max(ru, rv)) = math.min(ru, rv); true }
+      }.toSet
+    }
+    assert(got == kruskal(edges) && got2 == kruskal(tie))
+  }
+
   test("modularity report: exact integer accounting incl. a cross-community edge") {
     import graft.operators.GraphOps
     // community A = {1,2,3} (a triangle), community B = {4,5} (an
