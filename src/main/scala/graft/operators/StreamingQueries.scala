@@ -1419,6 +1419,66 @@ object StreamingQueries {
         sum(col("cents")).as("revenue_cents"))
   }
 
+  /** M4 DOWNSAMPLING AS STREAMING STATE — the dashboard reduction
+    * maintained continuously: per (type, 6 h pixel bucket) the state is
+    * FOUR aggregates (count, min, max, and the (te, event_id, c)-struct
+    * min/max whose `c` fields are the order-anchored first/last), all
+    * declarative min/max/count — so update-mode streaming aggregation
+    * merges them batch over batch with no custom processor, and the
+    * drained result must equal the batch `events_m4_downsample` (the
+    * shared oracle). The struct-min trick is the point: "first by total
+    * order" is not a streaming-safe `first()`, but it IS a plain `min`
+    * over `(te, event_id, c)` — commutative, mergeable, exact.
+    */
+  private val streamM4: Q = (s, d) => {
+    val run = freshRunDir("graft_m4stream_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    stageIvmSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+      .withColumn("te", expr("ts div 1000000000"))
+      .withColumn("c", expr("CAST(round(value * 100) AS BIGINT)"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    withStreamingParallelism(s) {
+      val anchor = struct(col("te"), col("event_id"), col("c"))
+      val q = raw
+        .withWatermark("ts", "1 hour")
+        .groupBy(org.apache.spark.sql.functions.window(col("ts"), "6 hours"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("c")).as("v_min_cents"), max(col("c")).as("v_max_cents"),
+          min(anchor).as("fs"), max(anchor).as("ls"))
+        .select(unix_seconds(col("window.start")).as("bucket_epoch"),
+          col("event_type"), col("n"), col("v_min_cents"),
+          col("v_max_cents"), col("fs.c").as("v_first_cents"),
+          col("ls.c").as("v_last_cents"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_epoch"), col("event_type"))
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket_epoch"), col("n"),
+        col("v_min_cents"), col("v_max_cents"), col("v_first_cents"),
+        col("v_last_cents"))
+  }
+
   /** Streaming CEP — the `events_cep_match` negative-condition sequence
     * rule run as a keyed stateful stream: the same user-walk topology as
     * attribution/state-history (finalized hours → `transformWithState`
@@ -1499,6 +1559,7 @@ object StreamingQueries {
     "stream_ewma" -> streamEwma,
     "stream_attribution" -> streamAttribution,
     "stream_cep_match" -> streamCepMatch,
+    "stream_m4" -> streamM4,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
@@ -1610,6 +1671,7 @@ object StreamingQueries {
     // carry window
     "stream_attribution" -> TimeSeries.oracles("events_attribution"),
     "stream_cep_match" -> TimeSeries.oracles("events_cep_match"),
+    "stream_m4" -> TimeSeries.oracles("events_m4_downsample"),
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),

@@ -801,6 +801,50 @@ object TimeSeries {
       col("e.f").as("forecast_scaled"))
   }
 
+  /** FORECAST BACKTEST — one-step-ahead evaluation of [[holt]] vs
+    * [[holtWinters]] on their own series, the `sim_*_recall` move
+    * applied to forecasting: each row t's forecast is scored against
+    * the NEXT observed point's `n·S`, absolute errors accumulate as
+    * exact integers, and the per-type MAE pair (plus who won) becomes a
+    * hash gate — a regression in either recurrence's predictive power
+    * now fails correctness, not just taste. Positional next (row
+    * number), matching the recurrences' own positional step.
+    *
+    * Scale shape: both inputs are the already-collapsed (type, hour)
+    * domains; one rn window each, an equi-join on (type, rn), and a
+    * map-side collapse onto |types| rows.
+    *
+    * Measured finding the face exists to surface: on this synthetic
+    * corpus Holt WINS (hw_wins = 0 for every type) — the event series
+    * has no daily rhythm, so the seasonal slots only add variance.
+    * A model upgrade must prove itself against the data, not the prior.
+    */
+  private val forecastEval: Q = (s, d) => {
+    def positioned(df: DataFrame, fcol: String): DataFrame = {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hour_epoch"))
+      df.select(col("event_type"), col("hour_epoch"), col("n"),
+          col(fcol).as("f"))
+        .withColumn("rn", row_number().over(w))
+    }
+    val h = positioned(holt(s, d), "forecast_scaled")
+    val hw = positioned(holtWinters(s, d), "forecast_scaled")
+    val actual = h.select(col("event_type"), (col("rn") - 1).as("rn"),
+      (col("n") * EwmaScale).as("actual_scaled"))
+    h.select(col("event_type"), col("rn"), col("f").as("f_holt"))
+      .join(hw.select(col("event_type"), col("rn"), col("f").as("f_hw")),
+        Seq("event_type", "rn"))
+      .join(actual, Seq("event_type", "rn"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_evals"),
+        expr("sum(abs(f_holt - actual_scaled)) div count(1)")
+          .as("mae_holt_scaled"),
+        expr("sum(abs(f_hw - actual_scaled)) div count(1)")
+          .as("mae_hw_scaled"))
+      .withColumn("hw_wins",
+        when(col("mae_hw_scaled") < col("mae_holt_scaled"), lit(1L))
+          .otherwise(lit(0L)))
+  }
+
   /** OUTAGE / SILENCE DETECTION — consecutive-event gaps longer than
     * [[GapSeconds]] (the sessionize gap) per event type: the monitoring primitive behind
     * "type X went quiet for half an hour" (the reference's outage gauge
@@ -964,6 +1008,7 @@ object TimeSeries {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_forecast_eval" -> forecastEval,
     "events_holtwinters" -> holtWinters,
     "events_cep_match" -> cepMatch,
     "events_m4_downsample" -> m4Downsample,
@@ -1032,7 +1077,64 @@ object TimeSeries {
        |FROM rec""".stripMargin
   }
 
+  /** The `events_holt` oracle, named so [[forecastEval]]'s oracle can
+    * embed it as a derived table.
+    */
+  private val holtOracleText: String =
+    """WITH RECURSIVE hourly AS (
+      |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
+      |    row_number() OVER (PARTITION BY event_type
+      |      ORDER BY date_trunc('hour', ts)) AS rn
+      |  FROM events GROUP BY 1, 2),
+      |rec AS (
+      |  SELECT event_type, rn, h, n,
+      |    n * 1000 AS lv, CAST(0 AS BIGINT) AS tr
+      |  FROM hourly WHERE rn = 1
+      |  UNION ALL
+      |  SELECT h.event_type, h.rn, h.h, h.n,
+      |    (r.lv + r.tr + h.n * 1000) // 2,
+      |    (r.tr + ((r.lv + r.tr + h.n * 1000) // 2 - r.lv)) // 2
+      |  FROM rec r JOIN hourly h
+      |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
+      |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
+      |  n, CAST(lv AS BIGINT) AS level_scaled,
+      |  CAST(tr AS BIGINT) AS trend_scaled,
+      |  CAST(lv + tr AS BIGINT) AS forecast_scaled
+      |FROM rec""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // both recursive oracles embed as derived tables; positional join
+    // on (type, rn), integer MAE
+    "events_forecast_eval" ->
+      s"""WITH h AS (
+         |  SELECT event_type, hour_epoch, n, forecast_scaled AS f,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY hour_epoch) AS rn
+         |  FROM (${holtOracleText})),
+         |hw AS (
+         |  SELECT event_type, forecast_scaled AS f,
+         |    row_number() OVER (PARTITION BY event_type
+         |      ORDER BY hour_epoch) AS rn
+         |  FROM (${holtWintersOracle})),
+         |act AS (
+         |  SELECT event_type, rn - 1 AS rn, n * 1000 AS actual_scaled
+         |  FROM h),
+         |j AS (
+         |  SELECT h.event_type, h.f AS f_holt, hw.f AS f_hw,
+         |    act.actual_scaled
+         |  FROM h JOIN hw USING (event_type, rn)
+         |  JOIN act USING (event_type, rn)),
+         |m AS (
+         |  SELECT event_type, count(*) AS n_evals,
+         |    CAST(sum(abs(f_holt - actual_scaled)) // count(*) AS BIGINT)
+         |      AS mae_holt_scaled,
+         |    CAST(sum(abs(f_hw - actual_scaled)) // count(*) AS BIGINT)
+         |      AS mae_hw_scaled
+         |  FROM j GROUP BY 1)
+         |SELECT event_type, n_evals, mae_holt_scaled, mae_hw_scaled,
+         |  CAST(CASE WHEN mae_hw_scaled < mae_holt_scaled THEN 1 ELSE 0 END
+         |       AS BIGINT) AS hw_wins
+         |FROM m""".stripMargin,
     "events_holtwinters" -> holtWintersOracle,
     // same carry ordinals; lag-free formulation via last_value IGNORE
     // NULLS over the identical frame
@@ -1137,27 +1239,7 @@ object TimeSeries {
          |FROM t WHERE te - pe > $GapSeconds""".stripMargin,
     // the same two-state recurrence; `//` truncates toward zero exactly
     // like Spark's `div`, including on the negative trend values
-    "events_holt" ->
-      """WITH RECURSIVE hourly AS (
-        |  SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS n,
-        |    row_number() OVER (PARTITION BY event_type
-        |      ORDER BY date_trunc('hour', ts)) AS rn
-        |  FROM events GROUP BY 1, 2),
-        |rec AS (
-        |  SELECT event_type, rn, h, n,
-        |    n * 1000 AS lv, CAST(0 AS BIGINT) AS tr
-        |  FROM hourly WHERE rn = 1
-        |  UNION ALL
-        |  SELECT h.event_type, h.rn, h.h, h.n,
-        |    (r.lv + r.tr + h.n * 1000) // 2,
-        |    (r.tr + ((r.lv + r.tr + h.n * 1000) // 2 - r.lv)) // 2
-        |  FROM rec r JOIN hourly h
-        |    ON h.event_type = r.event_type AND h.rn = r.rn + 1)
-        |SELECT event_type, CAST(floor(epoch(h)) AS BIGINT) AS hour_epoch,
-        |  n, CAST(lv AS BIGINT) AS level_scaled,
-        |  CAST(tr AS BIGINT) AS trend_scaled,
-        |  CAST(lv + tr AS BIGINT) AS forecast_scaled
-        |FROM rec""".stripMargin,
+    "events_holt" -> holtOracleText,
     // the retention cohort CTEs + exact-cents weekly revenue and a
     // running sum over the observed weeks
     "events_cohort_ltv" ->
