@@ -209,6 +209,35 @@ object GraphOps {
 
   private val mst: Q = (s, d) => boruvkaMsf(mstEdges(s, d))
 
+  /** Single-linkage cut threshold (weight = 10⁴−sim·10⁴; edges above it
+    * — less similar than ~0.25 cosine — are cut). Sits inside the MSF's
+    * observed weight range so both real clusters and real cuts occur.
+    */
+  private val MstCutW = 7500L
+
+  /** SINGLE-LINKAGE CLUSTERS from the spanning forest — the payoff of
+    * [[boruvkaMsf]]: cutting every MSF edge heavier than [[MstCutW]]
+    * yields exactly the connected components of the FULL graph
+    * restricted to edges ≤ the threshold (the classic single-linkage
+    * identity — the MSF is a compressed dendrogram, so one forest
+    * build answers EVERY threshold). The Spark side computes it the
+    * cheap way (cut the ≤|V|-edge forest, label with the components
+    * machinery); the oracle computes it the definitional way (the
+    * recursive transitive closure over ALL threshold edges): the hash
+    * equality IS the identity's proof on this data. Vectors isolated by
+    * the cut keep their own id as a singleton cluster.
+    */
+  private val mstClusters: Q = (s, d) => {
+    val kept = boruvkaMsf(mstEdges(s, d)).filter(col("w") <= MstCutW)
+    val (lbl, _) = Dedup.connectedComponentsWithRounds(
+      kept.select(col("u").as("a_id"), col("v").as("b_id")))
+    graft.Tables.load(s, d, "embeddings").select(col("vec_id"))
+      .join(lbl.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n_members"))
+  }
+
   /** PageRank run to CONVERGENCE — the production shape a real user
     * asks for, vs the registry query's fixed [[Iters]] rounds (kept as
     * the oracle-checkable face; both share [[pagerankStep]], so the
@@ -813,6 +842,7 @@ object GraphOps {
     "graph_pagerank" -> pagerank,
     "graph_ppr" -> ppr,
     "graph_mst" -> mst,
+    "graph_mst_clusters" -> mstClusters,
     "graph_triangles" -> triangles,
     "graph_degree_hist" -> degreeHist,
     "graph_kcore_peel" -> kcore,
@@ -850,12 +880,18 @@ object GraphOps {
     * therefore Kruskal-here ≡ Boruvka-in-Spark — two different
     * published algorithms must produce the identical edge set.
     */
-  private val mstOracle: String =
-    s"""WITH RECURSIVE ed AS (
-       |  SELECT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v,
+  /** The weighted undirected edge list in SQL — shared by the MSF and
+    * single-linkage oracles.
+    */
+  private val mstEdSql: String =
+    s"""SELECT least(vec_id, nbr_id) AS u, greatest(vec_id, nbr_id) AS v,
        |    CAST(min(10000 - round(sim * 10000)) AS BIGINT) AS w
        |  FROM (${Similarity.knnOracleSql})
-       |  GROUP BY 1, 2),
+       |  GROUP BY 1, 2""".stripMargin
+
+  private val mstOracle: String =
+    s"""WITH RECURSIVE ed AS (
+       |  $mstEdSql),
        |ranked AS (
        |  SELECT u, v, w, row_number() OVER (ORDER BY w, u, v) AS rn
        |  FROM ed),
@@ -879,6 +915,28 @@ object GraphOps {
        |    r.comp[CAST(e.u AS INT) + 1] <> r.comp[CAST(e.v AS INT) + 1]
        |  FROM rec r JOIN ranked e ON e.rn = r.rn + 1)
        |SELECT u, v, w FROM rec WHERE acc""".stripMargin
+
+  /** The DEFINITIONAL single-linkage clustering: transitive closure
+    * over every graph edge ≤ the threshold — deliberately a different
+    * algorithm than Spark's MSF cut; equality is the dendrogram
+    * identity.
+    */
+  private val mstClustersOracle: String =
+    s"""WITH RECURSIVE ed AS (
+       |  $mstEdSql),
+       |kept AS (SELECT u, v FROM ed WHERE w <= $MstCutW),
+       |edges AS (SELECT u, v FROM kept UNION ALL SELECT v, u FROM kept),
+       |reach(u, v) AS (
+       |  SELECT DISTINCT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.v FROM edges e JOIN reach r ON e.v = r.u),
+       |comp AS (SELECT u AS vec_id, min(v) AS cluster
+       |         FROM reach GROUP BY u),
+       |lab AS (
+       |  SELECT a.vec_id, coalesce(c.cluster, a.vec_id) AS cluster
+       |  FROM (SELECT vec_id FROM embeddings) a
+       |  LEFT JOIN comp c USING (vec_id))
+       |SELECT cluster, count(*) AS n_members FROM lab GROUP BY 1""".stripMargin
 
   /** [[pagerankOracle]] with the teleport term gated on the seed
     * predicate — the same unrolled rounds, restart mass only to
@@ -1083,6 +1141,7 @@ object GraphOps {
     "graph_pagerank" -> pagerankOracle,
     "graph_ppr" -> pprOracle,
     "graph_mst" -> mstOracle,
+    "graph_mst_clusters" -> mstClustersOracle,
     "graph_triangles" -> trianglesOracle,
     "graph_degree_hist" -> degreeHistOracle,
     "graph_kcore_peel" -> kcoreOracle,

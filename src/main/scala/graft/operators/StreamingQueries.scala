@@ -854,6 +854,65 @@ object StreamingQueries {
         "ewma_scaled BIGINT").parquet(out)
   }
 
+  /** The Holt-Winters seasonal recurrence as STREAMING STATE — the
+    * vector-state member of the `stream_ewma` family: finalized hourly
+    * counts feed a keyed processor carrying (level, trend, the 24-slot
+    * hour-of-day seasonal vector) per series — O(26 longs) forever —
+    * and the drained emissions must equal the batch `events_holtwinters`
+    * fold (the shared oracle): seasonal state accumulated batch over
+    * batch prices identically to the one-pass HOF.
+    */
+  private val streamHoltWinters: Q = (s, d) => {
+    val run = freshRunDir("graft_hwstream_")
+    val win = run.resolve("win").toString
+    val out = run.resolve("out").toString
+    Seq(win, out).foreach(p =>
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val src = stageSessionSource(s, d, schema, run,
+      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    withStreamingParallelism(s) {
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet").parquet(src)
+        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      val q1 = raw.withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"),
+          unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", win)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk1").toString)
+        .start()
+      q1.awaitTermination()
+      withRocksDbStateStore(s) {
+        import s.implicits._
+        val rows = s.readStream
+          .schema("event_type STRING, hour_epoch BIGINT, n BIGINT")
+          .option("pathGlobFilter", "*.parquet").parquet(win)
+          .filter(col("event_type").isNotNull)
+          .as[graft.streaming.HourCount]
+        val q2 = rows.groupByKey(_.event_type)
+          .transformWithState(new graft.streaming.HoltWintersProcessor,
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .writeStream.outputMode("append")
+          .format("parquet").option("path", out)
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk2").toString)
+          .start()
+        q2.awaitTermination()
+      }
+    }
+    s.read.schema("event_type STRING, hour_epoch BIGINT, n BIGINT, " +
+        "level_scaled BIGINT, trend_scaled BIGINT, seasonal_scaled BIGINT, " +
+        "forecast_scaled BIGINT").parquet(out)
+  }
+
   /** Streaming CONVERSION FUNNEL — the per-user view → click → purchase
     * state machine as a streaming topology, sharing the batch
     * `funnel_conversion` oracle. Stage 1 finalizes `(user, hour, type)`
@@ -1560,6 +1619,7 @@ object StreamingQueries {
     "stream_attribution" -> streamAttribution,
     "stream_cep_match" -> streamCepMatch,
     "stream_m4" -> streamM4,
+    "stream_holtwinters" -> streamHoltWinters,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
@@ -1672,6 +1732,7 @@ object StreamingQueries {
     "stream_attribution" -> TimeSeries.oracles("events_attribution"),
     "stream_cep_match" -> TimeSeries.oracles("events_cep_match"),
     "stream_m4" -> TimeSeries.oracles("events_m4_downsample"),
+    "stream_holtwinters" -> TimeSeries.oracles("events_holtwinters"),
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),

@@ -103,3 +103,62 @@ class EwmaProcessor(scale: Long = 1000L)
     out.iterator
   }
 }
+
+/** One smoothed hour of the seasonal recurrence. */
+case class HourHw(event_type: String, hour_epoch: Long, n: Long,
+    level_scaled: Long, trend_scaled: Long, seasonal_scaled: Long,
+    forecast_scaled: Long)
+
+/** The Holt-Winters carry: level, trend, and the 24-slot hour-of-day
+  * seasonal vector (`has` distinguishes the pre-seed state from a real
+  * zero level).
+  */
+case class HwState(has: Boolean, l: Long, b: Long, seas: Seq[Long])
+
+/** Keyed Holt-Winters smoother — `events_holtwinters`' recurrence as
+  * streaming state: O(26 longs) per series however long the stream,
+  * each emitted row final. Hours sort within the batch and the state
+  * crosses batch boundaries, so the drained output equals the batch
+  * fold (the shared oracle). Slots key on TRUE hour-of-day, exactly as
+  * the batch face, so replay batching can't rotate the season.
+  */
+class HoltWintersProcessor(scale: Long = 1000L)
+    extends StatefulProcessor[String, HourCount, HourHw] {
+
+  @transient private var st: ValueState[HwState] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[HwState]("hw",
+      Encoders.product[HwState], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: String,
+      rows: Iterator[HourCount],
+      timerValues: TimerValues): Iterator[HourHw] = {
+    var s0 = if (st.exists()) st.get()
+      else HwState(has = false, 0L, 0L, Seq.fill(24)(0L))
+    val out = scala.collection.mutable.ArrayBuffer.empty[HourHw]
+    rows.toArray.sortBy(_.hour_epoch).foreach { r =>
+      val idx = ((r.hour_epoch / 3600) % 24).toInt
+      val fcSlot = (idx + 1) % 24
+      if (!s0.has) {
+        val l = r.n * scale
+        out += HourHw(key, r.hour_epoch, r.n, l, 0L, 0L,
+          l + 0L + s0.seas(fcSlot))
+        s0 = HwState(has = true, l, 0L, s0.seas)
+      } else {
+        val sOld = s0.seas(idx)
+        val lp = (r.n * scale - sOld + s0.l + s0.b) / 2
+        val bp = (s0.b + (lp - s0.l)) / 2
+        val sn = (sOld + r.n * scale - lp) / 2
+        // forecast reads the PRE-update vector (mod-24 neighbors
+        // never collide), matching both the batch fold and the oracle
+        out += HourHw(key, r.hour_epoch, r.n, lp, bp, sn,
+          lp + bp + s0.seas(fcSlot))
+        s0 = HwState(has = true, lp, bp, s0.seas.updated(idx, sn))
+      }
+    }
+    if (s0.has) st.update(s0)
+    out.iterator
+  }
+}

@@ -517,6 +517,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == kruskal(edges) && got2 == kruskal(tie))
   }
 
+  test("graph_mst_clusters: clusters partition the vectors, cut is non-trivial") {
+    val got = SparkEntry.queries("graph_mst_clusters")(spark, sf)
+      .as[(Long, Long)].collect()
+    val nVec = Tables.load(spark, sf, "embeddings").count()
+    assert(got.map(_._2).sum == nVec, "clusters must partition the vectors")
+    assert(got.exists(_._2 > 1L), "threshold cut everything — no clusters")
+    assert(got.exists(_._2 == 1L), "threshold cut nothing — one blob")
+    // labels are canonical: every cluster label is the min member id,
+    // so labels are distinct and ≤ any member — spot-check via count
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
   test("modularity report: exact integer accounting incl. a cross-community edge") {
     import graft.operators.GraphOps
     // community A = {1,2,3} (a triangle), community B = {4,5} (an
