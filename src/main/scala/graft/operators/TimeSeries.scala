@@ -801,6 +801,60 @@ object TimeSeries {
       col("e.f").as("forecast_scaled"))
   }
 
+  /** Token-bucket parameters: capacity 1 token (scaled ×1000), refill
+    * one token per [[RlRefillSec]] seconds — tight enough that
+    * same-session bursts genuinely exhaust the bucket on this data.
+    */
+  private val RlRefillSec = 7200L
+
+  /** TOKEN-BUCKET RATE-LIMIT REPLAY — the admission-control primitive
+    * (every API gateway's limiter) replayed over the event archive:
+    * per user, tokens refill linearly with elapsed time (integer:
+    * `(dt·1000) div RlRefillSec`, capped at 1000) and each event
+    * spends 1000 or is dropped. "What would this limiter have done" is
+    * the capacity-planning question a 100 TB archive answers offline
+    * before a config ships. Another previous-OUTPUT recurrence (the
+    * bucket level depends on the prior decision), folded per user in
+    * one codegen'd `aggregate` HOF over the (ts, event_id)-sorted
+    * event list; the report collapses to one row per user.
+    */
+  private val rateLimit: Q = (s, d) => rateLimitOn(T(s, d, "events"))
+
+  /** The limiter body on an arbitrary events frame — split out so the
+    * burst/refill mechanics are testable on literal sequences.
+    */
+  private[graft] def rateLimitOn(events: DataFrame): DataFrame = {
+    val listed = events
+      .select(col("user_id"),
+        unix_seconds(col("ts").cast("timestamp")).as("te"), col("event_id"))
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("te"), col("event_id"))))
+        .as("xs"))
+    val folded = listed.select(col("user_id"), expr(
+      s"""aggregate(xs,
+         |  named_struct('pt', CAST(-1 AS BIGINT),
+         |    'tok', CAST(1000 AS BIGINT),
+         |    'na', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)),
+         |  (acc, x) -> CASE WHEN least(CAST(1000 AS BIGINT),
+         |      acc.tok + CASE WHEN acc.pt < 0 THEN CAST(0 AS BIGINT)
+         |        ELSE ((x.te - acc.pt) * 1000) div $RlRefillSec END) >= 1000
+         |    THEN named_struct('pt', x.te,
+         |      'tok', least(CAST(1000 AS BIGINT),
+         |        acc.tok + CASE WHEN acc.pt < 0 THEN CAST(0 AS BIGINT)
+         |          ELSE ((x.te - acc.pt) * 1000) div $RlRefillSec END) - 1000,
+         |      'na', acc.na + 1, 'nd', acc.nd)
+         |    ELSE named_struct('pt', x.te,
+         |      'tok', least(CAST(1000 AS BIGINT),
+         |        acc.tok + CASE WHEN acc.pt < 0 THEN CAST(0 AS BIGINT)
+         |          ELSE ((x.te - acc.pt) * 1000) div $RlRefillSec END),
+         |      'na', acc.na, 'nd', acc.nd + 1)
+         |    END)""".stripMargin).as("r"))
+    folded.select(col("user_id"),
+      (col("r.na") + col("r.nd")).as("n_events"),
+      col("r.na").as("n_allowed"), col("r.nd").as("n_dropped"),
+      col("r.tok").as("tokens_final_scaled"))
+  }
+
   /** FORECAST BACKTEST — one-step-ahead evaluation of [[holt]] vs
     * [[holtWinters]] on their own series, the `sim_*_recall` move
     * applied to forecasting: each row t's forecast is scored against
@@ -1008,6 +1062,7 @@ object TimeSeries {
   }
 
   val queries: Map[String, Q] = Map(
+    "events_rate_limit" -> rateLimit,
     "events_forecast_eval" -> forecastEval,
     "events_holtwinters" -> holtWinters,
     "events_cep_match" -> cepMatch,
@@ -1103,6 +1158,40 @@ object TimeSeries {
       |FROM rec""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same clamped refill-and-spend recurrence per user; the seed
+    // row is the full bucket spending its first token
+    "events_rate_limit" ->
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS te, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id) AS rn
+         |  FROM events),
+         |rec AS (
+         |  SELECT user_id, rn, te, CAST(0 AS BIGINT) AS tok,
+         |    CAST(1 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nd
+         |  FROM ev WHERE rn = 1
+         |  UNION ALL
+         |  SELECT e.user_id, e.rn, e.te,
+         |    CASE WHEN least(1000, r.tok + ((e.te - r.te) * 1000)
+         |           // $RlRefillSec) >= 1000
+         |      THEN least(1000, r.tok + ((e.te - r.te) * 1000)
+         |           // $RlRefillSec) - 1000
+         |      ELSE least(1000, r.tok + ((e.te - r.te) * 1000)
+         |           // $RlRefillSec) END,
+         |    r.na + CASE WHEN least(1000, r.tok + ((e.te - r.te) * 1000)
+         |           // $RlRefillSec) >= 1000 THEN 1 ELSE 0 END,
+         |    r.nd + CASE WHEN least(1000, r.tok + ((e.te - r.te) * 1000)
+         |           // $RlRefillSec) >= 1000 THEN 0 ELSE 1 END
+         |  FROM rec r JOIN ev e
+         |    ON e.user_id = r.user_id AND e.rn = r.rn + 1),
+         |last AS (
+         |  SELECT user_id, rn, tok, na, nd, row_number() OVER (
+         |    PARTITION BY user_id ORDER BY rn DESC) AS rr
+         |  FROM rec)
+         |SELECT user_id, CAST(rn AS BIGINT) AS n_events,
+         |  CAST(na AS BIGINT) AS n_allowed, CAST(nd AS BIGINT) AS n_dropped,
+         |  CAST(tok AS BIGINT) AS tokens_final_scaled
+         |FROM last WHERE rr = 1""".stripMargin,
     // both recursive oracles embed as derived tables; positional join
     // on (type, rn), integer MAE
     "events_forecast_eval" ->

@@ -387,6 +387,21 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got.exists(_._6 != 0L), "seasonal slots never updated")
   }
 
+  test("events_rate_limit: burst exhausts the bucket, elapsed time refills it") {
+    // u1: t=0 allowed (full bucket), t=10 dropped (refill 10s*1000/7200
+    // = 1 millitoken), t=7300 allowed again (refill 7290s -> >1000,
+    // capped), t=7310 dropped. Final tokens 1 (10s*1000 div 7200).
+    val events = Seq(
+      (1L, 1L, 0L, "view"), (1L, 2L, 10L, "view"),
+      (1L, 3L, 7300L, "view"), (1L, 4L, 7310L, "view"))
+      .toDF("user_id", "event_id", "s", "event_type")
+      .selectExpr("user_id", "event_id", "timestamp_seconds(s) AS ts",
+        "event_type")
+    val got = TimeSeries.rateLimitOn(events)
+      .as[(Long, Long, Long, Long, Long)].collect().toList
+    assert(got == List((1L, 4L, 2L, 2L, 1L)), s"limiter: $got")
+  }
+
   test("CepFold: batch fold matches, state carries across batch boundaries") {
     import graft.streaming.{CepCarry, CepFold, EventAt, UserHourTyped}
     def hr(h: Long, evs: (Long, Long, String)*) =
