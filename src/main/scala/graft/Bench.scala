@@ -57,7 +57,9 @@ object Bench {
       timedBuild("knn_shared_build")(
         graft.operators.Similarity.ensureKnnArtifact(spark, sfDir)),
       timedBuild("bkt_shared_build")(
-        graft.operators.BucketedJoin.ensureBucketedFacts(spark, sfDir)))
+        graft.operators.BucketedJoin.ensureBucketedFacts(spark, sfDir)),
+      timedBuild("msf_shared_build")(
+        graft.operators.GraphOps.ensureMsfArtifact(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

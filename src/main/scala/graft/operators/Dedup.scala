@@ -693,7 +693,8 @@ object Dedup {
     * CTE (transitive closure, min reachable node).
     */
   private[graft] def connectedComponentsWithRounds(
-      pairs: DataFrame): (DataFrame, Int) = {
+      pairs: DataFrame,
+      maxRounds: Int = MaxComponentRounds): (DataFrame, Int) = {
     // Each round is materialized with an EAGER checkpoint, which does
     // two jobs at once: (1) the loop drives actions (the fixpoint
     // sum each round), so an unmaterialized round N would recompute the
@@ -745,7 +746,7 @@ object Dedup {
     // labeling is not certified as a fixpoint, so the loop confirms it.
     var converged = prevSum.signum == 0
     var round = 1
-    while (!converged && round < MaxComponentRounds) {
+    while (!converged && round < maxRounds) {
       val prop = labels.union(edges
           .join(labels.withColumnRenamed("doc_id", "v"), Seq("v"))
           .select(col("u").as("doc_id"), col("comp")))
@@ -767,7 +768,7 @@ object Dedup {
     // them would diverge from the transitive-closure oracle silently
     if (!converged)
       throw new IllegalStateException(
-        s"dedup_components did not converge within $MaxComponentRounds " +
+        s"dedup_components did not converge within $maxRounds " +
           "rounds — a component's diameter exceeds the cap; raise " +
           "MaxComponentRounds (labels at the cap are not a fixpoint)")
     (labels.select(col("doc_id"), col("comp").as("component")), round)

@@ -207,7 +207,110 @@ object GraphOps {
       .getOrElse(edges0.toDF("u", "v", "w").limit(0))
   }
 
-  private val mst: Q = (s, d) => boruvkaMsf(mstEdges(s, d))
+  /** The MSF as a SHARED ARTIFACT — a pure function of the embeddings
+    * table and the kNN parameters, built once per dataset version (the
+    * Boruvka loop is the expensive part: ~8 s at sf0.1) and adopted by
+    * both the forest face and the single-linkage clusters face. The
+    * layout tag pins the kNN geometry + the weight rule.
+    */
+  private def msfBase(d: String): java.nio.file.Path =
+    SharedArtifacts.root.resolve("msf_" +
+      SharedArtifacts.fingerprint(d, "embeddings.parquet", "msf:v1:knn3:w1e4"))
+
+  private[graft] def msfShared(s: SparkSession, d: String): DataFrame = {
+    val base = msfBase(d)
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      boruvkaMsf(mstEdges(s, d)).write.mode("overwrite")
+        .parquet(staging.resolve("msf").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    s.read.parquet(base.resolve("msf").toString)
+  }
+
+  /** Bench visibility hook, like the other ensure* builds. */
+  def ensureMsfArtifact(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(msfBase(d))
+    msfShared(s, d).queryExecution
+    !existed
+  }
+
+  private val mst: Q = (s, d) => msfShared(s, d)
+
+  /** STAR-CONTRACTION connected components (Kiveris et al. 2014,
+    * "Connected Components in MapReduce and Beyond") — the published
+    * O(log n)-round CC whose convergence does NOT depend on graph
+    * shape: alternate LARGE-STAR (every node hooks its strictly-larger
+    * neighbors to its neighborhood minimum) and SMALL-STAR (hooks the
+    * smaller-or-equal ones) until the edge set stabilizes as stars,
+    * whose centers are the component minima. This complements
+    * [[Dedup.connectedComponentsWithRounds]]'s min-label flooding,
+    * which is O(component diameter) on tree-shaped graphs with
+    * randomly arranged ids (labels stall on local minima — measured 26
+    * rounds on the sf0.1 MSF cut vs SEVEN here). Each star op is one
+    * groupBy(min) + equi-join — no sorting, no driver graph.
+    *
+    * Returns `(doc_id, component)` for every node incident to an edge,
+    * plus rounds taken. Fixpoint detection: (count, Σ(u·P+v)) checksum
+    * — the star alternation leaves the set literally unchanged at the
+    * fixpoint, so equality of the pair is the stop.
+    */
+  private[graft] def starComponents(pairs: DataFrame, maxRounds: Int = 40)
+      : (DataFrame, Int) = {
+    import org.apache.spark.sql.types.DecimalType
+    val p0 = pairs.toDF("a_id", "b_id")
+      .filter(col("a_id") =!= col("b_id"))
+      .select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v")).distinct()
+    var e = Dedup.materialize(p0)
+    def sym(df: DataFrame): DataFrame =
+      df.select(col("u").as("x"), col("v").as("y"))
+        .union(df.select(col("v").as("x"), col("u").as("y")))
+    def mins(df: DataFrame): DataFrame = sym(df).groupBy(col("x"))
+      .agg(least(col("x"), min(col("y"))).as("m"))
+    def checksum(df: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = df.agg(count(lit(1)),
+        sum((col("u") * 2097169L + col("v")).cast(DecimalType(38, 0)))).head()
+      (r.getLong(0),
+        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO))
+    }
+    var rounds = 0
+    var done = e.isEmpty
+    var prev = checksum(e)
+    while (!done && rounds < maxRounds) {
+      val ls = sym(e).join(mins(e), Seq("x"))
+        .filter(col("y") > col("x"))
+        .select(least(col("m"), col("y")).as("u"),
+          greatest(col("m"), col("y")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      val e2 = Dedup.materialize(ls)
+      val m2 = mins(e2)
+      val ss = sym(e2).join(m2, Seq("x"))
+        .filter(col("y") < col("x"))
+        .select(least(col("m"), col("y")).as("u"),
+          greatest(col("m"), col("y")).as("v"))
+        .union(m2.select(least(col("m"), col("x")).as("u"),
+          greatest(col("m"), col("x")).as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+      val e3 = Dedup.materialize(ss)
+      Dedup.releaseCheckpoint(e2)
+      val cs = checksum(e3)
+      Dedup.releaseCheckpoint(e)
+      done = cs == prev
+      prev = cs
+      e = e3
+      rounds += 1
+    }
+    if (!done && rounds >= maxRounds)
+      throw new IllegalStateException(
+        s"star contraction did not converge within $maxRounds rounds")
+    // stars: centers are component minima; members point at them
+    val labels = e.select(col("v").as("doc_id"), col("u").as("component"))
+      .union(e.select(col("u").as("doc_id"), col("u").as("component")))
+      .distinct()
+    (labels, rounds)
+  }
 
   /** Single-linkage cut threshold (weight = 10⁴−sim·10⁴; edges above it
     * — less similar than ~0.25 cosine — are cut). Sits inside the MSF's
@@ -228,8 +331,13 @@ object GraphOps {
     * the cut keep their own id as a singleton cluster.
     */
   private val mstClusters: Q = (s, d) => {
-    val kept = boruvkaMsf(mstEdges(s, d)).filter(col("w") <= MstCutW)
-    val (lbl, _) = Dedup.connectedComponentsWithRounds(
+    val kept = msfShared(s, d).filter(col("w") <= MstCutW)
+    // the cut graph is a FOREST — min-label flooding is O(cluster
+    // diameter) on tree shapes with randomly arranged ids (labels
+    // stall on local minima: measured 26 rounds at sf0.1, past the
+    // default cap), so this face labels through [[starComponents]]
+    // instead — 7 rounds on the same graph, O(log) by construction
+    val (lbl, _) = starComponents(
       kept.select(col("u").as("a_id"), col("v").as("b_id")))
     graft.Tables.load(s, d, "embeddings").select(col("vec_id"))
       .join(lbl.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"), "left")

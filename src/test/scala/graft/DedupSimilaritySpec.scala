@@ -517,6 +517,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == kruskal(edges) && got2 == kruskal(tie))
   }
 
+  test("star-contraction components equal the flooding components") {
+    import graft.operators.{Dedup, GraphOps}
+    // a deep path with ids arranged ADVERSARIALLY for flooding (random
+    // order), a triangle, and a singleton edge — star contraction must
+    // produce the identical labeling in far fewer rounds
+    val rnd = new scala.util.Random(7)
+    val ids = rnd.shuffle((0L until 120L).toList)
+    val path = ids.zip(ids.tail).map { case (a, b) => (a, b) }
+    val extra = Seq((200L, 201L), (201L, 202L), (200L, 202L), (300L, 301L))
+    val pairs = (path ++ extra).toDF("a_id", "b_id")
+    val (star, starRounds) = GraphOps.starComponents(pairs)
+    val (flood, _) = Dedup.connectedComponentsWithRounds(pairs, maxRounds = 256)
+    val s = star.as[(Long, Long)].collect().toMap
+    val f = flood.selectExpr("doc_id", "component")
+      .as[(Long, Long)].collect().toMap
+    assert(s == f, s"labelings diverge: ${(s.toSet diff f.toSet).take(5)}")
+    assert(starRounds <= 12, s"star contraction took $starRounds rounds")
+    // every label is the component min (canonical labeling)
+    assert(s.values.toSet.subsetOf(s.keySet) &&
+      s.forall { case (n, c) => c <= n })
+  }
+
   test("graph_mst_clusters: clusters partition the vectors, cut is non-trivial") {
     val got = SparkEntry.queries("graph_mst_clusters")(spark, sf)
       .as[(Long, Long)].collect()
