@@ -78,7 +78,9 @@ object ScaleRung {
       "ivf_shared_build" -> graft.operators.Similarity.ensureIvfArtifacts,
       "moments_shared_build" -> graft.operators.Similarity.ensureMomentsArtifact,
       "km_shared_build" -> graft.operators.Similarity.ensureKmeansArtifact,
-      "pq_shared_build" -> graft.operators.Similarity.ensurePqArtifact)
+      "pq_shared_build" -> graft.operators.Similarity.ensurePqArtifact,
+      "knn_shared_build" -> graft.operators.Similarity.ensureKnnArtifact,
+      "msf_shared_build" -> graft.operators.GraphOps.ensureMsfArtifact)
     println("\n| build | fresh (s) | adopt (s) | fresh? |")
     builds.foreach { case (name, ensure) =>
       val (fresh, t1) = timed(s"$name fresh")(ensure(spark, dest))
@@ -88,7 +90,8 @@ object ScaleRung {
     }
 
     val queries = Seq("dedup_lsh_recall", "sim_ann_recall", "sim_pq_recall",
-      "dedup_minhash_lsh", "embed_outliers", "dedup_components")
+      "dedup_minhash_lsh", "embed_outliers", "dedup_components",
+      "sim_mips", "graph_mst_clusters")
     println("\n| query | seconds | rows |")
     queries.foreach { name =>
       val (rows, sec) = timed(name) {
