@@ -1561,6 +1561,31 @@ object StreamingQueries {
         sum(col("matched")).as("n_matched"))
   }
 
+  /** Streaming TOKEN-BUCKET RATE LIMITER — `events_rate_limit`'s fold
+    * as keyed streaming state (two longs per user: last-event time and
+    * token level), the shape an online gateway actually runs. The carry
+    * crosses batch boundaries, so a burst split across micro-batches is
+    * charged exactly as the batch replay charges it; the per-user
+    * report re-aggregates the emitted per-event verdicts (final tokens
+    * = the newest verdict by ordinal) and must hash-match the batch
+    * oracle.
+    */
+  private val streamRateLimit: Q = (s, d) => {
+    val run = freshRunDir("graft_rlstream_")
+    val out = runUserWalkTopology(s, d, run,
+      new graft.streaming.RateLimitProcessor,
+      org.apache.spark.sql.Encoders.product[graft.streaming.RlVerdict])
+    s.read.schema("user_id BIGINT, ord BIGINT, allowed BIGINT, " +
+        "tok_after BIGINT")
+      .parquet(out)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("allowed")).as("n_allowed"),
+        (count(lit(1)) - sum(col("allowed"))).as("n_dropped"),
+        max(struct(col("ord"), col("tok_after"))).getField("tok_after")
+          .as("tokens_final_scaled"))
+  }
+
   private val streamStateHistory: Q = (s, d) => {
     val run = freshRunDir("graft_scd2stream_")
     val out = runUserWalkTopology(s, d, run,
@@ -1620,6 +1645,7 @@ object StreamingQueries {
     "stream_cep_match" -> streamCepMatch,
     "stream_m4" -> streamM4,
     "stream_holtwinters" -> streamHoltWinters,
+    "stream_rate_limit" -> streamRateLimit,
     "stream_funnel" -> streamFunnel,
     "stream_retention" -> streamRetention,
     "stream_quarantine" -> streamQuarantine,
@@ -1733,6 +1759,7 @@ object StreamingQueries {
     "stream_cep_match" -> TimeSeries.oracles("events_cep_match"),
     "stream_m4" -> TimeSeries.oracles("events_m4_downsample"),
     "stream_holtwinters" -> TimeSeries.oracles("events_holtwinters"),
+    "stream_rate_limit" -> TimeSeries.oracles("events_rate_limit"),
     // the keyed per-user state machine must agree with the batch
     // three-window strict-ordering chain
     "stream_funnel" -> TimeSeries.oracles("funnel_conversion"),

@@ -805,7 +805,7 @@ object TimeSeries {
     * one token per [[RlRefillSec]] seconds — tight enough that
     * same-session bursts genuinely exhaust the bucket on this data.
     */
-  private val RlRefillSec = 7200L
+  private[graft] val RlRefillSec = 7200L
 
   /** TOKEN-BUCKET RATE-LIMIT REPLAY — the admission-control primitive
     * (every API gateway's limiter) replayed over the event archive:

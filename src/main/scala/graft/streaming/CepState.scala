@@ -73,3 +73,68 @@ class CepProcessor
     out.iterator
   }
 }
+
+/** One admission decision — final on emission; the sink re-aggregates
+  * per user and takes the newest `tok_after` by ordinal.
+  */
+case class RlVerdict(user_id: Long, ord: Long, allowed: Long,
+    tok_after: Long)
+
+/** The carried bucket: last event's epoch second (−1 = none yet) and
+  * the scaled token level.
+  */
+case class RlCarry(pt: Long, tok: Long)
+
+/** The pure token-bucket fold — `events_rate_limit`'s recurrence, kept
+  * off the processor (the [[CepFold]] discipline). Refill accrues from
+  * the previous event's time, which the carry crosses batch
+  * boundaries with, so a burst split across micro-batches is charged
+  * exactly as the batch fold charges it.
+  */
+object RateLimitFold {
+
+  def step(key: Long, state: RlCarry, rows: Seq[UserHourTyped])
+      : (RlCarry, Seq[RlVerdict]) = {
+    var pt = state.pt
+    var tok = state.tok
+    val out = Seq.newBuilder[RlVerdict]
+    rows.sortBy(_.hour_epoch).foreach { hr =>
+      hr.evs.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val te = e.ts / 1000000L
+        val refill = if (pt < 0) 0L
+          else ((te - pt) * 1000L) / graft.operators.TimeSeries.RlRefillSec
+        val before = math.min(1000L, tok + refill)
+        val allowed = before >= 1000L
+        tok = if (allowed) before - 1000L else before
+        pt = te
+        out += RlVerdict(key, te * 10000000L + e.event_id,
+          if (allowed) 1L else 0L, tok)
+      }
+    }
+    (RlCarry(pt, tok), out.result())
+  }
+}
+
+/** Keyed per-user token-bucket limiter — the streaming face of the
+  * batch `events_rate_limit` fold. O(2 longs) state per user, one
+  * verdict per event, each final on emission.
+  */
+class RateLimitProcessor
+    extends StatefulProcessor[Long, UserHourTyped, RlVerdict] {
+
+  @transient private var st: ValueState[RlCarry] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    st = getHandle.getValueState[RlCarry]("rl",
+      Encoders.product[RlCarry], TTLConfig.NONE)
+
+  override def handleInputRows(
+      key: Long,
+      rows: Iterator[UserHourTyped],
+      timerValues: TimerValues): Iterator[RlVerdict] = {
+    val prev = if (st.exists()) st.get() else RlCarry(-1L, 1000L)
+    val (next, out) = RateLimitFold.step(key, prev, rows.toSeq)
+    st.update(next)
+    out.iterator
+  }
+}

@@ -402,6 +402,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     assert(got == List((1L, 4L, 2L, 2L, 1L)), s"limiter: $got")
   }
 
+  test("RateLimitFold: bucket level crosses batch boundaries exactly") {
+    import graft.streaming.{EventAt, RateLimitFold, RlCarry, UserHourTyped}
+    def hr(h: Long, evs: (Long, Long)*) =
+      UserHourTyped(1L, h, evs.map(e => EventAt(e._1 * 1000000L, e._2, "view")))
+    // one-shot: t=0 allowed, t=10 dropped (refill 1 millitoken)
+    val (st1, o1) = RateLimitFold.step(1L, RlCarry(-1L, 1000L),
+      Seq(hr(0L, (0L, 1L), (10L, 2L))))
+    assert(o1.map(_.allowed) == Seq(1L, 0L) && st1 == RlCarry(10L, 1L))
+    // the same burst SPLIT across batches charges identically
+    val (sa, oa) = RateLimitFold.step(1L, RlCarry(-1L, 1000L),
+      Seq(hr(0L, (0L, 1L))))
+    val (sb, ob) = RateLimitFold.step(1L, sa, Seq(hr(0L, (10L, 2L))))
+    assert(oa.map(_.allowed) ++ ob.map(_.allowed) == Seq(1L, 0L))
+    assert(sb == st1)
+    // a long gap refills across the boundary too
+    val (_, oc) = RateLimitFold.step(1L, sb, Seq(hr(2L, (7300L, 3L))))
+    assert(oc.map(_.allowed) == Seq(1L), s"refill across batches: $oc")
+  }
+
   test("CepFold: batch fold matches, state carries across batch boundaries") {
     import graft.streaming.{CepCarry, CepFold, EventAt, UserHourTyped}
     def hr(h: Long, evs: (Long, Long, String)*) =
