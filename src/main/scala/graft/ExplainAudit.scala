@@ -30,7 +30,8 @@ object ExplainAudit {
     "sketch_countmin", "join_skew_salted", "graph_scc",
     "join_bucketed", "sim_mips", "sketch_kmv", "graph_ppr",
     "events_holtwinters", "events_cep_match", "events_m4_downsample",
-    "layout_zonemap", "text_hashing_features")
+    "layout_zonemap", "text_hashing_features", "graph_mst_clusters",
+    "events_rate_limit", "events_forecast_eval")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")
