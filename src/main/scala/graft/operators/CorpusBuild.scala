@@ -664,9 +664,31 @@ object CorpusBuild {
     "ngrams_heavyhitters" -> ngramsHh,
     "corpus_pack_sequences" -> packSequences,
     "corpus_shuffle" -> corpusShuffle,
+    "corpus_shard_manifest" -> shardManifest,
     "corpus_token_budget" -> tokenBudget,
     "layout_zorder" -> zorder,
     "layout_zonemap" -> zonemap)
+
+  /** TRAINING-SHARD MANIFEST — the file a distributed data loader
+    * reads at startup: per shard of the `corpus_shuffle` assignment,
+    * the doc count, token total (what balances loader throughput), and
+    * an order-independent integer CONTENT CHECKSUM (sum of per-doc
+    * hashes) — so a re-sharded, corrupted, or silently-drifted shard
+    * fails the manifest check before a single training step runs. One
+    * equi-join (assignment ⋈ token counts) collapsing map-side onto
+    * the |shards| domain.
+    */
+  private lazy val shardManifest: Q = (s, d) => {
+    val toks = T(s, d, "documents").select(col("doc_id"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n_tokens"),
+      conv(substring(md5(concat(lit("ck:"), col("doc_id").cast("string"))
+        .cast("binary")), 1, 8), 16, 10).cast("long").as("ck"))
+    corpusShuffle(s, d).join(toks, Seq("doc_id"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("ck")).as("checksum"))
+  }
 
   private val corpusOracle: String = {
     import TextAnalysis._
@@ -946,6 +968,19 @@ object CorpusBuild {
     // ngrams_heavyhitters: intentionally no oracle — see its doc
     "corpus_pack_sequences" -> packSequencesOracle,
     "corpus_shuffle" -> shuffleOracle,
+    "corpus_shard_manifest" ->
+      s"""WITH a AS ($shuffleOracle),
+         |t AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n_tokens,
+         |    ('0x' || substr(md5('ck:' || doc_id), 1, 8))::BIGINT AS ck
+         |  FROM documents)
+         |SELECT a.shard, count(*) AS n_docs,
+         |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(sum(t.ck) AS BIGINT) AS checksum
+         |FROM a JOIN t USING (doc_id)
+         |GROUP BY 1""".stripMargin,
     "corpus_token_budget" -> tokenBudgetOracle,
     "layout_zorder" -> zorderOracle,
     "layout_zonemap" -> zonemapOracle)
