@@ -642,6 +642,34 @@ object Breadth {
     kmvReport(sk, ev)
   }
 
+  /** HLL register count (2⁶ buckets). */
+  private val HllM = 64L
+
+  /** HYPERLOGLOG REGISTERS (Flajolet et al. 2007) — the fourth classic
+    * sketch next to count-min (frequency), bloom (membership), and KMV
+    * (distinct-by-order-statistic): per hash, the low bits pick one of
+    * [[HllM]] registers and the register keeps the MAX leading-zero
+    * rank of the remaining bits. The register table IS the sketch —
+    * max is idempotent and commutative, so the build needs no
+    * distinct, partitions combine map-side, and two sketches merge by
+    * cellwise max (the same declarative-merge property the streaming
+    * sketches ride). The float harmonic-mean ESTIMATOR stays out of
+    * the hash gate (registers are the exact-integer contract; the
+    * estimate's error bound is spec-asserted in SketchSpec); rank is
+    * computed as `27 − bit_length(w)` on the 26 remaining hash bits —
+    * bit_length via the base-2 string length, identical in both
+    * engines.
+    */
+  private val sketchHll: Q = (s, d) =>
+    T(s, d, "events")
+      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .select(col("event_type"), pmod(col("h"), lit(HllM)).as("bucket"),
+        expr(s"CASE WHEN h div $HllM = 0 THEN CAST(27 AS BIGINT) " +
+          s"ELSE CAST(27 - length(conv(h div $HllM, 10, 2)) AS BIGINT) END")
+          .as("rank"))
+      .groupBy(col("event_type"), col("bucket"))
+      .agg(max(col("rank")).as("register"))
+
   private val SaltBuckets = 8
 
   /** Explicitly SALTED skewed join — the `salted_agg` pattern applied to
@@ -673,6 +701,7 @@ object Breadth {
   }
 
   val queries: Map[String, Q] = Map(
+    "sketch_hll" -> sketchHll,
     "sketch_kmv" -> sketchKmv,
     "sketch_countmin" -> sketchCountmin,
     "join_skew_salted" -> joinSkewSalted,
@@ -711,6 +740,18 @@ object Breadth {
         |    AS revenue_cents
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1""".stripMargin,
+    // same hash, bucket = low bits, rank = 27 − bit_length of the
+    // 26 remaining bits (base-2 string length, identical both engines)
+    "sketch_hll" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 8))::BIGINT
+         |      AS h
+         |  FROM events)
+         |SELECT event_type, h % $HllM AS bucket,
+         |  CAST(max(CASE WHEN h // $HllM = 0 THEN 27
+         |    ELSE 27 - length(bin(h // $HllM)) END) AS BIGINT) AS register
+         |FROM h GROUP BY 1, 2""".stripMargin,
     // the window row_number form IS the oracle: min-k per type, k-th
     // smallest = max of the kept set; // matches div on nonnegatives
     "sketch_kmv" ->

@@ -33,6 +33,36 @@ class SketchSpec extends AnyFunSuite {
     assert(agg.merge(a, b) == agg.merge(b, a))
   }
 
+  test("HLL registers yield estimates within error bounds of exact counts") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val regs = SparkEntry.queries("sketch_hll")(spark, SparkTestSession.sf)
+      .as[(String, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    val exact = Tables.load(spark, SparkTestSession.sf, "events")
+      .groupBy($"event_type")
+      .agg(org.apache.spark.sql.functions.countDistinct($"user_id"))
+      .as[(String, Long)].collect().toMap
+    val m = 64
+    // the float estimator lives HERE, outside the hash gate: raw HLL
+    // harmonic mean with alpha_64; stderr ~ 1.04/sqrt(64) = 13%, assert
+    // a generous 4-sigma band (plus slack for the 26-bit hash width)
+    regs.foreach { case (t, byBucket) =>
+      val z = (0 until m).map(b =>
+        math.pow(2.0, -byBucket.getOrElse(b.toLong, 0L).toDouble)).sum
+      val raw = 0.709 * m * m / z
+      // Flajolet's small-range correction: below 2.5m with empty
+      // registers, linear counting on the zero-register count
+      val zeros = m - byBucket.size
+      val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+        else raw
+      val rel = math.abs(est - exact(t)) / exact(t)
+      assert(rel < 0.55, s"$t: est=$est exact=${exact(t)} rel=$rel")
+    }
+    // registers are within the rank domain for a 26-bit hash remainder
+    assert(regs.values.flatMap(_.values).forall(r => r >= 1 && r <= 27))
+  }
+
   test("estimator lands within KMV error bounds on a large synthetic set") {
     // hash stand-in: a deterministic LCG spraying n keys over [0, 2^32)
     // — the estimator only assumes uniformity, which the real md5-based
