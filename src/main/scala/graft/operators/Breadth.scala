@@ -645,6 +645,17 @@ object Breadth {
   /** HLL register count (2⁶ buckets). */
   private val HllM = 64L
 
+  /** One HLL observation per row: (event_type, bucket, rank). Shared by
+    * the batch face and [[StreamingQueries]]' `stream_hll` twin so both
+    * sketches are provably the same hash/bucket/rank contract.
+    */
+  private[operators] def hllCells(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .select(col("event_type"), pmod(col("h"), lit(HllM)).as("bucket"),
+        expr(s"CASE WHEN h div $HllM = 0 THEN CAST(27 AS BIGINT) " +
+          s"ELSE CAST(27 - length(conv(h div $HllM, 10, 2)) AS BIGINT) END")
+          .as("rank"))
+
   /** HYPERLOGLOG REGISTERS (Flajolet et al. 2007) — the fourth classic
     * sketch next to count-min (frequency), bloom (membership), and KMV
     * (distinct-by-order-statistic): per hash, the low bits pick one of
@@ -661,14 +672,60 @@ object Breadth {
     * engines.
     */
   private val sketchHll: Q = (s, d) =>
-    T(s, d, "events")
-      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
-      .select(col("event_type"), pmod(col("h"), lit(HllM)).as("bucket"),
-        expr(s"CASE WHEN h div $HllM = 0 THEN CAST(27 AS BIGINT) " +
-          s"ELSE CAST(27 - length(conv(h div $HllM, 10, 2)) AS BIGINT) END")
-          .as("rank"))
+    hllCells(T(s, d, "events"))
       .groupBy(col("event_type"), col("bucket"))
       .agg(max(col("rank")).as("register"))
+
+  /** THETA-SKETCH SET ALGEBRA (the Datasketches theta framework,
+    * Dasgupta et al. 2016) over per-type KMV sketches: UNION and
+    * INTERSECTION cardinality estimates for every event-type pair,
+    * computed from the two k-long sketches alone — the sketch-space
+    * answer to `audience_overlap`'s exact self-join, and the only
+    * answer once the sets stop fitting a shuffle (two billion-user
+    * audiences intersect in O(k) after each side reduced map-side
+    * through [[graft.functions.MinKAggregator]]).
+    *
+    * The algebra: θ_X = the k-th smallest hash when X's sketch filled
+    * (else 2³² — the sketch IS the set and estimates are exact); a
+    * pair operates at θ_AB = min(θ_A, θ_B); every retained hash below
+    * θ_AB represents 2³²/θ_AB members, so
+    * `est = |{h < θ_AB}| · 2³² div θ_AB` prices the union (deduped
+    * concatenation) and the intersection (common hashes) by the same
+    * rule. All integers (`c·2³²` peaks at 2k·2³² ≪ 2⁶³), so the whole
+    * report is hash-checked; the float error analysis lives in
+    * SketchSpec against the exact pairwise overlaps.
+    *
+    * The pair enumeration is a self-join of the |types|-row sketch
+    * table on type inequality — a nested loop bounded by the
+    * event-type DOMAIN (never the corpus); allowlisted by name in
+    * PlanGovernanceSpec.
+    */
+  private val sketchThetaOps: Q = (s, d) => {
+    val mink = udaf(new graft.functions.MinKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = T(s, d, "events")
+      .select(col("event_type"), kmvHash(col("user_id")).as("h"))
+      .groupBy(col("event_type")).agg(mink(col("h")).as("ks"))
+      .select(col("event_type"), col("ks"),
+        when(size(col("ks")) === KmvK, element_at(col("ks"), -1))
+          .otherwise(lit(4294967296L)).as("th"))
+    val a = sk.select(col("event_type").as("type_a"), col("ks").as("ka"),
+      col("th").as("tha"))
+    val b = sk.select(col("event_type").as("type_b"), col("ks").as("kb"),
+      col("th").as("thb"))
+    a.join(b, col("type_a") < col("type_b"))
+      .withColumn("theta", least(col("tha"), col("thb")))
+      .withColumn("union_kept",
+        size(filter(array_union(col("ka"), col("kb")),
+          h => h < col("theta"))).cast("long"))
+      .withColumn("inter_kept",
+        size(filter(array_intersect(col("ka"), col("kb")),
+          h => h < col("theta"))).cast("long"))
+      .select(col("type_a"), col("type_b"), col("theta"),
+        col("union_kept"), col("inter_kept"),
+        expr("union_kept * 4294967296 div theta").as("union_est"),
+        expr("inter_kept * 4294967296 div theta").as("inter_est"))
+  }
 
   private val SaltBuckets = 8
 
@@ -703,6 +760,7 @@ object Breadth {
   val queries: Map[String, Q] = Map(
     "sketch_hll" -> sketchHll,
     "sketch_kmv" -> sketchKmv,
+    "sketch_theta_ops" -> sketchThetaOps,
     "sketch_countmin" -> sketchCountmin,
     "join_skew_salted" -> joinSkewSalted,
     "q13_order_dist" -> q13OrderDist,
@@ -752,6 +810,39 @@ object Breadth {
          |  CAST(max(CASE WHEN h // $HllM = 0 THEN 27
          |    ELSE 27 - length(bin(h // $HllM)) END) AS BIGINT) AS register
          |FROM h GROUP BY 1, 2""".stripMargin,
+    // per-type min-k via window row_number, theta algebra via list
+    // functions; 1-based ks[K] = the k-th smallest = Spark's
+    // element_at(ks, -1) on the filled sketch
+    "sketch_theta_ops" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ('0x' || substr(md5('kmv:' || user_id::VARCHAR), 1, 8))::BIGINT
+         |      AS h
+         |  FROM events),
+         |rk AS (
+         |  SELECT event_type, h,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+         |  FROM h),
+         |sk AS (
+         |  SELECT event_type, list(h ORDER BY h) AS ks
+         |  FROM rk WHERE rn <= $KmvK GROUP BY event_type),
+         |th AS (
+         |  SELECT event_type, ks,
+         |    CASE WHEN len(ks) = $KmvK THEN ks[$KmvK]
+         |         ELSE 4294967296 END AS th
+         |  FROM sk),
+         |pairs AS (
+         |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         |    least(a.th, b.th) AS theta,
+         |    len(list_filter(list_distinct(list_concat(a.ks, b.ks)),
+         |      x -> x < least(a.th, b.th))) AS union_kept,
+         |    len(list_filter(list_intersect(a.ks, b.ks),
+         |      x -> x < least(a.th, b.th))) AS inter_kept
+         |  FROM th a JOIN th b ON a.event_type < b.event_type)
+         |SELECT type_a, type_b, theta, union_kept, inter_kept,
+         |  union_kept * 4294967296 // theta AS union_est,
+         |  inter_kept * 4294967296 // theta AS inter_est
+         |FROM pairs""".stripMargin,
     // the window row_number form IS the oracle: min-k per type, k-th
     // smallest = max of the kept set; // matches div on nonnegatives
     "sketch_kmv" ->

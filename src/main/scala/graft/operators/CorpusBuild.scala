@@ -73,6 +73,52 @@ object CorpusBuild {
       .select(col("doc_id"), col("n_words"), col("fingerprint"))
   }
 
+  /** PER-DOCUMENT CURATION VERDICT — the row-level lineage behind
+    * `corpus_funnel_report`'s stage counts: for EVERY input document,
+    * the first gate it failed (`lang`, `quality`, `exact_dup`,
+    * `near_dup`) or `kept`. This is the table a pipeline debugger
+    * actually queries ("why did doc X vanish?") and the audit trail a
+    * data card cites; because it restates `corpus_build`'s exact
+    * predicates per row, any drift in the gates moves verdicts and
+    * fails the hash.
+    *
+    * Scale shape: the gate predicates are scan-local expressions; the
+    * exact-dup keeper is one window over the fingerprint key (group
+    * sizes = duplicate multiplicity, never the corpus); near-dup
+    * losers arrive by equi-join from the shared verified-pairs
+    * artifact. No stage re-derives another query's pipeline.
+    */
+  private val rejectReasons: Q = (s, d) => {
+    import TextAnalysis._
+    val ws = words(col("text"))
+    val nWords = size(ws).cast("long")
+    val nStop = markerCount(ws, langMarkers.flatMap(_._2).distinct)
+    val scores = langMarkers.map { case (l, m) => l -> markerCount(ws, m) }
+    val enriched = T(s, d, "documents").select(
+      col("doc_id"),
+      nWords.as("n_words"),
+      nStop.as("n_stop"),
+      TextAnalysis.langGuessCol(scores).as("lang_guess"),
+      md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))
+        .cast("binary")).as("fingerprint"))
+    val gateOk = col("lang_guess") === "en" &&
+      col("n_words") >= MinWords &&
+      col("n_stop") * StopDenom >= col("n_words")
+    val losers = Dedup.verifiedPairsTable(s, d)
+      .select(col("b_id").as("doc_id"), lit(1L).as("_nd")).distinct()
+    enriched
+      .withColumn("_keep", min(when(gateOk, col("doc_id")))
+        .over(Window.partitionBy(col("fingerprint"))))
+      .join(losers, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("lang_guess") =!= "en", lit("lang"))
+          .when(col("n_words") < MinWords ||
+            col("n_stop") * StopDenom < col("n_words"), lit("quality"))
+          .when(col("doc_id") =!= col("_keep"), lit("exact_dup"))
+          .when(col("_nd") === 1, lit("near_dup"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
   private val TopNgrams = 50
 
   /** Corpus bigram statistics: the top-[[TopNgrams]] most frequent word
@@ -442,6 +488,48 @@ object CorpusBuild {
         col("min_id"), col("max_id"), col("overlaps"), col("n_match"))
   }
 
+  /** Compaction simulation: bytes per row, and the target output size. */
+  private val CompactRowBytes = 100L
+  private val CompactTarget = 32000L
+
+  /** SMALL-FILE COMPACTION PLANNER — the lakehouse OPTIMIZE / bin-pack
+    * maintenance pass (Delta `OPTIMIZE`, Iceberg `rewrite_data_files`):
+    * an ingest that commits per day leaves each partition littered with
+    * small files; the planner walks every partition's files in order,
+    * accumulates sizes, and bins them greedily into output groups of
+    * ~[[CompactTarget]] bytes via the running-sum prefix trick
+    * (`group = bytes_before div target` — the declarative form of the
+    * greedy scan, same shape as `corpus_pack_sequences`). The plan
+    * emits per output group the file count, byte total, and file-range
+    * endpoints — everything the rewrite job needs to schedule, and the
+    * artifact a table-maintenance service would commit.
+    *
+    * The file inventory derives deterministically from lineitem (one
+    * "file" per ship-date inside its month partition, bytes =
+    * rows × [[CompactRowBytes]]) so the plan is oracle-checkable; a
+    * real deployment feeds the transaction log's listing instead.
+    *
+    * Scale shape: the inventory aggregation collapses map-side onto
+    * the (month, day) domain; the running-sum window partitions by
+    * MONTH — per-partition rows are the partition's FILE count, never
+    * its row count — and the final rollup combines map-side.
+    */
+  private val layoutCompaction: Q = (s, d) => {
+    val files = T(s, d, "lineitem")
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("part_month"),
+        col("l_shipdate"))
+      .agg((count(lit(1)) * CompactRowBytes).as("bytes"))
+    val w = Window.partitionBy(col("part_month")).orderBy(col("l_shipdate"))
+    files
+      .withColumn("before", coalesce(sum(col("bytes"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("grp", expr(s"before div $CompactTarget"))
+      .groupBy(col("part_month"), col("grp"))
+      .agg(count(lit(1)).as("n_files"), sum(col("bytes")).as("total_bytes"),
+        date_format(min(col("l_shipdate")), "yyyy-MM-dd").as("first_file"),
+        date_format(max(col("l_shipdate")), "yyyy-MM-dd").as("last_file"))
+  }
+
   /** Sequence packing budget (tokens per training sequence). */
   private val PackBudget = 1024L
 
@@ -667,7 +755,9 @@ object CorpusBuild {
     "corpus_shard_manifest" -> shardManifest,
     "corpus_token_budget" -> tokenBudget,
     "layout_zorder" -> zorder,
-    "layout_zonemap" -> zonemap)
+    "layout_zonemap" -> zonemap,
+    "layout_compaction" -> layoutCompaction,
+    "corpus_reject_reasons" -> rejectReasons)
 
   /** TRAINING-SHARD MANIFEST — the file a distributed data loader
     * reads at startup: per shard of the `corpus_shuffle` assignment,
@@ -713,6 +803,34 @@ object CorpusBuild {
        |SELECT doc_id, n_words, fingerprint
        |FROM exact
        |WHERE doc_id NOT IN (SELECT b_id FROM losers)""".stripMargin
+  }
+
+  private val rejectOracle: String = {
+    import TextAnalysis._
+    val stops = sqlMarkerCount(langMarkers.flatMap(_._2).distinct)
+    val verified = Dedup.oracles("dedup_minhash_verified")
+    s"""WITH enriched AS (
+       |  SELECT doc_id,
+       |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+       |    $stops AS n_stop,
+       |    $langScoreColsSql,
+       |    md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+       |  FROM documents),
+       |lg AS (SELECT *, $langGuessSql AS lang_guess FROM enriched),
+       |keepers AS (
+       |  SELECT fingerprint, min(doc_id) AS keep_id FROM lg
+       |  WHERE lang_guess = 'en' AND n_words >= $MinWords
+       |    AND n_stop * $StopDenom >= n_words
+       |  GROUP BY 1),
+       |losers AS (SELECT DISTINCT b_id FROM ($verified) vp)
+       |SELECT doc_id,
+       |  CASE WHEN lang_guess <> 'en' THEN 'lang'
+       |       WHEN n_words < $MinWords
+       |         OR n_stop * $StopDenom < n_words THEN 'quality'
+       |       WHEN doc_id <> k.keep_id THEN 'exact_dup'
+       |       WHEN doc_id IN (SELECT b_id FROM losers) THEN 'near_dup'
+       |       ELSE 'kept' END AS verdict
+       |FROM lg LEFT JOIN keepers k USING (fingerprint)""".stripMargin
   }
 
   private val ngramsOracle: String =
@@ -983,5 +1101,23 @@ object CorpusBuild {
          |GROUP BY 1""".stripMargin,
     "corpus_token_budget" -> tokenBudgetOracle,
     "layout_zorder" -> zorderOracle,
-    "layout_zonemap" -> zonemapOracle)
+    "layout_zonemap" -> zonemapOracle,
+    "corpus_reject_reasons" -> rejectOracle,
+    "layout_compaction" ->
+      s"""WITH files AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,
+         |    l_shipdate, count(*) * $CompactRowBytes AS bytes
+         |  FROM lineitem GROUP BY 1, 2),
+         |planned AS (
+         |  SELECT part_month, l_shipdate, bytes,
+         |    CAST(coalesce(sum(bytes) OVER (PARTITION BY part_month
+         |      ORDER BY l_shipdate
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) // $CompactTarget AS grp
+         |  FROM files)
+         |SELECT part_month, grp, count(*) AS n_files,
+         |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |  strftime(min(l_shipdate), '%Y-%m-%d') AS first_file,
+         |  strftime(max(l_shipdate), '%Y-%m-%d') AS last_file
+         |FROM planned GROUP BY 1, 2""".stripMargin)
 }

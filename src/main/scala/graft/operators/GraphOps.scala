@@ -923,6 +923,86 @@ object GraphOps {
     */
   private val scc: Q = (s, d) => sccOn(Similarity.knnEdges(s, d))
 
+  private val ClosenessSeedMod = 31L
+  private val ClosenessHops = 4
+
+  /** HARMONIC CLOSENESS CENTRALITY from a pivot set (Boldi & Vigna
+    * 2014's harmonic variant — sums 1/dist, so disconnection costs 0
+    * instead of breaking the mean; the pivot-set restriction is the
+    * Eppstein–Wang approximation scheme for full-graph closeness) over
+    * the UNDIRECTED kNN similarity graph: per seed, a labeled
+    * multi-source BFS to the [[ClosenessHops]] horizon, then
+    * `n_reached`, `Σ dist`, and the integer-scaled harmonic score
+    * `Σ (10⁶ div dist)` — exact in both engines, no float reciprocal.
+    * "Which documents sit central in the similarity graph" ranks
+    * curation candidates: a high-centrality doc is representative of
+    * (and redundant with) a large neighborhood.
+    *
+    * Scale shape: the frontier loop carries (seed, node) pairs — work
+    * is O(|seeds| · edges touched), the published pivot-sampling
+    * trade; each round is one equi-join frontier ⋈ edges plus a
+    * (seed, node)-keyed anti-join against visited, both hash-keyed,
+    * per-generation materialized like every fixpoint in this file.
+    * First visit is minimal distance by construction; no min()
+    * re-aggregation.
+    */
+  private val closeness: Q = (s, d) =>
+    closenessOn(Similarity.knnEdges(s, d)
+      .filter(col("src") =!= col("dst")).distinct())
+
+  /** The labeled multi-source frontier loop on an arbitrary directed
+    * `(src, dst)` edge frame (symmetrized here) — split out so the
+    * per-seed distance bookkeeping is testable on a literal graph.
+    */
+  private[graft] def closenessOn(edges: DataFrame,
+      seedMod: Long = ClosenessSeedMod,
+      hops: Int = ClosenessHops): DataFrame = {
+    val e = edges.toDF("src", "dst")
+    val ue = Dedup.materialize(
+      e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    val seeds = ue.select(col("src").as("id")).distinct()
+      .filter(col("id") % seedMod === 0)
+    var visited = Dedup.materialize(seeds.select(col("id").as("seed"),
+      col("id").as("doc_id"), lit(0L).as("dist")))
+    var frontier = visited
+    for (r <- 1 to hops) {
+      val next = frontier
+        .join(ue, frontier("doc_id") === ue("src"))
+        .select(col("seed"), col("dst").as("doc_id")).distinct()
+        .join(visited, Seq("seed", "doc_id"), "left_anti")
+        .select(col("seed"), col("doc_id"), lit(r.toLong).as("dist"))
+      frontier = Dedup.materialize(next)
+      visited = Dedup.materialize(visited.union(frontier))
+    }
+    visited.groupBy(col("seed"))
+      .agg((count(lit(1)) - 1).as("n_reached"),
+        sum(col("dist")).as("sum_dist"),
+        sum(when(col("dist") > 0, expr("1000000 div dist"))
+          .otherwise(lit(0L))).as("harmonic_scaled"))
+  }
+
+  private val closenessOracle: String =
+    s"""WITH RECURSIVE de AS (
+       |  SELECT DISTINCT vec_id AS src, nbr_id AS dst
+       |  FROM (${Similarity.knnOracleSql}) WHERE vec_id <> nbr_id),
+       |ue AS (
+       |  SELECT src, dst FROM de UNION SELECT dst, src FROM de),
+       |bfs(seed, doc_id, dist) AS (
+       |  SELECT DISTINCT src, src, 0 FROM ue
+       |  WHERE src % $ClosenessSeedMod = 0
+       |  UNION
+       |  SELECT b.seed, u.dst, b.dist + 1
+       |  FROM bfs b JOIN ue u ON u.src = b.doc_id
+       |  WHERE b.dist < $ClosenessHops),
+       |md AS (
+       |  SELECT seed, doc_id, min(dist) AS dist FROM bfs GROUP BY 1, 2)
+       |SELECT seed, count(*) - 1 AS n_reached,
+       |  CAST(sum(dist) AS BIGINT) AS sum_dist,
+       |  CAST(sum(CASE WHEN dist > 0 THEN 1000000 // dist
+       |    ELSE 0 END) AS BIGINT) AS harmonic_scaled
+       |FROM md GROUP BY 1""".stripMargin
+
   private val sccOracle: String =
     s"""WITH RECURSIVE e AS (
        |  SELECT DISTINCT vec_id AS src, nbr_id AS dst
@@ -944,6 +1024,7 @@ object GraphOps {
 
   val queries: Map[String, Q] = Map(
     "graph_scc" -> scc,
+    "graph_closeness" -> closeness,
     "graph_label_prop" -> labelProp,
     "graph_modularity" -> modularity,
     "graph_bfs_dist" -> bfs,
@@ -1243,6 +1324,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_scc" -> sccOracle,
+    "graph_closeness" -> closenessOracle,
     "graph_label_prop" -> labelPropOracle,
     "graph_modularity" -> modularityOracle,
     "graph_bfs_dist" -> bfsOracle,

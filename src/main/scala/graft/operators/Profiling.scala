@@ -204,10 +204,66 @@ object Profiling {
       .withColumn("below_k",
         when(col("n") < KAnon, lit(1L)).otherwise(lit(0L)))
 
+  /** Numeric drift bin width: $50 in cents. */
+  private val DriftBinCents = 5000L
+
+  /** DISTRIBUTION-DRIFT REPORT between two dataset versions — the check
+    * a training pipeline runs before admitting a new crawl snapshot:
+    * has a column's distribution moved, did new categories appear, did
+    * old ones vanish? The two "versions" are the data-defined halves of
+    * the events table (time midpoint on the micros axis — a pure
+    * expression both engines state identically); per profiled column
+    * and bucket (categories for `event_type`, fixed $50 bins of
+    * `value`) the report carries old/new counts, both shares in BASIS
+    * POINTS (integer `div` — the exact-arithmetic cousin of the PSI
+    * inputs; the float PSI itself is derived in ProfilingSpec, outside
+    * the hash gate), the absolute share drift, and the
+    * new/vanished/stable status flag.
+    *
+    * Scale shape: one single-row min/max scalar broadcast onto the
+    * scan (the scalar-stats pattern, allowlisted), one
+    * map-side-combinable aggregation onto the (column, bucket) domain,
+    * and share windows partitioned by COLUMN NAME — rows per partition
+    * bounded by the bucket domain, never the table.
+    */
+  private val dqSchemaDrift: Q = (s, d) => {
+    val ev = T(s, d, "events")
+      .select(expr("unix_micros(CAST(ts AS TIMESTAMP))").as("tsl"),
+        col("event_type"), col("value"))
+    val bounds = ev.agg(min(col("tsl")).as("t0"), max(col("tsl")).as("t1"))
+    val tagged = ev.crossJoin(broadcast(bounds))
+      .withColumn("is_new",
+        (col("tsl") * 2 >= col("t0") + col("t1")).cast("long"))
+    val cat = tagged.select(lit("event_type").as("col_name"),
+      col("event_type").as("bucket"), col("is_new"))
+    val num = tagged.select(lit("value").as("col_name"),
+      concat(lit("bin_"),
+        expr(s"CAST(round(value * 100) AS BIGINT) div $DriftBinCents"))
+        .as("bucket"),
+      col("is_new"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+    cat.unionAll(num)
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(count_if(col("is_new") === 0).as("n_old"),
+        count_if(col("is_new") === 1).as("n_new"))
+      .withColumn("tot_old", sum(col("n_old")).over(w))
+      .withColumn("tot_new", sum(col("n_new")).over(w))
+      .withColumn("share_old_bp", expr("(n_old * 10000) div tot_old"))
+      .withColumn("share_new_bp", expr("(n_new * 10000) div tot_new"))
+      .select(col("col_name"), col("bucket"), col("n_old"), col("n_new"),
+        col("share_old_bp"), col("share_new_bp"),
+        abs(col("share_new_bp") - col("share_old_bp")).as("drift_bp"),
+        when(col("n_old") === 0, lit("new"))
+          .when(col("n_new") === 0, lit("vanished"))
+          .otherwise(lit("stable")).as("status"))
+  }
+
   val queries: Map[String, Q] = Map(
     "profile_table" -> profileOrders,
     "profile_histogram" -> profileHistogram,
     "dq_k_anonymity" -> kAnonymity,
+    "dq_schema_drift" -> dqSchemaDrift,
     "json_quarantine" -> jsonQuarantine,
     "dq_checks" -> dqChecks,
   )
@@ -250,6 +306,44 @@ object Profiling {
          |  CAST(CASE WHEN count(*) < $KAnon THEN 1 ELSE 0 END AS BIGINT)
          |    AS below_k
          |FROM customer GROUP BY 1, 2""".stripMargin,
+    "dq_schema_drift" ->
+      s"""WITH ev AS (
+         |  SELECT epoch_us(ts) AS tsl, event_type, value FROM events),
+         |b AS (SELECT min(tsl) AS t0, max(tsl) AS t1 FROM ev),
+         |tagged AS (
+         |  SELECT e.*, CASE WHEN e.tsl * 2 >= b.t0 + b.t1
+         |    THEN 1 ELSE 0 END AS is_new
+         |  FROM ev e, b),
+         |buckets AS (
+         |  SELECT 'event_type' AS col_name, event_type AS bucket, is_new
+         |  FROM tagged
+         |  UNION ALL
+         |  SELECT 'value',
+         |    'bin_' ||
+         |      (CAST(round(value * 100) AS BIGINT) // $DriftBinCents),
+         |    is_new
+         |  FROM tagged),
+         |counts AS (
+         |  SELECT col_name, bucket,
+         |    count(*) FILTER (is_new = 0) AS n_old,
+         |    count(*) FILTER (is_new = 1) AS n_new
+         |  FROM buckets GROUP BY 1, 2),
+         |shared AS (
+         |  SELECT *,
+         |    n_old * 10000 //
+         |      CAST(sum(n_old) OVER (PARTITION BY col_name) AS BIGINT)
+         |      AS share_old_bp,
+         |    n_new * 10000 //
+         |      CAST(sum(n_new) OVER (PARTITION BY col_name) AS BIGINT)
+         |      AS share_new_bp
+         |  FROM counts)
+         |SELECT col_name, bucket, n_old, n_new,
+         |  share_old_bp, share_new_bp,
+         |  abs(share_new_bp - share_old_bp) AS drift_bp,
+         |  CASE WHEN n_old = 0 THEN 'new'
+         |       WHEN n_new = 0 THEN 'vanished'
+         |       ELSE 'stable' END AS status
+         |FROM shared""".stripMargin,
     "dq_checks" ->
       """SELECT 'orders_pk_unique' AS rule,
         |  (SELECT count(DISTINCT o_orderkey) FROM orders) AS n_checked,

@@ -452,6 +452,51 @@ object StreamingQueries {
     Breadth.kmvReport(sk, T(s, d, "events"))
   }
 
+  /** The HLL register table maintained as STREAMING STATE — completes
+    * the sketch family's streaming coverage (count-min, KMV, and now
+    * HLL each have a twin sharing the batch oracle). HLL is the
+    * easiest of the three to keep live: the register is a plain MAX,
+    * idempotent and commutative, so update-mode aggregation over
+    * (event_type, bucket) IS the sketch — no custom aggregator, no
+    * buffer, 64 longs of state per key. A register table accumulated
+    * across the 4-micro-batch replay must equal the one-pass build
+    * bit for bit ([[Breadth]]'s `sketch_hll` oracle).
+    */
+  private val streamHll: Q = (s, d) => {
+    val run = freshRunDir("graft_hll_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    stageIvmSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+    withStreamingParallelism(s) {
+      val q = Breadth.hllCells(raw)
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(max(col("rank")).as("register"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"), col("bucket"))
+      .orderBy(col("batch_id").desc)
+    s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("bucket"), col("register"))
+  }
+
   /** WATERMARK LATE-DATA SEMANTICS, hash-checked — the contract every
     * other streaming face carefully avoids exercising (their stagings
     * replay in time order, so nothing is ever late): here the 4-file
@@ -1634,6 +1679,7 @@ object StreamingQueries {
     "stream_windowed_counts" -> streamWindowed,
     "stream_countmin" -> streamCountmin,
     "stream_kmv" -> streamKmv,
+    "stream_hll" -> streamHll,
     "stream_late_drops" -> streamLateDrops,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
@@ -1707,6 +1753,7 @@ object StreamingQueries {
     // to the single-pass batch build
     "stream_countmin" -> Breadth.oracles("sketch_countmin"),
     "stream_kmv" -> Breadth.oracles("sketch_kmv"),
+    "stream_hll" -> Breadth.oracles("sketch_hll"),
     // Spark's two-watermark rule over the hash-ordered split: planned
     // wm(k) = max event-time ms over batches < k − 3_600_000 (0 if
     // none); a window is EMITTED at the first batch k (incl. the final

@@ -13,6 +13,28 @@ class CorpusOpsSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sf = SparkTestSession.sf
 
+  test("corpus_reject_reasons: kept verdicts are exactly the build manifest") {
+    import spark.implicits._
+    val verdicts = SparkEntry.queries("corpus_reject_reasons")(spark, sf)
+    // every document gets exactly one verdict
+    assert(verdicts.count() ==
+      Tables.load(spark, sf, "documents").count())
+    // the kept set IS the corpus_build manifest — per-row lineage and
+    // the shipped corpus cannot disagree
+    val kept = verdicts.filter($"verdict" === "kept").select("doc_id")
+    val manifest = SparkEntry.queries("corpus_build")(spark, sf)
+      .select("doc_id")
+    assert(kept.exceptAll(manifest).isEmpty && manifest.exceptAll(kept).isEmpty)
+    // verdicts draw only from the gate vocabulary, and the smallest sf
+    // still exercises rejection (quality) next to keeps; the full
+    // 5-class spread is pinned by the sf0.01 oracle hash
+    val classes = verdicts.select("verdict").distinct()
+      .as[String].collect().toSet
+    assert(classes.subsetOf(
+      Set("lang", "quality", "exact_dup", "near_dup", "kept")), classes.toString)
+    assert(Set("quality", "kept").subsetOf(classes), classes.toString)
+  }
+
   test("text_novelty: commonness floor on literal docs") {
     import spark.implicits._
     import graft.operators.TextAnalysis

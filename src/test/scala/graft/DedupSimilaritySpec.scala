@@ -583,6 +583,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
       4L -> 2L, 5L -> 3L), s"distances: $got")
   }
 
+  test("closeness: per-seed harmonic scores on a literal path graph") {
+    import graft.operators.GraphOps
+    // path 0-1-2-3-4 plus isolated edge 10-11; seedMod 5 picks seeds
+    // {0, 10}. From 0 (hops=4): 1@1, 2@2, 3@3, 4@4 →
+    // harmonic = 10⁶ + 5·10⁵ + 333333 + 250000 = 2083333, sum_dist 10.
+    // From 10: 11@1 only — disconnection costs 0, no divide-by-zero.
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.closenessOn(g, seedMod = 5L, hops = 4)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((4L, 10L, 2083333L)),
+      10L -> ((1L, 1L, 1000000L))), s"closeness: $got")
+  }
+
   test("bfs to fixpoint: converges past the horizon, agrees under it") {
     import graft.operators.GraphOps
     // same graph as the horizon test: node 6 sits at hop 4, beyond the

@@ -19,6 +19,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     // draft also exempted dedup_ngram_jaccard and sim_ann_lsh, which
     // turn out to be equi-join shaped and plan no nested loop at all
     "cross_join_small" -> "deliberate cross join of two tiny dims (25 rows)",
+    "sketch_theta_ops" -> ("self-join of the per-type KMV sketch table on" +
+      " type inequality - both sides bounded by the event-type DOMAIN" +
+      " (a handful of rows carrying k-long sketches) forever; the corpus" +
+      " itself reduced map-side through MinKAggregator before the join"),
     "sim_topk_bruteforce" -> "non-equi =!= join against a BROADCAST 10-row query set",
     "sim_topk_agg" -> "same broadcast 10-row query set",
     "sim_mips" -> "same broadcast 10-row query set, integer-dot scoring",
@@ -73,6 +77,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "dq_checks" -> ("each rule's report row is a crossJoin of two" +
       " SINGLE-ROW aggregates (n_checked x n_violations) - bounded at" +
       " one row per side forever"),
+    "dq_schema_drift" -> ("crossJoin against the broadcast SINGLE-ROW" +
+      " time-axis min/max (the version-split midpoint) - the" +
+      " scalar-stats pattern, bounded at one build row forever"),
     // embed_pca_power's per-round max-normalizer crossJoins moved into
     // the shared direction-artifact BUILD; the registry query is now a
     // plain artifact read with no nested loop in its plan

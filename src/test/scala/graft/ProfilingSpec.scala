@@ -40,6 +40,50 @@ class ProfilingSpec extends AnyFunSuite {
       .length >= 1, "sanity: lineitem present")
   }
 
+  test("dq_schema_drift shares are consistent and PSI derives from them") {
+    val rows = SparkEntry.queries("dq_schema_drift")(spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val byCol = rows.groupBy(_.getAs[String]("col_name"))
+    assert(byCol.keySet == Set("event_type", "value"))
+    byCol.foreach { case (c, rs) =>
+      // counts split the table: every row is in exactly one version half
+      assert(rs.map(r => r.getAs[Long]("n_old") + r.getAs[Long]("n_new")).sum ==
+        Tables.load(spark, SparkTestSession.sf, "events").count(), c)
+      // integer-div shares sum to at most 10000 and within bucket-count slack
+      val so = rs.map(_.getAs[Long]("share_old_bp")).sum
+      assert(so <= 10000 && so > 10000 - rs.length, s"$c old shares $so")
+      // the float PSI lives HERE, outside the hash gate: finite on the
+      // stable buckets, tiny on this stationary synthetic (no real drift)
+      val psi = rs.filter(_.getAs[String]("status") == "stable").map { r =>
+        val po = math.max(r.getAs[Long]("share_old_bp"), 1L) / 10000.0
+        val pn = math.max(r.getAs[Long]("share_new_bp"), 1L) / 10000.0
+        (pn - po) * math.log(pn / po)
+      }.sum
+      assert(psi >= 0 && psi < 0.1, s"$c psi=$psi")
+    }
+    // drift detection trips on a planted shift: relabel half the NEW
+    // half's clicks as a fresh category and the report must flag it
+    val ev = Tables.load(spark, SparkTestSession.sf, "events")
+    val tsl = expr("unix_micros(CAST(ts AS TIMESTAMP))")
+    val b = ev.agg(min(tsl), max(tsl)).first()
+    val (t0, t1) = (b.getLong(0), b.getLong(1))
+    val planted = ev.withColumn("event_type",
+      when(tsl * 2 >= t0 + t1 && $"event_type" === "click"
+        && pmod($"event_id", lit(2)) === 0, lit("click_v2"))
+        .otherwise($"event_type"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_drift_")
+    planted.write.mode("overwrite")
+      .parquet(dir.resolve("events.parquet").toString)
+    val drifted = SparkEntry.queries("dq_schema_drift")(spark, dir.toString)
+      .collect()
+    val v2 = drifted.filter(r => r.getAs[String]("bucket") == "click_v2")
+    assert(v2.length == 1 && v2.head.getAs[String]("status") == "new")
+    val click = drifted.filter(r => r.getAs[String]("bucket") == "click").head
+    assert(click.getAs[Long]("drift_bp") > 200,
+      s"expected visible click drift, got ${click.getAs[Long]("drift_bp")}")
+  }
+
   test("dangling-FK anti join broadcasts a small parent") {
     val child = Seq((10L, 1L), (12L, 99L)).toDF("id", "fk")
     val parent = Seq(1L, 2L).toDF("pk")

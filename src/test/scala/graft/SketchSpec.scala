@@ -63,6 +63,48 @@ class SketchSpec extends AnyFunSuite {
     assert(regs.values.flatMap(_.values).forall(r => r >= 1 && r <= 27))
   }
 
+  test("stream_hll register table equals the one-pass batch build") {
+    // the streaming twin shares the batch oracle in the driver gate;
+    // this pins the same identity locally at sf0.001: max-merge across
+    // micro-batches is lossless (idempotent + commutative), so the
+    // incrementally-maintained registers are bit-identical to one pass
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val batch = SparkEntry.queries("sketch_hll")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val stream = SparkEntry.queries("stream_hll")(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch)
+  }
+
+  test("theta set algebra estimates pairwise overlaps within error bounds") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val est = SparkEntry.queries("sketch_theta_ops")(spark, SparkTestSession.sf)
+      .select("type_a", "type_b", "theta", "union_est", "inter_est")
+      .as[(String, String, Long, Long, Long)].collect()
+    assert(est.nonEmpty)
+    // exact pairwise union/intersection of the per-type user sets
+    val users = Tables.load(spark, SparkTestSession.sf, "events")
+      .select($"event_type", $"user_id").distinct()
+      .as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    est.foreach { case (a, b, theta, uEst, iEst) =>
+      val u = (users(a) ++ users(b)).size
+      val i = (users(a) & users(b)).size
+      if (theta == 4294967296L) {
+        // neither sketch filled: the sketch IS the set, estimates exact
+        assert(uEst == u && iEst == i, s"($a,$b) exact-mode mismatch")
+      } else {
+        // stderr ~ 1/sqrt(k-1) ≈ 18% on the union; intersections carry
+        // the union's absolute error, so bound them absolutely
+        assert(math.abs(uEst - u).toDouble / u < 0.75, s"($a,$b) union $uEst vs $u")
+        assert(math.abs(iEst - i) <= math.max(8L, (0.75 * u).toLong),
+          s"($a,$b) inter $iEst vs $i")
+      }
+    }
+  }
+
   test("estimator lands within KMV error bounds on a large synthetic set") {
     // hash stand-in: a deterministic LCG spraying n keys over [0, 2^32)
     // — the estimator only assumes uniformity, which the real md5-based

@@ -93,4 +93,30 @@ class StorageLayoutSpec extends AnyFunSuite {
       Tables.load(spark, sf, "events")
         .filter(to_date(col("ts")) === "2024-01-03").count())
   }
+
+  test("compaction plan partitions the file inventory into ordered bins") {
+    val plan = SparkEntry.queries("layout_compaction")(spark, sf)
+      .orderBy(col("part_month"), col("grp")).collect()
+    assert(plan.nonEmpty)
+    // every input file lands in exactly one group: group file counts sum
+    // to the inventory size (one file per distinct ship date)
+    val nFiles = plan.map(_.getAs[Long]("n_files")).sum
+    val inventory = Tables.load(spark, sf, "lineitem")
+      .select(col("l_shipdate")).distinct().count()
+    assert(nFiles == inventory)
+    // within a partition, group ids are dense from 0 and the file-range
+    // endpoints never overlap (greedy scan in date order)
+    plan.groupBy(_.getAs[String]("part_month")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Long]("grp"))
+      assert(sorted.map(_.getAs[Long]("grp")).toSeq ==
+        sorted.indices.map(_.toLong))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[String]("last_file") < b.getAs[String]("first_file"))
+        case _ =>
+      }
+    }
+    // compaction is non-trivial at this sf: some group merges many files
+    assert(plan.exists(_.getAs[Long]("n_files") > 1))
+  }
 }
