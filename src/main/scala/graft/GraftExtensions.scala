@@ -34,6 +34,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("bigram_stats"),
       info("bigram_stats"),
       arity1("bigram_stats")(graft.functions.BigramStats(_))))
+    ext.injectFunction((FunctionIdentifier("char_bigrams"),
+      info("char_bigrams"),
+      arity1("char_bigrams")(graft.functions.CharBigrams(_))))
+    ext.injectFunction((FunctionIdentifier("cdc_boundaries"),
+      info("cdc_boundaries"),
+      graft.functions.Registry.cdcBuilder("cdc_boundaries")))
+    ext.injectFunction((FunctionIdentifier("rolling_hashes"),
+      info("rolling_hashes"),
+      graft.functions.Registry.rollingBuilder("rolling_hashes")))
   }
 }
 
@@ -53,10 +62,16 @@ object ExtensionsDemo {
       "SELECT vec_dot(array(1D,2D,3D), array(4D,5D,6D)) AS d, " +
         "vec_cosine(array(1D,0D), array(1D,0D)) AS c, " +
         "char_run_stats('aab').n_unique AS u, " +
-        "bigram_stats('x y x y').top_n AS t").head()
+        "bigram_stats('x y x y').top_n AS t, " +
+        "size(char_bigrams('abc')) AS nb, " +
+        "size(rolling_hashes('abcdefghijklmnopqr', 16)) AS nh, " +
+        "size(cdc_boundaries('abcdefghij', 8, 1)) AS ncb").head()
     println(s"EXT vec_dot=${row.getDouble(0)} vec_cosine=${row.getDouble(1)}")
     assert(row.getDouble(0) == 32.0 && math.abs(row.getDouble(1) - 1.0) < 1e-12)
     assert(row.getLong(2) == 2L && row.getLong(3) == 2L)
+    // 18-char text has 3 sliding 16-windows; mask 1 makes every
+    // position past the window a boundary (10 - 8 = 2 interior + end)
+    assert(row.getInt(4) == 2 && row.getInt(5) == 3)
     println("EXTENSIONS_OK")
     spark.stop()
   }

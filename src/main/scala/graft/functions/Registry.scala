@@ -45,6 +45,56 @@ object Registry {
       build(exprs(0))
     }
 
+  /** Integer-literal parameter extraction for the parameterized text
+    * expressions (window width, boundary mask): these are STRUCTURAL
+    * parameters baked into codegen, so they must be literals — a
+    * column-valued window would mean a different expression per row.
+    */
+  private[graft] def litLong(name: String, param: String)(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Long =
+    e match {
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) =>
+        v.toLong
+      case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
+      case other => throw new org.apache.spark.sql.AnalysisException(
+        errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        messageParameters = Map(
+          "functionName" -> s"$name ($param must be an integer literal)",
+          "expectedNum" -> "literal", "actualNum" -> other.toString,
+          "docroot" -> ""))
+    }
+
+  /** Builder for `cdc_boundaries(text, window, mask)`. */
+  def cdcBuilder(name: String)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != 3)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "3",
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      CdcBoundaries(exprs(0),
+        litLong(name, "window")(exprs(1)).toInt,
+        litLong(name, "mask")(exprs(2)))
+    }
+
+  /** Builder for `rolling_hashes(text, window)`. */
+  def rollingBuilder(name: String)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression =
+    exprs => {
+      if (exprs.length != 2)
+        throw new org.apache.spark.sql.AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> name, "expectedNum" -> "2",
+            "actualNum" -> exprs.length.toString, "docroot" -> ""))
+      RollingWindowHashes(exprs(0),
+        litLong(name, "window")(exprs(1)).toInt)
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction(
@@ -58,5 +108,9 @@ object Registry {
       "bigram_stats", arity1("bigram_stats")(BigramStats(_)), "scala_udf")
     reg.createOrReplaceTempFunction(
       "char_bigrams", arity1("char_bigrams")(CharBigrams(_)), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "cdc_boundaries", cdcBuilder("cdc_boundaries"), "scala_udf")
+    reg.createOrReplaceTempFunction(
+      "rolling_hashes", rollingBuilder("rolling_hashes"), "scala_udf")
   }
 }

@@ -60,6 +60,28 @@ class SourcesAndSqlSpec extends AnyFunSuite {
     }
   }
 
+  test("cdc_boundaries / rolling_hashes callable from spark.sql") {
+    graft.functions.Registry.register(spark)
+    // both parameterized expressions must agree with their Column-API
+    // twins on the same text and parameters
+    val txt = "the quick brown fox jumps over the lazy dog"
+    val viaSql = spark.sql(
+      s"SELECT cdc_boundaries('$txt', 8, 32) AS b, " +
+        s"rolling_hashes('$txt', 16) AS h").head()
+    val viaCol = spark.range(1).select(
+      graft.functions.TextExpressions.cdc_boundaries(lit(txt), 8, 32L).as("b"),
+      graft.functions.TextExpressions.rolling_window_hashes(lit(txt), 16).as("h"))
+      .head()
+    assert(viaSql.getSeq[Int](0) == viaCol.getSeq[Int](0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+    // structural parameters must be literals: a column-valued window is
+    // rejected at analysis time, not silently mis-planned
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.range(1).selectExpr("cdc_boundaries('abc', CAST(id AS INT), 32)")
+        .collect()
+    }
+  }
+
   test("vec_dot rejects wrong arity and non-array inputs at analysis time") {
     graft.functions.Registry.register(spark)
     val wrongType = intercept[org.apache.spark.sql.AnalysisException] {
