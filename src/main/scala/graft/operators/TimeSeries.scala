@@ -1061,7 +1061,44 @@ object TimeSeries {
         sum(col("matched")).as("n_matched"))
   }
 
+  /** A/B EXPERIMENT ASSIGNMENT AND READOUT — deterministic hash
+    * bucketing (the industry-standard sticky assignment: arm is a pure
+    * function of user_id, so every event of a user lands in one arm,
+    * replays reassign identically, and no assignment table needs
+    * storing) plus the per-arm readout every experimentation platform
+    * reports: users, events, conversions, exact revenue cents — and
+    * the SAMPLE-RATIO-MISMATCH audit in basis points, the first
+    * integrity check an experiment review asks for (a skewed split
+    * means the bucketing or logging is broken and the readout is
+    * garbage). The float significance test belongs downstream; the
+    * counts it consumes are all hash-checked here.
+    *
+    * Scale shape: assignment is a scan-local expression; one
+    * aggregation onto the 2-row arm domain (countDistinct shuffles
+    * (arm, user) partials map-side); the SRM window runs over 2 rows.
+    */
+  private val abAssign: Q = (s, d) => {
+    val arm = when(conv(substring(md5(concat(lit("ab:"),
+      col("user_id").cast("string")).cast("binary")), 1, 8), 16, 10)
+      .cast("long") % 2 === 0, "control").otherwise("treatment")
+    T(s, d, "events")
+      .select(arm.as("arm"), col("user_id"), col("event_type"),
+        col("value"))
+      .groupBy(col("arm"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"),
+        count_if(col("event_type") === "purchase").as("n_conversions"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(lit(0L)))
+          .as("revenue_cents"))
+      .withColumn("tot", sum(col("n_users")).over(Window.partitionBy()))
+      .select(col("arm"), col("n_users"), col("n_events"),
+        col("n_conversions"), col("revenue_cents"),
+        expr("abs(2 * n_users - tot) * 10000 div tot").as("srm_dev_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "events_ab_assign" -> abAssign,
     "events_rate_limit" -> rateLimit,
     "events_forecast_eval" -> forecastEval,
     "events_holtwinters" -> holtWinters,
@@ -1158,6 +1195,26 @@ object TimeSeries {
       |FROM rec""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "events_ab_assign" ->
+      """WITH e AS (
+        |  SELECT CASE WHEN
+        |      ('0x' || substr(md5('ab:' || user_id::VARCHAR), 1, 8))::BIGINT
+        |      % 2 = 0
+        |    THEN 'control' ELSE 'treatment' END AS arm,
+        |    user_id, event_type, value
+        |  FROM events),
+        |agg AS (
+        |  SELECT arm, count(DISTINCT user_id) AS n_users,
+        |    count(*) AS n_events,
+        |    count(*) FILTER (event_type = 'purchase') AS n_conversions,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS revenue_cents
+        |  FROM e GROUP BY 1)
+        |SELECT arm, n_users, n_events, n_conversions, revenue_cents,
+        |  abs(2 * n_users - CAST(sum(n_users) OVER () AS BIGINT)) * 10000
+        |    // CAST(sum(n_users) OVER () AS BIGINT) AS srm_dev_bp
+        |FROM agg""".stripMargin,
     // the same clamped refill-and-spend recurrence per user; the seed
     // row is the full bucket spending its first token
     "events_rate_limit" ->

@@ -14,6 +14,25 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("user_id", "event_type", "s")
       .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
 
+  test("events_ab_assign: sticky split partitions users, SRM stays small") {
+    val sf = SparkTestSession.sf
+    val rows = SparkEntry.queries("events_ab_assign")(spark, sf).collect()
+    assert(rows.map(_.getAs[String]("arm")).toSet ==
+      Set("control", "treatment"))
+    // assignment is a partition of the user set: arm user counts sum to
+    // the global distinct-user count (a user can never be in both arms
+    // because the arm is a pure function of user_id)
+    val total = Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == total)
+    // a uniform hash splits ~50/50 up to binomial noise: |2n_a − n| has
+    // sd √n, so dev_bp has sd 10⁴/√n — assert a 4σ band (vacuous at
+    // sf0.001's 15 users, sharp from sf0.01's ~1000 on)
+    val bound = math.min(10000.0, 40000.0 / math.sqrt(total.toDouble))
+    assert(rows.forall(_.getAs[Long]("srm_dev_bp") < bound),
+      s"bound=$bound: " + rows.mkString(", "))
+  }
+
   test("events_state_history: run collapsing, versioning, interval closure") {
     // user 1 alternates view,view,click,view,view → three runs; each
     // interval closes at the NEXT run's start, the last stays open.
