@@ -31,7 +31,9 @@ object ExplainAudit {
     "join_bucketed", "sim_mips", "sketch_kmv", "graph_ppr",
     "events_holtwinters", "events_cep_match", "events_m4_downsample",
     "layout_zonemap", "text_hashing_features", "graph_mst_clusters",
-    "events_rate_limit", "events_forecast_eval")
+    "events_rate_limit", "events_forecast_eval",
+    "sketch_theta_ops", "graph_closeness", "dq_schema_drift",
+    "layout_compaction", "corpus_reject_reasons", "events_ab_assign")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

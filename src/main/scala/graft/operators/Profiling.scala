@@ -234,16 +234,20 @@ object Profiling {
     val tagged = ev.crossJoin(broadcast(bounds))
       .withColumn("is_new",
         (col("tsl") * 2 >= col("t0") + col("t1")).cast("long"))
-    val cat = tagged.select(lit("event_type").as("col_name"),
-      col("event_type").as("bucket"), col("is_new"))
-    val num = tagged.select(lit("value").as("col_name"),
-      concat(lit("bin_"),
-        expr(s"CAST(round(value * 100) AS BIGINT) div $DriftBinCents"))
-        .as("bucket"),
-      col("is_new"))
+    // ONE scan: each row contributes its two (column, bucket) facts
+    // through a single explode instead of a self-union that would scan
+    // the table (and rebuild the scalar broadcast) twice
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("col_name"))
-    cat.unionAll(num)
+    tagged.select(col("is_new"), explode(array(
+        struct(lit("event_type").as("col_name"),
+          col("event_type").as("bucket")),
+        struct(lit("value").as("col_name"),
+          concat(lit("bin_"),
+            expr(s"CAST(round(value * 100) AS BIGINT) div $DriftBinCents"))
+            .as("bucket")))).as("p"))
+      .select(col("p.col_name").as("col_name"), col("p.bucket").as("bucket"),
+        col("is_new"))
       .groupBy(col("col_name"), col("bucket"))
       .agg(count_if(col("is_new") === 0).as("n_old"),
         count_if(col("is_new") === 1).as("n_new"))
