@@ -91,7 +91,12 @@ object ScaleRung {
 
     val queries = Seq("dedup_lsh_recall", "sim_ann_recall", "sim_pq_recall",
       "dedup_minhash_lsh", "embed_outliers", "dedup_components",
-      "sim_mips", "graph_mst_clusters")
+      "sim_mips", "graph_mst_clusters",
+      // r11 continuation faces with non-trivial scale shapes: pivot-set
+      // BFS over the kNN artifact and the per-doc gate lineage (window
+      // on fingerprint + verified-pairs join); the events-table faces
+      // stay out (the rung synthesizes documents + embeddings only)
+      "graph_closeness", "corpus_reject_reasons")
     println("\n| query | seconds | rows |")
     queries.foreach { name =>
       val (rows, sec) = timed(name) {
