@@ -488,6 +488,47 @@ object CorpusBuild {
         col("min_id"), col("max_id"), col("overlaps"), col("n_match"))
   }
 
+  /** Epoch-planning config: total training token budget and the repeat
+    * cap (40000 bp = at most 4 epochs of any one language). */
+  private val EpochBudget = 2000000L
+  private val RepeatCapBp = 40000L
+
+  /** EPOCH / REPEAT PLAN under a token budget — the data-mixing
+    * arithmetic a pre-training run commits before the first step
+    * (public recipe practice: upsample low-resource subsets but cap
+    * repetition, since heavily repeated data stops helping): each
+    * language gets an equal share of [[EpochBudget]], clipped at
+    * [[RepeatCapBp]] epochs of what it actually has; the plan emits
+    * per language the available tokens, the asked share, the planned
+    * tokens, the implied repeat factor in basis points, and whether
+    * the cap bound. All integer `div` — the plan is bit-identical in
+    * both engines and regressions in ANY upstream token count move it.
+    *
+    * Scale shape: one aggregation onto the |langs| domain plus the
+    * single-row language-count scalar broadcast (the allowlisted
+    * scalar-stats pattern). The decision table is O(|langs|) forever.
+    */
+  private val epochPlan: Q = (s, d) => {
+    val toks = T(s, d, "documents").select(col("lang"),
+      size(TextAnalysis.words(col("text"))).cast("long").as("n"))
+    val byLang = toks.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("avail_tokens"))
+    val nl = byLang.agg(count(lit(1)).as("n_langs"))
+    byLang.crossJoin(broadcast(nl))
+      .withColumn("want_tokens", expr(s"$EpochBudget div n_langs"))
+      .withColumn("cap_tokens",
+        expr(s"avail_tokens * $RepeatCapBp div 10000"))
+      .withColumn("planned_tokens",
+        least(col("want_tokens"), col("cap_tokens")))
+      .withColumn("repeat_bp",
+        expr("planned_tokens * 10000 div avail_tokens"))
+      .withColumn("capped",
+        (col("cap_tokens") < col("want_tokens")).cast("long"))
+      .select(col("lang"), col("n_docs"), col("avail_tokens"),
+        col("want_tokens"), col("planned_tokens"), col("repeat_bp"),
+        col("capped"))
+  }
+
   /** Compaction simulation: bytes per row, and the target output size. */
   private val CompactRowBytes = 100L
   private val CompactTarget = 32000L
@@ -757,7 +798,8 @@ object CorpusBuild {
     "layout_zorder" -> zorder,
     "layout_zonemap" -> zonemap,
     "layout_compaction" -> layoutCompaction,
-    "corpus_reject_reasons" -> rejectReasons)
+    "corpus_reject_reasons" -> rejectReasons,
+    "corpus_epoch_plan" -> epochPlan)
 
   /** TRAINING-SHARD MANIFEST — the file a distributed data loader
     * reads at startup: per shard of the `corpus_shuffle` assignment,
@@ -1103,6 +1145,28 @@ object CorpusBuild {
     "layout_zorder" -> zorderOracle,
     "layout_zonemap" -> zonemapOracle,
     "corpus_reject_reasons" -> rejectOracle,
+    "corpus_epoch_plan" ->
+      s"""WITH t AS (
+         |  SELECT lang,
+         |    CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT)
+         |      AS n
+         |  FROM documents),
+         |bl AS (
+         |  SELECT lang, count(*) AS n_docs,
+         |    CAST(sum(n) AS BIGINT) AS avail_tokens
+         |  FROM t GROUP BY 1),
+         |nl AS (SELECT count(*) AS n_langs FROM bl)
+         |SELECT lang, n_docs, avail_tokens,
+         |  $EpochBudget // n_langs AS want_tokens,
+         |  least($EpochBudget // n_langs,
+         |    avail_tokens * $RepeatCapBp // 10000) AS planned_tokens,
+         |  least($EpochBudget // n_langs,
+         |    avail_tokens * $RepeatCapBp // 10000) * 10000
+         |    // avail_tokens AS repeat_bp,
+         |  CAST(CASE WHEN avail_tokens * $RepeatCapBp // 10000
+         |    < $EpochBudget // n_langs THEN 1 ELSE 0 END AS BIGINT)
+         |    AS capped
+         |FROM bl, nl""".stripMargin,
     "layout_compaction" ->
       s"""WITH files AS (
          |  SELECT strftime(l_shipdate, '%Y-%m') AS part_month,

@@ -35,6 +35,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Set("quality", "kept").subsetOf(classes), classes.toString)
   }
 
+  test("corpus_epoch_plan: budget respected, cap binds exactly when short") {
+    val plan = SparkEntry.queries("corpus_epoch_plan")(spark, sf).collect()
+    assert(plan.nonEmpty)
+    val budget = 2000000L
+    plan.foreach { r =>
+      val (avail, want, planned, repeatBp, capped) = (
+        r.getAs[Long]("avail_tokens"), r.getAs[Long]("want_tokens"),
+        r.getAs[Long]("planned_tokens"), r.getAs[Long]("repeat_bp"),
+        r.getAs[Long]("capped"))
+      assert(planned <= want)
+      assert(repeatBp <= 40000L, s"repeat cap violated: $r")
+      // the capped flag is exactly "the cap bound before the ask did"
+      assert((capped == 1L) == (avail * 4 < want), r.toString)
+    }
+    // the plan never asks for more than the budget in total
+    assert(plan.map(_.getAs[Long]("planned_tokens")).sum <= budget)
+  }
+
   test("text_novelty: commonness floor on literal docs") {
     import spark.implicits._
     import graft.operators.TextAnalysis

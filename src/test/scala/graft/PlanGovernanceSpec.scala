@@ -47,6 +47,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "corpus_mix_sample" -> ("the single-row n_min crossJoin onto the" +
       " |langs|-row count domain - the scalar-stats pattern; the corpus" +
       " itself joins by lang equi-key"),
+    "corpus_epoch_plan" -> ("the single-row language-count crossJoin onto" +
+      " the |langs|-row plan domain - the scalar-stats pattern, bounded" +
+      " at one build row forever"),
     "corpus_bpe_train" -> ("each training round broadcasts its 1-row" +
       " argmax merge pair onto the vocabulary - three single-row build" +
       " sides, bounded at one row forever"),
