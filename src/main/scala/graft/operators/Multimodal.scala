@@ -126,7 +126,42 @@ object Multimodal {
   private val framesample: Q = (s, d) =>
     chunks(s, d).filter(col("frame_idx") % 4 === 0)
 
+  /** Shard packing target (bytes per output shard). */
+  private val ShardBytes = 2048L
+
+  /** WEBDATASET-STYLE SHARD PACKING — the storage step of every
+    * multimodal training pipeline: media samples stream into
+    * size-bounded archive shards (tar files in the published
+    * WebDataset layout) that the data loader later reads
+    * sequentially. Per source, payloads pack in doc_id order into
+    * shards of ~[[ShardBytes]] via the running-sum prefix trick
+    * (`shard = bytes_before div target` — the same declarative greedy
+    * scan as `layout_compaction`, here on media byte lengths); the
+    * manifest emits per shard its item count, byte total, and doc-id
+    * range — exactly what the loader needs to seek.
+    *
+    * Scale shape: one scan projecting octet lengths (the payload
+    * bytes never shuffle — only lengths do), a per-source window
+    * whose partition size is the SOURCE's item count, one
+    * map-side-combinable rollup.
+    */
+  private val shardPack: Q = (s, d) => {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+    T(s, d, "documents")
+      .select(col("source"), col("doc_id"),
+        octet_length(col("text")).cast("long").as("bytes"))
+      .withColumn("before", coalesce(sum(col("bytes"))
+        .over(w.rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)), lit(0L)))
+      .withColumn("shard", expr(s"before div $ShardBytes"))
+      .groupBy(col("source"), col("shard"))
+      .agg(count(lit(1)).as("n_items"), sum(col("bytes")).as("total_bytes"),
+        min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "mm_shard_pack" -> shardPack,
     "mm_meta" -> meta,
     "mm_decode_stub" -> decodeStub,
     "mm_chunks" -> chunks,
@@ -134,6 +169,22 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "mm_shard_pack" ->
+      s"""WITH f AS (
+         |  SELECT source, doc_id,
+         |    octet_length(encode(text)) AS bytes
+         |  FROM documents),
+         |p AS (
+         |  SELECT source, doc_id, bytes,
+         |    CAST(coalesce(sum(bytes) OVER (PARTITION BY source
+         |      ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) // $ShardBytes AS shard
+         |  FROM f)
+         |SELECT source, shard, count(*) AS n_items,
+         |  CAST(sum(bytes) AS BIGINT) AS total_bytes,
+         |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         |FROM p GROUP BY 1, 2""".stripMargin,
     "mm_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
         |  substr(md5(text), 1, 8) AS magic FROM documents""".stripMargin,

@@ -38,4 +38,26 @@ class MultimodalSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.col("len"))
     assert(joined.count() == 0)
   }
+
+  test("shard packing partitions every item into ordered per-source bins") {
+    import org.apache.spark.sql.functions.col
+    val spark = SparkTestSession.spark
+    val sf = SparkTestSession.sf
+    val shards = SparkEntry.queries("mm_shard_pack")(spark, sf).collect()
+    assert(shards.nonEmpty)
+    // every payload lands in exactly one shard
+    assert(shards.map(_.getAs[Long]("n_items")).sum ==
+      Tables.load(spark, sf, "documents").count())
+    shards.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_.getAs[Long]("shard"))
+      // dense shard ids from 0, doc ranges strictly ordered
+      assert(ordered.map(_.getAs[Long]("shard")).toSeq ==
+        ordered.indices.map(_.toLong))
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("last_doc") < b.getAs[Long]("first_doc"))
+        case _ =>
+      }
+    }
+  }
 }
