@@ -1061,6 +1061,57 @@ object TimeSeries {
         sum(col("matched")).as("n_matched"))
   }
 
+  /** SAX parameters: 6 piecewise segments of 5 days, 4-letter alphabet
+    * on fixed integer breakpoints (5/10/15 events per segment). */
+  private val SaxSegments = 6L
+  private val SaxSegDays = 5L
+
+  /** SAX TIME-SERIES FINGERPRINTING (Lin & Keogh's Symbolic Aggregate
+    * approXimation — the classic symbolic representation behind
+    * distributed time-series similarity search): each user's 30-day
+    * activity series reduces to piecewise segment AGGREGATES
+    * ([[SaxSegments]] sums — integer PAA; equal segment lengths make
+    * sums order-equivalent to means), each segment quantizes to a
+    * 4-letter alphabet on fixed integer breakpoints, and the
+    * concatenated word is the series' similarity KEY: users sharing a
+    * word are bucket-join candidates for "similar behavior" — the same
+    * banding idiom the dedup family uses, applied to the time axis.
+    * The report is the word census plus the per-bucket candidate-pair
+    * count (what the verify stage downstream would price).
+    *
+    * Scale shape: one aggregation onto (user, segment), densified to
+    * the fixed segment domain by an equi-join against
+    * user × [0, segments) (inactive segments read 0 — the empty
+    * segment IS signal), the word built by a deterministic
+    * struct-array sort, one final census aggregation. The day anchor
+    * is the single-row min-day scalar broadcast (allowlisted pattern).
+    */
+  private val saxMatch: Q = (s, d) => {
+    val ev = T(s, d, "events").select(col("user_id"),
+      expr("unix_micros(CAST(ts AS TIMESTAMP)) div 86400000000").as("day"))
+    val mn = ev.agg(min(col("day")).as("d0"))
+    val seg = ev.crossJoin(broadcast(mn))
+      .select(col("user_id"),
+        least(expr(s"(day - d0) div $SaxSegDays"), lit(SaxSegments - 1))
+          .as("seg"))
+      .groupBy(col("user_id"), col("seg")).agg(count(lit(1)).as("n"))
+    val words = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(lit(0L), lit(SaxSegments - 1))).as("seg"))
+      .join(seg, Seq("user_id", "seg"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("sym",
+        when(col("n") < 5, "a").when(col("n") < 10, "b")
+          .when(col("n") < 15, "c").otherwise("d"))
+      .groupBy(col("user_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("seg"), col("sym")))),
+        x => x.getField("sym")), "").as("word"))
+    words.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_users"))
+      .withColumn("candidate_pairs", expr("n_users * (n_users - 1) div 2"))
+  }
+
   /** A/B EXPERIMENT ASSIGNMENT AND READOUT — deterministic hash
     * bucketing (the industry-standard sticky assignment: arm is a pure
     * function of user_id, so every event of a user lands in one arm,
@@ -1099,6 +1150,7 @@ object TimeSeries {
 
   val queries: Map[String, Q] = Map(
     "events_ab_assign" -> abAssign,
+    "ts_sax_match" -> saxMatch,
     "events_rate_limit" -> rateLimit,
     "events_forecast_eval" -> forecastEval,
     "events_holtwinters" -> holtWinters,
@@ -1195,6 +1247,30 @@ object TimeSeries {
       |FROM rec""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ts_sax_match" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+         |  FROM events),
+         |mn AS (SELECT min(day) AS d0 FROM ev),
+         |seg AS (
+         |  SELECT user_id, least((day - d0) // $SaxSegDays,
+         |    ${SaxSegments - 1}) AS seg, count(*) AS n
+         |  FROM ev, mn GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT u.user_id, g.seg, coalesce(s.n, 0) AS n
+         |  FROM (SELECT DISTINCT user_id FROM ev) u
+         |  CROSS JOIN unnest(generate_series(0, ${SaxSegments - 1}))
+         |    g(seg)
+         |  LEFT JOIN seg s ON s.user_id = u.user_id AND s.seg = g.seg),
+         |words AS (
+         |  SELECT user_id,
+         |    string_agg(CASE WHEN n < 5 THEN 'a' WHEN n < 10 THEN 'b'
+         |      WHEN n < 15 THEN 'c' ELSE 'd' END, '' ORDER BY seg)
+         |      AS word
+         |  FROM dense GROUP BY 1)
+         |SELECT word, count(*) AS n_users,
+         |  count(*) * (count(*) - 1) // 2 AS candidate_pairs
+         |FROM words GROUP BY 1""".stripMargin,
     "events_ab_assign" ->
       """WITH e AS (
         |  SELECT CASE WHEN

@@ -50,6 +50,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "corpus_epoch_plan" -> ("the single-row language-count crossJoin onto" +
       " the |langs|-row plan domain - the scalar-stats pattern, bounded" +
       " at one build row forever"),
+    "ts_sax_match" -> ("crossJoin against the broadcast SINGLE-ROW" +
+      " min-day anchor - the scalar-stats pattern, bounded at one" +
+      " build row forever"),
     "corpus_bpe_train" -> ("each training round broadcasts its 1-row" +
       " argmax merge pair onto the vocabulary - three single-row build" +
       " sides, bounded at one row forever"),

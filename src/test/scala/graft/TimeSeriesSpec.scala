@@ -14,6 +14,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("user_id", "event_type", "s")
       .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
 
+  test("ts_sax_match: 6-symbol a-d words partition users, pair math holds") {
+    val sf = SparkTestSession.sf
+    val rows = SparkEntry.queries("ts_sax_match")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val w = r.getAs[String]("word")
+      val n = r.getAs[Long]("n_users")
+      assert(w.length == 6 && w.forall(c => c >= 'a' && c <= 'd'), w)
+      assert(r.getAs[Long]("candidate_pairs") == n * (n - 1) / 2)
+    }
+    // every user gets exactly one word (dense segments: inactive
+    // segments read as 0, they never drop the user)
+    assert(rows.map(_.getAs[Long]("n_users")).sum ==
+      Tables.load(spark, sf, "events").select("user_id").distinct().count())
+  }
+
   test("events_ab_assign: sticky split partitions users, SRM stays small") {
     val sf = SparkTestSession.sf
     val rows = SparkEntry.queries("events_ab_assign")(spark, sf).collect()
