@@ -340,6 +340,60 @@ object Similarity {
         count(lit(1)).as("k"))
   }
 
+  /** Probe budgets swept by [[annTradeoff]]. */
+  private val ProbeBudgets = Seq(1L, 2L, 4L, 8L)
+
+  /** THE RECALL-vs-NPROBE TUNING CURVE — [[annRecall]] swept over probe
+    * budgets in one report: recall@[[K]] of the IVF ranking at
+    * nprobe ∈ {1, 2, 4, 8}, the exact trade an index operator tunes
+    * (probe more lists → scan more candidates → recall climbs toward
+    * brute force). Because candidate sets NEST as the budget grows and
+    * brute-force sims are global, recall is provably MONOTONE
+    * non-decreasing in nprobe — a structural invariant the spec pins
+    * and the hash gate freezes; the nprobe=4 row must equal
+    * `sim_ann_recall`'s totals (same configuration, cross-checked).
+    *
+    * Scale shape: one probe ranking against the broadcast centroid
+    * table (the inherited allowlisted scalar pattern), budgets fan out
+    * by explode on the probe rows (≤ max-budget rows per query), and
+    * all four top-k rankings share ONE window pass partitioned by
+    * (nprobe, q_id) — the sweep costs one candidate-scoring pass over
+    * the union, not four pipelines.
+    */
+  private val annTradeoff: Q = (s, d) => {
+    val (e, centroids, _, q) = ivfModel(s, d)
+    val probesR = q.crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dot(col("cv"), col("cv")) - lit(2) * dot(col("qv"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= ProbeBudgets.max)
+      .withColumn("nprobe",
+        explode(array(ProbeBudgets.map(lit(_)): _*)))
+      .filter(col("pr") <= col("nprobe"))
+      .select(col("nprobe"), col("q_id"), col("cid"))
+    val lists = ivfArtifacts(s, d, e)._2
+    val candidates = lists.join(broadcast(probesR), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("nprobe"), col("q_id"), col("vec_id"))
+      .join(e, Seq("vec_id"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+    val w = Window.partitionBy(col("nprobe"), col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val topk = candidates.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("nprobe"), col("q_id"), col("vec_id").as("neighbor_id"),
+        lit(1L).as("hit"))
+    val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+      .withColumn("nprobe", explode(array(ProbeBudgets.map(lit(_)): _*)))
+    bf.join(topk, Seq("nprobe", "q_id", "neighbor_id"), "left")
+      .groupBy(col("nprobe"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("n_possible"))
+      .withColumn("recall_bp", expr("n_hits * 10000 div n_possible"))
+  }
+
   /** [[annRecall]]'s PQ twin — recall@[[K]] of the ADC ranking vs brute
     * force: the compression loss number (how much the 2-bit codes cost
     * against exact cosine), next to the IVF report's pruning loss.
@@ -1104,6 +1158,7 @@ object Similarity {
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
     "sim_ann_recall" -> annRecall,
+    "sim_ann_tradeoff" -> annTradeoff,
     "sim_pq_recall" -> pqRecall,
     "embed_quantize" -> quantize,
     "embed_kmeans_mix" -> kmeansMix,
@@ -1483,6 +1538,46 @@ object Similarity {
          |FROM (SELECT q_id, neighbor_id FROM ($topkOracle)) bf
          |LEFT JOIN (SELECT q_id, neighbor_id FROM ($ivfOracle)) iv
          |  ON iv.q_id = bf.q_id AND iv.neighbor_id = bf.neighbor_id
+         |GROUP BY 1""".stripMargin,
+    // the recall sweep: the ivf CTEs verbatim plus an unfiltered probe
+    // ranking, budgets fanned out by a join on pr <= nprobe
+    "sim_ann_tradeoff" ->
+      s"""WITH $ivfCtes,
+         |probes_r AS (
+         |  SELECT q_id, cid, pr FROM (
+         |    SELECT q.q_id, c.cid,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY list_inner_product(c.cv, c.cv)
+         |                 - 2*list_inner_product(q.qv, c.cv), c.cid) AS pr
+         |    FROM q CROSS JOIN centroids c)
+         |  WHERE pr <= 8),
+         |b AS (SELECT unnest([1, 2, 4, 8]::BIGINT[]) AS nprobe),
+         |cand AS (
+         |  SELECT b.nprobe, p.q_id, l.vec_id
+         |  FROM probes_r p JOIN b ON p.pr <= b.nprobe
+         |  JOIN lists l USING (cid)
+         |  WHERE l.vec_id <> p.q_id),
+         |ranked AS (
+         |  SELECT c.nprobe, c.q_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY c.nprobe, c.q_id
+         |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[],
+         |        ne.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+         |  FROM cand c
+         |  JOIN embeddings ne ON ne.vec_id = c.vec_id
+         |  JOIN embeddings qe ON qe.vec_id = c.q_id),
+         |tk AS (SELECT nprobe, q_id, neighbor_id FROM ranked
+         |       WHERE rank <= $K),
+         |bf AS (
+         |  SELECT b.nprobe, t.q_id, t.neighbor_id
+         |  FROM (SELECT q_id, neighbor_id FROM ($topkOracle)) t
+         |  CROSS JOIN b)
+         |SELECT bf.nprobe,
+         |  CAST(count(tk.neighbor_id) AS BIGINT) AS n_hits,
+         |  count(*) AS n_possible,
+         |  CAST(count(tk.neighbor_id) AS BIGINT) * 10000 // count(*)
+         |    AS recall_bp
+         |FROM bf LEFT JOIN tk ON tk.nprobe = bf.nprobe
+         |  AND tk.q_id = bf.q_id AND tk.neighbor_id = bf.neighbor_id
          |GROUP BY 1""".stripMargin,
     // the full PQ structure — codebooks, codes, ADC tables, ranking —
     // in exact integers, so the whole index hash-checks

@@ -12,6 +12,24 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private val sf = SparkTestSession.sf
   import spark.implicits._
 
+  test("sim_ann_tradeoff: recall monotone in nprobe, nprobe=4 = sim_ann_recall") {
+    val rows = SparkEntry.queries("sim_ann_tradeoff")(spark, sf)
+      .orderBy(col("nprobe")).collect()
+    assert(rows.map(_.getAs[Long]("nprobe")).toSeq == Seq(1L, 2L, 4L, 8L))
+    // candidate sets nest as the budget grows and brute-force sims are
+    // global, so recall can never decrease with more probes
+    val recalls = rows.map(_.getAs[Long]("recall_bp"))
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      recalls.toSeq.toString)
+    // configuration cross-check: the nprobe=4 row is sim_ann_recall
+    val base = SparkEntry.queries("sim_ann_recall")(spark, sf).collect()
+    val at4 = rows.find(_.getAs[Long]("nprobe") == 4L).get
+    assert(at4.getAs[Long]("n_hits") ==
+      base.map(_.getAs[Long]("n_hits")).sum)
+    assert(at4.getAs[Long]("n_possible") ==
+      base.map(_.getAs[Long]("k")).sum)
+  }
+
   test("minhash LSH candidates include every pair with jaccard >= 0.9") {
     val truth = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.9)

@@ -32,6 +32,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "sim_ann_recall" -> ("composes sim_topk_bruteforce and sim_ann_ivf, so" +
       " it inherits exactly their allowlisted broadcast nested loops;" +
       " the recall join itself is an equi-join on the pair key"),
+    "sim_ann_tradeoff" -> ("the recall sweep inherits the same broadcast" +
+      " centroid-table and 10-row query-set nested loops as" +
+      " sim_ann_recall; budgets fan out by explode and every report" +
+      " join is an equi-join on the (budget, pair) key"),
     "sim_ann_ivfpq" -> ("inherits sim_ann_ivf's broadcast centroid-table" +
       " crossJoins (probe selection); the PQ pricing side is pure" +
       " (m, k) / vec_id equi-joins"),
