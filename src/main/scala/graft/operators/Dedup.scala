@@ -969,7 +969,67 @@ object Dedup {
         coalesce(col("c"), lit(false)).as("captured"))
   }
 
+  /** (bands × rows-per-band) configurations swept by [[bandSweep]] —
+    * every way to band the [[NumHashes]]-hash signature. */
+  private val BandConfigs = Seq((8, 1), (4, 2), (2, 4), (1, 8))
+
+  /** THE LSH S-CURVE AS A GATE — `sim_ann_tradeoff`'s dedup twin: the
+    * banding (b bands × r rows) trade every MinHash deployment tunes
+    * (Broder/LSH theory: capture probability 1 − (1 − j^r)^b, so more
+    * bands of fewer rows catch lower-jaccard pairs at the price of
+    * more candidates to verify). One report row per configuration of
+    * the SAME 8-hash shared signatures: the candidate-pair count (the
+    * verification bill) and recall against the sampled ≥0.9-jaccard
+    * truth (the quality). The 4×2 row is the production configuration
+    * and must reproduce `dedup_minhash_lsh`'s pair count and
+    * `dedup_lsh_recall`'s capture exactly (spec-pinned cross-check).
+    *
+    * Scale shape: all configurations band in ONE explode over the
+    * shared signature table (13 key rows per doc), pairs form by
+    * (config, band, key) equi-join — never all-pairs; the 8×1 rows
+    * price the known cost of single-hash bands (big buckets) — that
+    * visibility is the point of the sweep.
+    */
+  private val bandSweep: Q = (s, d) => {
+    val sig = sharedTables(s, d)._2
+    val keyStructs = for {
+      (b, r) <- BandConfigs
+      band <- 0 until b
+    } yield struct(
+      lit(s"${b}x$r").as("config"), lit(band.toLong).as("band"),
+      md5(concat((0 until r).map(j => col(s"h${band * r + j}")): _*)
+        .cast("binary")).as("key"))
+    val keys = materialize(sig.select(col("doc_id"),
+        explode(array(keyStructs: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.config").as("config"),
+        col("bk.band").as("band"), col("bk.key").as("key")))
+    val a = keys.select(col("config"), col("band"), col("key"),
+      col("doc_id").as("a_id"))
+    val b = keys.select(col("config"), col("band"), col("key"),
+      col("doc_id").as("b_id"))
+    val cand = a.join(b, Seq("config", "band", "key"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("config"), col("a_id"), col("b_id")).distinct()
+    val counts = cand.groupBy(col("config"))
+      .agg(count(lit(1)).as("n_candidates"))
+    val truth = ngramJaccard(s, d).filter(col("jaccard") >= 0.9)
+      .select(col("a_id"), col("b_id"))
+      .withColumn("config", explode(array(
+        BandConfigs.map { case (bb, r) => lit(s"${bb}x$r") }: _*)))
+    val capped = truth
+      .join(cand.withColumn("c", lit(1L)),
+        Seq("config", "a_id", "b_id"), "left")
+      .groupBy(col("config"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("c"), lit(0L))).as("n_captured"))
+    counts.join(capped, Seq("config"))
+      .withColumn("recall_bp", expr("n_captured * 10000 div n_truth"))
+      .select(col("config"), col("n_candidates"), col("n_truth"),
+        col("n_captured"), col("recall_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dedup_band_sweep" -> bandSweep,
     "dedup_exact" -> exact,
     "dedup_components" -> components,
     "dedup_split_assign" -> splitAssign,
@@ -1016,6 +1076,49 @@ object Dedup {
        |FROM bands a JOIN bands b
        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+  }
+
+  /** [[bandSweep]]'s oracle: the minhash sig CTE verbatim, every
+    * configuration's band keys generated from the SAME Scala config
+    * list as the face, pairs by (config, band, key) equi-join.
+    */
+  private def bandSweepOracle: String = {
+    val mins = (0 until NumHashes)
+      .map(i => s"min(substr(md5('${i / 4}:' || shingle), ${(i % 4) * 8 + 1}, 8)) AS h$i")
+      .mkString(", ")
+    val keyRows = (for {
+      (b, r) <- BandConfigs
+      band <- 0 until b
+    } yield {
+      val cat = (0 until r).map(j => s"h${band * r + j}").mkString(" || ")
+      s"SELECT doc_id, '${b}x$r' AS config, CAST($band AS BIGINT) AS band, md5($cat) AS key FROM sig"
+    }).mkString(" UNION ALL ")
+    val cfgList = BandConfigs.map { case (b, r) => s"'${b}x$r'" }
+      .mkString(", ")
+    s"""WITH $shingleCte,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |keys AS ($keyRows),
+       |cand AS (
+       |  SELECT DISTINCT a.config, a.doc_id AS a_id, b.doc_id AS b_id
+       |  FROM keys a JOIN keys b
+       |    ON a.config = b.config AND a.band = b.band AND a.key = b.key
+       |   AND a.doc_id < b.doc_id),
+       |counts AS (
+       |  SELECT config, count(*) AS n_candidates FROM cand GROUP BY 1),
+       |truth AS (
+       |  SELECT c.config, t.a_id, t.b_id
+       |  FROM (SELECT a_id, b_id FROM ($jaccardOracle)
+       |        WHERE jaccard >= 0.9) t
+       |  CROSS JOIN (SELECT unnest([$cfgList]) AS config) c),
+       |capd AS (
+       |  SELECT t.config, count(*) AS n_truth,
+       |    CAST(count(c.a_id) AS BIGINT) AS n_captured
+       |  FROM truth t LEFT JOIN cand c
+       |    ON c.config = t.config AND c.a_id = t.a_id AND c.b_id = t.b_id
+       |  GROUP BY 1)
+       |SELECT counts.config, n_candidates, n_truth, n_captured,
+       |  n_captured * 10000 // n_truth AS recall_bp
+       |FROM counts JOIN capd ON capd.config = counts.config""".stripMargin
   }
 
   private val jaccardOracle: String =
@@ -1165,6 +1268,7 @@ object Dedup {
     "dedup_incremental" -> (s"SELECT a_id, b_id, n_bands FROM (\n" +
       s"$minhashOracle\n) WHERE a_id % 10 = 7 OR b_id % 10 = 7"),
     "dedup_ngram_jaccard" -> jaccardOracle,
+    "dedup_band_sweep" -> bandSweepOracle,
     "dedup_simhash" -> simhashOracle,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id,

@@ -30,6 +30,32 @@ class DedupSimilaritySpec extends AnyFunSuite {
       base.map(_.getAs[Long]("k")).sum)
   }
 
+  test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {
+    val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf)
+      .collect().map(r => r.getAs[String]("config") -> r).toMap
+    assert(rows.keySet == Set("8x1", "4x2", "2x4", "1x8"))
+    // the 4x2 configuration IS dedup_minhash_lsh: same pair count, and
+    // its capture equals dedup_lsh_recall's captured-truth census
+    assert(rows("4x2").getAs[Long]("n_candidates") ==
+      Dedup.queries("dedup_minhash_lsh")(spark, sf).count())
+    val recallFace = SparkEntry.queries("dedup_lsh_recall")(spark, sf)
+      .collect()
+    assert(rows("4x2").getAs[Long]("n_truth") == recallFace.length)
+    assert(rows("4x2").getAs[Long]("n_captured") ==
+      recallFace.count(_.getAs[Boolean]("captured")))
+    // S-curve: in this layout every coarser band is a concatenation of
+    // finer ones (band·r+j indexing), so a (1x8) match implies a (2x4)
+    // match implies (4x2) implies (8x1) — candidate sets NEST and both
+    // axes are monotone along the whole chain
+    val chain = Seq("1x8", "2x4", "4x2", "8x1")
+    chain.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(rows(lo).getAs[Long]("n_candidates") <=
+        rows(hi).getAs[Long]("n_candidates"), s"$lo vs $hi candidates")
+      assert(rows(lo).getAs[Long]("n_captured") <=
+        rows(hi).getAs[Long]("n_captured"), s"$lo vs $hi captured")
+    }
+  }
+
   test("minhash LSH candidates include every pair with jaccard >= 0.9") {
     val truth = Dedup.queries("dedup_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.9)
