@@ -33,7 +33,9 @@ object ExplainAudit {
     "layout_zonemap", "text_hashing_features", "graph_mst_clusters",
     "events_rate_limit", "events_forecast_eval",
     "sketch_theta_ops", "graph_closeness", "dq_schema_drift",
-    "layout_compaction", "corpus_reject_reasons", "events_ab_assign")
+    "layout_compaction", "corpus_reject_reasons", "events_ab_assign",
+    "ts_sax_match", "sim_ann_tradeoff", "dedup_band_sweep",
+    "corpus_epoch_plan", "mm_shard_pack")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")
