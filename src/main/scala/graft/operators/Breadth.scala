@@ -642,6 +642,74 @@ object Breadth {
     kmvReport(sk, ev)
   }
 
+  /** Value-packing base for the quantile sample: cents ride the low 20
+    * bits under the 32-bit hash, so min-k on the packed long IS min-k
+    * on the hash (value domain ≤ $10,485.75 in cents — events.value
+    * tops out near $500). */
+  private[operators] val QPack = 1048576L
+
+  /** One packed quantile-sample observation per event: hash of the
+    * row-unique event_id in the high bits, value cents in the low —
+    * shared by the batch face and the streaming twin.
+    */
+  private[operators] def qPacked(ev: DataFrame): DataFrame =
+    ev.select(col("event_type"),
+      (kmvHash(col("event_id")) * QPack +
+        round(col("value") * 100).cast("long")).as("p"))
+
+  /** Report over a built quantile-sample sketch `(event_type, ks)`:
+    * kept size, the sample's discrete median in cents, the EXACT
+    * discrete median over all rows, and the signed error — the
+    * estimator's quality is itself hash-checked, like [[kmvReport]].
+    */
+  private[operators] def quantileReport(sk: DataFrame, ev: DataFrame)
+      : DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("c"))
+    val exact = ev
+      .select(col("event_type"), round(col("value") * 100).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("event_type"), col("c").as("exact_p50_cents"))
+    sk.select(col("event_type"), size(col("ks")).cast("long").as("n_kept"),
+        expr(s"array_sort(transform(ks, x -> x % $QPack))").as("vs"))
+      .withColumn("est_p50_cents",
+        expr("element_at(vs, CAST((size(vs) + 1) div 2 AS INT))"))
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_kept"), col("est_p50_cents"),
+        col("exact_p50_cents"),
+        (col("est_p50_cents") - col("exact_p50_cents")).as("err"))
+  }
+
+  /** MERGEABLE QUANTILE SKETCH by bottom-k hash sampling (Cohen &
+    * Kaplan's bottom-k sample): keep the k events whose row-unique
+    * hash is smallest — a uniform sample whose UNION rule is the same
+    * min-k merge as KMV, so partitions combine map-side and streams
+    * accumulate batch over batch — then read quantiles off the
+    * sample's VALUES. The value rides the packed low bits
+    * ([[QPack]]), so one [[graft.functions.MinKAggregator]] carries
+    * (hash, cents) pairs with no new accumulator; sample selection
+    * depends only on the hash ordering (value bits break ties
+    * deterministically below a full hash tie).
+    *
+    * The discrete sample median in cents and its signed error against
+    * the exact discrete median are both integers — the whole report
+    * hash-checks; sampling-error bounds live in SketchSpec. At 100 TB
+    * the exact column drops and the sample IS the answer, in O(k)
+    * memory per group however many rows flow.
+    */
+  private val sketchQuantile: Q = (s, d) => {
+    val ev = T(s, d, "events")
+    val mink = udaf(new graft.functions.MinKAggregator(KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val sk = qPacked(ev)
+      .groupBy(col("event_type")).agg(mink(col("p")).as("ks"))
+    quantileReport(sk, ev)
+  }
+
   /** HLL register count (2⁶ buckets). */
   private val HllM = 64L
 
@@ -761,6 +829,7 @@ object Breadth {
     "sketch_hll" -> sketchHll,
     "sketch_kmv" -> sketchKmv,
     "sketch_theta_ops" -> sketchThetaOps,
+    "sketch_quantile" -> sketchQuantile,
     "sketch_countmin" -> sketchCountmin,
     "join_skew_salted" -> joinSkewSalted,
     "q13_order_dist" -> q13OrderDist,
@@ -810,6 +879,40 @@ object Breadth {
          |  CAST(max(CASE WHEN h // $HllM = 0 THEN 27
          |    ELSE 27 - length(bin(h // $HllM)) END) AS BIGINT) AS register
          |FROM h GROUP BY 1, 2""".stripMargin,
+    // bottom-k sample via window row_number over DISTINCT packed keys
+    // (the aggregator dedups); medians are the discrete (n+1)//2-th
+    // order statistic on both the sample and the full table
+    "sketch_quantile" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    ('0x' || substr(md5('kmv:' || event_id::VARCHAR), 1, 8))::BIGINT
+         |      * $QPack + CAST(round(value * 100) AS BIGINT) AS p,
+         |    CAST(round(value * 100) AS BIGINT) AS c
+         |  FROM events),
+         |kept AS (
+         |  SELECT event_type, p FROM (
+         |    SELECT event_type, p,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY p) AS rn
+         |    FROM (SELECT DISTINCT event_type, p FROM h))
+         |  WHERE rn <= $KmvK),
+         |est AS (
+         |  SELECT event_type, nk AS n_kept, c2 AS est_p50_cents FROM (
+         |    SELECT event_type, p % $QPack AS c2,
+         |      row_number() OVER (PARTITION BY event_type
+         |        ORDER BY p % $QPack) AS r2,
+         |      count(*) OVER (PARTITION BY event_type) AS nk
+         |    FROM kept)
+         |  WHERE r2 = (nk + 1) // 2),
+         |ex AS (
+         |  SELECT event_type, c AS exact_p50_cents FROM (
+         |    SELECT event_type, c,
+         |      row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+         |      count(*) OVER (PARTITION BY event_type) AS n
+         |    FROM h)
+         |  WHERE rn = (n + 1) // 2)
+         |SELECT est.event_type, n_kept, est_p50_cents, exact_p50_cents,
+         |  est_p50_cents - exact_p50_cents AS err
+         |FROM est JOIN ex ON ex.event_type = est.event_type""".stripMargin,
     // per-type min-k via window row_number, theta algebra via list
     // functions; 1-based ks[K] = the k-th smallest = Spark's
     // element_at(ks, -1) on the filled sketch

@@ -452,6 +452,51 @@ object StreamingQueries {
     Breadth.kmvReport(sk, T(s, d, "events"))
   }
 
+  /** The bottom-k quantile sample maintained as STREAMING STATE —
+    * [[Breadth]]'s `sketch_quantile` accumulated across the
+    * 4-micro-batch replay: the packed (hash, cents) min-k buffer lives
+    * in keyed aggregation state ([[graft.functions.MinKAggregator]] —
+    * sample union ≡ min-k of the concatenation ≡ the aggregator's
+    * merge), so a sample grown batch over batch must read the same
+    * median as one built in a single pass. Shares the batch oracle.
+    */
+  private val streamQuantile: Q = (s, d) => {
+    val run = freshRunDir("graft_qtl_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    stageIvmSource(s, d, run)
+    val schema = org.apache.spark.sql.types.StructType(
+      T(s, d, "events").schema.map(f =>
+        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
+        else f))
+    val raw = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(run.resolve("src").toString)
+    val mink = udaf(new graft.functions.MinKAggregator(Breadth.KmvK),
+      org.apache.spark.sql.Encoders.scalaLong)
+    withStreamingParallelism(s) {
+      val q = Breadth.qPacked(raw)
+        .groupBy(col("event_type")).agg(mink(col("p")).as("ks"))
+        .writeStream.outputMode("update")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          batch.withColumn("batch_id", lit(batchId))
+            .write.mode("append").parquet(out)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type"))
+      .orderBy(col("batch_id").desc)
+    val sk = s.read.parquet(out)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("ks"))
+    Breadth.quantileReport(sk, T(s, d, "events"))
+  }
+
   /** The HLL register table maintained as STREAMING STATE — completes
     * the sketch family's streaming coverage (count-min, KMV, and now
     * HLL each have a twin sharing the batch oracle). HLL is the
@@ -1680,6 +1725,7 @@ object StreamingQueries {
     "stream_countmin" -> streamCountmin,
     "stream_kmv" -> streamKmv,
     "stream_hll" -> streamHll,
+    "stream_quantile" -> streamQuantile,
     "stream_late_drops" -> streamLateDrops,
     "stream_dedup_ingest" -> streamDedupIngest,
     "stream_sessionize" -> streamSessionize,
@@ -1754,6 +1800,7 @@ object StreamingQueries {
     "stream_countmin" -> Breadth.oracles("sketch_countmin"),
     "stream_kmv" -> Breadth.oracles("sketch_kmv"),
     "stream_hll" -> Breadth.oracles("sketch_hll"),
+    "stream_quantile" -> Breadth.oracles("sketch_quantile"),
     // Spark's two-watermark rule over the hash-ordered split: planned
     // wm(k) = max event-time ms over batches < k − 3_600_000 (0 if
     // none); a window is EMITTED at the first batch k (incl. the final

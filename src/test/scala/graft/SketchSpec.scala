@@ -105,6 +105,28 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  test("quantile sample median lands near the exact median; stream = batch") {
+    val spark = SparkTestSession.spark
+    val batch = SparkEntry.queries("sketch_quantile")(spark, SparkTestSession.sf)
+      .collect()
+    assert(batch.nonEmpty)
+    batch.foreach { r =>
+      val est = r.getAs[Long]("est_p50_cents")
+      val exact = r.getAs[Long]("exact_p50_cents")
+      // a bottom-k hash sample is uniform: the sample median's rank in
+      // the population concentrates around n/2 with sd ~ n/(2√k), so
+      // the VALUE error is bounded by the local density — assert a
+      // generous relative band (k = 32 → ~18% rank sd; the synthetic
+      // value distribution is roughly uniform so value ≈ rank)
+      assert(math.abs(est - exact).toDouble <= 0.8 * exact + 500,
+        s"${r.getAs[String]("event_type")}: est=$est exact=$exact")
+    }
+    // the streaming twin accumulates the same sample across batches
+    val stream = SparkEntry.queries("stream_quantile")(spark, SparkTestSession.sf)
+      .collect().map(_.toSeq).toSet
+    assert(stream == batch.map(_.toSeq).toSet)
+  }
+
   test("estimator lands within KMV error bounds on a large synthetic set") {
     // hash stand-in: a deterministic LCG spraying n keys over [0, 2^32)
     // — the estimator only assumes uniformity, which the real md5-based
