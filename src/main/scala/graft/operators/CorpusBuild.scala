@@ -266,11 +266,13 @@ object CorpusBuild {
     */
   private val bpeTrain: Q = (s, d) => bpeTrainOn(T(s, d, "documents"))
 
-  /** The training body on an arbitrary `(text)` frame — split out so
-    * the greedy-merge and tie-break contracts are testable on literal
-    * vocabularies.
+  /** The merge loop's shared driver: per round, the (seq, n) vocabulary
+    * STATE and the 1-row merge TABLE — [[bpeTrainOn]] reads the merges,
+    * [[bpeCurve]] reads the states. One definition so the two faces can
+    * never disagree on the greedy rule.
     */
-  private[graft] def bpeTrainOn(docs: DataFrame): DataFrame = {
+  private[graft] def bpeStates(docs: DataFrame)
+      : (Seq[DataFrame], Seq[DataFrame]) = {
     val vocab = docs
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
       .filter(col("w").rlike("^[a-z]+$"))
@@ -279,7 +281,8 @@ object CorpusBuild {
       array_join(expr("filter(split(w, ''), c -> c <> '')"), BpeSep),
       lit(BpeSep))
     var cur = vocab.select(seq0.as("seq"), col("n"))
-    val rounds = (1 to BpeRounds).map { r =>
+    val states = scala.collection.mutable.Buffer(cur)
+    val merges = (1 to BpeRounds).map { r =>
       val pairs = cur
         .select(expr(s"filter(split(seq, '$BpeSep'), x -> x <> '')")
           .as("sym"), col("n"))
@@ -299,10 +302,39 @@ object CorpusBuild {
         .select(expr(s"replace(seq, '$BpeSep' || l || '$BpeSep' || r || " +
           s"'$BpeSep', '$BpeSep' || l || r || '$BpeSep')").as("seq"),
           col("n"))
+      states += cur
       top.select(lit(r.toLong).as("round"), col("l").as("left"),
         col("r").as("right"), col("pair_n"))
     }
-    rounds.reduce(_ unionByName _)
+    (states.toSeq, merges)
+  }
+
+  /** The training body on an arbitrary `(text)` frame — split out so
+    * the greedy-merge and tie-break contracts are testable on literal
+    * vocabularies.
+    */
+  private[graft] def bpeTrainOn(docs: DataFrame): DataFrame =
+    bpeStates(docs)._2.reduce(_ unionByName _)
+
+  /** THE TOKENIZER COMPRESSION CURVE — corpus symbol total after each
+    * BPE merge round, the third tuning-curve gate next to
+    * `sim_ann_tradeoff` (recall vs nprobe) and `dedup_band_sweep`
+    * (recall vs candidate bill): every merge round strictly shrinks
+    * the corpus (each applied merge fuses two symbols into one), and
+    * the round-r decrease can never exceed round r's winning pair
+    * count (`replace` is non-overlapping, the pair count counts
+    * overlapping occurrences) — both invariants spec-pinned, the
+    * totals themselves hash-checked. This is the curve a tokenizer
+    * build reports as "compression per vocabulary entry".
+    */
+  private val bpeCurve: Q = (s, d) => {
+    val states = bpeStates(T(s, d, "documents"))._1
+    states.zipWithIndex.map { case (st, r) =>
+      st.select(lit(r.toLong).as("round"),
+          (size(expr(s"filter(split(seq, '$BpeSep'), x -> x <> '')"))
+            .cast("long") * col("n")).as("t"))
+        .groupBy(col("round")).agg(sum(col("t")).as("total_symbols"))
+    }.reduce(_ unionByName _)
   }
 
   private val StrataQuota = 100
@@ -799,7 +831,8 @@ object CorpusBuild {
     "layout_zonemap" -> zonemap,
     "layout_compaction" -> layoutCompaction,
     "corpus_reject_reasons" -> rejectReasons,
-    "corpus_epoch_plan" -> epochPlan)
+    "corpus_epoch_plan" -> epochPlan,
+    "corpus_bpe_curve" -> bpeCurve)
 
   /** TRAINING-SHARD MANIFEST — the file a distributed data loader
     * reads at startup: per shard of the `corpus_shuffle` assignment,
@@ -926,7 +959,11 @@ object CorpusBuild {
     * is the Scala side's U+001F separator, and `replace` is
     * left-to-right non-overlapping in both engines (the greedy rule).
     */
-  private val bpeTrainOracle: String = {
+  /** The merge loop's CTE chain (v, s0, p_i/t_i/s_i per round) — shared
+    * by the train and curve oracles so the SQL restatement of the
+    * greedy rule exists exactly once.
+    */
+  private def bpeCtesSql: String = {
     val sep = "chr(31)"
     def round(i: Int): String =
       s"""p$i AS (
@@ -940,21 +977,37 @@ object CorpusBuild {
          |s$i AS (SELECT replace(seq, $sep || t$i.l || $sep || t$i.r || $sep,
          |                       $sep || t$i.l || t$i.r || $sep) AS seq, n
          |        FROM s${i - 1}, t$i)""".stripMargin
-    val selects = (1 to BpeRounds)
-      .map(i => s"""SELECT CAST($i AS BIGINT) AS round, l AS "left", """ +
-        s"""r AS "right", pair_n FROM t$i""")
-      .mkString("\n", "\nUNION ALL\n", "")
-    s"""WITH v AS (
+    s"""v AS (
        |  SELECT w, count(*) AS n FROM (
        |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
        |    FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+${"$"}') GROUP BY w),
        |s0 AS (
        |  SELECT $sep || array_to_string(
-       |           list_filter(string_split(w, ''), c -> c <> ''), $sep)
-       |         || $sep AS seq, n
+       |           list_filter(string_split(w, ''), c -> c <> ''), $sep) ||
+       |         $sep AS seq, n
        |  FROM v),
-       |${(1 to BpeRounds).map(round).mkString(",\n")}
+       |${(1 to BpeRounds).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  private val bpeTrainOracle: String = {
+    val selects = (1 to BpeRounds)
+      .map(i => s"""SELECT CAST($i AS BIGINT) AS round, l AS "left", """ +
+        s"""r AS "right", pair_n FROM t$i""")
+      .mkString("\n", "\nUNION ALL\n", "")
+    s"""WITH $bpeCtesSql
+       |$selects""".stripMargin
+  }
+
+  private val bpeCurveOracle: String = {
+    val sep = "chr(31)"
+    val selects = (0 to BpeRounds)
+      .map(i => s"""SELECT CAST($i AS BIGINT) AS round,
+        |  CAST(sum(len(list_filter(string_split(seq, $sep),
+        |    x -> x <> '')) * n) AS BIGINT) AS total_symbols
+        |FROM s$i""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH $bpeCtesSql
        |$selects""".stripMargin
   }
 
@@ -1122,6 +1175,7 @@ object CorpusBuild {
     "corpus_tfidf" -> tfidfOracle,
     "corpus_bpe_pairs" -> bpePairsOracle,
     "corpus_bpe_train" -> bpeTrainOracle,
+    "corpus_bpe_curve" -> bpeCurveOracle,
     "sample_stratified" -> stratifiedOracle,
     "corpus_mix_report" -> mixReportOracle,
     "quality_gate" -> qualityGateOracle,

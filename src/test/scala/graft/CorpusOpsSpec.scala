@@ -35,6 +35,24 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(Set("quality", "kept").subsetOf(classes), classes.toString)
   }
 
+  test("corpus_bpe_curve: totals strictly shrink, bounded by the pair count") {
+    val curve = SparkEntry.queries("corpus_bpe_curve")(spark, sf)
+      .collect().map(r => r.getAs[Long]("round") ->
+        r.getAs[Long]("total_symbols")).toMap
+    val merges = SparkEntry.queries("corpus_bpe_train")(spark, sf)
+      .collect().map(r => r.getAs[Long]("round") ->
+        r.getAs[Long]("pair_n")).toMap
+    assert(curve.keySet == (0L to merges.keySet.max).toSet)
+    merges.foreach { case (r, pairN) =>
+      val drop = curve(r - 1) - curve(r)
+      // every applied merge fuses two symbols into one, so the corpus
+      // strictly shrinks; replace is non-overlapping while the pair
+      // count counts overlapping occurrences, so drop <= pair_n
+      assert(drop > 0, s"round $r did not shrink the corpus")
+      assert(drop <= pairN, s"round $r dropped $drop > pair_n $pairN")
+    }
+  }
+
   test("corpus_epoch_plan: budget respected, cap binds exactly when short") {
     val plan = SparkEntry.queries("corpus_epoch_plan")(spark, sf).collect()
     assert(plan.nonEmpty)
