@@ -1061,6 +1061,37 @@ object TimeSeries {
         sum(col("matched")).as("n_matched"))
   }
 
+  /** Gap thresholds swept by [[sessionSweep]] (seconds). */
+  private val SweepGaps = Seq(900L, 1800L, 3600L, 7200L)
+
+  /** SESSION-COUNT vs GAP-THRESHOLD SWEEP — the sessionization knob as
+    * a hash-checked curve (the fourth tuning-curve gate): per
+    * inactivity threshold, the corpus-wide session count. A session
+    * starts at a user's first event or wherever the gap to the
+    * previous event exceeds the threshold, so
+    * `n_sessions(T) = Σ users + Σ [gap > T]` — ONE windowed lag pass
+    * computes every threshold's count simultaneously (each row's gap
+    * is compared to all four constants in the same aggregate), and a
+    * larger threshold can only merge sessions, so the curve is
+    * monotone non-increasing (spec-pinned).
+    */
+  private val sessionSweep: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapped = T(s, d, "events")
+      .withColumn("gap",
+        unix_seconds(col("ts").cast("timestamp")) -
+          unix_seconds(lag(col("ts"), 1).over(byUser).cast("timestamp")))
+    val aggs = SweepGaps.map(t =>
+      count_if(col("gap").isNull || col("gap") > t).as(s"s$t"))
+    gapped.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(SweepGaps.map(t =>
+        struct(lit(t).as("gap_seconds"), col(s"s$t").as("n_sessions")))
+        : _*)).as("r"))
+      .select(col("r.gap_seconds").as("gap_seconds"),
+        col("r.n_sessions").as("n_sessions"))
+  }
+
   /** SAX parameters: 6 piecewise segments of 5 days, 4-letter alphabet
     * on fixed integer breakpoints (5/10/15 events per segment). */
   private val SaxSegments = 6L
@@ -1150,6 +1181,7 @@ object TimeSeries {
 
   val queries: Map[String, Q] = Map(
     "events_ab_assign" -> abAssign,
+    "events_session_sweep" -> sessionSweep,
     "ts_sax_match" -> saxMatch,
     "events_rate_limit" -> rateLimit,
     "events_forecast_eval" -> forecastEval,
@@ -1677,6 +1709,18 @@ object TimeSeries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS signup_id
         |  FROM events WHERE event_type IN ('signup', 'purchase'))
         |WHERE event_type = 'purchase'""".stripMargin,
+    "events_session_sweep" -> {
+      val branches = SweepGaps.map(t =>
+        s"""SELECT CAST($t AS BIGINT) AS gap_seconds,
+           |  count(*) FILTER (gap IS NULL OR gap > $t) AS n_sessions
+           |FROM g""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH g AS (
+         |  SELECT CAST(floor(epoch(ts)) AS BIGINT)
+         |    - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id
+         |        ORDER BY ts, event_id))) AS BIGINT) AS gap
+         |  FROM events)
+         |$branches""".stripMargin
+    },
     "sessionize" ->
       """SELECT user_id, session_no, count(*) AS n_events,
         |  round(sum(value), 2) AS session_value

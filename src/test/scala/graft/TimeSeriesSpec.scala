@@ -14,6 +14,22 @@ class TimeSeriesSpec extends AnyFunSuite {
     rows.toDF("user_id", "event_type", "s")
       .selectExpr("user_id", "event_type", "timestamp_seconds(s) AS ts")
 
+  test("events_session_sweep: monotone curve, 1800s row matches sessionize") {
+    val sf = SparkTestSession.sf
+    val rows = SparkEntry.queries("events_session_sweep")(spark, sf)
+      .orderBy(org.apache.spark.sql.functions.col("gap_seconds")).collect()
+    assert(rows.map(_.getAs[Long]("gap_seconds")).toSeq ==
+      Seq(900L, 1800L, 3600L, 7200L))
+    // a larger threshold can only merge sessions
+    val counts = rows.map(_.getAs[Long]("n_sessions"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+      counts.toSeq.toString)
+    // the 1800 s row is the production sessionize's session count
+    assert(rows.find(_.getAs[Long]("gap_seconds") == 1800L).get
+      .getAs[Long]("n_sessions") ==
+      SparkEntry.queries("sessionize")(spark, sf).count())
+  }
+
   test("ts_sax_match: 6-symbol a-d words partition users, pair math holds") {
     val sf = SparkTestSession.sf
     val rows = SparkEntry.queries("ts_sax_match")(spark, sf).collect()
