@@ -35,7 +35,8 @@ object ExplainAudit {
     "sketch_theta_ops", "graph_closeness", "dq_schema_drift",
     "layout_compaction", "corpus_reject_reasons", "events_ab_assign",
     "ts_sax_match", "sim_ann_tradeoff", "dedup_band_sweep",
-    "corpus_epoch_plan", "mm_shard_pack")
+    "corpus_epoch_plan", "mm_shard_pack", "sketch_quantile",
+    "corpus_bpe_curve", "events_session_sweep")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -271,7 +271,12 @@ object CorpusBuild {
     * [[bpeCurve]] reads the states. One definition so the two faces can
     * never disagree on the greedy rule.
     */
-  private[graft] def bpeStates(docs: DataFrame)
+  /** @param pin materialize each round's state so a consumer reading
+    *   EVERY state (the curve) executes each round once instead of
+    *   re-deriving the whole lineage per state; the trainer keeps the
+    *   unpinned plan (its single-row broadcasts are the audited,
+    *   allowlisted shape). */
+  private[graft] def bpeStates(docs: DataFrame, pin: Boolean = false)
       : (Seq[DataFrame], Seq[DataFrame]) = {
     val vocab = docs
       .select(explode(TextAnalysis.words(col("text"))).as("w"))
@@ -281,6 +286,7 @@ object CorpusBuild {
       array_join(expr("filter(split(w, ''), c -> c <> '')"), BpeSep),
       lit(BpeSep))
     var cur = vocab.select(seq0.as("seq"), col("n"))
+    if (pin) cur = Dedup.materialize(cur)
     val states = scala.collection.mutable.Buffer(cur)
     val merges = (1 to BpeRounds).map { r =>
       val pairs = cur
@@ -302,6 +308,7 @@ object CorpusBuild {
         .select(expr(s"replace(seq, '$BpeSep' || l || '$BpeSep' || r || " +
           s"'$BpeSep', '$BpeSep' || l || r || '$BpeSep')").as("seq"),
           col("n"))
+      if (pin) cur = Dedup.materialize(cur)
       states += cur
       top.select(lit(r.toLong).as("round"), col("l").as("left"),
         col("r").as("right"), col("pair_n"))
@@ -328,7 +335,7 @@ object CorpusBuild {
     * build reports as "compression per vocabulary entry".
     */
   private val bpeCurve: Q = (s, d) => {
-    val states = bpeStates(T(s, d, "documents"))._1
+    val states = bpeStates(T(s, d, "documents"), pin = true)._1
     states.zipWithIndex.map { case (st, r) =>
       st.select(lit(r.toLong).as("round"),
           (size(expr(s"filter(split(seq, '$BpeSep'), x -> x <> '')"))

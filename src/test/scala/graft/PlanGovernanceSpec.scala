@@ -60,9 +60,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "corpus_bpe_train" -> ("each training round broadcasts its 1-row" +
       " argmax merge pair onto the vocabulary - three single-row build" +
       " sides, bounded at one row forever"),
-    "corpus_bpe_curve" -> ("reads the same per-round states as" +
-      " corpus_bpe_train, so it inherits the identical single-row" +
-      " merge-pair broadcasts - bounded at one row forever"),
+    // corpus_bpe_curve: its per-round states are PINNED (materialized
+    // during construction), so the registry plan reads checkpointed
+    // RDDs and the trainer's single-row merge-pair broadcasts never
+    // appear in it - no nested loop fires and no exemption is needed
     // corpus_funnel_report: the percentile-threshold crossJoin plans as
     // a plain broadcast exchange (single-row build side under AQE), so
     // no nested loop fires and no exemption is needed - the firing
