@@ -263,7 +263,33 @@ object Profiling {
           .otherwise(lit("stable")).as("status"))
   }
 
+  /** Staleness alarm threshold: a feed is flagged when its newest event
+    * lags the freshest feed by more than a day. */
+  private val FreshnessSlaSeconds = 86400L
+
+  /** FEED-FRESHNESS AUDIT — the first data-ops check on every ingest
+    * dashboard: per event type (standing in for "per upstream feed"),
+    * the newest event time, its lag behind the freshest feed in
+    * seconds, and the SLA flag. A silently-stalled producer shows up
+    * as a growing lag long before any downstream metric moves; making
+    * the lag hash-checked means a stall in the SYNTHETIC generator
+    * (or a regression in timestamp handling anywhere in the load
+    * path) fails the gate. One map-side-combinable max aggregation
+    * onto the type domain plus the freshest-feed window over
+    * |types| rows.
+    */
+  private val dqFreshness: Q = (s, d) =>
+    T(s, d, "events")
+      .groupBy(col("event_type"))
+      .agg(max(expr("unix_micros(CAST(ts AS TIMESTAMP))")).as("last_us"))
+      .withColumn("lag_seconds",
+        expr("(max(last_us) OVER () - last_us) div 1000000"))
+      .select(col("event_type"), col("last_us"), col("lag_seconds"),
+        when(col("lag_seconds") > FreshnessSlaSeconds, lit(1L))
+          .otherwise(lit(0L)).as("stale"))
+
   val queries: Map[String, Q] = Map(
+    "dq_freshness" -> dqFreshness,
     "profile_table" -> profileOrders,
     "profile_histogram" -> profileHistogram,
     "dq_k_anonymity" -> kAnonymity,
@@ -310,6 +336,19 @@ object Profiling {
          |  CAST(CASE WHEN count(*) < $KAnon THEN 1 ELSE 0 END AS BIGINT)
          |    AS below_k
          |FROM customer GROUP BY 1, 2""".stripMargin,
+    "dq_freshness" ->
+      s"""WITH a AS (
+         |  SELECT event_type, max(epoch_us(ts)) AS last_us
+         |  FROM events GROUP BY 1),
+         |l AS (
+         |  SELECT event_type, last_us,
+         |    (CAST(max(last_us) OVER () AS BIGINT) - last_us) // 1000000
+         |      AS lag_seconds
+         |  FROM a)
+         |SELECT event_type, last_us, lag_seconds,
+         |  CAST(CASE WHEN lag_seconds > $FreshnessSlaSeconds
+         |    THEN 1 ELSE 0 END AS BIGINT) AS stale
+         |FROM l""".stripMargin,
     "dq_schema_drift" ->
       s"""WITH ev AS (
          |  SELECT epoch_us(ts) AS tsl, event_type, value FROM events),
