@@ -95,7 +95,16 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = (results ++ builds).map(_._2).filter(_ >= 0).sum
-    println(f"""{"sf":"$sfDir","queries":$qs,"unit":"sec","metric":"total","value":$total%.3f}""")
+    val line =
+      f"""{"sf":"$sfDir","queries":$qs,"unit":"sec","metric":"total","value":$total%.3f}"""
+    println(line)
+    // the driver's stdout capture keeps only a truncated TAIL, so ~25%
+    // of line items vanish from its BENCH_r*.json — when asked, also
+    // write the COMPLETE line to a file committed in-repo per round
+    // (BENCH_LOCAL_r*.json), so cross-round diffing sees every query
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
     spark.stop()
   }
 }

@@ -31,8 +31,16 @@ object BucketedJoin {
 
   private[operators] val Buckets = 8
 
+  /** The artifact holds BOTH bucketed facts, so the key must fingerprint
+    * both sources: keying on orders alone would keep `isReady` true when
+    * only lineitem.parquet is regenerated and silently adopt a stale
+    * bucketed lineitem. The lineitem stamp rides in the layout slot so
+    * either table's change rotates the key.
+    */
   private def key(d: String): String =
-    SharedArtifacts.fingerprint(d, "orders.parquet", s"bktjoin:v1:$Buckets")
+    SharedArtifacts.fingerprint(d, "orders.parquet",
+      s"bktjoin:v2:$Buckets:" +
+        SharedArtifacts.fingerprint(d, "lineitem.parquet"))
 
   /** Build-or-adopt the bucketed orders/lineitem pair; returns the two
     * catalog tables.

@@ -148,8 +148,13 @@ object Dedup {
       .select(col("doc_id"), col("bk.band"), col("bk.key"))
   }
 
-  /** LSH banding over signatures → distinct candidate pairs (equi-join). */
-  private def bandPairs(sig: DataFrame): DataFrame = {
+  /** LSH banding over signatures → distinct candidate pairs (equi-join).
+    * `private[graft]` so the maintained-index replay face
+    * (`dedup_index_ivm`) derives pairs from ITS signature table through
+    * the identical banding — the IVM identity is about the index, not a
+    * reimplemented join.
+    */
+  private[graft] def bandPairs(sig: DataFrame): DataFrame = {
     val bands = bandKeys(sig)
     val l = bands.select(col("doc_id").as("a_id"), col("band"), col("key"))
     val r = bands.select(col("doc_id").as("b_id"), col("band"), col("key"))

@@ -252,9 +252,12 @@ object GraphOps {
     * groupBy(min) + equi-join — no sorting, no driver graph.
     *
     * Returns `(doc_id, component)` for every node incident to an edge,
-    * plus rounds taken. Fixpoint detection: (count, Σ(u·P+v)) checksum
-    * — the star alternation leaves the set literally unchanged at the
-    * fixpoint, so equality of the pair is the stop.
+    * plus rounds taken. Fixpoint detection: a (count, Σ(u·P+v))
+    * checksum as the cheap per-round filter, CONFIRMED by an exact
+    * anti-join set comparison when it matches — the star alternation
+    * leaves the set literally unchanged at the fixpoint, but the set is
+    * not monotone, so checksum equality alone can't be trusted as the
+    * stop.
     */
   private[graft] def starComponents(pairs: DataFrame, maxRounds: Int = 40)
       : (DataFrame, Int) = {
@@ -296,8 +299,17 @@ object GraphOps {
       val e3 = Dedup.materialize(ss)
       Dedup.releaseCheckpoint(e2)
       val cs = checksum(e3)
+      // The star alternation's edge set is NOT monotone (unlike the
+      // min-label loop's label sum), so checksum equality alone could
+      // collide between two different edge sets and stop early with
+      // wrong labels. The checksum stays as the cheap per-round filter;
+      // equality is CONFIRMED by an exact set comparison — counts match
+      // (count rides in the checksum) and e3 \ e = ∅ together prove the
+      // distinct sets equal. Runs at most once per contraction, on the
+      // already-tiny fixpoint set.
+      done = cs == prev &&
+        e3.join(e, Seq("u", "v"), "left_anti").isEmpty
       Dedup.releaseCheckpoint(e)
-      done = cs == prev
       prev = cs
       e = e3
       rounds += 1
@@ -675,6 +687,13 @@ object GraphOps {
         visited = Dedup.materialize(visited.union(frontier))
       r += 1
     }
+    // Partial distances are NOT minimal distances: if the guard trips
+    // with work remaining, fail like the file's other fixpoint drivers
+    // (pagerankConverged, connectedComponentsWithRounds, boruvkaMsf,
+    // sccOn) instead of silently returning a truncated reachability set.
+    if (!frontier.isEmpty)
+      throw new IllegalStateException(
+        s"BFS did not converge within $maxRounds rounds")
     visited
   }
 

@@ -168,9 +168,73 @@ object HybridRetrieval {
         col("n_rel"))
   }
 
+  /** Query-set size and cutoff for the GROUPED eval. */
+  private val GroupQueries = 10L
+  private val GroupK = 10L
+
+  /** GROUPED RETRIEVAL EVAL — [[hybridNdcg]] extended from one query to
+    * a query SET, the shape every real eval harness runs (per-query
+    * nDCG, then the MACRO average across queries — a single-query gate
+    * can't see a ranker that trades one query's quality for another's).
+    * Queries are the registry's standing `vec_id < 10` set; each grades
+    * its own vector-leg ranking (cosine desc, id asc — the
+    * `sim_topk_*` total order) by shared-label relevance at
+    * k = [[GroupK]], through the SAME Scala-generated integer discount
+    * table as [[hybridNdcg]] — exact integers end to end. Emits one row
+    * per query `(q_id, dcg_scaled, idcg_scaled, n_rel, ndcg_bp)` plus
+    * the macro summary row `q_id = −1` (ndcg_bp = integer mean of the
+    * per-query basis points), so both the per-group detail and the
+    * headline number live in one hash-checked result.
+    *
+    * Scale shape: the query set broadcasts against one corpus scan
+    * (the allowlisted ≤10-row build side); ONE window pass partitioned
+    * by q_id ranks every query's candidates simultaneously; the
+    * per-query collapse is map-side; the summary row folds ≤10 rows.
+    */
+  private val ndcgGrouped: Q = (s, d) => {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label"))
+      .withColumn("nrm", norm2(col("v")))
+    val q = e.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("label").as("q_label"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    val graded = e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .withColumn("pos", row_number().over(byQ).cast("long"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+    val perQ = graded.groupBy(col("q_id"))
+      .agg(
+        coalesce(sum(when(col("pos") <= GroupK && col("rel") === 1L,
+          element_at(typedLit(ndcgWeights), col("pos").cast("int")))),
+          lit(0L)).as("dcg_scaled"),
+        sum(col("rel")).as("n_rel"))
+      .withColumn("idcg_scaled",
+        element_at(typedLit(ndcgPrefix),
+          least(lit(GroupK), col("n_rel")).cast("int") + 1))
+      .withColumn("ndcg_bp", expr(
+        "CASE WHEN idcg_scaled > 0 THEN dcg_scaled * 10000 div idcg_scaled" +
+          " ELSE 0 END"))
+      .select(col("q_id"), col("dcg_scaled"), col("idcg_scaled"),
+        col("n_rel"), col("ndcg_bp"))
+    val summary = perQ.agg(
+      lit(-1L).as("q_id"),
+      sum(col("dcg_scaled")).as("dcg_scaled"),
+      sum(col("idcg_scaled")).as("idcg_scaled"),
+      sum(col("n_rel")).as("n_rel"),
+      expr("sum(ndcg_bp) div count(1)").as("ndcg_bp"))
+    perQ.unionByName(summary)
+  }
+
   val queries: Map[String, Q] = Map(
     "hybrid_rrf" -> hybrid,
     "hybrid_ndcg" -> hybridNdcg,
+    "retrieval_ndcg_grouped" -> ndcgGrouped,
   )
 
   /** The same two legs and fusion in DuckDB SQL: the BM25 CTEs are the
@@ -239,8 +303,57 @@ object HybridRetrieval {
        |FROM ks""".stripMargin
   }
 
+  /** The grouped eval in SQL — the same broadcast-query-set ranking,
+    * the same literal discount/prefix tables, the same summary-row
+    * UNION; integer `//` on nonnegative operands throughout.
+    */
+  private val ndcgGroupedOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    s"""WITH g AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |      round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                   e.embedding::DOUBLE[]), 4) DESC,
+       |      e.vec_id) AS BIGINT) AS pos,
+       |    CASE WHEN e.label = q.label THEN 1 ELSE 0 END AS rel
+       |  FROM embeddings q JOIN embeddings e
+       |    ON q.vec_id < $GroupQueries AND e.vec_id <> q.vec_id),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |perq AS (
+       |  SELECT g.q_id,
+       |    CAST(coalesce(sum(CASE WHEN g.pos <= $GroupK AND g.rel = 1
+       |      THEN w.w END), 0) AS BIGINT) AS dcg_scaled,
+       |    CAST(sum(g.rel) AS BIGINT) AS n_rel
+       |  FROM g LEFT JOIN wts w ON w.pos = g.pos
+       |  GROUP BY 1),
+       |scored AS (
+       |  SELECT q_id, dcg_scaled,
+       |    CAST((SELECT s FROM pre
+       |          WHERE j = least($GroupK, n_rel)) AS BIGINT)
+       |      AS idcg_scaled,
+       |    n_rel
+       |  FROM perq),
+       |rated AS (
+       |  SELECT q_id, dcg_scaled, idcg_scaled, n_rel,
+       |    CAST(CASE WHEN idcg_scaled > 0
+       |      THEN dcg_scaled * 10000 // idcg_scaled ELSE 0 END AS BIGINT)
+       |      AS ndcg_bp
+       |  FROM scored)
+       |SELECT * FROM rated
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(sum(dcg_scaled) AS BIGINT),
+       |  CAST(sum(idcg_scaled) AS BIGINT), CAST(sum(n_rel) AS BIGINT),
+       |  CAST(sum(ndcg_bp) // count(*) AS BIGINT)
+       |FROM rated""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
     "hybrid_ndcg" -> ndcgOracle,
+    "retrieval_ndcg_grouped" -> ndcgGroupedOracle,
   )
 }

@@ -410,20 +410,23 @@ object Similarity {
 
   private val PqSubspaces = 8 // 64 dims = 8 subspaces × 8 dims
   private val PqSubDim = 8
-  private val PqK = 16 // centroids per subspace codebook (4-bit codes)
-  private val PqSeedStep = 31 // stride seeds: vec_id ∈ {0, 31, …, 465}
-  private val PqIters = 2 // Lloyd refinement rounds per subspace
+  private val PqK = 256 // centroids per subspace codebook (8-bit codes)
+  private val PqSeedStep = 1 // seeds: the first PqK vectors' sub-blocks
+  private val PqIters = 4 // Lloyd refinement rounds per subspace
 
   /** PRODUCT-QUANTIZATION ANN — the other half of the FAISS-standard
     * IVF+PQ pairing (`sim_ann_ivf` prunes WHICH vectors to score; PQ
     * compresses HOW each candidate is scored): every vector encodes as
-    * [[PqSubspaces]] codebook ids (here 8 × 2 bits — a 64-dim float
-    * vector in 2 bytes), and a query scores candidates via its
+    * [[PqSubspaces]] codebook ids (8 subspaces × 8-bit codes — a
+    * 64-dim float vector in 8 bytes, FAISS's production PQ8 shape),
+    * and a query scores candidates via its
     * per-subspace distance TABLE — [[PqSubspaces]] integer lookups per
     * candidate instead of a 64-dim dot product, the asymmetric-distance
-    * (ADC) trick. Codebooks start from the deterministic stride-seed
-    * rule (every [[PqSeedStep]]th vector, the IVF seeding discipline)
-    * and are then LLOYD-REFINED for [[PqIters]] rounds per subspace —
+    * (ADC) trick. Codebooks start from the deterministic seed rule
+    * (the first [[PqK]] vectors' sub-blocks — stride [[PqSeedStep]],
+    * the IVF seeding discipline with the stride collapsed so K = 256
+    * seeds exist at every test SF) and are then LLOYD-REFINED for
+    * [[PqIters]] rounds per subspace —
     * assignment is the usual integer-d2 argmin, and the centroid
     * update is the round-half-away-from-zero INTEGER mean
     * `sign(s)·((2|s|+n) div 2n)` (sign-split so Spark's truncating
@@ -436,9 +439,9 @@ object Similarity {
     * hash-checks the whole TRAINED structure, unrolled Lloyd rounds
     * included (LSH is the only ANN face left rows-only).
     *
-    * Scale shape: encoding is one broadcast (32-row codebook) join +
-    * per-(vector, subspace) argmin on map-side-combinable groups; the
-    * query tables broadcast (queries × 32 rows); ADC is a broadcast
+    * Scale shape: encoding is one broadcast (≤ K·M·[[PqSubDim]]-row
+    * codebook) join + per-(vector, subspace) argmin on map-side-
+    * combinable groups; the query tables broadcast; ADC is a broadcast
     * equi-join on (m, k) collapsing to (query, candidate) sums. At
     * corpus scale the codes table IS the index — 2 bytes a vector —
     * and the candidate set comes from the IVF lists, identical joins.
@@ -1063,25 +1066,23 @@ object Similarity {
 
   private val KnnK = 3
 
-  /** Blocked exact K-NEAREST-NEIGHBOR GRAPH — every vector's top-
-    * [[KnnK]] cosine neighbors within its label block, ranked
-    * `(sim desc, nbr_id)` so the cut is a total order: the kNN graph
-    * is THE input artifact for graph clustering / label propagation
-    * over embeddings (`dedup_components` consumes exactly this edge
-    * shape), and the per-vector generalization of the single-query
-    * `sim_topk_*` family.
-    *
-    * Scale shape: candidate generation is a BLOCKED equi-join — here
-    * the label column; at corpus scale the production path swaps in
-    * the IVF cell assignment artifact (`sim_ann_ivf`'s `ivfIndex`),
-    * identical join shape, so fan-out per vector is the cell size,
-    * never the corpus. The per-vector k-select runs on the joined
-    * (block-bounded) domain partitioned by vec_id. Cosine values are
-    * fixed-order double sums — bit-identical across IEEE engines
-    * (`dedup_embedding_cosine` precedent) — so rank ties resolve
-    * identically everywhere.
+  /** Probe width of the ANN-composed graph build: each vector probes
+    * its [[KnnProbes]] nearest IVF cells for candidates. The knob is
+    * part of the artifact key — widening it can only ADD candidates,
+    * so graph recall ([[knnRecall]]) is monotone in it.
     */
-  private val knnGraph: Q = (s, d) => {
+  private val KnnProbes = 16
+
+  /** Blocked EXACT K-NEAREST-NEIGHBOR GRAPH — every vector's top-
+    * [[KnnK]] cosine neighbors within its label block, ranked
+    * `(sim desc, nbr_id)` so the cut is a total order. This is the
+    * DEFINITIONAL form: O(block²) pairs, fine as the small-SF
+    * reference ranking the recall gate scores against, quadratic past
+    * it (the 30× rung measured 84.7 s) — the PUBLISHED artifact is the
+    * ANN-composed [[knnGraphAnn]]; this form survives only as the
+    * oracle side of `sim_knn_recall` and the spec baseline.
+    */
+  private[graft] val knnGraphExact: Q = (s, d) => {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
@@ -1099,25 +1100,97 @@ object Similarity {
         col("nbr_id"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
+  /** ANN-COMPOSED kNN-GRAPH BUILD — the scale path that replaces the
+    * blocked exact join: candidate generation is the IVF quantizer
+    * (each vector multi-probes its [[KnnProbes]] nearest cells; a
+    * candidate pair is same-label AND the neighbor's home cell is one
+    * of the query's probed cells), then EXACT cosine rescoring and the
+    * identical `(sim desc, nbr_id)` top-[[KnnK]] cut. Per-vector
+    * fan-out is probes × mean cell size (≈ [[KnnProbes]]·
+    * [[IvfSeedStep]]), never the label block — the within-block
+    * quadratic that measured 84.7 s at the 30× rung becomes a linear
+    * banded equi-join, the FAISS IVF-search shape applied to all-pairs
+    * graph construction.
+    *
+    * Determinism: the probe ranking reuses the artifact centroids
+    * (parquet doubles round-trip exactly) with the (d2, cid)
+    * tie-break; a pair appears at most once (home cell unique, probed
+    * cells distinct), so no dedup pass is needed; rescoring is the
+    * same fixed-order double cosine as the exact form — ranks resolve
+    * identically everywhere.
+    */
+  private[graft] def knnGraphAnn(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val (centroids, _) =
+      ivfArtifacts(s, d, e.select(col("vec_id"), col("v"), col("nrm")))
+    val ranked = e.crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= KnnProbes)
+      .select(col("cid"), col("pr"), col("label"), col("vec_id"),
+        col("v"), col("nrm"))
+    val nbr = ranked.filter(col("pr") === 1)
+      .select(col("cid"), col("label"), col("vec_id").as("nbr_id"),
+        col("v").as("vb"), col("nrm").as("nb"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    ranked.join(nbr, Seq("cid", "label"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
+      .withColumn("rank", row_number().over(byVec))
+      .filter(col("rank") <= KnnK)
+      .select(col("vec_id"), col("rank").cast("long").as("rank"),
+        col("nbr_id"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
   /** Published kNN graph (vec_id, rank, nbr_id, sim) under the shared-
-    * artifact protocol: the blocked cosine top-k join runs once per
-    * dataset version; `sim_knn_graph` and `graph_scc` both adopt the
+    * artifact protocol: the ANN-composed build runs once per dataset
+    * version; `sim_knn_graph` and the whole graph family adopt the
     * files (the PQ lesson from round 11: an index computed inline puts
-    * its build lineage into every consumer's plan — artifact it).
+    * its build lineage into every consumer's plan — artifact it). The
+    * layout tag carries the probe width and quantizer version, so a
+    * knob change can never adopt a graph built under the old shape.
     */
   private def knnKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "embeddings.parquet", s"knn:v1:k$KnnK")
+    SharedArtifacts.fingerprint(d, "embeddings.parquet",
+      s"knn:v2:k$KnnK:ivf$IvfSeedStep:np$KnnProbes")
 
   private[graft] def knnShared(s: SparkSession, d: String): DataFrame = {
     val base = SharedArtifacts.root.resolve(s"knn_${knnKey(d)}")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
-      knnGraph(s, d).write.mode("overwrite")
+      knnGraphAnn(s, d).write.mode("overwrite")
         .parquet(staging.resolve("graph").toString)
       SharedArtifacts.publish(staging, base)
     }
     SharedArtifacts.markUsed(base)
     s.read.parquet(base.resolve("graph").toString)
+  }
+
+  /** kNN-GRAPH RECALL GATE — edge agreement of the published ANN-
+    * composed graph against the definitional exact blocked top-k, the
+    * `sim_ann_recall` discipline applied to the graph artifact: the
+    * single-row report (possible edges, recovered edges, recall in
+    * basis points) is hash-checked, so a quantizer regression that
+    * degrades the graph the whole graph family consumes fails the
+    * BUILD, not a dashboard. Cost: two KnnK·n edge frames joined on
+    * the pair key — the exact side is the quadratic form, which is
+    * exactly why it lives only here (audit at sampled/small SF), not
+    * in the artifact build.
+    */
+  private val knnRecall: Q = (s, d) => {
+    val exact = knnGraphExact(s, d).select(col("vec_id"), col("nbr_id"))
+    val ann = knnShared(s, d)
+      .select(col("vec_id"), col("nbr_id"), lit(1L).as("hit"))
+    exact.join(ann, Seq("vec_id", "nbr_id"), "left")
+      .agg(count(lit(1)).as("n_possible"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_bp", expr("n_hits * 10000 div n_possible"))
   }
 
   /** Eagerly build (or adopt) the shared kNN graph — the bench's
@@ -1140,12 +1213,16 @@ object Similarity {
     knnShared(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
 
   /** The `sim_knn_graph` oracle text, for composition into downstream
-    * oracles (it is WITH-free, so it embeds as a subquery verbatim).
+    * oracles (DuckDB accepts a WITH inside a derived table, so the
+    * ANN composition embeds as `FROM (...)` like the WITH-free exact
+    * form did — the graph family's oracles follow the published
+    * artifact automatically).
     */
   private[operators] def knnOracleSql: String = oracles("sim_knn_graph")
 
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> ((s, d) => knnShared(s, d)),
+    "sim_knn_recall" -> knnRecall,
     "embed_outliers" -> outliers,
     "embed_covariance" -> covariance,
     "embed_pca_power" -> pcaPower,
@@ -1262,7 +1339,12 @@ object Similarity {
        |      ORDER BY adc_dist, neighbor_id) AS BIGINT) AS rank
        |  FROM adc) WHERE rank <= $K""".stripMargin
 
-  private val ivfCtes: String =
+  /** The trained-index prefix (seeds → one Lloyd step → centroids →
+    * home-cell lists) WITHOUT the query-side CTEs — shared verbatim by
+    * [[ivfCtes]] and the ANN-composed kNN-graph oracle, so both SQL
+    * surfaces derive the identical quantizer.
+    */
+  private val ivfIndexCtes: String =
     s"""e AS (
        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
        |),
@@ -1288,6 +1370,18 @@ object Similarity {
        |centroids AS (
        |  SELECT cid, list(m ORDER BY i) AS cv FROM cent GROUP BY cid
        |),
+       |lists AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(c.cv, c.cv)
+       |                 - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
+       |    FROM e CROSS JOIN centroids c)
+       |  WHERE rn = 1
+       |)""".stripMargin
+
+  private val ivfCtes: String =
+    s"""$ivfIndexCtes,
        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < $NQueries),
        |probes AS (
        |  SELECT q_id, cid FROM (
@@ -1297,15 +1391,6 @@ object Similarity {
        |                 - 2*list_inner_product(q.qv, c.cv), c.cid) AS pr
        |    FROM q CROSS JOIN centroids c)
        |  WHERE pr <= $NProbe
-       |),
-       |lists AS (
-       |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, c.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY list_inner_product(c.cv, c.cv)
-       |                 - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
-       |    FROM e CROSS JOIN centroids c)
-       |  WHERE rn = 1
        |)""".stripMargin
 
   private val ivfOracle: String =
@@ -1432,20 +1517,66 @@ object Similarity {
        |FROM v$PowerIters""".stripMargin
   }
 
+  /** The definitional exact blocked top-k in SQL — the `sim_knn_recall`
+    * reference side (formerly the `sim_knn_graph` oracle, retired from
+    * that slot when the published artifact became the ANN composition).
+    */
+  private val knnExactOracle: String =
+    s"""SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id,
+       |  round(sim, 4) AS sim
+       |FROM (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    list_cosine_similarity(a.embedding::DOUBLE[],
+       |                           b.embedding::DOUBLE[]) AS sim,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+       |                 b.embedding::DOUBLE[]) DESC, b.vec_id) AS rk
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |WHERE rk <= $KnnK""".stripMargin
+
+  /** [[knnGraphAnn]] in SQL — the shared [[ivfIndexCtes]] quantizer,
+    * a per-vector probe ranking (rn = 1 is the home cell, rn ≤
+    * [[KnnProbes]] the probe set), the same-label/probed-cell
+    * candidate join, and the identical exact-cosine top-[[KnnK]] cut.
+    */
+  private val knnAnnOracle: String =
+    s"""WITH $ivfIndexCtes,
+       |vpr AS (
+       |  SELECT vec_id, cid, rn FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY list_inner_product(c.cv, c.cv)
+       |                 - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
+       |    FROM e CROSS JOIN centroids c)
+       |  WHERE rn <= $KnnProbes)
+       |SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id,
+       |  round(sim, 4) AS sim
+       |FROM (
+       |  SELECT a.vec_id, b.vec_id AS nbr_id,
+       |    list_cosine_similarity(a.embedding::DOUBLE[],
+       |                           b.embedding::DOUBLE[]) AS sim,
+       |    row_number() OVER (PARTITION BY a.vec_id
+       |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
+       |                 b.embedding::DOUBLE[]) DESC, b.vec_id) AS rk
+       |  FROM vpr p JOIN vpr h ON h.cid = p.cid AND h.rn = 1
+       |    AND h.vec_id <> p.vec_id
+       |  JOIN embeddings a ON a.vec_id = p.vec_id
+       |  JOIN embeddings b ON b.vec_id = h.vec_id AND b.label = a.label)
+       |WHERE rk <= $KnnK""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "sim_knn_graph" ->
-      s"""SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id,
-         |  round(sim, 4) AS sim
-         |FROM (
-         |  SELECT a.vec_id, b.vec_id AS nbr_id,
-         |    list_cosine_similarity(a.embedding::DOUBLE[],
-         |                           b.embedding::DOUBLE[]) AS sim,
-         |    row_number() OVER (PARTITION BY a.vec_id
-         |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
-         |                 b.embedding::DOUBLE[]) DESC, b.vec_id) AS rk
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id <> b.vec_id)
-         |WHERE rk <= $KnnK""".stripMargin,
+    "sim_knn_graph" -> knnAnnOracle,
+    // edge agreement of the ANN composition against the exact blocked
+    // form — both sides the oracles' own text, joined on the pair key
+    "sim_knn_recall" ->
+      s"""SELECT count(*) AS n_possible,
+         |  CAST(count(a.nbr_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.nbr_id) * 10000 // count(*) AS BIGINT)
+         |    AS recall_bp
+         |FROM ($knnExactOracle) x
+         |LEFT JOIN (SELECT vec_id, nbr_id FROM ($knnAnnOracle)) a
+         |  ON a.vec_id = x.vec_id AND a.nbr_id = x.nbr_id""".stripMargin,
     // identical 1e3 quantization, HUGEINT (exact) sums, and the same
     // cross-multiplied integer z-score inequality — no float anywhere
     "embed_outliers" ->

@@ -73,8 +73,7 @@ object StreamingQueries {
     * SQL — the IVM correctness statement: fold-of-changes ≡ recompute.
     */
   private val streamIvmCounts: Q = (s, d) =>
-    ivmReplay(s, d,
-      run => Seq(new LiveCountsView(run.resolve("view").toString)))
+    ivmSharedViews(s, d)
       .head.read(s).select(col("world_bucket"), col("n_live"))
 
   /** The SECOND consumer of the same change feed — the proof
@@ -90,11 +89,31 @@ object StreamingQueries {
     * event) — fold-of-changes ≡ recompute, per key that moves.
     */
   private val streamIvmEvents: Q = (s, d) =>
-    ivmReplay(s, d, run => Seq(
-      new LiveCountsView(run.resolve("view").toString),
-      new LiveCountsView(run.resolve("view_ev").toString,
-        bucketExpr = "eventId", keyName = "event_id")))
+    ivmSharedViews(s, d)
       .last.read(s).select(col("event_id"), col("n_live"))
+
+  /** BOTH IVM views maintained by ONE replay — the two faces consume
+    * the same [[graft.streaming.AlertStateTable.changesBetween]] feed
+    * over the same 4-batch replay, so running the replay harness twice
+    * (checkpoint + state store + start/stop fixed costs, ~7 s each)
+    * bought nothing: the replay now runs once per (process, dataset
+    * version) with both folds registered, and each registry face reads
+    * its own maintained view from the shared run. The memo key is the
+    * events table's content fingerprint, so a changed source can never
+    * serve stale views; a fresh process always replays. Each face's
+    * hash is unchanged — only the harness bill is shared.
+    */
+  private val ivmRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[LiveCountsView]]()
+
+  private def ivmSharedViews(s: SparkSession, d: String)
+      : Seq[LiveCountsView] =
+    ivmRunCache.computeIfAbsent(
+      SharedArtifacts.fingerprint(d, "events.parquet", "ivmrun:v1:2views"),
+      _ => ivmReplay(s, d, run => Seq(
+        new LiveCountsView(run.resolve("view").toString),
+        new LiveCountsView(run.resolve("view_ev").toString,
+          bucketExpr = "eventId", keyName = "event_id"))))
 
   /** The shared IVM replay harness: 4-file staged events →
     * `maxFilesPerTrigger=1` AvailableNow replay → durable
@@ -810,6 +829,74 @@ object StreamingQueries {
       }
     }
     readIngestPairs(s, pairsDir)
+  }
+
+  /** MAINTAINED DEDUP INDEX — the IVM pattern applied to the dedup
+    * signature artifact itself: the batch LSH family rebuilds its
+    * signature table per dataset VERSION, but a 100 TB ingest pipeline
+    * doesn't re-sign the corpus when documents arrive — it APPENDS the
+    * newcomers' signatures to the maintained index. This face replays
+    * exactly that maintenance: the resident three doc_id-rank quartiles
+    * are signed once as the base index generation, the last quartile
+    * arrives as a 3-micro-batch file stream, and each batch appends its
+    * own signature generation (per-batch-id dir, so a replayed batch
+    * overwrites itself — idempotent, the foreachBatch exactly-once
+    * idiom). The emitted result is the LSH candidate-pair set derived
+    * from the MAINTAINED index through the identical banding
+    * ([[Dedup.bandPairs]]) — hash-checked against the from-scratch
+    * `dedup_minhash_lsh` oracle over all documents: append-of-arrivals
+    * ≡ rebuild, the same fold-of-changes ≡ recompute statement the
+    * `stream_ivm_*` faces make for the alert table, stated for the
+    * dedup index. (Signatures are per-doc and docs are immutable, so
+    * the correct fold is pure append — no preimage/postimage pairs
+    * arise.)
+    *
+    * Scale shape: per-batch cost is the batch's own shingle+minhash
+    * work (never the corpus), the split rank is the once-per-staging
+    * global row_number ([[stageIvmSource]]'s documented trade — a range
+    * partition by id at real scale), and the read side unions
+    * generation files exactly like the table manifests the lake layout
+    * maintains.
+    */
+  private val dedupIndexIvm: Q = (s, d) => {
+    val run = freshRunDir("graft_dix_")
+    val docs = T(s, d, "documents")
+    val ranked = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+      .drop("rn", "n")
+    val idx = run.resolve("index")
+    Dedup.minhashSig(
+        Dedup.shingleRows(ranked.filter(col("bucket") < 3).drop("bucket")))
+      .write.mode("overwrite").parquet(idx.resolve("base").toString)
+    val srcDir = run.resolve("src").toString
+    ranked.filter(col("bucket") === 3).drop("bucket")
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Dedup.minhashSig(Dedup.shingleRows(batch))
+            .write.mode("overwrite")
+            .parquet(idx.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    // list the generation dirs explicitly (a glob path would make the
+    // batch reader probe it for streaming-sink metadata and log a
+    // spurious FileNotFoundException before falling back)
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(idx).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    Dedup.bandPairs(s.read.parquet(gens: _*))
   }
 
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
@@ -1728,6 +1815,7 @@ object StreamingQueries {
     "stream_quantile" -> streamQuantile,
     "stream_late_drops" -> streamLateDrops,
     "stream_dedup_ingest" -> streamDedupIngest,
+    "dedup_index_ivm" -> dedupIndexIvm,
     "stream_sessionize" -> streamSessionize,
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_enrich" -> streamEnrich,
@@ -1839,6 +1927,9 @@ object StreamingQueries {
         |GROUP BY 1, 2""".stripMargin,
     // ingest-time dedup is confluent with the all-at-once LSH pair query
     "stream_dedup_ingest" -> Dedup.oracles("dedup_minhash_lsh"),
+    // append-of-arrivals ≡ rebuild: the maintained index's pair set is
+    // the from-scratch LSH oracle over ALL documents
+    "dedup_index_ivm" -> Dedup.oracles("dedup_minhash_lsh"),
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
     // the keyed trailing-baseline fold must agree with the batch

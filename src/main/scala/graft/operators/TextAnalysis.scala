@@ -57,9 +57,64 @@ object TextAnalysis {
       round(nNonSpace.cast("double") / nWords, 4).as("avg_word_len"))
   }
 
-  /** Language ID: argmax of per-language marker counts with fixed
-    * priority order on ties.
+  /** Classifier weights for [[qualityClassifier]] — small integers over
+    * basis-point ratio features, the distilled shape of a
+    * fasttext-style quality filter (CCNet/Gopher-rule lineage): natural
+    * stopword density up-weights, digit- and punctuation-heavy text
+    * down-weights, length contributes capped (so a 10⁶-word doc can't
+    * buy its way past a digit wall). Frozen literals on BOTH SQL
+    * surfaces — a trained model ships its weights the same way.
     */
+  private val QcBias = -2000L
+  private val QcWStop = 3L
+  private val QcWDigit = -4L
+  private val QcWPunct = -2L
+  private val QcWLen = 5L
+  private val QcLenCap = 400L
+  private val QcKeepBp = 5000L
+
+  /** TEXT-QUALITY LINEAR CLASSIFIER — the model-based curation face
+    * next to the rule-based `corpus_quality_gate`: per doc, exact
+    * integer basis-point features (stopword ratio, digit ratio,
+    * punctuation ratio, capped length), a frozen integer weight vector,
+    * and a HARD-SIGMOID calibration `p_bp = clamp(5000 + score/4,
+    * 0, 10⁴)` (the piecewise-linear sigmoid — exact in integers, where
+    * a float logistic would hash-diverge cross-engine in the last ulp).
+    * Emits `(doc_id, score_scaled, p_bp, kept)` — the classifier IS a
+    * hash gate: reweighting or a feature drift fails correctness, not
+    * a dashboard. The negative-score branch sign-splits the integer
+    * division (Spark truncating `div` ≡ DuckDB flooring `//` only on
+    * nonnegative numerators — the pqLloydStep rule).
+    *
+    * Scale shape: one scan, per-row expressions only (regexp counts +
+    * arithmetic), no shuffle at all — the cheapest possible 100 TB
+    * pass, exactly why production curation runs linear filters first.
+    */
+  private val qualityClassifier: Q = (s, d) => {
+    val ws = words(col("text"))
+    val feats = T(s, d, "documents").select(
+      col("doc_id"),
+      size(ws).cast("long").as("n_words"),
+      markerCount(ws, langMarkers.flatMap(_._2).distinct).as("n_stop"),
+      length(regexp_replace(col("text"), "\\s", ""))
+        .cast("long").as("n_nonspace"),
+      length(regexp_replace(col("text"), "[^0-9]", ""))
+        .cast("long").as("n_digits"),
+      length(regexp_replace(col("text"), "[a-zA-Z0-9\\s]", ""))
+        .cast("long").as("n_punct"))
+    feats
+      .withColumn("score_scaled", expr(
+        s"""$QcBias + $QcWStop * ((n_stop * 10000) div n_words)
+           | + ($QcWDigit) * ((n_digits * 10000) div greatest(n_nonspace, 1))
+           | + ($QcWPunct) * ((n_punct * 10000) div greatest(n_nonspace, 1))
+           | + $QcWLen * least(n_words, $QcLenCap)""".stripMargin))
+      .withColumn("p_bp", expr(
+        """least(greatest(5000 + (CASE WHEN score_scaled >= 0
+          |  THEN score_scaled div 4
+          |  ELSE -((-score_scaled) div 4) END), 0), 10000)""".stripMargin))
+      .select(col("doc_id"), col("score_scaled"), col("p_bp"),
+        when(col("p_bp") >= QcKeepBp, 1L).otherwise(0L).as("kept"))
+  }
   /** Argmax with fixed priority order on ties: a later language wins
     * only on a STRICTLY greater score than the running max of earlier
     * ones — shared by the langid query and the corpus-build gate.
@@ -672,6 +727,7 @@ object TextAnalysis {
     "text_token_count" -> tokenCount,
     "text_token_bpe" -> tokenBpe,
     "text_quality" -> quality,
+    "text_quality_classifier" -> qualityClassifier,
     "text_langid" -> langid,
     "text_stopword_removal" -> stopwordRemoval,
     "text_fingerprint" -> fingerprint,
@@ -920,6 +976,37 @@ object TextAnalysis {
          |  ${sqlMarkerCount(langMarkers.flatMap(_._2).distinct)} AS n_stopwords,
          |  length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
          |FROM documents)""".stripMargin,
+    // the identical frozen weights, basis-point integer features, and
+    // sign-split hard-sigmoid — `//` ≡ `div` on the nonnegative
+    // numerators both sides arrange
+    "text_quality_classifier" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |    ${sqlMarkerCount(langMarkers.flatMap(_._2).distinct)} AS n_stop,
+         |    length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace,
+         |    length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits,
+         |    length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g'))
+         |      AS n_punct
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, CAST($QcBias
+         |    + $QcWStop * ((n_stop * 10000) // n_words)
+         |    + ($QcWDigit) * ((n_digits * 10000) // greatest(n_nonspace, 1))
+         |    + ($QcWPunct) * ((n_punct * 10000) // greatest(n_nonspace, 1))
+         |    + $QcWLen * least(n_words, $QcLenCap) AS BIGINT)
+         |    AS score_scaled
+         |  FROM f),
+         |p AS (
+         |  SELECT doc_id, score_scaled,
+         |    least(greatest(5000 + (CASE WHEN score_scaled >= 0
+         |      THEN score_scaled // 4
+         |      ELSE -((-score_scaled) // 4) END), 0), 10000) AS p_bp
+         |  FROM sc)
+         |SELECT doc_id, score_scaled, CAST(p_bp AS BIGINT) AS p_bp,
+         |  CAST(CASE WHEN p_bp >= $QcKeepBp THEN 1 ELSE 0 END AS BIGINT)
+         |    AS kept
+         |FROM p""".stripMargin,
     "text_token_bpe" ->
       ("SELECT doc_id, len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS n_bpe_tokens, " +
         "len(list_filter(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'), " +

@@ -1010,8 +1010,35 @@ object TimeSeries {
         max(when(col("rn") === col("cnt"), col("c"))).as("v_last_cents"))
   }
 
-  /** CEP pattern window (seconds): view→purchase within this. */
-  private val CepWindow = 3600L
+  /** CEP pattern window (seconds): view→purchase within this.
+    * `private[graft]` so the streaming twin ([[graft.streaming.CepFold]])
+    * references THIS constant — the batch face, its oracle, and the
+    * fold must never desynchronize on the window.
+    */
+  private[graft] val CepWindow = 3600L
+
+  /** Packing base for the `(te, event_id)` → single-long total-order
+    * ordinal the CEP and rate-limit faces share with their streaming
+    * folds and the DuckDB oracle. Order-equivalence REQUIRES
+    * `event_id < OrdBase`: past it, ordinals from different seconds
+    * interleave and `ord div OrdBase` decodes the wrong second. All
+    * three implementations pack through this constant, and the batch
+    * face raises at runtime on violation ([[packedOrd]]) — at archive
+    * scale event_id WILL eventually cross any fixed base, and the hash
+    * gate can't see a divergence all three sides share.
+    */
+  private[graft] val OrdBase = 10000000L
+
+  /** The guarded packing: `te·OrdBase + event_id`, raising on an
+    * event_id outside the packable domain instead of silently
+    * corrupting the total order. Stays inside whole-stage codegen
+    * (when/raise_error are codegen'd scalar expressions).
+    */
+  private def packedOrd(te: Column, eventId: Column): Column =
+    when(eventId >= 0 && eventId < OrdBase, te * OrdBase + eventId)
+      .otherwise(raise_error(concat(
+        lit(s"packed ordinal overflow: event_id "), eventId,
+        lit(s" outside [0, $OrdBase)"))))
 
   /** COMPLEX-EVENT-PROCESSING PATTERN MATCH — `view → purchase within
     * 1 h with NO error in between`, the NEGATIVE-condition sequence
@@ -1043,7 +1070,7 @@ object TimeSeries {
       .select(col("user_id"), col("event_type"),
         unix_seconds(col("ts").cast("timestamp")).as("te"),
         col("event_id"))
-      .withColumn("ord", col("te") * 10000000L + col("event_id"))
+      .withColumn("ord", packedOrd(col("te"), col("event_id")))
       .withColumn("lv",
         last(when(col("event_type") === "view", col("ord")),
           ignoreNulls = true).over(w))
@@ -1053,7 +1080,7 @@ object TimeSeries {
       .filter(col("event_type") === "purchase")
       .withColumn("matched",
         when(col("lv").isNotNull
-          && col("te") - expr("lv div 10000000") <= CepWindow
+          && col("te") - expr(s"lv div $OrdBase") <= CepWindow
           && (col("le").isNull || col("le") < col("lv")), lit(1L))
           .otherwise(lit(0L)))
       .groupBy(expr("te div 86400 * 86400").as("day_epoch"))
@@ -1398,7 +1425,7 @@ object TimeSeries {
          |    CAST(floor(epoch(ts)) AS BIGINT) AS te
          |  FROM events),
          |o AS (
-         |  SELECT *, te * 10000000 + event_id AS ord FROM t),
+         |  SELECT *, te * $OrdBase + event_id AS ord FROM t),
          |c AS (
          |  SELECT user_id, event_type, te,
          |    last_value(CASE WHEN event_type = 'view' THEN ord END
@@ -1411,7 +1438,7 @@ object TimeSeries {
          |SELECT (te // 86400) * 86400 AS day_epoch,
          |  count(*) AS n_purchases,
          |  CAST(sum(CASE WHEN lv IS NOT NULL
-         |    AND te - lv // 10000000 <= $CepWindow
+         |    AND te - lv // $OrdBase <= $CepWindow
          |    AND (le IS NULL OR le < lv) THEN 1 ELSE 0 END) AS BIGINT)
          |    AS n_matched
          |FROM c WHERE event_type = 'purchase'

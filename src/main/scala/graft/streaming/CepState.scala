@@ -24,22 +24,40 @@ case class CepCarry(lastView: Long, lastError: Long)
   */
 object CepFold {
 
-  val WindowSec = 3600L
+  /** The batch face's window — referenced, not duplicated, so changing
+    * [[graft.operators.TimeSeries.CepWindow]] can never desynchronize
+    * this fold from the batch face and their shared oracle (the
+    * [[RateLimitFold]]/RlRefillSec discipline).
+    */
+  val WindowSec: Long = graft.operators.TimeSeries.CepWindow
+
+  /** Guarded `(te, event_id)` packing shared with the batch face: the
+    * batch side raises via its codegen'd guard; this side requires the
+    * same invariant so a too-large event_id fails loudly in BOTH
+    * implementations instead of silently corrupting one total order.
+    */
+  private[streaming] def packOrd(te: Long, eventId: Long): Long = {
+    val base = graft.operators.TimeSeries.OrdBase
+    require(eventId >= 0 && eventId < base,
+      s"packed ordinal overflow: event_id $eventId outside [0, $base)")
+    te * base + eventId
+  }
 
   def step(key: Long, state: CepCarry, rows: Seq[UserHourTyped])
       : (CepCarry, Seq[CepVerdict]) = {
+    val base = graft.operators.TimeSeries.OrdBase
     var lv = state.lastView
     var le = state.lastError
     val out = Seq.newBuilder[CepVerdict]
     rows.sortBy(_.hour_epoch).foreach { hr =>
       hr.evs.sortBy(e => (e.ts, e.event_id)).foreach { e =>
         val te = e.ts / 1000000L // micros → seconds
-        val ord = te * 10000000L + e.event_id
+        val ord = packOrd(te, e.event_id)
         e.event_type match {
           case "view" => lv = ord
           case "error" => le = ord
           case "purchase" =>
-            val m = lv != 0L && te - lv / 10000000L <= WindowSec &&
+            val m = lv != 0L && te - lv / base <= WindowSec &&
               (le == 0L || le < lv)
             out += CepVerdict(key, te, if (m) 1L else 0L)
           case _ => ()
@@ -107,7 +125,7 @@ object RateLimitFold {
         val allowed = before >= 1000L
         tok = if (allowed) before - 1000L else before
         pt = te
-        out += RlVerdict(key, te * 10000000L + e.event_id,
+        out += RlVerdict(key, CepFold.packOrd(te, e.event_id),
           if (allowed) 1L else 0L, tok)
       }
     }

@@ -96,7 +96,15 @@ object ScaleRung {
       // BFS over the kNN artifact and the per-doc gate lineage (window
       // on fingerprint + verified-pairs join); the events-table faces
       // stay out (the rung synthesizes documents + embeddings only)
-      "graph_closeness", "corpus_reject_reasons")
+      "graph_closeness", "corpus_reject_reasons",
+      // r12: the O(log n) claims under scale — SCC (FW-BW rounds) and
+      // star-contraction components ride every rung; the kNN recall
+      // report joins only up to 30× because its EXACT side is the
+      // quadratic blocked join (that cost is the point of the report —
+      // the rung prices the ANN-composed build against it once, at the
+      // rung where the quadratic is still payable)
+      "graph_scc") ++
+      (if (factor <= 30) Seq("sim_knn_recall") else Nil)
     println("\n| query | seconds | rows |")
     queries.foreach { name =>
       val (rows, sec) = timed(name) {

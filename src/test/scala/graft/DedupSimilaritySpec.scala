@@ -30,6 +30,46 @@ class DedupSimilaritySpec extends AnyFunSuite {
       base.map(_.getAs[Long]("k")).sum)
   }
 
+  test("ann knn graph: exhaustive probes reproduce the exact blocked " +
+      "build verbatim; recall gate is consistent on testdata") {
+    // literal dataset small enough that cell count <= probe width: the
+    // ANN composition's candidate set then covers every same-label
+    // pair, so it must equal the exact blocked build ROW FOR ROW (same
+    // ranks, same rounded sims) — the approximation must come only
+    // from unprobed cells, never from the rescoring or the cut
+    val dir = java.nio.file.Files.createTempDirectory("knnann").toString
+    val rnd = new scala.util.Random(7)
+    val vecs = (0L until 60L).map { i =>
+      val base = Array.fill(8)(rnd.nextFloat() - 0.5f)
+      (i, base.toSeq, (i % 3).toInt)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .select(col("vec_id"), col("embedding").cast("array<float>"),
+        col("label").cast("int").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val exact = Similarity.knnGraphExact(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val ann = Similarity.knnGraphAnn(spark, dir)
+      .collect().map(_.toSeq).toSet
+    assert(ann == exact,
+      s"ann/exact diverge with full probe coverage: " +
+        s"missing=${exact -- ann} extra=${ann -- exact}")
+    // on the real testdata the published artifact's recall report must
+    // restate its own definition: possible = exact edge count, hits =
+    // the pair intersection, recall_bp the integer ratio
+    val rep = SparkEntry.queries("sim_knn_recall")(spark, sf).collect()
+    assert(rep.length == 1)
+    val exEdges = Similarity.knnGraphExact(spark, sf)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val annEdges = SparkEntry.queries("sim_knn_graph")(spark, sf)
+      .select("vec_id", "nbr_id").as[(Long, Long)].collect().toSet
+    val r = rep.head
+    assert(r.getAs[Long]("n_possible") == exEdges.size.toLong)
+    assert(r.getAs[Long]("n_hits") == (exEdges & annEdges).size.toLong)
+    assert(r.getAs[Long]("recall_bp") ==
+      r.getAs[Long]("n_hits") * 10000L / r.getAs[Long]("n_possible"))
+  }
+
   test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {
     val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf)
       .collect().map(r => r.getAs[String]("config") -> r).toMap
@@ -657,10 +697,13 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val horizon = GraphOps.bfsOn(g).as[(Long, Long)].collect().toMap
     assert(horizon.forall { case (k, v) => full(k) == v },
       s"fixpoint disagrees inside the horizon: $full vs $horizon")
-    // maxRounds guard: capped at 2 rounds it must match the 2-hop set
-    val capped = GraphOps.bfsToFixpoint(g, maxRounds = 2)
-      .as[(Long, Long)].collect().toMap
-    assert(capped == horizon.filter(_._2 <= 2L), s"capped: $capped")
+    // maxRounds guard: tripping it with frontier work remaining must
+    // FAIL (partial distances are not minimal distances), matching the
+    // file's other fixpoint drivers — not silently return a 2-hop set
+    val ex = intercept[IllegalStateException] {
+      GraphOps.bfsToFixpoint(g, maxRounds = 2).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
   }
 
   test("scc: cycles condense, DAG nodes stay singletons, and the " +

@@ -61,4 +61,32 @@ class HybridRetrievalSpec extends AnyFunSuite {
     // the query doc itself never appears in the vector leg
     assert(out.forall(r => r.isNullAt(3) || r.getLong(0) != 0L))
   }
+
+  test("retrieval_ndcg_grouped: per-query rows cohere and the summary " +
+      "row restates them") {
+    val rows = HybridRetrieval.queries("retrieval_ndcg_grouped")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val perQ = rows.filterNot(_._1 == -1L)
+    assert(perQ.keySet == (0L until 10L).toSet, rows.keySet.toString)
+    perQ.values.foreach { r =>
+      val dcg = r.getAs[Long]("dcg_scaled")
+      val idcg = r.getAs[Long]("idcg_scaled")
+      val bp = r.getAs[Long]("ndcg_bp")
+      // idcg is the prefix-table lookup at min(k, n_rel)
+      val nRel = r.getAs[Long]("n_rel")
+      assert(idcg ==
+        HybridRetrieval.ndcgPrefix(math.min(10L, nRel).toInt), r.toString)
+      // ndcg is a true ratio: dcg can never exceed ideal, bp in range
+      assert(dcg >= 0L && dcg <= idcg, r.toString)
+      assert(bp == (if (idcg > 0) dcg * 10000L / idcg else 0L), r.toString)
+    }
+    val sum = rows(-1L)
+    assert(sum.getAs[Long]("dcg_scaled") ==
+      perQ.values.map(_.getAs[Long]("dcg_scaled")).sum)
+    assert(sum.getAs[Long]("n_rel") ==
+      perQ.values.map(_.getAs[Long]("n_rel")).sum)
+    // the macro mean is the integer mean of the per-query basis points
+    assert(sum.getAs[Long]("ndcg_bp") ==
+      perQ.values.map(_.getAs[Long]("ndcg_bp")).sum / perQ.size)
+  }
 }

@@ -74,6 +74,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "hybrid_ndcg" -> ("inherits hybrid_rrf's single-row crossJoins and" +
       " adds its own broadcast ONE-ROW query-label and relevant-total" +
       " scalars - every build side bounded at one row forever"),
+    "retrieval_ndcg_grouped" -> ("crossJoin against the BROADCAST 10-row" +
+      " query set (the sim_topk pattern) - one corpus scan ranks every" +
+      " query simultaneously; the eval folds are equi-grouped"),
     // embed_kmeans_mix / dedup_semantic's Lloyd-round centroid
     // crossJoins moved into the shared k-means assignment-artifact
     // BUILD; the registry queries are now plain artifact reads with

@@ -80,4 +80,35 @@ class TextEntropySpec extends AnyFunSuite {
     assert(got(2L) == ((0L, 0L, 0L, 0L)), s"single word: ${got(2L)}")
     assert(got(3L) == ((4L, 3L, 1L, 2L)), s"mixed: ${got(3L)}")
   }
+
+  test("quality classifier: stopword-rich prose outranks digit/punct " +
+      "spam; hard-sigmoid and decision cohere") {
+    val dir = java.nio.file.Files.createTempDirectory("qc_docs").toString
+    Seq(
+      (0L, "the cat and the dog of the house is a friend of the family " +
+        "and the story of the day is a good one"),
+      (1L, "4532 8721 9943 1205 7768 3341 0092 5567 8810 2234 6679 1123"),
+      (2L, "!!! ### $$$ %%% &&& *** ((( ))) @@@ ^^^ ~~~ ||| ??? ;;;"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.operators.TextAnalysis
+      .queries("text_quality_classifier")(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val (proseS, proseP, proseKept) = got(0L)
+    val (digitS, _, digitKept) = got(1L)
+    val (punctS, _, punctKept) = got(2L)
+    assert(proseS > digitS && proseS > punctS,
+      s"prose must outscore spam: $got")
+    assert(proseKept == 1L && digitKept == 0L && punctKept == 0L, got.toString)
+    // the calibration is the exact hard sigmoid and the decision its
+    // threshold — restated independently of the SQL expression
+    got.values.foreach { case (s0, p, kept) =>
+      val drift = if (s0 >= 0) s0 / 4 else -((-s0) / 4)
+      assert(p == math.min(math.max(5000L + drift, 0L), 10000L))
+      assert(kept == (if (p >= 5000L) 1L else 0L))
+      assert(p >= 0L && p <= 10000L)
+    }
+    assert(proseP > 5000L)
+  }
 }
