@@ -59,7 +59,9 @@ object Bench {
       timedBuild("bkt_shared_build")(
         graft.operators.BucketedJoin.ensureBucketedFacts(spark, sfDir)),
       timedBuild("msf_shared_build")(
-        graft.operators.GraphOps.ensureMsfArtifact(spark, sfDir)))
+        graft.operators.GraphOps.ensureMsfArtifact(spark, sfDir)),
+      timedBuild("ivm_shared_replay")(
+        graft.operators.StreamingQueries.ensureIvmViews(spark, sfDir)))
     // SPARK_GRAFT_ONLY=q1,q2 narrows the run for local A/B iteration
     // under the exact driver harness (unset on the driver: full registry)
     val only = sys.env.get("SPARK_GRAFT_ONLY")

@@ -231,10 +231,171 @@ object HybridRetrieval {
     perQ.unionByName(summary)
   }
 
+  /** The vector leg's per-query candidate ranking over the standing
+    * query set — shared by [[ndcgGrouped]] (which grades it raw) and
+    * [[hybridNdcgGrouped]] (which fuses it with the lexical leg).
+    * `(q_id, doc_id, vec_rank ≤ [[ListDepth]])`, self excluded.
+    */
+  private def vecRankedGrouped(s: SparkSession, d: String): DataFrame = {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val q = e.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sim",
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 4))
+      .withColumn("vec_rank", row_number().over(byQ).cast("long"))
+      .filter(col("vec_rank") <= ListDepth)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("vec_rank"))
+  }
+
+  /** GROUPED HYBRID EVAL — the full two-tower pipeline per query: each
+    * standing query document retrieves with its OWN BM25 term set
+    * ([[TextAnalysis.bm25GroupedScored]] — the inverted-index leg) AND
+    * its own embedding (the vector leg), the two rank lists fuse by
+    * RRF per query, and the fused ranking grades as nDCG@[[GroupK]]
+    * with the macro summary row — [[hybridNdcg]] generalized from one
+    * broadcast query to the query set, which is what an actual ranker
+    * rollout gates on (per-query detail catches the query the fusion
+    * hurt; the macro mean is the headline). Output shape and integer
+    * discipline are [[ndcgGrouped]]'s exactly, so the two reports
+    * read side by side: fused-vs-vector-only is one diff.
+    *
+    * Scale shape: both legs are per-query TOP-[[ListDepth]] lists
+    * (window-pruned), fusion is a (q_id, doc_id) full-outer equi-join
+    * on ≤ 2·ListDepth rows per query, and grading joins labels by one
+    * broadcast — nothing after the legs touches the corpus.
+    */
+  /** The lexical leg's per-query ranking — shared by
+    * [[hybridNdcgGrouped]] and the damping sweep.
+    */
+  private def lexRankedGrouped(s: SparkSession, d: String): DataFrame = {
+    val lexW = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id"))
+    TextAnalysis.bm25GroupedScored(s, d)
+      .withColumn("lex_rank", row_number().over(lexW).cast("long"))
+      .filter(col("lex_rank") <= ListDepth)
+      .select(col("q_id"), col("doc_id"), col("lex_rank"))
+  }
+
+  private val hybridNdcgGrouped: Q = (s, d) => {
+    val lex = lexRankedGrouped(s, d)
+    val vec = vecRankedGrouped(s, d)
+    val fusedW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val fused = lex.join(vec, Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("pos", row_number().over(fusedW).cast("long"))
+      .filter(col("pos") <= TopK)
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val graded = fused
+      .join(lbl, fused("doc_id") === lbl("vec_id"), "left")
+      .join(q, Seq("q_id"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+    // per-query relevant totals come from the corpus, not the fused list
+    val nRel = lbl.crossJoin(broadcast(q.withColumnRenamed("q_id", "qq")))
+      .filter(col("vec_id") =!= col("qq"))
+      .groupBy(col("qq").as("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_rel"))
+    val perQ = graded.groupBy(col("q_id"))
+      .agg(coalesce(sum(when(col("pos") <= GroupK && col("rel") === 1L,
+        element_at(typedLit(ndcgWeights), col("pos").cast("int")))),
+        lit(0L)).as("dcg_scaled"))
+      .join(nRel, Seq("q_id"))
+      .withColumn("idcg_scaled",
+        element_at(typedLit(ndcgPrefix),
+          least(lit(GroupK), col("n_rel")).cast("int") + 1))
+      .withColumn("ndcg_bp", expr(
+        "CASE WHEN idcg_scaled > 0 THEN dcg_scaled * 10000 div idcg_scaled" +
+          " ELSE 0 END"))
+      .select(col("q_id"), col("dcg_scaled"), col("idcg_scaled"),
+        col("n_rel"), col("ndcg_bp"))
+    val summary = perQ.agg(
+      lit(-1L).as("q_id"),
+      sum(col("dcg_scaled")).as("dcg_scaled"),
+      sum(col("idcg_scaled")).as("idcg_scaled"),
+      sum(col("n_rel")).as("n_rel"),
+      expr("sum(ndcg_bp) div count(1)").as("ndcg_bp"))
+    perQ.unionByName(summary)
+  }
+
+  /** Damping constants swept by [[rrfSweep]] — k = 60 is the
+    * conventional default ([[RrfK]]), so that row must equal the
+    * grouped face's macro summary (cross-checked in spec).
+    */
+  private val RrfSweepKs = Seq(10L, 30L, 60L, 120L)
+
+  /** THE RRF-DAMPING TUNING CURVE — the fifth tuning-curve gate (after
+    * nprobe, LSH banding, BPE merges, session gaps): macro nDCG@
+    * [[GroupK]] of the fused grouped ranking at damping k ∈
+    * {10, 30, 60, 120}. Small k lets a single #1 rank dominate the
+    * fusion; large k flattens both legs toward equal votes — the exact
+    * trade a fusion rollout tunes, now a hash-checked curve instead of
+    * a notebook. Both legs are computed ONCE and the damping fans out
+    * by explode on the joined lists (the `sim_ann_tradeoff` move), so
+    * the sweep costs one fusion pass, not four pipelines. The k = 60
+    * row must restate `hybrid_ndcg_grouped`'s macro summary
+    * (spec-pinned cross-check).
+    */
+  private val rrfSweep: Q = (s, d) => {
+    val legs = lexRankedGrouped(s, d)
+      .join(vecRankedGrouped(s, d), Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf_k", explode(array(RrfSweepKs.map(lit(_)): _*)))
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (col("rrf_k") + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (col("rrf_k") + col("vec_rank")), lit(0.0)),
+        6))
+    val byKQ = Window.partitionBy(col("rrf_k"), col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val topped = legs
+      .withColumn("pos", row_number().over(byKQ).cast("long"))
+      .filter(col("pos") <= GroupK)
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val nRel = lbl.crossJoin(broadcast(q.withColumnRenamed("q_id", "qq")))
+      .filter(col("vec_id") =!= col("qq"))
+      .groupBy(col("qq").as("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_rel"))
+    val perQ = topped
+      .join(lbl, topped("doc_id") === lbl("vec_id"), "left")
+      .join(q, Seq("q_id"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+      .groupBy(col("rrf_k"), col("q_id"))
+      .agg(coalesce(sum(when(col("rel") === 1L,
+        element_at(typedLit(ndcgWeights), col("pos").cast("int")))),
+        lit(0L)).as("dcg_scaled"))
+      .join(nRel, Seq("q_id"))
+      .withColumn("idcg_scaled",
+        element_at(typedLit(ndcgPrefix),
+          least(lit(GroupK), col("n_rel")).cast("int") + 1))
+      .withColumn("ndcg_bp", expr(
+        "CASE WHEN idcg_scaled > 0 THEN dcg_scaled * 10000 div idcg_scaled" +
+          " ELSE 0 END"))
+    perQ.groupBy(col("rrf_k"))
+      .agg(sum(col("dcg_scaled")).as("sum_dcg_scaled"),
+        expr("sum(ndcg_bp) div count(1)").as("macro_ndcg_bp"))
+  }
+
   val queries: Map[String, Q] = Map(
     "hybrid_rrf" -> hybrid,
     "hybrid_ndcg" -> hybridNdcg,
     "retrieval_ndcg_grouped" -> ndcgGrouped,
+    "hybrid_ndcg_grouped" -> hybridNdcgGrouped,
+    "hybrid_rrf_sweep" -> rrfSweep,
   )
 
   /** The same two legs and fusion in DuckDB SQL: the BM25 CTEs are the
@@ -351,9 +512,206 @@ object HybridRetrieval {
        |FROM rated""".stripMargin
   }
 
+  /** The grouped hybrid eval in SQL: the inverted-index BM25 CTEs
+    * (the `text_bm25_grouped` derivation verbatim), the per-query
+    * cosine leg, RRF fusion, and the grading tail of
+    * [[ndcgGroupedOracle]] — same literal tables, same summary row.
+    */
+  private val hybridNdcgGroupedOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |sc AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs) //
+       |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+       |      AS BIGINT) AS bm25_scaled
+       |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |  JOIN df f ON f.term = q.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id, lex_rank FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS lex_rank
+       |    FROM sc) WHERE lex_rank <= $ListDepth),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                     e.embedding::DOUBLE[]), 4)
+       |          DESC, e.vec_id) AS BIGINT) AS vec_rank
+       |    FROM embeddings q JOIN embeddings e
+       |      ON q.vec_id < $GroupQueries AND e.vec_id <> q.vec_id)
+       |  WHERE vec_rank <= $ListDepth),
+       |fused AS (
+       |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    round(coalesce(1.0::DOUBLE / ($RrfK + l.lex_rank), 0.0)
+       |        + coalesce(1.0::DOUBLE / ($RrfK + v.vec_rank), 0.0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id),
+       |topped AS (
+       |  SELECT q_id, doc_id, pos FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf DESC, doc_id) AS BIGINT) AS pos
+       |    FROM fused) WHERE pos <= $TopK),
+       |ql AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |       WHERE vec_id < $GroupQueries),
+       |graded AS (
+       |  SELECT t.q_id, t.pos,
+       |    CASE WHEN e.label = ql.q_label THEN 1 ELSE 0 END AS rel
+       |  FROM topped t JOIN ql ON ql.q_id = t.q_id
+       |  LEFT JOIN embeddings e ON e.vec_id = t.doc_id),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |nrel AS (
+       |  SELECT ql.q_id,
+       |    CAST(count(CASE WHEN e.label = ql.q_label THEN 1 END) AS BIGINT)
+       |      AS n_rel
+       |  FROM ql JOIN embeddings e ON e.vec_id <> ql.q_id
+       |  GROUP BY 1),
+       |perq AS (
+       |  SELECT g.q_id,
+       |    CAST(coalesce(sum(CASE WHEN g.pos <= $GroupK AND g.rel = 1
+       |      THEN w.w END), 0) AS BIGINT) AS dcg_scaled
+       |  FROM graded g LEFT JOIN wts w ON w.pos = g.pos
+       |  GROUP BY 1),
+       |scored2 AS (
+       |  SELECT p.q_id, p.dcg_scaled,
+       |    CAST((SELECT s FROM pre
+       |          WHERE j = least($GroupK, n.n_rel)) AS BIGINT)
+       |      AS idcg_scaled,
+       |    n.n_rel
+       |  FROM perq p JOIN nrel n ON n.q_id = p.q_id),
+       |rated AS (
+       |  SELECT q_id, dcg_scaled, idcg_scaled, n_rel,
+       |    CAST(CASE WHEN idcg_scaled > 0
+       |      THEN dcg_scaled * 10000 // idcg_scaled ELSE 0 END AS BIGINT)
+       |      AS ndcg_bp
+       |  FROM scored2)
+       |SELECT * FROM rated
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT), CAST(sum(dcg_scaled) AS BIGINT),
+       |  CAST(sum(idcg_scaled) AS BIGINT), CAST(sum(n_rel) AS BIGINT),
+       |  CAST(sum(ndcg_bp) // count(*) AS BIGINT)
+       |FROM rated""".stripMargin
+  }
+
+  /** The damping sweep in SQL — the grouped-hybrid CTEs with the
+    * damping constants fanned out by a VALUES join before fusion.
+    */
+  private val rrfSweepOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    val ks = RrfSweepKs.map(k => s"($k)").mkString(", ")
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |sc AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs) //
+       |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+       |      AS BIGINT) AS bm25_scaled
+       |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |  JOIN df f ON f.term = q.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id, lex_rank FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS lex_rank
+       |    FROM sc) WHERE lex_rank <= $ListDepth),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                     e.embedding::DOUBLE[]), 4)
+       |          DESC, e.vec_id) AS BIGINT) AS vec_rank
+       |    FROM embeddings q JOIN embeddings e
+       |      ON q.vec_id < $GroupQueries AND e.vec_id <> q.vec_id)
+       |  WHERE vec_rank <= $ListDepth),
+       |ks(rrf_k) AS (VALUES $ks),
+       |fused AS (
+       |  SELECT ks.rrf_k, coalesce(l.q_id, v.q_id) AS q_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    round(coalesce(1.0::DOUBLE / (ks.rrf_k + l.lex_rank), 0.0)
+       |        + coalesce(1.0::DOUBLE / (ks.rrf_k + v.vec_rank), 0.0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id
+       |  CROSS JOIN ks),
+       |topped AS (
+       |  SELECT rrf_k, q_id, doc_id, pos FROM (
+       |    SELECT rrf_k, q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY rrf_k, q_id
+       |        ORDER BY rrf DESC, doc_id) AS BIGINT) AS pos
+       |    FROM fused) WHERE pos <= $GroupK),
+       |ql AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |       WHERE vec_id < $GroupQueries),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |nrel AS (
+       |  SELECT ql.q_id,
+       |    CAST(count(CASE WHEN e.label = ql.q_label THEN 1 END) AS BIGINT)
+       |      AS n_rel
+       |  FROM ql JOIN embeddings e ON e.vec_id <> ql.q_id
+       |  GROUP BY 1),
+       |perq AS (
+       |  SELECT t.rrf_k, t.q_id,
+       |    CAST(coalesce(sum(CASE WHEN e.label = ql.q_label
+       |      THEN w.w END), 0) AS BIGINT) AS dcg_scaled
+       |  FROM topped t JOIN ql ON ql.q_id = t.q_id
+       |  LEFT JOIN embeddings e ON e.vec_id = t.doc_id
+       |  LEFT JOIN wts w ON w.pos = t.pos
+       |  GROUP BY 1, 2),
+       |rated AS (
+       |  SELECT p.rrf_k, p.q_id, p.dcg_scaled,
+       |    CAST((SELECT s FROM pre
+       |          WHERE j = least($GroupK, n.n_rel)) AS BIGINT)
+       |      AS idcg_scaled
+       |  FROM perq p JOIN nrel n ON n.q_id = p.q_id)
+       |SELECT CAST(rrf_k AS BIGINT) AS rrf_k,
+       |  CAST(sum(dcg_scaled) AS BIGINT) AS sum_dcg_scaled,
+       |  CAST(sum(CASE WHEN idcg_scaled > 0
+       |    THEN dcg_scaled * 10000 // idcg_scaled ELSE 0 END)
+       |    // count(*) AS BIGINT) AS macro_ndcg_bp
+       |FROM rated GROUP BY 1""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
     "hybrid_ndcg" -> ndcgOracle,
     "retrieval_ndcg_grouped" -> ndcgGroupedOracle,
+    "hybrid_ndcg_grouped" -> hybridNdcgGroupedOracle,
+    "hybrid_rrf_sweep" -> rrfSweepOracle,
   )
 }

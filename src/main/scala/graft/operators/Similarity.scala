@@ -182,6 +182,17 @@ object Similarity {
   }
 
   private val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
+
+  /** Centroid-count cap: the quantizer takes the FIRST [[IvfCentroidCap]]
+    * stride seeds, so C = min(n/[[IvfSeedStep]], cap) — without it C
+    * grows with the corpus and every n×C assignment/probe pass is
+    * quadratic/31 (the 100× rung's real cost); production IVF pins C
+    * (FAISS nlist) for exactly this reason. Both gate SFs sit far
+    * under the cap (C = 17 and 65), so capping changes nothing the
+    * oracle checks — it bounds what a bigger corpus pays.
+    */
+  private val IvfCentroidCap = 2048L
+
   private val NProbe = 4
 
   /** ANN via IVF-flat: a coarse quantizer partitions the corpus into
@@ -237,24 +248,17 @@ object Similarity {
     */
   private def ivfKey(d: String): String =
     SharedArtifacts.fingerprint(d, "embeddings.parquet",
-      s"ivf:v1:seed$IvfSeedStep")
+      s"ivf:v2:seed$IvfSeedStep:cap$IvfCentroidCap")
 
   private def ivfArtifacts(s: SparkSession, d: String,
       e: DataFrame): (DataFrame, DataFrame) = {
     val base = SharedArtifacts.root.resolve(s"ivf_${ivfKey(d)}")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
-      val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
-        .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
-          col("v").as("cv"))
-      val assign0 = nearestCentroid(e, seeds).join(e, Seq("vec_id"))
-      // one Lloyd step: new centroid = mean of its assigned vectors
-      assign0
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
-        .groupBy(col("cid"))
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+      // stride-capped seeds + one Lloyd step ([[ivfTrainOn]]); the
+      // inverted lists re-derive from the WRITTEN centroids, so index
+      // and quantizer can never drift
+      ivfTrainOn(e)
         .write.mode("overwrite").parquet(staging.resolve("centroids").toString)
       nearestCentroid(e,
         s.read.parquet(staging.resolve("centroids").toString))
@@ -266,6 +270,33 @@ object Similarity {
     (s.read.parquet(base.resolve("centroids").toString),
       s.read.parquet(base.resolve("lists").toString))
   }
+
+  /** Train the IVF quantizer on an arbitrary `(vec_id, v)` frame —
+    * stride-capped seeds + one Lloyd step, the exact construction
+    * [[ivfArtifacts]] inlines — exposed `private[graft]` so the
+    * maintained-index replay face (`sim_index_ivm`) trains on the
+    * RESIDENT corpus and freezes the result for streamed arrivals.
+    */
+  private[graft] def ivfTrainOn(e: DataFrame): DataFrame = {
+    val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0 &&
+        col("vec_id") < IvfSeedStep.toLong * IvfCentroidCap)
+      .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
+        col("v").as("cv"))
+    val assign0 = nearestCentroid(e, seeds).join(e, Seq("vec_id"))
+    assign0
+      .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("cid"), col("dim")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cid"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("dm"))
+      .select(col("cid"), expr("transform(dm, p -> p.m)").as("cv"))
+  }
+
+  /** Assign `(vec_id, v)` rows to their nearest centroid — the
+    * [[nearestCentroid]] argmin, exposed for the maintained-index
+    * replay's per-batch assignment against the frozen quantizer.
+    */
+  private[graft] def assignCells(e: DataFrame, cents: DataFrame): DataFrame =
+    nearestCentroid(e, cents)
 
   /** Eagerly train (or adopt) the shared IVF index for `d`, returning
     * true if this call did the training — the bench's visibility hook,
@@ -461,15 +492,29 @@ object Similarity {
       expr(s"i % $PqSubDim").cast("long").as("j"),
       round(col("e").cast("double") * lit(1000d)).cast("long").as("x"))
 
+  /** Lloyd training-sample cap: codebooks train on the first
+    * [[PqTrainCap]] vectors only — the FAISS discipline (k-means on a
+    * bounded sample, encode the corpus with the frozen result), which
+    * makes training cost CORPUS-INDEPENDENT: without the cap the 30×
+    * rung measured 374 s of build, almost all of it K = 256 Lloyd
+    * passes over every vector. Both gate SFs hold ≤ [[PqTrainCap]]
+    * vectors, so the cap changes nothing the oracle checks — it only
+    * bounds what a bigger corpus pays. (The deterministic id-prefix
+    * rule keeps the sample a pure SQL function of the table.)
+    */
+  private val PqTrainCap = 2000L
+
   /** Train the per-subspace codebooks: stride seeds, then [[PqIters]]
-    * integer Lloyd rounds ([[pqLloydStep]]).
+    * integer Lloyd rounds ([[pqLloydStep]]) over the capped training
+    * sample.
     */
   private def pqTrain(el: DataFrame, seedStep: Int): DataFrame = {
-    val cb0 = el.filter(col("vec_id") % seedStep === 0 &&
+    val train = el.filter(col("vec_id") < PqTrainCap)
+    val cb0 = train.filter(col("vec_id") % seedStep === 0 &&
         col("vec_id") < PqK.toLong * seedStep)
       .select((col("vec_id") / seedStep).cast("long").as("k"),
         col("m"), col("j"), col("x").as("cx"))
-    (1 to PqIters).foldLeft(cb0)((c, _) => pqLloydStep(el, c))
+    (1 to PqIters).foldLeft(cb0)((c, _) => pqLloydStep(train, c))
   }
 
   /** The PQ model pieces given a trained codebook: per-vector codes
@@ -509,7 +554,7 @@ object Similarity {
   private def pqArtifactBase(d: String): java.nio.file.Path =
     SharedArtifacts.root.resolve("pqcb_" +
       SharedArtifacts.fingerprint(d, "embeddings.parquet",
-        s"pqcb:v2:K$PqK:step$PqSeedStep:it$PqIters:m$PqSubspaces:j$PqSubDim"))
+        s"pqcb:v3:K$PqK:step$PqSeedStep:it$PqIters:tc$PqTrainCap:m$PqSubspaces:j$PqSubDim"))
 
   private def pqArtifacts(s: SparkSession, d: String): Unit = {
     val base = pqArtifactBase(d)
@@ -696,7 +741,10 @@ object Similarity {
     * SemDeDup-style [[semanticDedup]].
     */
   private def kmeansAssign(e: DataFrame): DataFrame = {
-    val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0)
+    // same centroid-count cap as the IVF quantizer (production pins k;
+    // both gate SFs sit far under it, so nothing hash-checked moves)
+    val seeds = e.filter(pmod(col("vec_id"), lit(IvfSeedStep)) === 0 &&
+        col("vec_id") < IvfSeedStep.toLong * IvfCentroidCap)
       .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
         col("v").as("cv"))
     val cents = (1 to KmIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
@@ -713,7 +761,7 @@ object Similarity {
     */
   private def kmAssignTable(s: SparkSession, d: String): DataFrame = {
     val key = SharedArtifacts.fingerprint(d, "embeddings.parquet",
-      s"km:v1:seed$IvfSeedStep:it$KmIters")
+      s"km:v2:seed$IvfSeedStep:cap$IvfCentroidCap:it$KmIters")
     val base = SharedArtifacts.root.resolve(s"km_$key")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
@@ -732,7 +780,7 @@ object Similarity {
     */
   def ensureKmeansArtifact(s: SparkSession, d: String): Boolean = {
     val key = SharedArtifacts.fingerprint(d, "embeddings.parquet",
-      s"km:v1:seed$IvfSeedStep:it$KmIters")
+      s"km:v2:seed$IvfSeedStep:cap$IvfCentroidCap:it$KmIters")
     val existed = SharedArtifacts.isReady(
       SharedArtifacts.root.resolve(s"km_$key"))
     kmAssignTable(s, d)
@@ -1120,18 +1168,40 @@ object Similarity {
     * identically everywhere.
     */
   private[graft] def knnGraphAnn(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
     val (centroids, _) =
       ivfArtifacts(s, d, e.select(col("vec_id"), col("v"), col("nrm")))
-    val ranked = e.crossJoin(broadcast(centroids))
-      .withColumn("d2",
-        dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
-      .withColumn("pr", row_number().over(
-        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
-      .filter(col("pr") <= KnnProbes)
+    // Per-vector probe set as a map-side-combinable typed top-k (the
+    // sim_topk_agg machinery) on NEGATED d2 — Ordering.by((-score, id))
+    // over negd2 is exactly (d2 asc, cid asc), the argmin tie-break
+    // used registry-wide. Versus the previous row_number window this
+    // cuts the exchange from n×C ranked rows to n×[[KnnProbes]]:
+    // the broadcast crossJoin keeps all C cells of a vector in one
+    // partition, so the partial aggregate reduces each vector to its
+    // probe list BEFORE any shuffle (the window variant sorted the
+    // full n×C product through an exchange).
+    val scored = e.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .select(col("vec_id"),
+        (lit(0d) - (dot(col("cv"), col("cv"))
+          - lit(2) * dot(col("v"), col("cv")))).as("negd2"),
+        col("cid").cast("long").as("cid"))
+      .as[(Long, Double, Long)]
+    val topk = new graft.functions.TopKAggregator(KnnProbes).toColumn
+    val probes = scored.groupByKey(_._1)
+      .mapValues { case (_, nd, cid) => (nd, cid) }
+      .agg(topk.name("pk"))
+      .flatMap { case (vid, items) =>
+        items.zipWithIndex.map { case ((_, cid), i) =>
+          (vid, cid, (i + 1).toLong)
+        }
+      }
+      .toDF("vec_id", "cid", "pr")
+    val ranked = probes.join(e, Seq("vec_id"))
       .select(col("cid"), col("pr"), col("label"), col("vec_id"),
         col("v"), col("nrm"))
     val nbr = ranked.filter(col("pr") === 1)
@@ -1271,7 +1341,7 @@ object Similarity {
     s"""pd$i AS (
        |  SELECT el.vec_id, el.m, cb${i - 1}.k,
        |    sum((el.x - cb${i - 1}.cx) * (el.x - cb${i - 1}.cx)) AS d2
-       |  FROM el JOIN cb${i - 1}
+       |  FROM el_train el JOIN cb${i - 1}
        |    ON cb${i - 1}.m = el.m AND cb${i - 1}.j = el.j
        |  GROUP BY 1, 2, 3),
        |pa$i AS (
@@ -1282,7 +1352,7 @@ object Similarity {
        |    FROM pd$i) WHERE rn = 1),
        |ps$i AS (
        |  SELECT el.m, a.k, el.j, sum(el.x) AS s, count(*) AS n
-       |  FROM pa$i a JOIN el ON el.vec_id = a.vec_id AND el.m = a.m
+       |  FROM pa$i a JOIN el_train el ON el.vec_id = a.vec_id AND el.m = a.m
        |  GROUP BY 1, 2, 3),
        |cb$i AS (
        |  SELECT c.k, c.m, c.j,
@@ -1300,10 +1370,11 @@ object Similarity {
        |               * 1000) AS BIGINT) AS x
        |  FROM embeddings,
        |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+       |el_train AS (SELECT * FROM el WHERE vec_id < $PqTrainCap),
        |cb0 AS (
        |  SELECT CAST(vec_id // $PqSeedStep AS BIGINT) AS k, m, j,
        |    x AS cx
-       |  FROM el
+       |  FROM el_train
        |  WHERE vec_id % $PqSeedStep = 0
        |    AND vec_id < ${PqK.toLong * PqSeedStep}),
        |${(1 to PqIters).map(pqLloydCte).mkString(",\n")},
@@ -1351,6 +1422,7 @@ object Similarity {
        |seeds AS (
        |  SELECT CAST(vec_id // $IvfSeedStep AS INT) AS cid, v AS cv
        |  FROM e WHERE vec_id % $IvfSeedStep = 0
+       |    AND vec_id < ${IvfSeedStep.toLong * IvfCentroidCap}
        |),
        |assign0 AS (
        |  SELECT vec_id, cid FROM (
@@ -1449,6 +1521,7 @@ object Similarity {
        |seeds AS (
        |  SELECT CAST(vec_id // $IvfSeedStep AS INT) AS cid, v AS cv
        |  FROM e WHERE vec_id % $IvfSeedStep = 0
+       |    AND vec_id < ${IvfSeedStep.toLong * IvfCentroidCap}
        |),
        |$rounds,
        |af AS (${assignSql(s"c$KmIters")})""".stripMargin
@@ -1565,6 +1638,49 @@ object Similarity {
        |  JOIN embeddings b ON b.vec_id = h.vec_id AND b.label = a.label)
        |WHERE rk <= $KnnK""".stripMargin
 
+  /** One hyperplane as a DuckDB DOUBLE-list literal — Scala's
+    * `Double.toString` prints the shortest decimal that round-trips to
+    * the identical IEEE bits, so the SQL side projects onto the SAME
+    * planes the native expression ships to executors.
+    */
+  private def planeListSql(t: Int, p: Int): String =
+    (0 until Dims).map(d => planeTensor(t)(p)(d).toString)
+      .mkString("[", ", ", "]")
+
+  /** Table t's sign-bucket id in SQL: Σ_p [v·plane_tp ≥ 0]·2^p — the
+    * [[graft.functions.SignLshBuckets]] bit pattern verbatim.
+    */
+  private def bucketSql(t: Int): String =
+    (0 until PlanesPerTable).map(p =>
+      s"(CASE WHEN list_inner_product(v, ${planeListSql(t, p)}) >= 0 " +
+        s"THEN ${1 << p} ELSE 0 END)").mkString(" + ")
+
+  private lazy val lshOracle: String = {
+    val bk = (0 until Tables).map(t =>
+      s"SELECT vec_id, $t AS t, ${bucketSql(t)} AS bucket FROM e")
+      .mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |bk AS (
+       |$bk),
+       |cand AS (
+       |  SELECT DISTINCT qb.vec_id AS q_id, cb.vec_id
+       |  FROM bk qb JOIN bk cb ON cb.t = qb.t AND cb.bucket = qb.bucket
+       |  WHERE qb.vec_id < $NQueries AND cb.vec_id <> qb.vec_id)
+       |SELECT q_id, neighbor_id, rank, round(sim, 4) + 0.0 AS sim FROM (
+       |  SELECT c.q_id, c.vec_id AS neighbor_id,
+       |    list_cosine_similarity(qe.embedding::DOUBLE[],
+       |                           ne.embedding::DOUBLE[]) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY c.q_id
+       |      ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[],
+       |                 ne.embedding::DOUBLE[]) DESC, c.vec_id) AS BIGINT)
+       |      AS rank
+       |  FROM cand c
+       |  JOIN embeddings ne ON ne.vec_id = c.vec_id
+       |  JOIN embeddings qe ON qe.vec_id = c.q_id)
+       |WHERE rank <= $K""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> knnAnnOracle,
     // edge agreement of the ANN composition against the exact blocked
@@ -1657,9 +1773,16 @@ object Similarity {
     // the Aggregator formulation must reproduce the window formulation
     // exactly — same oracle, different physical shape
     "sim_topk_agg" -> topkOracle,
-    // the IVF construction is plain relational algebra, so unlike
-    // sim_ann_lsh it graduates to a full hash-checked row
+    // the IVF construction is plain relational algebra, so it
+    // graduates to a full hash-checked row
     "sim_ann_ivf" -> ivfOracle,
+    // the hyperplane tensor is deterministic Scala — so it embeds as
+    // DOUBLE-list LITERALS (the ndcgWeights move applied to geometry):
+    // shortest-roundtrip decimal printing parses back to the identical
+    // bits, list_inner_product is the same forward-order fold as the
+    // native expression, and the sign test is exact — the last ANN
+    // face graduates from rows-only to hash-checked
+    "sim_ann_lsh" -> lshOracle,
     // recall of the IVF ranking against brute force, both sides the
     // oracles' own CTEs (DuckDB allows WITH inside a derived table)
     "sim_ann_recall" ->

@@ -115,6 +115,21 @@ object StreamingQueries {
         new LiveCountsView(run.resolve("view_ev").toString,
           bucketExpr = "eventId", keyName = "event_id"))))
 
+  /** Eagerly run (or adopt) the shared IVM replay — the bench's
+    * visibility hook, like `ensureSharedTables`: the replay's
+    * checkpoint/state-store bill lands on a NAMED build line item
+    * instead of silently vanishing into whichever `stream_ivm_*` face
+    * the best-of-2 harness happens to time first (min() would discard
+    * the paying run and report both faces as free).
+    */
+  def ensureIvmViews(s: SparkSession, d: String): Boolean = {
+    val key =
+      SharedArtifacts.fingerprint(d, "events.parquet", "ivmrun:v1:2views")
+    val existed = ivmRunCache.containsKey(key)
+    ivmSharedViews(s, d)
+    !existed
+  }
+
   /** The shared IVM replay harness: 4-file staged events →
     * `maxFilesPerTrigger=1` AvailableNow replay → durable
     * [[graft.streaming.AlertStateTable]] merges (compaction forced
@@ -897,6 +912,80 @@ object StreamingQueries {
         .map(_.toString).toSeq.sorted
     }
     Dedup.bandPairs(s.read.parquet(gens: _*))
+  }
+
+  /** MAINTAINED VECTOR INDEX — [[dedupIndexIvm]]'s pattern applied to
+    * the IVF index: a production ANN tier does not retrain its
+    * quantizer when vectors arrive — it FREEZES the trained centroids
+    * and assigns newcomers incrementally (FAISS's add-after-train
+    * contract). Here the quantizer trains on the RESIDENT three
+    * vec_id-rank quartiles only ([[Similarity.ivfTrainOn]]), the base
+    * inverted lists build once, and the last quartile arrives as a
+    * 3-micro-batch stream whose batches each assign against the frozen
+    * (parquet-written, so bit-stable) centroids and append their own
+    * list generation. Emits the full maintained `(vec_id, cid)` lists
+    * — hash-checked against the oracle's one-shot assignment of ALL
+    * vectors under the SAME base-trained quantizer: append-of-arrivals
+    * ≡ rebuild, given the frozen quantizer — which is the true IVM
+    * identity here (retraining on arrival would move centroids and is
+    * exactly what production defers to a reindex).
+    *
+    * Scale shape: per-batch cost is |batch| × C broadcast argmin —
+    * never the corpus; the quartile split is the staged row_number
+    * ([[stageIvmSource]]'s documented trade).
+    */
+  private val simIndexIvm: Q = (s, d) => {
+    val run = freshRunDir("graft_six_")
+    val emb = T(s, d, "embeddings")
+    val proj = emb.select(col("vec_id"),
+      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+    val ranked = proj
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+      .drop("rn", "n")
+    val idx = run.resolve("lists")
+    // freeze the base-trained quantizer through parquet (bit-stable
+    // doubles; the pqFromCodebook discipline)
+    graft.operators.Similarity
+      .ivfTrainOn(ranked.filter(col("bucket") < 3).drop("bucket"))
+      .write.mode("overwrite").parquet(run.resolve("cents").toString)
+    val frozen = s.read.parquet(run.resolve("cents").toString)
+    graft.operators.Similarity
+      .assignCells(ranked.filter(col("bucket") < 3).drop("bucket"), frozen)
+      .write.mode("overwrite").parquet(idx.resolve("base").toString)
+    // the arriving tail: ids only through the stream (the file source
+    // re-reads vectors per batch from the staged parquet)
+    val srcDir = run.resolve("src").toString
+    emb.join(ranked.filter(col("bucket") === 3).select(col("vec_id")),
+        Seq("vec_id"))
+      .repartition(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.Similarity.assignCells(
+              batch.select(col("vec_id"),
+                graft.functions.VectorFunctions.asDouble(col("embedding"))
+                  .as("v")),
+              frozen)
+            .write.mode("overwrite")
+            .parquet(idx.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(idx).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    s.read.parquet(gens: _*)
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
@@ -1816,6 +1905,7 @@ object StreamingQueries {
     "stream_late_drops" -> streamLateDrops,
     "stream_dedup_ingest" -> streamDedupIngest,
     "dedup_index_ivm" -> dedupIndexIvm,
+    "sim_index_ivm" -> simIndexIvm,
     "stream_sessionize" -> streamSessionize,
     "stream_join_attrib" -> streamJoinAttrib,
     "stream_enrich" -> streamEnrich,
@@ -1930,6 +2020,45 @@ object StreamingQueries {
     // append-of-arrivals ≡ rebuild: the maintained index's pair set is
     // the from-scratch LSH oracle over ALL documents
     "dedup_index_ivm" -> Dedup.oracles("dedup_minhash_lsh"),
+    // the same base-trained (first three vec_id-rank quartiles),
+    // capped-seed quantizer assigning ALL vectors in one shot — the
+    // frozen-quantizer IVM identity; argmin tie-break (d2, cid) as
+    // everywhere
+    "sim_index_ivm" ->
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |r AS (
+         |  SELECT vec_id, v,
+         |    row_number() OVER (ORDER BY vec_id) AS rn,
+         |    count(*) OVER () AS n
+         |  FROM e),
+         |be AS (
+         |  SELECT vec_id, v FROM r WHERE ((rn - 1) * 4) // n < 3),
+         |seeds AS (
+         |  SELECT CAST(vec_id // 31 AS INT) AS cid, v AS cv
+         |  FROM be WHERE vec_id % 31 = 0 AND vec_id < ${31L * 2048L}),
+         |assign0 AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT b.vec_id, s.cid,
+         |      row_number() OVER (PARTITION BY b.vec_id
+         |        ORDER BY list_inner_product(s.cv, s.cv)
+         |                 - 2*list_inner_product(b.v, s.cv), s.cid) AS rn
+         |    FROM be b CROSS JOIN seeds s)
+         |  WHERE rn = 1),
+         |cent AS (
+         |  SELECT a.cid, t.i, avg(b.v[t.i]) AS m
+         |  FROM assign0 a JOIN be b USING (vec_id),
+         |       unnest(generate_series(1, len(b.v))) t(i)
+         |  GROUP BY a.cid, t.i),
+         |centroids AS (
+         |  SELECT cid, list(m ORDER BY i) AS cv FROM cent GROUP BY cid)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+         |  SELECT e.vec_id, c.cid,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY list_inner_product(c.cv, c.cv)
+         |               - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
+         |  FROM e CROSS JOIN centroids c)
+         |WHERE rn = 1""".stripMargin,
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
     // the keyed trailing-baseline fold must agree with the batch

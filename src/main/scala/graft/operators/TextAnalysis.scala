@@ -448,6 +448,67 @@ object TextAnalysis {
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(Bm25TopK)
 
+  /** Query-set size and score scale for [[bm25GroupedScored]]. */
+  private[operators] val Bm25GroupQueries = 10L
+  private[operators] val Bm25GroupScale = 10000L
+
+  /** QUERY-SET BM25 — the fixed-term face generalized to real queries:
+    * each of the standing 10 query DOCUMENTS retrieves with its OWN
+    * term set, scored by the same odds-ratio BM25 (k1 = 1.2, b = 0.75)
+    * against the whole corpus. This is the inverted-index shape proper:
+    * per-(doc, term) tf and per-term df come from ONE token scan (the
+    * posting lists a 100 TB search tier materializes), query terms
+    * reach candidates by a term EQUI-join — fan-out per query is its
+    * posting sizes, never the corpus — and the per-(query, doc) score
+    * collapses map-side.
+    *
+    * Determinism without a fixed column order: the fixed-term face sums
+    * three literal columns left-to-right; an arbitrary term SET has no
+    * such order, and a float sum over a group is order-nondeterministic
+    * under parallel aggregation. So each term's odds-ratio score is an
+    * EXACT INTEGER — `(num·10⁴) div den`, both sides int64-positive at
+    * test scales (the (2n−2df+1)·22·tf·total·10⁴ product peaks ≈ 8·10¹⁷
+    * at sf0.1; at corpus scales past int64 the same ratio runs in
+    * DECIMAL(38,0)) — and the per-pair sum of integers is
+    * order-independent on any engine. Emits `(q_id, doc_id,
+    * bm25_scaled)`, self excluded.
+    */
+  private[operators] def bm25GroupedScored(s: SparkSession, d: String)
+      : DataFrame = {
+    val tok = T(s, d, "documents")
+      .select(col("doc_id"), explode(words(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    val qt = tf.filter(col("doc_id") < Bm25GroupQueries)
+      .select(col("doc_id").as("q_id"), col("term"))
+    qt.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(df, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ts", expr(
+        s"((2*n - 2*df + 1) * 22 * tf * total * $Bm25GroupScale) div " +
+          "((2*df + 1) * (10*tf*total + 3*total + 9*dl*n))"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("ts")).as("bm25_scaled"))
+  }
+
+  /** The ranked registry face of [[bm25GroupedScored]]: per query, the
+    * top-[[Bm25TopK]] docs by `(bm25_scaled desc, doc_id)` — a total
+    * order on exact integers, so the cut is hash-stable.
+    */
+  private val bm25Grouped: Q = (s, d) => {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id"))
+    bm25GroupedScored(s, d)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= Bm25TopK)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("bm25_scaled"))
+  }
+
   /** The full per-doc BM25 score frame `(doc_id, bm25)` — shared by the
     * ranked-retrieval query above and the lexical leg of
     * [[HybridRetrieval]]'s rank fusion.
@@ -733,6 +794,7 @@ object TextAnalysis {
     "text_fingerprint" -> fingerprint,
     "text_pii_mask" -> piiMask,
     "text_bm25_topk" -> bm25,
+    "text_bm25_grouped" -> bm25Grouped,
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -873,6 +935,36 @@ object TextAnalysis {
         |    6) + 0.0 AS entropy_bits
         |FROM h""".stripMargin,
     "text_bm25_topk" -> bm25Oracle,
+    // the same inverted-index joins and exact-integer odds-ratio terms;
+    // every `//` numerator/denominator is positive, so DuckDB flooring
+    // equals Spark's truncating div
+    "text_bm25_grouped" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+         |qt AS (SELECT doc_id AS q_id, term FROM tf
+         |       WHERE doc_id < $Bm25GroupQueries),
+         |sc AS (
+         |  SELECT q.q_id, t.doc_id,
+         |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total
+         |               * $Bm25GroupScale) //
+         |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+         |      AS BIGINT) AS bm25_scaled
+         |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+         |  JOIN df f ON f.term = q.term
+         |  JOIN dl l ON l.doc_id = t.doc_id
+         |  CROSS JOIN stats s
+         |  GROUP BY 1, 2)
+         |SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, bm25_scaled
+         |FROM (
+         |  SELECT q_id, doc_id, bm25_scaled,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY bm25_scaled DESC, doc_id) AS rank
+         |  FROM sc) WHERE rank <= $Bm25TopK""".stripMargin,
     "text_chunking" ->
       (s"WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws " +
         s"FROM documents) " +

@@ -89,4 +89,70 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(sum.getAs[Long]("ndcg_bp") ==
       perQ.values.map(_.getAs[Long]("ndcg_bp")).sum / perQ.size)
   }
+
+  test("text_bm25_grouped: every query retrieves, self excluded, ranks " +
+      "contiguous from 1") {
+    val rows = graft.operators.TextAnalysis
+      .queries("text_bm25_grouped")(spark, sf)
+      .select("q_id", "doc_id", "rank", "bm25_scaled").collect()
+    val byQ = rows.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L until 10L).toSet, byQ.keySet.toString)
+    byQ.foreach { case (q, rs) =>
+      assert(rs.forall(_.getLong(1) != q), s"query $q retrieved itself")
+      val ranks = rs.map(_.getLong(2)).sorted.toSeq
+      assert(ranks == (1L to ranks.length), s"query $q ranks: $ranks")
+      assert(ranks.length <= 20)
+      // ranks follow (score desc, doc_id asc)
+      val ordered = rs.sortBy(_.getLong(2))
+        .map(r => (-r.getLong(3), r.getLong(1))).toSeq
+      assert(ordered == ordered.sorted, s"query $q order")
+      // a query always shares terms with SOME doc on this corpus
+      assert(rs.nonEmpty)
+    }
+  }
+
+  test("hybrid_ndcg_grouped: summary restates per-query rows; fused " +
+      "macro quality is sane next to vector-only") {
+    val rows = HybridRetrieval.queries("hybrid_ndcg_grouped")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val perQ = rows.filterNot(_._1 == -1L)
+    assert(perQ.keySet == (0L until 10L).toSet, rows.keySet.toString)
+    perQ.values.foreach { r =>
+      val dcg = r.getAs[Long]("dcg_scaled")
+      val idcg = r.getAs[Long]("idcg_scaled")
+      assert(idcg == HybridRetrieval.ndcgPrefix(
+        math.min(10L, r.getAs[Long]("n_rel")).toInt), r.toString)
+      assert(dcg >= 0L && dcg <= idcg, r.toString)
+      assert(r.getAs[Long]("ndcg_bp") ==
+        (if (idcg > 0) dcg * 10000L / idcg else 0L), r.toString)
+    }
+    val sum = rows(-1L)
+    assert(sum.getAs[Long]("dcg_scaled") ==
+      perQ.values.map(_.getAs[Long]("dcg_scaled")).sum)
+    assert(sum.getAs[Long]("ndcg_bp") ==
+      perQ.values.map(_.getAs[Long]("ndcg_bp")).sum / perQ.size)
+    // same corpus relevance totals as the vector-only grouped report
+    val vecOnly = HybridRetrieval.queries("retrieval_ndcg_grouped")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r.getAs[Long]("n_rel"))
+      .toMap
+    perQ.foreach { case (q, r) =>
+      assert(r.getAs[Long]("n_rel") == vecOnly(q), s"n_rel drift at $q")
+    }
+  }
+
+  test("hybrid_rrf_sweep: all damping rows present; k=60 restates the " +
+      "grouped face's macro summary") {
+    val sweep = HybridRetrieval.queries("hybrid_rrf_sweep")(spark, sf)
+      .collect().map(r => r.getAs[Long]("rrf_k") -> r).toMap
+    assert(sweep.keySet == Set(10L, 30L, 60L, 120L), sweep.keySet.toString)
+    val grouped = HybridRetrieval.queries("hybrid_ndcg_grouped")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val summary = grouped(-1L)
+    // k = 60 IS the grouped face's configuration — same fusion, same
+    // grading, so the curve row and the summary row must agree exactly
+    assert(sweep(60L).getAs[Long]("sum_dcg_scaled") ==
+      summary.getAs[Long]("dcg_scaled"))
+    assert(sweep(60L).getAs[Long]("macro_ndcg_bp") ==
+      summary.getAs[Long]("ndcg_bp"))
+  }
 }

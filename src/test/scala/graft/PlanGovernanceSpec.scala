@@ -77,6 +77,16 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "retrieval_ndcg_grouped" -> ("crossJoin against the BROADCAST 10-row" +
       " query set (the sim_topk pattern) - one corpus scan ranks every" +
       " query simultaneously; the eval folds are equi-grouped"),
+    "text_bm25_grouped" -> ("crossJoin against the broadcast SINGLE-ROW" +
+      " corpus stats (N, total tokens) - the scalar-stats pattern; query" +
+      " terms reach candidates by the term EQUI-join"),
+    "hybrid_ndcg_grouped" -> ("inherits text_bm25_grouped's single-row" +
+      " stats crossJoin and retrieval_ndcg_grouped's broadcast 10-row" +
+      " query set - both bounded build sides; fusion and grading are" +
+      " equi-joins on (q_id, doc_id)"),
+    "hybrid_rrf_sweep" -> ("the same inherited bounded build sides as" +
+      " hybrid_ndcg_grouped; damping constants fan out by explode on" +
+      " the already-joined per-query lists"),
     // embed_kmeans_mix / dedup_semantic's Lloyd-round centroid
     // crossJoins moved into the shared k-means assignment-artifact
     // BUILD; the registry queries are now plain artifact reads with
