@@ -426,19 +426,29 @@ object CorpusBuild {
         .stripMargin)
   }
 
-  private[graft] val HhCap = 256
+  // 1024 counters: sized so the guarantee region n > N/(cap+1) is
+  // NON-EMPTY on the synthetic corpus's flat bigram distribution (max
+  // bigram frequency ~48 of ~27k — a 256-counter threshold of ~104
+  // would make the hash gate vacuously empty); still O(cap) memory and
+  // O(partitions*cap) exchange at any corpus size
+  private[graft] val HhCap = 1024
 
-  /** The sketched scale path of [[ngrams]]: Misra-Gries heavy hitters
-    * over the bigram stream with [[HhCap]] bounded counters
-    * ([[graft.functions.HeavyHittersAggregator]]). The exchange carries
-    * O(partitions · cap) counters instead of the whole distinct-ngram
-    * domain — the shape that survives when the domain itself is huge
-    * (open-vocabulary n-grams at 100 TB). `est <= f` always, and
-    * `f - est <= N/(cap+1)`, so every truly frequent item is present;
-    * the exact variant stays the oracle-checked face, and the sketch's
-    * bounds are spec-asserted against exact counts (no DuckDB oracle —
-    * intermediate shrinks are partition-order-dependent within the
-    * guarantee envelope, like `sim_ann_lsh`).
+  /** The sketched scale path of [[ngrams]], in the TWO-PHASE production
+    * shape: phase 1 runs Misra-Gries with [[HhCap]] bounded counters
+    * ([[graft.functions.HeavyHittersAggregator]]) — the exchange
+    * carries O(partitions · cap) counters instead of the whole
+    * distinct-ngram domain (open-vocabulary n-grams at 100 TB); phase 2
+    * EXACTLY recounts only the ≤ cap surviving candidates (a broadcast
+    * semi-join — the recount's key domain is bounded by the sketch) and
+    * keeps the GUARANTEE REGION `n·(cap+1) > N`. MG guarantees every
+    * item that frequent survives ANY reduce/merge order (PODS 2012), so
+    * the emitted set — and its exact counts — are deterministic even
+    * though the sketch's internal estimates are not: what used to be a
+    * rows-only face is now fully hash-checked against the direct
+    * frequency oracle, while the physical plan still never shuffles the
+    * open domain. (The two extra stream scans — recount + total — fuse
+    * into phase 1 via observe()/accumulators in a single-pass
+    * deployment; kept separate here for plan clarity.)
     */
   private val ngramsHh: Q = (s, d) => {
     import s.implicits._
@@ -453,10 +463,15 @@ object CorpusBuild {
       .as[String]
     val summary = stream
       .select(new graft.functions.HeavyHittersAggregator(HhCap).toColumn)
-    summary.toDF("m")
-      .select(explode(col("m")).as(Seq("ngram", "est")))
-      .orderBy(col("est").desc, col("ngram"))
-      .limit(TopNgrams)
+    val candidates = summary.toDF("m")
+      .select(explode(map_keys(col("m"))).as("ngram"))
+    val exact = stream.toDF("ngram")
+      .join(broadcast(candidates), Seq("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("n"))
+    val total = stream.toDF("ngram").agg(count(lit(1)).as("n_total"))
+    exact.crossJoin(broadcast(total))
+      .filter(col("n") * (HhCap + 1) > col("n_total"))
+      .select(col("ngram"), col("n"))
   }
 
   /** Z-order clustering key: bit-interleave of the low 16 bits of two
@@ -1186,7 +1201,18 @@ object CorpusBuild {
     "sample_stratified" -> stratifiedOracle,
     "corpus_mix_report" -> mixReportOracle,
     "quality_gate" -> qualityGateOracle,
-    // ngrams_heavyhitters: intentionally no oracle — see its doc
+    // the MG guarantee region is deterministic, so the two-phase face
+    // hash-checks against the direct frequency census — the sketch is
+    // the candidate generator, never the source of emitted numbers
+    "ngrams_heavyhitters" ->
+      s"""WITH w AS (SELECT regexp_split_to_array(trim(text), '\\s+') AS ws
+         |           FROM documents),
+         |g AS (SELECT ws[i] || ' ' || ws[i+1] AS ngram
+         |      FROM w, unnest(generate_series(1, len(ws) - 1)) t(i)),
+         |c AS (SELECT ngram, count(*) AS n FROM g GROUP BY 1),
+         |tot AS (SELECT count(*) AS n_total FROM g)
+         |SELECT ngram, n FROM c, tot
+         |WHERE n * ${HhCap + 1} > n_total""".stripMargin,
     "corpus_pack_sequences" -> packSequencesOracle,
     "corpus_shuffle" -> shuffleOracle,
     "corpus_shard_manifest" ->

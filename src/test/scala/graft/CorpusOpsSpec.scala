@@ -372,9 +372,11 @@ class CorpusOpsSpec extends AnyFunSuite {
       s"inliers: $got")
   }
 
-  test("ngrams_heavyhitters: Misra-Gries bounds hold against exact counts") {
+  test("ngrams_heavyhitters: the two-phase face emits EXACTLY the " +
+      "guarantee region with exact counts") {
     import spark.implicits._
-    val sketch = SparkEntry.queries("ngrams_heavyhitters")(spark, sf)
+    val face = SparkEntry.queries("ngrams_heavyhitters")(spark, sf)
+      .as[(String, Long)].collect().toMap
     val exactAll = Tables.load(spark, sf, "documents")
       .select(split(trim(col("text")), "\\s+").as("ws"))
       .select(explode(when(size(col("ws")) >= 2,
@@ -382,17 +384,17 @@ class CorpusOpsSpec extends AnyFunSuite {
           i => concat_ws(" ", element_at(col("ws"), i),
             element_at(col("ws"), i + 1)))).otherwise(array())).as("ngram"))
     val n = exactAll.count()
-    val slack = n / (graft.operators.CorpusBuild.HhCap + 1)
-    val exact = exactAll.groupBy("ngram").agg(count(lit(1)).as("f"))
-    val joined = sketch.join(exact, Seq("ngram"), "left")
-      .select(col("ngram"), col("est"), coalesce(col("f"), lit(0L)).as("f"))
-      .collect()
-    assert(joined.nonEmpty)
-    joined.foreach { r =>
-      val (est, f) = (r.getLong(1), r.getLong(2))
-      assert(est <= f, s"${r.getString(0)}: est $est over-counts f $f")
-      assert(f - est <= slack, s"${r.getString(0)}: est $est too far below f $f (slack $slack)")
-    }
+    val cap1 = graft.operators.CorpusBuild.HhCap + 1
+    val expected = exactAll.groupBy("ngram").agg(count(lit(1)).as("f"))
+      .filter(col("f") * cap1 > n)
+      .as[(String, Long)].collect().toMap
+    // MG guarantees every item with f > N/(cap+1) survives ANY
+    // reduce/merge order, and the recount is exact — so the face must
+    // equal the direct census of the guarantee region, set AND values
+    assert(expected.nonEmpty, "testdata should contain heavy bigrams")
+    assert(face == expected,
+      s"missing=${expected.keySet -- face.keySet} " +
+        s"extra=${face.keySet -- expected.keySet}")
   }
 
   test("ngrams_heavyhitters finds a dominant item in a skewed stream with a tight estimate") {

@@ -87,6 +87,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "hybrid_rrf_sweep" -> ("the same inherited bounded build sides as" +
       " hybrid_ndcg_grouped; damping constants fan out by explode on" +
       " the already-joined per-query lists"),
+    "ngrams_heavyhitters" -> ("crossJoin against the broadcast" +
+      " SINGLE-ROW stream total (the scalar-stats pattern); the exact" +
+      " recount joins the <=cap sketched candidates by equi-key"),
     // embed_kmeans_mix / dedup_semantic's Lloyd-round centroid
     // crossJoins moved into the shared k-means assignment-artifact
     // BUILD; the registry queries are now plain artifact reads with
