@@ -562,6 +562,53 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** MINHASH ESTIMATOR-ERROR REPORT — the reason MinHash works, as a
+    * hash gate: for every LSH candidate pair, the signature-agreement
+    * ESTIMATE of jaccard (`matches/NumHashes` — the classic unbiased
+    * estimator: P[minhash collision] = J) next to the EXACT
+    * shingle-set jaccard, both in integer basis points, plus the
+    * absolute error. The sketch-family discipline ("the estimator
+    * ERROR itself is hash-checked") applied to the dedup pipeline's
+    * own sketch — a hashing change that silently degrades the
+    * estimator now fails correctness, not recall dashboards.
+    *
+    * Scale shape: candidates from the shared signature artifact
+    * (banded equi-join), signatures re-attached by two doc_id
+    * equi-joins (bucket-co-located), the exact intersection the
+    * verified pipeline's (b_id, shingle)-keyed probe — nothing touches
+    * documents, no all-pairs anywhere.
+    */
+  private val minhashEst: Q = (s, d) => {
+    val (sh, sigN) = sharedTables(s, d)
+    val cand = bandPairs(sigN).select(col("a_id"), col("b_id"))
+    val ha = sigN.select(col("doc_id").as("a_id") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"ha$i")): _*)
+    val hb = sigN.select(col("doc_id").as("b_id") +:
+      (0 until NumHashes).map(i => col(s"h$i").as(s"hb$i")): _*)
+    val matches = (0 until NumHashes)
+      .map(i => when(col(s"ha$i") === col(s"hb$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val sizes = sigN.select(col("doc_id"), col("n"))
+    val inter = cand
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), Seq("a_id"))
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle")),
+        Seq("b_id", "shingle"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("i"))
+    cand
+      .join(ha, Seq("a_id")).join(hb, Seq("b_id"))
+      .withColumn("m", matches)
+      .withColumn("est_bp", expr(s"m * 10000 div $NumHashes"))
+      .join(inter, Seq("a_id", "b_id"), "left")
+      .join(sizes.withColumnRenamed("doc_id", "a_id")
+        .withColumnRenamed("n", "na"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id")
+        .withColumnRenamed("n", "nb"), Seq("b_id"))
+      .withColumn("jac_bp", expr(
+        "coalesce(i, 0L) * 10000 div (na + nb - coalesce(i, 0L))"))
+      .select(col("a_id"), col("b_id"), col("est_bp"), col("jac_bp"),
+        abs(col("est_bp") - col("jac_bp")).as("err_bp"))
+  }
+
   /** Near-dup CLUSTERS: the connected components of the verified-pair
     * graph, labeled by each component's smallest doc_id — the grouping a
     * training pipeline needs when duplicates chain (a~b, b~c but a‖c):
@@ -1042,6 +1089,7 @@ object Dedup {
     "dedup_keep_best" -> keepBest,
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
+    "dedup_minhash_est" -> minhashEst,
     "dedup_incremental" -> minhashIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash,
@@ -1268,6 +1316,50 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    // same sigs, same candidates; agreement count vs the exact
+    // multiset jaccard, all integer basis points
+    "dedup_minhash_est" -> {
+      val mins = (0 until NumHashes)
+        .map(i => s"min(substr(md5('${i / 4}:' || shingle), " +
+          s"${(i % 4) * 8 + 1}, 8)) AS h$i")
+        .mkString(", ")
+      val bandRows = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, " +
+          s"md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
+        .mkString(" UNION ALL ")
+      val m = (0 until NumHashes)
+        .map(i => s"(CASE WHEN x.h$i = y.h$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+         |         FROM bands a JOIN bands b
+         |           ON a.band = b.band AND a.key = b.key
+         |          AND a.doc_id < b.doc_id),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.a_id, c.b_id, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.a_id
+         |          JOIN sh y ON y.doc_id = c.b_id AND y.shingle = x.shingle
+         |          GROUP BY 1, 2),
+         |est AS (
+         |  SELECT c.a_id, c.b_id,
+         |    CAST(($m) * 10000 // $NumHashes AS BIGINT) AS est_bp
+         |  FROM cand c JOIN sig x ON x.doc_id = c.a_id
+         |  JOIN sig y ON y.doc_id = c.b_id),
+         |jac AS (
+         |  SELECT e.a_id, e.b_id, e.est_bp,
+         |    CAST(coalesce(i.i, 0) * 10000
+         |      // (sa.n + sb.n - coalesce(i.i, 0)) AS BIGINT) AS jac_bp
+         |  FROM est e
+         |  LEFT JOIN inter i ON i.a_id = e.a_id AND i.b_id = e.b_id
+         |  JOIN sz sa ON sa.doc_id = e.a_id
+         |  JOIN sz sb ON sb.doc_id = e.b_id)
+         |SELECT a_id, b_id, est_bp, jac_bp,
+         |  abs(est_bp - jac_bp) AS err_bp
+         |FROM jac""".stripMargin
+    },
     "dedup_cluster_hist" -> clusterHistOracle,
     // the full LSH pair SQL restricted to pairs with an arriving endpoint
     "dedup_incremental" -> (s"SELECT a_id, b_id, n_bands FROM (\n" +

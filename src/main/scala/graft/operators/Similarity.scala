@@ -181,6 +181,77 @@ object Similarity {
         col("score_scaled"))
   }
 
+  /** SQ code width: 8-bit codes over the per-dim range — FAISS's SQ8. */
+  private val SqLevels = 255L
+
+  /** SCALAR-QUANTIZATION ANN (SQ8) — the third codec next to IVF's
+    * pruning and PQ's subspace codebooks, and the simplest of FAISS's
+    * workhorses: per DIMENSION, the corpus min/max define a linear
+    * 8-bit grid; each vector stores one byte per dim (4× smaller than
+    * PQ's sub-block granularity is coarser, but decode is a multiply —
+    * no codebook lookup). Scoring is asymmetric like ADC: the query's
+    * exact elements against the candidates' DEQUANTIZED grid points.
+    *
+    * Exactness discipline: elements quantize to the registry's 1e3
+    * integers FIRST, so the trained ranges, the codes
+    * `((x−mn)·255) div (mx−mn)`, the dequantized points
+    * `mn + (c·(mx−mn)) div 255`, and the final scores Σ q·dec are ALL
+    * int64 with floor division on nonnegative operands only — the
+    * whole trained structure hash-checks cross-engine, codes included
+    * (the PQ precedent; a float-grid SQ would diverge in the last
+    * ulp).
+    *
+    * Scale shape: training is one (dim)-keyed min/max aggregation (64
+    * rows, broadcast back); encoding and scoring are dim equi-joins
+    * with map-side-combinable sums — O(n·dims), no all-pairs anywhere;
+    * the query side is the allowlisted ≤[[NQueries]]-row broadcast.
+    */
+  private def sqElements(emb: DataFrame): DataFrame = emb
+    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
+    .select(col("vec_id"), col("i").cast("long").as("i"),
+      round(col("e").cast("double") * lit(1000d)).cast("long").as("xq"))
+
+  private val annSq: Q = (s, d) => {
+    val el = sqElements(T(s, d, "embeddings"))
+    val ranges = el.groupBy(col("i"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    val dec = el.join(broadcast(ranges), Seq("i"))
+      .select(col("vec_id"), col("i"),
+        expr(s"""CASE WHEN mx > mn
+                 | THEN mn + ((((xq - mn) * $SqLevels) div (mx - mn))
+                 |   * (mx - mn)) div $SqLevels
+                 | ELSE mn END""".stripMargin).as("dx"))
+    val q = el.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("i"), col("xq").as("qx"))
+    val scored = dec.join(broadcast(q), Seq("i"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(sum(col("qx") * col("dx")).as("score_scaled"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score_scaled").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"), col("rank"),
+        col("score_scaled"))
+  }
+
+  /** SQ compression-loss report — recall@[[K]] of the SQ8 ranking
+    * against the EXACT integer inner-product ranking (`sim_mips`, the
+    * right reference for a raw-vector codec: both rank by dot, so the
+    * diff isolates the 8-bit grid's loss, not a metric mismatch). The
+    * `sim_pq_recall` discipline: codec quality is a hash gate, not a
+    * dashboard.
+    */
+  private val sqRecall: Q = (s, d) => {
+    val exact = mips(s, d).select(col("q_id"), col("neighbor_id"))
+    val sq = annSq(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    exact.join(sq, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+  }
+
   private val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
 
   /** Centroid-count cap: the quantizer takes the FIRST [[IvfCentroidCap]]
@@ -1301,6 +1372,8 @@ object Similarity {
     "sim_topk_agg" -> bruteforceAgg,
     "sim_mips" -> mips,
     "sim_ann_lsh" -> annLsh,
+    "sim_ann_sq" -> annSq,
+    "sim_sq_recall" -> sqRecall,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
@@ -1681,6 +1754,60 @@ object Similarity {
        |WHERE rank <= $K""".stripMargin
   }
 
+  private val mipsOracle: String =
+    s"""WITH el AS (
+       |  SELECT vec_id, i,
+       |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+       |               * 1000) AS BIGINT) AS x
+       |  FROM embeddings,
+       |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+       |sc AS (
+       |  SELECT q.vec_id AS q_id, e.vec_id,
+       |    CAST(sum(q.x * e.x) AS BIGINT) AS score_scaled
+       |  FROM el q JOIN el e ON e.i = q.i AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $NQueries
+       |  GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT q_id, vec_id, score_scaled, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score_scaled DESC, vec_id) AS rank
+       |  FROM sc)
+       |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score_scaled
+       |FROM rk WHERE rank <= $K""".stripMargin
+
+  /** [[annSq]] in SQL — same 1e3 elements, per-dim min/max grid,
+    * inline encode→dequantize, and integer-dot ranking.
+    */
+  private val sqOracle: String =
+    s"""WITH el AS (
+       |  SELECT vec_id, i,
+       |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+       |               * 1000) AS BIGINT) AS xq
+       |  FROM embeddings,
+       |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+       |rg AS (SELECT i, min(xq) AS mn, max(xq) AS mx FROM el GROUP BY 1),
+       |dec AS (
+       |  SELECT el.vec_id, el.i,
+       |    CASE WHEN rg.mx > rg.mn
+       |      THEN rg.mn + ((((el.xq - rg.mn) * $SqLevels)
+       |        // (rg.mx - rg.mn)) * (rg.mx - rg.mn)) // $SqLevels
+       |      ELSE rg.mn END AS dx
+       |  FROM el JOIN rg ON rg.i = el.i),
+       |q AS (SELECT vec_id AS q_id, i, xq AS qx FROM el
+       |      WHERE vec_id < $NQueries),
+       |sc AS (
+       |  SELECT q.q_id, d.vec_id,
+       |    CAST(sum(q.qx * d.dx) AS BIGINT) AS score_scaled
+       |  FROM q JOIN dec d ON d.i = q.i AND d.vec_id <> q.q_id
+       |  GROUP BY 1, 2)
+       |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  score_scaled
+       |FROM (
+       |  SELECT q_id, vec_id, score_scaled, row_number() OVER (
+       |    PARTITION BY q_id ORDER BY score_scaled DESC, vec_id) AS rank
+       |  FROM sc)
+       |WHERE rank <= $K""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> knnAnnOracle,
     // edge agreement of the ANN composition against the exact blocked
@@ -1748,26 +1875,21 @@ object Similarity {
         |FROM p JOIN m mi ON mi.i = p.i JOIN m mj ON mj.i = p.j""".stripMargin,
     "sim_topk_bruteforce" -> topkOracle,
     // exact integer inner products on the 1e3-quantized elements
-    "sim_mips" ->
-      s"""WITH el AS (
-         |  SELECT vec_id, i,
-         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
-         |               * 1000) AS BIGINT) AS x
-         |  FROM embeddings,
-         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
-         |sc AS (
-         |  SELECT q.vec_id AS q_id, e.vec_id,
-         |    CAST(sum(q.x * e.x) AS BIGINT) AS score_scaled
-         |  FROM el q JOIN el e ON e.i = q.i AND e.vec_id <> q.vec_id
-         |  WHERE q.vec_id < $NQueries
-         |  GROUP BY 1, 2),
-         |rk AS (
-         |  SELECT q_id, vec_id, score_scaled, row_number() OVER (
-         |    PARTITION BY q_id ORDER BY score_scaled DESC, vec_id) AS rank
-         |  FROM sc)
-         |SELECT q_id, vec_id AS neighbor_id, CAST(rank AS BIGINT) AS rank,
-         |  score_scaled
-         |FROM rk WHERE rank <= $K""".stripMargin,
+    "sim_mips" -> mipsOracle,
+    // the trained grid, codes, dequantized points and scores are all
+    // exact integers (floor divisions on nonnegative operands only),
+    // so the whole SQ8 structure hash-checks like the PQ one
+    "sim_ann_sq" -> sqOracle,
+    // recall of the SQ8 ranking against the exact integer-dot ranking
+    // — both sides the oracles' own text, joined on the pair key
+    "sim_sq_recall" ->
+      s"""SELECT ex.q_id,
+         |  CAST(count(sq.neighbor_id) AS BIGINT) AS n_hits,
+         |  count(*) AS k
+         |FROM (SELECT q_id, neighbor_id FROM ($mipsOracle)) ex
+         |LEFT JOIN (SELECT q_id, neighbor_id FROM ($sqOracle)) sq
+         |  ON sq.q_id = ex.q_id AND sq.neighbor_id = ex.neighbor_id
+         |GROUP BY 1""".stripMargin,
     "embed_kmeans_mix" -> kmeansMixOracle,
     "dedup_semantic" -> semanticDedupOracle,
     // the Aggregator formulation must reproduce the window formulation

@@ -26,6 +26,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "sim_topk_bruteforce" -> "non-equi =!= join against a BROADCAST 10-row query set",
     "sim_topk_agg" -> "same broadcast 10-row query set",
     "sim_mips" -> "same broadcast 10-row query set, integer-dot scoring",
+    "sim_sq_recall" -> ("composes sim_mips (its broadcast 10-row" +
+      " query-set nested loop) with the pure-equi-join SQ side; the" +
+      " recall join is an equi-join on the pair key"),
     "sim_ann_ivf" -> ("crossJoin against the broadcast centroid table - the" +
       " O(n*C) quantizer training/assignment cost, linear in the corpus" +
       " per centroid, not an unbounded pair product"),
