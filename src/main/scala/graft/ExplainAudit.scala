@@ -36,7 +36,14 @@ object ExplainAudit {
     "layout_compaction", "corpus_reject_reasons", "events_ab_assign",
     "ts_sax_match", "sim_ann_tradeoff", "dedup_band_sweep",
     "corpus_epoch_plan", "mm_shard_pack", "sketch_quantile",
-    "corpus_bpe_curve", "events_session_sweep")
+    "corpus_bpe_curve", "events_session_sweep",
+    // r12 faces (> 1 s or plan-novel) — the rule: any new face costing
+    // > 1 s enters the audit the round it lands
+    "dedup_index_ivm", "sim_index_ivm", "hybrid_rrf_sweep",
+    "hybrid_ndcg_grouped", "text_bm25_grouped", "sim_ann_sq",
+    "ngrams_heavyhitters", "sim_knn_recall", "dedup_minhash_est",
+    // r13 faces
+    "hybrid_rerank", "embed_drift_psi")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -538,6 +538,16 @@ object Dedup {
 
   private val minhashVerified: Q = (s, d) => {
     val (sh, sigN) = sharedTables(s, d)
+    verifiedPairsOn(sh, sigN)
+  }
+
+  /** The banding + exact-verify pipeline over ANY (shingles, signatures)
+    * pair — the body of `dedup_minhash_verified`, factored so the
+    * clustering artifact's PRE-COLLAPSED build ([[ccBuildFrames]]) runs
+    * the identical pipeline over the exact-dup representatives' slice of
+    * the shared tables.
+    */
+  private def verifiedPairsOn(sh: DataFrame, sigN: DataFrame): DataFrame = {
     val cand = bandPairs(sigN).select(col("a_id"), col("b_id"))
     val sizes = sigN.select(col("doc_id"), col("n"))
     // the b-side closes on the (b_id, shingle) EQUI-join — shingle in
@@ -617,13 +627,16 @@ object Dedup {
     */
   private val components: Q = (s, d) => componentsTable(s, d)
 
-  /** The `cc:v1` layout tag pins the component-label artifact to the
+  /** The `cc:v3` layout tag pins the component-label artifact to the
     * minhash layout it was clustered under (`mh:v1` banding feeds the
     * verified pairs) — bump BOTH when the LSH parameters change, or an
     * old clustering would be served over new candidate semantics.
+    * (v3 = the exact-dup pre-collapsed builder; output is identical to
+    * v2 — spec-asserted — but the bump forces every environment through
+    * the new build path once.)
     */
   private def componentsKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "documents.parquet", "cc:v2:mh:v1")
+    SharedArtifacts.fingerprint(d, "documents.parquet", "cc:v3:mh:v1")
 
   /** The shared COMPONENT-LABEL artifact: `(doc_id, component)` for
     * every doc in any verified near-dup pair — built once per dataset
@@ -658,21 +671,104 @@ object Dedup {
       : DataFrame =
     ccArtifact(s, d, "pairs")
 
+  /** EXACT-DUP PRE-COLLAPSED clustering build — the shape that removed
+    * the one super-linear item from the 100× rung (`cc_shared_build`,
+    * 448 s under the naive build): LSH pair emission — and far worse,
+    * the per-pair exact-jaccard VERIFY join — is quadratic in the size
+    * of a byte-identical clique (real web corpora carry boilerplate
+    * cliques hundreds deep), yet every member of such a clique bands,
+    * matches, and scores EXACTLY like every other. So: group documents
+    * by content md5, run banding + verify + components over ONE
+    * representative per group (the group's min doc_id — identical text
+    * ⟹ identical shingle set ⟹ identical signature, band keys,
+    * candidacy, and jaccard against any third document), then expand
+    * labels and pairs back through the groups with plain equi-joins.
+    *
+    * The expansion is provably output-identical to the naive build
+    * (spec-asserted against the from-scratch derivation):
+    *  - a cross-group pair (a,b) is verified iff (rep(a), rep(b)) is,
+    *    with the SAME jaccard — both sides' shingle sets equal their
+    *    reps';
+    *  - an intra-group pair is an LSH candidate iff the group's docs
+    *    produce shingles at all (identical signatures collide in every
+    *    band), and then its jaccard is exactly 1.0;
+    *  - component labels are min doc_ids, reps are group minima, and
+    *    every member connects to its rep — so the expanded labeling
+    *    carries the same component ids the full graph would.
+    *
+    * Scale shape: grouping is one shuffle on the content hash; the rep
+    * slice enters the UNCHANGED [[verifiedPairsOn]] pipeline; pair/label
+    * expansion is pure equi-join row emission (no hashing, no shingle
+    * fan-out) — the only remaining quadratic is the OUTPUT pair list
+    * itself, which is the answer, not overhead.
+    */
+  private[graft] def ccBuildFrames(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val (sh, sigN) = sharedTables(s, d)
+    val keyed = T(s, d, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+    val groups = keyed.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+    val membership = materialize(keyed.join(groups, Seq("h"))
+      .select(col("doc_id"), col("rep_id"), col("grp_n")))
+    val repIds = membership.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+    // the reps' slice of the SHARED bucketed tables — nothing re-shingles
+    val repSig = sigN.join(repIds, Seq("doc_id"), "left_semi")
+    val repSh = sh.join(repIds, Seq("doc_id"), "left_semi")
+    val repVerified =
+      materialize(verifiedPairsOn(repSh, repSig))
+    // reps that produced a signature (≥ ShingleWidth words): only their
+    // groups band at all, so only their intra-group cliques are pairs
+    val sigReps = materialize(
+      repSig.select(col("doc_id").as("rep_id")))
+    val memA = membership
+      .select(col("rep_id").as("a_id"), col("doc_id").as("ma"))
+    val memB = membership
+      .select(col("rep_id").as("b_id"), col("doc_id").as("mb"))
+    val cross = repVerified.join(memA, Seq("a_id")).join(memB, Seq("b_id"))
+      .select(least(col("ma"), col("mb")).as("a_id"),
+        greatest(col("ma"), col("mb")).as("b_id"), col("jaccard"))
+    val withSig = membership.join(sigReps, Seq("rep_id"), "left_semi")
+    val intra = withSig.select(col("rep_id"), col("doc_id").as("a_id"))
+      .join(withSig.select(col("rep_id"), col("doc_id").as("b_id")),
+        Seq("rep_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), lit(1.0).as("jaccard"))
+    val pairs = cross.union(intra)
+    val repLabels = connectedComponentsWithRounds(
+      repVerified.select(col("a_id"), col("b_id")))._1
+      .select(col("doc_id").as("rep_id"), col("component").as("rcomp"))
+    val labels = membership
+      .join(repLabels, Seq("rep_id"), "left")
+      .join(sigReps.withColumn("has_sig", lit(true)),
+        Seq("rep_id"), "left")
+      // a rep in no rep-level pair still anchors a component when its
+      // exact-dup group has ≥ 2 banded members (an all-identical clique)
+      .withColumn("component", coalesce(col("rcomp"),
+        when(col("grp_n") >= 2 && col("has_sig"), col("rep_id"))))
+      .filter(col("component").isNotNull)
+      .select(col("doc_id"), col("component"))
+    (pairs, labels)
+  }
+
   /** Build-or-adopt the clustering artifact and read one face of it:
     * the verified pair list and the component labels are ONE build
     * (labels are derived from pairs), published atomically together.
+    * The builder is the pre-collapsed [[ccBuildFrames]]; the labels are
+    * written from the staged pairs' frame lineage, both faces in one
+    * staging → one atomic publish.
     */
   private def ccArtifact(s: SparkSession, d: String,
       face: String): DataFrame = {
     val base = SharedArtifacts.root.resolve(s"cc_${componentsKey(d)}")
     if (!SharedArtifacts.isReady(base)) {
       val staging = SharedArtifacts.stagingFor(base)
-      minhashVerified(s, d)
-        .write.mode("overwrite").parquet(staging.resolve("pairs").toString)
-      connectedComponentsWithRounds(
-        s.read.parquet(staging.resolve("pairs").toString)
-          .select(col("a_id"), col("b_id")))._1
-        .write.mode("overwrite").parquet(staging.resolve("labels").toString)
+      val (pairs, labels) = ccBuildFrames(s, d)
+      pairs.write.mode("overwrite")
+        .parquet(staging.resolve("pairs").toString)
+      labels.write.mode("overwrite")
+        .parquet(staging.resolve("labels").toString)
       SharedArtifacts.publish(staging, base)
     }
     SharedArtifacts.markUsed(base)

@@ -390,12 +390,107 @@ object HybridRetrieval {
         expr("sum(ndcg_bp) div count(1)").as("macro_ndcg_bp"))
   }
 
+  /** Frozen integer weights of the linear RERANKER — the cross-encoder
+    * SLOT in the retrieval stack: production rerankers score each
+    * retrieved candidate with a better (slower) model and reorder; the
+    * engine's plumbing for that step is exercised here with a frozen
+    * linear model over the legs' rank features (the calibrated-LTR
+    * baseline a rollout compares the cross-encoder against), the
+    * `text_quality_classifier` discipline — frozen integer weights, no
+    * training loop in the gate. Features per candidate: the rank GAIN
+    * of each leg (`ListDepth + 1 − rank`, 0 when absent — higher is
+    * better, absent is weakest) and the both-legs agreement bit (two
+    * independent retrievers agreeing is the strongest relevance
+    * evidence the legs alone carry).
+    */
+  private val RerankWLex = 10L
+  private val RerankWVec = 14L
+  private val RerankWBoth = 300L
+
+  /** RERANK EVAL — nDCG@[[GroupK]] of the frozen linear reranker over
+    * the fused candidate pool, per query NEXT TO the RRF baseline on
+    * the SAME pool, plus the delta — the report a reranker rollout
+    * actually gates on ("did reordering the same candidates help, and
+    * on which queries did it hurt"). Emits
+    * `(q_id, rerank_ndcg_bp, rrf_ndcg_bp, delta_bp)` per query and the
+    * macro summary row `q_id = −1`; the baseline column must restate
+    * `hybrid_ndcg_grouped`'s per-query `ndcg_bp` exactly
+    * (spec-pinned cross-check — same pool, same grading).
+    *
+    * Scale shape: the pool is ≤ 2·[[ListDepth]] rows per query (the
+    * legs' window-pruned lists full-outer joined); both rankings are
+    * ONE window pass each over that pool; grading is the grouped
+    * eval's broadcast-label joins. Nothing touches the corpus after
+    * the legs.
+    */
+  private val hybridRerank: Q = (s, d) => {
+    val pool = lexRankedGrouped(s, d)
+      .join(vecRankedGrouped(s, d), Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("score",
+        lit(RerankWLex) *
+          coalesce(lit(ListDepth + 1L) - col("lex_rank"), lit(0L)) +
+        lit(RerankWVec) *
+          coalesce(lit(ListDepth + 1L) - col("vec_rank"), lit(0L)) +
+        when(col("lex_rank").isNotNull && col("vec_rank").isNotNull,
+          lit(RerankWBoth)).otherwise(lit(0L)))
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+    val byScore = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val byRrf = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    val positioned = pool
+      .withColumn("pos_rr", row_number().over(byScore).cast("long"))
+      .withColumn("pos_rrf", row_number().over(byRrf).cast("long"))
+      .filter(col("pos_rr") <= GroupK || col("pos_rrf") <= GroupK)
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val graded = positioned
+      .join(lbl, positioned("doc_id") === lbl("vec_id"), "left")
+      .join(q, Seq("q_id"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+    val nRel = lbl.crossJoin(broadcast(q.withColumnRenamed("q_id", "qq")))
+      .filter(col("vec_id") =!= col("qq"))
+      .groupBy(col("qq").as("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_rel"))
+    val perQ = graded.groupBy(col("q_id"))
+      .agg(
+        coalesce(sum(when(col("pos_rr") <= GroupK && col("rel") === 1L,
+          element_at(typedLit(ndcgWeights), col("pos_rr").cast("int")))),
+          lit(0L)).as("rr_dcg"),
+        coalesce(sum(when(col("pos_rrf") <= GroupK && col("rel") === 1L,
+          element_at(typedLit(ndcgWeights), col("pos_rrf").cast("int")))),
+          lit(0L)).as("rrf_dcg"))
+      .join(nRel, Seq("q_id"))
+      .withColumn("idcg",
+        element_at(typedLit(ndcgPrefix),
+          least(lit(GroupK), col("n_rel")).cast("int") + 1))
+      .withColumn("rerank_ndcg_bp", expr(
+        "CASE WHEN idcg > 0 THEN rr_dcg * 10000 div idcg ELSE 0 END"))
+      .withColumn("rrf_ndcg_bp", expr(
+        "CASE WHEN idcg > 0 THEN rrf_dcg * 10000 div idcg ELSE 0 END"))
+      .select(col("q_id"), col("rerank_ndcg_bp"), col("rrf_ndcg_bp"),
+        (col("rerank_ndcg_bp") - col("rrf_ndcg_bp")).as("delta_bp"))
+    val summary = perQ.agg(
+      lit(-1L).as("q_id"),
+      expr("sum(rerank_ndcg_bp) div count(1)").as("rerank_ndcg_bp"),
+      expr("sum(rrf_ndcg_bp) div count(1)").as("rrf_ndcg_bp"))
+      .withColumn("delta_bp",
+        col("rerank_ndcg_bp") - col("rrf_ndcg_bp"))
+    perQ.unionByName(summary)
+  }
+
   val queries: Map[String, Q] = Map(
     "hybrid_rrf" -> hybrid,
     "hybrid_ndcg" -> hybridNdcg,
     "retrieval_ndcg_grouped" -> ndcgGrouped,
     "hybrid_ndcg_grouped" -> hybridNdcgGrouped,
     "hybrid_rrf_sweep" -> rrfSweep,
+    "hybrid_rerank" -> hybridRerank,
   )
 
   /** The same two legs and fusion in DuckDB SQL: the BM25 CTEs are the
@@ -707,11 +802,121 @@ object HybridRetrieval {
        |FROM rated GROUP BY 1""".stripMargin
   }
 
+  /** The rerank eval in SQL — the grouped-hybrid leg CTEs verbatim,
+    * the frozen linear score and the RRF baseline over the same pool,
+    * both gradings through the same literal discount/prefix tables.
+    */
+  private val rerankOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |sc AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs) //
+       |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+       |      AS BIGINT) AS bm25_scaled
+       |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |  JOIN df f ON f.term = q.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id, lex_rank FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS lex_rank
+       |    FROM sc) WHERE lex_rank <= $ListDepth),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                     e.embedding::DOUBLE[]), 4)
+       |          DESC, e.vec_id) AS BIGINT) AS vec_rank
+       |    FROM embeddings q JOIN embeddings e
+       |      ON q.vec_id < $GroupQueries AND e.vec_id <> q.vec_id)
+       |  WHERE vec_rank <= $ListDepth),
+       |pool AS (
+       |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    $RerankWLex * coalesce($ListDepth + 1 - l.lex_rank, 0)
+       |      + $RerankWVec * coalesce($ListDepth + 1 - v.vec_rank, 0)
+       |      + CASE WHEN l.lex_rank IS NOT NULL AND v.vec_rank IS NOT NULL
+       |             THEN $RerankWBoth ELSE 0 END AS score,
+       |    round(coalesce(1.0::DOUBLE / ($RrfK + l.lex_rank), 0.0)
+       |        + coalesce(1.0::DOUBLE / ($RrfK + v.vec_rank), 0.0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id),
+       |positioned AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY score DESC, doc_id) AS BIGINT) AS pos_rr,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rrf DESC, doc_id) AS BIGINT) AS pos_rrf
+       |  FROM pool),
+       |ql AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |       WHERE vec_id < $GroupQueries),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |nrel AS (
+       |  SELECT ql.q_id,
+       |    CAST(count(CASE WHEN e.label = ql.q_label THEN 1 END) AS BIGINT)
+       |      AS n_rel
+       |  FROM ql JOIN embeddings e ON e.vec_id <> ql.q_id
+       |  GROUP BY 1),
+       |graded AS (
+       |  SELECT p.q_id, p.pos_rr, p.pos_rrf,
+       |    CASE WHEN e.label = ql.q_label THEN 1 ELSE 0 END AS rel
+       |  FROM positioned p JOIN ql ON ql.q_id = p.q_id
+       |  LEFT JOIN embeddings e ON e.vec_id = p.doc_id),
+       |perq AS (
+       |  SELECT g.q_id,
+       |    CAST(coalesce(sum(CASE WHEN g.pos_rr <= $GroupK AND g.rel = 1
+       |      THEN wr.w END), 0) AS BIGINT) AS rr_dcg,
+       |    CAST(coalesce(sum(CASE WHEN g.pos_rrf <= $GroupK AND g.rel = 1
+       |      THEN wf.w END), 0) AS BIGINT) AS rrf_dcg
+       |  FROM graded g
+       |  LEFT JOIN wts wr ON wr.pos = g.pos_rr
+       |  LEFT JOIN wts wf ON wf.pos = g.pos_rrf
+       |  GROUP BY 1),
+       |rated AS (
+       |  SELECT p.q_id,
+       |    CAST(CASE WHEN i.s > 0 THEN p.rr_dcg * 10000 // i.s
+       |         ELSE 0 END AS BIGINT) AS rerank_ndcg_bp,
+       |    CAST(CASE WHEN i.s > 0 THEN p.rrf_dcg * 10000 // i.s
+       |         ELSE 0 END AS BIGINT) AS rrf_ndcg_bp
+       |  FROM perq p JOIN nrel n ON n.q_id = p.q_id
+       |  JOIN pre i ON i.j = least($GroupK, n.n_rel))
+       |SELECT q_id, rerank_ndcg_bp, rrf_ndcg_bp,
+       |  rerank_ndcg_bp - rrf_ndcg_bp AS delta_bp
+       |FROM rated
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT),
+       |  CAST(sum(rerank_ndcg_bp) // count(*) AS BIGINT),
+       |  CAST(sum(rrf_ndcg_bp) // count(*) AS BIGINT),
+       |  CAST(sum(rerank_ndcg_bp) // count(*)
+       |    - sum(rrf_ndcg_bp) // count(*) AS BIGINT)
+       |FROM rated""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
     "hybrid_ndcg" -> ndcgOracle,
     "retrieval_ndcg_grouped" -> ndcgGroupedOracle,
     "hybrid_ndcg_grouped" -> hybridNdcgGroupedOracle,
     "hybrid_rrf_sweep" -> rrfSweepOracle,
+    "hybrid_rerank" -> rerankOracle,
   )
 }

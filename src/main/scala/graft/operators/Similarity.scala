@@ -75,8 +75,10 @@ object Similarity {
     * Exact cosine rerank inside the candidate set. The corpus side is an
     * equi-join on (table, bucket) — sub-linear candidates at scale, no
     * all-pairs product. Recall vs brute force is pinned in
-    * DedupSimilaritySpec (the hyperplane construction has no DuckDB
-    * equivalent, so this is a rows-only query for the gate).
+    * DedupSimilaritySpec, and since round 12 the face is HASH-CHECKED:
+    * the oracle embeds the [[planeTensor]] as deterministic double
+    * literals (shortest-roundtrip `toString`), so the whole bucketing +
+    * rerank reproduces in DuckDB.
     */
   private val annLsh: Q = (s, d) => {
     val e = T(s, d, "embeddings")
@@ -187,9 +189,11 @@ object Similarity {
   /** SCALAR-QUANTIZATION ANN (SQ8) — the third codec next to IVF's
     * pruning and PQ's subspace codebooks, and the simplest of FAISS's
     * workhorses: per DIMENSION, the corpus min/max define a linear
-    * 8-bit grid; each vector stores one byte per dim (4× smaller than
-    * PQ's sub-block granularity is coarser, but decode is a multiply —
-    * no codebook lookup). Scoring is asymmetric like ADC: the query's
+    * 8-bit grid; each vector stores one byte per dim — 8× more bytes
+    * than PQ's 8-byte code, but the grid is per-dimension where PQ's
+    * codebook entries cover 8-dim sub-blocks, so SQ8 loses far less
+    * (measured 49/50 vs 23/50 recall@5) and decode is a multiply — no
+    * codebook lookup. Scoring is asymmetric like ADC: the query's
     * exact elements against the candidates' DEQUANTIZED grid points.
     *
     * Exactness discipline: elements quantize to the registry's 1e3
@@ -252,7 +256,64 @@ object Similarity {
         count(lit(1)).as("k"))
   }
 
-  private val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
+  /** Histogram width of the drift monitor: 10 equal-width bins over
+    * each dimension's observed range — the PSI convention.
+    */
+  private val DriftBuckets = 10L
+
+  /** EMBEDDING DRIFT MONITOR — per-DIMENSION distribution shift
+    * between two slices of the corpus (vec_id parity — the registry's
+    * deterministic stand-in for "yesterday's index batch vs today's"):
+    * the check a production vector pipeline runs before trusting a new
+    * encoder export or a re-embedded shard, because ANN indexes
+    * trained on one distribution degrade silently when fed another
+    * (the `dq_schema_drift` idiom applied to the vector column).
+    *
+    * Each dimension quantizes to the registry's 1e3 integers, bins
+    * into [[DriftBuckets]] equal-width buckets of its OWN observed
+    * range (`(xq−mn)·B div (mx−mn+1)` — exact, in [0, B), degenerate
+    * constant dims land wholly in bucket 0), and the two slices'
+    * bucket histograms compare by the CROSS-MULTIPLIED L1 statistic
+    * `Σ_b |n_a(b)·N_b − n_b(b)·N_a|` = 2·N_a·N_b·TVD — total-variation
+    * distance with the divisions cleared, so the whole report is
+    * exact int64 and hash-checks cross-engine (PSI's per-bucket `ln`
+    * would put a libm call between the engines — the reason BM25 uses
+    * the odds ratio). TVD itself is the consumer's one division,
+    * `l1_x_scaled / (2·n_a·n_b)` — the [[GraphOps]] modularity
+    * protocol. int64 holds while N_a·N_b·2·B < 9.2e18 (≈ 6.8e8
+    * vectors a slice); past that, the same report in DECIMAL(38,0).
+    *
+    * Scale shape: one posexplode scan (n·64 rows), the per-dim range
+    * a 64-row broadcast, counts collapse map-side to ≤ 64·B·2 rows —
+    * nothing downstream of the scan is corpus-sized.
+    */
+  private val embedDrift: Q = (s, d) => {
+    val el = sqElements(T(s, d, "embeddings"))
+    val ranges = el.groupBy(col("i"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    val counts = el.join(broadcast(ranges), Seq("i"))
+      .withColumn("bucket",
+        expr(s"((xq - mn) * $DriftBuckets) div (mx - mn + 1)"))
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L))
+        .as("n_a"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_b"))
+    val totals = counts.groupBy(col("i"))
+      .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    counts.join(totals, Seq("i"))
+      .withColumn("contrib",
+        abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
+      .groupBy(col("i"))
+      .agg(min(col("ta")).as("n_a_total"), min(col("tb")).as("n_b_total"),
+        sum(col("contrib")).as("l1_x_scaled"),
+        max(col("contrib")).as("max_bucket_contrib"))
+  }
+
+  // private[graft]: the streaming index-IVM oracle interpolates both
+  // constants into its SQL, so a knob change can never desynchronize
+  // face and oracle (the CepWindow/OrdBase shared-constant discipline)
+  private[graft] val IvfSeedStep = 31 // every 31st vector seeds a list: C ≈ n/31
 
   /** Centroid-count cap: the quantizer takes the FIRST [[IvfCentroidCap]]
     * stride seeds, so C = min(n/[[IvfSeedStep]], cap) — without it C
@@ -262,7 +323,7 @@ object Similarity {
     * under the cap (C = 17 and 65), so capping changes nothing the
     * oracle checks — it bounds what a bigger corpus pays.
     */
-  private val IvfCentroidCap = 2048L
+  private[graft] val IvfCentroidCap = 2048L
 
   private val NProbe = 4
 
@@ -545,8 +606,9 @@ object Similarity {
     * codebook) join + per-(vector, subspace) argmin on map-side-
     * combinable groups; the query tables broadcast; ADC is a broadcast
     * equi-join on (m, k) collapsing to (query, candidate) sums. At
-    * corpus scale the codes table IS the index — 2 bytes a vector —
-    * and the candidate set comes from the IVF lists, identical joins.
+    * corpus scale the codes table IS the index — 8 bytes a vector
+    * (8 subspaces × 8-bit codes) — and the candidate set comes from
+    * the IVF lists, identical joins.
     */
   private val annPq: Q = (s, d) => {
     val (codes, dt) = pqModelCached(s, d)
@@ -1201,16 +1263,38 @@ object Similarity {
     * ANN-composed [[knnGraphAnn]]; this form survives only as the
     * oracle side of `sim_knn_recall` and the spec baseline.
     */
-  private[graft] val knnGraphExact: Q = (s, d) => {
+  private[graft] val knnGraphExact: Q = (s, d) => knnGraphExactOn(s, d, None)
+
+  /** [[knnGraphExact]] with an optional QUERY-SIDE sample: exact top-k
+    * is computed only for the sampled vec_ids (the neighbor side stays
+    * the full corpus, so the sampled rows are the TRUE exact top-k) —
+    * the recall gate's constant-budget shape. The sample is the
+    * [[KnnRecallBudget]] smallest `md5(vec_id)` keys ([[Dedup]]'s
+    * `jaccardSample` discipline: hash-keyed so it spreads over labels,
+    * budget-capped so audit cost is |sample|·block, linear in the
+    * corpus — the old full exact side was the one quadratic left in
+    * the registry, 138 s at the 30× rung). Both gate SFs hold ≤ budget
+    * vectors, so the sample is the WHOLE corpus there and nothing
+    * hash-checked moves.
+    */
+  private[graft] def knnGraphExactOn(s: SparkSession, d: String,
+      queryBudget: Option[Long]): DataFrame = {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
         asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
+    val q = queryBudget.fold(e) { budget =>
+      val ids = e.select(col("vec_id"),
+          md5(col("vec_id").cast("string").cast("binary")).as("kk"))
+        .orderBy(col("kk"), col("vec_id")).limit(budget.toInt)
+        .select(col("vec_id"))
+      e.join(broadcast(ids), Seq("vec_id"), "left_semi")
+    }
     val nbr = e.select(col("label"), col("vec_id").as("nbr_id"),
       col("v").as("vb"), col("nrm").as("nb"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
-    e.join(nbr, Seq("label"))
+    q.join(nbr, Seq("label"))
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
       .withColumn("rank", row_number().over(byVec))
@@ -1218,6 +1302,14 @@ object Similarity {
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
+
+  /** Query budget of the kNN recall audit's exact side — a superset of
+    * every gate SF's vector count (sf0.1 holds 2000), so at the gate
+    * the "sample" is everything and the report is byte-identical to
+    * the unsampled r12 face; past the gate the audit stays runnable at
+    * any rung (constant query count × mean block size).
+    */
+  private[graft] val KnnRecallBudget = 2048L
 
   /** ANN-COMPOSED kNN-GRAPH BUILD — the scale path that replaces the
     * blocked exact join: candidate generation is the IVF quantizer
@@ -1299,7 +1391,7 @@ object Similarity {
     */
   private def knnKey(d: String): String =
     SharedArtifacts.fingerprint(d, "embeddings.parquet",
-      s"knn:v2:k$KnnK:ivf$IvfSeedStep:np$KnnProbes")
+      s"knn:v3:k$KnnK:ivf$IvfSeedStep:cap$IvfCentroidCap:np$KnnProbes")
 
   private[graft] def knnShared(s: SparkSession, d: String): DataFrame = {
     val base = SharedArtifacts.root.resolve(s"knn_${knnKey(d)}")
@@ -1319,13 +1411,15 @@ object Similarity {
     * single-row report (possible edges, recovered edges, recall in
     * basis points) is hash-checked, so a quantizer regression that
     * degrades the graph the whole graph family consumes fails the
-    * BUILD, not a dashboard. Cost: two KnnK·n edge frames joined on
-    * the pair key — the exact side is the quadratic form, which is
-    * exactly why it lives only here (audit at sampled/small SF), not
-    * in the artifact build.
+    * BUILD, not a dashboard. The exact side runs on the
+    * [[KnnRecallBudget]]-vector hash sample ([[knnGraphExactOn]]) —
+    * identical to the full report at every gate SF, linear past them
+    * (the `dedup_lsh_recall` discipline; the unsampled exact side was
+    * 138 s at the 30× rung, the one quadratic left in the registry).
     */
   private val knnRecall: Q = (s, d) => {
-    val exact = knnGraphExact(s, d).select(col("vec_id"), col("nbr_id"))
+    val exact = knnGraphExactOn(s, d, Some(KnnRecallBudget))
+      .select(col("vec_id"), col("nbr_id"))
     val ann = knnShared(s, d)
       .select(col("vec_id"), col("nbr_id"), lit(1L).as("hit"))
     exact.join(ann, Seq("vec_id", "nbr_id"), "left")
@@ -1374,6 +1468,7 @@ object Similarity {
     "sim_ann_lsh" -> annLsh,
     "sim_ann_sq" -> annSq,
     "sim_sq_recall" -> sqRecall,
+    "embed_drift" -> embedDrift,
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
@@ -1666,6 +1761,9 @@ object Similarity {
   /** The definitional exact blocked top-k in SQL — the `sim_knn_recall`
     * reference side (formerly the `sim_knn_graph` oracle, retired from
     * that slot when the published artifact became the ANN composition).
+    * The query side carries the same [[KnnRecallBudget]] md5-key sample
+    * as [[knnGraphExactOn]] — a no-op at every gate SF (budget ≥ corpus
+    * there), the linearity knob past them.
     */
   private val knnExactOracle: String =
     s"""SELECT vec_id, CAST(rk AS BIGINT) AS rank, nbr_id,
@@ -1678,7 +1776,11 @@ object Similarity {
        |      ORDER BY list_cosine_similarity(a.embedding::DOUBLE[],
        |                 b.embedding::DOUBLE[]) DESC, b.vec_id) AS rk
        |  FROM embeddings a JOIN embeddings b
-       |    ON a.label = b.label AND a.vec_id <> b.vec_id)
+       |    ON a.label = b.label AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id IN (
+       |    SELECT vec_id FROM embeddings
+       |    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+       |    LIMIT $KnnRecallBudget))
        |WHERE rk <= $KnnK""".stripMargin
 
   /** [[knnGraphAnn]] in SQL — the shared [[ivfIndexCtes]] quantizer,
@@ -1880,6 +1982,37 @@ object Similarity {
     // exact integers (floor divisions on nonnegative operands only),
     // so the whole SQ8 structure hash-checks like the PQ one
     "sim_ann_sq" -> sqOracle,
+    // same 1e3 quantization + equal-width binning; the L1 statistic is
+    // pure int64 on both sides
+    "embed_drift" ->
+      s"""WITH el AS (
+         |  SELECT vec_id, i,
+         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |               * 1000) AS BIGINT) AS xq
+         |  FROM embeddings,
+         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+         |rg AS (SELECT i, min(xq) AS mn, max(xq) AS mx FROM el GROUP BY 1),
+         |cnt AS (
+         |  SELECT el.i,
+         |    ((el.xq - rg.mn) * $DriftBuckets) // (rg.mx - rg.mn + 1)
+         |      AS bucket,
+         |    CAST(sum(CASE WHEN el.vec_id % 2 = 0 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_a,
+         |    CAST(sum(CASE WHEN el.vec_id % 2 = 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_b
+         |  FROM el JOIN rg ON rg.i = el.i
+         |  GROUP BY 1, 2),
+         |tot AS (SELECT i, sum(n_a) AS ta, sum(n_b) AS tb
+         |        FROM cnt GROUP BY 1)
+         |SELECT CAST(cnt.i AS BIGINT) AS i,
+         |  CAST(min(tot.ta) AS BIGINT) AS n_a_total,
+         |  CAST(min(tot.tb) AS BIGINT) AS n_b_total,
+         |  CAST(sum(abs(cnt.n_a * tot.tb - cnt.n_b * tot.ta)) AS BIGINT)
+         |    AS l1_x_scaled,
+         |  CAST(max(abs(cnt.n_a * tot.tb - cnt.n_b * tot.ta)) AS BIGINT)
+         |    AS max_bucket_contrib
+         |FROM cnt JOIN tot ON tot.i = cnt.i
+         |GROUP BY 1""".stripMargin,
     // recall of the SQ8 ranking against the exact integer-dot ranking
     // — both sides the oracles' own text, joined on the pair key
     "sim_sq_recall" ->

@@ -329,12 +329,153 @@ object StreamingQueries {
     * buys nothing here. `GRAFT_STREAM_SHUFFLE` overrides for smaller
     * boxes.
     */
-  private def withStreamingParallelism[A](s: SparkSession)(run: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8"))
-    try run finally s.conf.set(key, prev)
+  private def withStreamingParallelism[A](s: SparkSession)(run: => A): A =
+    ConfScope.enter(s, "spark.sql.shuffle.partitions",
+      sys.env.getOrElse("GRAFT_STREAM_SHUFFLE", "8"))(run)
+
+  /** REFERENCE-COUNTED session-conf scoping — the concurrency-safe form
+    * of "set, run, restore". The replay GROUPS run several face bodies
+    * on a pool at once, and each body wraps itself in the same conf
+    * scopes; with naive save/restore the first body to FINISH would
+    * restore the original value while its siblings' queries are still
+    * STARTING (streaming conf is captured at `start()`), silently
+    * running them under the wrong provider/parallelism. Per (session,
+    * key) the first enter saves the outer value and sets the scoped
+    * one; only the last exit restores — nested or overlapping scopes
+    * of the SAME value (the only combination the groups create) are
+    * exact.
+    */
+  private object ConfScope {
+    private final class Scope { var depth = 0; var outer: Option[String] = None }
+    private val scopes =
+      new java.util.concurrent.ConcurrentHashMap[String, Scope]()
+    def enter[A](s: SparkSession, key: String, value: String)(run: => A): A = {
+      val sc = scopes.computeIfAbsent(key, _ => new Scope)
+      sc.synchronized {
+        if (sc.depth == 0) {
+          sc.outer = s.conf.getOption(key)
+          s.conf.set(key, value)
+        }
+        sc.depth += 1
+      }
+      try run finally sc.synchronized {
+        sc.depth -= 1
+        if (sc.depth == 0) sc.outer match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }
   }
+
+  // ---- concurrent replay groups ------------------------------------------
+  //
+  // Every streaming face pays a fixed harness bill — query start/stop,
+  // offset/commit-log fsyncs, checkpoint setup — that dwarfs its actual
+  // state work at gate SF (~2.5-4 s per face, ~75 s across the tail).
+  // The r12 IVM fold proved the fix: faces that can share a run, share
+  // it. Round 13 generalizes that into REPLAY GROUPS: the first
+  // invocation of any member runs EVERY member of its group
+  // concurrently on a small pool (the fixed costs overlap instead of
+  // summing; AvailableNow queries are independent jobs the scheduler
+  // interleaves freely) and caches each face's read-back frame; each
+  // face's computation — staging, topology, sinks, read-back — is
+  // byte-identical to its solo form, so nothing hash-checked moves.
+  // The bench charges each group to a NAMED build item
+  // (`ensureReplayGroup`) so best-of-2 `min()` can't discard the bill.
+
+  private val groupResults =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val groupDone =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  /** Replay groups: group name → member faces. Built AFTER the face
+    * lambdas below (each entry references the face's solo body).
+    */
+  private lazy val replayGroups: Map[String, Map[String, Q]] = Map(
+    "sketch" -> Map(
+      "stream_countmin" -> streamCountmin,
+      "stream_kmv" -> streamKmv,
+      "stream_quantile" -> streamQuantile,
+      "stream_hll" -> streamHll),
+    "hourly" -> Map(
+      "stream_anomaly" -> streamAnomaly,
+      "stream_ewma" -> streamEwma,
+      "stream_holtwinters" -> streamHoltWinters),
+    "walk" -> Map(
+      "stream_cep_match" -> streamCepMatch,
+      "stream_rate_limit" -> streamRateLimit,
+      "stream_state_history" -> streamStateHistory,
+      "stream_paths" -> streamPaths),
+    "window" -> Map(
+      "stream_windowed_counts" -> streamWindowed,
+      "stream_late_drops" -> streamLateDrops,
+      "stream_sessionize" -> streamSessionize,
+      "stream_m4" -> streamM4),
+    "user" -> Map(
+      "stream_funnel" -> streamFunnel,
+      "stream_retention" -> streamRetention,
+      "stream_attribution" -> streamAttribution,
+      "stream_join_attrib" -> streamJoinAttrib),
+    "door" -> Map(
+      "stream_inprogress" -> streamInProgress,
+      "stream_dedup_ingest" -> streamDedupIngest,
+      "stream_enrich" -> streamEnrich,
+      "stream_quarantine" -> streamQuarantine))
+
+  private def groupKey(d: String, group: String): String =
+    group + ":" + SharedArtifacts.fingerprint(d, "events.parquet",
+      s"replaygrp-$group:v1")
+
+  /** Run `group`'s members concurrently (once per dataset version per
+    * process) and cache each face's read-back frame. A member failure
+    * fails the whole run and caches nothing — the next invocation
+    * retries. Pool width 4: wide enough to overlap every member's
+    * fixed costs, narrow enough that the 32 local cores still feed
+    * each query's own tasks.
+    */
+  private def runReplayGroup(s: SparkSession, d: String,
+      group: String): Unit = {
+    val key = groupKey(d, group)
+    groupDone.computeIfAbsent(key, _ => {
+      val members = replayGroups(group)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(members.size, 4))
+      try {
+        val fs = members.toSeq.map { case (name, q) =>
+          name -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = q(s, d)
+          })
+        }
+        fs.foreach { case (name, f) =>
+          groupResults.put(s"$key:$name", f.get())
+        }
+      } finally pool.shutdown()
+      java.lang.Boolean.TRUE
+    })
+  }
+
+  /** The registry face of a grouped member: trigger (or adopt) the
+    * group run, return the cached read-back.
+    */
+  private def groupedFace(group: String, name: String): Q = (s, d) => {
+    runReplayGroup(s, d, group)
+    groupResults.get(s"${groupKey(d, group)}:$name")
+  }
+
+  /** Eagerly run (or adopt) a replay group — the bench's visibility
+    * hook: the group's wall-clock lands on a named build line item
+    * instead of whichever member face the best-of-2 harness times
+    * first (min() would discard the paying run).
+    */
+  def ensureReplayGroup(s: SparkSession, d: String, group: String): Boolean = {
+    val existed = groupDone.containsKey(groupKey(d, group))
+    runReplayGroup(s, d, group)
+    !existed
+  }
+
+  /** The group names, for the bench loop. */
+  def replayGroupNames: Seq[String] = replayGroups.keys.toSeq.sorted
 
   /** Watermarked tumbling-window counts executed as a real streaming job
     * in UPDATE mode against a durable (parquet append-log) sink — the
@@ -1010,34 +1151,63 @@ object StreamingQueries {
     * sentinel's own (null-typed) window never closes, so it never even
     * reaches stage 2.
     */
+  /** Shared stage-1 dirs, one per (kind, dataset version) per process:
+    * several faces' topologies begin with the IDENTICAL finalized
+    * stage-1 (`hourly` feeds anomaly/ewma/holtwinters; `walkmid` feeds
+    * the four user-walk faces), and before r13 each face re-ran it —
+    * three (resp. four) replays of one append-mode query. The memo is
+    * the `ivmReplay` pattern: keyed on the events table's content
+    * fingerprint so a changed source can never serve stale windows;
+    * concurrent group members race into `computeIfAbsent` and the
+    * losers adopt the winner's files.
+    */
+  private val stageDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The finalized hourly `(event_type, hour_epoch, n)` windows every
+    * hourly-recurrence face folds: one append-mode watermarked window
+    * query over the 3 h-sentinel staging, written once and read by
+    * every stage-2.
+    */
+  private def hourlyCountsDir(s: SparkSession, d: String): String =
+    stageDirs.computeIfAbsent("hourly:" +
+      SharedArtifacts.fingerprint(d, "events.parquet", "hourlywin:v1"),
+      _ => {
+        val run = freshRunDir("graft_hourly1_")
+        val win = run.resolve("win").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(win))
+        val schema = org.apache.spark.sql.types.StructType(
+          T(s, d, "events").schema.map(f =>
+            if (f.name == "ts")
+              f.copy(dataType = org.apache.spark.sql.types.LongType)
+            else f))
+        val src = stageSessionSource(s, d, schema, run,
+          sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+        withStreamingParallelism(s) {
+          val raw = s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet").parquet(src)
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val q1 = raw.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+            .agg(count(lit(1)).as("n"))
+            .select(col("event_type"),
+              unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", win)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", run.resolve("chk1").toString)
+            .start()
+          q1.awaitTermination()
+        }
+        win
+      })
+
   private val streamAnomaly: Q = (s, d) => {
+    val win = hourlyCountsDir(s, d)
     val run = freshRunDir("graft_anostream_")
-    val win = run.resolve("win").toString
     val out = run.resolve("out").toString
-    Seq(win, out).foreach(p =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
-    val schema = org.apache.spark.sql.types.StructType(
-      T(s, d, "events").schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    val src = stageSessionSource(s, d, schema, run,
-      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     withStreamingParallelism(s) {
-      // stage 1: finalized hourly counts (append mode)
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(src)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val q1 = raw.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("event_type"),
-          unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", win)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk1").toString)
-        .start()
-      q1.awaitTermination()
       // stage 2: keyed trailing-baseline fold over the finalized windows
       withRocksDbStateStore(s) {
         import s.implicits._
@@ -1071,32 +1241,11 @@ object StreamingQueries {
     * only express as a sequential fold.
     */
   private val streamEwma: Q = (s, d) => {
+    val win = hourlyCountsDir(s, d)
     val run = freshRunDir("graft_ewmastream_")
-    val win = run.resolve("win").toString
     val out = run.resolve("out").toString
-    Seq(win, out).foreach(p =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
-    val schema = org.apache.spark.sql.types.StructType(
-      T(s, d, "events").schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    val src = stageSessionSource(s, d, schema, run,
-      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     withStreamingParallelism(s) {
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(src)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val q1 = raw.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("event_type"),
-          unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", win)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk1").toString)
-        .start()
-      q1.awaitTermination()
       withRocksDbStateStore(s) {
         import s.implicits._
         val rows = s.readStream
@@ -1129,32 +1278,11 @@ object StreamingQueries {
     * batch prices identically to the one-pass HOF.
     */
   private val streamHoltWinters: Q = (s, d) => {
+    val win = hourlyCountsDir(s, d)
     val run = freshRunDir("graft_hwstream_")
-    val win = run.resolve("win").toString
     val out = run.resolve("out").toString
-    Seq(win, out).foreach(p =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
-    val schema = org.apache.spark.sql.types.StructType(
-      T(s, d, "events").schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    val src = stageSessionSource(s, d, schema, run,
-      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     withStreamingParallelism(s) {
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(src)
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val q1 = raw.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-        .select(col("event_type"),
-          unix_seconds(col("window.start")).as("hour_epoch"), col("n"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", win)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk1").toString)
-        .start()
-      q1.awaitTermination()
       withRocksDbStateStore(s) {
         import s.implicits._
         val rows = s.readStream
@@ -1393,16 +1521,10 @@ object StreamingQueries {
     * scope it to the run and restore the session's prior setting (the
     * other replays keep whatever the session was configured with).
     */
-  private def withRocksDbStateStore[A](s: SparkSession)(run: => A): A = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try run finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None => s.conf.unset(key)
-    }
-  }
+  private def withRocksDbStateStore[A](s: SparkSession)(run: => A): A =
+    ConfScope.enter(s, "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "RocksDBStateStoreProvider")(run)
 
   /** The accumulated near-dup pairs: fold per-band hits into the
     * per-pair shared-band count (idempotent under batch replay).
@@ -1614,46 +1736,63 @@ object StreamingQueries {
     * recomputed from the finalized version starts, exactly as the
     * batch face's lead().
     */
+  /** The finalized per-(user, hour) typed event lists every user-walk
+    * face folds (micros ts — the batch faces' precision; see
+    * [[graft.streaming.EventAt]]), built ONCE per dataset version per
+    * process: before r13 each of the four walk faces re-ran this
+    * identical append-mode stage-1.
+    */
+  private def walkMidDir(s: SparkSession, d: String): String =
+    stageDirs.computeIfAbsent("walkmid:" +
+      SharedArtifacts.fingerprint(d, "events.parquet", "walkmid:v1"),
+      _ => {
+        val run = freshRunDir("graft_walk1_")
+        val mid = run.resolve("mid").toString
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(mid))
+        val schema = org.apache.spark.sql.types.StructType(
+          T(s, d, "events").schema.map(f =>
+            if (f.name == "ts")
+              f.copy(dataType = org.apache.spark.sql.types.LongType)
+            else f))
+        val src = stageSessionSource(s, d, schema, run,
+          sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+        withStreamingParallelism(s) {
+          val raw = s.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet").parquet(src)
+            .withColumn("ts_us", expr("ts div 1000"))
+            .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          val q1 = raw.withWatermark("ts", "1 hour")
+            .groupBy(window(col("ts"), "1 hour"), col("user_id"))
+            .agg(collect_list(struct(col("ts_us").as("ts"), col("event_id"),
+              col("event_type"))).as("evs"))
+            .select(col("user_id"),
+              unix_seconds(col("window.start")).as("hour_epoch"), col("evs"))
+            .writeStream.outputMode("append")
+            .format("parquet").option("path", mid)
+            .trigger(Trigger.AvailableNow())
+            .option("checkpointLocation", run.resolve("chk1").toString)
+            .start()
+          q1.awaitTermination()
+        }
+        mid
+      })
+
   /** Shared two-stage topology for the keyed walk replays
-    * (`stream_state_history`, `stream_paths`): stage 1 finalizes
-    * per-(user, hour) event lists in MICROS (the batch faces' ts
-    * precision — see [[graft.streaming.EventAt]]) with the sentinel
-    * row driving the final watermark; stage 2 runs the given
-    * `transformWithState` processor per user on RocksDB and writes
-    * its emissions to `out`, which the caller reads back.
+    * (`stream_state_history`, `stream_paths`, CEP, rate-limit): stage 1
+    * is the SHARED [[walkMidDir]] finalization (one run, four
+    * consumers); stage 2 runs the given `transformWithState` processor
+    * per user on RocksDB and writes its emissions to `out`, which the
+    * caller reads back.
     */
   private def runUserWalkTopology[O](s: SparkSession, d: String,
       run: java.nio.file.Path,
       processor: org.apache.spark.sql.streaming.StatefulProcessor[
         Long, graft.streaming.UserHourTyped, O],
       outEncoder: org.apache.spark.sql.Encoder[O]): String = {
-    val mid = run.resolve("mid").toString
+    val mid = walkMidDir(s, d)
     val out = run.resolve("out").toString
-    Seq(mid, out).foreach(p =>
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p)))
-    val schema = org.apache.spark.sql.types.StructType(
-      T(s, d, "events").schema.map(f =>
-        if (f.name == "ts") f.copy(dataType = org.apache.spark.sql.types.LongType)
-        else f))
-    val src = stageSessionSource(s, d, schema, run,
-      sentinelOffsetNanos = 3 * 3600L * 1000 * 1000 * 1000)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     withStreamingParallelism(s) {
-      val raw = s.readStream.schema(schema)
-        .option("pathGlobFilter", "*.parquet").parquet(src)
-        .withColumn("ts_us", expr("ts div 1000"))
-        .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      val q1 = raw.withWatermark("ts", "1 hour")
-        .groupBy(window(col("ts"), "1 hour"), col("user_id"))
-        .agg(collect_list(struct(col("ts_us").as("ts"), col("event_id"),
-          col("event_type"))).as("evs"))
-        .select(col("user_id"),
-          unix_seconds(col("window.start")).as("hour_epoch"), col("evs"))
-        .writeStream.outputMode("append")
-        .format("parquet").option("path", mid)
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk1").toString)
-        .start()
-      q1.awaitTermination()
       withRocksDbStateStore(s) {
         import s.implicits._
         val rows = s.readStream
@@ -1890,36 +2029,21 @@ object StreamingQueries {
       .limit(10)
   }
 
+  /** Every face in a replay group registers through [[groupedFace]]:
+    * the first member invoked runs the whole group concurrently, the
+    * rest adopt their cached read-backs. The ungrouped faces (the
+    * already-memoized IVM pair + index maintainers, time travel) keep
+    * their solo registration.
+    */
   val queries: Map[String, Q] = Map(
-    "stream_paths" -> streamPaths,
-    "stream_state_history" -> streamStateHistory,
-    "stream_inprogress" -> streamInProgress,
     "stream_ivm_counts" -> streamIvmCounts,
     "stream_ivm_events" -> streamIvmEvents,
     "state_time_travel" -> stateTimeTravel,
-    "stream_windowed_counts" -> streamWindowed,
-    "stream_countmin" -> streamCountmin,
-    "stream_kmv" -> streamKmv,
-    "stream_hll" -> streamHll,
-    "stream_quantile" -> streamQuantile,
-    "stream_late_drops" -> streamLateDrops,
-    "stream_dedup_ingest" -> streamDedupIngest,
     "dedup_index_ivm" -> dedupIndexIvm,
     "sim_index_ivm" -> simIndexIvm,
-    "stream_sessionize" -> streamSessionize,
-    "stream_join_attrib" -> streamJoinAttrib,
-    "stream_enrich" -> streamEnrich,
-    "stream_anomaly" -> streamAnomaly,
-    "stream_ewma" -> streamEwma,
-    "stream_attribution" -> streamAttribution,
-    "stream_cep_match" -> streamCepMatch,
-    "stream_m4" -> streamM4,
-    "stream_holtwinters" -> streamHoltWinters,
-    "stream_rate_limit" -> streamRateLimit,
-    "stream_funnel" -> streamFunnel,
-    "stream_retention" -> streamRetention,
-    "stream_quarantine" -> streamQuarantine,
-  )
+  ) ++ replayGroups.flatMap { case (group, members) =>
+    members.keys.map(name => name -> groupedFace(group, name))
+  }
 
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
     * agree with the declarative window-query semantics.
@@ -2035,8 +2159,11 @@ object StreamingQueries {
          |be AS (
          |  SELECT vec_id, v FROM r WHERE ((rn - 1) * 4) // n < 3),
          |seeds AS (
-         |  SELECT CAST(vec_id // 31 AS INT) AS cid, v AS cv
-         |  FROM be WHERE vec_id % 31 = 0 AND vec_id < ${31L * 2048L}),
+         |  SELECT CAST(vec_id // ${Similarity.IvfSeedStep} AS INT) AS cid,
+         |    v AS cv
+         |  FROM be WHERE vec_id % ${Similarity.IvfSeedStep} = 0
+         |    AND vec_id <
+         |      ${Similarity.IvfSeedStep.toLong * Similarity.IvfCentroidCap}),
          |assign0 AS (
          |  SELECT vec_id, cid FROM (
          |    SELECT b.vec_id, s.cid,

@@ -1036,4 +1036,83 @@ class DedupSimilaritySpec extends AnyFunSuite {
       .as[Double].collect()
     assert(sims.forall(s => math.abs(s - 1.0) < 1e-12))
   }
+
+  /** The naive (no pre-collapse) clustering derivation: the verified-
+    * pair face straight off the registry + components over it — the
+    * exact build the r12 artifact ran, kept here as the reference the
+    * pre-collapsed [[Dedup.ccBuildFrames]] must reproduce verbatim.
+    */
+  private def naiveCc(dir: String)
+      : (Set[(Long, Long, Double)], Set[(Long, Long)]) = {
+    val pairs = Dedup.queries("dedup_minhash_verified")(spark, dir)
+    val labels = Dedup.connectedComponentsWithRounds(
+      pairs.select(col("a_id"), col("b_id")))._1
+    (pairs.select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet,
+      labels.select("doc_id", "component")
+        .as[(Long, Long)].collect().toSet)
+  }
+
+  test("pre-collapsed cc build equals the naive derivation on testdata") {
+    val (gotPairs, gotLabels) = {
+      val (p, l) = Dedup.ccBuildFrames(spark, sf)
+      (p.select("a_id", "b_id", "jaccard")
+        .as[(Long, Long, Double)].collect().toSet,
+        l.select("doc_id", "component")
+          .as[(Long, Long)].collect().toSet)
+    }
+    val (expPairs, expLabels) = naiveCc(sf)
+    assert(gotPairs == expPairs,
+      s"pairs diverge: extra=${gotPairs -- expPairs} " +
+        s"missing=${expPairs -- gotPairs}")
+    assert(gotLabels == expLabels,
+      s"labels diverge: extra=${gotLabels -- expLabels} " +
+        s"missing=${expLabels -- gotLabels}")
+  }
+
+  test("pre-collapsed cc build equals the naive derivation on planted " +
+      "exact cliques (incl. a no-shingle clique and a bridged group)") {
+    // a corpus exercising every expansion case:
+    //  - a 5-deep exact clique of long docs (collapses to one rep;
+    //    intra pairs jaccard exactly 1.0; fallback component = rep id
+    //    when the rep has no rep-level pair)
+    //  - a near-dup of that clique's text (cross-group pair must carry
+    //    the rep's jaccard for EVERY clique member)
+    //  - a 3-deep exact clique of sub-shingle-width docs (no signature:
+    //    must produce NO pairs and NO labels)
+    //  - unrelated singletons
+    val long = ((1 to 30).map(i => s"tok$i").mkString(" "))
+    val near = ((1 to 28).map(i => s"tok$i").mkString(" ")) + " alpha beta"
+    val docs = Seq(
+      (10L, long), (11L, long), (12L, long), (13L, long), (14L, long),
+      (20L, near),
+      (30L, "tiny doc"), (31L, "tiny doc"), (32L, "tiny doc"),
+      (40L, (100 to 140).map(i => s"word$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("ccpre").toString
+    docs.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val (p, l) = Dedup.ccBuildFrames(spark, dir)
+    val gotPairs = p.select("a_id", "b_id", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val gotLabels = l.select("doc_id", "component")
+      .as[(Long, Long)].collect().toSet
+    val (expPairs, expLabels) = naiveCc(dir)
+    assert(gotPairs == expPairs,
+      s"pairs diverge: extra=${gotPairs -- expPairs} " +
+        s"missing=${expPairs -- gotPairs}")
+    assert(gotLabels == expLabels,
+      s"labels diverge: extra=${gotLabels -- expLabels} " +
+        s"missing=${expLabels -- gotLabels}")
+    // the planted structure itself: the 5-clique fully paired at 1.0,
+    // no-shingle clique absent, every clique member labeled 10
+    val clique = for {
+      a <- 10L to 14L; b <- 10L to 14L if a < b
+    } yield (a, b, 1.0)
+    assert(clique.toSet.subsetOf(gotPairs), s"missing clique pairs in $gotPairs")
+    assert(gotPairs.forall { case (a, b, _) => a < 30 || a == 40 },
+      s"sub-shingle-width docs must not pair: $gotPairs")
+    assert((10L to 14L).map(i => (i, 10L)).toSet.subsetOf(gotLabels),
+      s"clique labels wrong: $gotLabels")
+  }
 }

@@ -155,4 +155,48 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(sweep(60L).getAs[Long]("macro_ndcg_bp") ==
       summary.getAs[Long]("ndcg_bp"))
   }
+
+  test("hybrid_rerank: baseline column restates hybrid_ndcg_grouped; " +
+      "summary is the macro mean of both rankings") {
+    val rr = HybridRetrieval.queries("hybrid_rerank")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    val grouped = HybridRetrieval.queries("hybrid_ndcg_grouped")(spark, sf)
+      .collect().map(r => r.getAs[Long]("q_id") -> r).toMap
+    // the RRF baseline grades the SAME pool with the SAME k=60 fusion
+    // and cutoff as the grouped face (TopK-truncation there can't touch
+    // the top GroupK), so per query the columns must agree exactly
+    grouped.keys.filter(_ >= 0).foreach { q =>
+      assert(rr(q).getAs[Long]("rrf_ndcg_bp") ==
+        grouped(q).getAs[Long]("ndcg_bp"),
+        s"q=$q rerank baseline diverged from hybrid_ndcg_grouped")
+    }
+    val perQ = rr.filter(_._1 >= 0).values.toSeq
+    val s2 = rr(-1L)
+    assert(s2.getAs[Long]("rerank_ndcg_bp") ==
+      perQ.map(_.getAs[Long]("rerank_ndcg_bp")).sum / perQ.size)
+    assert(s2.getAs[Long]("rrf_ndcg_bp") ==
+      perQ.map(_.getAs[Long]("rrf_ndcg_bp")).sum / perQ.size)
+    assert(s2.getAs[Long]("delta_bp") ==
+      s2.getAs[Long]("rerank_ndcg_bp") - s2.getAs[Long]("rrf_ndcg_bp"))
+    // every per-query delta is the difference of its two columns
+    perQ.foreach(r => assert(r.getAs[Long]("delta_bp") ==
+      r.getAs[Long]("rerank_ndcg_bp") - r.getAs[Long]("rrf_ndcg_bp")))
+  }
+
+  test("embed_drift: one row per dimension, totals partition the corpus, " +
+      "the L1 statistic is bounded by its scale") {
+    val rows = SparkEntry.queries("embed_drift")(spark, sf).collect()
+    val n = Tables.load(spark, sf, "embeddings").count()
+    val dims = Tables.load(spark, sf, "embeddings")
+      .selectExpr("size(embedding) AS d").head().getInt(0)
+    assert(rows.length == dims, s"expected $dims dims, got ${rows.length}")
+    rows.foreach { r =>
+      val (ta, tb) = (r.getAs[Long]("n_a_total"), r.getAs[Long]("n_b_total"))
+      assert(ta + tb == n, s"halves must partition the corpus: $r")
+      val l1 = r.getAs[Long]("l1_x_scaled")
+      // TVD ≤ 1 ⟹ Σ|n_a·tb − n_b·ta| ≤ 2·ta·tb; max contrib ≤ sum
+      assert(l1 >= 0 && l1 <= 2 * ta * tb, s"L1 out of range: $r")
+      assert(r.getAs[Long]("max_bucket_contrib") <= l1, r.toString)
+    }
+  }
 }
