@@ -123,6 +123,48 @@ object ScaleRung {
       }
       println(f"| $name | $sec%.2f | $rows |")
     }
+
+    // ---- maintenance path (r13): per-batch cost vs resident size ----
+    //
+    // The index-IVM faces' scale claim is "per-batch cost is O(batch),
+    // independent of how much is already indexed". Spec'd at gate SF,
+    // measured HERE at rung scale: the SAME four 500-row batches
+    // (doc_id/vec_id < 2000 — base ids exist at every rung, so every
+    // rung signs/assigns identical batches) arrive against this rung's
+    // resident corpus. If the claim holds, the per-batch seconds below
+    // are flat across 10x/30x/100x; any growth with `factor` is
+    // resident-size leakage into the batch path.
+    import org.apache.spark.sql.DataFrame
+    val maint = Paths.get(dest, "maint")
+    def timedBatches(label: String, gens: Seq[(Int, DataFrame)])
+        (write: (Int, DataFrame) => Unit): Unit = {
+      println(s"\n| $label batch | seconds |")
+      gens.foreach { case (k, df) =>
+        val (_, sec) = timed(s"$label b$k")(write(k, df))
+        println(f"| b$k | $sec%.2f |")
+      }
+    }
+    val docs = spark.read.parquet(s"$dest/documents.parquet")
+    val docBatches = (0 until 4).map(k => k -> docs
+      .filter(col("doc_id") >= k * 500L && col("doc_id") < (k + 1) * 500L))
+    timedBatches("dedup_index_maint", docBatches) { (k, b) =>
+      // the dedup_index_ivm per-batch body: shingle+sign ONLY the batch,
+      // append one generation — never touches the resident signatures
+      graft.operators.Dedup.minhashSig(graft.operators.Dedup.shingleRows(b))
+        .write.mode("overwrite")
+        .parquet(maint.resolve(f"dedup_b$k%02d").toString)
+    }
+    val (eAll, centroids, _, _) = graft.operators.Similarity.ivfModel(spark, dest)
+    val vecBatches = (0 until 4).map(k => k -> eAll
+      .filter(col("vec_id") >= k * 500L && col("vec_id") < (k + 1) * 500L)
+      .select(col("vec_id"), col("v")))
+    timedBatches("sim_index_maint", vecBatches) { (k, b) =>
+      // the sim_index_ivm per-batch body: broadcast argmin against the
+      // FROZEN capped-C quantizer (|batch| x C <= 500 x 2048 work)
+      graft.operators.Similarity.assignCells(b, centroids)
+        .write.mode("overwrite")
+        .parquet(maint.resolve(f"sim_b$k%02d").toString)
+    }
     spark.stop()
   }
 }

@@ -90,6 +90,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "hybrid_rrf_sweep" -> ("the same inherited bounded build sides as" +
       " hybrid_ndcg_grouped; damping constants fan out by explode on" +
       " the already-joined per-query lists"),
+    "hybrid_rerank" -> ("the same inherited bounded build sides as" +
+      " hybrid_ndcg_grouped (single-row BM25 stats, broadcast 10-row" +
+      " query set for the relevant totals); both rankings are windows" +
+      " over the pool and grading is equi-joined on (q_id, doc_id)"),
     "ngrams_heavyhitters" -> ("crossJoin against the broadcast" +
       " SINGLE-ROW stream total (the scalar-stats pattern); the exact" +
       " recount joins the <=cap sketched candidates by equi-key"),
