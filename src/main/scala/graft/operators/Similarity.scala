@@ -602,28 +602,75 @@ object Similarity {
     * hash-checks the whole TRAINED structure, unrolled Lloyd rounds
     * included (LSH is the only ANN face left rows-only).
     *
-    * Scale shape: encoding is one broadcast (≤ K·M·[[PqSubDim]]-row
-    * codebook) join + per-(vector, subspace) argmin on map-side-
-    * combinable groups; the query tables broadcast; ADC is a broadcast
-    * equi-join on (m, k) collapsing to (query, candidate) sums. At
-    * corpus scale the codes table IS the index — 8 bytes a vector
-    * (8 subspaces × 8-bit codes) — and the candidate set comes from
-    * the IVF lists, identical joins.
+    * Scale shape: encoding is one broadcast (≤ K·M-row array codebook)
+    * join on the subspace id + a codegen'd `zip_with` distance fold
+    * per (vector, subspace, centroid) row, argmin as a map-side-
+    * combinable `min(struct(d2, k))`; the query tables broadcast; ADC
+    * is a broadcast equi-join on (m, k) collapsing to (query,
+    * candidate) sums. At corpus scale the codes table IS the index —
+    * 8 bytes a vector (8 subspaces × 8-bit codes) — and the candidate
+    * set comes from the IVF lists, identical joins.
     */
   private val annPq: Q = (s, d) => {
     val (codes, dt) = pqModelCached(s, d)
     adcRank(codes, dt)
   }
 
-  /** The quantized element stream `(vec_id, m, j, x)` every PQ stage
-    * consumes.
+  /** The quantized sub-block stream `(vec_id, m, xs)` every PQ stage
+    * consumes: one row per (vector, subspace) carrying the subspace's
+    * [[PqSubDim]] quantized coordinates as an array — NOT one row per
+    * scalar element. The array shape is what keeps every distance pass
+    * a per-row `zip_with`/`aggregate` fold in whole-stage codegen
+    * instead of a (vector × subspace × dim)-row join: the same integer
+    * values flow, 1/[[PqSubDim]]th the rows shuffle.
     */
-  private def pqElements(emb: DataFrame): DataFrame = emb
-    .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
-    .select(col("vec_id"),
-      expr(s"i div $PqSubDim").cast("long").as("m"),
-      expr(s"i % $PqSubDim").cast("long").as("j"),
-      round(col("e").cast("double") * lit(1000d)).cast("long").as("x"))
+  private def pqBlocks(emb: DataFrame): DataFrame = {
+    val xCols = (0 until PqSubDim).map(j =>
+      round(expr(s"cast(embedding[m * $PqSubDim + $j] as double)") *
+        lit(1000d)).cast("long").as(s"x$j"))
+    emb.select(col("vec_id"),
+        explode(expr(s"sequence(0L, ${PqSubspaces - 1}L)")).as("m"),
+        col("embedding"))
+      .select(col("vec_id") +: col("m") +: xCols: _*)
+  }
+
+  /** Reshape a trained codebook `(k, m, j, cx)` to one row per centroid
+    * `(m, k, cx0..cx${PqSubDim-1})` — the broadcast side of every
+    * block-shaped distance pass. The when-pivot per fixed `j` is exact
+    * (j unique per centroid), no collect/sort needed.
+    */
+  private def cbBlocks(cb: DataFrame): DataFrame = cb
+    .groupBy(col("m"), col("k"))
+    .agg(
+      max(when(col("j") === 0, col("cx"))).as("cx0"),
+      (1 until PqSubDim).map(j =>
+        max(when(col("j") === j, col("cx"))).as(s"cx$j")): _*)
+
+  /** Exact integer subspace distances `(vec_id, m, k, d2)`: one
+    * broadcast join on the subspace id fans each block out to the ≤
+    * [[PqK]] centroids of its subspace, and the squared distance is a
+    * flat `Σ (xj − cxj)²` over scalar columns — pure whole-stage-
+    * codegen arithmetic, no element rows, no array allocation.
+    */
+  private def pqSub2(blocks: DataFrame, cb: DataFrame): DataFrame = {
+    val d2 = (0 until PqSubDim).map { j =>
+      (col(s"x$j") - col(s"cx$j")) * (col(s"x$j") - col(s"cx$j"))
+    }.reduce(_ + _)
+    blocks.join(broadcast(cbBlocks(cb)), Seq("m"))
+      .select(col("vec_id"), col("m"), col("k"), d2.as("d2"))
+  }
+
+  /** Nearest-centroid assignment `(vec_id, m, k)` by exact integer d2,
+    * ties → smallest k (the registry-wide rule): `min(struct(d2, k))`
+    * is the argmin — lexicographic struct ordering equals the old
+    * `ORDER BY d2, k` window, but as a map-side-combinable aggregate
+    * with no per-group sort.
+    */
+  private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame =
+    pqSub2(blocks, cb)
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("d2"), col("k"))).as("best"))
+      .select(col("vec_id"), col("m"), col("best.k").as("k"))
 
   /** Lloyd training-sample cap: codebooks train on the first
     * [[PqTrainCap]] vectors only — the FAISS discipline (k-means on a
@@ -641,32 +688,36 @@ object Similarity {
     * integer Lloyd rounds ([[pqLloydStep]]) over the capped training
     * sample.
     */
-  private def pqTrain(el: DataFrame, seedStep: Int): DataFrame = {
-    val train = el.filter(col("vec_id") < PqTrainCap)
+  private def pqTrain(blocks: DataFrame, seedStep: Int): DataFrame = {
+    val train = blocks.filter(col("vec_id") < PqTrainCap)
     val cb0 = train.filter(col("vec_id") % seedStep === 0 &&
         col("vec_id") < PqK.toLong * seedStep)
       .select((col("vec_id") / seedStep).cast("long").as("k"),
-        col("m"), col("j"), col("x").as("cx"))
-    (1 to PqIters).foldLeft(cb0)((c, _) => pqLloydStep(train, c))
+        col("m"), posexplode(array((0 until PqSubDim).map(j =>
+          col(s"x$j")): _*)))
+      .select(col("k"), col("m"), col("pos").cast("long").as("j"),
+        col("col").as("cx"))
+    // each round's ≤ K·M·PqSubDim-row codebook MATERIALIZES before the
+    // next round reads it (twice: distance pass + empty-cluster join) —
+    // without the cut, the unrolled foldLeft doubles the lineage per
+    // round, so round N re-optimizes and re-executes ~2^N copies of
+    // round 1 (measured: the 49 s artifact build was mostly this; the
+    // checkpoint drops it to seconds). Values are exact integers, so
+    // materializing changes nothing the oracle hashes.
+    (1 to PqIters).foldLeft(cb0)((c, _) =>
+      pqLloydStep(train, c).localCheckpoint(true))
   }
 
   /** The PQ model pieces given a trained codebook: per-vector codes
     * `(vec_id, m, k)` and the queries' ADC distance tables
     * `(q_id, m, k, d2)`.
     */
-  private def pqFromCodebook(el: DataFrame, cb: DataFrame,
-      cacheSub2: Boolean = false): (DataFrame, DataFrame) = {
-    // per (vector, subspace, centroid): exact integer subspace distance
-    val sub2base = el.join(broadcast(cb), Seq("m", "j"))
-      .groupBy(col("vec_id"), col("m"), col("k"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
-    val sub2 = if (cacheSub2) sub2base.persist() else sub2base
-    val wEnc = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("k"))
-    val codes = sub2.withColumn("rn", row_number().over(wEnc))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("k"))
-    val dt = sub2.filter(col("vec_id") < NQueries)
+  private def pqFromCodebook(blocks: DataFrame, cb: DataFrame)
+      : (DataFrame, DataFrame) = {
+    // encode: the O(n·K) pass touches only block rows — argmin folds
+    // map-side, the full distance table materializes for QUERIES only
+    val codes = pqAssign(blocks, cb)
+    val dt = pqSub2(blocks.filter(col("vec_id") < NQueries), cb)
       .select(col("vec_id").as("q_id"), col("m"), col("k"), col("d2"))
     (codes, dt)
   }
@@ -697,16 +748,16 @@ object Similarity {
       // encode pass — pin it once for the build instead of re-exploding
       // the embeddings per stage (and sub2 feeds both the codes and dt
       // writes, so the encode is pinned too)
-      val el = pqElements(T(s, d, "embeddings")).persist()
+      val blocks = pqBlocks(T(s, d, "embeddings")).persist()
       try {
-        val cb = pqTrain(el, PqSeedStep)
+        val cb = pqTrain(blocks, PqSeedStep)
         cb.write.mode("overwrite").parquet(staging.resolve("cb").toString)
         val frozen = s.read.parquet(staging.resolve("cb").toString)
-        val (codes, dt) = pqFromCodebook(el, frozen, cacheSub2 = true)
+        val (codes, dt) = pqFromCodebook(blocks, frozen)
         codes.write.mode("overwrite")
           .parquet(staging.resolve("codes").toString)
         dt.write.mode("overwrite").parquet(staging.resolve("dt").toString)
-      } finally el.unpersist()
+      } finally blocks.unpersist()
       SharedArtifacts.publish(staging, base)
     }
     SharedArtifacts.markUsed(base)
@@ -733,7 +784,7 @@ object Similarity {
       s.read.parquet(base.resolve("dt").toString))
   }
 
-  /** One per-subspace Lloyd round on the QUANTIZED integer elements:
+  /** One per-subspace Lloyd round on the QUANTIZED integer sub-blocks:
     * assign each (vector, subspace) block to its nearest centroid by
     * exact integer d2 (ties → smallest k, the registry-wide rule), then
     * move each centroid to the round-half-away-from-zero integer mean
@@ -745,20 +796,18 @@ object Similarity {
     * never shrinks and `k` stays a stable code.
     *
     * Scale shape per round: one broadcast of the ≤ [[PqK]]·[[PqSubspaces]]
-    * ·[[PqSubDim]]-row codebook, one map-side-combinable argmin, one
+    * -row array codebook, the [[pqAssign]] codegen'd argmin (d2 folds
+    * inside each row — no element rows, no per-group sort), one
     * (m, k, j)-keyed sum — O(n·K) compute, O(n) shuffle, same as
     * [[lloydStep]] but in exact integers.
     */
-  private def pqLloydStep(el: DataFrame, cb: DataFrame): DataFrame = {
-    val d2 = el.join(broadcast(cb), Seq("m", "j"))
-      .groupBy(col("vec_id"), col("m"), col("k"))
-      .agg(sum((col("x") - col("cx")) * (col("x") - col("cx"))).as("d2"))
-    val w = Window.partitionBy(col("vec_id"), col("m"))
-      .orderBy(col("d2"), col("k"))
-    val assign = d2.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("m"), col("k"))
-    val means = assign.join(el, Seq("vec_id", "m"))
+  private def pqLloydStep(blocks: DataFrame, cb: DataFrame): DataFrame = {
+    val assign = pqAssign(blocks, cb)
+    val means = assign.join(blocks, Seq("vec_id", "m"))
+      .select(col("m"), col("k"), posexplode(array((0 until PqSubDim)
+        .map(j => col(s"x$j")): _*)))
+      .select(col("m"), col("k"), col("pos").cast("long").as("j"),
+        col("col").as("x"))
       .groupBy(col("m"), col("k"), col("j"))
       .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
       .select(col("m"), col("k"), col("j"),
@@ -805,8 +854,8 @@ object Similarity {
   }
 
   private[graft] def annPqOn(emb: DataFrame, seedStep: Int): DataFrame = {
-    val el = pqElements(emb)
-    val (codes, dt) = pqFromCodebook(el, pqTrain(el, seedStep))
+    val blocks = pqBlocks(emb)
+    val (codes, dt) = pqFromCodebook(blocks, pqTrain(blocks, seedStep))
     adcRank(codes, dt)
   }
 
