@@ -484,6 +484,280 @@ object HybridRetrieval {
     perQ.unionByName(summary)
   }
 
+  /** MMR picks per query — the diversified short-list length. */
+  private[graft] val MmrK = 5
+  /** λ = 0.7 as integer weights: `mmr = 7·rel − 3·sim` in micro-units.
+    * A double λ-combination looked safe (three IEEE ops on identical
+    * doubles) but `round(·, 6)` landed on a decimal half-way point at
+    * sf0.001 where Spark (BigDecimal of the shortest string) and
+    * DuckDB (exact binary) disagree — so the combination, like every
+    * other ranking in the registry, is exact integers: the rounded
+    * inputs ARE 6-/4-decimal fixed-point values, recovered exactly by
+    * `round(x·10^s)` (never half-way — the double sits ~1e-10 from the
+    * integer).
+    */
+  private[graft] val MmrLamN = 7L
+  private[graft] val MmrLamD = 3L
+
+  /** DIVERSIFIED TOP-K (MMR) — Carbonell & Goldstein's maximal
+    * marginal relevance over the fused candidate pool: greedily pick
+    * [[MmrK]] docs, each maximizing `λ·rel − (1−λ)·max sim-to-picked`,
+    * the de-facto answer-diversification step of every RAG stack (the
+    * fused list is relevance-sorted but redundant — near-duplicate
+    * candidates crowd out coverage; MMR trades a little relevance for
+    * novelty). rel is the candidate's RRF score on the pool, sim the
+    * rounded pairwise cosine between candidate embeddings — both
+    * recovered as exact fixed-point integers (see [[MmrLamN]]) so the
+    * λ-combination, the max-penalty, and every argmax comparison are
+    * integer arithmetic with the doc_id tie-break: the greedy
+    * trajectory is bit-identical in DuckDB and the whole K-step
+    * selection hash-checks.
+    *
+    * Scale shape: the pool is ≤ [[TopK]] rows per query and the
+    * pairwise sim table ≤ TopK² — BOTH constant-size per query and
+    * materialized once (`localCheckpoint`) before the loop, so the
+    * [[MmrK]] greedy steps are joins over constant-size frames; the
+    * corpus is touched only by the legs. The K-step sequential
+    * dependency is inherent to MMR (each pick conditions the next);
+    * what matters at 100 TB is that NO step touches the corpus.
+    */
+  /** The fused candidate pool MMR diversifies: the grouped RRF list cut
+    * to [[TopK]], relevance recovered as exact micro-unit integers.
+    * `private[graft]` so the spec can replay the greedy reference over
+    * the same frame.
+    */
+  private[graft] def mmrPool(s: SparkSession, d: String): DataFrame = {
+    val fusedW = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+    lexRankedGrouped(s, d)
+      .join(vecRankedGrouped(s, d), Seq("q_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+      .withColumn("pos", row_number().over(fusedW).cast("long"))
+      .filter(col("pos") <= TopK)
+      .select(col("q_id"), col("doc_id"),
+        round(col("rrf") * lit(1000000d)).cast("long").as("rel_i"))
+      .localCheckpoint(true)
+  }
+
+  /** Pairwise rounded cosine between pool candidates of the same query,
+    * as 1e-4 fixed-point integers — ≤ TopK² rows per query.
+    */
+  private[graft] def mmrSims(s: SparkSession, d: String,
+      pool: DataFrame): DataFrame = {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val ea = e.select(col("vec_id").as("doc_id"), col("v").as("va"),
+      col("nrm").as("na"))
+    val eb = e.select(col("vec_id").as("d2"), col("v").as("vb"),
+      col("nrm").as("nb"))
+    pool.select(col("q_id"), col("doc_id"))
+      .join(pool.select(col("q_id"), col("doc_id").as("d2")), Seq("q_id"))
+      .filter(col("doc_id") =!= col("d2"))
+      .join(ea, Seq("doc_id"))
+      .join(eb, Seq("d2"))
+      .select(col("q_id"), col("doc_id"), col("d2"),
+        round(round(dot(col("va"), col("vb")) / (col("na") * col("nb")),
+          4) * lit(10000d)).cast("long").as("sim_i"))
+      .localCheckpoint(true)
+  }
+
+  private val hybridMmr: Q = (s, d) => {
+    val pool = mmrPool(s, d)
+    val sims = mmrSims(s, d, pool)
+    val empty = pool.filter(lit(false))
+      .select(col("q_id"), col("doc_id"), lit(0L).as("mmr_scaled"),
+        lit(0L).as("pick_pos"))
+    val byMmr = Window.partitionBy(col("q_id"))
+      .orderBy(col("mmr_scaled").desc, col("doc_id"))
+    (1 to MmrK).foldLeft(empty) { (sel, k) =>
+      val pen = sims
+        .join(sel.select(col("q_id"), col("doc_id").as("d2")),
+          Seq("q_id", "d2"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(max(col("sim_i")).as("mx"))
+      val pick = pool
+        .join(sel.select(col("q_id"), col("doc_id")),
+          Seq("q_id", "doc_id"), "left_anti")
+        .join(pen, Seq("q_id", "doc_id"), "left")
+        // rel is micro-units (1e-6), sim 1e-4 — ×100 aligns them
+        .withColumn("mmr_scaled",
+          lit(MmrLamN) * col("rel_i") -
+            lit(MmrLamD) * coalesce(col("mx"), lit(0L)) * lit(100L))
+        .withColumn("rn", row_number().over(byMmr))
+        .filter(col("rn") === 1)
+        .select(col("q_id"), col("doc_id"), col("mmr_scaled"),
+          lit(k.toLong).as("pick_pos"))
+      sel.unionByName(pick).localCheckpoint(true)
+    }
+  }
+
+  /** Feedback depth (docs mined for expansion terms) and expansion
+    * width (terms added per query) of the PRF face.
+    */
+  private[graft] val PrfFeedback = 3L
+  private[graft] val PrfTerms = 5L
+
+  /** Integer term weights of the expanded query: original terms count
+    * double, mined terms single — the RM3 interpolation (λ ≈ 2/3)
+    * expressed in exact integers so the re-scored sum stays
+    * order-independent under parallel aggregation.
+    */
+  private[graft] val PrfWOrig = 2L
+  private[graft] val PrfWExp = 1L
+
+  /** PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (RM3-style) — the
+    * recall lever of the lexical leg: run each standing query's BM25,
+    * assume its top-[[PrfFeedback]] docs are relevant, mine the
+    * [[PrfTerms]] heaviest NEW terms from them (summed tf, original
+    * terms excluded), re-retrieve with the expanded weighted query
+    * (original terms ×[[PrfWOrig]], mined ×[[PrfWExp]]), and grade
+    * expanded-vs-base nDCG@[[GroupK]] per query plus the macro summary
+    * — the report a query-expansion rollout gates on, the
+    * [[hybridRerank]] shape. Emits `(q_id, prf_ndcg_bp, base_ndcg_bp,
+    * delta_bp)`; `q_id = −1` is the macro row.
+    *
+    * Determinism: term scores are the exact-integer odds-ratio BM25
+    * ([[TextAnalysis.bm25TermScore]]); expansion mining ranks by
+    * `(Σtf desc, term)` — integer weight with the binary-collation
+    * term tie-break, identical in both engines; the weighted re-score
+    * sums integers. Scale shape: ONE token scan yields the postings
+    * ([[TextAnalysis.bm25Postings]]); both retrieval passes reach
+    * candidates by the term EQUI-join (fan-out = posting sizes, never
+    * the corpus); mining joins [[PrfFeedback]] doc ids per query back
+    * to the tf frame by doc equi-join; grading is the grouped eval's
+    * broadcast-label joins.
+    */
+  private val hybridPrf: Q = (s, d) => {
+    val (tf, dl, dfT, stats) = TextAnalysis.bm25Postings(s, d)
+    // weighted retrieval pass over (q_id, term, w)
+    def scored(qterms: DataFrame): DataFrame =
+      qterms.join(tf, Seq("term"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .join(dfT, Seq("term"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .withColumn("ts", TextAnalysis.bm25TermScore)
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(sum(col("w") * col("ts")).as("score"))
+    val qt = tf.filter(col("doc_id") < TextAnalysis.Bm25GroupQueries)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val byScore = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val base = scored(qt.withColumn("w", lit(1L)))
+      .withColumn("pos", row_number().over(byScore).cast("long"))
+    val byEw = Window.partitionBy(col("q_id"))
+      .orderBy(col("ew").desc, col("term"))
+    val expansion = base.filter(col("pos") <= PrfFeedback)
+      .select(col("q_id"), col("doc_id"))
+      .join(tf, Seq("doc_id"))
+      .groupBy(col("q_id"), col("term"))
+      .agg(sum(col("tf")).as("ew"))
+      .join(qt, Seq("q_id", "term"), "left_anti")
+      .withColumn("tr", row_number().over(byEw))
+      .filter(col("tr") <= PrfTerms)
+      .select(col("q_id"), col("term"))
+    val prf = scored(qt.withColumn("w", lit(PrfWOrig)).unionByName(
+        expansion.withColumn("w", lit(PrfWExp))))
+      .withColumn("pos", row_number().over(byScore).cast("long"))
+    // grade both rankings at GroupK — the rerank face's label joins
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    def dcgOf(ranked: DataFrame, out: String): DataFrame = {
+      val cut = ranked.filter(col("pos") <= GroupK)
+      cut.join(lbl, cut("doc_id") === lbl("vec_id"), "left")
+        .join(q, Seq("q_id"))
+        .groupBy(col("q_id"))
+        .agg(coalesce(sum(when(col("label") === col("q_label"),
+          element_at(typedLit(ndcgWeights), col("pos").cast("int")))),
+          lit(0L)).as(out))
+    }
+    val nRel = lbl.crossJoin(broadcast(q.withColumnRenamed("q_id", "qq")))
+      .filter(col("vec_id") =!= col("qq"))
+      .groupBy(col("qq").as("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_rel"))
+    val perQ = nRel
+      .join(dcgOf(prf, "prf_dcg"), Seq("q_id"), "left")
+      .join(dcgOf(base, "base_dcg"), Seq("q_id"), "left")
+      .withColumn("idcg",
+        element_at(typedLit(ndcgPrefix),
+          least(lit(GroupK), col("n_rel")).cast("int") + 1))
+      .withColumn("prf_ndcg_bp", expr("CASE WHEN idcg > 0 THEN" +
+        " coalesce(prf_dcg, 0) * 10000 div idcg ELSE 0 END"))
+      .withColumn("base_ndcg_bp", expr("CASE WHEN idcg > 0 THEN" +
+        " coalesce(base_dcg, 0) * 10000 div idcg ELSE 0 END"))
+      .select(col("q_id"), col("prf_ndcg_bp"), col("base_ndcg_bp"),
+        (col("prf_ndcg_bp") - col("base_ndcg_bp")).as("delta_bp"))
+    val summary = perQ.agg(
+      lit(-1L).as("q_id"),
+      expr("sum(prf_ndcg_bp) div count(1)").as("prf_ndcg_bp"),
+      expr("sum(base_ndcg_bp) div count(1)").as("base_ndcg_bp"))
+      .withColumn("delta_bp", col("prf_ndcg_bp") - col("base_ndcg_bp"))
+    perQ.unionByName(summary)
+  }
+
+  /** Positives and hard negatives mined per query for the contrastive
+    * training set.
+    */
+  private[graft] val TripPos = 2L
+  private[graft] val TripNeg = 5L
+
+  /** HARD-NEGATIVE TRIPLE MINING — the training-data prep step of
+    * every dense-retriever distillation run (DPR/ColBERT style): from
+    * each standing query's BM25 top-[[ListDepth]], take the
+    * [[TripPos]] best-ranked docs that share the query's label
+    * (positives) and the [[TripNeg]] best-ranked docs that do NOT
+    * (BM25-confusable = hard negatives — lexically similar yet wrong,
+    * exactly the examples a contrastive loss needs), and emit every
+    * (positive × negative) pair with ranks and the signed score margin
+    * — negative margins are the prize: the retriever currently ranks
+    * that negative ABOVE the positive. Docs with no embedding row
+    * grade unlabeled and mine as negatives (conservative: unknown ≠
+    * relevant).
+    *
+    * Determinism: ranks are windows over exact-integer BM25 with the
+    * doc_id tie-break; the margin is integer subtraction. Scale shape:
+    * the inverted-index retrieval pass ([[TextAnalysis
+    * .bm25GroupedScored]]), label grading by one equi-join against the
+    * (vec_id, label) projection, and the pos × neg fan-out is
+    * per-query ≤ [[TripPos]]·[[TripNeg]] rows by an equi-join on q_id
+    * — nothing quadratic in the corpus.
+    */
+  private val retrievalTriples: Q = (s, d) => {
+    val byScore = Window.partitionBy(col("q_id"))
+      .orderBy(col("bm25_scaled").desc, col("doc_id"))
+    val ranked = TextAnalysis.bm25GroupedScored(s, d)
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= ListDepth)
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val graded = ranked
+      .join(lbl, ranked("doc_id") === lbl("vec_id"), "left")
+      .join(q, Seq("q_id"))
+      .withColumn("rel",
+        when(col("label") === col("q_label"), 1L).otherwise(0L))
+    val byRank = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val pos = graded.filter(col("rel") === 1L)
+      .withColumn("pr", row_number().over(byRank))
+      .filter(col("pr") <= TripPos)
+      .select(col("q_id"), col("doc_id").as("pos_id"),
+        col("rank").as("pos_rank"), col("bm25_scaled").as("pos_score"))
+    val neg = graded.filter(col("rel") === 0L)
+      .withColumn("nr", row_number().over(byRank))
+      .filter(col("nr") <= TripNeg)
+      .select(col("q_id"), col("doc_id").as("neg_id"),
+        col("rank").as("neg_rank"), col("bm25_scaled").as("neg_score"))
+    pos.join(neg, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("neg_id"),
+        col("pos_rank"), col("neg_rank"),
+        (col("pos_score") - col("neg_score")).as("margin_scaled"))
+  }
+
   val queries: Map[String, Q] = Map(
     "hybrid_rrf" -> hybrid,
     "hybrid_ndcg" -> hybridNdcg,
@@ -491,6 +765,9 @@ object HybridRetrieval {
     "hybrid_ndcg_grouped" -> hybridNdcgGrouped,
     "hybrid_rrf_sweep" -> rrfSweep,
     "hybrid_rerank" -> hybridRerank,
+    "hybrid_mmr" -> hybridMmr,
+    "hybrid_prf" -> hybridPrf,
+    "retrieval_triples" -> retrievalTriples,
   )
 
   /** The same two legs and fusion in DuckDB SQL: the BM25 CTEs are the
@@ -911,6 +1188,273 @@ object HybridRetrieval {
        |FROM rated""".stripMargin
   }
 
+  /** The greedy MMR trajectory unrolled to [[MmrK]] CTE steps (K is a
+    * fixed constant, so the unroll is mechanical): step k anti-joins
+    * the picked set `s(k-1)`, prices every remaining candidate with
+    * the max-sim penalty against it, and picks the per-query argmax
+    * with the doc_id tie-break — exactly the Spark loop's joins. The
+    * pool/sims CTEs restate the grouped fused pool and the pairwise
+    * rounded cosine.
+    */
+  private val mmrOracle: String = {
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    val steps = (1 to MmrK).map { k =>
+      s"""c$k AS (
+         |  SELECT t.q_id, t.doc_id,
+         |    $MmrLamN * t.rel_i
+         |      - $MmrLamD * coalesce(pen.mx, 0) * 100 AS mmr_scaled
+         |  FROM topped t
+         |  LEFT JOIN (SELECT m.q_id, m.doc_id, max(m.sim_i) AS mx
+         |             FROM sims m JOIN s${k - 1} s
+         |               ON s.q_id = m.q_id AND s.doc_id = m.d2
+         |             GROUP BY 1, 2) pen
+         |    ON pen.q_id = t.q_id AND pen.doc_id = t.doc_id
+         |  WHERE NOT EXISTS (SELECT 1 FROM s${k - 1} s
+         |                    WHERE s.q_id = t.q_id
+         |                      AND s.doc_id = t.doc_id)),
+         |p$k AS (
+         |  SELECT q_id, doc_id, CAST(mmr_scaled AS BIGINT) AS mmr_scaled,
+         |    CAST($k AS BIGINT) AS pick_pos
+         |  FROM (SELECT q_id, doc_id, mmr_scaled, row_number() OVER (
+         |          PARTITION BY q_id ORDER BY mmr_scaled DESC, doc_id) AS rn
+         |        FROM c$k) WHERE rn = 1),
+         |s$k AS (SELECT q_id, doc_id FROM s${k - 1}
+         |        UNION ALL SELECT q_id, doc_id FROM p$k)""".stripMargin
+    }.mkString(",\n")
+    val finalSel = (1 to MmrK)
+      .map(k => s"SELECT * FROM p$k").mkString("\nUNION ALL ")
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |sc AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs) //
+       |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+       |      AS BIGINT) AS bm25_scaled
+       |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |  JOIN df f ON f.term = q.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |lex AS (
+       |  SELECT q_id, doc_id, lex_rank FROM (
+       |    SELECT q_id, doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS lex_rank
+       |    FROM sc) WHERE lex_rank <= $ListDepth),
+       |vec AS (
+       |  SELECT q_id, doc_id, vec_rank FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS doc_id,
+       |      CAST(row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        round(list_cosine_similarity(q.embedding::DOUBLE[],
+       |                                     e.embedding::DOUBLE[]), 4)
+       |          DESC, e.vec_id) AS BIGINT) AS vec_rank
+       |    FROM embeddings q JOIN embeddings e
+       |      ON q.vec_id < $GroupQueries AND e.vec_id <> q.vec_id)
+       |  WHERE vec_rank <= $ListDepth),
+       |fused AS (
+       |  SELECT coalesce(l.q_id, v.q_id) AS q_id,
+       |    coalesce(l.doc_id, v.doc_id) AS doc_id,
+       |    round(coalesce(1.0::DOUBLE / ($RrfK + l.lex_rank), 0.0)
+       |        + coalesce(1.0::DOUBLE / ($RrfK + v.vec_rank), 0.0), 6)
+       |      AS rrf
+       |  FROM lex l FULL OUTER JOIN vec v
+       |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id),
+       |topped AS (
+       |  SELECT q_id, doc_id,
+       |    CAST(round(rrf * 1000000) AS BIGINT) AS rel_i
+       |  FROM (
+       |    SELECT q_id, doc_id, rrf,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY rrf DESC, doc_id) AS BIGINT) AS pos
+       |    FROM fused) WHERE pos <= $TopK),
+       |sims AS (
+       |  SELECT a.q_id, a.doc_id, b.doc_id AS d2,
+       |    CAST(round(round(list_cosine_similarity(
+       |      ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 4) * 10000)
+       |      AS BIGINT) AS sim_i
+       |  FROM topped a JOIN topped b
+       |    ON a.q_id = b.q_id AND a.doc_id <> b.doc_id
+       |  JOIN embeddings ea ON ea.vec_id = a.doc_id
+       |  JOIN embeddings eb ON eb.vec_id = b.doc_id),
+       |s0(q_id, doc_id) AS (SELECT q_id, doc_id FROM topped WHERE FALSE),
+       |$steps
+       |$finalSel""".stripMargin
+  }
+
+  /** The PRF pipeline in DuckDB: the shared postings CTEs, a weighted
+    * generalization of the sc scorer (w = 1 base pass, 2/1 expanded
+    * pass), expansion-term mining as the (Σtf desc, term) top-5 with
+    * original terms anti-joined out, and the rerank oracle's grading
+    * tail over both rankings.
+    */
+  private val prfOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |base AS (
+       |  SELECT q_id, doc_id, pos FROM (
+       |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, doc_id) AS BIGINT) AS pos
+       |    FROM (
+       |      SELECT q.q_id, t.doc_id,
+       |        sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs) //
+       |          ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total
+       |            + 9*l.dl*s.n))) AS score
+       |      FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |      JOIN df f ON f.term = q.term
+       |      JOIN dl l ON l.doc_id = t.doc_id
+       |      CROSS JOIN stats s
+       |      GROUP BY 1, 2))),
+       |exp AS (
+       |  SELECT q_id, term FROM (
+       |    SELECT b.q_id, t.term,
+       |      row_number() OVER (PARTITION BY b.q_id
+       |        ORDER BY sum(t.tf) DESC, t.term) AS tr
+       |    FROM base b JOIN tf t ON t.doc_id = b.doc_id
+       |    WHERE b.pos <= $PrfFeedback
+       |      AND NOT EXISTS (SELECT 1 FROM qt q
+       |                      WHERE q.q_id = b.q_id AND q.term = t.term)
+       |    GROUP BY 1, 2) WHERE tr <= $PrfTerms),
+       |eq AS (SELECT q_id, term, $PrfWOrig AS w FROM qt
+       |       UNION ALL SELECT q_id, term, $PrfWExp AS w FROM exp),
+       |prf AS (
+       |  SELECT q_id, doc_id, pos FROM (
+       |    SELECT q_id, doc_id, CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY score DESC, doc_id) AS BIGINT) AS pos
+       |    FROM (
+       |      SELECT q.q_id, t.doc_id,
+       |        sum(q.w * (((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total
+       |            * $gs) //
+       |          ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total
+       |            + 9*l.dl*s.n)))) AS score
+       |      FROM eq q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |      JOIN df f ON f.term = q.term
+       |      JOIN dl l ON l.doc_id = t.doc_id
+       |      CROSS JOIN stats s
+       |      GROUP BY 1, 2))),
+       |ql AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |       WHERE vec_id < $GroupQueries),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |nrel AS (
+       |  SELECT ql.q_id,
+       |    CAST(count(CASE WHEN e.label = ql.q_label THEN 1 END) AS BIGINT)
+       |      AS n_rel
+       |  FROM ql JOIN embeddings e ON e.vec_id <> ql.q_id
+       |  GROUP BY 1),
+       |pdcg AS (
+       |  SELECT p.q_id,
+       |    CAST(coalesce(sum(CASE WHEN e.label = ql.q_label
+       |      THEN w.w END), 0) AS BIGINT) AS prf_dcg
+       |  FROM prf p JOIN ql ON ql.q_id = p.q_id
+       |  JOIN wts w ON w.pos = p.pos
+       |  LEFT JOIN embeddings e ON e.vec_id = p.doc_id
+       |  WHERE p.pos <= $GroupK
+       |  GROUP BY 1),
+       |bdcg AS (
+       |  SELECT b.q_id,
+       |    CAST(coalesce(sum(CASE WHEN e.label = ql.q_label
+       |      THEN w.w END), 0) AS BIGINT) AS base_dcg
+       |  FROM base b JOIN ql ON ql.q_id = b.q_id
+       |  JOIN wts w ON w.pos = b.pos
+       |  LEFT JOIN embeddings e ON e.vec_id = b.doc_id
+       |  WHERE b.pos <= $GroupK
+       |  GROUP BY 1),
+       |rated AS (
+       |  SELECT n.q_id,
+       |    CAST(CASE WHEN i.s > 0
+       |      THEN coalesce(p.prf_dcg, 0) * 10000 // i.s
+       |      ELSE 0 END AS BIGINT) AS prf_ndcg_bp,
+       |    CAST(CASE WHEN i.s > 0
+       |      THEN coalesce(b.base_dcg, 0) * 10000 // i.s
+       |      ELSE 0 END AS BIGINT) AS base_ndcg_bp
+       |  FROM nrel n
+       |  LEFT JOIN pdcg p ON p.q_id = n.q_id
+       |  LEFT JOIN bdcg b ON b.q_id = n.q_id
+       |  JOIN pre i ON i.j = least($GroupK, n.n_rel))
+       |SELECT q_id, prf_ndcg_bp, base_ndcg_bp,
+       |  prf_ndcg_bp - base_ndcg_bp AS delta_bp
+       |FROM rated
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT),
+       |  CAST(sum(prf_ndcg_bp) // count(*) AS BIGINT),
+       |  CAST(sum(base_ndcg_bp) // count(*) AS BIGINT),
+       |  CAST(sum(prf_ndcg_bp) // count(*)
+       |    - sum(base_ndcg_bp) // count(*) AS BIGINT)
+       |FROM rated""".stripMargin
+  }
+
+  /** The mining pipeline in DuckDB: the shared BM25 scorer, rank cut,
+    * label grading, per-query pos/neg windows, and the pos × neg join.
+    */
+  private val triplesOracle: String = {
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |ranked AS (
+       |  SELECT q_id, doc_id, bm25_scaled, rank FROM (
+       |    SELECT q_id, doc_id, bm25_scaled,
+       |      CAST(row_number() OVER (PARTITION BY q_id
+       |        ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank
+       |    FROM (
+       |      SELECT q.q_id, t.doc_id,
+       |        CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs)
+       |          // ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total
+       |            + 9*l.dl*s.n))) AS BIGINT) AS bm25_scaled
+       |      FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |      JOIN df f ON f.term = q.term
+       |      JOIN dl l ON l.doc_id = t.doc_id
+       |      CROSS JOIN stats s
+       |      GROUP BY 1, 2)) WHERE rank <= $ListDepth),
+       |ql AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |       WHERE vec_id < $GroupQueries),
+       |graded AS (
+       |  SELECT r.q_id, r.doc_id, r.bm25_scaled, r.rank,
+       |    CASE WHEN e.label = ql.q_label THEN 1 ELSE 0 END AS rel
+       |  FROM ranked r JOIN ql ON ql.q_id = r.q_id
+       |  LEFT JOIN embeddings e ON e.vec_id = r.doc_id),
+       |pos AS (
+       |  SELECT q_id, doc_id AS pos_id, rank AS pos_rank,
+       |    bm25_scaled AS pos_score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rank) AS pr
+       |    FROM graded WHERE rel = 1) WHERE pr <= $TripPos),
+       |neg AS (
+       |  SELECT q_id, doc_id AS neg_id, rank AS neg_rank,
+       |    bm25_scaled AS neg_score FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY rank) AS nr
+       |    FROM graded WHERE rel = 0) WHERE nr <= $TripNeg)
+       |SELECT p.q_id, p.pos_id, n.neg_id, p.pos_rank, n.neg_rank,
+       |  p.pos_score - n.neg_score AS margin_scaled
+       |FROM pos p JOIN neg n ON n.q_id = p.q_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "hybrid_rrf" -> hybridOracle,
     "hybrid_ndcg" -> ndcgOracle,
@@ -918,5 +1462,8 @@ object HybridRetrieval {
     "hybrid_ndcg_grouped" -> hybridNdcgGroupedOracle,
     "hybrid_rrf_sweep" -> rrfSweepOracle,
     "hybrid_rerank" -> rerankOracle,
+    "hybrid_mmr" -> mmrOracle,
+    "hybrid_prf" -> prfOracle,
+    "retrieval_triples" -> triplesOracle,
   )
 }

@@ -473,8 +473,14 @@ object TextAnalysis {
     * order-independent on any engine. Emits `(q_id, doc_id,
     * bm25_scaled)`, self excluded.
     */
-  private[operators] def bm25GroupedScored(s: SparkSession, d: String)
-      : DataFrame = {
+  /** The inverted-index frames one token scan yields — per-(doc, term)
+    * tf, per-doc length, per-term df, and the single-row corpus stats.
+    * Shared by [[bm25GroupedScored]] and [[HybridRetrieval]]'s
+    * query-expansion face (which needs the raw postings to mine and
+    * re-score expansion terms without a second token scan).
+    */
+  private[operators] def bm25Postings(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tok = T(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
     val tf = tok.groupBy(col("doc_id"), col("term"))
@@ -482,6 +488,19 @@ object TextAnalysis {
     val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))
+    (tf, dl, df, stats)
+  }
+
+  /** One term's exact-integer odds-ratio BM25 contribution — the `div`
+    * keeps Spark ≡ DuckDB `//` on the nonnegative operands.
+    */
+  private[operators] def bm25TermScore: Column = expr(
+    s"((2*n - 2*df + 1) * 22 * tf * total * $Bm25GroupScale) div " +
+      "((2*df + 1) * (10*tf*total + 3*total + 9*dl*n))")
+
+  private[operators] def bm25GroupedScored(s: SparkSession, d: String)
+      : DataFrame = {
+    val (tf, dl, df, stats) = bm25Postings(s, d)
     val qt = tf.filter(col("doc_id") < Bm25GroupQueries)
       .select(col("doc_id").as("q_id"), col("term"))
     qt.join(tf, Seq("term"))
@@ -489,9 +508,7 @@ object TextAnalysis {
       .join(df, Seq("term"))
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
-      .withColumn("ts", expr(
-        s"((2*n - 2*df + 1) * 22 * tf * total * $Bm25GroupScale) div " +
-          "((2*df + 1) * (10*tf*total + 3*total + 9*dl*n))"))
+      .withColumn("ts", bm25TermScore)
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("ts")).as("bm25_scaled"))
   }

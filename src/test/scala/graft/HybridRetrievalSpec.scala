@@ -199,4 +199,63 @@ class HybridRetrievalSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_bucket_contrib") <= l1, r.toString)
     }
   }
+
+  test("hybrid_mmr: the distributed greedy trajectory equals an " +
+      "in-memory MMR reference over the same pool and sims") {
+    val out = HybridRetrieval.queries("hybrid_mmr")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("mmr_scaled"), r.getAs[Long]("pick_pos")))
+    val pool = HybridRetrieval.mmrPool(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("rel_i")).toMap
+    val sims = HybridRetrieval.mmrSims(spark, sf,
+        HybridRetrieval.mmrPool(spark, sf)).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("d2")) -> r.getAs[Long]("sim_i")).toMap
+    // reference: per query, greedily pick argmax(7·rel − 3·maxsim·100)
+    // with the doc_id tie-break — plain Scala loops, no Spark
+    val expected = pool.keys.map(_._1).toSeq.distinct.sorted.flatMap { q =>
+      val cands = pool.keys.filter(_._1 == q).map(_._2).toSeq.sorted
+      (1 to HybridRetrieval.MmrK).foldLeft(
+          Seq.empty[(Long, Long, Long, Long)]) { (picked, k) =>
+        val chosen = picked.map(_._2).toSet
+        val best = cands.filterNot(chosen).map { d =>
+          val mx = chosen.map(p => sims((q, d, p))).maxOption.getOrElse(0L)
+          (HybridRetrieval.MmrLamN * pool((q, d)) -
+            HybridRetrieval.MmrLamD * mx * 100L, d)
+        }.maxBy { case (s2, d) => (s2, -d) }
+        picked :+ ((q, best._2, best._1, k.toLong))
+      }
+    }.toSet
+    assert(out.length == expected.size, "row count diverged")
+    assert(out.toSet == expected, "greedy trajectory diverged")
+    // NOTE: marginal scores are NOT monotone along the picks — cosine
+    // sims are signed, so a candidate anti-similar to the picked set
+    // earns a bonus (−λ·mx > 0). Shape invariants instead:
+    out.groupBy(_._1).values.foreach { g =>
+      assert(g.length == HybridRetrieval.MmrK, s"short list: $g")
+      assert(g.map(_._4).sorted.toSeq ==
+        (1L to HybridRetrieval.MmrK).toSeq, g.toSeq)
+      assert(g.map(_._2).distinct.length == g.length, s"dup pick: $g")
+    }
+  }
+
+  test("hybrid_prf: one row per query plus macro; deltas and summary " +
+      "restate the per-query columns; nDCG stays in basis-point range") {
+    val rows = HybridRetrieval.queries("hybrid_prf")(spark, sf).collect()
+      .map(r => r.getAs[Long]("q_id") -> r).toMap
+    val perQ = rows.filter(_._1 >= 0).values.toSeq
+    assert(perQ.size == 10 && rows.contains(-1L),
+      s"expected 10 queries + summary, got ${rows.keySet}")
+    (rows.values.toSeq :+ rows(-1L)).foreach { r =>
+      val (p, b) = (r.getAs[Long]("prf_ndcg_bp"), r.getAs[Long]("base_ndcg_bp"))
+      assert(p >= 0 && p <= 10000 && b >= 0 && b <= 10000, r.toString)
+      assert(r.getAs[Long]("delta_bp") == p - b, r.toString)
+    }
+    val s2 = rows(-1L)
+    assert(s2.getAs[Long]("prf_ndcg_bp") ==
+      perQ.map(_.getAs[Long]("prf_ndcg_bp")).sum / perQ.size)
+    assert(s2.getAs[Long]("base_ndcg_bp") ==
+      perQ.map(_.getAs[Long]("base_ndcg_bp")).sum / perQ.size)
+  }
 }

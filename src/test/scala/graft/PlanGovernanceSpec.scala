@@ -94,6 +94,11 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " hybrid_ndcg_grouped (single-row BM25 stats, broadcast 10-row" +
       " query set for the relevant totals); both rankings are windows" +
       " over the pool and grading is equi-joined on (q_id, doc_id)"),
+    "hybrid_prf" -> ("two weighted retrieval passes over the shared" +
+      " postings, each with the single-row BM25 stats crossJoin, plus" +
+      " the broadcast 10-row query set for the relevant totals - all" +
+      " bounded build sides; expansion mining and re-scoring are term/" +
+      " doc equi-joins"),
     "ngrams_heavyhitters" -> ("crossJoin against the broadcast" +
       " SINGLE-ROW stream total (the scalar-stats pattern); the exact" +
       " recount joins the <=cap sketched candidates by equi-key"),
