@@ -258,4 +258,32 @@ class HybridRetrievalSpec extends AnyFunSuite {
     assert(s2.getAs[Long]("base_ndcg_bp") ==
       perQ.map(_.getAs[Long]("base_ndcg_bp")).sum / perQ.size)
   }
+
+  test("retrieval_triples: full pos x neg fan-out per query, labels " +
+      "actually separate the roles, margins are consistent per pair") {
+    val rows = HybridRetrieval.queries("retrieval_triples")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("pos_id"),
+        r.getAs[Long]("neg_id"), r.getAs[Long]("margin_scaled")))
+    assert(rows.nonEmpty)
+    val lbl = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    rows.groupBy(_._1).foreach { case (q, g) =>
+      val (ps, ns) = (g.map(_._2).distinct, g.map(_._3).distinct)
+      assert(ps.length <= HybridRetrieval.TripPos, s"q=$q pos overflow")
+      assert(ns.length <= HybridRetrieval.TripNeg, s"q=$q neg overflow")
+      assert(ps.intersect(ns).isEmpty, s"q=$q role overlap")
+      assert(g.length == ps.length * ns.length, s"q=$q not a full cross")
+      // positives share the query label; negatives never do
+      ps.foreach(p => assert(lbl.get(p).contains(lbl(q)), s"q=$q pos $p"))
+      ns.foreach(n => assert(!lbl.get(n).contains(lbl(q)), s"q=$q neg $n"))
+      // margin(p1,n) − margin(p2,n) must be the same for every n —
+      // margins decompose as pos_score − neg_score
+      if (ps.length == 2) {
+        val byPair = g.map(t => (t._2, t._3) -> t._4).toMap
+        val diffs = ns.map(n => byPair((ps(0), n)) - byPair((ps(1), n)))
+        assert(diffs.distinct.length == 1, s"q=$q inconsistent margins")
+      }
+    }
+  }
 }

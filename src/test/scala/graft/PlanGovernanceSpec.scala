@@ -94,6 +94,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " hybrid_ndcg_grouped (single-row BM25 stats, broadcast 10-row" +
       " query set for the relevant totals); both rankings are windows" +
       " over the pool and grading is equi-joined on (q_id, doc_id)"),
+    "retrieval_triples" -> ("inherits text_bm25_grouped's single-row" +
+      " stats crossJoin; grading, the per-role windows, and the" +
+      " bounded pos x neg fan-out are all equi-joins on q_id"),
     "hybrid_prf" -> ("two weighted retrieval passes over the shared" +
       " postings, each with the single-row BM25 stats crossJoin, plus" +
       " the broadcast 10-row query set for the relevant totals - all" +
