@@ -43,7 +43,8 @@ object ExplainAudit {
     "hybrid_ndcg_grouped", "text_bm25_grouped", "sim_ann_sq",
     "ngrams_heavyhitters", "sim_knn_recall", "dedup_minhash_est",
     // r13 faces
-    "hybrid_rerank", "embed_drift", "hybrid_mmr", "hybrid_prf")
+    "hybrid_rerank", "embed_drift", "hybrid_mmr", "hybrid_prf",
+    "retrieval_triples", "text_qlm_topk", "text_index_ivm")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

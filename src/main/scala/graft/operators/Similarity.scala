@@ -340,8 +340,9 @@ object Similarity {
     * per-(list, dim) average → re-assembled centroid arrays. No driver
     * loops, no randomness to ship; every stage is a shuffle-bounded
     * DataFrame op. Recall vs brute force is pinned in StreamingTopKSpec's
-    * sibling (SimilaritySpec section of DedupSimilaritySpec); the
-    * construction is not SQL-expressible, so the gate records rows-only.
+    * sibling (SimilaritySpec section of DedupSimilaritySpec); the DuckDB
+    * oracle replays the same deterministic construction (seeded init +
+    * one unrolled Lloyd round), so the gate hash-checks it end to end.
     */
   /** Assign each (vec_id, v) row its nearest centroid id. Tie-break on
     * equal distance is the SMALLEST cid (min over (d2, cid) structs) —
@@ -600,7 +601,8 @@ object Similarity {
     * at 8·(2e3)² ≈ 3.2e7, ADC sums < 3e8 — so encode, tables, and
     * ranking are bit-identical on any engine, and the DuckDB oracle
     * hash-checks the whole TRAINED structure, unrolled Lloyd rounds
-    * included (LSH is the only ANN face left rows-only).
+    * included (every ANN face is hash-checked; LSH graduated via its
+    * hyperplane-literal oracle).
     *
     * Scale shape: encoding is one broadcast (≤ K·M-row array codebook)
     * join on the subspace id + a codegen'd `zip_with` distance fold

@@ -501,6 +501,16 @@ object TextAnalysis {
   private[operators] def bm25GroupedScored(s: SparkSession, d: String)
       : DataFrame = {
     val (tf, dl, df, stats) = bm25Postings(s, d)
+    bm25GroupedScoredFrom(tf, dl, df, stats)
+  }
+
+  /** [[bm25GroupedScored]] over CALLER-SUPPLIED index frames — the
+    * scoring joins alone, so a maintained (IVM) index can rank with the
+    * exact code the from-scratch build uses
+    * ([[StreamingQueries]]'s `text_index_ivm`).
+    */
+  private[operators] def bm25GroupedScoredFrom(tf: DataFrame, dl: DataFrame,
+      df: DataFrame, stats: DataFrame): DataFrame = {
     val qt = tf.filter(col("doc_id") < Bm25GroupQueries)
       .select(col("doc_id").as("q_id"), col("term"))
     qt.join(tf, Seq("term"))
@@ -513,17 +523,88 @@ object TextAnalysis {
       .agg(sum(col("ts")).as("bm25_scaled"))
   }
 
-  /** The ranked registry face of [[bm25GroupedScored]]: per query, the
-    * top-[[Bm25TopK]] docs by `(bm25_scaled desc, doc_id)` — a total
-    * order on exact integers, so the cut is hash-stable.
+  /** The top-[[Bm25TopK]] cut per query by `(bm25_scaled desc, doc_id)`
+    * — a total order on exact integers, so the cut is hash-stable.
+    * Shared by the registry face and the maintained-index twin.
     */
-  private val bm25Grouped: Q = (s, d) => {
+  private[operators] def bm25GroupedRanked(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_scaled").desc, col("doc_id"))
-    bm25GroupedScored(s, d)
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= Bm25TopK)
       .select(col("q_id"), col("doc_id"), col("rank"), col("bm25_scaled"))
+  }
+
+  /** The ranked registry face of [[bm25GroupedScored]]. */
+  private val bm25Grouped: Q = (s, d) =>
+    bm25GroupedRanked(bm25GroupedScored(s, d))
+
+  /** Dirichlet smoothing mass, query-term cut, result depth and the
+    * fixed-point scale for [[qlmTopk]]. The scale is a power-of-two-
+    * times-power-of-five double (1e18), exactly representable, so both
+    * engines scale by the identical value.
+    */
+  private[operators] val QlmMu = 200L
+  private[operators] val QlmQueryTerms = 3
+  private[operators] val QlmTopK = 10L
+  private[operators] val QlmScale = 1e18
+
+  /** QUERY-LIKELIHOOD retrieval with Dirichlet smoothing — the
+    * language-model ranking next to [[bm25Grouped]] on the same
+    * inverted index (the second classic lexical ranker; what a
+    * retrieval stack A/Bs against BM25). Each of the standing 10 query
+    * docs is represented by its top-[[QlmQueryTerms]] terms (tf desc,
+    * term asc — deterministic), and every candidate doc scores
+    * `Π_t p(t|d)` with `p(t|d) = (tf + μ·cf/C) / (dl + μ)`.
+    *
+    * Cross-engine float parity: each per-term probability is ONE IEEE
+    * division of int64-exact operands (`(tf·C + μ·cf) / ((dl+μ)·C)` —
+    * both sides ≤ ~5·10⁸ at gate SFs, exactly representable), and the
+    * product folds in FIXED term order (array_sort on the term key;
+    * DuckDB's ordered-list twin parenthesizes identically), so the
+    * double is bit-identical on any IEEE-754 engine — the same
+    * discipline as [[bm25Scored]]'s fixed-order sum, for a product.
+    * Ranking and output use `floor(ql·1e18)` (int64: ql ≤ 1), so the
+    * hash-checked cut orders on exact integers.
+    *
+    * Scale shape: absent query terms still carry smoothing mass, so the
+    * candidate grid is |query terms| × N — a broadcast of the ≤ 30-row
+    * (term, cf) query frame onto the doc-length table (linear, one
+    * bounded nested loop, governance-allowlisted), then a LEFT equi-join
+    * against the postings of just those terms. The log-free product
+    * form keeps the dl-dependence inside each factor, so there is no
+    * per-doc constant to hoist (the log-domain decomposition a
+    * floating-point tier would use trades that hoist for libm
+    * portability — the wrong trade for a hash-checked gate).
+    */
+  private val qlmTopk: Q = (s, d) => {
+    val (tf, dl, _, stats) = bm25Postings(s, d)
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val wq = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("term"))
+    val qt = tf.filter(col("doc_id") < Bm25GroupQueries)
+      .withColumn("tr", row_number().over(wq))
+      .filter(col("tr") <= QlmQueryTerms)
+      .select(col("doc_id").as("q_id"), col("term"))
+    val qcf = broadcast(qt.join(cf, Seq("term"))
+      .crossJoin(broadcast(stats.select(col("total")))))
+    val grid = dl.crossJoin(qcf)
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(tf.withColumnRenamed("tf", "dtf"), Seq("term", "doc_id"), "left")
+      .withColumn("p",
+        (coalesce(col("dtf"), lit(0L)) * col("total") +
+          lit(QlmMu) * col("cf")).cast("double") /
+          ((col("dl") + lit(QlmMu)) * col("total")).cast("double"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ql_scaled").desc, col("doc_id"))
+    grid.groupBy(col("q_id"), col("doc_id"))
+      .agg(aggregate(array_sort(collect_list(struct(col("term"), col("p")))),
+        lit(1.0), (acc, x) => acc * x.getField("p")).as("ql"))
+      .withColumn("ql_scaled", floor(col("ql") * lit(QlmScale)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= QlmTopK)
+      .select(col("q_id"), col("doc_id"), col("rank"), col("ql_scaled"))
   }
 
   /** The full per-doc BM25 score frame `(doc_id, bm25)` — shared by the
@@ -812,6 +893,7 @@ object TextAnalysis {
     "text_pii_mask" -> piiMask,
     "text_bm25_topk" -> bm25,
     "text_bm25_grouped" -> bm25Grouped,
+    "text_qlm_topk" -> qlmTopk,
   )
 
   // ---- DuckDB oracles -----------------------------------------------------
@@ -982,6 +1064,42 @@ object TextAnalysis {
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY bm25_scaled DESC, doc_id) AS rank
          |  FROM sc) WHERE rank <= $Bm25TopK""".stripMargin,
+    // the same tokenization + postings CTEs; per-term probabilities are
+    // single IEEE divisions of int64-exact operands and the product
+    // parenthesizes ((p1·p2)·p3) exactly like the Spark-side left fold
+    // (COALESCE(·, 1.0) pads short queries — ×1.0 is bit-exact)
+    "text_qlm_topk" ->
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+         |  FROM documents),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+         |cf AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cf
+         |       FROM tf GROUP BY 1),
+         |stats AS (SELECT CAST(sum(dl) AS BIGINT) AS total FROM dl),
+         |qt AS (SELECT doc_id AS q_id, term FROM (
+         |    SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY tf DESC, term) AS tr
+         |    FROM tf WHERE doc_id < $Bm25GroupQueries)
+         |  WHERE tr <= $QlmQueryTerms),
+         |p AS (SELECT q.q_id, l.doc_id, q.term,
+         |    CAST(COALESCE(t.tf, 0) * s.total + $QlmMu * c.cf AS DOUBLE) /
+         |      CAST((l.dl + $QlmMu) * s.total AS DOUBLE) AS p
+         |  FROM qt q JOIN cf c USING (term)
+         |  CROSS JOIN dl l
+         |  CROSS JOIN stats s
+         |  LEFT JOIN tf t ON t.term = q.term AND t.doc_id = l.doc_id
+         |  WHERE l.doc_id <> q.q_id),
+         |lp AS (SELECT q_id, doc_id, list(p ORDER BY term) AS ps
+         |       FROM p GROUP BY 1, 2),
+         |ql AS (SELECT q_id, doc_id, CAST(floor(
+         |    ps[1] * COALESCE(ps[2], 1.0) * COALESCE(ps[3], 1.0) * $QlmScale)
+         |    AS BIGINT) AS ql_scaled FROM lp)
+         |SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, ql_scaled
+         |FROM (SELECT q_id, doc_id, ql_scaled,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY ql_scaled DESC, doc_id) AS rank
+         |  FROM ql) WHERE rank <= $QlmTopK""".stripMargin,
     "text_chunking" ->
       (s"WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws " +
         s"FROM documents) " +

@@ -286,4 +286,41 @@ class HybridRetrievalSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("text_qlm_topk: query 0's full top-10 matches an independent " +
+      "driver-side Dirichlet QL recomputation, smoothing mass included") {
+    import graft.operators.TextAnalysis
+    val face = TextAnalysis.queries("text_qlm_topk")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank"), r.getAs[Long]("ql_scaled")))
+    assert(face.map(_._1).distinct.length == 10)
+    face.foreach { case (q, doc, _, s) =>
+      assert(doc != q, s"self-retrieval q=$q")
+      assert(s > 0L, s"smoothing mass lost: q=$q doc=$doc scored $s")
+    }
+    // independent model: tokenize in plain Scala, fold in the same
+    // fixed term order with the same IEEE ops
+    val docs = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val tf = docs.map { case (id, ws) =>
+      id -> ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong } }
+      .toMap
+    val dl = docs.map { case (id, ws) => id -> ws.size.toLong }.toMap
+    val total = dl.values.sum
+    val cf = docs.flatMap(_._2).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val qTerms = tf(0L).toSeq.sortBy { case (t, n) => (-n, t) }
+      .take(3).map(_._1).sorted
+    val expected = docs.map(_._1).filter(_ != 0L).map { d =>
+      val ql = qTerms.foldLeft(1.0) { (acc, t) =>
+        acc * ((tf(d).getOrElse(t, 0L) * total + 200L * cf(t)).toDouble /
+          ((dl(d) + 200L) * total).toDouble)
+      }
+      d -> math.floor(ql * 1e18).toLong
+    }.sortBy { case (d, s) => (-s, d) }.take(10)
+    val got = face.filter(_._1 == 0L).sortBy(_._3)
+      .map(t => (t._2, t._4)).toSeq
+    assert(got == expected.toSeq)
+  }
 }

@@ -97,6 +97,11 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "retrieval_triples" -> ("inherits text_bm25_grouped's single-row" +
       " stats crossJoin; grading, the per-role windows, and the" +
       " bounded pos x neg fan-out are all equi-joins on q_id"),
+    "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
+      " <=30-row (query term, cf) frame onto the doc-length table -" +
+      " bounded at queries x QlmQueryTerms build rows forever - plus" +
+      " the single-row corpus-stats crossJoin; matching-term tf" +
+      " arrives by LEFT equi-join on (term, doc_id)"),
     "hybrid_prf" -> ("two weighted retrieval passes over the shared" +
       " postings, each with the single-row BM25 stats crossJoin, plus" +
       " the broadcast 10-row query set for the relevant totals - all" +
