@@ -1129,6 +1129,86 @@ object StreamingQueries {
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
+  /** MAINTAINED INVERTED TEXT INDEX — [[dedupIndexIvm]]'s pattern
+    * applied to the BM25 search tier: a production index does not
+    * re-tokenize the corpus when documents arrive — it appends the
+    * newcomers' postings and MERGES their partial term statistics. The
+    * resident three doc_id-rank quartiles token-scan once into the base
+    * generation of four frames (postings `(doc_id, term, tf)`, doc
+    * lengths, per-term partial document frequencies, single-row partial
+    * corpus stats); the last quartile arrives as a 3-micro-batch file
+    * stream whose batches each scan ONLY THEMSELVES and append their
+    * own generation of the same four frames (per-batch-id dirs — the
+    * idempotent exactly-once idiom). The read side unions the postings
+    * and length generations (pure append: docs are immutable, so no
+    * preimage/postimage pairs arise) and folds the df/stats partials by
+    * SUM — the mergeable-aggregate identity (count over a disjoint
+    * union = sum of per-part counts) that lets a 100 TB tier maintain
+    * document frequencies without ever recounting the corpus. The
+    * emitted result is the `text_bm25_grouped` ranking computed from
+    * the MAINTAINED frames through the identical scoring joins
+    * ([[TextAnalysis.bm25GroupedScoredFrom]]) — hash-checked against
+    * the from-scratch oracle over ALL documents: append-of-arrivals +
+    * merge-of-partials ≡ rebuild.
+    *
+    * Scale shape: per-batch cost is the batch's own token scan (never
+    * the corpus); the quartile split is the staged row_number
+    * ([[stageIvmSource]]'s documented trade); the read side's df fold
+    * shuffles only |generations| × |vocab-per-gen| partial rows.
+    */
+  private val textIndexIvm: Q = (s, d) => {
+    val run = freshRunDir("graft_tix_")
+    val docs = T(s, d, "documents")
+    val ranked = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+      .drop("rn", "n")
+    val idx = run.resolve("index")
+    def writeGen(batch: DataFrame, gen: String): Unit = {
+      val tok = batch.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+      val tf = tok.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      tf.write.mode("overwrite").parquet(idx.resolve(s"post/$gen").toString)
+      dl.write.mode("overwrite").parquet(idx.resolve(s"dl/$gen").toString)
+      tf.groupBy(col("term")).agg(count(lit(1)).as("dfp"))
+        .write.mode("overwrite").parquet(idx.resolve(s"df/$gen").toString)
+      dl.agg(count(lit(1)).as("np"), sum(col("dl")).as("totalp"))
+        .write.mode("overwrite").parquet(idx.resolve(s"st/$gen").toString)
+    }
+    writeGen(ranked.filter(col("bucket") < 3).drop("bucket"), "base")
+    val srcDir = run.resolve("src").toString
+    ranked.filter(col("bucket") === 3).drop("bucket")
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          writeGen(batch, f"b$batchId%05d")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    def readGens(sub: String): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val gens = java.nio.file.Files.list(idx.resolve(sub)).iterator()
+        .asScala.map(_.toString).toSeq.sorted
+      s.read.parquet(gens: _*)
+    }
+    TextAnalysis.bm25GroupedRanked(TextAnalysis.bm25GroupedScoredFrom(
+      readGens("post"),
+      readGens("dl"),
+      readGens("df").groupBy(col("term")).agg(sum(col("dfp")).as("df")),
+      readGens("st").agg(sum(col("np")).as("n"),
+        sum(col("totalp")).as("total"))))
+  }
+
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
     * topology, each stage the production shape:
     *
@@ -2041,6 +2121,7 @@ object StreamingQueries {
     "state_time_travel" -> stateTimeTravel,
     "dedup_index_ivm" -> dedupIndexIvm,
     "sim_index_ivm" -> simIndexIvm,
+    "text_index_ivm" -> textIndexIvm,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -2144,6 +2225,10 @@ object StreamingQueries {
     // append-of-arrivals ≡ rebuild: the maintained index's pair set is
     // the from-scratch LSH oracle over ALL documents
     "dedup_index_ivm" -> Dedup.oracles("dedup_minhash_lsh"),
+    // append-of-postings + merge-of-df-partials ≡ rebuild: the
+    // maintained inverted index ranks identically to the from-scratch
+    // text_bm25_grouped oracle over ALL documents
+    "text_index_ivm" -> TextAnalysis.oracles("text_bm25_grouped"),
     // the same base-trained (first three vec_id-rank quartiles),
     // capped-seed quantizer assigning ALL vectors in one shot — the
     // frozen-quantizer IVM identity; argmin tie-break (d2, cid) as

@@ -97,6 +97,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "retrieval_triples" -> ("inherits text_bm25_grouped's single-row" +
       " stats crossJoin; grading, the per-role windows, and the" +
       " bounded pos x neg fan-out are all equi-joins on q_id"),
+    "text_index_ivm" -> ("the maintained-index read side scores through" +
+      " text_bm25_grouped's joins, inheriting its broadcast SINGLE-ROW" +
+      " merged-stats crossJoin - bounded at one build row forever;" +
+      " postings/df frames union and merge by equi-key"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
