@@ -44,7 +44,8 @@ object ExplainAudit {
     "ngrams_heavyhitters", "sim_knn_recall", "dedup_minhash_est",
     // r13 faces
     "hybrid_rerank", "embed_drift", "hybrid_mmr", "hybrid_prf",
-    "retrieval_triples", "text_qlm_topk", "text_index_ivm")
+    "retrieval_triples", "text_qlm_topk", "text_index_ivm",
+    "retrieval_qlm_ndcg")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

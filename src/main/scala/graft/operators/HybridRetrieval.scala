@@ -484,6 +484,59 @@ object HybridRetrieval {
     perQ.unionByName(summary)
   }
 
+  /** RANKER A/B EVAL — nDCG@[[GroupK]] of the Dirichlet
+    * query-likelihood ranker ([[TextAnalysis.qlmRanked]]) next to the
+    * BM25 ranker on the SAME corpus and label relevance, per query plus
+    * the macro summary row and the delta — the report that decides a
+    * lexical-ranker swap ("did QL help, and on which queries did it
+    * hurt"), the [[hybridRerank]] shape applied to two independent
+    * retrieval passes instead of one reordered pool. Emits
+    * `(q_id, qlm_ndcg_bp, bm25_ndcg_bp, delta_bp)` per query and
+    * `q_id = −1` for the macro means; the BM25 column restates the
+    * grading of `text_bm25_grouped`'s ranking exactly.
+    *
+    * Scale shape: both legs are window-pruned per-query top-k lists
+    * over the shared postings scan; grading is the broadcast ≤10-row
+    * label joins; everything after the legs touches ≤ 2·k rows per
+    * query.
+    */
+  private val qlmNdcg: Q = (s, d) => {
+    val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))
+    val q = lbl.filter(col("vec_id") < GroupQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    def legDcg(ranked: DataFrame, out: String): DataFrame =
+      ranked.filter(col("rank") <= GroupK)
+        .join(lbl, ranked("doc_id") === lbl("vec_id"), "left")
+        .join(broadcast(q), Seq("q_id"))
+        .groupBy(col("q_id"))
+        .agg(coalesce(sum(when(col("label") === col("q_label"),
+          element_at(typedLit(ndcgWeights), col("rank").cast("int")))),
+          lit(0L)).as(out))
+    val nRel = lbl.crossJoin(broadcast(q.withColumnRenamed("q_id", "qq")))
+      .filter(col("vec_id") =!= col("qq"))
+      .groupBy(col("qq").as("q_id"))
+      .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
+        .as("n_rel"))
+    val perQ = legDcg(TextAnalysis.qlmRanked(s, d), "qlm_dcg")
+      .join(legDcg(TextAnalysis.bm25GroupedRanked(
+        TextAnalysis.bm25GroupedScored(s, d)), "bm25_dcg"), Seq("q_id"))
+      .join(nRel, Seq("q_id"))
+      .withColumn("idcg", element_at(typedLit(ndcgPrefix),
+        least(lit(GroupK), col("n_rel")).cast("int") + 1))
+      .withColumn("qlm_ndcg_bp", expr(
+        "CASE WHEN idcg > 0 THEN qlm_dcg * 10000 div idcg ELSE 0 END"))
+      .withColumn("bm25_ndcg_bp", expr(
+        "CASE WHEN idcg > 0 THEN bm25_dcg * 10000 div idcg ELSE 0 END"))
+      .select(col("q_id"), col("qlm_ndcg_bp"), col("bm25_ndcg_bp"),
+        (col("qlm_ndcg_bp") - col("bm25_ndcg_bp")).as("delta_bp"))
+    val summary = perQ.agg(
+      lit(-1L).as("q_id"),
+      expr("sum(qlm_ndcg_bp) div count(1)").as("qlm_ndcg_bp"),
+      expr("sum(bm25_ndcg_bp) div count(1)").as("bm25_ndcg_bp"))
+      .withColumn("delta_bp", col("qlm_ndcg_bp") - col("bm25_ndcg_bp"))
+    perQ.unionByName(summary)
+  }
+
   /** MMR picks per query — the diversified short-list length. */
   private[graft] val MmrK = 5
   /** λ = 0.7 as integer weights: `mmr = 7·rel − 3·sim` in micro-units.
@@ -766,6 +819,7 @@ object HybridRetrieval {
     "hybrid_rrf_sweep" -> rrfSweep,
     "hybrid_rerank" -> hybridRerank,
     "hybrid_mmr" -> hybridMmr,
+    "retrieval_qlm_ndcg" -> qlmNdcg,
     "hybrid_prf" -> hybridPrf,
     "retrieval_triples" -> retrievalTriples,
   )
@@ -1188,6 +1242,110 @@ object HybridRetrieval {
        |FROM rated""".stripMargin
   }
 
+  /** Both rankings restated from the shared token CTEs — the QL leg is
+    * `text_qlm_topk`'s oracle verbatim (fixed-order float products of
+    * int64-exact IEEE divisions), the BM25 leg `text_bm25_grouped`'s —
+    * then the rerank oracle's grading (discount/prefix literal tables,
+    * label joins, bp division) applied to each leg independently.
+    */
+  private val qlmNdcgOracle: String = {
+    val wts = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pre = ndcgPrefix.zipWithIndex
+      .map { case (p, j) => s"($j, $p)" }.mkString(", ")
+    val gq = TextAnalysis.Bm25GroupQueries
+    val gs = TextAnalysis.Bm25GroupScale
+    val mu = TextAnalysis.QlmMu
+    val nqt = TextAnalysis.QlmQueryTerms
+    val scale = TextAnalysis.QlmScale
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |cf AS (SELECT term, sum(tf) AS cf FROM tf GROUP BY 1),
+       |qt3 AS (SELECT doc_id AS q_id, term FROM (
+       |    SELECT doc_id, term, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY tf DESC, term) AS tr
+       |    FROM tf WHERE doc_id < $gq) WHERE tr <= $nqt),
+       |p AS (SELECT q.q_id, l.doc_id, q.term,
+       |    CAST(COALESCE(t.tf, 0) * s.total + $mu * c.cf AS DOUBLE) /
+       |      CAST((l.dl + $mu) * s.total AS DOUBLE) AS p
+       |  FROM qt3 q JOIN cf c USING (term)
+       |  CROSS JOIN dl l
+       |  CROSS JOIN stats s
+       |  LEFT JOIN tf t ON t.term = q.term AND t.doc_id = l.doc_id
+       |  WHERE l.doc_id <> q.q_id),
+       |lp AS (SELECT q_id, doc_id, list(p ORDER BY term) AS ps
+       |       FROM p GROUP BY 1, 2),
+       |qlmr AS (SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY ql_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM (SELECT q_id, doc_id, CAST(floor(
+       |      ps[1] * COALESCE(ps[2], 1.0) * COALESCE(ps[3], 1.0) * $scale)
+       |      AS BIGINT) AS ql_scaled FROM lp)),
+       |qtb AS (SELECT doc_id AS q_id, term FROM tf WHERE doc_id < $gq),
+       |sc AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total * $gs) //
+       |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+       |      AS BIGINT) AS bm25_scaled
+       |  FROM qtb q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |  JOIN df f ON f.term = q.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2),
+       |bmr AS (SELECT q_id, doc_id,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bm25_scaled DESC, doc_id) AS BIGINT) AS rank
+       |  FROM sc),
+       |qlab AS (SELECT vec_id AS q_id, label AS q_label FROM embeddings
+       |         WHERE vec_id < $GroupQueries),
+       |wts(pos, w) AS (VALUES $wts),
+       |pre(j, s) AS (VALUES $pre),
+       |nrel AS (
+       |  SELECT qlab.q_id,
+       |    CAST(count(CASE WHEN e.label = qlab.q_label THEN 1 END)
+       |      AS BIGINT) AS n_rel
+       |  FROM qlab JOIN embeddings e ON e.vec_id <> qlab.q_id
+       |  GROUP BY 1),
+       |qdcg AS (
+       |  SELECT r.q_id, CAST(coalesce(sum(CASE WHEN e.label = qlab.q_label
+       |      THEN wt.w END), 0) AS BIGINT) AS qlm_dcg
+       |  FROM qlmr r JOIN qlab ON qlab.q_id = r.q_id
+       |  LEFT JOIN embeddings e ON e.vec_id = r.doc_id
+       |  LEFT JOIN wts wt ON wt.pos = r.rank
+       |  WHERE r.rank <= $GroupK GROUP BY 1),
+       |bdcg AS (
+       |  SELECT r.q_id, CAST(coalesce(sum(CASE WHEN e.label = qlab.q_label
+       |      THEN wt.w END), 0) AS BIGINT) AS bm25_dcg
+       |  FROM bmr r JOIN qlab ON qlab.q_id = r.q_id
+       |  LEFT JOIN embeddings e ON e.vec_id = r.doc_id
+       |  LEFT JOIN wts wt ON wt.pos = r.rank
+       |  WHERE r.rank <= $GroupK GROUP BY 1),
+       |rated AS (
+       |  SELECT qd.q_id,
+       |    CAST(CASE WHEN i.s > 0 THEN qd.qlm_dcg * 10000 // i.s
+       |         ELSE 0 END AS BIGINT) AS qlm_ndcg_bp,
+       |    CAST(CASE WHEN i.s > 0 THEN bd.bm25_dcg * 10000 // i.s
+       |         ELSE 0 END AS BIGINT) AS bm25_ndcg_bp
+       |  FROM qdcg qd JOIN bdcg bd ON bd.q_id = qd.q_id
+       |  JOIN nrel n ON n.q_id = qd.q_id
+       |  JOIN pre i ON i.j = least($GroupK, n.n_rel))
+       |SELECT q_id, qlm_ndcg_bp, bm25_ndcg_bp,
+       |  qlm_ndcg_bp - bm25_ndcg_bp AS delta_bp
+       |FROM rated
+       |UNION ALL
+       |SELECT CAST(-1 AS BIGINT),
+       |  CAST(sum(qlm_ndcg_bp) // count(*) AS BIGINT),
+       |  CAST(sum(bm25_ndcg_bp) // count(*) AS BIGINT),
+       |  CAST(sum(qlm_ndcg_bp) // count(*)
+       |    - sum(bm25_ndcg_bp) // count(*) AS BIGINT)
+       |FROM rated""".stripMargin
+  }
+
   /** The greedy MMR trajectory unrolled to [[MmrK]] CTE steps (K is a
     * fixed constant, so the unroll is mechanical): step k anti-joins
     * the picked set `s(k-1)`, prices every remaining candidate with
@@ -1463,6 +1621,7 @@ object HybridRetrieval {
     "hybrid_rrf_sweep" -> rrfSweepOracle,
     "hybrid_rerank" -> rerankOracle,
     "hybrid_mmr" -> mmrOracle,
+    "retrieval_qlm_ndcg" -> qlmNdcgOracle,
     "hybrid_prf" -> prfOracle,
     "retrieval_triples" -> triplesOracle,
   )

@@ -578,7 +578,12 @@ object TextAnalysis {
     * floating-point tier would use trades that hoist for libm
     * portability — the wrong trade for a hash-checked gate).
     */
-  private val qlmTopk: Q = (s, d) => {
+  private val qlmTopk: Q = (s, d) => qlmRanked(s, d)
+
+  /** The ranked QL frame `(q_id, doc_id, rank, ql_scaled)` — the face
+    * body, shared with [[HybridRetrieval]]'s ranker A/B eval.
+    */
+  private[operators] def qlmRanked(s: SparkSession, d: String): DataFrame = {
     val (tf, dl, _, stats) = bm25Postings(s, d)
     val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     val wq = Window.partitionBy(col("doc_id"))

@@ -287,6 +287,42 @@ class HybridRetrievalSpec extends AnyFunSuite {
     }
   }
 
+  test("retrieval_qlm_ndcg: the report reproduces from the two public " +
+      "ranking faces graded independently, summary row included") {
+    import graft.operators.TextAnalysis
+    val k = 10L
+    val lbl = Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    def legBp(rows: Array[(Long, Long, Long)]): Map[Long, Long] =
+      rows.filter(_._3 <= k).groupBy(_._1).map { case (q, g) =>
+        val dcg = g.filter(t => lbl.get(t._2).contains(lbl(q)))
+          .map(t => HybridRetrieval.ndcgWeights(t._3.toInt - 1)).sum
+        val nRel = lbl.count { case (id, l) => id != q && l == lbl(q) }
+        val idcg = HybridRetrieval.ndcgPrefix(math.min(k, nRel).toInt)
+        q -> (if (idcg > 0) dcg * 10000L / idcg else 0L)
+      }
+    def ranks(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rank")))
+    val qlmBp = legBp(ranks(TextAnalysis.queries("text_qlm_topk")(spark, sf)))
+    val bmBp = legBp(ranks(
+      TextAnalysis.queries("text_bm25_grouped")(spark, sf)))
+    val report = HybridRetrieval.queries("retrieval_qlm_ndcg")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    (0L until 10L).foreach { q =>
+      val (ql, bm, dl) = report(q)
+      assert(ql == qlmBp.getOrElse(q, 0L), s"q=$q qlm")
+      assert(bm == bmBp.getOrElse(q, 0L), s"q=$q bm25")
+      assert(dl == ql - bm, s"q=$q delta")
+    }
+    val (sq, sb, sd) = report(-1L)
+    assert(sq == (0L until 10L).map(q => report(q)._1).sum / 10L)
+    assert(sb == (0L until 10L).map(q => report(q)._2).sum / 10L)
+    assert(sd == sq - sb)
+  }
+
   test("text_qlm_topk: query 0's full top-10 matches an independent " +
       "driver-side Dirichlet QL recomputation, smoothing mass included") {
     import graft.operators.TextAnalysis

@@ -97,6 +97,11 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "retrieval_triples" -> ("inherits text_bm25_grouped's single-row" +
       " stats crossJoin; grading, the per-role windows, and the" +
       " bounded pos x neg fan-out are all equi-joins on q_id"),
+    "retrieval_qlm_ndcg" -> ("both legs inherit their rankers'" +
+      " bounded build sides (text_qlm_topk's <=30-row smoothing grid" +
+      " and single-row stats; text_bm25_grouped's single-row stats)" +
+      " plus the broadcast 10-row query-label frame for grading and" +
+      " relevant totals - every build side bounded forever"),
     "text_index_ivm" -> ("the maintained-index read side scores through" +
       " text_bm25_grouped's joins, inheriting its broadcast SINGLE-ROW" +
       " merged-stats crossJoin - bounded at one build row forever;" +
