@@ -1156,6 +1156,27 @@ object StreamingQueries {
     * ([[stageIvmSource]]'s documented trade); the read side's df fold
     * shuffles only |generations| × |vocab-per-gen| partial rows.
     */
+  /** One maintained-text-index GENERATION: token-scan ONLY `batch` and
+    * write its postings, doc lengths, partial term-df counts, and the
+    * single partial stats row under `idx` — the per-batch body of
+    * [[textIndexIvm]], `private[graft]` so the scale rung can time it
+    * against rung-sized resident corpora.
+    */
+  private[graft] def textIndexGen(batch: DataFrame,
+      idx: java.nio.file.Path, gen: String): Unit = {
+    val tok = batch.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    tf.write.mode("overwrite").parquet(idx.resolve(s"post/$gen").toString)
+    dl.write.mode("overwrite").parquet(idx.resolve(s"dl/$gen").toString)
+    tf.groupBy(col("term")).agg(count(lit(1)).as("dfp"))
+      .write.mode("overwrite").parquet(idx.resolve(s"df/$gen").toString)
+    dl.agg(count(lit(1)).as("np"), sum(col("dl")).as("totalp"))
+      .write.mode("overwrite").parquet(idx.resolve(s"st/$gen").toString)
+  }
+
   private val textIndexIvm: Q = (s, d) => {
     val run = freshRunDir("graft_tix_")
     val docs = T(s, d, "documents")
@@ -1165,19 +1186,8 @@ object StreamingQueries {
       .withColumn("bucket", expr("((rn - 1) * 4) div n"))
       .drop("rn", "n")
     val idx = run.resolve("index")
-    def writeGen(batch: DataFrame, gen: String): Unit = {
-      val tok = batch.select(col("doc_id"),
-        explode(split(trim(col("text")), "\\s+")).as("term"))
-      val tf = tok.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      tf.write.mode("overwrite").parquet(idx.resolve(s"post/$gen").toString)
-      dl.write.mode("overwrite").parquet(idx.resolve(s"dl/$gen").toString)
-      tf.groupBy(col("term")).agg(count(lit(1)).as("dfp"))
-        .write.mode("overwrite").parquet(idx.resolve(s"df/$gen").toString)
-      dl.agg(count(lit(1)).as("np"), sum(col("dl")).as("totalp"))
-        .write.mode("overwrite").parquet(idx.resolve(s"st/$gen").toString)
-    }
+    def writeGen(batch: DataFrame, gen: String): Unit =
+      textIndexGen(batch, idx, gen)
     writeGen(ranked.filter(col("bucket") < 3).drop("bucket"), "base")
     val srcDir = run.resolve("src").toString
     ranked.filter(col("bucket") === 3).drop("bucket")

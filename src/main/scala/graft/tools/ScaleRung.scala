@@ -165,6 +165,13 @@ object ScaleRung {
         .write.mode("overwrite")
         .parquet(maint.resolve(f"sim_b$k%02d").toString)
     }
+    timedBatches("text_index_maint", docBatches) { (k, b) =>
+      // the text_index_ivm per-batch body: token-scan ONLY the batch,
+      // append one generation of postings + df/stats partials — never
+      // re-reads the resident index
+      graft.operators.StreamingQueries.textIndexGen(b,
+        maint.resolve(f"text_b$k%02d"), "gen")
+    }
     spark.stop()
   }
 }
