@@ -572,6 +572,61 @@ object Dedup {
       .select(col("a_id"), col("b_id"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Eval stand-in slice, and the symmetric-jaccard report floor, for
+    * the cross-set decontamination face.
+    */
+  private val DecontamEvalMod = 10L
+  private val DecontamEvalRem = 3L
+  private val DecontamFloorBp = 3000L
+
+  /** CROSS-SET DECONTAMINATION AT LSH SCALE — `contamination_check`'s
+    * sibling for the regime where the held-out set is NOT broadcastable
+    * (a multi-benchmark suite against a 100 TB corpus): candidates come
+    * from the band keys of the eval slice EQUI-joined against the band
+    * keys of the train slice — both sides derived from the SHARED
+    * signature artifact, no broadcast, no all-pairs — then only the
+    * candidates pay the exact shingle-jaccard verification (the
+    * verified-pipeline probe: the train side closes on the
+    * `(train_id, shingle)` equi-join, so volume is O(|eval shingles|)
+    * probes per candidate). Symmetric near-dup on purpose, next to the
+    * containment face's asymmetric overlap: LSH banding can only see
+    * Jaccard, and a benchmark item paraphrased wholesale IS the
+    * near-dup shape. Emits `(eval_id, train_id, n_bands, jac_bp)` for
+    * pairs at ≥ [[DecontamFloorBp]] — exact integers end to end.
+    *
+    * The eval stand-in is the deterministic `doc_id % 10 == 3` slice
+    * (the split-assignment idiom), disjoint from the train side by
+    * construction.
+    */
+  private val decontamLsh: Q = (s, d) => {
+    val (sh, sigN) = sharedTables(s, d)
+    val bands = bandKeys(sigN)
+    val isEval = col("doc_id") % DecontamEvalMod === DecontamEvalRem
+    val e = bands.filter(isEval)
+      .select(col("doc_id").as("eval_id"), col("band"), col("key"))
+    val t = bands.filter(!isEval)
+      .select(col("doc_id").as("train_id"), col("band"), col("key"))
+    val cand = e.join(t, Seq("band", "key"))
+      .groupBy(col("eval_id"), col("train_id"))
+      .agg(count(lit(1)).as("n_bands"))
+    val sizes = sigN.select(col("doc_id"), col("n"))
+    val inter = cand.select(col("eval_id"), col("train_id"))
+      .join(sh.select(col("doc_id").as("eval_id"), col("shingle")),
+        Seq("eval_id"))
+      .join(sh.select(col("doc_id").as("train_id"), col("shingle")),
+        Seq("train_id", "shingle"))
+      .groupBy(col("eval_id"), col("train_id")).agg(count(lit(1)).as("i"))
+    cand.join(inter, Seq("eval_id", "train_id"))
+      .join(sizes.withColumnRenamed("doc_id", "eval_id")
+        .withColumnRenamed("n", "ne"), Seq("eval_id"))
+      .join(sizes.withColumnRenamed("doc_id", "train_id")
+        .withColumnRenamed("n", "nt"), Seq("train_id"))
+      .withColumn("jac_bp", expr("i * 10000 div (ne + nt - i)"))
+      .filter(col("jac_bp") >= DecontamFloorBp)
+      .select(col("eval_id"), col("train_id"), col("n_bands"),
+        col("jac_bp"))
+  }
+
   /** MINHASH ESTIMATOR-ERROR REPORT — the reason MinHash works, as a
     * hash gate: for every LSH candidate pair, the signature-agreement
     * ESTIMATE of jaccard (`matches/NumHashes` — the classic unbiased
@@ -1186,6 +1241,7 @@ object Dedup {
     "dedup_minhash_verified" -> minhashVerified,
     "dedup_minhash_lsh" -> minhashLsh,
     "dedup_minhash_est" -> minhashEst,
+    "dedup_decontam_lsh" -> decontamLsh,
     "dedup_incremental" -> minhashIncremental,
     "dedup_ngram_jaccard" -> ngramJaccard,
     "dedup_simhash" -> simhash,
@@ -1412,6 +1468,44 @@ object Dedup {
       """SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_dups
         |FROM documents GROUP BY md5(text)""".stripMargin,
     "dedup_minhash_lsh" -> minhashOracle,
+    // the same sig/band CTEs with the two sides split by the eval
+    // modulus; candidates keep their band-match count, verification is
+    // the exact-intersection probe, jac in integer basis points
+    "dedup_decontam_lsh" -> {
+      val mins = (0 until NumHashes)
+        .map(i => s"min(substr(md5('${i / 4}:' || shingle), " +
+          s"${(i % 4) * 8 + 1}, 8)) AS h$i")
+        .mkString(", ")
+      val bandRows = (0 until Bands)
+        .map(b => s"SELECT doc_id, $b AS band, " +
+          s"md5(h${2 * b} || h${2 * b + 1}) AS key FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH $shingleCte,
+         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+         |bands AS ($bandRows),
+         |cand AS (SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+         |    CAST(count(*) AS BIGINT) AS n_bands
+         |  FROM bands e JOIN bands t
+         |    ON e.band = t.band AND e.key = t.key
+         |   AND e.doc_id % $DecontamEvalMod = $DecontamEvalRem
+         |   AND t.doc_id % $DecontamEvalMod <> $DecontamEvalRem
+         |  GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.eval_id, c.train_id, count(*) AS i
+         |          FROM cand c
+         |          JOIN sh x ON x.doc_id = c.eval_id
+         |          JOIN sh y ON y.doc_id = c.train_id
+         |                  AND y.shingle = x.shingle
+         |          GROUP BY 1, 2)
+         |SELECT iv.eval_id, iv.train_id, c.n_bands,
+         |  CAST(iv.i * 10000 // (x.n + y.n - iv.i) AS BIGINT) AS jac_bp
+         |FROM inter iv
+         |JOIN cand c ON c.eval_id = iv.eval_id AND c.train_id = iv.train_id
+         |JOIN sz x ON iv.eval_id = x.doc_id
+         |JOIN sz y ON iv.train_id = y.doc_id
+         |WHERE iv.i * 10000 // (x.n + y.n - iv.i) >= $DecontamFloorBp"""
+        .stripMargin
+    },
     // same sigs, same candidates; agreement count vs the exact
     // multiset jaccard, all integer basis points
     "dedup_minhash_est" -> {

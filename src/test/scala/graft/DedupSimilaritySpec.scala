@@ -1115,4 +1115,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert((10L to 14L).map(i => (i, 10L)).toSet.subsetOf(gotLabels),
       s"clique labels wrong: $gotLabels")
   }
+
+  test("decontam: roles split by the eval modulus, floor holds, and " +
+      "every cross-set verified near-dup pair surfaces") {
+    val rows = SparkEntry.queries("dedup_decontam_lsh")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("eval_id"),
+        r.getAs[Long]("train_id"), r.getAs[Long]("n_bands"),
+        r.getAs[Long]("jac_bp")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (e, t, nb, j) =>
+      assert(e % 10 == 3 && t % 10 != 3, s"role leak: ($e, $t)")
+      assert(j >= 3000L, s"below floor: ($e, $t, $j)")
+      assert(nb >= 1L && nb <= 4L)
+    }
+    // consistency: a dedup_minhash_verified pair (jaccard >= 0.8) with
+    // exactly one side in the eval slice uses the same candidates and a
+    // lower floor here, so it MUST be reported
+    val got = rows.map(r => (r._1, r._2)).toSet
+    SparkEntry.queries("dedup_minhash_verified")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id")))
+      .filter { case (a, b) => (a % 10 == 3) != (b % 10 == 3) }
+      .foreach { case (a, b) =>
+        val pair = if (a % 10 == 3) (a, b) else (b, a)
+        assert(got.contains(pair), s"verified cross-set pair missing: $pair")
+      }
+  }
 }
