@@ -45,7 +45,7 @@ object ExplainAudit {
     // r13 faces
     "hybrid_rerank", "embed_drift", "hybrid_mmr", "hybrid_prf",
     "retrieval_triples", "text_qlm_topk", "text_index_ivm",
-    "retrieval_qlm_ndcg")
+    "retrieval_qlm_ndcg", "dedup_decontam_lsh", "corpus_bpe_encode")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

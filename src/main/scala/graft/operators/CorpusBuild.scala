@@ -323,6 +323,55 @@ object CorpusBuild {
   private[graft] def bpeTrainOn(docs: DataFrame): DataFrame =
     bpeStates(docs)._2.reduce(_ unionByName _)
 
+  /** TOKENIZER APPLICATION — encode every document with the TRAINED
+    * merges, the apply half of the train→apply pair a tokenizer rollout
+    * actually ships (the trainer alone proves nothing about what a
+    * document COSTS under the new vocabulary — this face does). Every
+    * in-vocabulary word (lowercase-alphabetic, the trainer's domain)
+    * char-splits to the separator segmentation and folds through the
+    * [[BpeRounds]] learned merges IN TRAINING ORDER — each application
+    * the trainer's own one-pass non-overlapping `replace`, so encode
+    * and train can never disagree on the greedy rule — and every
+    * out-of-vocabulary word costs one token. Emits
+    * `(doc_id, n_words, n_tokens)` — the per-document token budget
+    * under the trained tokenizer, exact integers.
+    *
+    * Scale shape: the merge table derives on the VOCABULARY (the
+    * trainer's rounds); application is the corpus token scan with
+    * [[BpeRounds]] broadcast single-row merge joins applied map-side —
+    * one shuffle for the per-doc collapse, nothing vocabulary-sized
+    * ever shuffles with the corpus.
+    */
+  private val bpeEncode: Q = (s, d) => {
+    val docs = T(s, d, "documents")
+    val merges = bpeStates(docs)._2
+    val w = docs.select(col("doc_id"),
+      explode(TextAnalysis.words(col("text"))).as("w"))
+    val seq0 = concat(lit(BpeSep),
+      array_join(expr("filter(split(w, ''), c -> c <> '')"), BpeSep),
+      lit(BpeSep))
+    var cur = w.filter(col("w").rlike("^[a-z]+$"))
+      .select(col("doc_id"), seq0.as("seq"))
+    merges.foreach { m =>
+      cur = cur.crossJoin(broadcast(
+          m.select(col("left").as("l"), col("right").as("r"))))
+        .select(col("doc_id"),
+          expr(s"replace(seq, '$BpeSep' || l || '$BpeSep' || r || " +
+            s"'$BpeSep', '$BpeSep' || l || r || '$BpeSep')").as("seq"))
+    }
+    val alphaTok = cur
+      .select(col("doc_id"),
+        size(expr(s"filter(split(seq, '$BpeSep'), x -> x <> '')"))
+          .cast("long").as("t"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("t")).as("at"), count(lit(1)).as("aw"))
+    w.groupBy(col("doc_id")).agg(count(lit(1)).as("n_words"))
+      .join(alphaTok, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        (coalesce(col("at"), lit(0L)) + col("n_words") -
+          coalesce(col("aw"), lit(0L))).as("n_tokens"))
+  }
+
   /** THE TOKENIZER COMPRESSION CURVE — corpus symbol total after each
     * BPE merge round, the third tuning-curve gate next to
     * `sim_ann_tradeoff` (recall vs nprobe) and `dedup_band_sweep`
@@ -841,6 +890,7 @@ object CorpusBuild {
     "corpus_tfidf" -> tfidf,
     "corpus_bpe_pairs" -> bpePairs,
     "corpus_bpe_train" -> bpeTrain,
+    "corpus_bpe_encode" -> bpeEncode,
     "sample_stratified" -> stratified,
     "corpus_mix_report" -> mixReport,
     "quality_gate" -> qualityGate,
@@ -1021,6 +1071,38 @@ object CorpusBuild {
        |$selects""".stripMargin
   }
 
+  /** The trainer's merge CTEs (t1..tN) applied to PER-DOCUMENT word
+    * occurrences: the identical separator-`replace` per round, OOV
+    * words re-attached at one token each through the n_words LEFT join.
+    */
+  private val bpeEncodeOracle: String = {
+    val sep = "chr(31)"
+    def enc(i: Int): String =
+      s"""e$i AS (SELECT doc_id,
+         |  replace(seq, $sep || t$i.l || $sep || t$i.r || $sep,
+         |          $sep || t$i.l || t$i.r || $sep) AS seq
+         |FROM e${i - 1}, t$i)""".stripMargin
+    s"""WITH $bpeCtesSql,
+       |dw AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+       |  FROM documents),
+       |e0 AS (SELECT doc_id,
+       |    $sep || array_to_string(
+       |      list_filter(string_split(w, ''), c -> c <> ''), $sep) || $sep
+       |      AS seq
+       |  FROM dw WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |${(1 to BpeRounds).map(enc).mkString(",\n")},
+       |at AS (SELECT doc_id,
+       |    CAST(sum(len(list_filter(string_split(seq, $sep),
+       |      x -> x <> ''))) AS BIGINT) AS at,
+       |    count(*) AS aw
+       |  FROM e$BpeRounds GROUP BY 1),
+       |nw AS (SELECT doc_id, count(*) AS n_words FROM dw GROUP BY 1)
+       |SELECT nw.doc_id, nw.n_words,
+       |  COALESCE(at.at, 0) + nw.n_words - COALESCE(at.aw, 0) AS n_tokens
+       |FROM nw LEFT JOIN at USING (doc_id)""".stripMargin
+  }
+
   private val bpeCurveOracle: String = {
     val sep = "chr(31)"
     val selects = (0 to BpeRounds)
@@ -1197,6 +1279,7 @@ object CorpusBuild {
     "corpus_tfidf" -> tfidfOracle,
     "corpus_bpe_pairs" -> bpePairsOracle,
     "corpus_bpe_train" -> bpeTrainOracle,
+    "corpus_bpe_encode" -> bpeEncodeOracle,
     "corpus_bpe_curve" -> bpeCurveOracle,
     "sample_stratified" -> stratifiedOracle,
     "corpus_mix_report" -> mixReportOracle,

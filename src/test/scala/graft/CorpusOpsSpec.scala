@@ -434,4 +434,34 @@ class CorpusOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> ((2L, 499999L)), 2L -> ((1L, 666666L))),
       s"scores: $got")
   }
+
+  test("corpus_bpe_encode: corpus-wide alpha-token total equals the " +
+      "compression curve's final point; OOV words cost one token each") {
+    val enc = SparkEntry.queries("corpus_bpe_encode")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_tokens")))
+    assert(enc.nonEmpty)
+    // independent OOV accounting from the raw corpus
+    val oov = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("w").rlike("^[a-z]+$"), 0L).otherwise(1L))
+        .as("n_oov"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // encode ≡ train: Σ_docs (n_tokens − n_oov) is Σ over alpha word
+    // occurrences of their merged symbol count — exactly the curve's
+    // round-BpeRounds total (vocab symbol count × word frequency)
+    val alphaTotal = enc.map { case (id, _, nt) => nt - oov(id) }.sum
+    val curveFinal = SparkEntry.queries("corpus_bpe_curve")(spark, sf)
+      .filter(col("round") === 3L).collect()
+      .head.getAs[Long]("total_symbols")
+    assert(alphaTotal == curveFinal,
+      s"encode total $alphaTotal != curve final $curveFinal")
+    // a merge can only shrink: every doc costs at most its word-char
+    // budget and at least one token per word
+    enc.foreach { case (id, nw, nt) =>
+      assert(nt >= nw, s"doc $id: $nt tokens < $nw words")
+    }
+  }
 }

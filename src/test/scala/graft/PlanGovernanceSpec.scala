@@ -63,6 +63,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "corpus_bpe_train" -> ("each training round broadcasts its 1-row" +
       " argmax merge pair onto the vocabulary - three single-row build" +
       " sides, bounded at one row forever"),
+    "corpus_bpe_encode" -> ("inherits the trainer's per-round 1-row" +
+      " argmax broadcasts (merge derivation) and applies each merge as" +
+      " a broadcast single-row join onto the corpus token scan - every" +
+      " build side bounded at one row forever"),
     // corpus_bpe_curve: its per-round states are PINNED (materialized
     // during construction), so the registry plan reads checkpointed
     // RDDs and the trainer's single-row merge-pair broadcasts never
