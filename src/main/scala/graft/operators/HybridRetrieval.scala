@@ -517,9 +517,11 @@ object HybridRetrieval {
       .groupBy(col("qq").as("q_id"))
       .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
         .as("n_rel"))
-    val perQ = legDcg(TextAnalysis.qlmRanked(s, d), "qlm_dcg")
+    val (tf, dlf, dff, stats) = TextAnalysis.bm25Postings(s, d)
+    val perQ = legDcg(TextAnalysis.qlmRankedFrom(tf, dlf, stats), "qlm_dcg")
       .join(legDcg(TextAnalysis.bm25GroupedRanked(
-        TextAnalysis.bm25GroupedScored(s, d)), "bm25_dcg"), Seq("q_id"))
+        TextAnalysis.bm25GroupedScoredFrom(tf, dlf, dff, stats)),
+        "bm25_dcg"), Seq("q_id"))
       .join(nRel, Seq("q_id"))
       .withColumn("idcg", element_at(typedLit(ndcgPrefix),
         least(lit(GroupK), col("n_rel")).cast("int") + 1))

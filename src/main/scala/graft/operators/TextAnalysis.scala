@@ -578,13 +578,18 @@ object TextAnalysis {
     * floating-point tier would use trades that hoist for libm
     * portability — the wrong trade for a hash-checked gate).
     */
-  private val qlmTopk: Q = (s, d) => qlmRanked(s, d)
-
-  /** The ranked QL frame `(q_id, doc_id, rank, ql_scaled)` — the face
-    * body, shared with [[HybridRetrieval]]'s ranker A/B eval.
-    */
-  private[operators] def qlmRanked(s: SparkSession, d: String): DataFrame = {
+  private val qlmTopk: Q = (s, d) => {
     val (tf, dl, _, stats) = bm25Postings(s, d)
+    qlmRankedFrom(tf, dl, stats)
+  }
+
+  /** The ranked QL frame `(q_id, doc_id, rank, ql_scaled)` over
+    * CALLER-SUPPLIED index frames — the face body, split like
+    * [[bm25GroupedScoredFrom]] so [[HybridRetrieval]]'s ranker A/B eval
+    * feeds BOTH rankers from one postings derivation (one token scan).
+    */
+  private[operators] def qlmRankedFrom(tf: DataFrame, dl: DataFrame,
+      stats: DataFrame): DataFrame = {
     val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     val wq = Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("term"))
