@@ -45,7 +45,8 @@ object ExplainAudit {
     // r13 faces
     "hybrid_rerank", "embed_drift", "hybrid_mmr", "hybrid_prf",
     "retrieval_triples", "text_qlm_topk", "text_index_ivm",
-    "retrieval_qlm_ndcg", "dedup_decontam_lsh", "corpus_bpe_encode")
+    "retrieval_qlm_ndcg", "dedup_decontam_lsh", "corpus_bpe_encode",
+    "stream_decontam")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -575,9 +575,9 @@ object Dedup {
   /** Eval stand-in slice, and the symmetric-jaccard report floor, for
     * the cross-set decontamination face.
     */
-  private val DecontamEvalMod = 10L
-  private val DecontamEvalRem = 3L
-  private val DecontamFloorBp = 3000L
+  private[operators] val DecontamEvalMod = 10L
+  private[operators] val DecontamEvalRem = 3L
+  private[operators] val DecontamFloorBp = 3000L
 
   /** CROSS-SET DECONTAMINATION AT LSH SCALE — `contamination_check`'s
     * sibling for the regime where the held-out set is NOT broadcastable

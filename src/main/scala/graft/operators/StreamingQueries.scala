@@ -1129,6 +1129,87 @@ object StreamingQueries {
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
+  /** INGEST-TIME DECONTAMINATION — `dedup_decontam_lsh` run AT THE
+    * DOOR, the shape a production pipeline actually wants (reject a
+    * contaminated training document when it ARRIVES, not in a nightly
+    * sweep): the held-out reference freezes once as a static artifact
+    * (its band keys, shingles, and sizes through parquet), and every
+    * arriving micro-batch bands ITSELF per row
+    * ([[Dedup.bandKeysPerRow]] — no shuffle), probes the static band
+    * keys by equi-join, and exact-verifies only its own candidates.
+    * NO state store at all: each train doc's verdict depends on
+    * nothing but itself and the frozen reference, so the face is
+    * stateless stream-static — confluent with the batch query by
+    * construction, and the gate proves it: the union of per-batch
+    * verdicts hash-checks against `dedup_decontam_lsh`'s from-scratch
+    * DuckDB oracle over the whole corpus.
+    *
+    * Scale shape: per-batch cost is the batch's own shingle/band work
+    * plus equi-probes into the reference (which a cluster broadcasts
+    * or bucket-joins — it is benchmark-suite-sized, but nothing here
+    * REQUIRES it to fit in memory, unlike `contamination_check`'s
+    * broadcast); the corpus never reappears after staging.
+    */
+  private val streamDecontam: Q = (s, d) => {
+    val run = freshRunDir("graft_sdecon_")
+    val out = run.resolve("out")
+    val docs = T(s, d, "documents")
+    val isEval =
+      col("doc_id") % Dedup.DecontamEvalMod === Dedup.DecontamEvalRem
+    val evalDocs = docs.filter(isEval)
+    val evalSh = Dedup.shingleRows(evalDocs)
+    Dedup.bandKeys(Dedup.minhashSig(evalSh))
+      .write.mode("overwrite").parquet(run.resolve("ebands").toString)
+    evalSh.write.mode("overwrite")
+      .parquet(run.resolve("eshingles").toString)
+    val eb = s.read.parquet(run.resolve("ebands").toString)
+      .select(col("doc_id").as("eval_id"), col("band"), col("key"))
+    val esh = s.read.parquet(run.resolve("eshingles").toString)
+      .select(col("doc_id").as("eval_id"), col("shingle"))
+    val esz = esh.groupBy(col("eval_id")).agg(count(lit(1)).as("ne"))
+    val srcDir = run.resolve("src").toString
+    docs.filter(!isEval).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val bands = Dedup.bandKeysPerRow(batch)
+            .select(col("doc_id").as("train_id"), col("band"), col("key"))
+          val cand = bands.join(eb, Seq("band", "key"))
+            .groupBy(col("eval_id"), col("train_id"))
+            .agg(count(lit(1)).as("n_bands"))
+          val bsh = Dedup.shingleRows(batch)
+            .select(col("doc_id").as("train_id"), col("shingle"))
+          val bsz = bsh.groupBy(col("train_id")).agg(count(lit(1)).as("nt"))
+          val inter = cand.select(col("eval_id"), col("train_id"))
+            .join(esh, Seq("eval_id"))
+            .join(bsh, Seq("train_id", "shingle"))
+            .groupBy(col("eval_id"), col("train_id"))
+            .agg(count(lit(1)).as("i"))
+          cand.join(inter, Seq("eval_id", "train_id"))
+            .join(esz, Seq("eval_id")).join(bsz, Seq("train_id"))
+            .withColumn("jac_bp", expr("i * 10000 div (ne + nt - i)"))
+            .filter(col("jac_bp") >= Dedup.DecontamFloorBp)
+            .select(col("eval_id"), col("train_id"), col("n_bands"),
+              col("jac_bp"))
+            .write.mode("overwrite")
+            .parquet(out.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    s.read.parquet(gens: _*)
+  }
+
   /** MAINTAINED INVERTED TEXT INDEX — [[dedupIndexIvm]]'s pattern
     * applied to the BM25 search tier: a production index does not
     * re-tokenize the corpus when documents arrive — it appends the
@@ -2132,6 +2213,7 @@ object StreamingQueries {
     "dedup_index_ivm" -> dedupIndexIvm,
     "sim_index_ivm" -> simIndexIvm,
     "text_index_ivm" -> textIndexIvm,
+    "stream_decontam" -> streamDecontam,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -2239,6 +2321,9 @@ object StreamingQueries {
     // maintained inverted index ranks identically to the from-scratch
     // text_bm25_grouped oracle over ALL documents
     "text_index_ivm" -> TextAnalysis.oracles("text_bm25_grouped"),
+    // stateless stream-static: per-arrival verdicts against the frozen
+    // eval reference union to the batch decontamination exactly
+    "stream_decontam" -> Dedup.oracles("dedup_decontam_lsh"),
     // the same base-trained (first three vec_id-rank quartiles),
     // capped-seed quantizer assigning ALL vectors in one shot — the
     // frozen-quantizer IVM identity; argmin tie-break (d2, cid) as

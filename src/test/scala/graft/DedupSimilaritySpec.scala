@@ -1140,4 +1140,15 @@ class DedupSimilaritySpec extends AnyFunSuite {
         assert(got.contains(pair), s"verified cross-set pair missing: $pair")
       }
   }
+
+  test("stream_decontam: per-arrival verdicts against the frozen eval " +
+      "reference union to the batch decontamination exactly") {
+    def rows(name: String) = SparkEntry.queries(name)(spark, sf).collect()
+      .map(r => (r.getAs[Long]("eval_id"), r.getAs[Long]("train_id"),
+        r.getAs[Long]("n_bands"), r.getAs[Long]("jac_bp"))).sorted
+    val streamed = rows("stream_decontam")
+    val batch = rows("dedup_decontam_lsh")
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
 }
