@@ -12,6 +12,10 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // retries are legitimate (every attempt still faces the DuckDB hash)
+    // but must stay VISIBLE: a trending-flaky face should surface in the
+    // run log long before it costs a gate run
+    val flaked = scala.collection.mutable.ArrayBuffer.empty[String]
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       def attempt(): Unit = fn(spark, sfDir).coalesce(1)
         .write.mode("overwrite").parquet(s"$outDir/$name")
@@ -23,6 +27,7 @@ object Verify {
       catch { case e1: Throwable =>
         System.err.println(s"[verify] $name failed " +
           s"(${e1.getClass.getSimpleName}: ${e1.getMessage}); retrying")
+        flaked += name
         spark.catalog.clearCache()
         try attempt()
         catch { case e2: Throwable =>
@@ -31,6 +36,11 @@ object Verify {
       }
       finally spark.catalog.clearCache() // drop any query-interior persist()
     }
+    if (flaked.nonEmpty)
+      System.err.println("[verify] flaked: " + flaked.groupBy(identity)
+        .toSeq.sortBy(_._1)
+        .map { case (n, xs) => s"$n x${xs.size}" }.mkString(", "))
+    else System.err.println("[verify] flaked: none")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -547,9 +547,20 @@ object Dedup {
     * the identical pipeline over the exact-dup representatives' slice of
     * the shared tables.
     */
-  private def verifiedPairsOn(sh: DataFrame, sigN: DataFrame): DataFrame = {
-    val cand = bandPairs(sigN).select(col("a_id"), col("b_id"))
-    val sizes = sigN.select(col("doc_id"), col("n"))
+  private def verifiedPairsOn(sh: DataFrame, sigN: DataFrame): DataFrame =
+    verifyCandidates(bandPairs(sigN).select(col("a_id"), col("b_id")),
+      sh, sigN.select(col("doc_id"), col("n")))
+
+  /** The exact-verify half of the pipeline over a CALLER-SUPPLIED
+    * candidate list — factored from [[verifiedPairsOn]] so the
+    * incremental clustering maintainer (`dedup_cc_ivm`) verifies its
+    * per-batch candidates through the IDENTICAL intersection joins,
+    * jaccard arithmetic, and ≥ 0.8 cut (the IVM identity is about where
+    * candidates come from, not a reimplemented verifier). `sh`/`sizes`
+    * must cover both endpoints of every candidate.
+    */
+  private[graft] def verifyCandidates(cand: DataFrame, sh: DataFrame,
+      sizes: DataFrame): DataFrame = {
     // the b-side closes on the (b_id, shingle) EQUI-join — shingle in
     // the join key, not a post-join filter, so volume is O(|A|) probes
     // per candidate instead of an |A|×|B| shingle product first (the
@@ -839,6 +850,165 @@ object Dedup {
     componentsTable(s, d)
     !existed
   }
+
+  // ---- incremental clustering maintenance (dedup_cc_ivm) ------------------
+  //
+  // The index-IVM family's capstone: component LABELS maintained under
+  // arriving documents without re-clustering the corpus. The maintained
+  // state is four appended stores — shingles, signatures, label rows,
+  // and a small fully-compacted label REMAP — and the per-batch fold
+  // touches only the batch's own work plus the components its new pairs
+  // connect:
+  //
+  //  1. sign ONLY the batch (shingle → minhash, O(batch));
+  //  2. candidates = batch band keys equi-probing the maintained band
+  //     derivation (cross) + the batch's own intra-banding — the
+  //     dedup_index_ivm pair-emission shape, confluent because a pair is
+  //     found exactly when its later endpoint arrives;
+  //  3. exact-verify ONLY those candidates through the shared
+  //     [[verifyCandidates]] joins against the maintained stores;
+  //  4. FOLD: resolve each endpoint's current label (stored label → one
+  //     remap hop — the remap is kept fully compacted, so resolution is
+  //     a single join), CONTRACT the new pairs to label-node edges, run
+  //     the pointer-doubling components over that touched subgraph only
+  //     (bounded by merged components + batch, never the corpus), then
+  //     append label rows for newly-labeled docs and fold the merges
+  //     into the remap. Old docs' label rows are IMMUTABLE — a merge
+  //     re-points their label through the remap instead of rewriting
+  //     the label store, which is what keeps the per-batch write volume
+  //     O(batch + merges) at 100 TB.
+  //
+  // Correctness invariants (spec-asserted; the face hash-checks against
+  // the from-scratch transitive-closure oracle over ALL documents):
+  //  - labels are component-member doc_ids and every stored label was
+  //    the true min of its component when written, so the contracted
+  //    min-CC over (resolved label, resolved label) edges yields the
+  //    merged component's true min — label(C) = min doc_id survives
+  //    every fold;
+  //  - the compacted remap maps every historical root to its current
+  //    root: a root that merges enters the remap that batch, and every
+  //    existing entry whose target merges is re-pointed in the same
+  //    write — so resolution is always exactly one hop.
+  //
+  // Scale shape: per batch, the signing is O(batch); the band probe is
+  // an equi-join whose batch side is tiny (at 100 TB the maintained
+  // band store is bucketed on key so probes prune; here it is a scan of
+  // 8 short strings per resident doc — measured small-constant at the
+  // rung); the verify is O(candidate shingles); the contraction is
+  // output-bound. Nothing re-clusters resident components the batch
+  // doesn't touch.
+
+  /** Base generation of the maintained clustering state: sign the
+    * resident corpus once and cluster it from scratch — the stores the
+    * per-batch fold maintains thereafter.
+    */
+  private[graft] def ccIvmBase(resident: DataFrame,
+      state: java.nio.file.Path): Unit = {
+    val sp = resident.sparkSession
+    shingleRows(resident).write.mode("overwrite")
+      .parquet(state.resolve("sh/base").toString)
+    val sh = sp.read.parquet(state.resolve("sh/base").toString)
+    minhashSig(sh, Seq(count(lit(1)).as("n")))
+      .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
+    val sig = sp.read.parquet(state.resolve("sig/base").toString)
+    connectedComponentsWithRounds(
+        verifiedPairsOn(sh, sig).select(col("a_id"), col("b_id")))._1
+      .write.mode("overwrite")
+      .parquet(state.resolve("lbl/base").toString)
+  }
+
+  /** One maintenance fold: verify the batch's new pairs against the
+    * maintained stores and merge ONLY the touched components. Writes
+    * the batch's generation of all four stores (per-gen dirs — the
+    * idempotent exactly-once idiom; a replayed batch overwrites
+    * itself). `prior*` frames are the union of every generation BEFORE
+    * this batch; `prevRemap` is the latest compacted remap (empty on
+    * the first batch).
+    */
+  private[graft] def ccIvmBatch(batch: DataFrame, priorSh: DataFrame,
+      priorSig: DataFrame, priorLbl: DataFrame, prevRemap: DataFrame,
+      state: java.nio.file.Path, gen: String): Unit = {
+    val sp = batch.sparkSession
+    // 1. sign ONLY the batch; parquet round-trip pins the generation
+    shingleRows(batch).write.mode("overwrite")
+      .parquet(state.resolve(s"sh/$gen").toString)
+    val batchSh = sp.read.parquet(state.resolve(s"sh/$gen").toString)
+    minhashSig(batchSh, Seq(count(lit(1)).as("n")))
+      .write.mode("overwrite").parquet(state.resolve(s"sig/$gen").toString)
+    val batchSig = sp.read.parquet(state.resolve(s"sig/$gen").toString)
+    // 2. candidates: cross (batch probes the maintained bands) + intra
+    val bb = bandKeys(batchSig)
+      .select(col("doc_id").as("n_id"), col("band"), col("key"))
+    val pb = bandKeys(priorSig)
+      .select(col("doc_id").as("c_id"), col("band"), col("key"))
+    val cross = bb.join(pb, Seq("band", "key"))
+      // a re-arriving doc (at-least-once delivery) collides with its own
+      // resident signature — a self-pair is never a component edge
+      .filter(col("n_id") =!= col("c_id"))
+      .select(least(col("n_id"), col("c_id")).as("a_id"),
+        greatest(col("n_id"), col("c_id")).as("b_id"))
+    val cand = cross
+      .union(bandPairs(batchSig).select(col("a_id"), col("b_id")))
+      .distinct()
+    // 3. exact-verify ONLY the candidates, against the union store
+    val allSh = priorSh.select(col("doc_id"), col("shingle"))
+      .union(batchSh.select(col("doc_id"), col("shingle")))
+    val sizes = priorSig.select(col("doc_id"), col("n"))
+      .union(batchSig.select(col("doc_id"), col("n")))
+    val newPairs = materialize(verifyCandidates(cand, allSh, sizes)
+      .select(col("a_id"), col("b_id")))
+    // 4. fold: resolve endpoint labels (one remap hop), contract, merge
+    val endpoints = newPairs.select(col("a_id").as("doc_id"))
+      .union(newPairs.select(col("b_id").as("doc_id"))).distinct()
+    val curr = materialize(endpoints
+      .join(priorLbl.withColumnRenamed("component", "lbl"),
+        Seq("doc_id"), "left")
+      .withColumn("l0", coalesce(col("lbl"), col("doc_id")))
+      .join(prevRemap.withColumnRenamed("old", "l0"), Seq("l0"), "left")
+      .select(col("doc_id"), coalesce(col("root"), col("l0")).as("cur")))
+    val edges = newPairs
+      .join(curr.select(col("doc_id").as("a_id"), col("cur").as("ca")),
+        Seq("a_id"))
+      .join(curr.select(col("doc_id").as("b_id"), col("cur").as("cb")),
+        Seq("b_id"))
+      .filter(col("ca") =!= col("cb"))
+      .select(col("ca"), col("cb"))
+    val cc = connectedComponentsWithRounds(edges)._1
+      .select(col("doc_id").as("node"), col("component").as("nroot"))
+    val mergeMap = materialize(cc.filter(col("node") =!= col("nroot"))
+      .select(col("node").as("m_old"), col("nroot").as("m_root")))
+    // newly-labeled docs (no prior label row): their one immutable row,
+    // holding the current root
+    val rootOf = curr
+      .join(cc.withColumnRenamed("node", "cur"), Seq("cur"), "left")
+      .select(col("doc_id"), coalesce(col("nroot"), col("cur")).as("root"))
+    rootOf
+      .join(priorLbl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("root").as("component"))
+      .write.mode("overwrite").parquet(state.resolve(s"lbl/$gen").toString)
+    // compacted remap: re-point entries whose target just merged, then
+    // add the merged roots themselves (key sets are disjoint — merge
+    // keys were CURRENT roots, existing keys are stale by definition)
+    prevRemap
+      .join(mergeMap.withColumnRenamed("m_old", "root"), Seq("root"), "left")
+      .select(col("old"), coalesce(col("m_root"), col("root")).as("root"))
+      .union(mergeMap.select(col("m_old").as("old"), col("m_root").as("root")))
+      .write.mode("overwrite")
+      .parquet(state.resolve(s"remap/$gen").toString)
+    // the CC loop's final labels frame stays checkpointed (its lineage
+    // carries a Project over the LogicalRDD, like every other caller)
+    Seq(newPairs, curr, mergeMap).foreach(releaseCheckpoint)
+  }
+
+  /** The maintained shared tables, for rung-scale maintenance timing. */
+  private[graft] def maintainedStores(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = sharedTables(s, d)
+
+  /** The clustering artifact's labels, for rung-scale maintenance
+    * timing (the resident label store the per-batch fold probes).
+    */
+  private[graft] def ccLabelStore(s: SparkSession, d: String): DataFrame =
+    componentsTable(s, d)
 
   /** Log2 histogram of near-dup CLUSTER sizes — the first number a
     * curator reads off a dedup run ("how much of the corpus sits in

@@ -517,6 +517,13 @@ object HybridRetrieval {
       .groupBy(col("qq").as("q_id"))
       .agg(sum(when(col("label") === col("q_label"), 1L).otherwise(0L))
         .as("n_rel"))
+    // the QL leg arrives pre-truncated at QlmTopK while the grading cuts
+    // at GroupK: a knob change that pushed GroupK past QlmTopK would
+    // silently shrink this face's DCG basis while the oracle kept
+    // grading the full top-GroupK — fail at the use site instead
+    require(TextAnalysis.QlmTopK >= GroupK,
+      s"qlm leg truncates at ${TextAnalysis.QlmTopK} < GroupK=$GroupK — " +
+        "the face's DCG basis would desynchronize from its oracle")
     val (tf, dlf, dff, stats) = TextAnalysis.bm25Postings(s, d)
     val perQ = legDcg(TextAnalysis.qlmRankedFrom(tf, dlf, stats), "qlm_dcg")
       .join(legDcg(TextAnalysis.bm25GroupedRanked(
@@ -541,7 +548,9 @@ object HybridRetrieval {
 
   /** MMR picks per query — the diversified short-list length. */
   private[graft] val MmrK = 5
-  /** λ = 0.7 as integer weights: `mmr = 7·rel − 3·sim` in micro-units.
+  /** λ = 0.7 as integer weights: `mmr = 7·rel_norm − 3·sim`, with rel
+    * min-max normalized per query and the whole combination carried at
+    * the common integer denominator 10·R0·10⁴ (see [[mmrPool]]).
     * A double λ-combination looked safe (three IEEE ops on identical
     * doubles) but `round(·, 6)` landed on a decimal half-way point at
     * sf0.001 where Spark (BigDecimal of the shortest string) and
@@ -560,7 +569,8 @@ object HybridRetrieval {
     * the de-facto answer-diversification step of every RAG stack (the
     * fused list is relevance-sorted but redundant — near-duplicate
     * candidates crowd out coverage; MMR trades a little relevance for
-    * novelty). rel is the candidate's RRF score on the pool, sim the
+    * novelty). rel is the candidate's RRF score on the pool, min-max
+    * normalized per query (see [[mmrPool]]), sim the
     * rounded pairwise cosine between candidate embeddings — both
     * recovered as exact fixed-point integers (see [[MmrLamN]]) so the
     * λ-combination, the max-penalty, and every argmax comparison are
@@ -584,6 +594,7 @@ object HybridRetrieval {
   private[graft] def mmrPool(s: SparkSession, d: String): DataFrame = {
     val fusedW = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
+    val ext = Window.partitionBy(col("q_id"))
     lexRankedGrouped(s, d)
       .join(vecRankedGrouped(s, d), Seq("q_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
@@ -593,6 +604,20 @@ object HybridRetrieval {
       .filter(col("pos") <= TopK)
       .select(col("q_id"), col("doc_id"),
         round(col("rrf") * lit(1000000d)).cast("long").as("rel_i"))
+      // min-max normalize relevance PER QUERY over the cut pool (the
+      // textbook MMR precondition — raw RRF magnitudes are ~30× smaller
+      // than the [-1,1] cosine span, so an unnormalized combination is
+      // driven almost entirely by anti-similarity): rel_norm =
+      // (rel−min)/R with R = max−min, carried as exact integers by
+      // cross-multiplication — rel_c = (rel−min)·10⁴ and the per-query
+      // scale R0 = max(R, 1) multiply into the λ-combination so no
+      // division ever happens (R0=1 when the pool's RRF ties flat,
+      // where rel_norm is 0 for everyone and MMR degenerates to pure
+      // diversity — the right limit).
+      .withColumn("rel_c",
+        (col("rel_i") - min(col("rel_i")).over(ext)) * lit(10000L))
+      .withColumn("r0", greatest(
+        max(col("rel_i")).over(ext) - min(col("rel_i")).over(ext), lit(1L)))
       .localCheckpoint(true)
   }
 
@@ -637,10 +662,14 @@ object HybridRetrieval {
         .join(sel.select(col("q_id"), col("doc_id")),
           Seq("q_id", "doc_id"), "left_anti")
         .join(pen, Seq("q_id", "doc_id"), "left")
-        // rel is micro-units (1e-6), sim 1e-4 — ×100 aligns them
+        // λ·rel_norm − (1−λ)·sim, everything multiplied by the common
+        // denominator 10·R0·10⁴: rel_c = (rel−min)·10⁴ covers the R0
+        // division, and the 1e-4 fixed-point sim multiplies by R0 —
+        // exact integers per query (the scale factor varies by query,
+        // which is fine: MMR ranks within a query)
         .withColumn("mmr_scaled",
-          lit(MmrLamN) * col("rel_i") -
-            lit(MmrLamD) * coalesce(col("mx"), lit(0L)) * lit(100L))
+          lit(MmrLamN) * col("rel_c") -
+            lit(MmrLamD) * coalesce(col("mx"), lit(0L)) * col("r0"))
         .withColumn("rn", row_number().over(byMmr))
         .filter(col("rn") === 1)
         .select(col("q_id"), col("doc_id"), col("mmr_scaled"),
@@ -1362,8 +1391,8 @@ object HybridRetrieval {
     val steps = (1 to MmrK).map { k =>
       s"""c$k AS (
          |  SELECT t.q_id, t.doc_id,
-         |    $MmrLamN * t.rel_i
-         |      - $MmrLamD * coalesce(pen.mx, 0) * 100 AS mmr_scaled
+         |    $MmrLamN * t.rel_c
+         |      - $MmrLamD * coalesce(pen.mx, 0) * t.r0 AS mmr_scaled
          |  FROM topped t
          |  LEFT JOIN (SELECT m.q_id, m.doc_id, max(m.sim_i) AS mx
          |             FROM sims m JOIN s${k - 1} s
@@ -1426,7 +1455,7 @@ object HybridRetrieval {
        |      AS rrf
        |  FROM lex l FULL OUTER JOIN vec v
        |    ON v.q_id = l.q_id AND v.doc_id = l.doc_id),
-       |topped AS (
+       |topped0 AS (
        |  SELECT q_id, doc_id,
        |    CAST(round(rrf * 1000000) AS BIGINT) AS rel_i
        |  FROM (
@@ -1434,6 +1463,12 @@ object HybridRetrieval {
        |      CAST(row_number() OVER (PARTITION BY q_id
        |        ORDER BY rrf DESC, doc_id) AS BIGINT) AS pos
        |    FROM fused) WHERE pos <= $TopK),
+       |topped AS (
+       |  SELECT q_id, doc_id,
+       |    (rel_i - min(rel_i) OVER (PARTITION BY q_id)) * 10000 AS rel_c,
+       |    greatest(max(rel_i) OVER (PARTITION BY q_id)
+       |      - min(rel_i) OVER (PARTITION BY q_id), 1) AS r0
+       |  FROM topped0),
        |sims AS (
        |  SELECT a.q_id, a.doc_id, b.doc_id AS d2,
        |    CAST(round(round(list_cosine_similarity(

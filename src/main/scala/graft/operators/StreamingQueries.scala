@@ -355,6 +355,15 @@ object StreamingQueries {
         if (sc.depth == 0) {
           sc.outer = s.conf.getOption(key)
           s.conf.set(key, value)
+        } else {
+          // overlapping scopes must agree: a second enter requesting a
+          // DIFFERENT value would silently run under the first one's
+          // conf (streaming conf is captured at start()) — fail loudly
+          // instead of misconfiguring a sibling's queries
+          val current = s.conf.getOption(key)
+          require(current.contains(value),
+            s"ConfScope: overlapping enter for $key requested '$value' " +
+              s"but the active scope holds '${current.orNull}'")
         }
         sc.depth += 1
       }
@@ -441,16 +450,28 @@ object StreamingQueries {
       val members = replayGroups(group)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(
         math.min(members.size, 4))
+      val fs = members.toSeq.map { case (name, q) =>
+        name -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = q(s, d)
+        })
+      }
       try {
-        val fs = members.toSeq.map { case (name, q) =>
-          name -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = q(s, d)
-          })
-        }
         fs.foreach { case (name, f) =>
           groupResults.put(s"$key:$name", f.get())
         }
-      } finally pool.shutdown()
+        pool.shutdown()
+      } catch { case e: Throwable =>
+        // one member failed: cancel the siblings, WAIT for the pool to
+        // actually drain (shutdown() alone leaves their streaming
+        // queries orphaned under a retry's concurrent relaunch), and
+        // clear this attempt's partial results so the retry starts
+        // clean instead of serving a half-populated cache
+        fs.foreach(_._2.cancel(true))
+        pool.shutdown()
+        pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+        members.keys.foreach(n => groupResults.remove(s"$key:$n"))
+        throw e
+      }
       java.lang.Boolean.TRUE
     })
   }
@@ -1298,6 +1319,86 @@ object StreamingQueries {
       readGens("df").groupBy(col("term")).agg(sum(col("dfp")).as("df")),
       readGens("st").agg(sum(col("np")).as("n"),
         sum(col("totalp")).as("total"))))
+  }
+
+  /** MAINTAINED NEAR-DUP CLUSTERING — the index-IVM family's capstone:
+    * component LABELS maintained under arriving documents (the shape
+    * [[dedupIndexIvm]] proves for signatures, applied to the heaviest
+    * derived state in the engine — a production 100 TB dedup tier folds
+    * an arriving batch's verified pairs into the existing labels, it
+    * does not re-run clustering over the corpus). The resident three
+    * doc_id-rank quartiles sign and cluster once as the base
+    * generation ([[Dedup.ccIvmBase]]); the last quartile arrives as a
+    * 3-micro-batch file stream whose batches each run ONE maintenance
+    * fold ([[Dedup.ccIvmBatch]]): sign themselves, probe the maintained
+    * band store for candidates, exact-verify only those, then merge
+    * ONLY the components the new pairs touch — label rows are
+    * append-only and merges travel through a small compacted remap, so
+    * per-batch write volume is O(batch + merges). The emitted result is
+    * every maintained label resolved through the final remap —
+    * hash-checked against the from-scratch transitive-closure oracle
+    * over ALL documents: fold-of-changes ≡ recompute, for the
+    * clustering itself.
+    */
+  private val dedupCcIvm: Q = (s, d) => {
+    val run = freshRunDir("graft_ccx_")
+    val docs = T(s, d, "documents")
+    val ranked = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+      .drop("rn", "n")
+    val state = run.resolve("state")
+    Dedup.ccIvmBase(ranked.filter(col("bucket") < 3).drop("bucket"), state)
+    val srcDir = run.resolve("src").toString
+    ranked.filter(col("bucket") === 3).drop("bucket")
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    // generations BEFORE batch k: "base" plus b<k — named by batch id,
+    // so a replayed batch deterministically re-reads the same priors
+    // (its own earlier writes are excluded, the idempotency the
+    // per-gen-dir layout exists for)
+    def gensBefore(sub: String, batchId: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val dir = state.resolve(sub)
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "base" || n.drop(1).toLong < batchId
+        }.map(_.toString).toSeq.sorted
+    }
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          def rd(sub: String) = sp.read.parquet(gensBefore(sub, batchId): _*)
+          val remaps = gensBefore("remap", batchId)
+          val prevRemap =
+            if (remaps.isEmpty)
+              sp.range(0).select(col("id").as("old"), col("id").as("root"))
+            else sp.read.parquet(remaps.max)
+          Dedup.ccIvmBatch(batch, rd("sh"), rd("sig"), rd("lbl"),
+            prevRemap, state, f"b$batchId%05d")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    // read-back: every label generation, resolved through the FINAL
+    // compacted remap (one hop — the compaction invariant)
+    val allGens = gensBefore("lbl", Long.MaxValue)
+    val allLbl = s.read.parquet(allGens: _*)
+    val remapGens = gensBefore("remap", Long.MaxValue)
+    if (remapGens.isEmpty) allLbl.select(col("doc_id"), col("component"))
+    else allLbl
+      .join(s.read.parquet(remapGens.max)
+        .withColumnRenamed("old", "component"), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("component")).as("component"))
   }
 
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
@@ -2213,6 +2314,7 @@ object StreamingQueries {
     "dedup_index_ivm" -> dedupIndexIvm,
     "sim_index_ivm" -> simIndexIvm,
     "text_index_ivm" -> textIndexIvm,
+    "dedup_cc_ivm" -> dedupCcIvm,
     "stream_decontam" -> streamDecontam,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
@@ -2321,6 +2423,10 @@ object StreamingQueries {
     // maintained inverted index ranks identically to the from-scratch
     // text_bm25_grouped oracle over ALL documents
     "text_index_ivm" -> TextAnalysis.oracles("text_bm25_grouped"),
+    // fold-of-changes ≡ recompute for the clustering itself: the
+    // maintained labels, resolved through the final remap, equal the
+    // from-scratch transitive-closure components over ALL documents
+    "dedup_cc_ivm" -> Dedup.oracles("dedup_components"),
     // stateless stream-static: per-arrival verdicts against the frozen
     // eval reference union to the batch decontamination exactly
     "stream_decontam" -> Dedup.oracles("dedup_decontam_lsh"),

@@ -172,6 +172,20 @@ object ScaleRung {
       graft.operators.StreamingQueries.textIndexGen(b,
         maint.resolve(f"text_b$k%02d"), "gen")
     }
+    // the dedup_cc_ivm per-batch body: sign the batch, probe the
+    // RESIDENT stores (shared signature/shingle tables + the clustering
+    // artifact's labels) for candidates, verify, and fold the merges —
+    // the probe side is this rung's full resident corpus, so any
+    // super-linear resident leakage into the fold shows up as growth
+    // across the rungs. (Batches re-arrive ids already resident — the
+    // at-least-once shape; the fold's self-pair guard makes that legal.)
+    val (shStore, sigStore) = graft.operators.Dedup.maintainedStores(spark, dest)
+    val lblStore = graft.operators.Dedup.ccLabelStore(spark, dest)
+    val emptyRemap = spark.range(0).selectExpr("id AS old", "id AS root")
+    timedBatches("cc_index_maint", docBatches) { (k, b) =>
+      graft.operators.Dedup.ccIvmBatch(b, shStore, sigStore, lblStore,
+        emptyRemap, maint.resolve("cc"), f"b$k%05d")
+    }
     spark.stop()
   }
 }

@@ -205,14 +205,24 @@ class HybridRetrievalSpec extends AnyFunSuite {
     val out = HybridRetrieval.queries("hybrid_mmr")(spark, sf).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("mmr_scaled"), r.getAs[Long]("pick_pos")))
-    val pool = HybridRetrieval.mmrPool(spark, sf).collect()
+    val poolRows = HybridRetrieval.mmrPool(spark, sf).collect()
+    val pool = poolRows
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id")) ->
-        r.getAs[Long]("rel_i")).toMap
+        (r.getAs[Long]("rel_c"), r.getAs[Long]("r0"))).toMap
+    // the pool's normalization columns must restate min-max over rel_i
+    poolRows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val rels = g.map(_.getAs[Long]("rel_i"))
+      val (mn, r0) = (rels.min, math.max(rels.max - rels.min, 1L))
+      g.foreach { r =>
+        assert(r.getAs[Long]("rel_c") == (r.getAs[Long]("rel_i") - mn) * 10000L)
+        assert(r.getAs[Long]("r0") == r0)
+      }
+    }
     val sims = HybridRetrieval.mmrSims(spark, sf,
         HybridRetrieval.mmrPool(spark, sf)).collect()
       .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("doc_id"),
         r.getAs[Long]("d2")) -> r.getAs[Long]("sim_i")).toMap
-    // reference: per query, greedily pick argmax(7·rel − 3·maxsim·100)
+    // reference: per query, greedily pick argmax(7·rel_c − 3·maxsim·R0)
     // with the doc_id tie-break — plain Scala loops, no Spark
     val expected = pool.keys.map(_._1).toSeq.distinct.sorted.flatMap { q =>
       val cands = pool.keys.filter(_._1 == q).map(_._2).toSeq.sorted
@@ -221,8 +231,9 @@ class HybridRetrievalSpec extends AnyFunSuite {
         val chosen = picked.map(_._2).toSet
         val best = cands.filterNot(chosen).map { d =>
           val mx = chosen.map(p => sims((q, d, p))).maxOption.getOrElse(0L)
-          (HybridRetrieval.MmrLamN * pool((q, d)) -
-            HybridRetrieval.MmrLamD * mx * 100L, d)
+          val (relC, r0) = pool((q, d))
+          (HybridRetrieval.MmrLamN * relC -
+            HybridRetrieval.MmrLamD * mx * r0, d)
         }.maxBy { case (s2, d) => (s2, -d) }
         picked :+ ((q, best._2, best._1, k.toLong))
       }

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{StreamingQueries, TextAnalysis}
+import graft.operators.{Dedup, StreamingQueries, TextAnalysis}
 
 /** The maintained-inverted-index identity, cross-checked inside one
   * engine (the DuckDB oracle states it cross-engine): appending per-batch
@@ -22,5 +22,65 @@ class IndexIvmSpec extends AnyFunSuite {
         r.getLong(3))).sorted
     assert(maintained.length == rebuilt.length)
     assert(maintained.sameElements(rebuilt))
+  }
+
+  test("dedup_cc_ivm: maintained labels == from-scratch clustering, " +
+      "row for row") {
+    val maintained = StreamingQueries.queries("dedup_cc_ivm")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val rebuilt = Dedup.queries("dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(maintained.length == rebuilt.length)
+    assert(maintained.sameElements(rebuilt))
+  }
+
+  test("ccIvmBatch: cross-batch merges re-point the compacted remap, " +
+      "label rows are immutable and unique, replay is idempotent") {
+    import spark.implicits._
+    // ta-cliques merge DOWNWARD across batches (arriving ids 5 then 3
+    // undercut the resident root 10), tb stays untouched, 'solo' has
+    // no shingles and must never be labeled
+    val ta = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tb = (1 to 10).map(i => s"b$i").mkString(" ")
+    def docs(rows: (Long, String)*) =
+      rows.toSeq.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("ccivm_spec_")
+    Dedup.ccIvmBase(
+      docs(10L -> ta, 11L -> ta, 20L -> tb, 21L -> tb, 30L -> "solo"),
+      state)
+    def rd(sub: String, gens: String*) =
+      spark.read.parquet(gens.map(g => state.resolve(s"$sub/$g").toString): _*)
+    val emptyRemap =
+      spark.range(0).selectExpr("id AS old", "id AS root")
+    Dedup.ccIvmBatch(docs(5L -> ta), rd("sh", "base"), rd("sig", "base"),
+      rd("lbl", "base"), emptyRemap, state, "b00000")
+    // batch 0 merged {10,11}+5 -> root 5: remap must hold 10 -> 5
+    val remap0 = rd("remap", "b00000").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap0 == Map(10L -> 5L))
+    def run1(): Unit = Dedup.ccIvmBatch(docs(3L -> ta),
+      rd("sh", "base", "b00000"), rd("sig", "base", "b00000"),
+      rd("lbl", "base", "b00000"), rd("remap", "b00000"), state, "b00001")
+    run1()
+    val out1 = rd("lbl", "base", "b00000", "b00001").collect().toSet
+    run1() // replay: per-gen overwrite must reproduce byte-equal state
+    // batch 1 merged root 5 into 3: the stale 10 -> 5 entry re-points
+    val remap1 = rd("remap", "b00001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap1 == Map(10L -> 3L, 5L -> 3L))
+    // compaction invariant: resolution is one hop — no value is a key
+    assert(remap1.values.forall(v => !remap1.contains(v)))
+    assert(rd("lbl", "base", "b00000", "b00001").collect().toSet == out1)
+    // label rows are unique per doc and immutable (historical roots)
+    val lblRows = rd("lbl", "base", "b00000", "b00001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(lblRows.map(_._1).distinct.length == lblRows.length)
+    val lbl = lblRows.toMap
+    assert(lbl == Map(10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L,
+      5L -> 5L, 3L -> 3L))
+    // resolved through the final remap: the from-scratch components
+    val resolved = lbl.view.mapValues(v => remap1.getOrElse(v, v)).toMap
+    assert(resolved == Map(10L -> 3L, 11L -> 3L, 5L -> 3L, 3L -> 3L,
+      20L -> 20L, 21L -> 20L))
   }
 }
