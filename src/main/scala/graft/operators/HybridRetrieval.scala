@@ -436,6 +436,10 @@ object HybridRetrieval {
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(RrfK) + col("lex_rank")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(RrfK) + col("vec_rank")), lit(0.0)), 6))
+      // pin the fused pool: both window passes and the grading joins
+      // otherwise re-derive the two legs' full postings lineage (12
+      // nested loops / 58 exchanges in the r13 audit)
+      .localCheckpoint(true)
     val byScore = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
     val byRrf = Window.partitionBy(col("q_id"))
@@ -524,7 +528,12 @@ object HybridRetrieval {
     require(TextAnalysis.QlmTopK >= GroupK,
       s"qlm leg truncates at ${TextAnalysis.QlmTopK} < GroupK=$GroupK — " +
         "the face's DCG basis would desynchronize from its oracle")
-    val (tf, dlf, dff, stats) = TextAnalysis.bm25Postings(s, d)
+    // pin the postings frames once — the two ranker legs otherwise
+    // re-derive the token scan through plan lineage (16 nested loops /
+    // 78 exchanges in the r13 audit)
+    val (tf0, dlf0, dff0, stats0) = TextAnalysis.bm25Postings(s, d)
+    val Seq(tf, dlf, dff, stats) =
+      Seq(tf0, dlf0, dff0, stats0).map(_.localCheckpoint(true))
     val perQ = legDcg(TextAnalysis.qlmRankedFrom(tf, dlf, stats), "qlm_dcg")
       .join(legDcg(TextAnalysis.bm25GroupedRanked(
         TextAnalysis.bm25GroupedScoredFrom(tf, dlf, dff, stats)),
@@ -715,7 +724,13 @@ object HybridRetrieval {
     * broadcast-label joins.
     */
   private val hybridPrf: Q = (s, d) => {
-    val (tf, dl, dfT, stats) = TextAnalysis.bm25Postings(s, d)
+    // pin the postings frames once (the BPE-curve lesson, SURVEY §13):
+    // both retrieval passes, the expansion mining, and the grading all
+    // re-derived the token scan through plan lineage — 16 nested
+    // loops / 122 exchanges of pure re-derivation in the r13 audit
+    val (tf0, dl0, df0, st0) = TextAnalysis.bm25Postings(s, d)
+    val Seq(tf, dl, dfT, stats) =
+      Seq(tf0, dl0, df0, st0).map(_.localCheckpoint(true))
     // weighted retrieval pass over (q_id, term, w)
     def scored(qterms: DataFrame): DataFrame =
       qterms.join(tf, Seq("term"))
@@ -730,8 +745,10 @@ object HybridRetrieval {
       .select(col("doc_id").as("q_id"), col("term"))
     val byScore = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("doc_id"))
+    // base feeds BOTH the expansion mining and its own grading leg
     val base = scored(qt.withColumn("w", lit(1L)))
       .withColumn("pos", row_number().over(byScore).cast("long"))
+      .localCheckpoint(true)
     val byEw = Window.partitionBy(col("q_id"))
       .orderBy(col("ew").desc, col("term"))
     val expansion = base.filter(col("pos") <= PrfFeedback)

@@ -430,11 +430,38 @@ object StreamingQueries {
       "stream_inprogress" -> streamInProgress,
       "stream_dedup_ingest" -> streamDedupIngest,
       "stream_enrich" -> streamEnrich,
-      "stream_quarantine" -> streamQuarantine))
+      "stream_quarantine" -> streamQuarantine),
+    // r14: the two replays the r13 grouping left standalone — the
+    // shared IVM replay (the single largest bench item) and the
+    // stateless decontamination — now overlap their fixed costs too;
+    // both ivm faces adopt ONE ivmSharedViews run via its own memo
+    "ivm" -> Map(
+      "stream_ivm_counts" -> streamIvmCounts,
+      "stream_ivm_events" -> streamIvmEvents,
+      "stream_decontam" -> streamDecontam,
+      "stream_quality_gate" -> streamQualityGate),
+    // the four maintained-index replays: each face is a full
+    // streaming replay the best-of-2 harness previously ran TWICE;
+    // grouped, each runs once and the member reads its cached frame
+    "index" -> Map(
+      "dedup_index_ivm" -> dedupIndexIvm,
+      "sim_index_ivm" -> simIndexIvm,
+      "text_index_ivm" -> textIndexIvm,
+      "dedup_cc_ivm" -> dedupCcIvm))
+
+  /** Source tables a group's members read — the group cache key
+    * fingerprints every one, so a regenerated table can never serve a
+    * sibling's stale read-back.
+    */
+  private val groupTables: Map[String, Seq[String]] = Map(
+    "ivm" -> Seq("events.parquet", "documents.parquet"),
+    "index" -> Seq("documents.parquet", "embeddings.parquet")
+  ).withDefaultValue(Seq("events.parquet"))
 
   private def groupKey(d: String, group: String): String =
-    group + ":" + SharedArtifacts.fingerprint(d, "events.parquet",
-      s"replaygrp-$group:v1")
+    group + ":" + groupTables(group).map(t =>
+      SharedArtifacts.fingerprint(d, t, s"replaygrp-$group:v2"))
+      .mkString("+")
 
   /** Run `group`'s members concurrently (once per dataset version per
     * process) and cache each face's read-back frame. A member failure
@@ -497,6 +524,54 @@ object StreamingQueries {
 
   /** The group names, for the bench loop. */
   def replayGroupNames: Seq[String] = replayGroups.keys.toSeq.sorted
+
+  /** Forget a group's done-marker and run it again — the bench's
+    * variance hook (min over N full reruns instead of one wall-clock
+    * sample of a 4-thread pool; the r13 `stream_grp_*` items swung
+    * 6↔27 s run-to-run on pool contention alone). Reruns recompute
+    * every member from scratch — fresh run dirs, fresh replays — while
+    * adopting the per-dataset stagings and stage-1 memos, which the
+    * bench pre-charges to their own named items.
+    */
+  def rerunReplayGroup(s: SparkSession, d: String, group: String): Unit = {
+    groupDone.remove(groupKey(d, group))
+    runReplayGroup(s, d, group)
+  }
+
+  /** Eagerly build (or adopt) the shared stage-1 finalizations — named
+    * bench items, so a min-over-reruns group timing can't silently
+    * discard the one run that paid them.
+    */
+  def ensureHourlyStage(s: SparkSession, d: String): Boolean = {
+    val key = "hourly:" +
+      SharedArtifacts.fingerprint(d, "events.parquet", "hourlywin:v1")
+    val existed = stageDirs.containsKey(key)
+    hourlyCountsDir(s, d)
+    !existed
+  }
+
+  def ensureWalkStage(s: SparkSession, d: String): Boolean = {
+    val key = "walkmid:" +
+      SharedArtifacts.fingerprint(d, "events.parquet", "walkmid:v1")
+    val existed = stageDirs.containsKey(key)
+    walkMidDir(s, d)
+    !existed
+  }
+
+  /** Eagerly build (or adopt) the shared per-dataset event stagings
+    * (nanos single-file, the two 4-file splits) the replay faces
+    * hard-link — same accounting rationale as the stage-1 hooks.
+    */
+  def ensureEventStagings(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(
+      SharedArtifacts.root.resolve("nanos_events_" +
+        SharedArtifacts.fingerprint(d, "events.parquet", "nanos-long-v1")))
+    nanosEventsArtifact(s, d)
+    val probe = freshRunDir("graft_stageprobe_")
+    stageIvmSource(s, d, probe)
+    stageLateSource(s, d, probe.resolve("late"))
+    !existed
+  }
 
   /** Watermarked tumbling-window counts executed as a real streaming job
     * in UPDATE mode against a durable (parquet append-log) sink — the
@@ -1229,6 +1304,45 @@ object StreamingQueries {
         .map(_.toString).toSeq.sorted
     }
     s.read.parquet(gens: _*)
+  }
+
+  /** QUALITY GATE AT INGEST — `text_quality_classifier` run AT THE
+    * DOOR: every arriving document scores through the frozen-weight
+    * linear classifier the moment it lands, the production shape (a
+    * curation tier rejects junk before paying storage and index costs
+    * for it, not in a nightly sweep). Unlike the foreachBatch replays
+    * this is a PURE streaming query — the classifier is per-row with no
+    * shuffle, so the whole face is map-only stream → append sink, the
+    * cheapest topology Structured Streaming has (and the reason linear
+    * filters run first at 100 TB: per-arrival cost is exactly one
+    * row's expressions). Stateless stream-static degenerated to
+    * stateless stream-ONLY: confluent with the batch classifier by
+    * construction, and the gate proves it — the union of per-arrival
+    * verdicts hash-checks against the from-scratch batch oracle over
+    * the whole corpus.
+    */
+  private val streamQualityGate: Q = (s, d) => {
+    val run = freshRunDir("graft_sqg_")
+    val out = run.resolve("out").toString
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
+    val docs = T(s, d, "documents")
+    val srcDir = run.resolve("src").toString
+    docs.repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = TextAnalysis.qualityClassifierOn(raw)
+        .writeStream.outputMode("append")
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    s.read
+      .schema("doc_id BIGINT, score_scaled BIGINT, p_bp BIGINT, kept BIGINT")
+      .parquet(out)
   }
 
   /** MAINTAINED INVERTED TEXT INDEX — [[dedupIndexIvm]]'s pattern
@@ -2303,19 +2417,11 @@ object StreamingQueries {
 
   /** Every face in a replay group registers through [[groupedFace]]:
     * the first member invoked runs the whole group concurrently, the
-    * rest adopt their cached read-backs. The ungrouped faces (the
-    * already-memoized IVM pair + index maintainers, time travel) keep
-    * their solo registration.
+    * rest adopt their cached read-backs. Only time travel (its own
+    * one-shot replay) keeps a solo registration.
     */
   val queries: Map[String, Q] = Map(
-    "stream_ivm_counts" -> streamIvmCounts,
-    "stream_ivm_events" -> streamIvmEvents,
     "state_time_travel" -> stateTimeTravel,
-    "dedup_index_ivm" -> dedupIndexIvm,
-    "sim_index_ivm" -> simIndexIvm,
-    "text_index_ivm" -> textIndexIvm,
-    "dedup_cc_ivm" -> dedupCcIvm,
-    "stream_decontam" -> streamDecontam,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -2430,6 +2536,9 @@ object StreamingQueries {
     // stateless stream-static: per-arrival verdicts against the frozen
     // eval reference union to the batch decontamination exactly
     "stream_decontam" -> Dedup.oracles("dedup_decontam_lsh"),
+    // map-only stream: per-arrival classifier verdicts union to the
+    // batch classifier over the whole corpus exactly
+    "stream_quality_gate" -> TextAnalysis.oracles("text_quality_classifier"),
     // the same base-trained (first three vec_id-rank quartiles),
     // capped-seed quantizer assigning ALL vectors in one shot — the
     // frozen-quantizer IVM identity; argmin tie-break (d2, cid) as

@@ -90,9 +90,19 @@ object TextAnalysis {
     * arithmetic), no shuffle at all — the cheapest possible 100 TB
     * pass, exactly why production curation runs linear filters first.
     */
-  private val qualityClassifier: Q = (s, d) => {
+  private val qualityClassifier: Q = (s, d) =>
+    qualityClassifierOn(T(s, d, "documents"))
+
+  /** The classifier over ANY documents frame — `private[operators]` so
+    * the ingest-time streaming twin (`stream_quality_gate`) scores each
+    * arriving micro-batch through the IDENTICAL per-row expressions
+    * (frozen weights, exact integer features): the stream-static
+    * confluence is about where rows arrive from, not a reimplemented
+    * scorer. Per-row only — valid on a streaming frame as-is.
+    */
+  private[operators] def qualityClassifierOn(docs: DataFrame): DataFrame = {
     val ws = words(col("text"))
-    val feats = T(s, d, "documents").select(
+    val feats = docs.select(
       col("doc_id"),
       size(ws).cast("long").as("n_words"),
       markerCount(ws, langMarkers.flatMap(_._2).distinct).as("n_stop"),

@@ -94,10 +94,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "hybrid_rrf_sweep" -> ("the same inherited bounded build sides as" +
       " hybrid_ndcg_grouped; damping constants fan out by explode on" +
       " the already-joined per-query lists"),
-    "hybrid_rerank" -> ("the same inherited bounded build sides as" +
-      " hybrid_ndcg_grouped (single-row BM25 stats, broadcast 10-row" +
-      " query set for the relevant totals); both rankings are windows" +
-      " over the pool and grading is equi-joined on (q_id, doc_id)"),
+    // hybrid_rerank left the allowlist in r14: pinning the fused pool
+    // (localCheckpoint) truncated the legs' lineage, so the inherited
+    // bounded broadcasts no longer appear in its plan at the spec SF
     "retrieval_triples" -> ("inherits text_bm25_grouped's single-row" +
       " stats crossJoin; grading, the per-role windows, and the" +
       " bounded pos x neg fan-out are all equi-joins on q_id"),
