@@ -210,14 +210,27 @@ object Relational {
     T(s, d, "customer").select(col("c_nationkey").as("nationkey"))
       .intersect(T(s, d, "supplier").select(col("s_nationkey").as("nationkey")))
 
-  /** CUBE: all 2^k grouping-key combinations in one pass. */
+  /** CUBE: all 2^k grouping-key combinations in one pass. The average
+    * balance is exact-integer cents end to end (acctbal is a 2-decimal
+    * value, so `round(bal·100)` recovers its integer cents exactly):
+    * a float `avg` was order-nondeterministic under parallel sum and
+    * occasionally landed `round(·, 2)` on a half-way point where the
+    * engines disagree (observed at sf0.001). Half-up on the exact
+    * rational `(2·|Σ| + n) div (2n)`, sign-split so truncating `div` ≡
+    * flooring `//` on nonnegative operands; the final ÷100.0 is one
+    * IEEE division of exact integers — bit-identical cross-engine.
+    */
   private val cubeAgg: Q = (s, d) =>
     T(s, d, "customer")
       .join(broadcast(T(s, d, "nation")),
         col("c_nationkey") === col("n_nationkey"))
       .cube(col("n_name"), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        (round(avg(col("c_acctbal")), 2) + lit(0.0)).as("avg_bal"))
+        sum(expr("CAST(round(c_acctbal * 100) AS BIGINT)")).as("sc"))
+      .select(col("n_name"), col("c_mktsegment"), col("n"),
+        (expr("""CASE WHEN sc >= 0 THEN (2 * sc + n) div (2 * n)
+                |ELSE -((2 * (-sc) + n) div (2 * n)) END""".stripMargin)
+          / lit(100.0)).as("avg_bal"))
 
   /** Set op: EXCEPT ALL — bag semantics, multiplicities preserved
     * (customer nation keys minus one occurrence per supplier key).
@@ -425,10 +438,14 @@ object Relational {
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
     "cube_agg" ->
-      """SELECT n_name, c_mktsegment, count(*) AS n,
-        |  round(avg(c_acctbal), 2) + 0.0 AS avg_bal
-        |FROM customer JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY CUBE (n_name, c_mktsegment)""".stripMargin,
+      """SELECT n_name, c_mktsegment, n,
+        |  (CASE WHEN sc >= 0 THEN (2 * sc + n) // (2 * n)
+        |   ELSE -((2 * (-sc) + n) // (2 * n)) END) / 100.0 AS avg_bal
+        |FROM (
+        |  SELECT n_name, c_mktsegment, count(*) AS n,
+        |    sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS sc
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY CUBE (n_name, c_mktsegment))""".stripMargin,
     "setop_except" ->
       "SELECT DISTINCT c_nationkey AS nationkey FROM customer EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
     "setop_except_all" ->
