@@ -46,7 +46,9 @@ object ExplainAudit {
     "hybrid_rerank", "embed_drift", "hybrid_mmr", "hybrid_prf",
     "retrieval_triples", "text_qlm_topk", "text_index_ivm",
     "retrieval_qlm_ndcg", "dedup_decontam_lsh", "corpus_bpe_encode",
-    "stream_decontam")
+    "stream_decontam",
+    // r14 faces
+    "dedup_cc_ivm", "stream_quality_gate")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

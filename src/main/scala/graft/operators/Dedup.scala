@@ -923,7 +923,11 @@ object Dedup {
     * idempotent exactly-once idiom; a replayed batch overwrites
     * itself). `prior*` frames are the union of every generation BEFORE
     * this batch; `prevRemap` is the latest compacted remap (empty on
-    * the first batch).
+    * the first batch). Store contract: each doc_id appears at most once
+    * across the prior generations plus the batch (docs are immutable;
+    * replay idempotency comes from per-gen overwrite + the caller
+    * excluding the batch's own generation from its priors) — duplicate
+    * store rows would double-count shingle intersections.
     */
   private[graft] def ccIvmBatch(batch: DataFrame, priorSh: DataFrame,
       priorSig: DataFrame, priorLbl: DataFrame, prevRemap: DataFrame,

@@ -115,21 +115,6 @@ object StreamingQueries {
         new LiveCountsView(run.resolve("view_ev").toString,
           bucketExpr = "eventId", keyName = "event_id"))))
 
-  /** Eagerly run (or adopt) the shared IVM replay — the bench's
-    * visibility hook, like `ensureSharedTables`: the replay's
-    * checkpoint/state-store bill lands on a NAMED build line item
-    * instead of silently vanishing into whichever `stream_ivm_*` face
-    * the best-of-2 harness happens to time first (min() would discard
-    * the paying run and report both faces as free).
-    */
-  def ensureIvmViews(s: SparkSession, d: String): Boolean = {
-    val key =
-      SharedArtifacts.fingerprint(d, "events.parquet", "ivmrun:v1:2views")
-    val existed = ivmRunCache.containsKey(key)
-    ivmSharedViews(s, d)
-    !existed
-  }
-
   /** The shared IVM replay harness: 4-file staged events →
     * `maxFilesPerTrigger=1` AvailableNow replay → durable
     * [[graft.streaming.AlertStateTable]] merges (compaction forced
@@ -535,6 +520,12 @@ object StreamingQueries {
     */
   def rerunReplayGroup(s: SparkSession, d: String, group: String): Unit = {
     groupDone.remove(groupKey(d, group))
+    // the ivm faces adopt a process-memoized replay — a rerun that kept
+    // the memo would time an empty read and min() would erase the
+    // replay's real bill; drop it so every rerun repays the replay
+    if (group == "ivm")
+      ivmRunCache.remove(
+        SharedArtifacts.fingerprint(d, "events.parquet", "ivmrun:v1:2views"))
     runReplayGroup(s, d, group)
   }
 

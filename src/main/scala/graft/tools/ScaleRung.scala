@@ -177,14 +177,19 @@ object ScaleRung {
     // artifact's labels) for candidates, verify, and fold the merges —
     // the probe side is this rung's full resident corpus, so any
     // super-linear resident leakage into the fold shows up as growth
-    // across the rungs. (Batches re-arrive ids already resident — the
-    // at-least-once shape; the fold's self-pair guard makes that legal.)
+    // across the rungs. Arriving docs are the 500-row slices RE-KEYED
+    // past the resident id range (genuinely-new documents whose text
+    // exact-dups a resident clique — maximal merge work for the fold;
+    // un-shifted ids would poison the union shingle store with
+    // duplicate rows, which no maintained store contains).
     val (shStore, sigStore) = graft.operators.Dedup.maintainedStores(spark, dest)
     val lblStore = graft.operators.Dedup.ccLabelStore(spark, dest)
     val emptyRemap = spark.range(0).selectExpr("id AS old", "id AS root")
+    val idShift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
     timedBatches("cc_index_maint", docBatches) { (k, b) =>
-      graft.operators.Dedup.ccIvmBatch(b, shStore, sigStore, lblStore,
-        emptyRemap, maint.resolve("cc"), f"b$k%05d")
+      val arriving = b.withColumn("doc_id", col("doc_id") + lit(idShift))
+      graft.operators.Dedup.ccIvmBatch(arriving, shStore, sigStore,
+        lblStore, emptyRemap, maint.resolve("cc"), f"b$k%05d")
     }
     spark.stop()
   }
