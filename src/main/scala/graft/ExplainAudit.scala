@@ -48,7 +48,7 @@ object ExplainAudit {
     "retrieval_qlm_ndcg", "dedup_decontam_lsh", "corpus_bpe_encode",
     "stream_decontam",
     // r14 faces
-    "dedup_cc_ivm", "stream_quality_gate")
+    "dedup_cc_ivm", "stream_quality_gate", "stream_embed_drift")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -917,6 +917,31 @@ object Dedup {
       .parquet(state.resolve("lbl/base").toString)
   }
 
+  /** [[ccIvmBase]] with the signing REUSED from the shared bucketed
+    * tables — the registry face's base path: the resident slice's
+    * shingles and signatures are left-semi slices of the per-dataset
+    * artifact every dedup job shares (values identical by construction:
+    * the artifact is built by the same `shingleRows`/`minhashSig`), so
+    * the base generation costs two slice writes plus the clustering,
+    * never a re-shingle of the resident corpus. The generic
+    * [[ccIvmBase]] stays for callers with no shared artifact (specs,
+    * synthetic corpora).
+    */
+  private[graft] def ccIvmBaseFromShared(s: SparkSession, d: String,
+      residentIds: DataFrame, state: java.nio.file.Path): Unit = {
+    val (sh, sigN) = sharedTables(s, d)
+    sh.join(residentIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(state.resolve("sh/base").toString)
+    sigN.join(residentIds, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
+    val shb = s.read.parquet(state.resolve("sh/base").toString)
+    val sigb = s.read.parquet(state.resolve("sig/base").toString)
+    connectedComponentsWithRounds(
+        verifiedPairsOn(shb, sigb).select(col("a_id"), col("b_id")))._1
+      .write.mode("overwrite")
+      .parquet(state.resolve("lbl/base").toString)
+  }
+
   /** One maintenance fold: verify the batch's new pairs against the
     * maintained stores and merge ONLY the touched components. Writes
     * the batch's generation of all four stores (per-gen dirs — the

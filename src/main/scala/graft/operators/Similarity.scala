@@ -210,7 +210,7 @@ object Similarity {
     * with map-side-combinable sums — O(n·dims), no all-pairs anywhere;
     * the query side is the allowlisted ≤[[NQueries]]-row broadcast.
     */
-  private def sqElements(emb: DataFrame): DataFrame = emb
+  private[graft] def sqElements(emb: DataFrame): DataFrame = emb
     .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "e")))
     .select(col("vec_id"), col("i").cast("long").as("i"),
       round(col("e").cast("double") * lit(1000d)).cast("long").as("xq"))
@@ -259,7 +259,7 @@ object Similarity {
   /** Histogram width of the drift monitor: 10 equal-width bins over
     * each dimension's observed range — the PSI convention.
     */
-  private val DriftBuckets = 10L
+  private[graft] val DriftBuckets = 10L
 
   /** EMBEDDING DRIFT MONITOR — per-DIMENSION distribution shift
     * between two slices of the corpus (vec_id parity — the registry's

@@ -432,7 +432,8 @@ object StreamingQueries {
       "dedup_index_ivm" -> dedupIndexIvm,
       "sim_index_ivm" -> simIndexIvm,
       "text_index_ivm" -> textIndexIvm,
-      "dedup_cc_ivm" -> dedupCcIvm))
+      "dedup_cc_ivm" -> dedupCcIvm,
+      "stream_embed_drift" -> streamEmbedDrift))
 
   /** Source tables a group's members read — the group cache key
     * fingerprints every one, so a regenerated table can never serve a
@@ -1336,6 +1337,89 @@ object StreamingQueries {
       .parquet(out)
   }
 
+  /** DRIFT MONITOR AT INGEST — the embedding-distribution check run
+    * the way production actually runs it: the REFERENCE slice (vec_id
+    * parity 0 — "yesterday's index export") freezes its per-dimension
+    * ranges and bucket histogram once as parquet artifacts, and every
+    * arriving micro-batch of new vectors bins ITSELF against the
+    * frozen ranges (out-of-range values clamp into the edge buckets —
+    * `xq` clamps into [mn, mx] BEFORE the div so the numerator stays
+    * nonnegative, where Spark's truncating div ≡ DuckDB's flooring //)
+    * and appends one generation of per-(dim, bucket) partial counts.
+    * The read side folds the partials by SUM — the mergeable-aggregate
+    * identity again — full-outer joins the frozen reference histogram,
+    * and emits `embed_drift`'s exact-int64 cross-multiplied L1 report.
+    * Next to `embed_drift`'s joint-range batch semantics this is the
+    * FROZEN-reference semantics: the monitor that rejects a mis-scaled
+    * encoder export the day it arrives cannot re-derive its bins from
+    * data that includes the bad export. Per-batch cost is the batch's
+    * own posexplode + a 64-row broadcast probe — never the corpus.
+    */
+  private val streamEmbedDrift: Q = (s, d) => {
+    val run = freshRunDir("graft_sdrift_")
+    val out = run.resolve("gens")
+    val emb = T(s, d, "embeddings")
+    val B = Similarity.DriftBuckets
+    // freeze the reference ranges + histogram (bit-stable via parquet)
+    val refEl = Similarity.sqElements(emb.filter(pmod(col("vec_id"), lit(2)) === 0))
+    refEl.groupBy(col("i"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+      .write.mode("overwrite").parquet(run.resolve("ranges").toString)
+    val ranges = s.read.parquet(run.resolve("ranges").toString)
+    refEl.join(broadcast(ranges), Seq("i"))
+      .withColumn("bucket", expr(s"((xq - mn) * $B) div (mx - mn + 1)"))
+      .groupBy(col("i"), col("bucket")).agg(count(lit(1)).as("n_a"))
+      .write.mode("overwrite").parquet(run.resolve("refhist").toString)
+    val srcDir = run.resolve("src").toString
+    emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+      .repartition(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Similarity.sqElements(batch)
+            .join(broadcast(batch.sparkSession.read
+              .parquet(run.resolve("ranges").toString)), Seq("i"))
+            .withColumn("xqc",
+              least(greatest(col("xq"), col("mn")), col("mx")))
+            .withColumn("bucket",
+              expr(s"((xqc - mn) * $B) div (mx - mn + 1)"))
+            .groupBy(col("i"), col("bucket"))
+            .agg(count(lit(1)).as("n_b_part"))
+            .write.mode("overwrite")
+            .parquet(out.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    val arrHist = s.read.parquet(gens: _*)
+      .groupBy(col("i"), col("bucket"))
+      .agg(sum(col("n_b_part")).as("n_b"))
+    val counts = s.read.parquet(run.resolve("refhist").toString)
+      .join(arrHist, Seq("i", "bucket"), "full_outer")
+      .select(col("i"), col("bucket"),
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    val totals = counts.groupBy(col("i"))
+      .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    counts.join(totals, Seq("i"))
+      .withColumn("contrib",
+        abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
+      .groupBy(col("i"))
+      .agg(min(col("ta")).as("n_a_total"), min(col("tb")).as("n_b_total"),
+        sum(col("contrib")).as("l1_x_scaled"),
+        max(col("contrib")).as("max_bucket_contrib"))
+  }
+
   /** MAINTAINED INVERTED TEXT INDEX — [[dedupIndexIvm]]'s pattern
     * applied to the BM25 search tier: a production index does not
     * re-tokenize the corpus when documents arrive — it appends the
@@ -1454,7 +1538,8 @@ object StreamingQueries {
       .withColumn("bucket", expr("((rn - 1) * 4) div n"))
       .drop("rn", "n")
     val state = run.resolve("state")
-    Dedup.ccIvmBase(ranked.filter(col("bucket") < 3).drop("bucket"), state)
+    Dedup.ccIvmBaseFromShared(s, d,
+      ranked.filter(col("bucket") < 3).select(col("doc_id")), state)
     val srcDir = run.resolve("src").toString
     ranked.filter(col("bucket") === 3).drop("bucket")
       .repartition(3, col("doc_id"))
@@ -2530,6 +2615,51 @@ object StreamingQueries {
     // map-only stream: per-arrival classifier verdicts union to the
     // batch classifier over the whole corpus exactly
     "stream_quality_gate" -> TextAnalysis.oracles("text_quality_classifier"),
+    // frozen-reference drift: ranges + reference histogram freeze from
+    // the parity-0 slice; arrivals clamp into the frozen bins (clamp
+    // BEFORE the div keeps the numerator nonnegative, where truncating
+    // div ≡ flooring //); partial counts fold by SUM
+    "stream_embed_drift" -> {
+      val B = Similarity.DriftBuckets
+      s"""WITH el AS (
+         |  SELECT vec_id, i,
+         |    CAST(round(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE)
+         |               * 1000) AS BIGINT) AS xq
+         |  FROM embeddings,
+         |       unnest(generate_series(0, len(embedding) - 1)) t(i)),
+         |rg AS (SELECT i, min(xq) AS mn, max(xq) AS mx FROM el
+         |       WHERE vec_id % 2 = 0 GROUP BY 1),
+         |ref AS (
+         |  SELECT el.i,
+         |    ((el.xq - rg.mn) * $B) // (rg.mx - rg.mn + 1) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_a
+         |  FROM el JOIN rg ON rg.i = el.i
+         |  WHERE el.vec_id % 2 = 0 GROUP BY 1, 2),
+         |arr AS (
+         |  SELECT el.i,
+         |    ((least(greatest(el.xq, rg.mn), rg.mx) - rg.mn) * $B)
+         |      // (rg.mx - rg.mn + 1) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n_b
+         |  FROM el JOIN rg ON rg.i = el.i
+         |  WHERE el.vec_id % 2 = 1 GROUP BY 1, 2),
+         |cnt AS (
+         |  SELECT coalesce(ref.i, arr.i) AS i,
+         |    coalesce(ref.bucket, arr.bucket) AS bucket,
+         |    coalesce(ref.n_a, 0) AS n_a, coalesce(arr.n_b, 0) AS n_b
+         |  FROM ref FULL OUTER JOIN arr
+         |    ON arr.i = ref.i AND arr.bucket = ref.bucket),
+         |tot AS (SELECT i, sum(n_a) AS ta, sum(n_b) AS tb
+         |        FROM cnt GROUP BY 1)
+         |SELECT CAST(cnt.i AS BIGINT) AS i,
+         |  CAST(min(tot.ta) AS BIGINT) AS n_a_total,
+         |  CAST(min(tot.tb) AS BIGINT) AS n_b_total,
+         |  CAST(sum(abs(cnt.n_a * tot.tb - cnt.n_b * tot.ta)) AS BIGINT)
+         |    AS l1_x_scaled,
+         |  CAST(max(abs(cnt.n_a * tot.tb - cnt.n_b * tot.ta)) AS BIGINT)
+         |    AS max_bucket_contrib
+         |FROM cnt JOIN tot ON tot.i = cnt.i
+         |GROUP BY 1""".stripMargin
+    },
     // the same base-trained (first three vec_id-rank quartiles),
     // capped-seed quantizer assigning ALL vectors in one shot — the
     // frozen-quantizer IVM identity; argmin tie-break (d2, cid) as

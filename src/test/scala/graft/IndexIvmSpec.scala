@@ -83,4 +83,47 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(resolved == Map(10L -> 3L, 11L -> 3L, 5L -> 3L, 3L -> 3L,
       20L -> 20L, 21L -> 20L))
   }
+
+  test("stream_embed_drift: streaming frozen-reference fold == batch " +
+      "frozen-reference computation, including edge-bucket clamping") {
+    import org.apache.spark.sql.functions._
+    val out = StreamingQueries.queries("stream_embed_drift")(spark, sf)
+      .collect().map(r => r.getAs[Long]("i") ->
+        (r.getAs[Long]("n_a_total"), r.getAs[Long]("n_b_total"),
+          r.getAs[Long]("l1_x_scaled"), r.getAs[Long]("max_bucket_contrib")))
+      .toMap
+    // batch restatement of the SAME frozen-reference semantics
+    val emb = Tables.load(spark, sf, "embeddings")
+    val el = graft.operators.Similarity.sqElements(emb)
+    val B = graft.operators.Similarity.DriftBuckets
+    val rg = el.filter(pmod(col("vec_id"), lit(2)) === 0).groupBy(col("i"))
+      .agg(min(col("xq")).as("mn"), max(col("xq")).as("mx"))
+    val binned = el.join(broadcast(rg), Seq("i"))
+      .withColumn("xqc", least(greatest(col("xq"), col("mn")), col("mx")))
+      .withColumn("bucket", expr(s"((xqc - mn) * $B) div (mx - mn + 1)"))
+    // arrivals may exceed the frozen range: the clamp must land them in
+    // the edge buckets, never drop them — totals prove no row vanished
+    val counts = binned.groupBy(col("i"), col("bucket"))
+      .agg(sum(when(pmod(col("vec_id"), lit(2)) === 0, 1L).otherwise(0L))
+        .as("n_a"),
+        sum(when(pmod(col("vec_id"), lit(2)) === 1, 1L).otherwise(0L))
+          .as("n_b"))
+    val totals = counts.groupBy(col("i"))
+      .agg(sum(col("n_a")).as("ta"), sum(col("n_b")).as("tb"))
+    val expected = counts.join(totals, Seq("i"))
+      .withColumn("contrib",
+        abs(col("n_a") * col("tb") - col("n_b") * col("ta")))
+      .groupBy(col("i"))
+      .agg(min(col("ta")).as("ta"), min(col("tb")).as("tb"),
+        sum(col("contrib")).as("l1"), max(col("contrib")).as("mx"))
+      .collect().map(r => r.getAs[Long]("i") ->
+        (r.getAs[Long]("ta"), r.getAs[Long]("tb"),
+          r.getAs[Long]("l1"), r.getAs[Long]("mx")))
+      .toMap
+    assert(out == expected, "streaming fold diverged from batch frozen-ref")
+    val nArr = emb.filter(pmod(col("vec_id"), lit(2)) === 1).count()
+    val dims = emb.selectExpr("size(embedding) AS d").head().getInt(0)
+    assert(out.values.map(_._2).sum == nArr * dims,
+      "clamp dropped arriving elements")
+  }
 }
