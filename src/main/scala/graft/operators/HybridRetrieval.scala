@@ -534,9 +534,14 @@ object HybridRetrieval {
     val (tf0, dlf0, dff0, stats0) = TextAnalysis.bm25Postings(s, d)
     val Seq(tf, dlf, dff, stats) =
       Seq(tf0, dlf0, dff0, stats0).map(_.localCheckpoint(true))
-    val perQ = legDcg(TextAnalysis.qlmRankedFrom(tf, dlf, stats), "qlm_dcg")
+    // pin the two ranked legs too: each is <= 10 queries x top-k rows,
+    // and grading otherwise re-derives each leg's scoring lineage
+    // (incl. its bounded broadcasts) through every downstream join
+    val perQ = legDcg(TextAnalysis.qlmRankedFrom(tf, dlf, stats)
+        .localCheckpoint(true), "qlm_dcg")
       .join(legDcg(TextAnalysis.bm25GroupedRanked(
-        TextAnalysis.bm25GroupedScoredFrom(tf, dlf, dff, stats)),
+        TextAnalysis.bm25GroupedScoredFrom(tf, dlf, dff, stats))
+        .localCheckpoint(true),
         "bm25_dcg"), Seq("q_id"))
       .join(nRel, Seq("q_id"))
       .withColumn("idcg", element_at(typedLit(ndcgPrefix),
