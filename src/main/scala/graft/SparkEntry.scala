@@ -32,10 +32,11 @@ object SparkEntry {
     * get the driver's weaker rows-only check (and a scalatest oracle here).
     */
   def oracleSql: Map[String, String] =
-    ReferenceOps.oracles ++ Relational.oracles ++
+    (ReferenceOps.oracles ++ Relational.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ TextAnalysis.oracles ++
       Multimodal.oracles ++ StreamingQueries.oracles ++ Breadth.oracles ++
       TimeSeries.oracles ++ CorpusBuild.oracles ++
       HybridRetrieval.oracles ++ BloomJoin.oracles ++ GraphOps.oracles ++
-      Profiling.oracles ++ BucketedJoin.oracles
+      Profiling.oracles ++ BucketedJoin.oracles)
+      .map { case (k, v) => k -> OracleSql.materializeCtes(v) }
 }

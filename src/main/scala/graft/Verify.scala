@@ -53,7 +53,11 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
+    // dump the FULL oracle map regardless of the face filter: the compare
+    // iterates over result dirs and looks oracles up by name, so extra
+    // entries are harmless — while a filtered dump overwrites a previous
+    // full run's oracle_sql.json and breaks incremental re-verification
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

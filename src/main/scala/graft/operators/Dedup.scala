@@ -949,17 +949,30 @@ object Dedup {
     * itself). `prior*` frames are the union of every generation BEFORE
     * this batch; `prevRemap` is the latest compacted remap (empty on
     * the first batch). Store contract: each doc_id appears at most once
-    * across the prior generations plus the batch (docs are immutable;
-    * replay idempotency comes from per-gen overwrite + the caller
-    * excluding the batch's own generation from its priors) — duplicate
-    * store rows would double-count shingle intersections.
+    * across the prior generations plus the batch — ENFORCED here (the
+    * batch is deduplicated and anti-joined against the prior ids before
+    * signing), because duplicate store rows would double-count shingle
+    * intersections in verification. Same-generation replay idempotency
+    * comes from per-gen overwrite + the caller excluding the batch's
+    * own generation from its priors.
     */
   private[graft] def ccIvmBatch(batch: DataFrame, priorSh: DataFrame,
       priorSig: DataFrame, priorLbl: DataFrame, prevRemap: DataFrame,
       state: java.nio.file.Path, gen: String): Unit = {
     val sp = batch.sparkSession
-    // 1. sign ONLY the batch; parquet round-trip pins the generation
-    shingleRows(batch).write.mode("overwrite")
+    // 1. ENFORCE the store contract, then sign ONLY the surviving batch.
+    // Docs are immutable, so a re-delivered doc_id (at-least-once
+    // delivery into a NEW generation — per-gen overwrite only covers
+    // same-generation replay) carries the same text; dropping it here is
+    // a no-op semantically, and keeps the stores free of duplicate
+    // shingle rows that would double-count intersections in
+    // verifyCandidates (i can reach na+nb → jaccard div-by-zero under
+    // ANSI). The anti-join is key-only on doc_id — a semi-join shape
+    // that stays a shuffle of ids, never of shingles, at scale.
+    val fresh = batch.dropDuplicates("doc_id")
+      .join(priorSig.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    // parquet round-trip pins the generation
+    shingleRows(fresh).write.mode("overwrite")
       .parquet(state.resolve(s"sh/$gen").toString)
     val batchSh = sp.read.parquet(state.resolve(s"sh/$gen").toString)
     minhashSig(batchSh, Seq(count(lit(1)).as("n")))
@@ -971,8 +984,9 @@ object Dedup {
     val pb = bandKeys(priorSig)
       .select(col("doc_id").as("c_id"), col("band"), col("key"))
     val cross = bb.join(pb, Seq("band", "key"))
-      // a re-arriving doc (at-least-once delivery) collides with its own
-      // resident signature — a self-pair is never a component edge
+      // belt-and-braces: the anti-join above makes a batch-vs-resident
+      // self-collision impossible, but a self-pair is never a component
+      // edge regardless, so keep the guard
       .filter(col("n_id") =!= col("c_id"))
       .select(least(col("n_id"), col("c_id")).as("a_id"),
         greatest(col("n_id"), col("c_id")).as("b_id"))

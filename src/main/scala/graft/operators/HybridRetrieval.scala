@@ -236,7 +236,7 @@ object HybridRetrieval {
     * [[hybridNdcgGrouped]] (which fuses it with the lexical leg).
     * `(q_id, doc_id, vec_rank ≤ [[ListDepth]])`, self excluded.
     */
-  private def vecRankedGrouped(s: SparkSession, d: String): DataFrame = {
+  private[graft] def vecRankedGrouped(s: SparkSession, d: String): DataFrame = {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", norm2(col("v")))
@@ -274,7 +274,7 @@ object HybridRetrieval {
   /** The lexical leg's per-query ranking — shared by
     * [[hybridNdcgGrouped]] and the damping sweep.
     */
-  private def lexRankedGrouped(s: SparkSession, d: String): DataFrame = {
+  private[graft] def lexRankedGrouped(s: SparkSession, d: String): DataFrame = {
     val lexW = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_scaled").desc, col("doc_id"))
     TextAnalysis.bm25GroupedScored(s, d)
@@ -407,6 +407,22 @@ object HybridRetrieval {
   private val RerankWVec = 14L
   private val RerankWBoth = 300L
 
+  /** Pin the face's final (tiny — per-query report rows) frame, then
+    * release the large intermediate checkpoints it was derived from.
+    * Verify's `spark.catalog.clearCache()` does not free localCheckpoint
+    * storage, so a full registry sweep would otherwise accumulate every
+    * pinned postings/pool frame in the block manager for the process
+    * lifetime. The returned frame is itself pinned (the final generation
+    * is the caller's to keep — the [[Dedup.releaseCheckpoint]] contract);
+    * it is ≤ a few report rows per query, negligible forever.
+    */
+  private def pinAndRelease(result: DataFrame,
+      intermediates: Seq[DataFrame]): DataFrame = {
+    val out = Dedup.materialize(result)
+    intermediates.foreach(Dedup.releaseCheckpoint)
+    out
+  }
+
   /** RERANK EVAL — nDCG@[[GroupK]] of the frozen linear reranker over
     * the fused candidate pool, per query NEXT TO the RRF baseline on
     * the SAME pool, plus the delta — the report a reranker rollout
@@ -485,7 +501,7 @@ object HybridRetrieval {
       expr("sum(rrf_ndcg_bp) div count(1)").as("rrf_ndcg_bp"))
       .withColumn("delta_bp",
         col("rerank_ndcg_bp") - col("rrf_ndcg_bp"))
-    perQ.unionByName(summary)
+    pinAndRelease(perQ.unionByName(summary), Seq(pool))
   }
 
   /** RANKER A/B EVAL — nDCG@[[GroupK]] of the Dirichlet
@@ -537,12 +553,13 @@ object HybridRetrieval {
     // pin the two ranked legs too: each is <= 10 queries x top-k rows,
     // and grading otherwise re-derives each leg's scoring lineage
     // (incl. its bounded broadcasts) through every downstream join
-    val perQ = legDcg(TextAnalysis.qlmRankedFrom(tf, dlf, stats)
-        .localCheckpoint(true), "qlm_dcg")
-      .join(legDcg(TextAnalysis.bm25GroupedRanked(
-        TextAnalysis.bm25GroupedScoredFrom(tf, dlf, dff, stats))
-        .localCheckpoint(true),
-        "bm25_dcg"), Seq("q_id"))
+    val qlmLeg = TextAnalysis.qlmRankedFrom(tf, dlf, stats)
+      .localCheckpoint(true)
+    val bm25Leg = TextAnalysis.bm25GroupedRanked(
+      TextAnalysis.bm25GroupedScoredFrom(tf, dlf, dff, stats))
+      .localCheckpoint(true)
+    val perQ = legDcg(qlmLeg, "qlm_dcg")
+      .join(legDcg(bm25Leg, "bm25_dcg"), Seq("q_id"))
       .join(nRel, Seq("q_id"))
       .withColumn("idcg", element_at(typedLit(ndcgPrefix),
         least(lit(GroupK), col("n_rel")).cast("int") + 1))
@@ -557,7 +574,8 @@ object HybridRetrieval {
       expr("sum(qlm_ndcg_bp) div count(1)").as("qlm_ndcg_bp"),
       expr("sum(bm25_ndcg_bp) div count(1)").as("bm25_ndcg_bp"))
       .withColumn("delta_bp", col("qlm_ndcg_bp") - col("bm25_ndcg_bp"))
-    perQ.unionByName(summary)
+    pinAndRelease(perQ.unionByName(summary),
+      Seq(tf, dlf, dff, stats, qlmLeg, bm25Leg))
   }
 
   /** MMR picks per query — the diversified short-list length. */
@@ -666,7 +684,7 @@ object HybridRetrieval {
         lit(0L).as("pick_pos"))
     val byMmr = Window.partitionBy(col("q_id"))
       .orderBy(col("mmr_scaled").desc, col("doc_id"))
-    (1 to MmrK).foldLeft(empty) { (sel, k) =>
+    val picked = (1 to MmrK).foldLeft(empty) { (sel, k) =>
       val pen = sims
         .join(sel.select(col("q_id"), col("doc_id").as("d2")),
           Seq("q_id", "d2"))
@@ -688,8 +706,16 @@ object HybridRetrieval {
         .filter(col("rn") === 1)
         .select(col("q_id"), col("doc_id"), col("mmr_scaled"),
           lit(k.toLong).as("pick_pos"))
-      sel.unionByName(pick).localCheckpoint(true)
+      // the new generation is pinned EAGERLY before its predecessor is
+      // released (the seed `empty` is lineage-only — release is a no-op)
+      val next = sel.unionByName(pick).localCheckpoint(true)
+      Dedup.releaseCheckpoint(sel)
+      next
     }
+    // the final selection IS the face's tiny pinned result; only the
+    // pool and the pairwise-sim table need releasing
+    Seq(pool, sims).foreach(Dedup.releaseCheckpoint)
+    picked
   }
 
   /** Feedback depth (docs mined for expansion terms) and expansion
@@ -803,7 +829,8 @@ object HybridRetrieval {
       expr("sum(prf_ndcg_bp) div count(1)").as("prf_ndcg_bp"),
       expr("sum(base_ndcg_bp) div count(1)").as("base_ndcg_bp"))
       .withColumn("delta_bp", col("prf_ndcg_bp") - col("base_ndcg_bp"))
-    perQ.unionByName(summary)
+    pinAndRelease(perQ.unionByName(summary),
+      Seq(tf, dl, dfT, stats, base))
   }
 
   /** Positives and hard negatives mined per query for the contrastive

@@ -489,7 +489,7 @@ object TextAnalysis {
     * query-expansion face (which needs the raw postings to mine and
     * re-score expansion terms without a second token scan).
     */
-  private[operators] def bm25Postings(s: SparkSession, d: String)
+  private[graft] def bm25Postings(s: SparkSession, d: String)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val tok = T(s, d, "documents")
       .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -519,7 +519,7 @@ object TextAnalysis {
     * exact code the from-scratch build uses
     * ([[StreamingQueries]]'s `text_index_ivm`).
     */
-  private[operators] def bm25GroupedScoredFrom(tf: DataFrame, dl: DataFrame,
+  private[graft] def bm25GroupedScoredFrom(tf: DataFrame, dl: DataFrame,
       df: DataFrame, stats: DataFrame): DataFrame = {
     val qt = tf.filter(col("doc_id") < Bm25GroupQueries)
       .select(col("doc_id").as("q_id"), col("term"))
@@ -537,7 +537,7 @@ object TextAnalysis {
     * — a total order on exact integers, so the cut is hash-stable.
     * Shared by the registry face and the maintained-index twin.
     */
-  private[operators] def bm25GroupedRanked(scored: DataFrame): DataFrame = {
+  private[graft] def bm25GroupedRanked(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("bm25_scaled").desc, col("doc_id"))
     scored
@@ -598,7 +598,7 @@ object TextAnalysis {
     * [[bm25GroupedScoredFrom]] so [[HybridRetrieval]]'s ranker A/B eval
     * feeds BOTH rankers from one postings derivation (one token scan).
     */
-  private[operators] def qlmRankedFrom(tf: DataFrame, dl: DataFrame,
+  private[graft] def qlmRankedFrom(tf: DataFrame, dl: DataFrame,
       stats: DataFrame): DataFrame = {
     val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     val wq = Window.partitionBy(col("doc_id"))

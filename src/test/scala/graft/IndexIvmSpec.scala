@@ -82,6 +82,22 @@ class IndexIvmSpec extends AnyFunSuite {
     val resolved = lbl.view.mapValues(v => remap1.getOrElse(v, v)).toMap
     assert(resolved == Map(10L -> 3L, 11L -> 3L, 5L -> 3L, 3L -> 3L,
       20L -> 20L, 21L -> 20L))
+    // contract enforcement: a doc re-delivered into a NEW generation
+    // (at-least-once across generations) is dropped before signing —
+    // no duplicate shingle/sig/label rows, remap untouched
+    Dedup.ccIvmBatch(docs(5L -> ta, 40L -> "fresh f1 f2 f3"),
+      rd("sh", "base", "b00000", "b00001"),
+      rd("sig", "base", "b00000", "b00001"),
+      rd("lbl", "base", "b00000", "b00001"),
+      rd("remap", "b00001"), state, "b00002")
+    val sh2Ids = rd("sh", "b00002").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(sh2Ids == Set(40L), "re-delivered doc 5 must not be re-signed")
+    assert(rd("lbl", "b00002").count() == 0,
+      "no new pairs: the fresh doc gets no label row, the dup none either")
+    val remap2 = rd("remap", "b00002").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap2 == remap1, "re-delivery must not disturb the remap")
   }
 
   test("stream_embed_drift: streaming frozen-reference fold == batch " +

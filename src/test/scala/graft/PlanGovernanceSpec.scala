@@ -100,11 +100,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "retrieval_triples" -> ("inherits text_bm25_grouped's single-row" +
       " stats crossJoin; grading, the per-role windows, and the" +
       " bounded pos x neg fan-out are all equi-joins on q_id"),
-    "retrieval_qlm_ndcg" -> ("both legs inherit their rankers'" +
-      " bounded build sides (text_qlm_topk's <=30-row smoothing grid" +
-      " and single-row stats; text_bm25_grouped's single-row stats)" +
-      " plus the broadcast 10-row query-label frame for grading and" +
-      " relevant totals - every build side bounded forever"),
+    // retrieval_qlm_ndcg left the allowlist in r15: the face now pins
+    // its final report (pin-and-release of the leg checkpoints), so the
+    // registry plan is a checkpoint read; the legs' bounded broadcasts
+    // are audited directly by the pre-checkpoint leg test below
     "text_index_ivm" -> ("the maintained-index read side scores through" +
       " text_bm25_grouped's joins, inheriting its broadcast SINGLE-ROW" +
       " merged-stats crossJoin - bounded at one build row forever;" +
@@ -114,11 +113,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
       " the single-row corpus-stats crossJoin; matching-term tf" +
       " arrives by LEFT equi-join on (term, doc_id)"),
-    "hybrid_prf" -> ("two weighted retrieval passes over the shared" +
-      " postings, each with the single-row BM25 stats crossJoin, plus" +
-      " the broadcast 10-row query set for the relevant totals - all" +
-      " bounded build sides; expansion mining and re-scoring are term/" +
-      " doc equi-joins"),
+    // hybrid_prf left the allowlist in r15 for the same reason:
+    // final-report pinning truncates the registry plan; its weighted
+    // retrieval passes are covered by the pre-checkpoint leg test
     "ngrams_heavyhitters" -> ("crossJoin against the broadcast" +
       " SINGLE-ROW stream total (the scalar-stats pattern); the exact" +
       " recount joins the <=cap sketched candidates by equi-key"),
@@ -210,6 +207,39 @@ class PlanGovernanceSpec extends AnyFunSuite {
     } finally prev.foreach {
       case (k, Some(v)) => spark.conf.set(k, v)
       case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("pre-checkpoint retrieval legs keep their bounded join shapes") {
+    // pin-and-release truncates the registry plans of hybrid_rerank,
+    // hybrid_mmr, retrieval_qlm_ndcg, and hybrid_prf to checkpoint
+    // reads, so the registry sweep below cannot see a join-strategy
+    // regression UPSTREAM of the pin for those faces. Audit the leg
+    // frames directly: every nested loop must be a BROADCAST build
+    // (the bounded patterns named here), and a cartesian product is a
+    // scale regression anywhere.
+    import graft.operators.{HybridRetrieval, TextAnalysis}
+    val (tf, dl, dfT, st) = TextAnalysis.bm25Postings(spark, sf)
+    val legs: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
+      ("lexRankedGrouped", HybridRetrieval.lexRankedGrouped(spark, sf),
+        "single-row corpus-stats crossJoin (scalar-stats pattern)"),
+      ("vecRankedGrouped", HybridRetrieval.vecRankedGrouped(spark, sf),
+        "broadcast 10-row query set (the sim_topk pattern)"),
+      ("qlmLeg", TextAnalysis.qlmRankedFrom(tf, dl, st),
+        "<=30-row smoothing grid + single-row stats"),
+      ("bm25Leg", TextAnalysis.bm25GroupedRanked(
+        TextAnalysis.bm25GroupedScoredFrom(tf, dl, dfT, st)),
+        "single-row corpus-stats crossJoin"))
+    legs.foreach { case (name, frame, why) =>
+      val plan = PlanCheck.finalPlanString(frame)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product ($why):\n$plan")
+      // the legs' nested loops are bounded broadcasts by construction;
+      // what must not regress is their NUMBER growing (a new unbounded
+      // join would first appear as an extra nested-loop node)
+      val n = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
+      assert(n <= 2, s"$name plans $n nested loops, expected <=2 " +
+        s"(bounded: $why):\n$plan")
     }
   }
 
