@@ -41,6 +41,9 @@ object Bench {
       System.err.println(f"[bench] $name $sec%.3f s (fresh=$fresh)")
       name -> sec
     }
+    // faces whose replay group failed every timed run — reported failed
+    // (-1.0) rather than silently re-running the group at face time
+    val failedGroupFaces = scala.collection.mutable.Set[String]()
     val builds = Seq(
       timedBuild("dedup_shared_build")(
         graft.operators.Dedup.ensureSharedTables(spark, sfDir)),
@@ -98,6 +101,14 @@ object Bench {
             None
           }
         }
+        // when EVERY run failed, the group's done-marker is unset and
+        // its member faces would transparently re-run the whole group
+        // on their own clocks — where best-of-2 min() discards the
+        // paying run and the group bill vanishes from the total. Mark
+        // the members failed instead (below) and report the group -1.
+        if (times.isEmpty)
+          failedGroupFaces ++=
+            graft.operators.StreamingQueries.replayGroupMembers(g)
         val best = if (times.nonEmpty) times.min else -1.0
         System.err.println(f"[bench] stream_grp_$g $best%.3f s " +
           s"(runs=${times.map(t => f"$t%.2f").mkString(",")})")
@@ -110,6 +121,10 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(kv => only.forall(_.contains(kv._1)))
     val results = selected.map { case (name, fn) =>
+      if (failedGroupFaces.contains(name)) {
+        System.err.println(s"[bench] $name skipped: its replay group failed")
+        name -> -1.0
+      } else {
       // drain the previous query's garbage so its GC debt doesn't land on
       // this query's clock (all-pairs joins allocate heavily)
       System.gc()
@@ -129,6 +144,7 @@ object Bench {
         }
       }
       name -> (if (times.nonEmpty) times.min else -1.0)
+      }
     }
     // builds and the total go at the END of the line: the driver captures
     // a TRUNCATED TAIL of stdout, so anything emitted at the head (the

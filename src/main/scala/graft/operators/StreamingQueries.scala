@@ -511,6 +511,15 @@ object StreamingQueries {
   /** The group names, for the bench loop. */
   def replayGroupNames: Seq[String] = replayGroups.keys.toSeq.sorted
 
+  /** Member face names of a replay group — the bench's
+    * failure-accounting hook: when every timed run of a group fails,
+    * its members must be reported failed too, not left to silently
+    * re-pay the group at face-timing time (where best-of-2 min()
+    * discards the paying run and the group bill vanishes).
+    */
+  def replayGroupMembers(group: String): Set[String] =
+    replayGroups(group).keySet
+
   /** Forget a group's done-marker and run it again — the bench's
     * variance hook (min over N full reruns instead of one wall-clock
     * sample of a 4-thread pool; the r13 `stream_grp_*` items swung

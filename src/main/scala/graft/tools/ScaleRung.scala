@@ -184,12 +184,29 @@ object ScaleRung {
     // duplicate rows, which no maintained store contains).
     val (shStore, sigStore) = graft.operators.Dedup.maintainedStores(spark, dest)
     val lblStore = graft.operators.Dedup.ccLabelStore(spark, dest)
-    val emptyRemap = spark.range(0).selectExpr("id AS old", "id AS root")
     val idShift = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+    // thread each batch's GENERATED stores and remap into the next fold
+    // (accumulating priors, latest remap): batch k's candidate probe and
+    // label resolution see the base stores PLUS generations b0..b(k-1),
+    // so the rung measures the true steady-state fold — including remap
+    // resolution and the prior-union read fan-in as generations
+    // accumulate — not four folds against a frozen base.
+    var priorSh = shStore
+    var priorSig = sigStore
+    var priorLbl = lblStore
+    var remap = spark.range(0).selectExpr("id AS old", "id AS root")
     timedBatches("cc_index_maint", docBatches) { (k, b) =>
       val arriving = b.withColumn("doc_id", col("doc_id") + lit(idShift))
-      graft.operators.Dedup.ccIvmBatch(arriving, shStore, sigStore,
-        lblStore, emptyRemap, maint.resolve("cc"), f"b$k%05d")
+      graft.operators.Dedup.ccIvmBatch(arriving, priorSh, priorSig,
+        priorLbl, remap, maint.resolve("cc"), f"b$k%05d")
+      val gen = f"b$k%05d"
+      def g(sub: String) =
+        spark.read.parquet(maint.resolve(s"cc/$sub/$gen").toString)
+      priorSh = priorSh.select(col("doc_id"), col("shingle"))
+        .unionByName(g("sh").select(col("doc_id"), col("shingle")))
+      priorSig = priorSig.unionByName(g("sig"))
+      priorLbl = priorLbl.unionByName(g("lbl"))
+      remap = g("remap")
     }
     spark.stop()
   }
