@@ -1229,6 +1229,60 @@ object Dedup {
         coalesce(col("n_common"), lit(0L)).as("n_common"))
   }
 
+  /** Window length (chars) of the exact-substring dedup scan. One
+    * 40-char window ≈ 6-7 words — long enough that a match is
+    * memorization-grade copying, short enough that boilerplate
+    * fragments inside otherwise-distinct docs still hit.
+    */
+  private val SubL = 40
+
+  /** EXACT-SUBSTRING duplication scan — the character-level dedup op
+    * the word-shingle MinHash family cannot express (Lee et al. 2021,
+    * "Deduplicating Training Data Makes Language Models Better": the
+    * memorization risk is verbatim character RUNS shared across docs,
+    * which survive word-level shingle sampling and Jaccard thresholds).
+    * Takes the [[SubL]]-char window at every WORD-BOUNDARY anchor
+    * (position 1 and each position following a space) — anchoring on
+    * content, not on fixed offsets, makes detection SHIFT-INVARIANT: a
+    * verbatim run copied to any position in another doc anchors at the
+    * same relative word starts and produces the identical gram strings,
+    * where a fixed-stride sample would only match when the copy lands
+    * stride-aligned. A window is DUPLICATED if the identical string
+    * occurs in ≥ 2 distinct docs. Emits per doc the exact counters a
+    * curator filters on: `(doc_id, n_grams, n_dup, dup_bp)` with
+    * `dup_bp = n_dup·10⁴ div n_grams` — the verbatim-copy fraction.
+    *
+    * Scale shape: the anchor filter runs INSIDE the array expression
+    * (higher-order `filter` before `transform`), so only word-start
+    * windows ever explode — a bounded linear expansion of ~len/6 rows
+    * per doc, each [[SubL]] chars. The dup set is one hash group-by on
+    * the gram string (map-side combinable distinct-doc count); the
+    * flag-back is one equi-join on the gram. No pair product anywhere —
+    * the gram string itself is the join key, so cost is O(corpus·L/6)
+    * at any corpus size. (The suffix-array formulation finds UNALIGNED
+    * duplication too; word-anchoring recovers its recall for any copy
+    * that preserves word boundaries — which verbatim copies do — while
+    * staying a two-shuffle dataflow.)
+    */
+  private val substringDup: Q = (s, d) => {
+    val g = T(s, d, "documents")
+      .select(col("doc_id"),
+        explode(when(length(col("text")) >= SubL,
+          expr(s"transform(filter(sequence(1, length(text) - ${SubL - 1})," +
+            " i -> i = 1 OR substring(text, i - 1, 1) = ' ')," +
+            s" i -> substring(text, i, $SubL))"))
+          .otherwise(array())).as("gram"))
+    val dup = g.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"), lit(1L).as("isdup"))
+    g.join(dup, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_bp", expr("n_dup * 10000 div n_grams"))
+  }
+
   /** Cross-SOURCE near-dup matrix: LSH candidate pairs rolled up by the
     * (unordered) source pair of their endpoints — which sources copy
     * from each other, the leakage report a corpus curator reads before
@@ -1461,6 +1515,7 @@ object Dedup {
     "dedup_embedding_cosine" -> embeddingCosine,
     "dedup_threshold_sweep" -> thresholdSweep,
     "dedup_containment" -> containmentQ,
+    "dedup_substring" -> substringDup,
     "dedup_source_matrix" -> sourceMatrix,
     "dedup_cluster_hist" -> componentSizeHist,
   )
@@ -1813,5 +1868,21 @@ object Dedup {
          |JOIN documents da ON da.doc_id = p.a_id
          |JOIN documents db ON db.doc_id = p.b_id
          |GROUP BY 1, 2""".stripMargin,
+    "dedup_substring" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, substring(text, i, $SubL) AS gram
+         |  FROM documents,
+         |    unnest(generate_series(1, length(text) - ${SubL - 1})) t(i)
+         |  WHERE length(text) >= $SubL
+         |    AND (i = 1 OR substring(text, i - 1, 1) = ' ')),
+         |dup AS (SELECT gram FROM g GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT g.doc_id, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+         |       AS BIGINT) AS n_dup,
+         |  CAST((sum(CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END)
+         |        * 10000) // count(*) AS BIGINT) AS dup_bp
+         |FROM g LEFT JOIN dup d ON d.gram = g.gram
+         |GROUP BY g.doc_id""".stripMargin,
   )
 }

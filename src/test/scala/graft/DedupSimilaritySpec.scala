@@ -12,6 +12,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
   private val sf = SparkTestSession.sf
   import spark.implicits._
 
+  test("dedup_substring: duplicated windows are exactly the cross-doc " +
+      "verbatim runs, counters internally consistent") {
+    val rows = SparkEntry.queries("dedup_substring")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, dup, bp) = (r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_dup"), r.getAs[Long]("dup_bp"))
+      assert(n >= 1L && dup >= 0L && dup <= n, r.toString)
+      assert(bp == dup * 10000L / n, r.toString)
+    }
+    // ground truth on a literal corpus: doc 2 embeds doc 1's text
+    // verbatim at an ARBITRARY (non-aligned) offset inside unique
+    // framing; doc 3 shares nothing. Word-boundary anchoring makes
+    // detection shift-invariant, so every doc-1 window must flag in
+    // both carriers regardless of where the copy landed.
+    val shared = (1 to 20).map(i => f"tok$i%02d").mkString(" ")  // 119 chars
+    val docs = Seq(
+      (1L, shared),
+      (2L, ("A" * 25) + " " + shared + " " + ("B" * 25)),
+      (3L, (1 to 20).map(i => f"zrq$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("subdup").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_substring")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"))).toMap
+    // doc 1 IS a substring of doc 2 with word boundaries preserved, so
+    // every doc-1 window re-anchors inside doc 2 at the same relative
+    // word starts and is duplicated; doc 3 must have zero
+    assert(out(1L)._2 == out(1L)._1, s"every doc-1 window is verbatim " +
+      s"inside doc 2: $out")
+    assert(out(2L)._2 > 0L && out(2L)._2 < out(2L)._1,
+      s"doc 2 must flag its embedded copy but not its unique framing: $out")
+    assert(out(3L)._2 == 0L, s"doc 3 shares no 40-char run: $out")
+  }
+
   test("sim_ann_tradeoff: recall monotone in nprobe, nprobe=4 = sim_ann_recall") {
     val rows = SparkEntry.queries("sim_ann_tradeoff")(spark, sf)
       .orderBy(col("nprobe")).collect()
