@@ -432,6 +432,7 @@ object StreamingQueries {
       "dedup_index_ivm" -> dedupIndexIvm,
       "sim_index_ivm" -> simIndexIvm,
       "text_index_ivm" -> textIndexIvm,
+      "text_index_compact" -> textIndexCompact,
       "dedup_cc_ivm" -> dedupCcIvm,
       "stream_embed_drift" -> streamEmbedDrift))
 
@@ -536,6 +537,9 @@ object StreamingQueries {
     if (group == "ivm")
       ivmRunCache.remove(
         SharedArtifacts.fingerprint(d, "events.parquet", "ivmrun:v1:2views"))
+    // same for the index group's shared text-index build: a kept memo
+    // would let reruns time an empty read
+    if (group == "index") textIndexRunCache.remove(textIndexKey(d))
     runReplayGroup(s, d, group)
   }
 
@@ -1477,46 +1481,112 @@ object StreamingQueries {
       .write.mode("overwrite").parquet(idx.resolve(s"st/$gen").toString)
   }
 
-  private val textIndexIvm: Q = (s, d) => {
-    val run = freshRunDir("graft_tix_")
-    val docs = T(s, d, "documents")
-    val ranked = docs
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-      .drop("rn", "n")
-    val idx = run.resolve("index")
-    def writeGen(batch: DataFrame, gen: String): Unit =
-      textIndexGen(batch, idx, gen)
-    writeGen(ranked.filter(col("bucket") < 3).drop("bucket"), "base")
-    val srcDir = run.resolve("src").toString
-    ranked.filter(col("bucket") === 3).drop("bucket")
-      .repartition(3, col("doc_id"))
-      .write.mode("overwrite").parquet(srcDir)
-    val raw = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    withStreamingParallelism(s) {
-      val q = raw.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          writeGen(batch, f"b$batchId%05d")
-        }
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk").toString)
-        .start()
-      q.awaitTermination()
-    }
-    def readGens(sub: String): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      val gens = java.nio.file.Files.list(idx.resolve(sub)).iterator()
-        .asScala.map(_.toString).toSeq.sorted
-      s.read.parquet(gens: _*)
-    }
+  /** One maintained-index BUILD per dataset version per process (base
+    * generation + 3 streamed arrival generations), shared by the
+    * maintained-index face and its compaction twin — two full replays
+    * inside one group run would double the group bill for no extra
+    * evidence. [[rerunReplayGroup]] drops this memo for the `index`
+    * group so bench reruns repay the build.
+    */
+  private val textIndexRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private[graft] def textIndexKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "documents.parquet", "tixrun:v1")
+
+  private def builtTextIndex(s: SparkSession, d: String): java.nio.file.Path =
+    textIndexRunCache.computeIfAbsent(textIndexKey(d), _ => {
+      val run = freshRunDir("graft_tix_")
+      val docs = T(s, d, "documents")
+      val ranked = docs
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+        .drop("rn", "n")
+      val idx = run.resolve("index")
+      def writeGen(batch: DataFrame, gen: String): Unit =
+        textIndexGen(batch, idx, gen)
+      writeGen(ranked.filter(col("bucket") < 3).drop("bucket"), "base")
+      val srcDir = run.resolve("src").toString
+      ranked.filter(col("bucket") === 3).drop("bucket")
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val raw = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      withStreamingParallelism(s) {
+        val q = raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            writeGen(batch, f"b$batchId%05d")
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk").toString)
+          .start()
+        q.awaitTermination()
+      }
+      idx
+    })
+
+  /** Union every generation of one maintained-index frame. */
+  private def readTextGens(s: SparkSession, idx: java.nio.file.Path,
+      sub: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val gens = java.nio.file.Files.list(idx.resolve(sub)).iterator()
+      .asScala.map(_.toString).toSeq.sorted
+    s.read.parquet(gens: _*)
+  }
+
+  /** The `text_bm25_grouped` ranking computed from maintained frames
+    * through the identical scoring joins — the read side both index
+    * faces share.
+    */
+  private def scoreTextIndex(s: SparkSession,
+      idx: java.nio.file.Path): DataFrame =
     TextAnalysis.bm25GroupedRanked(TextAnalysis.bm25GroupedScoredFrom(
-      readGens("post"),
-      readGens("dl"),
-      readGens("df").groupBy(col("term")).agg(sum(col("dfp")).as("df")),
-      readGens("st").agg(sum(col("np")).as("n"),
+      readTextGens(s, idx, "post"),
+      readTextGens(s, idx, "dl"),
+      readTextGens(s, idx, "df")
+        .groupBy(col("term")).agg(sum(col("dfp")).as("df")),
+      readTextGens(s, idx, "st").agg(sum(col("np")).as("n"),
         sum(col("totalp")).as("total"))))
+
+  private val textIndexIvm: Q = (s, d) =>
+    scoreTextIndex(s, builtTextIndex(s, d))
+
+  /** MAINTAINED-INDEX COMPACTION — the lifecycle op the IVM family was
+    * missing: generations accumulate one per arriving batch, and a
+    * production tier periodically MERGES them back to a single base
+    * (the LSM compaction shape) so the read side stops folding an
+    * ever-growing generation list. Compaction here is exactly the read
+    * side's fold made durable: postings and doc lengths concatenate
+    * (append-only frames over immutable docs — no preimages to
+    * reconcile), df and corpus-stats partials SUM-merge into one
+    * partial each (a compacted partial is still a partial — the
+    * mergeable-aggregate identity means fold(compact(gens)) ≡
+    * fold(gens) by associativity). The emitted result is the ranking
+    * scored from the COMPACTED single-generation index, hash-checked
+    * against the same from-scratch oracle as `text_index_ivm`:
+    * compaction must be invisible to every query.
+    *
+    * Scale shape: compaction cost is one linear pass per frame (a
+    * concatenating rewrite of postings/lengths, a SUM shuffle over
+    * |gens|·|vocab-per-gen| partial rows) — O(index), never O(corpus
+    * re-tokenization); at 100 TB it runs tier-by-tier on the same
+    * schedule as any LSM store.
+    */
+  private val textIndexCompact: Q = (s, d) => {
+    val idx = builtTextIndex(s, d)
+    val cidx = idx.getParent.resolve("compacted")
+    readTextGens(s, idx, "post").write.mode("overwrite")
+      .parquet(cidx.resolve("post/base").toString)
+    readTextGens(s, idx, "dl").write.mode("overwrite")
+      .parquet(cidx.resolve("dl/base").toString)
+    readTextGens(s, idx, "df")
+      .groupBy(col("term")).agg(sum(col("dfp")).as("dfp"))
+      .write.mode("overwrite").parquet(cidx.resolve("df/base").toString)
+    readTextGens(s, idx, "st")
+      .agg(sum(col("np")).as("np"), sum(col("totalp")).as("totalp"))
+      .write.mode("overwrite").parquet(cidx.resolve("st/base").toString)
+    scoreTextIndex(s, cidx)
   }
 
   /** MAINTAINED NEAR-DUP CLUSTERING — the index-IVM family's capstone:
@@ -2614,6 +2684,8 @@ object StreamingQueries {
     // maintained inverted index ranks identically to the from-scratch
     // text_bm25_grouped oracle over ALL documents
     "text_index_ivm" -> TextAnalysis.oracles("text_bm25_grouped"),
+    // compaction must be invisible to every query: same oracle
+    "text_index_compact" -> TextAnalysis.oracles("text_bm25_grouped"),
     // fold-of-changes ≡ recompute for the clustering itself: the
     // maintained labels, resolved through the final remap, equal the
     // from-scratch transitive-closure components over ALL documents

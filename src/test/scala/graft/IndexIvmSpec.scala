@@ -24,6 +24,18 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(maintained.sameElements(rebuilt))
   }
 
+  test("text_index_compact: compacting every generation into one base " +
+      "is invisible to the ranking — fold(compact(gens)) == fold(gens)") {
+    val compacted = StreamingQueries.queries("text_index_compact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val maintained = StreamingQueries.queries("text_index_ivm")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(compacted.length == maintained.length)
+    assert(compacted.sameElements(maintained))
+  }
+
   test("dedup_cc_ivm: maintained labels == from-scratch clustering, " +
       "row for row") {
     val maintained = StreamingQueries.queries("dedup_cc_ivm")(spark, sf)
