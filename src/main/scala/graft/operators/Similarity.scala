@@ -1381,7 +1381,8 @@ object Similarity {
     * same fixed-order double cosine as the exact form — ranks resolve
     * identically everywhere.
     */
-  private[graft] def knnGraphAnn(s: SparkSession, d: String): DataFrame = {
+  private[graft] def knnGraphAnn(s: SparkSession, d: String,
+      sameLabelOnly: Boolean = true): DataFrame = {
     import s.implicits._
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -1423,7 +1424,14 @@ object Similarity {
         col("v").as("vb"), col("nrm").as("nb"))
     val byVec = Window.partitionBy(col("vec_id"))
       .orderBy(col("sim").desc, col("nbr_id"))
-    ranked.join(nbr, Seq("cid", "label"))
+    // the artifact build restricts candidates to same-label pairs (the
+    // graph family's documented bound); the classification probe joins
+    // cross-label — candidates are then bounded by the probed cells
+    // alone, the plain FAISS IVF-search shape
+    val joined =
+      if (sameLabelOnly) ranked.join(nbr, Seq("cid", "label"))
+      else ranked.join(nbr.drop("label"), Seq("cid"))
+    joined
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
       .withColumn("rank", row_number().over(byVec))
@@ -1498,6 +1506,43 @@ object Similarity {
   private[graft] def knnEdges(s: SparkSession, d: String): DataFrame =
     knnShared(s, d).select(col("vec_id").as("src"), col("nbr_id").as("dst"))
 
+  /** kNN LABEL-CONSISTENCY CLASSIFIER — the embedding-quality probe
+    * every training pipeline runs before trusting a vector column: for
+    * each vector, predict its label as the MAJORITY label of its
+    * cross-label IVF-probed k nearest neighbors (self excluded, vote
+    * ties → smallest label), and emit the CONFUSION MATRIX
+    * `(true_label, pred_label, n)` — leave-one-out neighbor agreement.
+    * High diagonal mass means the space clusters by label (safe to
+    * drive dedup/similarity curation from it); off-diagonal cells name
+    * exactly which label pairs the embedding confuses. Distinct from
+    * the shared kNN ARTIFACT, whose same-label candidate bound is
+    * right for the graph family but would make this probe vacuous —
+    * classification must let wrong-label neighbors compete.
+    *
+    * Scale shape: [[knnGraphAnn]]'s IVF-probed candidate join without
+    * the label equi-key — fan-out stays probes × mean cell size per
+    * vector; voting is one (vec_id, label) group-by; the argmax one
+    * window over ≤ #labels rows per vector; the matrix ≤ #labels²
+    * rows.
+    */
+  private val knnClassify: Q = (s, d) => {
+    val lbl = T(s, d, "embeddings")
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val votes = knnGraphAnn(s, d, sameLabelOnly = false)
+      .join(lbl.select(col("vec_id").as("nbr_id"), col("label").as("nl")),
+        Seq("nbr_id"))
+      .groupBy(col("vec_id"), col("nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("nl"))
+    votes.withColumn("rn", row_number().over(byVotes))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nl").as("pred_label"))
+      .join(lbl, Seq("vec_id"))
+      .groupBy(col("label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** The `sim_knn_graph` oracle text, for composition into downstream
     * oracles (DuckDB accepts a WITH inside a derived table, so the
     * ANN composition embeds as `FROM (...)` like the WITH-free exact
@@ -1509,6 +1554,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "sim_knn_graph" -> ((s, d) => knnShared(s, d)),
     "sim_knn_recall" -> knnRecall,
+    "sim_knn_classify" -> knnClassify,
     "embed_outliers" -> outliers,
     "embed_covariance" -> covariance,
     "embed_pca_power" -> pcaPower,
@@ -1839,7 +1885,8 @@ object Similarity {
     * [[KnnProbes]] the probe set), the same-label/probed-cell
     * candidate join, and the identical exact-cosine top-[[KnnK]] cut.
     */
-  private val knnAnnOracle: String =
+  private def knnAnnOracleFor(sameLabelOnly: Boolean): String = {
+    val labelCond = if (sameLabelOnly) " AND b.label = a.label" else ""
     s"""WITH $ivfIndexCtes,
        |vpr AS (
        |  SELECT vec_id, cid, rn FROM (
@@ -1861,8 +1908,11 @@ object Similarity {
        |  FROM vpr p JOIN vpr h ON h.cid = p.cid AND h.rn = 1
        |    AND h.vec_id <> p.vec_id
        |  JOIN embeddings a ON a.vec_id = p.vec_id
-       |  JOIN embeddings b ON b.vec_id = h.vec_id AND b.label = a.label)
+       |  JOIN embeddings b ON b.vec_id = h.vec_id$labelCond)
        |WHERE rk <= $KnnK""".stripMargin
+  }
+
+  private val knnAnnOracle: String = knnAnnOracleFor(sameLabelOnly = true)
 
   /** One hyperplane as a DuckDB DOUBLE-list literal — Scala's
     * `Double.toString` prints the shortest decimal that round-trips to
@@ -1963,6 +2013,20 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> knnAnnOracle,
+    "sim_knn_classify" ->
+      s"""WITH g AS (${knnAnnOracleFor(sameLabelOnly = false)}),
+         |v AS (SELECT g.vec_id, CAST(eb.label AS BIGINT) AS nl,
+         |        count(*) AS n_votes
+         |      FROM g JOIN embeddings eb ON eb.vec_id = g.nbr_id
+         |      GROUP BY 1, 2),
+         |p AS (SELECT vec_id, nl AS pred_label FROM (
+         |        SELECT vec_id, nl, row_number() OVER (PARTITION BY vec_id
+         |          ORDER BY n_votes DESC, nl) AS rn FROM v)
+         |      WHERE rn = 1)
+         |SELECT CAST(ea.label AS BIGINT) AS true_label, p.pred_label,
+         |  count(*) AS n
+         |FROM p JOIN embeddings ea ON ea.vec_id = p.vec_id
+         |GROUP BY 1, 2""".stripMargin,
     // edge agreement of the ANN composition against the exact blocked
     // form — both sides the oracles' own text, joined on the pair key
     "sim_knn_recall" ->

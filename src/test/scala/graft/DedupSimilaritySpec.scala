@@ -48,6 +48,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L, s"doc 3 shares no 40-char run: $out")
   }
 
+  test("sim_knn_classify: confusion matrix covers exactly the vectors " +
+      "with neighbors; labels stay in domain") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val labels = emb.select(col("label").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("sim_knn_classify")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels.contains(r.getAs[Long]("true_label")), r.toString)
+      assert(labels.contains(r.getAs[Long]("pred_label")), r.toString)
+      assert(r.getAs[Long]("n") >= 1L, r.toString)
+    }
+    // every vector with >= 1 cross-label IVF neighbor gets exactly one
+    // prediction; the matrix total must equal that population
+    val withNbr = graft.operators.Similarity
+      .knnGraphAnn(spark, sf, sameLabelOnly = false)
+      .select(col("vec_id")).distinct().count()
+    assert(rows.map(_.getAs[Long]("n")).sum == withNbr)
+  }
+
   test("sim_ann_tradeoff: recall monotone in nprobe, nprobe=4 = sim_ann_recall") {
     val rows = SparkEntry.queries("sim_ann_tradeoff")(spark, sf)
       .orderBy(col("nprobe")).collect()
