@@ -48,7 +48,9 @@ object ExplainAudit {
     "retrieval_qlm_ndcg", "dedup_decontam_lsh", "corpus_bpe_encode",
     "stream_decontam",
     // r14 faces
-    "dedup_cc_ivm", "stream_quality_gate", "stream_embed_drift")
+    "dedup_cc_ivm", "stream_quality_gate", "stream_embed_drift",
+    // r15 faces
+    "dedup_substring", "text_index_compact", "sim_knn_classify")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.Tables.{load => T}
@@ -1264,22 +1265,33 @@ object Dedup {
     * that preserves word boundaries — which verbatim copies do — while
     * staying a two-shuffle dataflow.)
     */
+  /** Word-boundary-anchored [[SubL]]-char windows as (doc_id, gram)
+    * rows — the substring faces' shared extraction (the anchor filter
+    * runs inside the array expression so only word-start windows ever
+    * explode). `private[operators]` for the ingest-time twin.
+    */
+  private[graft] def substringGrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(when(length(col("text")) >= SubL,
+        expr(s"transform(filter(sequence(1, length(text) - ${SubL - 1})," +
+          " i -> i = 1 OR substring(text, i - 1, 1) = ' ')," +
+          s" i -> substring(text, i, $SubL))"))
+        .otherwise(array())).as("gram"))
+
   private val substringDup: Q = (s, d) => {
-    val g = T(s, d, "documents")
-      .select(col("doc_id"),
-        explode(when(length(col("text")) >= SubL,
-          expr(s"transform(filter(sequence(1, length(text) - ${SubL - 1})," +
-            " i -> i = 1 OR substring(text, i - 1, 1) = ' ')," +
-            s" i -> substring(text, i, $SubL))"))
-          .otherwise(array())).as("gram"))
-    val dup = g.groupBy(col("gram"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
-      .select(col("gram"), lit(1L).as("isdup"))
-    g.join(dup, Seq("gram"), "left")
+    // single corpus scan: reduce to (gram, doc) instance counts first,
+    // read each gram's distinct-doc count off the partition (the rows
+    // ARE the distinct docs after that group-by), then roll up per doc
+    // — 3 exchanges total vs deriving the gram frame twice (once for
+    // the dup set, once for the flag-back join)
+    val gc = substringGrams(T(s, d, "documents"))
+      .groupBy(col("gram"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val byGram = Window.partitionBy(col("gram"))
+    gc.withColumn("nd", count(lit(1)).over(byGram))
+      .withColumn("isdup", when(col("nd") >= 2, lit(1L)).otherwise(lit(0L)))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .agg(sum(col("c")).as("n_grams"),
+        sum(col("c") * col("isdup")).as("n_dup"))
       .withColumn("dup_bp", expr("n_dup * 10000 div n_grams"))
   }
 
@@ -1870,11 +1882,7 @@ object Dedup {
          |GROUP BY 1, 2""".stripMargin,
     "dedup_substring" ->
       s"""WITH g AS (
-         |  SELECT doc_id, substring(text, i, $SubL) AS gram
-         |  FROM documents,
-         |    unnest(generate_series(1, length(text) - ${SubL - 1})) t(i)
-         |  WHERE length(text) >= $SubL
-         |    AND (i = 1 OR substring(text, i - 1, 1) = ' ')),
+         |  ${substringGramSql("")}),
          |dup AS (SELECT gram FROM g GROUP BY gram
          |        HAVING count(DISTINCT doc_id) >= 2)
          |SELECT g.doc_id, count(*) AS n_grams,
@@ -1885,4 +1893,40 @@ object Dedup {
          |FROM g LEFT JOIN dup d ON d.gram = g.gram
          |GROUP BY g.doc_id""".stripMargin,
   )
+
+  /** The word-anchored window rows in SQL, with an optional extra
+    * predicate — shared by the batch substring oracle and the
+    * ingest-time gate's.
+    */
+  private def substringGramSql(extraWhere: String): String =
+    s"""SELECT doc_id, substring(text, i, $SubL) AS gram
+       |  FROM documents,
+       |    unnest(generate_series(1, length(text) - ${SubL - 1})) t(i)
+       |  WHERE length(text) >= $SubL
+       |    AND (i = 1 OR substring(text, i - 1, 1) = ' ')$extraWhere""".stripMargin
+
+  /** Modulus split of the ingest-time substring gate: residents are
+    * `doc_id % SubResMod ≠ SubArrRem`, arrivals the rest.
+    */
+  private[operators] val SubResMod = 4L
+  private[operators] val SubArrRem = 3L
+
+  /** `stream_substring_gate`'s batch restatement: each ARRIVING doc's
+    * window counters against the frozen RESIDENT gram set (one
+    * direction only — the door probe never compares arrivals to each
+    * other; cross-arrival dups surface in the nightly
+    * `dedup_substring` sweep).
+    */
+  private[operators] val substringGateOracle: String =
+    s"""WITH g AS (
+       |  ${substringGramSql(s" AND doc_id % $SubResMod = $SubArrRem")}),
+       |res AS (SELECT DISTINCT gram FROM (
+       |  ${substringGramSql(s" AND doc_id % $SubResMod <> $SubArrRem")}))
+       |SELECT g.doc_id, count(*) AS n_grams,
+       |  CAST(sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_dup,
+       |  CAST((sum(CASE WHEN r.gram IS NOT NULL THEN 1 ELSE 0 END)
+       |        * 10000) // count(*) AS BIGINT) AS dup_bp
+       |FROM g LEFT JOIN res r ON r.gram = g.gram
+       |GROUP BY g.doc_id""".stripMargin
 }

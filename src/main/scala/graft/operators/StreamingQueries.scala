@@ -424,7 +424,8 @@ object StreamingQueries {
       "stream_ivm_counts" -> streamIvmCounts,
       "stream_ivm_events" -> streamIvmEvents,
       "stream_decontam" -> streamDecontam,
-      "stream_quality_gate" -> streamQualityGate),
+      "stream_quality_gate" -> streamQualityGate,
+      "stream_substring_gate" -> streamSubstringGate),
     // the four maintained-index replays: each face is a full
     // streaming replay the best-of-2 harness previously ran TWICE;
     // grouped, each runs once and the member reads its cached frame
@@ -1295,6 +1296,66 @@ object StreamingQueries {
             .filter(col("jac_bp") >= Dedup.DecontamFloorBp)
             .select(col("eval_id"), col("train_id"), col("n_bands"),
               col("jac_bp"))
+            .write.mode("overwrite")
+            .parquet(out.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    s.read.parquet(gens: _*)
+  }
+
+  /** SUBSTRING GATE AT INGEST — `dedup_substring`'s verbatim-copy scan
+    * run AT THE DOOR, the [[streamDecontam]] idiom applied to
+    * character-level duplication: the resident corpus's word-anchored
+    * window set freezes once as a static DISTINCT-gram artifact, and
+    * every arriving micro-batch extracts ITS OWN windows (a per-row
+    * array expression — no shuffle), probes the frozen grams by
+    * equi-join, and emits the arriving doc's verbatim-copy counters
+    * `(doc_id, n_grams, n_dup, dup_bp)`. One direction only — the door
+    * probe never compares arrivals to each other (cross-arrival dups
+    * surface in the nightly `dedup_substring` sweep), which is exactly
+    * what makes it STATELESS stream-static: each verdict depends on
+    * nothing but the row and the frozen reference, so the union of
+    * per-batch verdicts hash-checks against the batch restatement over
+    * the whole corpus.
+    *
+    * Scale shape: per-batch cost is the batch's own window extraction
+    * plus equi-probes into the resident gram set (bucket-joined or
+    * broadcast tier-by-tier at 100 TB); the resident corpus never
+    * re-scans after staging.
+    */
+  private val streamSubstringGate: Q = (s, d) => {
+    val run = freshRunDir("graft_ssub_")
+    val out = run.resolve("out")
+    val docs = T(s, d, "documents")
+    val isArr = col("doc_id") % Dedup.SubResMod === Dedup.SubArrRem
+    Dedup.substringGrams(docs.filter(!isArr))
+      .select(col("gram")).distinct()
+      .write.mode("overwrite").parquet(run.resolve("resgrams").toString)
+    val res = s.read.parquet(run.resolve("resgrams").toString)
+      .withColumn("isdup", lit(1L))
+    val srcDir = run.resolve("src").toString
+    docs.filter(isArr).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Dedup.substringGrams(batch)
+            .join(res, Seq("gram"), "left")
+            .groupBy(col("doc_id"))
+            .agg(count(lit(1)).as("n_grams"),
+              sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+            .withColumn("dup_bp", expr("n_dup * 10000 div n_grams"))
             .write.mode("overwrite")
             .parquet(out.resolve(f"b$batchId%05d").toString)
         }
@@ -2693,6 +2754,7 @@ object StreamingQueries {
     // stateless stream-static: per-arrival verdicts against the frozen
     // eval reference union to the batch decontamination exactly
     "stream_decontam" -> Dedup.oracles("dedup_decontam_lsh"),
+    "stream_substring_gate" -> Dedup.substringGateOracle,
     // map-only stream: per-arrival classifier verdicts union to the
     // batch classifier over the whole corpus exactly
     "stream_quality_gate" -> TextAnalysis.oracles("text_quality_classifier"),

@@ -48,6 +48,29 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(3L)._2 == 0L, s"doc 3 shares no 40-char run: $out")
   }
 
+  test("stream_substring_gate: per-arrival door verdicts == batch " +
+      "restatement against the frozen resident gram set") {
+    val got = SparkEntry.queries("stream_substring_gate")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("dup_bp"))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+    val isArr = col("doc_id") % 4 === 3
+    val res = graft.operators.Dedup.substringGrams(docs.filter(!isArr))
+      .select(col("gram")).distinct().withColumn("isdup", lit(1L))
+    val expected = graft.operators.Dedup.substringGrams(docs.filter(isArr))
+      .join(res, Seq("gram"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup"))
+      .withColumn("dup_bp", expr("n_dup * 10000 div n_grams"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup"),
+          r.getAs[Long]("dup_bp"))).toMap
+    assert(got == expected, "door verdicts diverged from batch restatement")
+    assert(got.nonEmpty)
+  }
+
   test("sim_knn_classify: confusion matrix covers exactly the vectors " +
       "with neighbors; labels stay in domain") {
     val emb = Tables.load(spark, sf, "embeddings")

@@ -108,6 +108,14 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " text_bm25_grouped's joins, inheriting its broadcast SINGLE-ROW" +
       " merged-stats crossJoin - bounded at one build row forever;" +
       " postings/df frames union and merge by equi-key"),
+    "text_index_compact" -> ("scores through the same read side as" +
+      " text_index_ivm (the broadcast SINGLE-ROW merged-stats" +
+      " crossJoin); compaction itself is concatenating rewrites and a" +
+      " SUM equi-merge, no join at all"),
+    "sim_knn_classify" -> ("inherits sim_ann_ivf's broadcast" +
+      " centroid-table crossJoins (probe selection, O(n*C) linear per" +
+      " centroid); voting and the confusion rollup are (vec_id, label)" +
+      " equi-aggregations"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
