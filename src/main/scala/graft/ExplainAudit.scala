@@ -50,7 +50,8 @@ object ExplainAudit {
     // r14 faces
     "dedup_cc_ivm", "stream_quality_gate", "stream_embed_drift",
     // r15 faces
-    "dedup_substring", "text_index_compact", "sim_knn_classify")
+    "dedup_substring", "text_index_compact", "sim_knn_classify",
+    "dedup_substring_pairs", "stream_substring_gate")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -1295,6 +1295,43 @@ object Dedup {
       .withColumn("dup_bp", expr("n_dup * 10000 div n_grams"))
   }
 
+  /** Boilerplate cap of the substring PAIR report: a window string
+    * present in more than this many docs is boilerplate (site chrome,
+    * license headers) — attributing it to pairs would fan out
+    * quadratically in its carrier count while saying nothing about who
+    * copied whom. Standard suffix-array-dedup practice caps it.
+    */
+  private val SubBoilerMax = 8
+
+  /** SUBSTRING ATTRIBUTION PAIRS — the "who copies whom" report over
+    * the exact-substring scan: for every doc pair sharing at least one
+    * non-boilerplate window (the identical [[SubL]]-char word-anchored
+    * string in 2..[[SubBoilerMax]] docs), the exact count of shared
+    * distinct windows `(a_id, b_id, n_shared)`. [[substringDup]] tells
+    * a curator HOW MUCH of each doc is verbatim-copied; this face tells
+    * them FROM WHERE — the lineage input of a keep-best decision at
+    * char granularity (the near-dup family's `dedup_source_matrix`
+    * shape applied to verbatim runs).
+    *
+    * Scale shape: the per-gram self-join fans out ≤ [[SubBoilerMax]]²
+    * rows per gram BY THE CAP — linear in the gram count at any corpus
+    * size, never quadratic in clique size; everything else is the
+    * single-scan (gram, doc) reduction plus one pair rollup.
+    */
+  private val substringPairs: Q = (s, d) => {
+    val gd = substringGrams(T(s, d, "documents"))
+      .select(col("doc_id"), col("gram")).distinct()
+    val byGram = Window.partitionBy(col("gram"))
+    val kept = gd.withColumn("nd", count(lit(1)).over(byGram))
+      .filter(col("nd") >= 2 && col("nd") <= SubBoilerMax)
+      .select(col("gram"), col("doc_id"))
+    kept.select(col("gram"), col("doc_id").as("a_id"))
+      .join(kept.select(col("gram"), col("doc_id").as("b_id")), Seq("gram"))
+      .filter(col("a_id") < col("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Cross-SOURCE near-dup matrix: LSH candidate pairs rolled up by the
     * (unordered) source pair of their endpoints — which sources copy
     * from each other, the leakage report a corpus curator reads before
@@ -1528,6 +1565,7 @@ object Dedup {
     "dedup_threshold_sweep" -> thresholdSweep,
     "dedup_containment" -> containmentQ,
     "dedup_substring" -> substringDup,
+    "dedup_substring_pairs" -> substringPairs,
     "dedup_source_matrix" -> sourceMatrix,
     "dedup_cluster_hist" -> componentSizeHist,
   )
@@ -1892,7 +1930,27 @@ object Dedup {
          |        * 10000) // count(*) AS BIGINT) AS dup_bp
          |FROM g LEFT JOIN dup d ON d.gram = g.gram
          |GROUP BY g.doc_id""".stripMargin,
+    "dedup_substring_pairs" -> substringPairsOracle,
   )
+
+  /** `dedup_substring_pairs`' oracle: the distinct (gram, doc) set,
+    * the 2..[[SubBoilerMax]] carrier-count keep, the a<b self-join.
+    */
+  // lazy: declared after the `oracles` map that embeds it — a strict
+  // val would still be null when the map initializes
+  private lazy val substringPairsOracle: String =
+    s"""WITH g AS (
+       |  ${substringGramSql("")}),
+       |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+       |kept AS (
+       |  SELECT gram, doc_id FROM (
+       |    SELECT gram, doc_id,
+       |      count(*) OVER (PARTITION BY gram) AS nd FROM gd)
+       |  WHERE nd BETWEEN 2 AND $SubBoilerMax)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+       |FROM kept a JOIN kept b
+       |  ON a.gram = b.gram AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2""".stripMargin
 
   /** The word-anchored window rows in SQL, with an optional extra
     * predicate — shared by the batch substring oracle and the

@@ -46,6 +46,12 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out(2L)._2 > 0L && out(2L)._2 < out(2L)._1,
       s"doc 2 must flag its embedded copy but not its unique framing: $out")
     assert(out(3L)._2 == 0L, s"doc 3 shares no 40-char run: $out")
+    // the attribution pairs over the same corpus: exactly one pair
+    // (1,2), sharing exactly doc 1's distinct window set; doc 3 in none
+    val pairs = SparkEntry.queries("dedup_substring_pairs")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        r.getAs[Long]("n_shared")).toMap
+    assert(pairs == Map((1L, 2L) -> out(1L)._1), pairs.toString)
   }
 
   test("stream_substring_gate: per-arrival door verdicts == batch " +
