@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions._
@@ -350,12 +350,32 @@ object Similarity {
     * in [[graft.streaming.StreamingTopK.topKIvf]]; `min_by` would leave
     * ties to aggregation encounter order.
     */
-  private def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame =
-    vecs.crossJoin(broadcast(cents))
-      .withColumn("d2",
-        dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
-      .groupBy(col("vec_id"))
-      .agg(min(struct(col("d2"), col("cid"))).getField("cid").as("cid"))
+  private def nearestCentroid(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    // The argmin is a HIGHER-ORDER FOLD over the broadcast centroid
+    // ARRAY, not a row product: the previous `crossJoin +
+    // min(struct(d2, cid))` materialized n×C rows and — because a
+    // struct min is not hash-aggregable — SORT-aggregated them (a full
+    // sort of 409M rows per Lloyd pass at the 100× rung, the dominant
+    // build cost). Collapsing the centroids to ONE broadcast row
+    // carrying the (cid, cv, cn2) array and taking
+    // `array_min(transform(...))` per vector emits ONE row per vector
+    // with ZERO shuffle for the assignment; the centroid self-dot is
+    // computed once per centroid on the build side. `array_min` on the
+    // (d2, cid) struct is the lexicographic (d2 asc, cid asc) compare
+    // — the exact argmin + tie-break the struct-min computed, on the
+    // same doubles, so the winner is bit-identical.
+    val centRow = cents
+      .select(struct(col("cid"),
+        dot(col("cv"), col("cv")).as("cn2"), col("cv")).as("c"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+    vecs.crossJoin(broadcast(centRow))
+      .select(col("vec_id"),
+        array_min(transform(col("cs"), c =>
+          struct((c.getField("cn2")
+            - lit(2) * dot(col("v"), c.getField("cv"))).as("d2"),
+            c.getField("cid").as("cid"))))
+          .getField("cid").as("cid"))
+  }
 
   /** The trained IVF model as reusable DataFrames — shared between the
     * batch query and the STREAMING IVF top-k
@@ -663,16 +683,34 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment `(vec_id, m, k)` by exact integer d2,
-    * ties → smallest k (the registry-wide rule): `min(struct(d2, k))`
-    * is the argmin — lexicographic struct ordering equals the old
-    * `ORDER BY d2, k` window, but as a map-side-combinable aggregate
-    * with no per-group sort.
+    * ties → smallest k (the registry-wide rule), as a HIGHER-ORDER FOLD
+    * over the broadcast per-subspace codebook ARRAY: `min(struct(d2,
+    * k))` is not hash-aggregable, so the previous groupBy planned a
+    * SortAggregate — a full sort of the (vector, subspace, centroid)
+    * row product (819M rows at the 100× rung, the dominant encode
+    * cost). Collapsing each subspace's ≤ [[PqK]] centroids into one
+    * array row turns the encode into a 16-row broadcast hash join plus
+    * one codegen'd `array_min(transform(...))` per BLOCK row — n·M rows
+    * total, zero argmin shuffle. The (d2, k) struct compare is the same
+    * lexicographic order on the same exact integers, so the winner is
+    * identical.
     */
-  private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame =
-    pqSub2(blocks, cb)
-      .groupBy(col("vec_id"), col("m"))
-      .agg(min(struct(col("d2"), col("k"))).as("best"))
-      .select(col("vec_id"), col("m"), col("best.k").as("k"))
+  private def pqAssign(blocks: DataFrame, cb: DataFrame): DataFrame = {
+    val cbArr = cbBlocks(cb)
+      .select(col("m"), struct(
+        (col("k") +: (0 until PqSubDim).map(j => col(s"cx$j"))): _*).as("c"))
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(col("c"))).as("cs"))
+    def d2(c: Column): Column = (0 until PqSubDim).map { j =>
+      (col(s"x$j") - c.getField(s"cx$j")) *
+        (col(s"x$j") - c.getField(s"cx$j"))
+    }.reduce(_ + _)
+    blocks.join(broadcast(cbArr), Seq("m"))
+      .select(col("vec_id"), col("m"),
+        array_min(transform(col("cs"), c =>
+          struct(d2(c).as("d2"), c.getField("k").as("k"))))
+          .getField("k").as("k"))
+  }
 
   /** Lloyd training-sample cap: codebooks train on the first
     * [[PqTrainCap]] vectors only — the FAISS discipline (k-means on a
@@ -931,7 +969,20 @@ object Similarity {
         col("vec_id") < IvfSeedStep.toLong * IvfCentroidCap)
       .select((col("vec_id") / IvfSeedStep).cast("int").as("cid"),
         col("v").as("cv"))
-    val cents = (1 to KmIters).foldLeft(seeds)((c, _) => lloydStep(e, c))
+    // PIN each round's centroid table (≤ IvfCentroidCap rows): a
+    // broadcast exchange executes its child subplan, so an unpinned
+    // round-k broadcast re-ran the ENTIRE round-(k−1) chain — Lloyd
+    // cost grew quadratically in the round count (100× build 334 s
+    // unpinned → ~220 s pinned, measured on an idle box; the residual
+    // is the n×C assignment row volume itself, linear and capped.
+    // localCheckpoint keeps the exact doubles, so nothing hash-checked
+    // moves). Superseded rounds are released; the final table stays
+    // pinned for the caller's write.
+    val cents = (1 to KmIters).foldLeft(seeds) { (c, _) =>
+      val next = Dedup.materialize(lloydStep(e, c))
+      Dedup.releaseCheckpoint(c) // no-op on the lineage-only seed frame
+      next
+    }
     nearestCentroid(e, cents)
   }
 
