@@ -74,8 +74,8 @@ object ExplainAudit {
     sb ++= "PlanGovernanceSpec pins that the machinery stays armed — with\n"
     sb ++= "broadcast off (the 100 TB dim case), the q5 star core DOES\n"
     sb ++= "inject a bloom filter on l_orderkey before the exchange.\n\n"
-    sb ++= "| query | nested loops | exchanges | codegen spans | pushed filters | runtime filters |\n"
-    sb ++= "|---|---|---|---|---|---|\n"
+    sb ++= "| query | nested loops | exchanges | codegen spans | pushed filters | runtime filters | sort aggs |\n"
+    sb ++= "|---|---|---|---|---|---|---|\n"
     val sections = names.map { n =>
       val df = SparkEntry.queries(n)(spark, dir)
       // run the query first (noop sink): with AQE the pre-execution plan
@@ -94,7 +94,11 @@ object ExplainAudit {
         .map(_.group(1)).toSet.size
       val pushed = "PushedFilters: \\[[^\\]]".r.findAllIn(formatted).length
       val rf = "might_contain|dynamicpruning".r.findAllIn(formatted).length
-      sb ++= s"| $n | $nested | $exchanges | $wsg | $pushed | $rf |\n"
+      // a SortAggregate means a non-hash-aggregable buffer (struct
+      // min/max, collect_*) forced a FULL SORT of the pre-agg rows -
+      // the r15 quantizer finding; >0 on a data-sized input is a flag
+      val sortAgg = "SortAggregate".r.findAllIn(formatted).length
+      sb ++= s"| $n | $nested | $exchanges | $wsg | $pushed | $rf | $sortAgg |\n"
       s"\n## $n\n\n```\n$formatted```\n"
     }
     sections.foreach(sb ++= _)
