@@ -705,11 +705,17 @@ object Similarity {
       (col(s"x$j") - c.getField(s"cx$j")) *
         (col(s"x$j") - c.getField(s"cx$j"))
     }.reduce(_ + _)
+    // (d2, k) packs into ONE long — d2 ≤ 8·(2e3)² ≈ 3.2e7 exact
+    // integers, k < PqK — so `d2·PqK + k` orders exactly like the
+    // lexicographic struct and the fold allocates NO per-element
+    // structs (higher-order lambdas evaluate interpreted — a struct
+    // per (row, centroid) was the measured small-SF cost of the first
+    // fold shape). argmin(enc) decodes back to k by modulus.
     blocks.join(broadcast(cbArr), Seq("m"))
       .select(col("vec_id"), col("m"),
-        array_min(transform(col("cs"), c =>
-          struct(d2(c).as("d2"), c.getField("k").as("k"))))
-          .getField("k").as("k"))
+        pmod(array_min(transform(col("cs"), c =>
+          d2(c) * lit(PqK.toLong) + c.getField("k"))), lit(PqK.toLong))
+          .as("k"))
   }
 
   /** Lloyd training-sample cap: codebooks train on the first
@@ -787,8 +793,14 @@ object Similarity {
       // el feeds every Lloyd round's assignment AND sums, plus the
       // encode pass — pin it once for the build instead of re-exploding
       // the embeddings per stage (and sub2 feeds both the codes and dt
-      // writes, so the encode is pinned too)
-      val blocks = pqBlocks(T(s, d, "embeddings")).persist()
+      // writes, so the encode is pinned too). REPARTITION first: the
+      // argmin is now a per-row interpreted array fold, so a gate-SF
+      // table that arrives as one parquet split would otherwise fold on
+      // ONE core (measured 56 s for the sf0.1 build vs ~12 s spread) —
+      // one bounded shuffle of the block rows buys full parallelism for
+      // all five assignment passes
+      val blocks = pqBlocks(T(s, d, "embeddings"))
+        .repartition(s.sparkContext.defaultParallelism).persist()
       try {
         val cb = pqTrain(blocks, PqSeedStep)
         cb.write.mode("overwrite").parquet(staging.resolve("cb").toString)
