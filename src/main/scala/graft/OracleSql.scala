@@ -22,6 +22,14 @@ import scala.util.matching.Regex
   * optimization, never changes semantics. Results are hash-identical by
   * construction (materialization is an evaluation strategy, not a
   * semantic change) and re-proven by the full verify gate.
+  *
+  * All scanning (head matching, paren matching, self-reference search)
+  * runs over a MASKED copy of the SQL in which the contents of
+  * single-quoted string literals are blanked out (same length, so match
+  * offsets line up with the original): a `')'` or `' AS ('` inside a
+  * literal must neither close a body scan nor spawn a phantom CTE head,
+  * and the rewrite must never splice text inside a literal. The head
+  * keyword matches case-insensitively (`as (` is a legal CTE head).
   */
 object OracleSql {
 
@@ -33,36 +41,63 @@ object OracleSql {
     * first keyword (a CTE body is a query; a window body never is).
     */
   private val CteHead: Regex =
-    """(\w+)\s*(\([\w,\s]*\))?\s+AS\s+\(""".r
+    """(\w+)\s*(\([\w,\s]*\))?\s+(?i:AS)\s+\(""".r
+
+  /** Blank out the interior of every single-quoted string literal
+    * (SQL-standard `''` escape stays inside its literal). Length is
+    * preserved, so offsets into the mask index the original text.
+    */
+  private def maskLiterals(sql: String): String = {
+    val out = sql.toCharArray
+    var i = 0
+    var inLit = false
+    while (i < out.length) {
+      val c = out(i)
+      if (!inLit) {
+        if (c == '\'') inLit = true
+      } else {
+        if (c == '\'') {
+          // '' is an escaped quote: stay in the literal, blank both
+          if (i + 1 < out.length && out(i + 1) == '\'') {
+            out(i) = '_'; out(i + 1) = '_'; i += 1
+          } else inLit = false
+        } else out(i) = '_'
+      }
+      i += 1
+    }
+    new String(out)
+  }
 
   /** A CTE body starts with a query keyword; a named-window body starts
     * with PARTITION/ORDER/ROWS/RANGE (or another window's name).
     */
-  private def bodyIsQuery(sql: String, bodyStart: Int): Boolean = {
+  private def bodyIsQuery(masked: String, bodyStart: Int): Boolean = {
     val firstWord = """\w+""".r
-      .findFirstIn(sql.substring(bodyStart,
-        math.min(sql.length, bodyStart + 32)))
+      .findFirstIn(masked.substring(bodyStart,
+        math.min(masked.length, bodyStart + 32)))
       .getOrElse("").toUpperCase
     Set("SELECT", "VALUES", "WITH", "FROM", "TABLE").contains(firstWord)
   }
 
   /** Names of CTEs whose own body references their name (recursive
     * members, plus alias false-positives — both must stay unmarked).
+    * Operates entirely on the masked text: a quoted `')'` cannot close
+    * the body scan and a name inside a literal is not a reference.
     */
-  private def selfReferencingNames(sql: String): Set[String] = {
-    CteHead.findAllMatchIn(sql).flatMap { m =>
+  private def selfReferencingNames(masked: String): Set[String] = {
+    CteHead.findAllMatchIn(masked).flatMap { m =>
       val name = m.group(1)
       // paren-match the body starting just inside the opening '('
       var depth = 1
       var i = m.end
-      while (depth > 0 && i < sql.length) {
-        val c = sql.charAt(i)
+      while (depth > 0 && i < masked.length) {
+        val c = masked.charAt(i)
         if (c == '(') depth += 1
         else if (c == ')') depth -= 1
         i += 1
       }
-      val body = sql.substring(m.end, math.max(m.end, i - 1))
-      if (("""\b""" + Regex.quote(name) + """\b""").r
+      val body = masked.substring(m.end, math.max(m.end, i - 1))
+      if (("""(?i)\b""" + Regex.quote(name) + """\b""").r
             .findFirstIn(body).isDefined) Some(name)
       else None
     }.toSet
@@ -73,22 +108,34 @@ object OracleSql {
     */
   def materializeCtes(sql: String): String = {
     if (!sql.toUpperCase.contains("WITH")) return sql
-    val rec = selfReferencingNames(sql)
+    val masked = maskLiterals(sql)
+    val rec = selfReferencingNames(masked)
     // a name defined by more than one CTE (nested WITH scopes re-using a
     // local name like `w`) must stay unmarked: DuckDB binds plain CTEs
     // per scope but rejects duplicate MATERIALIZED names outright
-    val defined = CteHead.findAllMatchIn(sql)
-      .filter(m => bodyIsQuery(sql, m.end)).map(_.group(1)).toSeq
+    val defined = CteHead.findAllMatchIn(masked)
+      .filter(m => bodyIsQuery(masked, m.end)).map(_.group(1)).toSeq
     val dup = defined.groupBy(identity).collect {
       case (n, xs) if xs.size > 1 => n
     }.toSet
-    CteHead.replaceAllIn(sql, { m =>
+    // match on the mask, splice into the ORIGINAL by offset — the two
+    // are the same length, and head text never overlaps a literal (the
+    // name/cols groups are \w/[\w,\s] which a blanked literal cannot
+    // satisfy across its quotes)
+    val sb = new StringBuilder
+    var last = 0
+    CteHead.findAllMatchIn(masked).foreach { m =>
       val name = m.group(1)
-      val cols = Option(m.group(2)).getOrElse("")
-      if (rec.contains(name) || dup.contains(name) ||
-          !bodyIsQuery(sql, m.end))
-        Regex.quoteReplacement(m.matched)
-      else Regex.quoteReplacement(s"$name$cols AS MATERIALIZED (")
-    })
+      if (!rec.contains(name) && !dup.contains(name) &&
+          bodyIsQuery(masked, m.end)) {
+        val cols = Option(m.group(2))
+          .map(_ => sql.substring(m.start(2), m.end(2))).getOrElse("")
+        sb.append(sql.substring(last, m.start))
+        sb.append(s"$name$cols AS MATERIALIZED (")
+        last = m.end
+      }
+    }
+    sb.append(sql.substring(last))
+    sb.toString
   }
 }

@@ -419,6 +419,20 @@ object HybridRetrieval {
   private def pinAndRelease(result: DataFrame,
       intermediates: Seq[DataFrame]): DataFrame = {
     val out = Dedup.materialize(result)
+    // INVARIANT — eager-materialize-before-release: releaseCheckpoint on
+    // a localCheckpoint'd frame truncates lineage AND drops the blocks,
+    // so any surviving reference that re-executes later fails with
+    // "checkpoint block not found" instead of recomputing. Releasing is
+    // only safe because `out` is fully materialized first (its analyzed
+    // plan is the pinned LogicalRDD — possibly under the union/project
+    // the caller wrapped it in, but every leaf is a LogicalRDD, never a
+    // live reference into an intermediate). Assert that here so a future
+    // reordering fails loudly in every spec instead of flaking at scale.
+    val leaves = out.queryExecution.analyzed.collectLeaves()
+    require(leaves.nonEmpty && leaves.forall(
+        _.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD]),
+      "pinAndRelease: result must be eagerly materialized (all leaves " +
+        "LogicalRDD) before its intermediates are released")
     intermediates.foreach(Dedup.releaseCheckpoint)
     out
   }
@@ -623,7 +637,11 @@ object HybridRetrieval {
     * `private[graft]` so the spec can replay the greedy reference over
     * the same frame.
     */
-  private[graft] def mmrPool(s: SparkSession, d: String): DataFrame = {
+  /** [[mmrPool]]'s plan BEFORE the pin — separated so plan governance
+    * can audit the pool build's join shapes (pin-and-release truncates
+    * the face's registry plan to checkpoint reads).
+    */
+  private[graft] def mmrPoolPlan(s: SparkSession, d: String): DataFrame = {
     val fusedW = Window.partitionBy(col("q_id"))
       .orderBy(col("rrf").desc, col("doc_id"))
     val ext = Window.partitionBy(col("q_id"))
@@ -650,13 +668,16 @@ object HybridRetrieval {
         (col("rel_i") - min(col("rel_i")).over(ext)) * lit(10000L))
       .withColumn("r0", greatest(
         max(col("rel_i")).over(ext) - min(col("rel_i")).over(ext), lit(1L)))
-      .localCheckpoint(true)
   }
+
+  private[graft] def mmrPool(s: SparkSession, d: String): DataFrame =
+    mmrPoolPlan(s, d).localCheckpoint(true)
 
   /** Pairwise rounded cosine between pool candidates of the same query,
     * as 1e-4 fixed-point integers — ≤ TopK² rows per query.
+    * [[mmrSims]]'s pre-pin plan, audited by plan governance.
     */
-  private[graft] def mmrSims(s: SparkSession, d: String,
+  private[graft] def mmrSimsPlan(s: SparkSession, d: String,
       pool: DataFrame): DataFrame = {
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -673,8 +694,11 @@ object HybridRetrieval {
       .select(col("q_id"), col("doc_id"), col("d2"),
         round(round(dot(col("va"), col("vb")) / (col("na") * col("nb")),
           4) * lit(10000d)).cast("long").as("sim_i"))
-      .localCheckpoint(true)
   }
+
+  private[graft] def mmrSims(s: SparkSession, d: String,
+      pool: DataFrame): DataFrame =
+    mmrSimsPlan(s, d, pool).localCheckpoint(true)
 
   private val hybridMmr: Q = (s, d) => {
     val pool = mmrPool(s, d)
@@ -754,35 +778,43 @@ object HybridRetrieval {
     * to the tf frame by doc equi-join; grading is the grouped eval's
     * broadcast-label joins.
     */
-  private val hybridPrf: Q = (s, d) => {
-    // pin the postings frames once (the BPE-curve lesson, SURVEY §13):
-    // both retrieval passes, the expansion mining, and the grading all
-    // re-derived the token scan through plan lineage — 16 nested
-    // loops / 122 exchanges of pure re-derivation in the r13 audit
-    val (tf0, dl0, df0, st0) = TextAnalysis.bm25Postings(s, d)
-    val Seq(tf, dl, dfT, stats) =
-      Seq(tf0, dl0, df0, st0).map(_.localCheckpoint(true))
-    // weighted retrieval pass over (q_id, term, w)
-    def scored(qterms: DataFrame): DataFrame =
-      qterms.join(tf, Seq("term"))
-        .filter(col("doc_id") =!= col("q_id"))
-        .join(dfT, Seq("term"))
-        .join(dl, Seq("doc_id"))
-        .crossJoin(broadcast(stats))
-        .withColumn("ts", TextAnalysis.bm25TermScore)
-        .groupBy(col("q_id"), col("doc_id"))
-        .agg(sum(col("w") * col("ts")).as("score"))
-    val qt = tf.filter(col("doc_id") < TextAnalysis.Bm25GroupQueries)
+  /** The PRF weighted retrieval pass over `(q_id, term, w)` — extracted
+    * so plan governance can audit its join shapes pre-checkpoint (the
+    * face's registry plan truncates to checkpoint reads).
+    */
+  private[graft] def prfScored(qterms: DataFrame, tf: DataFrame,
+      dl: DataFrame, dfT: DataFrame, stats: DataFrame): DataFrame =
+    qterms.join(tf, Seq("term"))
+      .filter(col("doc_id") =!= col("q_id"))
+      .join(dfT, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("ts", TextAnalysis.bm25TermScore)
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w") * col("ts")).as("score"))
+
+  /** The standing queries' own terms — the PRF base vocabulary. */
+  private[graft] def prfQueryTerms(tf: DataFrame): DataFrame =
+    tf.filter(col("doc_id") < TextAnalysis.Bm25GroupQueries)
       .select(col("doc_id").as("q_id"), col("term"))
-    val byScore = Window.partitionBy(col("q_id"))
-      .orderBy(col("score").desc, col("doc_id"))
-    // base feeds BOTH the expansion mining and its own grading leg
-    val base = scored(qt.withColumn("w", lit(1L)))
-      .withColumn("pos", row_number().over(byScore).cast("long"))
-      .localCheckpoint(true)
+
+  private def prfByScore = Window.partitionBy(col("q_id"))
+    .orderBy(col("score").desc, col("doc_id"))
+
+  /** The ranked unweighted base retrieval — pre-pin, governance-audited. */
+  private[graft] def prfBasePlan(qt: DataFrame, tf: DataFrame,
+      dl: DataFrame, dfT: DataFrame, stats: DataFrame): DataFrame =
+    prfScored(qt.withColumn("w", lit(1L)), tf, dl, dfT, stats)
+      .withColumn("pos", row_number().over(prfByScore).cast("long"))
+
+  /** Expansion-term mining over the base ranking's feedback docs —
+    * pre-pin, governance-audited.
+    */
+  private[graft] def prfExpansion(base: DataFrame, tf: DataFrame,
+      qt: DataFrame): DataFrame = {
     val byEw = Window.partitionBy(col("q_id"))
       .orderBy(col("ew").desc, col("term"))
-    val expansion = base.filter(col("pos") <= PrfFeedback)
+    base.filter(col("pos") <= PrfFeedback)
       .select(col("q_id"), col("doc_id"))
       .join(tf, Seq("doc_id"))
       .groupBy(col("q_id"), col("term"))
@@ -791,8 +823,23 @@ object HybridRetrieval {
       .withColumn("tr", row_number().over(byEw))
       .filter(col("tr") <= PrfTerms)
       .select(col("q_id"), col("term"))
-    val prf = scored(qt.withColumn("w", lit(PrfWOrig)).unionByName(
-        expansion.withColumn("w", lit(PrfWExp))))
+  }
+
+  private val hybridPrf: Q = (s, d) => {
+    // pin the postings frames once (the BPE-curve lesson, SURVEY §13):
+    // both retrieval passes, the expansion mining, and the grading all
+    // re-derived the token scan through plan lineage — 16 nested
+    // loops / 122 exchanges of pure re-derivation in the r13 audit
+    val (tf0, dl0, df0, st0) = TextAnalysis.bm25Postings(s, d)
+    val Seq(tf, dl, dfT, stats) =
+      Seq(tf0, dl0, df0, st0).map(_.localCheckpoint(true))
+    val qt = prfQueryTerms(tf)
+    val byScore = prfByScore
+    // base feeds BOTH the expansion mining and its own grading leg
+    val base = prfBasePlan(qt, tf, dl, dfT, stats).localCheckpoint(true)
+    val expansion = prfExpansion(base, tf, qt)
+    val prf = prfScored(qt.withColumn("w", lit(PrfWOrig)).unionByName(
+        expansion.withColumn("w", lit(PrfWExp))), tf, dl, dfT, stats)
       .withColumn("pos", row_number().over(byScore).cast("long"))
     // grade both rankings at GroupK — the rerank face's label joins
     val lbl = T(s, d, "embeddings").select(col("vec_id"), col("label"))

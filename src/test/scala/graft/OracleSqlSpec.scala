@@ -64,6 +64,32 @@ class OracleSqlSpec extends AnyFunSuite {
     assert(out.contains("b AS MATERIALIZED"))
   }
 
+  test("quoted parens and quoted CTE-head shapes inside literals are inert") {
+    // a ')' inside a literal must not close the body scan early, and an
+    // 'x AS (' inside a literal must not spawn a phantom CTE head
+    val in = "WITH a AS (SELECT ') b AS (' AS s, 1 AS x) SELECT * FROM a"
+    val out = OracleSql.materializeCtes(in)
+    assert(out ==
+      "WITH a AS MATERIALIZED (SELECT ') b AS (' AS s, 1 AS x) " +
+        "SELECT * FROM a")
+    // an escaped quote ('') stays inside its literal
+    val in2 = "WITH a AS (SELECT 'it''s ) AS (' AS s) SELECT * FROM a"
+    val out2 = OracleSql.materializeCtes(in2)
+    assert(out2 ==
+      "WITH a AS MATERIALIZED (SELECT 'it''s ) AS (' AS s) SELECT * FROM a")
+    // a self-reference that only occurs inside a literal is not recursive
+    val in3 = "WITH a AS (SELECT 'a' AS s) SELECT * FROM a"
+    assert(OracleSql.materializeCtes(in3).contains("a AS MATERIALIZED ("))
+  }
+
+  test("lowercase 'as (' heads still materialize") {
+    val in  = "with a as (select 1 as x) select * from a"
+    val out = OracleSql.materializeCtes(in)
+    assert(out == "with a AS MATERIALIZED (select 1 as x) select * from a")
+    // and the result is a fixed point
+    assert(OracleSql.materializeCtes(out) == out)
+  }
+
   test("idempotent and identity on non-WITH SQL") {
     val plain = "SELECT l_returnflag FROM lineitem"
     assert(OracleSql.materializeCtes(plain) == plain)

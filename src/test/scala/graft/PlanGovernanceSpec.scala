@@ -227,18 +227,39 @@ class PlanGovernanceSpec extends AnyFunSuite {
     // (the bounded patterns named here), and a cartesian product is a
     // scale regression anywhere.
     import graft.operators.{HybridRetrieval, TextAnalysis}
+    import org.apache.spark.sql.functions.lit
     val (tf, dl, dfT, st) = TextAnalysis.bm25Postings(spark, sf)
-    val legs: Seq[(String, org.apache.spark.sql.DataFrame, String)] = Seq(
-      ("lexRankedGrouped", HybridRetrieval.lexRankedGrouped(spark, sf),
-        "single-row corpus-stats crossJoin (scalar-stats pattern)"),
-      ("vecRankedGrouped", HybridRetrieval.vecRankedGrouped(spark, sf),
-        "broadcast 10-row query set (the sim_topk pattern)"),
-      ("qlmLeg", TextAnalysis.qlmRankedFrom(tf, dl, st),
-        "<=30-row smoothing grid + single-row stats"),
-      ("bm25Leg", TextAnalysis.bm25GroupedRanked(
-        TextAnalysis.bm25GroupedScoredFrom(tf, dl, dfT, st)),
-        "single-row corpus-stats crossJoin"))
-    legs.foreach { case (name, frame, why) =>
+    // the MMR/PRF faces pin these frames before use — audit the plans
+    // as built (mmrSims probes the REAL pinned pool, its production
+    // input; the PRF frames are audited over unpinned postings, which
+    // additionally covers the postings derivation itself)
+    val mmrPool = HybridRetrieval.mmrPool(spark, sf)
+    val qt = HybridRetrieval.prfQueryTerms(tf)
+    val prfBase = HybridRetrieval.prfBasePlan(qt, tf, dl, dfT, st)
+    val legs: Seq[(String, org.apache.spark.sql.DataFrame, String, Int)] =
+      Seq(
+        ("lexRankedGrouped", HybridRetrieval.lexRankedGrouped(spark, sf),
+          "single-row corpus-stats crossJoin (scalar-stats pattern)", 2),
+        ("vecRankedGrouped", HybridRetrieval.vecRankedGrouped(spark, sf),
+          "broadcast 10-row query set (the sim_topk pattern)", 2),
+        ("qlmLeg", TextAnalysis.qlmRankedFrom(tf, dl, st),
+          "<=30-row smoothing grid + single-row stats", 2),
+        ("bm25Leg", TextAnalysis.bm25GroupedRanked(
+          TextAnalysis.bm25GroupedScoredFrom(tf, dl, dfT, st)),
+          "single-row corpus-stats crossJoin", 2),
+        ("mmrPoolPlan", HybridRetrieval.mmrPoolPlan(spark, sf),
+          "both fused legs' bounded broadcasts (lex stats + vec queries)",
+          4),
+        ("mmrSimsPlan", HybridRetrieval.mmrSimsPlan(spark, sf, mmrPool),
+          "pure equi-joins over the pinned pool", 0),
+        ("prfBasePlan", prfBase,
+          "single-row corpus-stats crossJoin in the scored pass", 1),
+        ("prfExpansion", HybridRetrieval.prfExpansion(prfBase, tf, qt),
+          "equi-joins over postings; base's stats crossJoin upstream", 1),
+        ("prfRescored", HybridRetrieval.prfScored(
+          qt.withColumn("w", lit(2L)), tf, dl, dfT, st),
+          "single-row corpus-stats crossJoin", 1))
+    legs.foreach { case (name, frame, why, cap) =>
       val plan = PlanCheck.finalPlanString(frame)
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product ($why):\n$plan")
@@ -246,9 +267,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
       // what must not regress is their NUMBER growing (a new unbounded
       // join would first appear as an extra nested-loop node)
       val n = "BroadcastNestedLoopJoin".r.findAllIn(plan).length
-      assert(n <= 2, s"$name plans $n nested loops, expected <=2 " +
+      assert(n <= cap, s"$name plans $n nested loops, expected <=$cap " +
         s"(bounded: $why):\n$plan")
     }
+    graft.operators.Dedup.releaseCheckpoint(mmrPool)
   }
 
   test("no registry query plans an unbounded nested-loop join") {
