@@ -51,7 +51,9 @@ object ExplainAudit {
     "dedup_cc_ivm", "stream_quality_gate", "stream_embed_drift",
     // r15 faces
     "dedup_substring", "text_index_compact", "sim_knn_classify",
-    "dedup_substring_pairs", "stream_substring_gate")
+    "dedup_substring_pairs", "stream_substring_gate",
+    // r16 faces
+    "dedup_index_compact", "sim_index_compact", "dedup_cc_compact")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

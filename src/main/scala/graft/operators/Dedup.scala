@@ -1044,6 +1044,40 @@ object Dedup {
     Seq(newPairs, curr, mergeMap).foreach(releaseCheckpoint)
   }
 
+  /** COMPACT the maintained clustering state — the LSM lifecycle op
+    * applied to [[ccIvmBatch]]'s four stores: the shingle and signature
+    * generations concatenate into one base each (append-only frames
+    * over immutable docs — the store contract guarantees each doc_id
+    * appears exactly once across the input generations), every label
+    * row RESOLVES through the current remap into its live root, and
+    * the remap itself vanishes — a compacted base's labels ARE current
+    * roots, so the next fold's one-hop resolution starts from an empty
+    * remap. fold(compact(gens)) ≡ fold(gens) because resolution is the
+    * only way a label row is ever read ([[ccIvmBatch]] step 4), and
+    * resolve∘compact = resolve by the remap's one-hop invariant.
+    *
+    * Inputs are the UNIONED prior stores (the same frames a fold would
+    * probe), so callers with directory-backed state pass the gen union
+    * and callers threading DataFrames (the scale rung) pass those.
+    * Scale shape: three linear rewrites plus one broadcast-sized remap
+    * join — O(index), never O(corpus re-shingle); this is what bounds
+    * the band-store probe scan that grew 7 → 12 s/batch from 10× to
+    * 100× generation depth in the r15 rung table.
+    */
+  private[graft] def ccCompact(sh: DataFrame, sig: DataFrame,
+      lbl: DataFrame, remap: DataFrame, cstate: java.nio.file.Path): Unit = {
+    sh.select(col("doc_id"), col("shingle"))
+      .write.mode("overwrite").parquet(cstate.resolve("sh/base").toString)
+    sig.write.mode("overwrite")
+      .parquet(cstate.resolve("sig/base").toString)
+    lbl
+      .join(remap.withColumnRenamed("old", "component"),
+        Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("component")).as("component"))
+      .write.mode("overwrite").parquet(cstate.resolve("lbl/base").toString)
+  }
+
   /** The maintained shared tables, for rung-scale maintenance timing. */
   private[graft] def maintainedStores(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = sharedTables(s, d)

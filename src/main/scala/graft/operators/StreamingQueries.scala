@@ -426,15 +426,22 @@ object StreamingQueries {
       "stream_decontam" -> streamDecontam,
       "stream_quality_gate" -> streamQualityGate,
       "stream_substring_gate" -> streamSubstringGate),
-    // the four maintained-index replays: each face is a full
-    // streaming replay the best-of-2 harness previously ran TWICE;
-    // grouped, each runs once and the member reads its cached frame
+    // the maintained-index replays: each face is a full streaming
+    // replay the best-of-2 harness previously ran TWICE; grouped, each
+    // runs once and the member reads its cached frame. The COMPACTION
+    // twins that merely fold an already-built index (text/dedup/sim)
+    // are NOT members — they register as plain faces that adopt the
+    // group's memoized builds, so their fold cost lands on its own
+    // named bench item instead of hiding inside the group line (the
+    // r15 +1.11 s attribution finding). dedup_cc_compact IS a member:
+    // it is a full replay of its own (mid-stream compaction needs its
+    // own fold sequence), not a fold over a shared build.
     "index" -> Map(
       "dedup_index_ivm" -> dedupIndexIvm,
       "sim_index_ivm" -> simIndexIvm,
       "text_index_ivm" -> textIndexIvm,
-      "text_index_compact" -> textIndexCompact,
       "dedup_cc_ivm" -> dedupCcIvm,
+      "dedup_cc_compact" -> dedupCcCompact,
       "stream_embed_drift" -> streamEmbedDrift))
 
   /** Source tables a group's members read — the group cache key
@@ -538,9 +545,13 @@ object StreamingQueries {
     if (group == "ivm")
       ivmRunCache.remove(
         SharedArtifacts.fingerprint(d, "events.parquet", "ivmrun:v1:2views"))
-    // same for the index group's shared text-index build: a kept memo
-    // would let reruns time an empty read
-    if (group == "index") textIndexRunCache.remove(textIndexKey(d))
+    // same for the index group's shared builds: a kept memo would let
+    // reruns time an empty read
+    if (group == "index") {
+      textIndexRunCache.remove(textIndexKey(d))
+      dedupIndexRunCache.remove(dedupIndexKey(d))
+      simIndexRunCache.remove(simIndexKey(d))
+    }
     runReplayGroup(s, d, group)
   }
 
@@ -1116,45 +1127,96 @@ object StreamingQueries {
     * generation files exactly like the table manifests the lake layout
     * maintains.
     */
-  private val dedupIndexIvm: Q = (s, d) => {
-    val run = freshRunDir("graft_dix_")
-    val docs = T(s, d, "documents")
-    val ranked = docs
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-      .drop("rn", "n")
-    val idx = run.resolve("index")
-    Dedup.minhashSig(
-        Dedup.shingleRows(ranked.filter(col("bucket") < 3).drop("bucket")))
-      .write.mode("overwrite").parquet(idx.resolve("base").toString)
-    val srcDir = run.resolve("src").toString
-    ranked.filter(col("bucket") === 3).drop("bucket")
-      .repartition(3, col("doc_id"))
-      .write.mode("overwrite").parquet(srcDir)
-    val raw = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    withStreamingParallelism(s) {
-      val q = raw.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          Dedup.minhashSig(Dedup.shingleRows(batch))
-            .write.mode("overwrite")
-            .parquet(idx.resolve(f"b$batchId%05d").toString)
-        }
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk").toString)
-        .start()
-      q.awaitTermination()
-    }
-    // list the generation dirs explicitly (a glob path would make the
-    // batch reader probe it for streaming-sink metadata and log a
-    // spurious FileNotFoundException before falling back)
-    val gens = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(idx).iterator().asScala
-        .map(_.toString).toSeq.sorted
-    }
-    Dedup.bandPairs(s.read.parquet(gens: _*))
+  /** One maintained-dedup-index BUILD per dataset version per process
+    * (base generation + 3 streamed arrival generations of signatures),
+    * shared by the maintained-index face and its compaction twin —
+    * [[textIndexRunCache]]'s discipline. [[rerunReplayGroup]] drops
+    * this memo for the `index` group so bench reruns repay the build;
+    * the compaction face (a plain registry face, NOT a group member —
+    * its fold is a named bench cost) adopts whatever build the group
+    * left behind.
+    */
+  private val dedupIndexRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private[graft] def dedupIndexKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "documents.parquet", "dixrun:v1")
+
+  private def builtDedupIndex(s: SparkSession, d: String): java.nio.file.Path =
+    dedupIndexRunCache.computeIfAbsent(dedupIndexKey(d), _ => {
+      val run = freshRunDir("graft_dix_")
+      val docs = T(s, d, "documents")
+      val ranked = docs
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+        .drop("rn", "n")
+      val idx = run.resolve("index")
+      Dedup.minhashSig(
+          Dedup.shingleRows(ranked.filter(col("bucket") < 3).drop("bucket")))
+        .write.mode("overwrite").parquet(idx.resolve("base").toString)
+      val srcDir = run.resolve("src").toString
+      ranked.filter(col("bucket") === 3).drop("bucket")
+        .repartition(3, col("doc_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val raw = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      withStreamingParallelism(s) {
+        val q = raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            Dedup.minhashSig(Dedup.shingleRows(batch))
+              .write.mode("overwrite")
+              .parquet(idx.resolve(f"b$batchId%05d").toString)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk").toString)
+          .start()
+        q.awaitTermination()
+      }
+      idx
+    })
+
+  /** Union every generation under an index dir. Generation dirs are
+    * listed explicitly (a glob path would make the batch reader probe
+    * it for streaming-sink metadata and log a spurious
+    * FileNotFoundException before falling back).
+    */
+  private def readIndexGens(s: SparkSession,
+      idx: java.nio.file.Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val gens = java.nio.file.Files.list(idx).iterator().asScala
+      .map(_.toString).toSeq.sorted
+    s.read.parquet(gens: _*)
+  }
+
+  private val dedupIndexIvm: Q = (s, d) =>
+    Dedup.bandPairs(readIndexGens(s, builtDedupIndex(s, d)))
+
+  /** MAINTAINED-DEDUP-INDEX COMPACTION — [[textIndexCompact]]'s
+    * lifecycle op applied to the signature store: generations
+    * accumulate one per arriving batch, and a production tier
+    * periodically rewrites them into a single base so the read side
+    * (and every at-ingest band probe) stops folding an ever-growing
+    * generation list. Signatures are per-doc rows over immutable docs
+    * — pure append, no partials — so compaction here is exactly the
+    * concatenating rewrite, and fold(compact(gens)) ≡ fold(gens) is
+    * set equality of the unioned rows. The emitted result is the LSH
+    * candidate-pair set derived from the COMPACTED single-generation
+    * index, hash-checked against the same from-scratch
+    * `dedup_minhash_lsh` oracle as `dedup_index_ivm`: compaction must
+    * be invisible to every query.
+    *
+    * Scale shape: one linear rewrite of the signature store — O(index
+    * bytes), never O(corpus re-shingle); at 100 TB it bounds the
+    * file-count and probe-scan growth the r15 rung measured (the cc
+    * fold's 7 → 12 s/batch from 10× to 100× generation depth).
+    */
+  private val dedupIndexCompact: Q = (s, d) => {
+    val idx = builtDedupIndex(s, d)
+    val cidx = idx.getParent.resolve("compacted")
+    readIndexGens(s, idx).write.mode("overwrite")
+      .parquet(cidx.resolve("base").toString)
+    Dedup.bandPairs(readIndexGens(s, cidx))
   }
 
   /** MAINTAINED VECTOR INDEX — [[dedupIndexIvm]]'s pattern applied to
@@ -1177,57 +1239,91 @@ object StreamingQueries {
     * never the corpus; the quartile split is the staged row_number
     * ([[stageIvmSource]]'s documented trade).
     */
-  private val simIndexIvm: Q = (s, d) => {
-    val run = freshRunDir("graft_six_")
-    val emb = T(s, d, "embeddings")
-    val proj = emb.select(col("vec_id"),
-      graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-    val ranked = proj
-      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-      .drop("rn", "n")
-    val idx = run.resolve("lists")
-    // freeze the base-trained quantizer through parquet (bit-stable
-    // doubles; the pqFromCodebook discipline)
-    graft.operators.Similarity
-      .ivfTrainOn(ranked.filter(col("bucket") < 3).drop("bucket"))
-      .write.mode("overwrite").parquet(run.resolve("cents").toString)
-    val frozen = s.read.parquet(run.resolve("cents").toString)
-    graft.operators.Similarity
-      .assignCells(ranked.filter(col("bucket") < 3).drop("bucket"), frozen)
-      .write.mode("overwrite").parquet(idx.resolve("base").toString)
-    // the arriving tail: ids only through the stream (the file source
-    // re-reads vectors per batch from the staged parquet)
-    val srcDir = run.resolve("src").toString
-    emb.join(ranked.filter(col("bucket") === 3).select(col("vec_id")),
-        Seq("vec_id"))
-      .repartition(3, col("vec_id"))
-      .write.mode("overwrite").parquet(srcDir)
-    val raw = s.readStream.schema(emb.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    withStreamingParallelism(s) {
-      val q = raw.writeStream
-        .foreachBatch { (batch: DataFrame, batchId: Long) =>
-          graft.operators.Similarity.assignCells(
-              batch.select(col("vec_id"),
-                graft.functions.VectorFunctions.asDouble(col("embedding"))
-                  .as("v")),
-              frozen)
-            .write.mode("overwrite")
-            .parquet(idx.resolve(f"b$batchId%05d").toString)
-        }
-        .trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", run.resolve("chk").toString)
-        .start()
-      q.awaitTermination()
-    }
-    val gens = {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(idx).iterator().asScala
-        .map(_.toString).toSeq.sorted
-    }
-    s.read.parquet(gens: _*)
+  /** One maintained-vector-index BUILD per dataset version per process
+    * (frozen base-trained quantizer + base lists + 3 streamed arrival
+    * list generations), shared by the maintained-index face and its
+    * compaction twin — [[textIndexRunCache]]'s discipline, memo dropped
+    * by [[rerunReplayGroup]] so bench reruns repay the build.
+    */
+  private val simIndexRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private[graft] def simIndexKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "embeddings.parquet", "sixrun:v1")
+
+  private def builtSimIndex(s: SparkSession, d: String): java.nio.file.Path =
+    simIndexRunCache.computeIfAbsent(simIndexKey(d), _ => {
+      val run = freshRunDir("graft_six_")
+      val emb = T(s, d, "embeddings")
+      val proj = emb.select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      val ranked = proj
+        .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+        .drop("rn", "n")
+      val idx = run.resolve("lists")
+      // freeze the base-trained quantizer through parquet (bit-stable
+      // doubles; the pqFromCodebook discipline)
+      graft.operators.Similarity
+        .ivfTrainOn(ranked.filter(col("bucket") < 3).drop("bucket"))
+        .write.mode("overwrite").parquet(run.resolve("cents").toString)
+      val frozen = s.read.parquet(run.resolve("cents").toString)
+      graft.operators.Similarity
+        .assignCells(ranked.filter(col("bucket") < 3).drop("bucket"), frozen)
+        .write.mode("overwrite").parquet(idx.resolve("base").toString)
+      // the arriving tail: ids only through the stream (the file source
+      // re-reads vectors per batch from the staged parquet)
+      val srcDir = run.resolve("src").toString
+      emb.join(ranked.filter(col("bucket") === 3).select(col("vec_id")),
+          Seq("vec_id"))
+        .repartition(3, col("vec_id"))
+        .write.mode("overwrite").parquet(srcDir)
+      val raw = s.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      withStreamingParallelism(s) {
+        val q = raw.writeStream
+          .foreachBatch { (batch: DataFrame, batchId: Long) =>
+            graft.operators.Similarity.assignCells(
+                batch.select(col("vec_id"),
+                  graft.functions.VectorFunctions.asDouble(col("embedding"))
+                    .as("v")),
+                frozen)
+              .write.mode("overwrite")
+              .parquet(idx.resolve(f"b$batchId%05d").toString)
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", run.resolve("chk").toString)
+          .start()
+        q.awaitTermination()
+      }
+      idx
+    })
+
+  private val simIndexIvm: Q = (s, d) =>
+    readIndexGens(s, builtSimIndex(s, d))
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+
+  /** MAINTAINED-VECTOR-INDEX COMPACTION — the IVF list store's
+    * lifecycle op: arrival generations rewrite into one base (cell
+    * assignments are per-vector rows under the FROZEN quantizer —
+    * pure append, so compaction is the concatenating rewrite; the
+    * quantizer itself never changes, which is exactly why the rewrite
+    * is safe — a retrain would be a reindex, not a compaction). The
+    * emitted result is the full maintained lists read from the
+    * COMPACTED store, hash-checked against the same frozen-quantizer
+    * one-shot-assignment oracle as `sim_index_ivm`.
+    *
+    * Scale shape: one linear rewrite of the list store — in FAISS
+    * terms, merging the add-log into the inverted lists; at 100 TB it
+    * runs cell-partition-parallel and bounds per-probe file fan-in.
+    */
+  private val simIndexCompact: Q = (s, d) => {
+    val idx = builtSimIndex(s, d)
+    val cidx = idx.getParent.resolve("compacted")
+    readIndexGens(s, idx).write.mode("overwrite")
+      .parquet(cidx.resolve("base").toString)
+    readIndexGens(s, cidx)
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
@@ -1723,6 +1819,117 @@ object StreamingQueries {
     val allGens = gensBefore("lbl", Long.MaxValue)
     val allLbl = s.read.parquet(allGens: _*)
     val remapGens = gensBefore("remap", Long.MaxValue)
+    if (remapGens.isEmpty) allLbl.select(col("doc_id"), col("component"))
+    else allLbl
+      .join(s.read.parquet(remapGens.max)
+        .withColumnRenamed("old", "component"), Seq("component"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("component")).as("component"))
+  }
+
+  /** MAINTAINED-CLUSTERING COMPACTION — the lifecycle op for the
+    * heaviest maintained state in the engine, exercised MID-REPLAY
+    * (the only compaction whose correctness is non-trivial: unlike the
+    * signature/list/postings stores, the cc fold READS its stores back
+    * — the band probe scans every signature generation and label
+    * resolution hops the remap — so the gate must prove folds AFTER a
+    * compaction still converge to the from-scratch clustering). The
+    * resident three doc_id-rank quartiles cluster as the base; the
+    * last quartile arrives as a 3-micro-batch stream; batches 0–1 fold
+    * into the live store exactly like `dedup_cc_ivm`, then the store
+    * COMPACTS ([[Dedup.ccCompact]]: shingles/signatures concatenate,
+    * labels resolve through the remap into live roots, the remap
+    * vanishes), and batch 2 folds against the compacted store — its
+    * band probe now scans ONE signature generation, its label
+    * resolution starts from an empty remap. The emitted result is the
+    * final label set, hash-checked against the same from-scratch
+    * transitive-closure oracle as `dedup_cc_ivm`:
+    * fold(compact(gens)) ≡ fold(gens), for the clustering itself.
+    *
+    * Replay idempotency at the boundary: the compaction's inputs are
+    * the generations strictly BEFORE the boundary batch (fixed by the
+    * time it runs) and its output is an overwrite — a replayed
+    * boundary batch re-compacts byte-identically before re-folding.
+    *
+    * Scale shape: this is the op that bounds the one measured
+    * depth-growth term in the engine (the r15 rung's cc fold, 7 → 12
+    * s/batch from 10× to 100×, traced to the band-store probe scanning
+    * the growing generation list); compaction cost itself is three
+    * linear rewrites + one remap-sized join, O(index) never O(corpus).
+    */
+  private val dedupCcCompact: Q = (s, d) => {
+    val run = freshRunDir("graft_cccp_")
+    val docs = T(s, d, "documents")
+    val ranked = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+      .drop("rn", "n")
+    val state = run.resolve("state") // live store, folds before the boundary
+    val cstate = run.resolve("cstate") // compacted store, folds after
+    Dedup.ccIvmBaseFromShared(s, d,
+      ranked.filter(col("bucket") < 3).select(col("doc_id")), state)
+    val srcDir = run.resolve("src").toString
+    ranked.filter(col("bucket") === 3).drop("bucket")
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    // generations BEFORE batch k under a store root — the dedupCcIvm
+    // helper parameterized over the root, because this face folds into
+    // two stores (live until the boundary, compacted after)
+    def gensBefore(root: java.nio.file.Path, sub: String,
+        batchId: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val dir = root.resolve(sub)
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "base" || n.drop(1).toLong < batchId
+        }.map(_.toString).toSeq.sorted
+    }
+    val compactAt = 2L
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          val root = if (batchId < compactAt) state else cstate
+          if (batchId == compactAt) {
+            // the boundary: rewrite everything folded so far (inputs
+            // fixed — gens strictly before the boundary) into the
+            // compacted store; idempotent overwrite under replay
+            def all(sub: String) =
+              sp.read.parquet(gensBefore(state, sub, compactAt): _*)
+            val remaps = gensBefore(state, "remap", compactAt)
+            val finalRemap =
+              if (remaps.isEmpty)
+                sp.range(0).select(col("id").as("old"), col("id").as("root"))
+              else sp.read.parquet(remaps.max)
+            Dedup.ccCompact(all("sh"), all("sig"), all("lbl"),
+              finalRemap, cstate)
+          }
+          def rd(sub: String) =
+            sp.read.parquet(gensBefore(root, sub, batchId): _*)
+          val remaps = gensBefore(root, "remap", batchId)
+          val prevRemap =
+            if (remaps.isEmpty)
+              sp.range(0).select(col("id").as("old"), col("id").as("root"))
+            else sp.read.parquet(remaps.max)
+          Dedup.ccIvmBatch(batch, rd("sh"), rd("sig"), rd("lbl"),
+            prevRemap, root, f"b$batchId%05d")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    // read-back: the compacted store's label generations resolved
+    // through ITS final remap (base labels are already live roots —
+    // the compaction invariant; only post-boundary merges re-point)
+    val allLbl = s.read.parquet(
+      gensBefore(cstate, "lbl", Long.MaxValue): _*)
+    val remapGens = gensBefore(cstate, "remap", Long.MaxValue)
     if (remapGens.isEmpty) allLbl.select(col("doc_id"), col("component"))
     else allLbl
       .join(s.read.parquet(remapGens.max)
@@ -2633,11 +2840,16 @@ object StreamingQueries {
 
   /** Every face in a replay group registers through [[groupedFace]]:
     * the first member invoked runs the whole group concurrently, the
-    * rest adopt their cached read-backs. Only time travel (its own
-    * one-shot replay) keeps a solo registration.
+    * rest adopt their cached read-backs. Time travel (its own one-shot
+    * replay) and the three build-adopting compaction faces (their fold
+    * is the face's own named bench cost — the index builds they adopt
+    * are memoized per dataset version) keep solo registrations.
     */
   val queries: Map[String, Q] = Map(
     "state_time_travel" -> stateTimeTravel,
+    "text_index_compact" -> textIndexCompact,
+    "dedup_index_compact" -> dedupIndexCompact,
+    "sim_index_compact" -> simIndexCompact,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -2807,44 +3019,18 @@ object StreamingQueries {
     // capped-seed quantizer assigning ALL vectors in one shot — the
     // frozen-quantizer IVM identity; argmin tie-break (d2, cid) as
     // everywhere
-    "sim_index_ivm" ->
-      s"""WITH e AS (
-         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |r AS (
-         |  SELECT vec_id, v,
-         |    row_number() OVER (ORDER BY vec_id) AS rn,
-         |    count(*) OVER () AS n
-         |  FROM e),
-         |be AS (
-         |  SELECT vec_id, v FROM r WHERE ((rn - 1) * 4) // n < 3),
-         |seeds AS (
-         |  SELECT CAST(vec_id // ${Similarity.IvfSeedStep} AS INT) AS cid,
-         |    v AS cv
-         |  FROM be WHERE vec_id % ${Similarity.IvfSeedStep} = 0
-         |    AND vec_id <
-         |      ${Similarity.IvfSeedStep.toLong * Similarity.IvfCentroidCap}),
-         |assign0 AS (
-         |  SELECT vec_id, cid FROM (
-         |    SELECT b.vec_id, s.cid,
-         |      row_number() OVER (PARTITION BY b.vec_id
-         |        ORDER BY list_inner_product(s.cv, s.cv)
-         |                 - 2*list_inner_product(b.v, s.cv), s.cid) AS rn
-         |    FROM be b CROSS JOIN seeds s)
-         |  WHERE rn = 1),
-         |cent AS (
-         |  SELECT a.cid, t.i, avg(b.v[t.i]) AS m
-         |  FROM assign0 a JOIN be b USING (vec_id),
-         |       unnest(generate_series(1, len(b.v))) t(i)
-         |  GROUP BY a.cid, t.i),
-         |centroids AS (
-         |  SELECT cid, list(m ORDER BY i) AS cv FROM cent GROUP BY cid)
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
-         |  SELECT e.vec_id, c.cid,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY list_inner_product(c.cv, c.cv)
-         |               - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
-         |  FROM e CROSS JOIN centroids c)
-         |WHERE rn = 1""".stripMargin,
+    "sim_index_ivm" -> simIndexOracle,
+    // compaction must be invisible to every query: the compacted list
+    // store reads identically to the generation union, so the twin
+    // shares the frozen-quantizer oracle verbatim
+    "sim_index_compact" -> simIndexOracle,
+    // same statement for the signature store: the compacted index
+    // derives the identical candidate-pair set
+    "dedup_index_compact" -> Dedup.oracles("dedup_minhash_lsh"),
+    // folds across a mid-replay compaction must still converge to the
+    // from-scratch transitive closure — the same oracle as the
+    // uncompacted maintainer
+    "dedup_cc_compact" -> Dedup.oracles("dedup_components"),
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
     // the keyed trailing-baseline fold must agree with the batch
@@ -2882,4 +3068,51 @@ object StreamingQueries {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 24 HOURS""".stripMargin,
   )
+
+  /** The frozen-quantizer IVM identity in SQL — the base-trained
+    * (first three vec_id-rank quartiles), capped-seed quantizer
+    * assigning ALL vectors in one shot; argmin tie-break (d2, cid) as
+    * everywhere. Shared verbatim by `sim_index_ivm` and its compaction
+    * twin (compaction must be invisible to every query).
+    */
+  // lazy: declared after the `oracles` map that embeds it — a strict
+  // val would still be null when the map initializes
+  private lazy val simIndexOracle: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |r AS (
+       |  SELECT vec_id, v,
+       |    row_number() OVER (ORDER BY vec_id) AS rn,
+       |    count(*) OVER () AS n
+       |  FROM e),
+       |be AS (
+       |  SELECT vec_id, v FROM r WHERE ((rn - 1) * 4) // n < 3),
+       |seeds AS (
+       |  SELECT CAST(vec_id // ${Similarity.IvfSeedStep} AS INT) AS cid,
+       |    v AS cv
+       |  FROM be WHERE vec_id % ${Similarity.IvfSeedStep} = 0
+       |    AND vec_id <
+       |      ${Similarity.IvfSeedStep.toLong * Similarity.IvfCentroidCap}),
+       |assign0 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT b.vec_id, s.cid,
+       |      row_number() OVER (PARTITION BY b.vec_id
+       |        ORDER BY list_inner_product(s.cv, s.cv)
+       |                 - 2*list_inner_product(b.v, s.cv), s.cid) AS rn
+       |    FROM be b CROSS JOIN seeds s)
+       |  WHERE rn = 1),
+       |cent AS (
+       |  SELECT a.cid, t.i, avg(b.v[t.i]) AS m
+       |  FROM assign0 a JOIN be b USING (vec_id),
+       |       unnest(generate_series(1, len(b.v))) t(i)
+       |  GROUP BY a.cid, t.i),
+       |centroids AS (
+       |  SELECT cid, list(m ORDER BY i) AS cv FROM cent GROUP BY cid)
+       |SELECT vec_id, CAST(cid AS BIGINT) AS cid FROM (
+       |  SELECT e.vec_id, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_inner_product(c.cv, c.cv)
+       |               - 2*list_inner_product(e.v, c.cv), c.cid) AS rn
+       |  FROM e CROSS JOIN centroids c)
+       |WHERE rn = 1""".stripMargin
 }

@@ -36,6 +36,36 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(compacted.sameElements(maintained))
   }
 
+  test("dedup_index_compact: compacting the signature generations into " +
+      "one base derives the identical candidate-pair set") {
+    val compacted = StreamingQueries.queries("dedup_index_compact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val maintained = StreamingQueries.queries("dedup_index_ivm")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(compacted.length == maintained.length)
+    assert(compacted.sameElements(maintained))
+  }
+
+  test("sim_index_compact: compacting the list generations into one base " +
+      "reads the identical maintained lists") {
+    val compacted = StreamingQueries.queries("sim_index_compact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val maintained = StreamingQueries.queries("sim_index_ivm")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(compacted.length == maintained.length)
+    assert(compacted.sameElements(maintained))
+  }
+
+  test("dedup_cc_compact: folds across a mid-replay compaction still " +
+      "converge to the from-scratch clustering") {
+    val compacted = StreamingQueries.queries("dedup_cc_compact")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val rebuilt = Dedup.queries("dedup_components")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(compacted.length == rebuilt.length)
+    assert(compacted.sameElements(rebuilt))
+  }
+
   test("dedup_cc_ivm: maintained labels == from-scratch clustering, " +
       "row for row") {
     val maintained = StreamingQueries.queries("dedup_cc_ivm")(spark, sf)
@@ -110,6 +140,64 @@ class IndexIvmSpec extends AnyFunSuite {
     val remap2 = rd("remap", "b00002").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(remap2 == remap1, "re-delivery must not disturb the remap")
+  }
+
+  test("ccCompact: labels resolve to live roots, the remap resets, and " +
+      "a fold against the compacted store equals the uncompacted fold") {
+    import spark.implicits._
+    val ta = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tb = (1 to 10).map(i => s"b$i").mkString(" ")
+    def docs(rows: (Long, String)*) = rows.toSeq.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("cccp_spec_")
+    val cstate = state.resolve("compacted")
+    Dedup.ccIvmBase(
+      docs(10L -> ta, 11L -> ta, 20L -> tb, 21L -> tb, 30L -> "solo"),
+      state)
+    def rd(root: java.nio.file.Path, sub: String, gens: String*) =
+      spark.read.parquet(gens.map(g => root.resolve(s"$sub/$g").toString): _*)
+    val emptyRemap = spark.range(0).selectExpr("id AS old", "id AS root")
+    // batch 0 merges {10,11} + 5 -> root 5 (remap: 10 -> 5)
+    Dedup.ccIvmBatch(docs(5L -> ta), rd(state, "sh", "base"),
+      rd(state, "sig", "base"), rd(state, "lbl", "base"),
+      emptyRemap, state, "b00000")
+    // compact {base, b00000}: labels must come out RESOLVED (10's row
+    // reads component 5, not its immutable historical root 10)
+    def run(): Unit = Dedup.ccCompact(
+      rd(state, "sh", "base", "b00000"), rd(state, "sig", "base", "b00000"),
+      rd(state, "lbl", "base", "b00000"), rd(state, "remap", "b00000"),
+      cstate)
+    run()
+    val cl1 = rd(cstate, "lbl", "base").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    run() // compaction is an idempotent overwrite
+    assert(rd(cstate, "lbl", "base").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap == cl1)
+    assert(cl1 == Map(10L -> 5L, 11L -> 5L, 5L -> 5L, 20L -> 20L,
+      21L -> 20L), "compacted labels must be live roots")
+    // every compacted label is a root: no label is a remap key anymore
+    assert(cl1.values.toSet.subsetOf(cl1.keySet))
+    // store sizes carry over exactly (pure concatenation)
+    assert(rd(cstate, "sh", "base").count() ==
+      rd(state, "sh", "base", "b00000").count())
+    assert(rd(cstate, "sig", "base").count() ==
+      rd(state, "sig", "base", "b00000").count())
+    // fold batch 1 against the COMPACTED store, remap starting empty —
+    // arriving 3 undercuts root 5: resolved labels must equal the
+    // uncompacted path's (the existing ccIvmBatch spec's expectation)
+    Dedup.ccIvmBatch(docs(3L -> ta), rd(cstate, "sh", "base"),
+      rd(cstate, "sig", "base"), rd(cstate, "lbl", "base"),
+      emptyRemap, cstate, "b00001")
+    val remap1 = rd(cstate, "remap", "b00001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(remap1 == Map(5L -> 3L),
+      "post-compaction merge re-points the live root only — the " +
+        "historical 10 -> 5 entry was retired by the compaction")
+    val lbl = rd(cstate, "lbl", "base", "b00001").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val resolved = lbl.view.mapValues(v => remap1.getOrElse(v, v)).toMap
+    assert(resolved == Map(10L -> 3L, 11L -> 3L, 5L -> 3L, 3L -> 3L,
+      20L -> 20L, 21L -> 20L),
+      "fold(compact(gens)) must equal fold(gens)")
   }
 
   test("stream_embed_drift: streaming frozen-reference fold == batch " +
