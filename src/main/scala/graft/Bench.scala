@@ -59,6 +59,8 @@ object Bench {
         graft.operators.Similarity.ensurePqArtifact(spark, sfDir)),
       timedBuild("knn_shared_build")(
         graft.operators.Similarity.ensureKnnArtifact(spark, sfDir)),
+      timedBuild("gnav_shared_build")(
+        graft.operators.Similarity.ensureGnavArtifact(spark, sfDir)),
       timedBuild("bkt_shared_build")(
         graft.operators.BucketedJoin.ensureBucketedFacts(spark, sfDir)),
       timedBuild("msf_shared_build")(

@@ -53,7 +53,8 @@ object ExplainAudit {
     "dedup_substring", "text_index_compact", "sim_knn_classify",
     "dedup_substring_pairs", "stream_substring_gate",
     // r16 faces
-    "dedup_index_compact", "sim_index_compact", "dedup_cc_compact")
+    "dedup_index_compact", "sim_index_compact", "dedup_cc_compact",
+    "sim_ann_graph", "sim_gnav_recall")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -1445,7 +1445,7 @@ object Similarity {
     * identically everywhere.
     */
   private[graft] def knnGraphAnn(s: SparkSession, d: String,
-      sameLabelOnly: Boolean = true): DataFrame = {
+      sameLabelOnly: Boolean = true, k: Int = KnnK): DataFrame = {
     import s.implicits._
     val e = T(s, d, "embeddings")
       .select(col("vec_id"), col("label"),
@@ -1498,7 +1498,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("nbr_id"))
       .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
       .withColumn("rank", row_number().over(byVec))
-      .filter(col("rank") <= KnnK)
+      .filter(col("rank") <= k)
       .select(col("vec_id"), col("rank").cast("long").as("rank"),
         col("nbr_id"), (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
@@ -1606,6 +1606,172 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  // ---- graph-navigation ANN (sim_ann_graph) -------------------------------
+  //
+  // The third ANN family next to the partition (LSH/IVF) and codec
+  // (PQ/SQ) paths: NSW/HNSW-style GREEDY BEAM SEARCH over a
+  // bounded-degree neighbor graph — the structure production vector
+  // stores navigate (a query walks from fixed entry points toward its
+  // neighborhood, expanding only the current beam's adjacency lists).
+  // Everything is deterministic and hash-checkable: the graph is the
+  // cross-label ANN-composed kNN graph SYMMETRIZED and degree-capped
+  // (rank by the artifact's rounded sim, nbr_id tie-break), the entry
+  // points are stride-fixed vec_ids (the IVF seed discipline), and
+  // each hop's beam cut is the registry-wide (score desc, id) total
+  // order. Hops are a FIXED unrolled count — the SQL oracle replays
+  // them as chained CTEs exactly like the Lloyd rounds.
+
+  /** Neighbor count of the navigation graph's kNN build — WIDER than
+    * the artifact's [[KnnK]]: graph navigation needs edge density to
+    * route (an NSW over a 3-NN graph strands the walk in local optima
+    * — measured 20% recall@5; k=8 with the matching degree/beam below
+    * reaches the family's deployable band). The build is the same
+    * cross-label [[knnGraphAnn]] composition, just a deeper cut.
+    */
+  private val GnavK = 8
+
+  /** Degree cap of the navigation graph: each node keeps its
+    * [[GnavDegree]] best symmetrized edges — symmetrizing roughly
+    * doubles candidate edges, and the cap restores bounded per-node
+    * expansion cost (the property that makes beam search
+    * O(beam·degree·hops) per query at ANY corpus size).
+    */
+  private val GnavDegree = 16
+
+  /** Beam width: candidates kept per hop. */
+  private val GnavBeam = 16
+
+  /** Fixed hop count — unrolled, so both engines replay identically;
+    * diameter coverage comes from seed spread, not hop depth.
+    */
+  private val GnavHops = 5
+
+  /** Entry points: every [[GnavSeedStep]]-th vec_id, capped at
+    * [[GnavSeedCap]] seeds — the IVF stride-seed discipline applied to
+    * graph entry (production HNSW uses its top layer for this; a fixed
+    * stride is the deterministic equivalent at one layer).
+    */
+  private val GnavSeedStep = 16
+  private val GnavSeedCap = 64L
+
+  private def gnavKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "embeddings.parquet",
+      s"gnav:v1:d$GnavDegree:gk$GnavK:ivf$IvfSeedStep:" +
+        s"cap$IvfCentroidCap:np$KnnProbes")
+
+  /** The published navigation graph `(vec_id, nbr_id, sim)` under the
+    * shared-artifact protocol: symmetrize the cross-label ANN kNN
+    * graph (a pair's sim is bit-identical in both directions — same
+    * element products, same summation order — so the union dedups
+    * exactly) and keep each node's [[GnavDegree]] best edges by
+    * (sim desc, nbr_id) over the artifact's ROUNDED sims, which both
+    * engines hold byte-equal.
+    */
+  private[graft] def gnavShared(s: SparkSession, d: String): DataFrame = {
+    val base = SharedArtifacts.root.resolve(s"gnav_${gnavKey(d)}")
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      val g = knnGraphAnn(s, d, sameLabelOnly = false, k = GnavK)
+        .select(col("vec_id"), col("nbr_id"), col("sim"))
+      val sym = g.union(g.select(col("nbr_id").as("vec_id"),
+          col("vec_id").as("nbr_id"), col("sim")))
+        .distinct()
+      val byNode = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      sym.withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") <= GnavDegree)
+        .select(col("vec_id"), col("nbr_id"), col("sim"))
+        .write.mode("overwrite").parquet(staging.resolve("adj").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    s.read.parquet(base.resolve("adj").toString)
+  }
+
+  /** Eagerly build (or adopt) the navigation graph — the bench's
+    * visibility hook, like [[ensureKnnArtifact]].
+    */
+  def ensureGnavArtifact(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(
+      SharedArtifacts.root.resolve(s"gnav_${gnavKey(d)}"))
+    gnavShared(s, d).queryExecution
+    !existed
+  }
+
+  /** GRAPH-NAVIGATION ANN SEARCH — greedy beam search over the
+    * published navigation graph: the beam starts as the top-
+    * [[GnavBeam]] of the fixed entry points by exact cosine, and each
+    * of the [[GnavHops]] hops expands the beam's adjacency lists,
+    * rescores exactly, and keeps the top-[[GnavBeam]] again (beam ∪
+    * neighbors(beam) — monotone: a beam member re-competes every hop,
+    * so beam quality never degrades and no visited-set state is
+    * needed). Emits the final beam's top-[[K]] in the ANN family's
+    * `(q_id, neighbor_id, rank, sim)` shape.
+    *
+    * Scale shape: per query per hop the work is ≤ beam·degree
+    * adjacency probes (equi-join on the node id — at 100 TB the
+    * adjacency is range-partitioned on vec_id and the probe side is
+    * beam-sized) plus beam·degree exact rescorings; the corpus itself
+    * is never scanned after the graph is built. The query×seed scoring
+    * is a bounded broadcast (NQueries × GnavSeedCap rows).
+    */
+  private val annGraphNav: Q = (s, d) => {
+    val adj = gnavShared(s, d)
+      .select(col("vec_id").as("node"), col("nbr_id"))
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
+        col("vec_id") < GnavSeedStep * GnavSeedCap)
+      .select(col("vec_id").as("node"))
+    def score(cand: DataFrame): DataFrame = cand
+      .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("node"))
+      .join(broadcast(q), Seq("q_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .select(col("q_id"), col("node"), col("sim"))
+    val byQ = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("node"))
+    def topB(scored: DataFrame): DataFrame = scored
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= GnavBeam)
+      .select(col("q_id"), col("node"), col("sim"))
+    var beam = topB(score(q.select(col("q_id")).crossJoin(broadcast(seeds))
+      .filter(col("node") =!= col("q_id"))))
+    for (_ <- 1 to GnavHops) {
+      val expand = beam.select(col("q_id"), col("node"))
+        .join(adj, Seq("node"))
+        .select(col("q_id"), col("nbr_id").as("node"))
+      val cand = beam.select(col("q_id"), col("node")).union(expand)
+        .filter(col("node") =!= col("q_id"))
+        .distinct()
+      beam = topB(score(cand))
+    }
+    beam.withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("node").as("neighbor_id"), col("rank"),
+        (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
+  /** GRAPH-NAVIGATION RECALL GATE — `sim_ann_recall`'s per-query
+    * agreement report for the beam search, against the same exact
+    * brute-force ranking: the number that decides whether the
+    * navigation family's (degree, beam, hops, seeds) knobs are
+    * deployable, pinned as a hash-checked integer like IVF's.
+    */
+  private val gnavRecall: Q = (s, d) => {
+    val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+    val gn = annGraphNav(s, d)
+      .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+    bf.join(gn, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+  }
+
   /** The `sim_knn_graph` oracle text, for composition into downstream
     * oracles (DuckDB accepts a WITH inside a derived table, so the
     * ANN composition embeds as `FROM (...)` like the WITH-free exact
@@ -1632,6 +1798,8 @@ object Similarity {
     "sim_ann_ivf" -> annIvf,
     "sim_ann_pq" -> annPq,
     "sim_ann_ivfpq" -> annIvfPq,
+    "sim_ann_graph" -> annGraphNav,
+    "sim_gnav_recall" -> gnavRecall,
     "sim_ann_recall" -> annRecall,
     "sim_ann_tradeoff" -> annTradeoff,
     "sim_pq_recall" -> pqRecall,
@@ -1948,7 +2116,8 @@ object Similarity {
     * [[KnnProbes]] the probe set), the same-label/probed-cell
     * candidate join, and the identical exact-cosine top-[[KnnK]] cut.
     */
-  private def knnAnnOracleFor(sameLabelOnly: Boolean): String = {
+  private def knnAnnOracleFor(sameLabelOnly: Boolean,
+      k: Int = KnnK): String = {
     val labelCond = if (sameLabelOnly) " AND b.label = a.label" else ""
     s"""WITH $ivfIndexCtes,
        |vpr AS (
@@ -1972,10 +2141,80 @@ object Similarity {
        |    AND h.vec_id <> p.vec_id
        |  JOIN embeddings a ON a.vec_id = p.vec_id
        |  JOIN embeddings b ON b.vec_id = h.vec_id$labelCond)
-       |WHERE rk <= $KnnK""".stripMargin
+       |WHERE rk <= $k""".stripMargin
   }
 
   private val knnAnnOracle: String = knnAnnOracleFor(sameLabelOnly = true)
+
+  /** One beam-search hop as chained CTEs — candidates are the previous
+    * beam plus its adjacency expansion (self excluded), exact-rescored
+    * and cut to [[GnavBeam]] by the registry-wide (sim desc, id) total
+    * order. Unrolled like the Lloyd rounds.
+    */
+  private def gnavHopCte(i: Int): String =
+    s"""c$i AS (
+       |  SELECT DISTINCT q_id, node FROM (
+       |    SELECT q_id, node FROM b${i - 1}
+       |    UNION ALL
+       |    SELECT b.q_id, a.nbr_id AS node
+       |    FROM b${i - 1} b JOIN adj a ON a.vec_id = b.node)
+       |  WHERE node <> q_id),
+       |s$i AS (
+       |  SELECT c.q_id, c.node,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM c$i c JOIN e ON e.vec_id = c.node
+       |  JOIN q ON q.q_id = c.q_id),
+       |b$i AS (
+       |  SELECT q_id, node, sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM s$i) WHERE rn <= $GnavBeam)""".stripMargin
+
+  /** [[annGraphNav]] in SQL — the cross-label kNN-graph oracle
+    * symmetrized and degree-capped (UNION dedups exactly because a
+    * pair's rounded sim is identical in both directions), the fixed
+    * stride seeds, and [[GnavHops]] unrolled beam hops.
+    */
+  private lazy val gnavOracle: String =
+    s"""WITH g0 AS (${knnAnnOracleFor(sameLabelOnly = false, k = GnavK)}),
+       |sym AS (
+       |  SELECT vec_id, nbr_id, sim FROM g0
+       |  UNION
+       |  SELECT nbr_id AS vec_id, vec_id AS nbr_id, sim FROM g0),
+       |adj AS (
+       |  SELECT vec_id, nbr_id FROM (
+       |    SELECT vec_id, nbr_id,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nbr_id) AS rn
+       |    FROM sym) WHERE rn <= $GnavDegree),
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |      WHERE vec_id < $NQueries),
+       |seeds AS (
+       |  SELECT vec_id AS node FROM e
+       |  WHERE vec_id % $GnavSeedStep = 0
+       |    AND vec_id < ${GnavSeedStep * GnavSeedCap}),
+       |s0 AS (
+       |  SELECT q.q_id, s.node,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM q CROSS JOIN seeds s JOIN e ON e.vec_id = s.node
+       |  WHERE s.node <> q.q_id),
+       |b0 AS (
+       |  SELECT q_id, node, sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM s0) WHERE rn <= $GnavBeam),
+       |${(1 to GnavHops).map(gnavHopCte).mkString(",\n")}
+       |SELECT q_id, node AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  round(sim, 4) + 0.0 AS sim
+       |FROM (
+       |  SELECT q_id, node, sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, node) AS rank
+       |  FROM b$GnavHops)
+       |WHERE rank <= $K""".stripMargin
 
   /** One hyperplane as a DuckDB DOUBLE-list literal — Scala's
     * `Double.toString` prints the shortest decimal that round-trips to
@@ -2076,6 +2315,16 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> knnAnnOracle,
+    "sim_ann_graph" -> gnavOracle,
+    // per-query beam-search agreement against the exact ranking —
+    // both sides the oracles' own text, joined on the pair key
+    "sim_gnav_recall" ->
+      s"""SELECT x.q_id, CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  count(*) AS k
+         |FROM ($topkOracle) x
+         |LEFT JOIN (SELECT q_id, neighbor_id FROM ($gnavOracle)) a
+         |  ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
+         |GROUP BY x.q_id""".stripMargin,
     "sim_knn_classify" ->
       s"""WITH g AS (${knnAnnOracleFor(sameLabelOnly = false)}),
          |v AS (SELECT g.vec_id, CAST(eb.label AS BIGINT) AS nl,

@@ -208,6 +208,51 @@ object ScaleRung {
       priorLbl = priorLbl.unionByName(g("lbl"))
       remap = g("remap")
     }
+    // ---- compaction at depth (r16): the claim ccCompact exists for —
+    // the r15 rung measured the fold growing 7 → 12 s/batch from 10× to
+    // 100× generation depth (the band probe scanning the accumulated
+    // generation list). Here: ONE MORE batch folds at depth 4 against
+    // the uncompacted prior union (the r15 steady-state shape), then the
+    // store compacts, then the SAME batch folds against the compacted
+    // single-generation store. Flat-in-depth means the compacted fold's
+    // seconds match the depth-0-equivalent early batches above, and the
+    // uncompacted-vs-compacted gap IS the depth cost compaction bounds.
+    val b4 = docs
+      .filter(col("doc_id") >= 2000L && col("doc_id") < 2500L)
+      // re-key past both the resident range and the b0-b3 arrivals
+      .withColumn("doc_id", col("doc_id") + lit(idShift) + lit(1000000L))
+    println("\n| cc compaction rung | seconds |")
+    val (_, tUnc) = timed("cc fold b4 @depth4 uncompacted") {
+      graft.operators.Dedup.ccIvmBatch(b4, priorSh, priorSig, priorLbl,
+        remap, maint.resolve("cc_unc"), "b00004")
+    }
+    val cstate = maint.resolve("cc_compacted")
+    val (_, tCmp) = timed("cc compact @depth4") {
+      graft.operators.Dedup.ccCompact(priorSh, priorSig, priorLbl,
+        remap, cstate)
+    }
+    def cg(sub: String) =
+      spark.read.parquet(cstate.resolve(s"$sub/base").toString)
+    val emptyRemap = spark.range(0).selectExpr("id AS old", "id AS root")
+    val (_, tFold) = timed("cc fold b4 @depth0 compacted") {
+      graft.operators.Dedup.ccIvmBatch(b4, cg("sh"), cg("sig"), cg("lbl"),
+        emptyRemap, cstate, "b00004")
+    }
+    println(f"| fold @depth4 uncompacted | $tUnc%.2f |")
+    println(f"| compact | $tCmp%.2f |")
+    println(f"| fold @depth0 compacted | $tFold%.2f |")
+    // the two folds must agree row-for-row: a new doc's label row holds
+    // the CURRENT root after resolution, so the uncompacted fold (one
+    // remap hop) and the compacted fold (labels pre-resolved, empty
+    // remap) write identical generations — ≤ batch+merges rows, cheap
+    // to compare at any rung
+    def foldedLbl(root: String) =
+      spark.read.parquet(maint.resolve(s"$root/lbl/b00004").toString)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lu = foldedLbl("cc_unc")
+    val lc = foldedLbl("cc_compacted")
+    assert(lu == lc, s"fold divergence across compaction: " +
+      s"${(lu diff lc).take(3)} vs ${(lc diff lu).take(3)}")
     spark.stop()
   }
 }

@@ -116,6 +116,14 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " centroid-table crossJoins (probe selection, O(n*C) linear per" +
       " centroid); voting and the confusion rollup are (vec_id, label)" +
       " equi-aggregations"),
+    "sim_ann_graph" -> ("the query x entry-point seeding crossJoin -" +
+      " a bounded broadcast of <= GnavSeedCap (16) seed rows onto the" +
+      " 10-row query set; every beam hop is an equi-join on the node" +
+      " id against the published adjacency artifact"),
+    "sim_gnav_recall" -> ("composes sim_topk_bruteforce (its broadcast" +
+      " 10-row query-set nested loop) and sim_ann_graph (its bounded" +
+      " seed crossJoin); the recall join is an equi-join on the pair" +
+      " key"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
