@@ -1312,6 +1312,21 @@ object Dedup {
           s" i -> substring(text, i, $SubL))"))
         .otherwise(array())).as("gram"))
 
+  /** [[substringGrams]] carrying each window's ANCHOR POSITION
+    * (1-based char offset) — the rewrite op needs to know WHERE the
+    * duplicated span sits, not just that it exists. Same anchor filter
+    * inside the array expression, same bounded ~len/6 expansion.
+    */
+  private[graft] def substringGramPos(df: DataFrame): DataFrame =
+    df.select(col("doc_id"),
+      explode(when(length(col("text")) >= SubL,
+        expr(s"transform(filter(sequence(1, length(text) - ${SubL - 1})," +
+          " i -> i = 1 OR substring(text, i - 1, 1) = ' ')," +
+          s" i -> struct(i AS pos, substring(text, i, $SubL) AS gram))"))
+        .otherwise(expr("CAST(array() AS " +
+          s"array<struct<pos:int,gram:string>>)"))).as("w"))
+      .select(col("doc_id"), col("w.pos").as("pos"), col("w.gram").as("gram"))
+
   private val substringDup: Q = (s, d) => {
     // single corpus scan: reduce to (gram, doc) instance counts first,
     // read each gram's distinct-doc count off the partition (the rows
@@ -1364,6 +1379,62 @@ object Dedup {
       .filter(col("a_id") < col("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** SUBSTRING DEDUP REWRITE — the step that closes Lee et al.'s
+    * pipeline: [[substringDup]] COUNTS each doc's verbatim-copied
+    * windows; this face REMOVES them and emits the deduplicated text.
+    * Every flagged anchor (its [[SubL]]-char window string occurs in
+    * ≥ 2 docs — the same dup criterion as the counters) contributes
+    * the removal interval [pos, pos+L); per doc the intervals MERGE by
+    * interval union (gaps-and-islands: an interval starts a new island
+    * exactly when its start clears the running max end), and the kept
+    * text is the concatenation of the uncovered segments — exact
+    * integer span arithmetic end to end, so the emitted
+    * `(doc_id, n_spans, n_removed, kept_text)` rows hash-check
+    * cross-engine including the rewritten strings.
+    *
+    * Scale shape: the dup set is the same single-scan gram group-by as
+    * the counters; the flag-back is one equi-join on the gram string;
+    * the island merge is two windows partitioned by doc_id (never a
+    * global sort); the carve is a per-row fold over the doc's own
+    * sorted interval array. O(corpus·L/6) at any corpus size.
+    */
+  private val substringRewrite: Q = (s, d) => {
+    val docs = T(s, d, "documents")
+    val gp = substringGramPos(docs)
+    val dup = gp.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    val flagged = gp.join(dup, Seq("gram"))
+      .select(col("doc_id"), col("pos"))
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val ivg = flagged.withColumn("e", col("pos") + lit(SubL))
+      .withColumn("pmax", max(col("e"))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("isnew",
+        when(col("pmax").isNull || col("pos") > col("pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("grp", sum(col("isnew")).over(byDoc))
+    val merged = ivg.groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("s"), max(col("e")).as("e"))
+    val perDoc = merged.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(col("e") - col("s")).cast("long").as("n_removed"),
+        array_sort(collect_list(struct(col("s"), col("e")))).as("ivs"))
+    docs.select(col("doc_id"), col("text"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        when(col("ivs").isNull, col("text")).otherwise(expr(
+          """aggregate(ivs, struct(1 AS cur, '' AS acc),
+            |  (st, iv) -> struct(iv.e AS cur,
+            |    concat(st.acc, substring(text, st.cur, iv.s - st.cur))
+            |      AS acc),
+            |  st -> concat(st.acc,
+            |    substring(text, st.cur, length(text))))""".stripMargin))
+          .as("kept_text"))
   }
 
   /** Cross-SOURCE near-dup matrix: LSH candidate pairs rolled up by the
@@ -1600,6 +1671,7 @@ object Dedup {
     "dedup_containment" -> containmentQ,
     "dedup_substring" -> substringDup,
     "dedup_substring_pairs" -> substringPairs,
+    "dedup_substring_rewrite" -> substringRewrite,
     "dedup_source_matrix" -> sourceMatrix,
     "dedup_cluster_hist" -> componentSizeHist,
   )
@@ -1965,6 +2037,7 @@ object Dedup {
          |FROM g LEFT JOIN dup d ON d.gram = g.gram
          |GROUP BY g.doc_id""".stripMargin,
     "dedup_substring_pairs" -> substringPairsOracle,
+    "dedup_substring_rewrite" -> substringRewriteOracle,
   )
 
   /** `dedup_substring_pairs`' oracle: the distinct (gram, doc) set,
@@ -1985,6 +2058,60 @@ object Dedup {
        |FROM kept a JOIN kept b
        |  ON a.gram = b.gram AND a.doc_id < b.doc_id
        |GROUP BY 1, 2""".stripMargin
+
+  /** `dedup_substring_rewrite`'s oracle: the position-carrying window
+    * rows, the ≥2-distinct-doc dup set, the gaps-and-islands interval
+    * union (an island starts when a start clears the running max end),
+    * and the kept-segment concatenation (middle pieces between
+    * consecutive merged intervals, plus head via the lag default 1 and
+    * tail via the NULL-capped last piece).
+    */
+  private lazy val substringRewriteOracle: String =
+    s"""WITH gp AS (
+       |  SELECT doc_id, i AS pos, substring(text, i, $SubL) AS gram
+       |  FROM documents,
+       |    unnest(generate_series(1, length(text) - ${SubL - 1})) t(i)
+       |  WHERE length(text) >= $SubL
+       |    AND (i = 1 OR substring(text, i - 1, 1) = ' ')),
+       |dup AS (SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM gp)
+       |        GROUP BY gram HAVING count(*) >= 2),
+       |ivg AS (
+       |  SELECT doc_id, pos, pos + $SubL AS e,
+       |    sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      max(pos + $SubL) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM gp JOIN dup USING (gram))),
+       |merged AS (
+       |  SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+       |  FROM ivg GROUP BY 1, 2),
+       |pieces AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS f,
+       |    s AS t
+       |  FROM merged
+       |  UNION ALL
+       |  SELECT doc_id, max(e) AS f, NULL AS t FROM merged GROUP BY doc_id),
+       |kept AS (
+       |  SELECT p.doc_id,
+       |    string_agg(CASE WHEN p.t IS NULL THEN substring(d.text, p.f)
+       |      ELSE substring(d.text, p.f, p.t - p.f) END, ''
+       |      ORDER BY p.f) AS kt
+       |  FROM pieces p JOIN documents d USING (doc_id)
+       |  GROUP BY p.doc_id),
+       |st AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(e - s) AS BIGINT) AS n_removed
+       |  FROM merged GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(st.n_spans, 0) AS n_spans,
+       |  coalesce(st.n_removed, 0) AS n_removed,
+       |  coalesce(k.kt, d.text) AS kept_text
+       |FROM documents d
+       |LEFT JOIN st USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)""".stripMargin
 
   /** The word-anchored window rows in SQL, with an optional extra
     * predicate — shared by the batch substring oracle and the

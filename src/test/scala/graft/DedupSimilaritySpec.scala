@@ -54,6 +54,53 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pairs == Map((1L, 2L) -> out(1L)._1), pairs.toString)
   }
 
+  test("dedup_substring_rewrite: planted embedded copies are carved out " +
+      "by interval union; untouched docs pass through byte-identical") {
+    // same literal corpus as the counter spec: doc 2 embeds doc 1's
+    // text verbatim at a non-aligned offset inside unique framing
+    val shared = (1 to 20).map(i => f"tok$i%02d").mkString(" ") // 119 chars
+    val docs = Seq(
+      (1L, shared),
+      (2L, ("A" * 25) + " " + shared + " " + ("B" * 25)),
+      (3L, (1 to 20).map(i => f"zrq$i%02d").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("subrw").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("dedup_substring_rewrite")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text")))).toMap
+    // doc 1: anchors 1,7,...,79 all flag (every window re-occurs in
+    // doc 2); the union [1,119) covers all but the final char — window
+    // granularity keeps exactly the tail no anchor can reach
+    assert(out(1L) == ((1L, 118L, "0")), out(1L).toString)
+    // doc 2: flagged anchors are the copy's re-anchored word starts
+    // 27..105; the union [27,145) removes the embedded copy except its
+    // final char, and the unique framing survives byte-identical
+    assert(out(2L) == ((1L, 118L, ("A" * 25) + " " + "0" + " " + ("B" * 25))),
+      out(2L).toString)
+    // doc 3: no cross-doc window — passes through untouched
+    assert(out(3L) == ((0L, 0L,
+      (1 to 20).map(i => f"zrq$i%02d").mkString(" "))), out(3L).toString)
+    // invariants on the real testdata: the carve is exact span
+    // arithmetic (kept length = original - removed), and the rewrite
+    // flags exactly the docs the counters flag
+    val rw = SparkEntry.queries("dedup_substring_rewrite")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text")))).toMap
+    val counters = SparkEntry.queries("dedup_substring")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_dup")).toMap
+    val texts = Tables.load(spark, sf, "documents")
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rw.foreach { case (id, (spans, removed, kept)) =>
+      assert(kept.length.toLong == texts(id) - removed, s"doc $id")
+      assert((spans > 0L) == counters.get(id).exists(_ > 0L), s"doc $id")
+    }
+    assert(rw.keySet == texts.keySet, "the rewrite must emit every doc")
+  }
+
   test("stream_substring_gate: per-arrival door verdicts == batch " +
       "restatement against the frozen resident gram set") {
     val got = SparkEntry.queries("stream_substring_gate")(spark, sf)
