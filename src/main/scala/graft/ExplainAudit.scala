@@ -54,7 +54,8 @@ object ExplainAudit {
     "dedup_substring_pairs", "stream_substring_gate",
     // r16 faces
     "dedup_index_compact", "sim_index_compact", "dedup_cc_compact",
-    "sim_ann_graph", "sim_gnav_recall", "dedup_substring_rewrite")
+    "sim_ann_graph", "sim_gnav_recall", "dedup_substring_rewrite",
+    "stream_knn_classify")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

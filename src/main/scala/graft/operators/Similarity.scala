@@ -1772,6 +1772,94 @@ object Similarity {
         count(lit(1)).as("k"))
   }
 
+  /** Arrival split of the at-ingest classifier (`stream_knn_classify`):
+    * arrivals are `vec_id % ClsArrMod = ClsArrRem`, the rest is
+    * yesterday's frozen index export.
+    */
+  private[graft] val ClsArrMod = 4L
+  private[graft] val ClsArrRem = 3L
+
+  /** The frozen index the at-ingest classifier probes — "yesterday's
+    * export": the shared IVF artifact's centroids plus every vector at
+    * its home cell with its label and norm. Returns (corpus, centroids)
+    * where corpus is `(vec_id, cid, v, nrm, label)`.
+    */
+  private[graft] def frozenKnnIndex(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val e = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+      .withColumn("nrm", norm2(col("v")))
+    val (centroids, lists) =
+      ivfArtifacts(s, d, e.select(col("vec_id"), col("v"), col("nrm")))
+    (lists.join(e, Seq("vec_id")), centroids)
+  }
+
+  /** Classify a batch of vectors against the frozen index — the
+    * per-arrival body of `stream_knn_classify`, and EXACTLY the batch
+    * probe's semantics ([[knnClassify]] via the cross-label
+    * [[knnGraphAnn]]) restricted to the batch: probe the
+    * [[KnnProbes]] nearest frozen cells ((d2, cid) argmin ranking —
+    * the registry-wide tie-break), take the frozen home-cell members
+    * of the probed cells as candidates (self excluded), exact-cosine
+    * top-[[KnnK]], majority vote (ties → smallest label). Emits
+    * `(vec_id, pred_label)`. Per-batch cost is |batch| × C probe work
+    * plus probes × mean cell size candidates — never the corpus.
+    */
+  private[graft] def classifyAgainstFrozen(batchVecs: DataFrame,
+      centroids: DataFrame, corpus: DataFrame): DataFrame = {
+    val probes = batchVecs.select(col("vec_id"), col("v"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("d2",
+        dot(col("cv"), col("cv")) - lit(2) * dot(col("v"), col("cv")))
+      .withColumn("pr", row_number().over(
+        Window.partitionBy(col("vec_id")).orderBy(col("d2"), col("cid"))))
+      .filter(col("pr") <= KnnProbes)
+      .select(col("vec_id"), col("cid"))
+    val cand = probes
+      .join(corpus.select(col("cid"), col("vec_id").as("nbr_id"),
+        col("v").as("vb"), col("nrm").as("nb"), col("label").as("nl")),
+        Seq("cid"))
+      .filter(col("vec_id") =!= col("nbr_id"))
+      .join(batchVecs.select(col("vec_id"), col("v"), col("nrm")),
+        Seq("vec_id"))
+      .withColumn("sim", dot(col("v"), col("vb")) / (col("nrm") * col("nb")))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val votes = cand.withColumn("rk", row_number().over(byVec))
+      .filter(col("rk") <= KnnK)
+      .groupBy(col("vec_id"), col("nl"))
+      .agg(count(lit(1)).as("n_votes"))
+    val byVotes = Window.partitionBy(col("vec_id"))
+      .orderBy(col("n_votes").desc, col("nl"))
+    votes.withColumn("rn", row_number().over(byVotes))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("nl").cast("long").as("pred_label"))
+  }
+
+  /** `sim_knn_classify`'s oracle RESTRICTED to the arrival slice — the
+    * at-ingest twin's gate: per-arrival door verdicts union to exactly
+    * the batch leave-one-out probe's rows for arriving vec_ids (the
+    * frozen index holds every vector's home cell, so the candidate set
+    * an arrival probes at the door is the batch probe's candidate set
+    * verbatim).
+    */
+  private[operators] lazy val knnClassifyArrivalsOracle: String =
+    s"""WITH g AS (${knnAnnOracleFor(sameLabelOnly = false)}),
+       |v AS (SELECT g.vec_id, CAST(eb.label AS BIGINT) AS nl,
+       |        count(*) AS n_votes
+       |      FROM g JOIN embeddings eb ON eb.vec_id = g.nbr_id
+       |      GROUP BY 1, 2),
+       |p AS (SELECT vec_id, nl AS pred_label FROM (
+       |        SELECT vec_id, nl, row_number() OVER (PARTITION BY vec_id
+       |          ORDER BY n_votes DESC, nl) AS rn FROM v)
+       |      WHERE rn = 1)
+       |SELECT CAST(ea.label AS BIGINT) AS true_label, p.pred_label,
+       |  count(*) AS n
+       |FROM p JOIN embeddings ea ON ea.vec_id = p.vec_id
+       |WHERE p.vec_id % $ClsArrMod = $ClsArrRem
+       |GROUP BY 1, 2""".stripMargin
+
   /** The `sim_knn_graph` oracle text, for composition into downstream
     * oracles (DuckDB accepts a WITH inside a derived table, so the
     * ANN composition embeds as `FROM (...)` like the WITH-free exact

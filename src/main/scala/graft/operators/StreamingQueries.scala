@@ -425,7 +425,8 @@ object StreamingQueries {
       "stream_ivm_events" -> streamIvmEvents,
       "stream_decontam" -> streamDecontam,
       "stream_quality_gate" -> streamQualityGate,
-      "stream_substring_gate" -> streamSubstringGate),
+      "stream_substring_gate" -> streamSubstringGate,
+      "stream_knn_classify" -> streamKnnClassify),
     // the maintained-index replays: each face is a full streaming
     // replay the best-of-2 harness previously ran TWICE; grouped, each
     // runs once and the member reads its cached frame. The COMPACTION
@@ -449,7 +450,8 @@ object StreamingQueries {
     * sibling's stale read-back.
     */
   private val groupTables: Map[String, Seq[String]] = Map(
-    "ivm" -> Seq("events.parquet", "documents.parquet"),
+    "ivm" -> Seq("events.parquet", "documents.parquet",
+      "embeddings.parquet"),
     "index" -> Seq("documents.parquet", "embeddings.parquet")
   ).withDefaultValue(Seq("events.parquet"))
 
@@ -1466,6 +1468,69 @@ object StreamingQueries {
         .map(_.toString).toSeq.sorted
     }
     s.read.parquet(gens: _*)
+  }
+
+  /** LABEL-CONSISTENCY CLASSIFIER AT INGEST — `sim_knn_classify` run
+    * AT THE DOOR, the [[streamDecontam]] idiom applied to the
+    * embedding-quality probe: the IVF index freezes once as
+    * yesterday's export (the shared artifact's centroids plus every
+    * vector at its home cell with its label — bit-stable through
+    * parquet), and every arriving micro-batch of vectors classifies
+    * ITSELF against it ([[Similarity.classifyAgainstFrozen]]: probe
+    * the nearest frozen cells, exact-rescore the frozen home-cell
+    * members, majority-vote). Each verdict depends on nothing but the
+    * row and the frozen index — stateless stream-static, so the union
+    * of per-batch verdicts rolls up to exactly the batch leave-one-out
+    * probe's confusion matrix restricted to arrivals, which is the
+    * DuckDB oracle this face shares (the batch probe's candidate set
+    * for an arrival IS the frozen index, verbatim).
+    *
+    * Scale shape: per-batch cost is |batch| × C probe work plus
+    * probes × mean cell size exact rescorings — never the corpus; the
+    * index is equi-probed on the cell id (bucket-partitioned at
+    * 100 TB), exactly the online-classification topology a drifting
+    * encoder export is caught by.
+    */
+  private val streamKnnClassify: Q = (s, d) => {
+    val run = freshRunDir("graft_sknc_")
+    val out = run.resolve("out")
+    val emb = T(s, d, "embeddings")
+    val (corpus, centroids) = Similarity.frozenKnnIndex(s, d)
+    val isArr = pmod(col("vec_id"), lit(Similarity.ClsArrMod)) ===
+      Similarity.ClsArrRem
+    val srcDir = run.resolve("src").toString
+    emb.filter(isArr).repartition(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Similarity.classifyAgainstFrozen(
+              batch.select(col("vec_id"),
+                graft.functions.VectorFunctions.asDouble(col("embedding"))
+                  .as("v"))
+                .withColumn("nrm",
+                  graft.functions.VectorFunctions.norm2(col("v"))),
+              centroids, corpus)
+            .write.mode("overwrite")
+            .parquet(out.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    s.read.parquet(gens: _*)
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** QUALITY GATE AT INGEST — `text_quality_classifier` run AT THE
@@ -3053,6 +3118,9 @@ object StreamingQueries {
     "stream_retention" -> TimeSeries.oracles("retention_cohorts"),
     // the streaming split must count exactly what the batch split does
     "stream_quarantine" -> Profiling.oracles("json_quarantine"),
+    // per-arrival door classifications must roll up to the batch
+    // leave-one-out probe's confusion matrix restricted to arrivals
+    "stream_knn_classify" -> Similarity.knnClassifyArrivalsOracle,
     // the stream-static enrich must agree with the batch join + group
     "stream_enrich" ->
       """SELECT c.c_mktsegment, e.user_id, count(*) AS n_events,

@@ -101,6 +101,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rw.keySet == texts.keySet, "the rewrite must emit every doc")
   }
 
+  test("stream_knn_classify: per-arrival door classifications == the " +
+      "one-shot batch classification of the whole arrival slice") {
+    val got = SparkEntry.queries("stream_knn_classify")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("true_label"),
+        r.getAs[Long]("pred_label")) -> r.getAs[Long]("n")).toMap
+    // batch restatement: classify ALL arrivals in one call against the
+    // same frozen index — stateless stream-static means any batching
+    // (3 micro-batches or 1) must union to the same verdicts
+    val emb = Tables.load(spark, sf, "embeddings")
+    val (corpus, centroids) = Similarity.frozenKnnIndex(spark, sf)
+    val arrivals = emb
+      .filter(pmod(col("vec_id"), lit(Similarity.ClsArrMod)) ===
+        Similarity.ClsArrRem)
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", graft.functions.VectorFunctions.norm2(col("v")))
+    val expected = Similarity
+      .classifyAgainstFrozen(arrivals, centroids, corpus)
+      .join(emb.select(col("vec_id"),
+        col("label").cast("long").as("label")), Seq("vec_id"))
+      .groupBy(col("label").as("true_label"), col("pred_label"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("true_label"),
+        r.getAs[Long]("pred_label")) -> r.getAs[Long]("n")).toMap
+    assert(got == expected, s"stream diverged: got $got expected $expected")
+    // every arrival got exactly one verdict
+    assert(got.values.sum == arrivals.count())
+  }
+
   test("stream_substring_gate: per-arrival door verdicts == batch " +
       "restatement against the frozen resident gram set") {
     val got = SparkEntry.queries("stream_substring_gate")(spark, sf)
