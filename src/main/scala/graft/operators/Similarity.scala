@@ -1715,7 +1715,8 @@ object Similarity {
     * is never scanned after the graph is built. The query×seed scoring
     * is a bounded broadcast (NQueries × GnavSeedCap rows).
     */
-  private val annGraphNav: Q = (s, d) => {
+  private def gnavSearch(s: SparkSession, d: String,
+      beamWidth: Int): DataFrame = {
     val adj = gnavShared(s, d)
       .select(col("vec_id").as("node"), col("nbr_id"))
     val e = T(s, d, "embeddings")
@@ -1737,7 +1738,7 @@ object Similarity {
       .orderBy(col("sim").desc, col("node"))
     def topB(scored: DataFrame): DataFrame = scored
       .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= GnavBeam)
+      .filter(col("rn") <= beamWidth)
       .select(col("q_id"), col("node"), col("sim"))
     var beam = topB(score(q.select(col("q_id")).crossJoin(broadcast(seeds))
       .filter(col("node") =!= col("q_id"))))
@@ -1754,6 +1755,34 @@ object Similarity {
       .filter(col("rank") <= K)
       .select(col("q_id"), col("node").as("neighbor_id"), col("rank"),
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
+  }
+
+  private val annGraphNav: Q = (s, d) => gnavSearch(s, d, GnavBeam)
+
+  /** Beam widths swept by [[gnavTradeoff]]. */
+  private val GnavBeamBudgets = Seq(4, 8, 16)
+
+  /** THE RECALL-vs-BEAM TUNING CURVE — [[annRecall]]'s sweep discipline
+    * applied to the navigation family's operative knob: aggregate
+    * recall@[[K]] of the beam search at each width in
+    * [[GnavBeamBudgets]], against the same exact ranking. Unlike the
+    * nprobe sweep, beam recall is NOT provably monotone (a wider beam's
+    * candidate sets are supersets per hop, but the cut can reorder
+    * which branches survive) — which is exactly why the curve is
+    * measured and hash-pinned instead of assumed.
+    */
+  private val gnavTradeoff: Q = (s, d) => {
+    val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
+    GnavBeamBudgets.map { b =>
+      val gn = gnavSearch(s, d, b)
+        .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+      bf.join(gn, Seq("q_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("n_possible"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+        .withColumn("recall_bp", expr("n_hits * 10000 div n_possible"))
+        .select(lit(b.toLong).as("beam"), col("n_possible"),
+          col("n_hits"), col("recall_bp"))
+    }.reduce(_.unionByName(_))
   }
 
   /** GRAPH-NAVIGATION RECALL GATE — `sim_ann_recall`'s per-query
@@ -1888,6 +1917,7 @@ object Similarity {
     "sim_ann_ivfpq" -> annIvfPq,
     "sim_ann_graph" -> annGraphNav,
     "sim_gnav_recall" -> gnavRecall,
+    "sim_gnav_tradeoff" -> gnavTradeoff,
     "sim_ann_recall" -> annRecall,
     "sim_ann_tradeoff" -> annTradeoff,
     "sim_pq_recall" -> pqRecall,
@@ -2236,73 +2266,123 @@ object Similarity {
 
   /** One beam-search hop as chained CTEs — candidates are the previous
     * beam plus its adjacency expansion (self excluded), exact-rescored
-    * and cut to [[GnavBeam]] by the registry-wide (sim desc, id) total
-    * order. Unrolled like the Lloyd rounds.
+    * and cut to the width by the registry-wide (sim desc, id) total
+    * order. Unrolled like the Lloyd rounds. Names carry a per-width
+    * suffix so a multi-width sweep keeps every CTE name unique across
+    * the whole statement — the materializer's requirement (a duplicate
+    * name anywhere disables `AS MATERIALIZED` for it, and an
+    * unmaterialized `gadj` re-derives the entire quantizer chain once
+    * per hop — the r15 `graph_mst` trap all over again).
     */
-  private def gnavHopCte(i: Int): String =
-    s"""c$i AS (
+  private def gnavHopCte(i: Int, beamWidth: Int): String = {
+    val w = s"_$beamWidth"
+    s"""gc$i$w AS (
        |  SELECT DISTINCT q_id, node FROM (
-       |    SELECT q_id, node FROM b${i - 1}
+       |    SELECT q_id, node FROM gb${i - 1}$w
        |    UNION ALL
        |    SELECT b.q_id, a.nbr_id AS node
-       |    FROM b${i - 1} b JOIN adj a ON a.vec_id = b.node)
+       |    FROM gb${i - 1}$w b JOIN gadj a ON a.vec_id = b.node)
        |  WHERE node <> q_id),
-       |s$i AS (
+       |gs$i$w AS (
        |  SELECT c.q_id, c.node,
        |    list_cosine_similarity(q.qv, e.v) AS sim
-       |  FROM c$i c JOIN e ON e.vec_id = c.node
-       |  JOIN q ON q.q_id = c.q_id),
-       |b$i AS (
+       |  FROM gc$i$w c JOIN ge e ON e.vec_id = c.node
+       |  JOIN gq q ON q.q_id = c.q_id),
+       |gb$i$w AS (
        |  SELECT q_id, node, sim FROM (
        |    SELECT q_id, node, sim,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY sim DESC, node) AS rn
-       |    FROM s$i) WHERE rn <= $GnavBeam)""".stripMargin
+       |    FROM gs$i$w) WHERE rn <= $beamWidth)""".stripMargin
+  }
 
-  /** [[annGraphNav]] in SQL — the cross-label kNN-graph oracle
+  /** The walk's shared CTE prefix: the cross-label kNN-graph oracle
     * symmetrized and degree-capped (UNION dedups exactly because a
     * pair's rounded sim is identical in both directions), the fixed
-    * stride seeds, and [[GnavHops]] unrolled beam hops.
+    * stride seeds, and the scored entry set. Outer names are g-prefixed
+    * so they never collide with the names inside g0's nested scope
+    * (e, seeds, centroids, ... from the quantizer CTEs) — uniqueness
+    * text-wide is what lets the oracle materializer pin every frame.
     */
-  private lazy val gnavOracle: String =
-    s"""WITH g0 AS (${knnAnnOracleFor(sameLabelOnly = false, k = GnavK)}),
-       |sym AS (
+  private lazy val gnavPrefixCtes: String =
+    s"""g0 AS (${knnAnnOracleFor(sameLabelOnly = false, k = GnavK)}),
+       |gsym AS (
        |  SELECT vec_id, nbr_id, sim FROM g0
        |  UNION
        |  SELECT nbr_id AS vec_id, vec_id AS nbr_id, sim FROM g0),
-       |adj AS (
+       |gadj AS (
        |  SELECT vec_id, nbr_id FROM (
        |    SELECT vec_id, nbr_id,
        |      row_number() OVER (PARTITION BY vec_id
        |        ORDER BY sim DESC, nbr_id) AS rn
-       |    FROM sym) WHERE rn <= $GnavDegree),
-       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-       |q AS (SELECT vec_id AS q_id, v AS qv FROM e
+       |    FROM gsym) WHERE rn <= $GnavDegree),
+       |ge AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |gq AS (SELECT vec_id AS q_id, v AS qv FROM ge
        |      WHERE vec_id < $NQueries),
-       |seeds AS (
-       |  SELECT vec_id AS node FROM e
+       |gsd AS (
+       |  SELECT vec_id AS node FROM ge
        |  WHERE vec_id % $GnavSeedStep = 0
        |    AND vec_id < ${GnavSeedStep * GnavSeedCap}),
-       |s0 AS (
+       |gs0 AS (
        |  SELECT q.q_id, s.node,
        |    list_cosine_similarity(q.qv, e.v) AS sim
-       |  FROM q CROSS JOIN seeds s JOIN e ON e.vec_id = s.node
-       |  WHERE s.node <> q.q_id),
-       |b0 AS (
+       |  FROM gq q CROSS JOIN gsd s JOIN ge e ON e.vec_id = s.node
+       |  WHERE s.node <> q.q_id)""".stripMargin
+
+  /** One width's full hop chain (entry cut + [[GnavHops]] hops). */
+  private def gnavChainCtes(beamWidth: Int): String = {
+    val w = s"_$beamWidth"
+    s"""gb0$w AS (
        |  SELECT q_id, node, sim FROM (
        |    SELECT q_id, node, sim,
        |      row_number() OVER (PARTITION BY q_id
        |        ORDER BY sim DESC, node) AS rn
-       |    FROM s0) WHERE rn <= $GnavBeam),
-       |${(1 to GnavHops).map(gnavHopCte).mkString(",\n")}
-       |SELECT q_id, node AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |    FROM gs0) WHERE rn <= $beamWidth),
+       |${(1 to GnavHops).map(gnavHopCte(_, beamWidth)).mkString(",\n")}"""
+      .stripMargin
+  }
+
+  /** The final beam's ranked top-[[K]] for one width. */
+  private def gnavRankSql(beamWidth: Int): String =
+    s"""SELECT q_id, node AS neighbor_id, CAST(rank AS BIGINT) AS rank,
        |  round(sim, 4) + 0.0 AS sim
        |FROM (
        |  SELECT q_id, node, sim,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY sim DESC, node) AS rank
-       |  FROM b$GnavHops)
-       |WHERE rank <= $K""".stripMargin
+       |  FROM gb$GnavHops{W})
+       |WHERE rank <= $K""".stripMargin.replace("{W}", s"_$beamWidth")
+
+  /** [[annGraphNav]] in SQL. */
+  private lazy val gnavOracle: String =
+    s"""WITH $gnavPrefixCtes,
+       |${gnavChainCtes(GnavBeam)}
+       |${gnavRankSql(GnavBeam)}""".stripMargin
+
+  /** [[gnavTradeoff]] in SQL — ONE shared prefix (graph, seeds, entry
+    * scores, and the exact side), one hop chain per swept width, and a
+    * UNION ALL of the per-width recall rows. Sharing the prefix keeps
+    * every CTE name unique statement-wide, so the materializer pins
+    * the quantizer-derived frames once instead of re-deriving them per
+    * width per hop.
+    */
+  private lazy val gnavTradeoffOracle: String = {
+    val rows = GnavBeamBudgets.map { b =>
+      s"""SELECT CAST($b AS BIGINT) AS beam,
+         |  count(*) AS n_possible,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hits,
+         |  CAST(count(a.neighbor_id) * 10000 // count(*) AS BIGINT)
+         |    AS recall_bp
+         |FROM gtk x
+         |LEFT JOIN (SELECT q_id, neighbor_id FROM (${gnavRankSql(b)})) a
+         |  ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $gnavPrefixCtes,
+       |${GnavBeamBudgets.map(gnavChainCtes).mkString(",\n")},
+       |gtk AS ($topkOracle)
+       |$rows""".stripMargin
+  }
 
   /** One hyperplane as a DuckDB DOUBLE-list literal — Scala's
     * `Double.toString` prints the shortest decimal that round-trips to
@@ -2413,6 +2493,7 @@ object Similarity {
          |LEFT JOIN (SELECT q_id, neighbor_id FROM ($gnavOracle)) a
          |  ON a.q_id = x.q_id AND a.neighbor_id = x.neighbor_id
          |GROUP BY x.q_id""".stripMargin,
+    "sim_gnav_tradeoff" -> gnavTradeoffOracle,
     "sim_knn_classify" ->
       s"""WITH g AS (${knnAnnOracleFor(sameLabelOnly = false)}),
          |v AS (SELECT g.vec_id, CAST(eb.label AS BIGINT) AS nl,

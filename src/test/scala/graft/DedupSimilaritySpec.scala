@@ -270,6 +270,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val hits = rep.map(_.getAs[Long]("n_hits")).sum
     val k = rep.map(_.getAs[Long]("k")).sum
     assert(hits * 10000L / k >= 7000L, s"gnav recall fell: $hits/$k")
+    // the beam sweep: one row per swept width, and the deployed-width
+    // row restates the recall gate's aggregate (same walk, same cut)
+    val sweep = SparkEntry.queries("sim_gnav_tradeoff")(spark, sf)
+      .orderBy(col("beam")).collect()
+    assert(sweep.map(_.getAs[Long]("beam")).toSeq == Seq(4L, 8L, 16L))
+    val at16 = sweep.find(_.getAs[Long]("beam") == 16L).get
+    assert(at16.getAs[Long]("n_hits") == hits)
+    assert(at16.getAs[Long]("n_possible") == k)
+    sweep.foreach { r =>
+      assert(r.getAs[Long]("recall_bp") ==
+        r.getAs[Long]("n_hits") * 10000L / r.getAs[Long]("n_possible"))
+    }
   }
 
   test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {

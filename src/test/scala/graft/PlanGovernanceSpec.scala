@@ -124,6 +124,9 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " 10-row query-set nested loop) and sim_ann_graph (its bounded" +
       " seed crossJoin); the recall join is an equi-join on the pair" +
       " key"),
+    "sim_gnav_tradeoff" -> ("the beam sweep inherits the same bounded" +
+      " build sides as sim_gnav_recall, once per swept width; every" +
+      " recall join is an equi-join on the pair key"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
