@@ -1715,8 +1715,12 @@ object Similarity {
     * is never scanned after the graph is built. The query×seed scoring
     * is a bounded broadcast (NQueries × GnavSeedCap rows).
     */
-  private def gnavSearch(s: SparkSession, d: String,
-      beamWidth: Int): DataFrame = {
+  /** The unpinned walk inputs: adjacency, corpus projection, queries,
+    * entry points. Exposed to the walk builder and (via
+    * [[gnavWalkPlan]]) to the pre-checkpoint plan governance audit.
+    */
+  private def gnavInputs(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val adj = gnavShared(s, d)
       .select(col("vec_id").as("node"), col("nbr_id"))
     val e = T(s, d, "embeddings")
@@ -1728,6 +1732,14 @@ object Similarity {
     val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
         col("vec_id") < GnavSeedStep * GnavSeedCap)
       .select(col("vec_id").as("node"))
+    (adj, e, q, seeds)
+  }
+
+  /** The beam walk over given input frames — pure plan construction;
+    * callers decide what to pin.
+    */
+  private def gnavWalk(adj: DataFrame, e: DataFrame, q: DataFrame,
+      seeds: DataFrame, beamWidth: Int): DataFrame = {
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
         col("nrm").as("nn")), Seq("node"))
@@ -1757,7 +1769,58 @@ object Similarity {
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
 
-  private val annGraphNav: Q = (s, d) => gnavSearch(s, d, GnavBeam)
+  /** The walk at [[GnavBeam]] as a raw plan over unpinned inputs — the
+    * pre-checkpoint governance seam (the published faces pin their
+    * tiny results, truncating the registry plans; the audit reads the
+    * join shapes here instead — the retrieval-leg discipline).
+    */
+  private[graft] def gnavWalkPlan(s: SparkSession, d: String): DataFrame = {
+    val (adj, e, q, seeds) = gnavInputs(s, d)
+    gnavWalk(adj, e, q, seeds, GnavBeam)
+  }
+
+  /** Run the walk at each width with the two frames EVERY hop re-reads
+    * — the corpus projection and the adjacency — pinned once (a beam
+    * search engine keeps its vectors and graph resident; the unpinned
+    * plan re-scanned the embedding table once per hop per width,
+    * 6 scans per walk on the bench clock). Each result materializes
+    * eagerly BEFORE the pins release (the pinAndRelease invariant).
+    */
+  private def gnavResults(s: SparkSession, d: String,
+      widths: Seq[Int]): Seq[DataFrame] = {
+    val (adjP, eP, _, _) = gnavInputs(s, d)
+    val adj = graft.operators.Dedup.materialize(adjP)
+    val e = graft.operators.Dedup.materialize(eP)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
+        col("vec_id") < GnavSeedStep * GnavSeedCap)
+      .select(col("vec_id").as("node"))
+    // the walks are independent tiny jobs (≤ beam·degree rows a hop);
+    // materialize them CONCURRENTLY so the sweep's wall-clock is one
+    // walk, not the sum — local stage-scheduling latency, not data,
+    // dominates a 10-query beam walk
+    val res = if (widths.size == 1)
+      widths.map(w =>
+        graft.operators.Dedup.materialize(gnavWalk(adj, e, q, seeds, w)))
+    else {
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(widths.size)
+      try widths
+        .map(w => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame =
+            graft.operators.Dedup.materialize(gnavWalk(adj, e, q, seeds, w))
+        }))
+        .map(_.get())
+      finally pool.shutdown()
+    }
+    Seq(adj, e).foreach(graft.operators.Dedup.releaseCheckpoint)
+    res
+  }
+
+  private val annGraphNav: Q = (s, d) =>
+    gnavResults(s, d, Seq(GnavBeam)).head
 
   /** Beam widths swept by [[gnavTradeoff]]. */
   private val GnavBeamBudgets = Seq(4, 8, 16)
@@ -1773,15 +1836,16 @@ object Similarity {
     */
   private val gnavTradeoff: Q = (s, d) => {
     val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
-    GnavBeamBudgets.map { b =>
-      val gn = gnavSearch(s, d, b)
-        .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
-      bf.join(gn, Seq("q_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("n_possible"),
-          sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
-        .withColumn("recall_bp", expr("n_hits * 10000 div n_possible"))
-        .select(lit(b.toLong).as("beam"), col("n_possible"),
-          col("n_hits"), col("recall_bp"))
+    GnavBeamBudgets.zip(gnavResults(s, d, GnavBeamBudgets)).map {
+      case (b, walk) =>
+        val gn = walk
+          .select(col("q_id"), col("neighbor_id"), lit(1L).as("hit"))
+        bf.join(gn, Seq("q_id", "neighbor_id"), "left")
+          .agg(count(lit(1)).as("n_possible"),
+            sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+          .withColumn("recall_bp", expr("n_hits * 10000 div n_possible"))
+          .select(lit(b.toLong).as("beam"), col("n_possible"),
+            col("n_hits"), col("recall_bp"))
     }.reduce(_.unionByName(_))
   }
 

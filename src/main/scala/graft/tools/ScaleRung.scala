@@ -91,6 +91,7 @@ object ScaleRung {
       "km_shared_build" -> graft.operators.Similarity.ensureKmeansArtifact,
       "pq_shared_build" -> graft.operators.Similarity.ensurePqArtifact,
       "knn_shared_build" -> graft.operators.Similarity.ensureKnnArtifact,
+      "gnav_shared_build" -> graft.operators.Similarity.ensureGnavArtifact,
       "msf_shared_build" -> graft.operators.GraphOps.ensureMsfArtifact)
     println("\n| build | fresh (s) | adopt (s) | fresh? |")
     builds.foreach { case (name, ensure) =>
@@ -113,7 +114,10 @@ object ScaleRung {
       // recall report rides every rung too, now that its exact side is
       // the constant-budget hash sample (2048 queries × block, linear)
       // instead of the full quadratic blocked join
-      "graph_scc", "sim_knn_recall")
+      "graph_scc", "sim_knn_recall",
+      // r16: the navigation family's recall report (bruteforce side is
+      // 10 queries x corpus — linear) rides every rung like IVF's
+      "sim_gnav_recall")
     println("\n| query | seconds | rows |")
     queries.foreach { name =>
       val (rows, sec) = timed(name) {

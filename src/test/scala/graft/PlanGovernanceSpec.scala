@@ -116,17 +116,18 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " centroid-table crossJoins (probe selection, O(n*C) linear per" +
       " centroid); voting and the confusion rollup are (vec_id, label)" +
       " equi-aggregations"),
-    "sim_ann_graph" -> ("the query x entry-point seeding crossJoin -" +
-      " a bounded broadcast of <= GnavSeedCap (16) seed rows onto the" +
-      " 10-row query set; every beam hop is an equi-join on the node" +
-      " id against the published adjacency artifact"),
+    // sim_ann_graph pins its walk result (corpus projection + adjacency
+    // pinned, released after materialization), so the registry plan is
+    // a checkpoint read with no nested loop — the walk's bounded
+    // broadcasts are audited directly by the pre-checkpoint
+    // gnavWalkPlan entry below
     "sim_gnav_recall" -> ("composes sim_topk_bruteforce (its broadcast" +
-      " 10-row query-set nested loop) and sim_ann_graph (its bounded" +
-      " seed crossJoin); the recall join is an equi-join on the pair" +
-      " key"),
-    "sim_gnav_tradeoff" -> ("the beam sweep inherits the same bounded" +
-      " build sides as sim_gnav_recall, once per swept width; every" +
-      " recall join is an equi-join on the pair key"),
+      " 10-row query-set nested loop) with the PINNED beam-walk result;" +
+      " the recall join is an equi-join on the pair key — the walk's" +
+      " own joins are audited pre-checkpoint (gnavWalkPlan)"),
+    "sim_gnav_tradeoff" -> ("inherits sim_topk_bruteforce's broadcast" +
+      " 10-row query-set nested loop once per swept width; the walks" +
+      " are pinned and audited pre-checkpoint (gnavWalkPlan)"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
@@ -269,7 +270,13 @@ class PlanGovernanceSpec extends AnyFunSuite {
           "equi-joins over postings; base's stats crossJoin upstream", 1),
         ("prfRescored", HybridRetrieval.prfScored(
           qt.withColumn("w", lit(2L)), tf, dl, dfT, st),
-          "single-row corpus-stats crossJoin", 1))
+          "single-row corpus-stats crossJoin", 1),
+        // the gnav faces pin their walk results (corpus projection +
+        // adjacency pinned per invocation), truncating registry plans
+        // — audit the raw walk plan directly
+        ("gnavWalkPlan", graft.operators.Similarity.gnavWalkPlan(spark, sf),
+          "query x entry-point seeding crossJoin (<= 16x64 rows) plus" +
+            " the broadcast 10-row query set per hop rescoring", 7))
     legs.foreach { case (name, frame, why, cap) =>
       val plan = PlanCheck.finalPlanString(frame)
       assert(!plan.contains("CartesianProduct"),
