@@ -1400,14 +1400,14 @@ object Dedup {
     * global sort); the carve is a per-row fold over the doc's own
     * sorted interval array. O(corpus·L/6) at any corpus size.
     */
-  private val substringRewrite: Q = (s, d) => {
-    val docs = T(s, d, "documents")
-    val gp = substringGramPos(docs)
-    val dup = gp.select(col("gram"), col("doc_id")).distinct()
-      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
-      .filter(col("nd") >= 2).select(col("gram"))
-    val flagged = gp.join(dup, Seq("gram"))
-      .select(col("doc_id"), col("pos"))
+  /** The carve: merge per-doc removal anchors `(doc_id, pos)` into
+    * interval islands and emit every doc of `docs` with its duplicated
+    * spans removed — the shared body of the batch rewrite and its
+    * at-ingest twin (which differ only in WHERE the flagged anchors
+    * come from).
+    */
+  private[graft] def carveFlagged(docs: DataFrame,
+      flagged: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val ivg = flagged.withColumn("e", col("pos") + lit(SubL))
       .withColumn("pmax", max(col("e"))
@@ -1435,6 +1435,16 @@ object Dedup {
             |  st -> concat(st.acc,
             |    substring(text, st.cur, length(text))))""".stripMargin))
           .as("kept_text"))
+  }
+
+  private val substringRewrite: Q = (s, d) => {
+    val docs = T(s, d, "documents")
+    val gp = substringGramPos(docs)
+    val dup = gp.select(col("gram"), col("doc_id")).distinct()
+      .groupBy(col("gram")).agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2).select(col("gram"))
+    carveFlagged(docs,
+      gp.join(dup, Seq("gram")).select(col("doc_id"), col("pos")))
   }
 
   /** Cross-SOURCE near-dup matrix: LSH candidate pairs rolled up by the
@@ -2129,6 +2139,62 @@ object Dedup {
     */
   private[operators] val SubResMod = 4L
   private[operators] val SubArrRem = 3L
+
+  /** `stream_substring_rewrite`'s batch restatement: every ARRIVING
+    * doc rewritten against the frozen RESIDENT gram set — the same
+    * interval-union carve as `dedup_substring_rewrite`, with the dup
+    * criterion swapped for the gate's one-direction membership probe
+    * (an arrival's window is removed iff the identical string exists
+    * in the resident corpus).
+    */
+  private[operators] lazy val substringRewriteGateOracle: String =
+    s"""WITH gp AS (
+       |  SELECT doc_id, i AS pos, substring(text, i, $SubL) AS gram
+       |  FROM documents,
+       |    unnest(generate_series(1, length(text) - ${SubL - 1})) t(i)
+       |  WHERE length(text) >= $SubL
+       |    AND (i = 1 OR substring(text, i - 1, 1) = ' ')
+       |    AND doc_id % $SubResMod = $SubArrRem),
+       |res AS (SELECT DISTINCT gram FROM (
+       |  ${substringGramSql(s" AND doc_id % $SubResMod <> $SubArrRem")})),
+       |ivg AS (
+       |  SELECT doc_id, pos, pos + $SubL AS e,
+       |    sum(CASE WHEN pmax IS NULL OR pos > pmax THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM (
+       |    SELECT doc_id, pos,
+       |      max(pos + $SubL) OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+       |    FROM gp JOIN res USING (gram))),
+       |merged AS (
+       |  SELECT doc_id, grp, min(pos) AS s, max(e) AS e
+       |  FROM ivg GROUP BY 1, 2),
+       |pieces AS (
+       |  SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 1) AS f,
+       |    s AS t
+       |  FROM merged
+       |  UNION ALL
+       |  SELECT doc_id, max(e) AS f, NULL AS t FROM merged GROUP BY doc_id),
+       |kept AS (
+       |  SELECT p.doc_id,
+       |    string_agg(CASE WHEN p.t IS NULL THEN substring(d.text, p.f)
+       |      ELSE substring(d.text, p.f, p.t - p.f) END, ''
+       |      ORDER BY p.f) AS kt
+       |  FROM pieces p JOIN documents d USING (doc_id)
+       |  GROUP BY p.doc_id),
+       |st AS (
+       |  SELECT doc_id, count(*) AS n_spans,
+       |    CAST(sum(e - s) AS BIGINT) AS n_removed
+       |  FROM merged GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(st.n_spans, 0) AS n_spans,
+       |  coalesce(st.n_removed, 0) AS n_removed,
+       |  coalesce(k.kt, d.text) AS kept_text
+       |FROM documents d
+       |LEFT JOIN st USING (doc_id)
+       |LEFT JOIN kept k USING (doc_id)
+       |WHERE d.doc_id % $SubResMod = $SubArrRem""".stripMargin
 
   /** `stream_substring_gate`'s batch restatement: each ARRIVING doc's
     * window counters against the frozen RESIDENT gram set (one

@@ -426,6 +426,7 @@ object StreamingQueries {
       "stream_decontam" -> streamDecontam,
       "stream_quality_gate" -> streamQualityGate,
       "stream_substring_gate" -> streamSubstringGate,
+      "stream_substring_rewrite" -> streamSubstringRewrite,
       "stream_knn_classify" -> streamKnnClassify),
     // the maintained-index replays: each face is a full streaming
     // replay the best-of-2 harness previously ran TWICE; grouped, each
@@ -1531,6 +1532,54 @@ object StreamingQueries {
         col("label").cast("long").as("label")), Seq("vec_id"))
       .groupBy(col("label").as("true_label"), col("pred_label"))
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** SUBSTRING REWRITE AT INGEST — `dedup_substring_rewrite` run AT
+    * THE DOOR: the gate ([[streamSubstringGate]]) COUNTS an arriving
+    * doc's verbatim-copied windows; this face REMOVES them before the
+    * doc is ever stored — the production curation shape (pay storage
+    * and index costs for the deduplicated text only). Same frozen
+    * resident distinct-gram artifact, same per-row window extraction;
+    * the flagged anchors feed the shared interval-union carve
+    * ([[Dedup.carveFlagged]]). One direction only, so the face stays
+    * stateless stream-static and the union of per-batch rewrites
+    * hash-checks against the batch restatement over all arrivals —
+    * including the rewritten strings (exact span arithmetic).
+    */
+  private val streamSubstringRewrite: Q = (s, d) => {
+    val run = freshRunDir("graft_ssrw_")
+    val out = run.resolve("out")
+    val docs = T(s, d, "documents")
+    val isArr = col("doc_id") % Dedup.SubResMod === Dedup.SubArrRem
+    Dedup.substringGrams(docs.filter(!isArr))
+      .select(col("gram")).distinct()
+      .write.mode("overwrite").parquet(run.resolve("resgrams").toString)
+    val res = s.read.parquet(run.resolve("resgrams").toString)
+    val srcDir = run.resolve("src").toString
+    docs.filter(isArr).repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          Dedup.carveFlagged(batch,
+              Dedup.substringGramPos(batch).join(res, Seq("gram"))
+                .select(col("doc_id"), col("pos")))
+            .write.mode("overwrite")
+            .parquet(out.resolve(f"b$batchId%05d").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(out).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    s.read.parquet(gens: _*)
   }
 
   /** QUALITY GATE AT INGEST — `text_quality_classifier` run AT THE
@@ -3121,6 +3170,9 @@ object StreamingQueries {
     // per-arrival door classifications must roll up to the batch
     // leave-one-out probe's confusion matrix restricted to arrivals
     "stream_knn_classify" -> Similarity.knnClassifyArrivalsOracle,
+    // per-arrival door rewrites must equal the batch carve of every
+    // arrival against the frozen resident gram set, strings included
+    "stream_substring_rewrite" -> Dedup.substringRewriteGateOracle,
     // the stream-static enrich must agree with the batch join + group
     "stream_enrich" ->
       """SELECT c.c_mktsegment, e.user_id, count(*) AS n_events,

@@ -101,6 +101,35 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(rw.keySet == texts.keySet, "the rewrite must emit every doc")
   }
 
+  test("stream_substring_rewrite: per-arrival door rewrites == the " +
+      "one-shot carve of the whole arrival slice, strings included") {
+    val got = SparkEntry.queries("stream_substring_rewrite")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text")))).toMap
+    val docs = Tables.load(spark, sf, "documents")
+    val isArr = col("doc_id") % 4 === 3
+    val res = graft.operators.Dedup.substringGrams(docs.filter(!isArr))
+      .select(col("gram")).distinct()
+    val arrivals = docs.filter(isArr)
+    val expected = graft.operators.Dedup.carveFlagged(arrivals,
+        graft.operators.Dedup.substringGramPos(arrivals)
+          .join(res, Seq("gram")).select(col("doc_id"), col("pos")))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("kept_text")))).toMap
+    assert(got == expected)
+    // every arrival emits exactly one rewritten row
+    assert(got.keySet.size.toLong == arrivals.count())
+    // span arithmetic holds at the door too
+    val lens = arrivals
+      .select(col("doc_id"), length(col("text")).cast("long").as("len"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach { case (id, (_, removed, kept)) =>
+      assert(kept.length.toLong == lens(id) - removed, s"doc $id")
+    }
+  }
+
   test("stream_knn_classify: per-arrival door classifications == the " +
       "one-shot batch classification of the whole arrival slice") {
     val got = SparkEntry.queries("stream_knn_classify")(spark, sf)
