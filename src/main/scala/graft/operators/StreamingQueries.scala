@@ -1860,6 +1860,74 @@ object StreamingQueries {
     scoreTextIndex(s, cidx)
   }
 
+  /** Deletion slice of the maintained-index takedown face: every
+    * indexed doc with `doc_id % TakedownMod = TakedownRem` (disjoint
+    * from the ranking's query docs 0..9 by construction).
+    */
+  private[graft] val TakedownMod = 16L
+  private[graft] val TakedownRem = 13L
+
+  /** MAINTAINED-INDEX DELETION — the takedown op a production corpus
+    * index cannot ship without (rights removals, contamination
+    * purges): remove a document set from the maintained text index
+    * WITHOUT re-tokenizing the corpus. Deletion is one generation of
+    * two shapes, both derived from the STORED index alone:
+    *
+    *  - TOMBSTONES for the row-wise frames (postings, doc lengths) —
+    *    the read side anti-joins them, compaction would drop the rows
+    *    physically;
+    *  - NEGATIVE PARTIALS for the mergeable aggregates (per-term df,
+    *    corpus stats) — the Z-set/DBSP move: a deletion is a partial
+    *    with negative multiplicity, and the read side's existing SUM
+    *    fold nets it out with no new code path. The negatives recount
+    *    the victims' stored postings, never the corpus.
+    *
+    * Emitted result: the grouped-BM25 ranking from the tombstoned
+    * index — hash-checked against the from-scratch oracle over
+    * `documents` MINUS the deleted set: delete-fold ≡ rebuild-without.
+    *
+    * Scale shape: the deletion generation costs O(victims' postings)
+    * (semi-joins into the stored frames); the read side adds one
+    * anti-join per row-wise frame and zero change to the partial
+    * folds. At 100 TB a takedown touches the index, never the corpus.
+    */
+  private val textIndexDelete: Q = (s, d) => {
+    val idx = builtTextIndex(s, d)
+    val del = idx.getParent.resolve("deletes")
+    val isDel = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
+    // tombstones: the victims AS INDEXED (read from the stored doc
+    // lengths — the corpus is never consulted)
+    readTextGens(s, idx, "dl").select(col("doc_id")).filter(isDel)
+      .write.mode("overwrite").parquet(del.resolve("tomb").toString)
+    val tomb = s.read.parquet(del.resolve("tomb").toString)
+    // negative partials, recounted from the victims' stored postings
+    readTextGens(s, idx, "post")
+      .join(tomb, Seq("doc_id"), "left_semi")
+      .groupBy(col("term"))
+      .agg((lit(0L) - count(lit(1))).as("dfp"))
+      .write.mode("overwrite").parquet(del.resolve("dfneg").toString)
+    readTextGens(s, idx, "dl")
+      .join(tomb, Seq("doc_id"), "left_semi")
+      .agg((lit(0L) - count(lit(1))).as("np"),
+        (lit(0L) - sum(col("dl"))).as("totalp"))
+      .write.mode("overwrite").parquet(del.resolve("stneg").toString)
+    // read side: anti-join the row frames, SUM the partials as ever
+    // (the negative generation rides the existing fold)
+    val post = readTextGens(s, idx, "post")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val dl = readTextGens(s, idx, "dl")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val df = readTextGens(s, idx, "df")
+      .union(s.read.parquet(del.resolve("dfneg").toString))
+      .groupBy(col("term")).agg(sum(col("dfp")).as("df"))
+      .filter(col("df") > 0)
+    val st = readTextGens(s, idx, "st")
+      .union(s.read.parquet(del.resolve("stneg").toString))
+      .agg(sum(col("np")).as("n"), sum(col("totalp")).as("total"))
+    TextAnalysis.bm25GroupedRanked(
+      TextAnalysis.bm25GroupedScoredFrom(post, dl, df, st))
+  }
+
   /** MAINTAINED NEAR-DUP CLUSTERING — the index-IVM family's capstone:
     * component LABELS maintained under arriving documents (the shape
     * [[dedupIndexIvm]] proves for signatures, applied to the heaviest
@@ -2962,6 +3030,7 @@ object StreamingQueries {
   val queries: Map[String, Q] = Map(
     "state_time_travel" -> stateTimeTravel,
     "text_index_compact" -> textIndexCompact,
+    "text_index_delete" -> textIndexDelete,
     "dedup_index_compact" -> dedupIndexCompact,
     "sim_index_compact" -> simIndexCompact,
   ) ++ replayGroups.flatMap { case (group, members) =>
@@ -3073,6 +3142,10 @@ object StreamingQueries {
     "text_index_ivm" -> TextAnalysis.oracles("text_bm25_grouped"),
     // compaction must be invisible to every query: same oracle
     "text_index_compact" -> TextAnalysis.oracles("text_bm25_grouped"),
+    // tombstones + negative partials must rank exactly like a rebuild
+    // over the surviving documents
+    "text_index_delete" -> TextAnalysis.bm25GroupedOracleFor(
+      s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
     // fold-of-changes ≡ recompute for the clustering itself: the
     // maintained labels, resolved through the final remap, equal the
     // from-scratch transitive-closure components over ALL documents

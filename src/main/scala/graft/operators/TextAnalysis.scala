@@ -979,6 +979,41 @@ object TextAnalysis {
        |SELECT doc_id, bm25 FROM scored
        |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
 
+  /** The grouped-BM25 oracle over an optionally-restricted document
+    * set — `docWhere` (e.g. ` WHERE doc_id % 16 <> 13`) restricts the
+    * corpus the from-scratch index derives from; the maintained-index
+    * DELETION face shares this text with the deletion predicate (the
+    * tombstoned index must rank exactly like a rebuild over the
+    * surviving documents).
+    */
+  private[operators] def bm25GroupedOracleFor(docWhere: String): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
+       |  FROM documents$docWhere),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
+       |qt AS (SELECT doc_id AS q_id, term FROM tf
+       |       WHERE doc_id < $Bm25GroupQueries),
+       |sc AS (
+       |  SELECT q.q_id, t.doc_id,
+       |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total
+       |               * $Bm25GroupScale) //
+       |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
+       |      AS BIGINT) AS bm25_scaled
+       |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |  JOIN df f ON f.term = q.term
+       |  JOIN dl l ON l.doc_id = t.doc_id
+       |  CROSS JOIN stats s
+       |  GROUP BY 1, 2)
+       |SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, bm25_scaled
+       |FROM (
+       |  SELECT q_id, doc_id, bm25_scaled,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY bm25_scaled DESC, doc_id) AS rank
+       |  FROM sc) WHERE rank <= $Bm25TopK""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "text_hashing_features" ->
       s"""SELECT doc_id,
@@ -1057,33 +1092,7 @@ object TextAnalysis {
     // the same inverted-index joins and exact-integer odds-ratio terms;
     // every `//` numerator/denominator is positive, so DuckDB flooring
     // equals Spark's truncating div
-    "text_bm25_grouped" ->
-      s"""WITH tok AS (SELECT doc_id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS term
-         |  FROM documents),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
-         |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-         |stats AS (SELECT count(*) AS n, sum(dl) AS total FROM dl),
-         |qt AS (SELECT doc_id AS q_id, term FROM tf
-         |       WHERE doc_id < $Bm25GroupQueries),
-         |sc AS (
-         |  SELECT q.q_id, t.doc_id,
-         |    CAST(sum(((2*s.n - 2*f.df + 1) * 22 * t.tf * s.total
-         |               * $Bm25GroupScale) //
-         |      ((2*f.df + 1) * (10*t.tf*s.total + 3*s.total + 9*l.dl*s.n)))
-         |      AS BIGINT) AS bm25_scaled
-         |  FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
-         |  JOIN df f ON f.term = q.term
-         |  JOIN dl l ON l.doc_id = t.doc_id
-         |  CROSS JOIN stats s
-         |  GROUP BY 1, 2)
-         |SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank, bm25_scaled
-         |FROM (
-         |  SELECT q_id, doc_id, bm25_scaled,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY bm25_scaled DESC, doc_id) AS rank
-         |  FROM sc) WHERE rank <= $Bm25TopK""".stripMargin,
+    "text_bm25_grouped" -> bm25GroupedOracleFor(""),
     // the same tokenization + postings CTEs; per-term probabilities are
     // single IEEE divisions of int64-exact operands and the product
     // parenthesizes ((p1·p2)·p3) exactly like the Spark-side left fold

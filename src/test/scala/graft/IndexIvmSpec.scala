@@ -36,6 +36,35 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(compacted.sameElements(maintained))
   }
 
+  test("text_index_delete: tombstones + negative partials rank exactly " +
+      "like a rebuild over the surviving documents") {
+    import org.apache.spark.sql.functions._
+    val deleted = StreamingQueries.queries("text_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    // from-scratch restatement over the surviving corpus, through the
+    // identical scoring joins
+    val docs = Tables.load(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(StreamingQueries.TakedownMod)) =!=
+        StreamingQueries.TakedownRem)
+    val tok = docs.select(col("doc_id"),
+      explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val rebuilt = TextAnalysis.bm25GroupedRanked(
+      TextAnalysis.bm25GroupedScoredFrom(tf, dl,
+        tf.groupBy(col("term")).agg(count(lit(1)).as("df")),
+        dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("total"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(deleted.length == rebuilt.length)
+    assert(deleted.sameElements(rebuilt))
+    // no tombstoned doc survives anywhere in the ranking
+    assert(deleted.forall(_._2 % StreamingQueries.TakedownMod !=
+      StreamingQueries.TakedownRem))
+  }
+
   test("dedup_index_compact: compacting the signature generations into " +
       "one base derives the identical candidate-pair set") {
     val compacted = StreamingQueries.queries("dedup_index_compact")(spark, sf)

@@ -112,6 +112,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " text_index_ivm (the broadcast SINGLE-ROW merged-stats" +
       " crossJoin); compaction itself is concatenating rewrites and a" +
       " SUM equi-merge, no join at all"),
+    "text_index_delete" -> ("scores through the same read side as" +
+      " text_index_ivm (the broadcast SINGLE-ROW merged-stats" +
+      " crossJoin); the deletion generation is semi/anti equi-joins on" +
+      " doc_id plus SUM-folded negative partials, no new join shape"),
     "sim_knn_classify" -> ("inherits sim_ann_ivf's broadcast" +
       " centroid-table crossJoins (probe selection, O(n*C) linear per" +
       " centroid); voting and the confusion rollup are (vec_id, label)" +
