@@ -1928,6 +1928,45 @@ object StreamingQueries {
       TextAnalysis.bm25GroupedScoredFrom(post, dl, df, st))
   }
 
+  /** MAINTAINED-DEDUP-INDEX DELETION — [[textIndexDelete]]'s takedown
+    * applied to the signature store: signatures are per-doc rows, so
+    * deletion is tombstones alone (no mergeable partials to negate);
+    * the read side anti-joins them and derives candidate pairs from
+    * the survivors. A deleted doc's removal erases exactly the pairs
+    * it participated in and nothing else (pairs are per-endpoint), so
+    * the tombstoned index's pair set hash-checks against the
+    * from-scratch LSH oracle restricted to surviving endpoints.
+    */
+  private val dedupIndexDelete: Q = (s, d) => {
+    val idx = builtDedupIndex(s, d)
+    val del = idx.getParent.resolve("deletes")
+    readIndexGens(s, idx).select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem)
+      .distinct()
+      .write.mode("overwrite").parquet(del.resolve("tomb").toString)
+    val tomb = s.read.parquet(del.resolve("tomb").toString)
+    Dedup.bandPairs(
+      readIndexGens(s, idx).join(tomb, Seq("doc_id"), "left_anti"))
+  }
+
+  /** MAINTAINED-VECTOR-INDEX DELETION — the takedown for the IVF list
+    * store: cell assignments are per-vector rows under the FROZEN
+    * quantizer, so deletion is tombstones alone, and the quantizer
+    * does NOT retrain (FAISS's remove_ids contract — retraining is a
+    * reindex). The read side hash-checks against the frozen-quantizer
+    * one-shot-assignment oracle restricted to surviving vectors.
+    */
+  private val simIndexDelete: Q = (s, d) => {
+    val idx = builtSimIndex(s, d)
+    val del = idx.getParent.resolve("deletes")
+    readIndexGens(s, idx).select(col("vec_id"))
+      .filter(pmod(col("vec_id"), lit(TakedownMod)) === TakedownRem)
+      .write.mode("overwrite").parquet(del.resolve("tomb").toString)
+    val tomb = s.read.parquet(del.resolve("tomb").toString)
+    readIndexGens(s, idx).join(tomb, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cid").cast("long").as("cid"))
+  }
+
   /** MAINTAINED NEAR-DUP CLUSTERING — the index-IVM family's capstone:
     * component LABELS maintained under arriving documents (the shape
     * [[dedupIndexIvm]] proves for signatures, applied to the heaviest
@@ -3032,7 +3071,9 @@ object StreamingQueries {
     "text_index_compact" -> textIndexCompact,
     "text_index_delete" -> textIndexDelete,
     "dedup_index_compact" -> dedupIndexCompact,
+    "dedup_index_delete" -> dedupIndexDelete,
     "sim_index_compact" -> simIndexCompact,
+    "sim_index_delete" -> simIndexDelete,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -3214,6 +3255,17 @@ object StreamingQueries {
     // same statement for the signature store: the compacted index
     // derives the identical candidate-pair set
     "dedup_index_compact" -> Dedup.oracles("dedup_minhash_lsh"),
+    // takedowns: the tombstoned stores must read exactly like the
+    // from-scratch derivations restricted to the survivors (the frozen
+    // quantizer does NOT retrain — deletion is not a reindex)
+    "dedup_index_delete" ->
+      s"""SELECT a_id, b_id, n_bands
+         |FROM (${Dedup.oracles("dedup_minhash_lsh")})
+         |WHERE a_id % $TakedownMod <> $TakedownRem
+         |  AND b_id % $TakedownMod <> $TakedownRem""".stripMargin,
+    "sim_index_delete" ->
+      s"""SELECT vec_id, cid FROM ($simIndexOracle)
+         |WHERE vec_id % $TakedownMod <> $TakedownRem""".stripMargin,
     // folds across a mid-replay compaction must still converge to the
     // from-scratch transitive closure — the same oracle as the
     // uncompacted maintainer

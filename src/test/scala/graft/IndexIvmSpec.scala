@@ -65,6 +65,30 @@ class IndexIvmSpec extends AnyFunSuite {
       StreamingQueries.TakedownRem))
   }
 
+  test("dedup_index_delete / sim_index_delete: tombstoned stores read " +
+      "exactly like the survivors' derivations; no victim survives") {
+    import org.apache.spark.sql.functions._
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    val pairs = StreamingQueries.queries("dedup_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.forall { case (a, b, _) => a % M != R && b % M != R })
+    // the survivors' pairs are exactly the full index's pairs minus
+    // those with a deleted endpoint (pairs are per-endpoint)
+    val full = StreamingQueries.queries("dedup_index_ivm")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.toSet ==
+      full.filter { case (a, b, _) => a % M != R && b % M != R }.toSet)
+    val lists = StreamingQueries.queries("sim_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lists.forall(_._1 % M != R))
+    // the frozen quantizer does NOT retrain: surviving assignments are
+    // byte-identical to the undeleted index's
+    val fullLists = StreamingQueries.queries("sim_index_ivm")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(lists.toSet == fullLists.filter(_._1 % M != R).toSet)
+  }
+
   test("dedup_index_compact: compacting the signature generations into " +
       "one base derives the identical candidate-pair set") {
     val compacted = StreamingQueries.queries("dedup_index_compact")(spark, sf)
