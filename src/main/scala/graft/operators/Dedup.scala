@@ -1846,6 +1846,19 @@ object Dedup {
   private val componentsOracle: String =
     s"WITH RECURSIVE $componentsCte SELECT doc_id, component FROM comp"
 
+  /** [[componentsOracle]] restricted to a filtered document set — the
+    * takedown face's rebuild-without oracle (the maintained-store
+    * deletion in [[StreamingQueries]] must relabel exactly like a
+    * from-scratch clustering of the survivors). The closure CTE reads
+    * `documents` exactly once (the shingle CTE), so the filter
+    * substitutes at that single read and the rest of the pipeline is
+    * verbatim [[componentsCte]].
+    */
+  private[operators] def componentsOracleFor(where: String): String =
+    s"""WITH RECURSIVE ${componentsCte.replace("FROM documents",
+        s"FROM (SELECT * FROM documents$where) documents")}
+       |SELECT doc_id, component FROM comp""".stripMargin
+
   private val clusterHistOracle: String =
     s"""WITH RECURSIVE $componentsCte,
        |sz AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1)

@@ -1967,6 +1967,56 @@ object StreamingQueries {
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
+  /** MAINTAINED-CLUSTERING DELETION — the takedown family's capstone,
+    * and the one member where tombstones alone are WRONG: component
+    * labels are a transitive property, so removing a bridge document
+    * can SPLIT its component (and removing the min-id member strands
+    * the component's label). The store is the shared clustering
+    * artifact's two faces — verified pairs and labels — and deletion
+    * reads only them, never the corpus:
+    *
+    *  1. tombstones from the STORED labels (victims in no component
+    *     are not in the store and need no work);
+    *  2. affected components = the victims' label set — everything
+    *     else keeps its stored label VERBATIM;
+    *  3. the affected components' surviving edges (the stored pair
+    *     list sliced by component, both endpoints surviving) re-run
+    *     connected components — splits fall out, stranded min-labels
+    *     re-anchor at the surviving min, and docs that lose every
+    *     partner drop to unlabeled singletons.
+    *
+    * Sound because near-dup pairs are pairwise: deleting a document
+    * changes no other document's shingles, signature, banding, or
+    * verified jaccard, so the survivors' pair graph IS the stored
+    * graph restricted to surviving endpoints. Hash-checked against
+    * the from-scratch transitive-closure oracle over `documents`
+    * MINUS the victims: delete-fold ≡ recluster-without.
+    *
+    * Scale shape: tombstones and the affected slice are semi-joins on
+    * a broadcast-sized component set; the CC rerun is bounded by the
+    * affected subgraph (O(affected pairs × log diameter)), never the
+    * corpus — at 100 TB a takedown re-clusters the components it
+    * touched and nothing else.
+    */
+  private val dedupCcDelete: Q = (s, d) => {
+    val labels = Dedup.componentLabels(s, d)
+    val pairs = Dedup.verifiedPairsTable(s, d)
+    def survives(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(TakedownMod)) =!= TakedownRem
+    val affected = labels.filter(!survives(col("doc_id")))
+      .select(col("component")).distinct()
+    val kept = labels.join(broadcast(affected), Seq("component"), "left_anti")
+      .select(col("doc_id"), col("component"))
+    val affEdges = pairs
+      .join(labels.select(col("doc_id").as("a_id"), col("component")),
+        Seq("a_id"))
+      .join(broadcast(affected), Seq("component"), "left_semi")
+      .filter(survives(col("a_id")) && survives(col("b_id")))
+      .select(col("a_id"), col("b_id"))
+    kept.union(Dedup.connectedComponentsWithRounds(affEdges)._1
+      .select(col("doc_id"), col("component")))
+  }
+
   /** MAINTAINED NEAR-DUP CLUSTERING — the index-IVM family's capstone:
     * component LABELS maintained under arriving documents (the shape
     * [[dedupIndexIvm]] proves for signatures, applied to the heaviest
@@ -3074,6 +3124,7 @@ object StreamingQueries {
     "dedup_index_delete" -> dedupIndexDelete,
     "sim_index_compact" -> simIndexCompact,
     "sim_index_delete" -> simIndexDelete,
+    "dedup_cc_delete" -> dedupCcDelete,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -3266,6 +3317,12 @@ object StreamingQueries {
     "sim_index_delete" ->
       s"""SELECT vec_id, cid FROM ($simIndexOracle)
          |WHERE vec_id % $TakedownMod <> $TakedownRem""".stripMargin,
+    // the clustering takedown must relabel exactly like a from-scratch
+    // clustering of the survivors (splits, stranded min-labels, and
+    // dropped singletons included) — the full closure oracle over the
+    // filtered document set
+    "dedup_cc_delete" -> Dedup.componentsOracleFor(
+      s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
     // folds across a mid-replay compaction must still converge to the
     // from-scratch transitive closure — the same oracle as the
     // uncompacted maintainer

@@ -89,6 +89,62 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(lists.toSet == fullLists.filter(_._1 % M != R).toSet)
   }
 
+  test("dedup_cc_delete: affected-components-only relabeling equals the " +
+      "full recompute over every surviving pair; no victim survives") {
+    import org.apache.spark.sql.functions._
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    val face = StreamingQueries.queries("dedup_cc_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(face.forall { case (d, c) => d % M != R && c % M != R })
+    // the survivors' pair graph is the from-scratch pair derivation
+    // restricted to surviving endpoints (pairs are pairwise — deleting
+    // a doc changes nobody else's shingles); CC over ALL of it must
+    // equal the face's affected-only recompute
+    val survPairs = Dedup.queries("dedup_minhash_verified")(spark, sf)
+      .filter(pmod(col("a_id"), lit(M)) =!= R &&
+        pmod(col("b_id"), lit(M)) =!= R)
+      .select(col("a_id"), col("b_id"))
+    val full = Dedup.connectedComponentsWithRounds(survPairs)._1
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(face == full)
+  }
+
+  test("dedup_cc_delete: a deleted bridge SPLITS its component, a deleted " +
+      "min-label re-anchors, and docs losing every partner drop") {
+    val s = spark
+    import s.implicits._
+    // base 17 words (15 shingles); A/C add 2 words → 2 extra shingles:
+    // j(A,B)=15/17≈0.88 and j(B,C) likewise verify (≥0.8), j(A,C)=15/19
+    // ≈0.79 does not — B (doc 13, a victim) is the ONLY bridge
+    val base = (1 to 17).map(i => s"w$i").mkString(" ")
+    val textA = base + " a1 a2"
+    val textC = base + " c1 c2"
+    val textD = (1 to 12).map(i => s"d$i").mkString(" ")
+    val textE = (1 to 12).map(i => s"e$i").mkString(" ")
+    val docs = Seq(
+      1L -> textA, 17L -> textA, // exact-dup pair, survives as {1,17}
+      13L -> base, // the bridge — deleted (13 % 16 = 13)
+      2L -> textC, // loses its only partner → drops
+      3L -> textD, 4L -> textD, // untouched component, label kept
+      29L -> textE, 30L -> textE, 31L -> textE) // min 29 deleted →
+    // the surviving clique re-anchors at 30
+    val dir = java.nio.file.Files.createTempDirectory("graft_ccdel_")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    // pre-delete sanity: the bridge connects {1,17,13,2} into one
+    // component — otherwise the split below proves nothing
+    val before = Dedup.queries("dedup_components")(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(before == Set(1L -> 1L, 17L -> 1L, 13L -> 1L, 2L -> 1L,
+      3L -> 3L, 4L -> 3L, 29L -> 29L, 30L -> 29L, 31L -> 29L))
+    val after = StreamingQueries.queries("dedup_cc_delete")(
+        spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(after == Set(1L -> 1L, 17L -> 1L, 3L -> 3L, 4L -> 3L,
+      30L -> 30L, 31L -> 30L))
+  }
+
   test("dedup_index_compact: compacting the signature generations into " +
       "one base derives the identical candidate-pair set") {
     val compacted = StreamingQueries.queries("dedup_index_compact")(spark, sf)
