@@ -1967,6 +1967,89 @@ object StreamingQueries {
       .select(col("vec_id"), col("cid").cast("long").as("cid"))
   }
 
+  /** TAKEDOWN AT THE DOOR — [[textIndexDelete]]'s deletion folded from
+    * a STREAM of removal requests: a production index receives
+    * takedowns (rights removals, contamination purges) continuously,
+    * not as one batch job. Every indexed victim arrives as a doc_id in
+    * a 3-micro-batch request stream; each batch folds its OWN deletion
+    * generation against the stored index — tombstones for the
+    * row-wise frames, negative df/stats partials recounted from the
+    * batch's victims' stored postings — so per-request cost is
+    * O(victims' postings) and the corpus is never consulted. The read
+    * side anti-joins the UNION of tombstone generations and SUM-folds
+    * the positive and negative partial generations together (the
+    * Z-set identity: disjoint request batches contribute disjoint
+    * negatives, so the fold nets out exactly once per victim).
+    *
+    * Emitted result: the grouped-BM25 ranking after all request
+    * batches — the same rebuild-without oracle as `text_index_delete`
+    * (stream-of-deletions ≡ one-shot deletion ≡ rebuild-without),
+    * and the spec pins the first identity row-for-row in-engine.
+    */
+  private val streamIndexDelete: Q = (s, d) => {
+    val idx = builtTextIndex(s, d)
+    val run = freshRunDir("graft_sdel_")
+    val del = run.resolve("del")
+    // the takedown REQUESTS: ids only (a request names the doc; the
+    // index supplies everything else), arriving in three batches
+    val srcDir = run.resolve("src").toString
+    readTextGens(s, idx, "dl").select(col("doc_id"))
+      .filter(pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem)
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema("doc_id BIGINT")
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          val gen = f"b$batchId%05d"
+          // tombstones: the batch's requests AS INDEXED (idempotent
+          // per-gen overwrite; requests for unindexed docs are no-ops)
+          batch.dropDuplicates("doc_id")
+            .join(readTextGens(sp, idx, "dl").select(col("doc_id")),
+              Seq("doc_id"), "left_semi")
+            .write.mode("overwrite")
+            .parquet(del.resolve(s"tomb/$gen").toString)
+          val tomb = sp.read.parquet(del.resolve(s"tomb/$gen").toString)
+          readTextGens(sp, idx, "post")
+            .join(tomb, Seq("doc_id"), "left_semi")
+            .groupBy(col("term"))
+            .agg((lit(0L) - count(lit(1))).as("dfp"))
+            .write.mode("overwrite")
+            .parquet(del.resolve(s"dfneg/$gen").toString)
+          readTextGens(sp, idx, "dl")
+            .join(tomb, Seq("doc_id"), "left_semi")
+            .agg((lit(0L) - count(lit(1))).as("np"),
+              (lit(0L) - sum(col("dl"))).as("totalp"))
+            .write.mode("overwrite")
+            .parquet(del.resolve(s"stneg/$gen").toString)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    def delGens(sub: String): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      val gens = java.nio.file.Files.list(del.resolve(sub)).iterator()
+        .asScala.map(_.toString).toSeq.sorted
+      s.read.parquet(gens: _*)
+    }
+    val tomb = delGens("tomb")
+    val post = readTextGens(s, idx, "post")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val dl = readTextGens(s, idx, "dl")
+      .join(tomb, Seq("doc_id"), "left_anti")
+    val df = readTextGens(s, idx, "df").union(delGens("dfneg"))
+      .groupBy(col("term")).agg(sum(col("dfp")).as("df"))
+      .filter(col("df") > 0)
+    val st = readTextGens(s, idx, "st").union(delGens("stneg"))
+      .agg(sum(col("np")).as("n"), sum(col("totalp")).as("total"))
+    TextAnalysis.bm25GroupedRanked(
+      TextAnalysis.bm25GroupedScoredFrom(post, dl, df, st))
+  }
+
   /** MAINTAINED-CLUSTERING DELETION — the takedown family's capstone,
     * and the one member where tombstones alone are WRONG: component
     * labels are a transitive property, so removing a bridge document
@@ -3125,6 +3208,7 @@ object StreamingQueries {
     "sim_index_compact" -> simIndexCompact,
     "sim_index_delete" -> simIndexDelete,
     "dedup_cc_delete" -> dedupCcDelete,
+    "stream_index_delete" -> streamIndexDelete,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -3322,6 +3406,10 @@ object StreamingQueries {
     // dropped singletons included) — the full closure oracle over the
     // filtered document set
     "dedup_cc_delete" -> Dedup.componentsOracleFor(
+      s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
+    // a stream of takedown requests must net out exactly like the
+    // one-shot deletion: the same rebuild-without oracle
+    "stream_index_delete" -> TextAnalysis.bm25GroupedOracleFor(
       s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
     // folds across a mid-replay compaction must still converge to the
     // from-scratch transitive closure — the same oracle as the

@@ -89,6 +89,18 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(lists.toSet == fullLists.filter(_._1 % M != R).toSet)
   }
 
+  test("stream_index_delete: a stream of takedown requests nets out " +
+      "exactly like the one-shot deletion, row for row") {
+    val streamed = StreamingQueries.queries("stream_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val oneShot = StreamingQueries.queries("text_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(streamed.length == oneShot.length)
+    assert(streamed.sameElements(oneShot))
+  }
+
   test("dedup_cc_delete: affected-components-only relabeling equals the " +
       "full recompute over every surviving pair; no victim survives") {
     import org.apache.spark.sql.functions._

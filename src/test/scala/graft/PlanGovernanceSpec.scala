@@ -116,6 +116,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " text_index_ivm (the broadcast SINGLE-ROW merged-stats" +
       " crossJoin); the deletion generation is semi/anti equi-joins on" +
       " doc_id plus SUM-folded negative partials, no new join shape"),
+    "stream_index_delete" -> ("text_index_delete's read side (the" +
+      " broadcast SINGLE-ROW merged-stats crossJoin) with the deletion" +
+      " generations folded per request batch — same semi/anti" +
+      " equi-join shapes, just one generation per micro-batch"),
     "sim_knn_classify" -> ("inherits sim_ann_ivf's broadcast" +
       " centroid-table crossJoins (probe selection, O(n*C) linear per" +
       " centroid); voting and the confusion rollup are (vec_id, label)" +
