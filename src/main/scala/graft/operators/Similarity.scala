@@ -1739,7 +1739,8 @@ object Similarity {
     * callers decide what to pin.
     */
   private def gnavWalk(adj: DataFrame, e: DataFrame, q: DataFrame,
-      seeds: DataFrame, beamWidth: Int): DataFrame = {
+      seeds: DataFrame, beamWidth: Int,
+      resultFilter: Column = lit(true)): DataFrame = {
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
         col("nrm").as("nn")), Seq("node"))
@@ -1763,7 +1764,8 @@ object Similarity {
         .distinct()
       beam = topB(score(cand))
     }
-    beam.withColumn("rank", row_number().over(byQ).cast("long"))
+    beam.filter(resultFilter)
+      .withColumn("rank", row_number().over(byQ).cast("long"))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("node").as("neighbor_id"), col("rank"),
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
@@ -1786,8 +1788,8 @@ object Similarity {
     * 6 scans per walk on the bench clock). Each result materializes
     * eagerly BEFORE the pins release (the pinAndRelease invariant).
     */
-  private def gnavResults(s: SparkSession, d: String,
-      widths: Seq[Int]): Seq[DataFrame] = {
+  private def gnavResults(s: SparkSession, d: String, widths: Seq[Int],
+      resultFilter: Column = lit(true)): Seq[DataFrame] = {
     val (adjP, eP, _, _) = gnavInputs(s, d)
     val adj = graft.operators.Dedup.materialize(adjP)
     val e = graft.operators.Dedup.materialize(eP)
@@ -1802,15 +1804,15 @@ object Similarity {
     // walk, not the sum — local stage-scheduling latency, not data,
     // dominates a 10-query beam walk
     val res = if (widths.size == 1)
-      widths.map(w =>
-        graft.operators.Dedup.materialize(gnavWalk(adj, e, q, seeds, w)))
+      widths.map(w => graft.operators.Dedup.materialize(
+        gnavWalk(adj, e, q, seeds, w, resultFilter)))
     else {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(widths.size)
       try widths
         .map(w => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame =
-            graft.operators.Dedup.materialize(gnavWalk(adj, e, q, seeds, w))
+          def call(): DataFrame = graft.operators.Dedup.materialize(
+            gnavWalk(adj, e, q, seeds, w, resultFilter))
         }))
         .map(_.get())
       finally pool.shutdown()
@@ -1821,6 +1823,20 @@ object Similarity {
 
   private val annGraphNav: Q = (s, d) =>
     gnavResults(s, d, Seq(GnavBeam)).head
+
+  /** [[annGraphNav]] under a SOFT-DELETE tombstone set — the
+    * navigation family's takedown contract (what HNSW stores actually
+    * ship): deleted nodes still ROUTE — the graph, seeds, and every
+    * beam cut are untouched, because cutting the victims' edges would
+    * disconnect survivors the walk reaches through them — but they are
+    * filtered from the final beam BEFORE the top-[[K]] rank, so no
+    * tombstoned vector can be returned. `surviving` is a predicate
+    * over the beam's `node` column. Exposed to [[StreamingQueries]]'
+    * takedown face; the SQL twin is [[gnavDeleteOracleFor]].
+    */
+  private[operators] def gnavSoftDelete(s: SparkSession, d: String,
+      surviving: Column): DataFrame =
+    gnavResults(s, d, Seq(GnavBeam), surviving).head
 
   /** Beam widths swept by [[gnavTradeoff]]. */
   private val GnavBeamBudgets = Seq(4, 8, 16)
@@ -2422,6 +2438,23 @@ object Similarity {
     s"""WITH $gnavPrefixCtes,
        |${gnavChainCtes(GnavBeam)}
        |${gnavRankSql(GnavBeam)}""".stripMargin
+
+  /** [[gnavSoftDelete]] in SQL: the identical walk (tombstones route),
+    * with `whereNode` filtering the final beam before the top-[[K]]
+    * rank — survivors promote into the freed ranks exactly like the
+    * engine side.
+    */
+  private[operators] def gnavDeleteOracleFor(whereNode: String): String =
+    s"""WITH $gnavPrefixCtes,
+       |${gnavChainCtes(GnavBeam)}
+       |SELECT q_id, node AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       |  round(sim, 4) + 0.0 AS sim
+       |FROM (
+       |  SELECT q_id, node, sim,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY sim DESC, node) AS rank
+       |  FROM gb$GnavHops{W} WHERE $whereNode)
+       |WHERE rank <= $K""".stripMargin.replace("{W}", s"_$GnavBeam")
 
   /** [[gnavTradeoff]] in SQL — ONE shared prefix (graph, seeds, entry
     * scores, and the exact side), one hop chain per swept width, and a

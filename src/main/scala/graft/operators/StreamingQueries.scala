@@ -2050,6 +2050,20 @@ object StreamingQueries {
       TextAnalysis.bm25GroupedScoredFrom(post, dl, df, st))
   }
 
+  /** NAVIGATION-GRAPH SOFT DELETE — the takedown applied to the ANN
+    * family member production vector stores actually navigate: HNSW
+    * deletion is a TOMBSTONE, not an edge cut (removing the victims'
+    * edges would disconnect survivors the walk reaches through them),
+    * so deleted nodes still route and only the RESULT set excludes
+    * them — survivors promote into the freed ranks. The walk, graph,
+    * and beams are byte-identical to `sim_ann_graph`'s; the SQL twin
+    * replays the same chained-CTE hops and filters the final beam
+    * before ranking.
+    */
+  private val simGnavDelete: Q = (s, d) =>
+    Similarity.gnavSoftDelete(s, d,
+      pmod(col("node"), lit(TakedownMod)) =!= TakedownRem)
+
   /** MAINTAINED-CLUSTERING DELETION — the takedown family's capstone,
     * and the one member where tombstones alone are WRONG: component
     * labels are a transitive property, so removing a bridge document
@@ -3209,6 +3223,7 @@ object StreamingQueries {
     "sim_index_delete" -> simIndexDelete,
     "dedup_cc_delete" -> dedupCcDelete,
     "stream_index_delete" -> streamIndexDelete,
+    "sim_gnav_delete" -> simGnavDelete,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -3411,6 +3426,10 @@ object StreamingQueries {
     // one-shot deletion: the same rebuild-without oracle
     "stream_index_delete" -> TextAnalysis.bm25GroupedOracleFor(
       s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
+    // HNSW-style soft delete: the walk routes through tombstones
+    // unchanged; only the final beam filters before ranking
+    "sim_gnav_delete" -> Similarity.gnavDeleteOracleFor(
+      s"node % $TakedownMod <> $TakedownRem"),
     // folds across a mid-replay compaction must still converge to the
     // from-scratch transitive closure — the same oracle as the
     // uncompacted maintainer

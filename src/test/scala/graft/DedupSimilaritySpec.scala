@@ -313,6 +313,31 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_gnav_delete: tombstones route but never return; surviving " +
+      "results of the undeleted walk keep or improve their ranks") {
+    val M = operators.StreamingQueries.TakedownMod
+    val R = operators.StreamingQueries.TakedownRem
+    val del = SparkEntry.queries("sim_gnav_delete")(spark, sf).collect()
+    assert(del.forall(_.getAs[Long]("neighbor_id") % M != R))
+    // per query: ranks contiguous from 1 and a full top-5 (a 16-wide
+    // beam loses at most a couple of victims, never 11)
+    del.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rows) =>
+      assert(rows.sortBy(_.getAs[Long]("rank"))
+        .map(_.getAs[Long]("rank")).toSeq == (1L to 5L).toSeq, s"q=$q")
+    }
+    // the walk itself is untouched: every SURVIVING row of the
+    // undeleted top-5 reappears, at the same or a better rank
+    // (victims leaving the beam can only promote survivors)
+    val full = SparkEntry.queries("sim_ann_graph")(spark, sf).collect()
+    val delRank = del.map(r => (r.getAs[Long]("q_id"),
+      r.getAs[Long]("neighbor_id")) -> r.getAs[Long]("rank")).toMap
+    full.filter(_.getAs[Long]("neighbor_id") % M != R).foreach { r =>
+      val key = (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))
+      assert(delRank.contains(key), s"surviving $key vanished")
+      assert(delRank(key) <= r.getAs[Long]("rank"), s"$key demoted")
+    }
+  }
+
   test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {
     val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf)
       .collect().map(r => r.getAs[String]("config") -> r).toMap
