@@ -1078,6 +1078,65 @@ object Dedup {
       .write.mode("overwrite").parquet(cstate.resolve("lbl/base").toString)
   }
 
+  /** DELETE a victim set from the maintained clustering state — the
+    * takedown fold of the interleaved maintainer
+    * (`dedup_cc_takedown`): tombstones are not enough for transitive
+    * state (removing a bridge doc must SPLIT its component), so the
+    * fold rewrites the affected labels from the STORED slices:
+    *
+    *  1. `dead/gen`: the victims as indexed — readers anti-join this
+    *     so dead signatures stop banding and dead shingles stop
+    *     verifying;
+    *  2. `lbltomb/gen`: every doc of every component holding a victim
+    *     — ALL their old label rows die (the one place the
+    *     append-only label store needs a rewrite: splits cannot ride
+    *     the merge-only remap);
+    *  3. `lblfresh/gen`: the affected SURVIVORS re-clustered from the
+    *     stored signature/shingle slices (banding + verification +
+    *     components over the slice only — a verified pair implies
+    *     same-component endpoints, so the slice loses nothing).
+    *
+    * The remap is untouched: no surviving label row still carries a
+    * root that resolves into an affected component (they all just got
+    * fresh rows holding current roots), so stale entries are never
+    * probed. `resolvedLbl` must be the CURRENT labels (store fold +
+    * one remap hop) — the caller owns store layout and resolution.
+    *
+    * Scale shape: O(affected components' stored rows), never the
+    * corpus — the semi-joins slice by a broadcast-sized affected set,
+    * and the re-clustering is bounded by the affected subgraph.
+    */
+  private[graft] def ccDeleteBatch(victims: DataFrame, priorSh: DataFrame,
+      priorSig: DataFrame, resolvedLbl: DataFrame,
+      state: java.nio.file.Path, gen: String): Unit = {
+    val sp = victims.sparkSession
+    victims.select(col("doc_id")).distinct()
+      .join(priorSig.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(state.resolve(s"dead/$gen").toString)
+    val dead = sp.read.parquet(state.resolve(s"dead/$gen").toString)
+    val affected = materialize(resolvedLbl
+      .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("component")).distinct())
+    resolvedLbl.join(broadcast(affected), Seq("component"), "left_semi")
+      .select(col("doc_id"))
+      .write.mode("overwrite")
+      .parquet(state.resolve(s"lbltomb/$gen").toString)
+    val affSurv = sp.read.parquet(state.resolve(s"lbltomb/$gen").toString)
+      .join(dead, Seq("doc_id"), "left_anti")
+    val affSig = priorSig.join(affSurv, Seq("doc_id"), "left_semi")
+    val affSh = priorSh.join(affSurv, Seq("doc_id"), "left_semi")
+    val newPairs = verifyCandidates(
+      bandPairs(affSig).select(col("a_id"), col("b_id")),
+      affSh.select(col("doc_id"), col("shingle")),
+      affSig.select(col("doc_id"), col("n")))
+      .select(col("a_id"), col("b_id"))
+    connectedComponentsWithRounds(newPairs)._1
+      .select(col("doc_id"), col("component"))
+      .write.mode("overwrite")
+      .parquet(state.resolve(s"lblfresh/$gen").toString)
+    releaseCheckpoint(affected)
+  }
+
   /** The maintained shared tables, for rung-scale maintenance timing. */
   private[graft] def maintainedStores(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = sharedTables(s, d)

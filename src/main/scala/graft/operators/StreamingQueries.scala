@@ -444,6 +444,7 @@ object StreamingQueries {
       "text_index_ivm" -> textIndexIvm,
       "dedup_cc_ivm" -> dedupCcIvm,
       "dedup_cc_compact" -> dedupCcCompact,
+      "dedup_cc_takedown" -> dedupCcTakedown,
       "stream_embed_drift" -> streamEmbedDrift))
 
   /** Source tables a group's members read — the group cache key
@@ -2306,6 +2307,150 @@ object StreamingQueries {
         coalesce(col("root"), col("component")).as("component"))
   }
 
+  /** MAINTAINED CLUSTERING UNDER INTERLEAVED ARRIVALS AND TAKEDOWNS —
+    * the lifecycle a production 100 TB dedup tier actually runs:
+    * documents keep arriving while rights removals and contamination
+    * purges delete others, and the maintained component labels must
+    * track both. The resident first half clusters as the base; the
+    * last two quartiles arrive as a 3-micro-batch stream; at the
+    * batch-1 boundary a TAKEDOWN fold ([[Dedup.ccDeleteBatch]])
+    * removes every stored victim (`doc_id % TakedownMod =
+    * TakedownRem`): dead signatures stop banding, every affected
+    * component's label rows die, and the affected SURVIVORS
+    * re-cluster from the stored slices — splits fall out, stranded
+    * min-labels re-anchor. Batches 1–2 pass a door DENYLIST (the
+    * takedown extends to future arrivals) and fold normally against
+    * the takedown-aware store — an arrival may even RE-BRIDGE a split
+    * component, and the normal merge mechanism handles it.
+    *
+    * Label-store reads fold chronologically: base ∪ arrival gens,
+    * anti-joined by the takedown's tombstones, plus its fresh rows —
+    * placement is order-insensitive because tombstoned docs have no
+    * rows in later arrival gens (the store contract) and fresh rows
+    * union after the anti-join. The emitted result is every
+    * maintained label resolved through the final remap — hash-checked
+    * against the from-scratch transitive-closure oracle over ALL
+    * documents MINUS the victims: fold-of-arrivals-and-takedowns ≡
+    * recluster-without.
+    *
+    * Replay idempotency at the boundary: the takedown's inputs are
+    * the generations strictly before batch 1 (fixed by the time it
+    * runs) and every write is a per-gen overwrite.
+    */
+  private val dedupCcTakedown: Q = (s, d) => {
+    val run = freshRunDir("graft_cctd_")
+    val docs = T(s, d, "documents")
+    val ranked = docs
+      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+      .drop("rn", "n")
+    val state = run.resolve("state")
+    Dedup.ccIvmBaseFromShared(s, d,
+      ranked.filter(col("bucket") < 2).select(col("doc_id")), state)
+    val srcDir = run.resolve("src").toString
+    ranked.filter(col("bucket") >= 2).drop("bucket")
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val deleteAt = 1L
+    val dGen = "d00001"
+    val isVictim = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
+    def gensBefore(sub: String, batchId: Long): Seq[String] = {
+      import scala.jdk.CollectionConverters._
+      val dir = state.resolve(sub)
+      if (!java.nio.file.Files.isDirectory(dir)) Seq.empty
+      else java.nio.file.Files.list(dir).iterator().asScala
+        .filter { p =>
+          val n = p.getFileName.toString
+          n == "base" || n.drop(1).toLong < batchId
+        }.map(_.toString).toSeq.sorted
+    }
+    def rdDelete(sp: org.apache.spark.sql.SparkSession, sub: String) =
+      sp.read.parquet(state.resolve(s"$sub/$dGen").toString)
+    // store readers, takedown-aware once the boundary has passed
+    def rdRows(sp: org.apache.spark.sql.SparkSession, sub: String,
+        batchId: Long): DataFrame = {
+      val all = sp.read.parquet(gensBefore(sub, batchId): _*)
+      if (batchId < deleteAt) all
+      else all.join(rdDelete(sp, "dead"), Seq("doc_id"), "left_anti")
+    }
+    // the label fold is CHRONOLOGICAL: the takedown's tombstones kill
+    // only rows written BEFORE it — a delete-time singleton can be
+    // re-labeled by a later arrival that re-pairs it, and that fresh
+    // row must survive the fold (the sf0.1 two-row lesson: an
+    // end-positioned anti-join erased exactly those resurrections)
+    def rdLbl(sp: org.apache.spark.sql.SparkSession,
+        batchId: Long, withDelete: Boolean): DataFrame = {
+      if (!withDelete) sp.read.parquet(gensBefore("lbl", batchId): _*)
+      else {
+        val preGens = gensBefore("lbl", deleteAt)
+        val pre = sp.read.parquet(preGens: _*)
+          .join(rdDelete(sp, "lbltomb"), Seq("doc_id"), "left_anti")
+          .unionByName(rdDelete(sp, "lblfresh"))
+        val post = gensBefore("lbl", batchId).filterNot(preGens.toSet)
+        if (post.isEmpty) pre
+        else pre.unionByName(sp.read.parquet(post: _*))
+      }
+    }
+    def rdRemap(sp: org.apache.spark.sql.SparkSession,
+        batchId: Long): DataFrame = {
+      val remaps = gensBefore("remap", batchId)
+      if (remaps.isEmpty)
+        sp.range(0).select(col("id").as("old"), col("id").as("root"))
+      else sp.read.parquet(remaps.max)
+    }
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sp = batch.sparkSession
+          if (batchId == deleteAt) {
+            // the takedown: victims = every STORED doc in the slice;
+            // inputs fixed (gens strictly before the boundary),
+            // outputs idempotent overwrites
+            val priorSig =
+              sp.read.parquet(gensBefore("sig", deleteAt): _*)
+            val priorSh = sp.read.parquet(gensBefore("sh", deleteAt): _*)
+            val resolved = rdLbl(sp, deleteAt, withDelete = false)
+              .withColumnRenamed("component", "l0")
+              .join(rdRemap(sp, deleteAt).withColumnRenamed("old", "l0"),
+                Seq("l0"), "left")
+              .select(col("doc_id"),
+                coalesce(col("root"), col("l0")).as("component"))
+            Dedup.ccDeleteBatch(priorSig.filter(isVictim), priorSh,
+              priorSig, resolved, state, dGen)
+          }
+          // the door denylist: once a takedown is issued, matching
+          // arrivals are refused at ingest
+          val door = if (batchId >= deleteAt) batch.filter(!isVictim)
+            else batch
+          Dedup.ccIvmBatch(door, rdRows(sp, "sh", batchId),
+            rdRows(sp, "sig", batchId),
+            rdLbl(sp, batchId, withDelete = batchId >= deleteAt),
+            rdRemap(sp, batchId), state, f"b$batchId%05d")
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    // read-back: the takedown-aware label fold, resolved through the
+    // final compacted remap (one hop)
+    rdLbl(s, Long.MaxValue, withDelete = true)
+      .withColumnRenamed("component", "l0")
+      .join(rdRemap(s, Long.MaxValue).withColumnRenamed("old", "l0"),
+        Seq("l0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("l0")).as("component"))
+  }
+
+  /** The takedown maintainer WITHOUT the replay-group wrapper — for
+    * specs driving it over planted synthetic corpora (the group
+    * replays every `index` member, which needs the full table set).
+    */
+  private[graft] def ccTakedownRaw: Q = dedupCcTakedown
+
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
     * topology, each stage the production shape:
     *
@@ -3434,6 +3579,10 @@ object StreamingQueries {
     // from-scratch transitive closure — the same oracle as the
     // uncompacted maintainer
     "dedup_cc_compact" -> Dedup.oracles("dedup_components"),
+    // arrivals and takedowns interleaved must converge to the
+    // from-scratch clustering of the surviving documents
+    "dedup_cc_takedown" -> Dedup.componentsOracleFor(
+      s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
     // streaming session merging must agree with batch interval-merge SQL
     "stream_sessionize" -> TimeSeries.oracles("sessionize_native"),
     // the keyed trailing-baseline fold must agree with the batch

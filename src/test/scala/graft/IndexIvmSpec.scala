@@ -122,6 +122,56 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(face == full)
   }
 
+  test("dedup_cc_takedown: interleaved arrivals and takedowns converge " +
+      "to the one-shot deletion's labels, row for row") {
+    val streamed = StreamingQueries.queries("dedup_cc_takedown")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = StreamingQueries.queries("dedup_cc_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == oneShot)
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    assert(streamed.forall { case (d, c) => d % M != R && c % M != R })
+  }
+
+  test("dedup_cc_takedown: a takedown singleton re-labeled by a later " +
+      "arrival survives the read-back (planted resurrection corpus)") {
+    val s = spark
+    import s.implicits._
+    // ids 2, 13, 20 share one text: 2 and 13 are resident (first half
+    // by rank), 20 arrives in the stream. The takedown at the batch-1
+    // boundary deletes 13; if 20 has not arrived yet, 2 drops to a
+    // tombstoned singleton and 20's arrival must RE-LABEL it — the
+    // fresh row has to survive the chronological label fold (the
+    // sf0.1 two-row regression this test pins). If 20 lands in batch
+    // 0 the pair pre-exists the takedown and the affected re-cluster
+    // covers it — either batch assignment must converge to the same
+    // final labels.
+    val dupText = (1 to 17).map(i => s"v$i").mkString(" ")
+    val pairText = (1 to 12).map(i => s"u$i").mkString(" ")
+    val docs = (1 to 26).map { i =>
+      val text = i match {
+        case 2 | 13 | 20 => dupText
+        case 5 | 6 => pairText
+        case _ => (1 to 12).map(j => s"x${i}_$j").mkString(" ")
+      }
+      i.toLong -> text
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft_cctd_spec_")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val got = StreamingQueries.ccTakedownRaw(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set(2L -> 2L, 20L -> 2L, 5L -> 5L, 6L -> 5L))
+    // and the interleaved fold equals the one-shot artifact deletion
+    // on the same corpus
+    val oneShot = StreamingQueries.queries("dedup_cc_delete")(
+        spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oneShot)
+  }
+
   test("dedup_cc_delete: a deleted bridge SPLITS its component, a deleted " +
       "min-label re-anchors, and docs losing every partner drop") {
     val s = spark
