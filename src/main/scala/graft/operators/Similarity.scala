@@ -1740,7 +1740,7 @@ object Similarity {
     */
   private def gnavWalk(adj: DataFrame, e: DataFrame, q: DataFrame,
       seeds: DataFrame, beamWidth: Int,
-      resultFilter: Column = lit(true)): DataFrame = {
+      resultFilter: Column = lit(true), topN: Int = K): DataFrame = {
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
         col("nrm").as("nn")), Seq("node"))
@@ -1766,7 +1766,7 @@ object Similarity {
     }
     beam.filter(resultFilter)
       .withColumn("rank", row_number().over(byQ).cast("long"))
-      .filter(col("rank") <= K)
+      .filter(col("rank") <= topN)
       .select(col("q_id"), col("node").as("neighbor_id"), col("rank"),
         (round(col("sim"), 4) + lit(0.0)).as("sim"))
   }
@@ -1837,6 +1837,65 @@ object Similarity {
   private[operators] def gnavSoftDelete(s: SparkSession, d: String,
       surviving: Column): DataFrame =
     gnavResults(s, d, Seq(GnavBeam), surviving).head
+
+  /** INCREMENTAL INSERTION into the navigation graph — the NSW/HNSW
+    * maintenance op that keeps a graph index alive under arriving
+    * vectors without a rebuild: each newcomer beam-searches the
+    * RESIDENT graph for its neighborhood, connects bidirectionally to
+    * its top-[[GnavK]], and every touched node re-caps its adjacency
+    * at [[GnavDegree]] by the registry-wide (sim desc, id) order —
+    * exactly the insert loop production graph stores run per arrival.
+    * The arrival slice is the established `% ClsArrMod = ClsArrRem`
+    * split; the resident graph is the published artifact restricted
+    * to resident endpoints (the hard-removal complement of
+    * [[gnavSoftDelete]]: delete-then-reinsert is the maintenance
+    * cycle this face completes). Seeds are stride-16 vec_ids, which
+    * are `0 mod ClsArrMod` and therefore always resident.
+    *
+    * Emitted result: the UPDATED adjacency `(vec_id, nbr_id, sim)` —
+    * deterministic and hash-checked against the SQL twin that replays
+    * the restriction, the per-arrival walks, the symmetric connect,
+    * and the degree re-cap as chained CTEs.
+    *
+    * Scale shape: per arrival the walk is beam·degree adjacency
+    * probes + exact rescorings (corpus never scanned); the connect
+    * and re-cap are one shuffle each over O(graph + new edges) rows.
+    * At 100 TB arrivals batch through the same walk the queries use,
+    * and the re-cap touches only nodes that gained an edge.
+    */
+  private val gnavInsert: Q = (s, d) => {
+    val isArr = (c: Column) => pmod(c, lit(ClsArrMod)) === ClsArrRem
+    val resident = gnavShared(s, d)
+      .filter(!isArr(col("vec_id")) && !isArr(col("nbr_id")))
+    val (_, eP, _, _) = gnavInputs(s, d)
+    val adj = graft.operators.Dedup.materialize(
+      resident.select(col("vec_id").as("node"), col("nbr_id")))
+    val e = graft.operators.Dedup.materialize(eP)
+    val q = e.filter(isArr(col("vec_id")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
+        col("vec_id") < GnavSeedStep * GnavSeedCap)
+      .select(col("vec_id").as("node"))
+    val walked = gnavWalk(adj, e, q, seeds, GnavBeam, topN = GnavK)
+      .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
+        col("sim"))
+    // bidirectional connect; the walk only ever reaches resident
+    // nodes (beam and expansion live on the resident graph), so new
+    // edges are always arrival↔resident and never collide
+    val sym = walked.union(walked.select(col("nbr_id").as("vec_id"),
+      col("vec_id").as("nbr_id"), col("sim")))
+    val byNode = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    val updated = resident.select(col("vec_id"), col("nbr_id"), col("sim"))
+      .union(sym).distinct()
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= GnavDegree)
+      .select(col("vec_id"), col("nbr_id"), col("sim"))
+    val out = graft.operators.Dedup.materialize(updated)
+    Seq(adj, e).foreach(graft.operators.Dedup.releaseCheckpoint)
+    out
+  }
 
   /** Beam widths swept by [[gnavTradeoff]]. */
   private val GnavBeamBudgets = Seq(4, 8, 16)
@@ -1998,6 +2057,7 @@ object Similarity {
     "sim_ann_graph" -> annGraphNav,
     "sim_gnav_recall" -> gnavRecall,
     "sim_gnav_tradeoff" -> gnavTradeoff,
+    "sim_gnav_insert" -> gnavInsert,
     "sim_ann_recall" -> annRecall,
     "sim_ann_tradeoff" -> annTradeoff,
     "sim_pq_recall" -> pqRecall,
@@ -2456,6 +2516,81 @@ object Similarity {
        |  FROM gb$GnavHops{W} WHERE $whereNode)
        |WHERE rank <= $K""".stripMargin.replace("{W}", s"_$GnavBeam")
 
+  /** [[gnavInsert]] in SQL: restrict the published adjacency to
+    * resident endpoints (WITH its rounded sims — `radj0` re-derives
+    * the degree cap from `gsym` keeping the sim column `gadj`
+    * projects away), walk every arrival over it (`_ins`-suffixed hop
+    * chain — name uniqueness keeps the materializer pinning every
+    * frame), connect each arrival to its top-[[GnavK]] both ways, and
+    * re-cap every node at [[GnavDegree]].
+    */
+  private lazy val gnavInsertOracle: String = {
+    val hops = (1 to GnavHops).map { i =>
+      s"""ic${i}_ins AS (
+         |  SELECT DISTINCT q_id, node FROM (
+         |    SELECT q_id, node FROM ib${i - 1}_ins
+         |    UNION ALL
+         |    SELECT b.q_id, a.nbr_id AS node
+         |    FROM ib${i - 1}_ins b JOIN radj a ON a.vec_id = b.node)
+         |  WHERE node <> q_id),
+         |is${i}_ins AS (
+         |  SELECT c.q_id, c.node,
+         |    list_cosine_similarity(q.qv, e.v) AS sim
+         |  FROM ic${i}_ins c JOIN ge e ON e.vec_id = c.node
+         |  JOIN iq q ON q.q_id = c.q_id),
+         |ib${i}_ins AS (
+         |  SELECT q_id, node, sim FROM (
+         |    SELECT q_id, node, sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, node) AS rn
+         |    FROM is${i}_ins) WHERE rn <= $GnavBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gnavPrefixCtes,
+       |radj0 AS (
+       |  SELECT vec_id, nbr_id, sim FROM (
+       |    SELECT vec_id, nbr_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nbr_id) AS rn
+       |    FROM gsym) WHERE rn <= $GnavDegree),
+       |radj AS (
+       |  SELECT vec_id, nbr_id, sim FROM radj0
+       |  WHERE vec_id % $ClsArrMod <> $ClsArrRem
+       |    AND nbr_id % $ClsArrMod <> $ClsArrRem),
+       |iq AS (SELECT vec_id AS q_id, v AS qv FROM ge
+       |       WHERE vec_id % $ClsArrMod = $ClsArrRem),
+       |is0_ins AS (
+       |  SELECT q.q_id, s.node,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM iq q CROSS JOIN gsd s JOIN ge e ON e.vec_id = s.node
+       |  WHERE s.node <> q.q_id),
+       |ib0_ins AS (
+       |  SELECT q_id, node, sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM is0_ins) WHERE rn <= $GnavBeam),
+       |$hops,
+       |itop AS (
+       |  SELECT q_id, node, round(sim, 4) + 0.0 AS sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM ib${GnavHops}_ins) WHERE rn <= $GnavK),
+       |newe AS (
+       |  SELECT q_id AS vec_id, node AS nbr_id, sim FROM itop
+       |  UNION
+       |  SELECT node AS vec_id, q_id AS nbr_id, sim FROM itop),
+       |upd AS (
+       |  SELECT vec_id, nbr_id, sim FROM radj
+       |  UNION
+       |  SELECT vec_id, nbr_id, sim FROM newe)
+       |SELECT vec_id, nbr_id, sim FROM (
+       |  SELECT vec_id, nbr_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nbr_id) AS rn
+       |  FROM upd) WHERE rn <= $GnavDegree""".stripMargin
+  }
+
   /** [[gnavTradeoff]] in SQL — ONE shared prefix (graph, seeds, entry
     * scores, and the exact side), one hop chain per swept width, and a
     * UNION ALL of the per-width recall rows. Sharing the prefix keeps
@@ -2581,6 +2716,7 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_knn_graph" -> knnAnnOracle,
     "sim_ann_graph" -> gnavOracle,
+    "sim_gnav_insert" -> gnavInsertOracle,
     // per-query beam-search agreement against the exact ranking —
     // both sides the oracles' own text, joined on the pair key
     "sim_gnav_recall" ->

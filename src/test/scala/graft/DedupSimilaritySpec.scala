@@ -338,6 +338,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("sim_gnav_insert: every arrival connects to exactly GnavK " +
+      "residents, the degree cap holds, and no arrival pair forms") {
+    val M = operators.Similarity.ClsArrMod
+    val R = operators.Similarity.ClsArrRem
+    val adj = SparkEntry.queries("sim_gnav_insert")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    // no self edges, no arrival-to-arrival edges (the walk lives on
+    // the resident graph, so newcomers can only reach residents)
+    assert(adj.forall { case (a, b) => a != b })
+    assert(adj.forall { case (a, b) => a % M != R || b % M != R })
+    val outDeg = adj.groupBy(_._1).view.mapValues(_.length).toMap
+    // the degree re-cap holds everywhere
+    assert(outDeg.values.forall(_ <= 16))
+    // each arrival keeps its full top-8 connect (8 < the 16 cap, so
+    // the re-cap never prunes the newcomer's own list)
+    val arrivals = outDeg.filter(_._1 % M == R)
+    assert(arrivals.nonEmpty)
+    assert(arrivals.values.forall(_ == 8), s"arrival out-degrees: " +
+      s"${arrivals.values.toSeq.distinct}")
+    // bidirectional connect: the reverse of every arrival edge exists
+    // unless the resident's own re-cap pruned it (legitimate NSW
+    // asymmetry) — but at least one reverse edge must survive overall
+    val edgeSet = adj.toSet
+    assert(adj.exists { case (a, b) =>
+      a % M == R && edgeSet.contains((b, a)) })
+  }
+
   test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {
     val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf)
       .collect().map(r => r.getAs[String]("config") -> r).toMap
