@@ -117,7 +117,13 @@ object ScaleRung {
       "graph_scc", "sim_knn_recall",
       // r16: the navigation family's recall report (bruteforce side is
       // 10 queries x corpus — linear) rides every rung like IVF's
-      "sim_gnav_recall")
+      "sim_gnav_recall",
+      // r16 takedown/maintenance family: the artifact-store clustering
+      // delete (affected-components-only recompute — growth across
+      // rungs prices the affected slice, never the corpus) and the
+      // NSW insertion (one beam walk per arriving vector — linear in
+      // the arrival slice by construction)
+      "dedup_cc_delete", "sim_gnav_insert")
     println("\n| query | seconds | rows |")
     queries.foreach { name =>
       val (rows, sec) = timed(name) {
@@ -257,6 +263,29 @@ object ScaleRung {
     val lc = foldedLbl("cc_compacted")
     assert(lu == lc, s"fold divergence across compaction: " +
       s"${(lu diff lc).take(3)} vs ${(lc diff lu).take(3)}")
+    // ---- takedown fold at depth (r16): dedup_cc_takedown's per-delete
+    // cost against the accumulated maintained store — the claim is
+    // O(affected components' stored rows): the victim slice is a fixed
+    // fraction of the corpus, so seconds here may grow linearly with
+    // the rung, but must stay far under the fresh recluster
+    // (cc_shared_build above) the takedown replaces.
+    val resolvedForDel = priorLbl.withColumnRenamed("component", "l0")
+      .join(remap.withColumnRenamed("old", "l0"), Seq("l0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("l0")).as("component"))
+    val victims = priorSig
+      .filter(pmod(col("doc_id"), lit(16L)) === 13L)
+      .select(col("doc_id"))
+    val (_, tDel) = timed("cc takedown fold @depth4") {
+      graft.operators.Dedup.ccDeleteBatch(victims, priorSh, priorSig,
+        resolvedForDel, maint.resolve("cc_del"), "d00001")
+    }
+    val nVictims = spark.read
+      .parquet(maint.resolve("cc_del/dead/d00001").toString).count()
+    val nRelabeled = spark.read
+      .parquet(maint.resolve("cc_del/lblfresh/d00001").toString).count()
+    println(f"| cc takedown fold @depth4 | $tDel%.2f | " +
+      s"$nVictims victims, $nRelabeled relabeled |")
     spark.stop()
   }
 }

@@ -363,6 +363,16 @@ class DedupSimilaritySpec extends AnyFunSuite {
     val edgeSet = adj.toSet
     assert(adj.exists { case (a, b) =>
       a % M == R && edgeSet.contains((b, a)) })
+    // navigability: the standard 10-query walk over the UPDATED graph
+    // holds the family's deployable recall band — insertion must not
+    // degrade routing (newcomers re-enter as results AND waypoints)
+    val rep = SparkEntry.queries("sim_gnav_insert_recall")(spark, sf)
+      .collect()
+    assert(rep.length == 10)
+    val hits = rep.map(_.getAs[Long]("n_hits")).sum
+    val k = rep.map(_.getAs[Long]("k")).sum
+    assert(hits * 10000L / k >= 7000L,
+      s"post-insert recall fell: $hits/$k")
   }
 
   test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {

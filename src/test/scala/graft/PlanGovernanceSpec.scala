@@ -136,6 +136,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
     "sim_gnav_tradeoff" -> ("inherits sim_topk_bruteforce's broadcast" +
       " 10-row query-set nested loop once per swept width; the walks" +
       " are pinned and audited pre-checkpoint (gnavWalkPlan)"),
+    "sim_gnav_insert_recall" -> ("composes sim_topk_bruteforce (its" +
+      " broadcast 10-row query-set nested loop) with the PINNED walk" +
+      " over the updated adjacency; the walk's own joins are the" +
+      " gnavWalkPlan shapes audited pre-checkpoint"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
