@@ -2337,8 +2337,18 @@ object StreamingQueries {
     * the generations strictly before batch 1 (fixed by the time it
     * runs) and every write is a per-gen overwrite.
     */
-  private val dedupCcTakedown: Q = (s, d) => {
-    val run = freshRunDir("graft_cctd_")
+  private val dedupCcTakedown: Q = ccTakedownImpl("graft_cctd_")
+
+  /** The takedown replay parameterized by its run-dir prefix:
+    * [[freshRunDir]] TRASHES the previous run of the same prefix, and
+    * the replay group's cached read-back is a LAZY plan over its run's
+    * state files — so a second invocation under the group's prefix
+    * (the planted-corpus spec) would delete the files out from under
+    * the cache (the FILE_NOT_EXIST failure the full suite caught).
+    * The spec seam gets its own prefix instead.
+    */
+  private def ccTakedownImpl(prefix: String): Q = (s, d) => {
+    val run = freshRunDir(prefix)
     val docs = T(s, d, "documents")
     val ranked = docs
       .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
@@ -2448,8 +2458,9 @@ object StreamingQueries {
   /** The takedown maintainer WITHOUT the replay-group wrapper — for
     * specs driving it over planted synthetic corpora (the group
     * replays every `index` member, which needs the full table set).
+    * Distinct run-dir prefix: see [[ccTakedownImpl]].
     */
-  private[graft] def ccTakedownRaw: Q = dedupCcTakedown
+  private[graft] def ccTakedownRaw: Q = ccTakedownImpl("graft_cctds_")
 
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
     * topology, each stage the production shape:
