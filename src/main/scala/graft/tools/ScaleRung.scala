@@ -286,6 +286,29 @@ object ScaleRung {
       .parquet(maint.resolve("cc_del/lblfresh/d00001").toString).count()
     println(f"| cc takedown fold @depth4 | $tDel%.2f | " +
       s"$nVictims victims, $nRelabeled relabeled |")
+    // the same fold with a mod-256 victim slice. NOT "sparse in
+    // affected docs": the rung's replica ids are orig + rep*nDocs and
+    // nDocs mod 16 = 8, so mod-16 victims concentrate in 1/8 of the
+    // cliques (half of each clique's reps die), while mod-256 victims
+    // SPREAD ~1 victim over ~the same number of cliques — fewer
+    // victims, but a LARGER surviving slice to re-cluster. The two
+    // rows together price the real claim: fold cost tracks the
+    // affected-SURVIVOR count (the re-cluster slice), linearly —
+    // never the victim count, never the index size. Read them with
+    // the printed victim/relabeled counts.
+    val spreadVictims = priorSig
+      .filter(pmod(col("doc_id"), lit(256L)) === 13L)
+      .select(col("doc_id"))
+    val (_, tDelS) = timed("cc takedown fold spread (mod-256)") {
+      graft.operators.Dedup.ccDeleteBatch(spreadVictims, priorSh,
+        priorSig, resolvedForDel, maint.resolve("cc_dels"), "d00001")
+    }
+    val nVictimsS = spark.read
+      .parquet(maint.resolve("cc_dels/dead/d00001").toString).count()
+    val nRelabeledS = spark.read
+      .parquet(maint.resolve("cc_dels/lblfresh/d00001").toString).count()
+    println(f"| cc takedown fold spread | $tDelS%.2f | " +
+      s"$nVictimsS victims, $nRelabeledS relabeled |")
     spark.stop()
   }
 }
