@@ -1125,16 +1125,55 @@ object Dedup {
       .join(dead, Seq("doc_id"), "left_anti")
     val affSig = priorSig.join(affSurv, Seq("doc_id"), "left_semi")
     val affSh = priorSh.join(affSurv, Seq("doc_id"), "left_semi")
-    val newPairs = verifyCandidates(
-      bandPairs(affSig).select(col("a_id"), col("b_id")),
-      affSh.select(col("doc_id"), col("shingle")),
-      affSig.select(col("doc_id"), col("n")))
+    // re-cluster the slice PRE-COLLAPSED on the stored shingle SET —
+    // the [[ccBuildFrames]] move applied to the takedown: banding the
+    // slice per-doc pays pair emission quadratic in surviving clique
+    // size (rung-measured 70.7 s on ~97-member cliques at 100×), yet
+    // every identical-shingle-set member bands, matches, and scores
+    // exactly like its group's min-id rep. Shingle-set equality (not
+    // text equality — the stores never kept the text) is the sound
+    // collapse key: equal sets ⟹ jaccard 1.0 ⟹ same component
+    // regardless, and ⟹ identical signature/band keys ⟹ identical
+    // rep-level candidacy. Labels expand through the groups exactly
+    // like the builder's (component = rep-component min, which is the
+    // member min because every rep is its group's min).
+    val gkeys = affSh
+      .groupBy(col("doc_id"))
+      // NUL separator (words are whitespace-split, shingles are
+      // space-joined, so neither carries NUL) plus the set size, so
+      // boundary ambiguity cannot alias two different sets to one key
+      .agg(concat(count(lit(1)).cast("string"), lit(":"),
+        md5(concat_ws("\u0000",
+          sort_array(collect_list(col("shingle")))).cast("binary")))
+        .as("gkey"))
+    val grouped = gkeys.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+    val membership = materialize(gkeys.join(grouped, Seq("gkey"))
+      .select(col("doc_id"), col("rep_id"), col("grp_n")))
+    val repIds = membership.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+    val repSig = affSig.join(repIds, Seq("doc_id"), "left_semi")
+    val repSh = affSh.join(repIds, Seq("doc_id"), "left_semi")
+    val repPairs = verifyCandidates(
+      bandPairs(repSig).select(col("a_id"), col("b_id")),
+      repSh.select(col("doc_id"), col("shingle")),
+      repSig.select(col("doc_id"), col("n")))
       .select(col("a_id"), col("b_id"))
-    connectedComponentsWithRounds(newPairs)._1
+    val repCC = connectedComponentsWithRounds(repPairs)._1
+      .select(col("doc_id").as("rep_id"), col("component").as("rcomp"))
+    membership
+      .join(repCC, Seq("rep_id"), "left")
+      // a rep in no rep-level pair still anchors a component when its
+      // group has ≥ 2 members (an all-identical surviving clique);
+      // every slice doc has shingles by construction, so the
+      // builder's has_sig gate is vacuous here
+      .withColumn("component", coalesce(col("rcomp"),
+        when(col("grp_n") >= 2, col("rep_id"))))
+      .filter(col("component").isNotNull)
       .select(col("doc_id"), col("component"))
       .write.mode("overwrite")
       .parquet(state.resolve(s"lblfresh/$gen").toString)
-    releaseCheckpoint(affected)
+    Seq(affected, membership).foreach(releaseCheckpoint)
   }
 
   /** The maintained shared tables, for rung-scale maintenance timing. */
