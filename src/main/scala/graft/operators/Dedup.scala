@@ -1096,10 +1096,23 @@ object Dedup {
     *     components over the slice only — a verified pair implies
     *     same-component endpoints, so the slice loses nothing).
     *
-    * The remap is untouched: no surviving label row still carries a
-    * root that resolves into an affected component (they all just got
-    * fresh rows holding current roots), so stale entries are never
-    * probed. `resolvedLbl` must be the CURRENT labels (store fold +
+    * The remap must be REWRITTEN at the boundary, not carried: every
+    * remap entry whose root lies in an affected component is dead (all
+    * docs resolving there just got tombstones + fresh rows holding
+    * current roots), and carrying it is actively WRONG on the
+    * merge-undo path — a takedown that removes a pre-boundary bridge
+    * splits the merged component, the split-off survivors' fresh rows
+    * re-anchor at the old sub-root (a remap KEY), and the stale entry
+    * would silently re-resolve them into the component they split
+    * from. This fold persists the affected-component set as
+    * `affcomp/gen`; readers must drop pre-boundary remap entries whose
+    * root is in it (one broadcast anti-join — post-boundary remap
+    * snapshots are built from the filtered read and need no filter).
+    * Completeness of the root-side filter: a fresh anchor x can only
+    * collide with a remap key x if doc x's old component was merged
+    * away — but then doc x resolved into that merge's root, doc x is
+    * an affected survivor, so the entry's root IS affected.
+    * `resolvedLbl` must be the CURRENT labels (store fold +
     * one remap hop) — the caller owns store layout and resolution.
     *
     * Scale shape: O(affected components' stored rows), never the
@@ -1117,6 +1130,10 @@ object Dedup {
     val affected = materialize(resolvedLbl
       .join(victims.select(col("doc_id")), Seq("doc_id"), "left_semi")
       .select(col("component")).distinct())
+    // the remap-rewrite input: readers anti-join pre-boundary remap
+    // entries on root ∈ affcomp (see the merge-undo note above)
+    affected.write.mode("overwrite")
+      .parquet(state.resolve(s"affcomp/$gen").toString)
     resolvedLbl.join(broadcast(affected), Seq("component"), "left_semi")
       .select(col("doc_id"))
       .write.mode("overwrite")

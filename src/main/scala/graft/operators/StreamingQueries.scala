@@ -2404,12 +2404,37 @@ object StreamingQueries {
         else pre.unionByName(sp.read.parquet(post: _*))
       }
     }
+    // the remap fold is the takedown's REWRITE point: a pre-boundary
+    // snapshot may carry entries whose root lies in an affected
+    // component — every doc resolving there just got tombstones +
+    // fresh rows, so those entries are dead, and probing one is
+    // actively WRONG on the merge-undo path (a takedown that removes
+    // a pre-boundary bridge splits the merged component; the split-off
+    // survivors' fresh rows re-anchor at the old sub-root, a remap
+    // KEY, and the stale entry would re-resolve them into the
+    // component they split from). Drop them with one broadcast
+    // anti-join on the takedown's persisted affected set. Exactly
+    // once: post-boundary folds READ the filtered remap and write
+    // snapshots built from it, so a post-boundary max gen needs no
+    // filter (and must not get one — a later merge may legitimately
+    // re-anchor at a root value inside the old affected set).
     def rdRemap(sp: org.apache.spark.sql.SparkSession,
-        batchId: Long): DataFrame = {
+        batchId: Long, withDelete: Boolean): DataFrame = {
       val remaps = gensBefore("remap", batchId)
       if (remaps.isEmpty)
         sp.range(0).select(col("id").as("old"), col("id").as("root"))
-      else sp.read.parquet(remaps.max)
+      else {
+        val m = sp.read.parquet(remaps.max)
+        val genName =
+          java.nio.file.Paths.get(remaps.max).getFileName.toString
+        val preBoundary =
+          genName == "base" || genName.drop(1).toLong < deleteAt
+        if (!withDelete || !preBoundary) m
+        else m.join(
+          broadcast(rdDelete(sp, "affcomp")
+            .withColumnRenamed("component", "root")),
+          Seq("root"), "left_anti")
+      }
     }
     withStreamingParallelism(s) {
       val q = raw.writeStream
@@ -2424,8 +2449,8 @@ object StreamingQueries {
             val priorSh = sp.read.parquet(gensBefore("sh", deleteAt): _*)
             val resolved = rdLbl(sp, deleteAt, withDelete = false)
               .withColumnRenamed("component", "l0")
-              .join(rdRemap(sp, deleteAt).withColumnRenamed("old", "l0"),
-                Seq("l0"), "left")
+              .join(rdRemap(sp, deleteAt, withDelete = false)
+                .withColumnRenamed("old", "l0"), Seq("l0"), "left")
               .select(col("doc_id"),
                 coalesce(col("root"), col("l0")).as("component"))
             Dedup.ccDeleteBatch(priorSig.filter(isVictim), priorSh,
@@ -2438,7 +2463,8 @@ object StreamingQueries {
           Dedup.ccIvmBatch(door, rdRows(sp, "sh", batchId),
             rdRows(sp, "sig", batchId),
             rdLbl(sp, batchId, withDelete = batchId >= deleteAt),
-            rdRemap(sp, batchId), state, f"b$batchId%05d")
+            rdRemap(sp, batchId, withDelete = batchId >= deleteAt),
+            state, f"b$batchId%05d")
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", run.resolve("chk").toString)
@@ -2449,8 +2475,8 @@ object StreamingQueries {
     // final compacted remap (one hop)
     rdLbl(s, Long.MaxValue, withDelete = true)
       .withColumnRenamed("component", "l0")
-      .join(rdRemap(s, Long.MaxValue).withColumnRenamed("old", "l0"),
-        Seq("l0"), "left")
+      .join(rdRemap(s, Long.MaxValue, withDelete = true)
+        .withColumnRenamed("old", "l0"), Seq("l0"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("l0")).as("component"))
   }

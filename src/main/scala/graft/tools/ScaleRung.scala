@@ -274,7 +274,9 @@ object ScaleRung {
       .select(col("doc_id"),
         coalesce(col("root"), col("l0")).as("component"))
     val victims = priorSig
-      .filter(pmod(col("doc_id"), lit(16L)) === 13L)
+      .filter(pmod(col("doc_id"),
+        lit(graft.operators.StreamingQueries.TakedownMod)) ===
+        graft.operators.StreamingQueries.TakedownRem)
       .select(col("doc_id"))
     val (_, tDel) = timed("cc takedown fold @depth4") {
       graft.operators.Dedup.ccDeleteBatch(victims, priorSh, priorSig,
@@ -297,7 +299,9 @@ object ScaleRung {
     // never the victim count, never the index size. Read them with
     // the printed victim/relabeled counts.
     val spreadVictims = priorSig
-      .filter(pmod(col("doc_id"), lit(256L)) === 13L)
+      .filter(pmod(col("doc_id"),
+        lit(graft.operators.StreamingQueries.TakedownMod * 16L)) ===
+        graft.operators.StreamingQueries.TakedownRem)
       .select(col("doc_id"))
     val (_, tDelS) = timed("cc takedown fold spread (mod-256)") {
       graft.operators.Dedup.ccDeleteBatch(spreadVictims, priorSh,

@@ -172,6 +172,71 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(got == oneShot)
   }
 
+  test("dedup_cc_takedown: a takedown that UNDOES a pre-boundary merge " +
+      "must not resurrect the stale remap entry (planted merge-undo " +
+      "corpus, one bridge per stream partition)") {
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    // Three groups, each two exact-dup BASE pairs joinable only through
+    // a victim bridge (17-word base text; each pair adds 2 words →
+    // j(pair, bridge) = 15/17 ≥ 0.8 verifies, j(pairA, pairC) = 15/19
+    // < 0.8 does not). The bridges are stream arrivals with victim ids
+    // (≡ TakedownRem mod TakedownMod) chosen so the three of them hash
+    // to the three distinct `repartition(3, doc_id)` partitions —
+    // whichever file replays as batch 0, SOME bridge folds before the
+    // boundary and merges its two base components (remap gains
+    // cRoot -> aRoot). The takedown then deletes it: the re-clustered
+    // C-pair re-anchors at cRoot, and a carried-forward remap entry
+    // would re-resolve it into the A-pair's component (the
+    // resurrection). Final labels must equal the never-merged base
+    // labels for ALL groups, under every batch-order assignment.
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    val groups = Seq(
+      (Seq(1L, 2L), Seq(3L, 4L)),
+      (Seq(5L, 6L), Seq(9L, 10L)),
+      (Seq(7L, 8L), Seq(11L, 12L)))
+    val baseDocs = groups.zipWithIndex.flatMap { case ((pa, pc), k) =>
+      val base = (1 to 17).map(i => s"g${k}w$i").mkString(" ")
+      pa.map(_ -> (base + s" a${k}x a${k}y")) ++
+        pc.map(_ -> (base + s" c${k}x c${k}y"))
+    }
+    // victim ids, one hashing to each stream partition (the planted
+    // guarantee that a bridge folds pre-boundary regardless of the
+    // file-mod-time batch order)
+    val cands = (1 to 60).map(k => R + M * k).filter(_ > 12L)
+    val byPart = cands.toDF("doc_id")
+      .withColumn("p", pmod(hash(col("doc_id")), lit(3)))
+      .collect().map(r => (r.getInt(1), r.getLong(0)))
+      .groupBy(_._1).map { case (p, xs) => p -> xs.map(_._2).min }
+    assert(byPart.keySet == Set(0, 1, 2),
+      s"victim candidates must cover all 3 partitions, got $byPart")
+    val bridges = byPart.values.toSeq.sorted.zipWithIndex.map {
+      case (id, k) =>
+        id -> (1 to 17).map(i => s"g${k}w$i").mkString(" ")
+    }
+    val fillers = (14L to 22L).map(i =>
+      i -> (1 to 12).map(j => s"f${i}_$j").mkString(" "))
+    assert(fillers.forall(_._1 % M != R))
+    val docs = baseDocs ++ bridges ++ fillers // 12 base + 12 stream
+    val dir = java.nio.file.Files.createTempDirectory("graft_cctdmu_")
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(dir.resolve("documents.parquet").toString)
+    val got = StreamingQueries.ccTakedownRaw(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = groups.flatMap { case (pa, pc) =>
+      pa.map(_ -> pa.min) ++ pc.map(_ -> pc.min)
+    }.toSet
+    assert(got == want)
+    // and the interleaved fold equals the one-shot artifact deletion
+    val oneShot = StreamingQueries.queries("dedup_cc_delete")(
+        spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == oneShot)
+  }
+
   test("dedup_cc_delete: a deleted bridge SPLITS its component, a deleted " +
       "min-label re-anchors, and docs losing every partner drop") {
     val s = spark
