@@ -1646,6 +1646,12 @@ object Similarity {
     */
   private val GnavHops = 5
 
+  /** Concurrency of the insert walk's arrival slices — walks are
+    * per-query independent, so the slice count trades scheduler
+    * overlap against per-slice job overhead (see [[builtGnavInsert]]).
+    */
+  private val GnavInsSlices = 8L
+
   /** Entry points: every [[GnavSeedStep]]-th vec_id, capped at
     * [[GnavSeedCap]] seeds — the IVF stride-seed discipline applied to
     * graph entry (production HNSW uses its top layer for this; a fixed
@@ -1740,7 +1746,23 @@ object Similarity {
     */
   private def gnavWalk(adj: DataFrame, e: DataFrame, q: DataFrame,
       seeds: DataFrame, beamWidth: Int,
-      resultFilter: Column = lit(true), topN: Int = K): DataFrame = {
+      resultFilter: Column = lit(true), topN: Int = K,
+      hopPins: Option[scala.collection.mutable.Buffer[DataFrame]] = None)
+      : DataFrame = {
+    // when the caller provides a pin buffer, each hop's beam is
+    // materialized before the next hop is planned: values are
+    // untouched, but the plan never fuses 6 window/join layers into
+    // one whole-stage-codegen unit — the unpinned mega-plan's final
+    // stage compiled ~11 s of generated code PER FIRST-RUNNER (probe,
+    // r17), while the pinned hops are small units whose generated
+    // code is identical across hops AND concurrent walk slices, so
+    // the codegen cache pays once. The audit seam ([[gnavWalkPlan]])
+    // passes None and keeps the full declarative plan.
+    def pin(df: DataFrame): DataFrame = hopPins match {
+      case Some(buf) =>
+        val p = graft.operators.Dedup.materialize(df); buf += p; p
+      case None => df
+    }
     def score(cand: DataFrame): DataFrame = cand
       .join(e.select(col("vec_id").as("node"), col("v").as("nv"),
         col("nrm").as("nn")), Seq("node"))
@@ -1753,8 +1775,9 @@ object Similarity {
       .withColumn("rn", row_number().over(byQ))
       .filter(col("rn") <= beamWidth)
       .select(col("q_id"), col("node"), col("sim"))
-    var beam = topB(score(q.select(col("q_id")).crossJoin(broadcast(seeds))
-      .filter(col("node") =!= col("q_id"))))
+    var beam = pin(topB(score(q.select(col("q_id"))
+      .crossJoin(broadcast(seeds))
+      .filter(col("node") =!= col("q_id")))))
     for (_ <- 1 to GnavHops) {
       val expand = beam.select(col("q_id"), col("node"))
         .join(adj, Seq("node"))
@@ -1762,7 +1785,7 @@ object Similarity {
       val cand = beam.select(col("q_id"), col("node")).union(expand)
         .filter(col("node") =!= col("q_id"))
         .distinct()
-      beam = topB(score(cand))
+      beam = pin(topB(score(cand)))
     }
     beam.filter(resultFilter)
       .withColumn("rank", row_number().over(byQ).cast("long"))
@@ -1803,16 +1826,21 @@ object Similarity {
     // materialize them CONCURRENTLY so the sweep's wall-clock is one
     // walk, not the sum — local stage-scheduling latency, not data,
     // dominates a 10-query beam walk
-    val res = if (widths.size == 1)
-      widths.map(w => graft.operators.Dedup.materialize(
-        gnavWalk(adj, e, q, seeds, w, resultFilter)))
+    def walkPinned(w: Int): DataFrame = {
+      val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+      val r = graft.operators.Dedup.materialize(
+        gnavWalk(adj, e, q, seeds, w, resultFilter,
+          hopPins = Some(pins)))
+      pins.foreach(graft.operators.Dedup.releaseCheckpoint)
+      r
+    }
+    val res = if (widths.size == 1) widths.map(walkPinned)
     else {
       val pool = java.util.concurrent.Executors
         .newFixedThreadPool(widths.size)
       try widths
         .map(w => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame = graft.operators.Dedup.materialize(
-            gnavWalk(adj, e, q, seeds, w, resultFilter))
+          def call(): DataFrame = walkPinned(w)
         }))
         .map(_.get())
       finally pool.shutdown()
@@ -1888,9 +1916,37 @@ object Similarity {
       val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
           col("vec_id") < GnavSeedStep * GnavSeedCap)
         .select(col("vec_id").as("node"))
-      val walked = gnavWalk(adj, e, q, seeds, GnavBeam, topN = GnavK)
-        .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
-          col("sim"))
+      // the walk is per-arrival independent (beam state never crosses
+      // q_id), so slice the arrival set and materialize the slices
+      // CONCURRENTLY — the [[gnavResults]] sweep trick applied to the
+      // insert walk: a 5-hop beam walk over a few hundred arrivals is
+      // bounded by sequential stage-scheduling latency, not data, and
+      // the slices' idle scheduler time overlaps. Output-identical to
+      // the unsliced walk (union of per-q_id results, same join
+      // shapes per slice — at 100 TB each slice is still beam·degree
+      // equi-join probes against the partitioned adjacency).
+      val slices = (0L until GnavInsSlices).map { r =>
+        q.filter(pmod(col("q_id"), lit(GnavInsSlices)) === r)
+      }
+      val pool = java.util.concurrent.Executors
+        .newFixedThreadPool(slices.size)
+      val walkedSlices =
+        try slices
+          .map(qs => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+            def call(): DataFrame = {
+              val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+              val w = graft.operators.Dedup.materialize(
+                gnavWalk(adj, e, qs, seeds, GnavBeam, topN = GnavK,
+                  hopPins = Some(pins))
+                  .select(col("q_id").as("vec_id"),
+                    col("neighbor_id").as("nbr_id"), col("sim")))
+              pins.foreach(graft.operators.Dedup.releaseCheckpoint)
+              w
+            }
+          }))
+          .map(_.get())
+        finally pool.shutdown()
+      val walked = walkedSlices.reduce(_.unionByName(_))
       // bidirectional connect; the walk only ever reaches resident
       // nodes (beam and expansion live on the resident graph), so new
       // edges are always arrival↔resident and never collide
@@ -1904,7 +1960,8 @@ object Similarity {
         .filter(col("rn") <= GnavDegree)
         .select(col("vec_id"), col("nbr_id"), col("sim"))
         .write.mode("overwrite").parquet(run.resolve("adj").toString)
-      Seq(adj, e).foreach(graft.operators.Dedup.releaseCheckpoint)
+      (Seq(adj, e) ++ walkedSlices)
+        .foreach(graft.operators.Dedup.releaseCheckpoint)
       run.resolve("adj")
     })
 
@@ -1942,9 +1999,10 @@ object Similarity {
     val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
         col("vec_id") < GnavSeedStep * GnavSeedCap)
       .select(col("vec_id").as("node"))
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
     val walk = graft.operators.Dedup.materialize(
-      gnavWalk(adj, e, q, seeds, GnavBeam))
-    Seq(adj, e).foreach(graft.operators.Dedup.releaseCheckpoint)
+      gnavWalk(adj, e, q, seeds, GnavBeam, hopPins = Some(pins)))
+    (Seq(adj, e) ++ pins).foreach(graft.operators.Dedup.releaseCheckpoint)
     val bf = bruteforce(s, d).select(col("q_id"), col("neighbor_id"))
     val gn = walk.select(col("q_id"), col("neighbor_id"),
       lit(1L).as("hit"))
