@@ -63,6 +63,8 @@ object Bench {
         graft.operators.Similarity.ensureGnavArtifact(spark, sfDir)),
       timedBuild("gnav_insert_build")(
         graft.operators.Similarity.ensureGnavInsert(spark, sfDir)),
+      timedBuild("gnav_vacuum_build")(
+        graft.operators.Similarity.ensureGnavVacuum(spark, sfDir)),
       timedBuild("bkt_shared_build")(
         graft.operators.BucketedJoin.ensureBucketedFacts(spark, sfDir)),
       timedBuild("msf_shared_build")(

@@ -59,7 +59,9 @@ object ExplainAudit {
     "stream_substring_rewrite", "text_index_delete",
     "dedup_index_delete", "sim_index_delete", "dedup_cc_delete",
     "stream_index_delete", "sim_gnav_delete", "dedup_cc_takedown",
-    "sim_gnav_insert", "sim_gnav_insert_recall")
+    "sim_gnav_insert", "sim_gnav_insert_recall",
+    // r17 faces
+    "sim_gnav_vacuum", "sim_gnav_vacuum_recall")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

@@ -2012,6 +2012,156 @@ object Similarity {
         count(lit(1)).as("k"))
   }
 
+  /** VACUUM of the navigation graph — the hard-removal compaction the
+    * soft-delete family is missing: [[gnavSoftDelete]]'s tombstones
+    * route forever, so at production takedown rates the graph's
+    * routing mass decays; past a density threshold HNSW deployments
+    * hard-remove the dead nodes and REPAIR the survivors. The fold:
+    *
+    *  1. PRUNE: drop every edge with a tombstoned endpoint (the
+    *     victims leave the graph entirely — no row ever carries one);
+    *  2. REPAIR: survivors that lost edges AND fell below the
+    *     [[GnavVacuumFloor]] re-wire through the insert machinery —
+    *     beam-walk the pruned graph, bidirectional top-[[GnavK]]
+    *     connect, degree re-cap. Survivors above the floor keep
+    *     routing on their remaining edges (the bounded-repair
+    *     discipline: vacuum work is O(under-connected survivors),
+    *     never O(graph)).
+    *
+    * Edges present both before and after repair dedup by
+    * (vec_id, nbr_id) with max(sim) — sims are the registry-wide
+    * rounded values, bit-equal on both engines, so the aggregate is
+    * the distinct() of the keyed shape. Emits the vacuumed adjacency
+    * `(vec_id, nbr_id, sim)`, hash-checked against the SQL twin that
+    * replays prune, floor, walks, connect, and re-cap as chained
+    * CTEs. Seeds are stride-[[GnavSeedStep]] ids, never in the
+    * takedown slice.
+    *
+    * Scale shape: the prune is one linear filter; the repair set is a
+    * degree histogram away; each repair walk is beam·degree adjacency
+    * probes. At 100 TB a vacuum prices as (takedown density) ×
+    * (repair-floor tail) walks — the measured insert-walk cost per
+    * node, scheduled off the query path.
+    */
+  private[graft] val GnavVacuumFloor = GnavDegree - 2
+
+  private val gnavVacRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private def builtGnavVacuum(s: SparkSession, d: String)
+      : java.nio.file.Path =
+    gnavVacRunCache.computeIfAbsent(gnavKey(d) + ":vac", _ => {
+      val run = java.nio.file.Files.createTempDirectory("graft_gvac_")
+      val survives = (c: Column) =>
+        pmod(c, lit(StreamingQueries.TakedownMod)) =!=
+          StreamingQueries.TakedownRem
+      val pub = gnavShared(s, d)
+      val pruned = pub
+        .filter(survives(col("vec_id")) && survives(col("nbr_id")))
+      val lost = pub
+        .filter(survives(col("vec_id")) && !survives(col("nbr_id")))
+        .select(col("vec_id")).distinct()
+      val prunedDeg = pruned.groupBy(col("vec_id"))
+        .agg(count(lit(1)).as("deg"))
+      val repair = lost.join(prunedDeg, Seq("vec_id"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) < GnavVacuumFloor)
+        .select(col("vec_id"))
+      val (_, eP, _, _) = gnavInputs(s, d)
+      val adj = graft.operators.Dedup.materialize(
+        pruned.select(col("vec_id").as("node"), col("nbr_id")))
+      val e = graft.operators.Dedup.materialize(eP)
+      val q = e.join(repair, Seq("vec_id"), "left_semi")
+        .select(col("vec_id").as("q_id"), col("v").as("qv"),
+          col("nrm").as("qn"))
+      val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
+          col("vec_id") < GnavSeedStep * GnavSeedCap)
+        .select(col("vec_id").as("node"))
+      val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+      val walked = graft.operators.Dedup.materialize(
+        gnavWalk(adj, e, q, seeds, GnavBeam, topN = GnavK,
+          hopPins = Some(pins))
+          .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
+            col("sim")))
+      val sym = walked.union(walked.select(col("nbr_id").as("vec_id"),
+        col("vec_id").as("nbr_id"), col("sim")))
+      val byNode = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      pruned.select(col("vec_id"), col("nbr_id"), col("sim"))
+        .union(sym)
+        .groupBy(col("vec_id"), col("nbr_id"))
+        .agg(max(col("sim")).as("sim"))
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") <= GnavDegree)
+        .select(col("vec_id"), col("nbr_id"), col("sim"))
+        .write.mode("overwrite").parquet(run.resolve("adj").toString)
+      (Seq(adj, e, walked) ++ pins)
+        .foreach(graft.operators.Dedup.releaseCheckpoint)
+      run.resolve("adj")
+    })
+
+  private val gnavVacuum: Q = (s, d) =>
+    s.read.parquet(builtGnavVacuum(s, d).toString)
+
+  /** Eagerly run (or adopt) the vacuum — the bench's visibility hook
+    * (the repair walk is the vacuum's real cost).
+    */
+  def ensureGnavVacuum(s: SparkSession, d: String): Boolean = {
+    val existed = gnavVacRunCache.containsKey(gnavKey(d) + ":vac")
+    builtGnavVacuum(s, d)
+    !existed
+  }
+
+  /** ROUTING AFTER VACUUM — the number that decides whether the
+    * hard-removal is deployable: the standard 10-query beam walk over
+    * the VACUUMED adjacency, recall@[[K]] against the exact ranking
+    * over the SURVIVING corpus (victims are gone — the exact side a
+    * user of the vacuumed index can observe). The
+    * [[gnavInsertRecall]] shape applied to the takedown's other end.
+    */
+  private val gnavVacuumRecall: Q = (s, d) => {
+    val survives = (c: Column) =>
+      pmod(c, lit(StreamingQueries.TakedownMod)) =!=
+        StreamingQueries.TakedownRem
+    val uadj = s.read.parquet(builtGnavVacuum(s, d).toString)
+      .select(col("vec_id").as("node"), col("nbr_id"))
+    val (_, eP, _, _) = gnavInputs(s, d)
+    val adj = graft.operators.Dedup.materialize(uadj)
+    val e = graft.operators.Dedup.materialize(eP)
+    val q = e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
+        col("vec_id") < GnavSeedStep * GnavSeedCap)
+      .select(col("vec_id").as("node"))
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    val walk = graft.operators.Dedup.materialize(
+      gnavWalk(adj, e, q, seeds, GnavBeam, hopPins = Some(pins)))
+    (Seq(adj, e) ++ pins).foreach(graft.operators.Dedup.releaseCheckpoint)
+    // exact side over the SURVIVING corpus — [[bruteforce]]'s shape
+    // with the victims filtered BEFORE the rank (a victim in the full
+    // top-K must free its rank to the next survivor, exactly as the
+    // vacuumed index's user observes)
+    val eAll = T(s, d, "embeddings")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+    val bq = eAll.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val bf = eAll.filter(survives(col("vec_id")))
+      .join(broadcast(bq), col("vec_id") =!= col("q_id"))
+      .withColumn("sim", dot(col("qv"), col("v")) / (col("qn") * col("nrm")))
+      .withColumn("rank", row_number().over(Window.partitionBy(col("q_id"))
+        .orderBy(col("sim").desc, col("vec_id"))).cast("long"))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("vec_id").as("neighbor_id"))
+    val gn = walk.select(col("q_id"), col("neighbor_id"),
+      lit(1L).as("hit"))
+    bf.join(gn, Seq("q_id", "neighbor_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits"),
+        count(lit(1)).as("k"))
+  }
+
   /** Beam widths swept by [[gnavTradeoff]]. */
   private val GnavBeamBudgets = Seq(4, 8, 16)
 
@@ -2174,6 +2324,8 @@ object Similarity {
     "sim_gnav_tradeoff" -> gnavTradeoff,
     "sim_gnav_insert" -> gnavInsert,
     "sim_gnav_insert_recall" -> gnavInsertRecall,
+    "sim_gnav_vacuum" -> gnavVacuum,
+    "sim_gnav_vacuum_recall" -> gnavVacuumRecall,
     "sim_ann_recall" -> annRecall,
     "sim_ann_tradeoff" -> annTradeoff,
     "sim_pq_recall" -> pqRecall,
@@ -2771,6 +2923,159 @@ object Similarity {
        |      ORDER BY sim DESC, nbr_id) AS rn
        |  FROM upd) WHERE rn <= $GnavDegree""".stripMargin
 
+  /** The vacuum chain's CTE body (shared by [[gnavVacuumOracle]] and
+    * [[gnavVacuumRecallOracle]]): prune, repair-floor selection, the
+    * repair walks (`_vac` suffix — statement-wide CTE-name uniqueness
+    * keeps the materializer pinning), symmetric connect, and the
+    * keyed max-dedup union.
+    */
+  private lazy val gnavVacuumChainCtes: String = {
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    val hops = (1 to GnavHops).map { i =>
+      s"""vc${i}_vac AS (
+         |  SELECT DISTINCT q_id, node FROM (
+         |    SELECT q_id, node FROM vb${i - 1}_vac
+         |    UNION ALL
+         |    SELECT b.q_id, a.nbr_id AS node
+         |    FROM vb${i - 1}_vac b JOIN vadj a ON a.vec_id = b.node)
+         |  WHERE node <> q_id),
+         |vs${i}_vac AS (
+         |  SELECT c.q_id, c.node,
+         |    list_cosine_similarity(q.qv, e.v) AS sim
+         |  FROM vc${i}_vac c JOIN ge e ON e.vec_id = c.node
+         |  JOIN vq q ON q.q_id = c.q_id),
+         |vb${i}_vac AS (
+         |  SELECT q_id, node, sim FROM (
+         |    SELECT q_id, node, sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, node) AS rn
+         |    FROM vs${i}_vac) WHERE rn <= $GnavBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""vadj0 AS (
+       |  SELECT vec_id, nbr_id, sim FROM (
+       |    SELECT vec_id, nbr_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nbr_id) AS rn
+       |    FROM gsym) WHERE rn <= $GnavDegree),
+       |vadj AS (
+       |  SELECT vec_id, nbr_id, sim FROM vadj0
+       |  WHERE vec_id % $M <> $R AND nbr_id % $M <> $R),
+       |vlost AS (
+       |  SELECT DISTINCT vec_id FROM vadj0
+       |  WHERE vec_id % $M <> $R AND nbr_id % $M = $R),
+       |vdeg AS (SELECT vec_id, count(*) AS deg FROM vadj GROUP BY 1),
+       |vrep AS (
+       |  SELECT l.vec_id
+       |  FROM vlost l LEFT JOIN vdeg dg ON dg.vec_id = l.vec_id
+       |  WHERE coalesce(dg.deg, 0) < $GnavVacuumFloor),
+       |vq AS (SELECT g.vec_id AS q_id, g.v AS qv
+       |       FROM ge g JOIN vrep r ON r.vec_id = g.vec_id),
+       |vs0_vac AS (
+       |  SELECT q.q_id, s.node,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM vq q CROSS JOIN gsd s JOIN ge e ON e.vec_id = s.node
+       |  WHERE s.node <> q.q_id),
+       |vb0_vac AS (
+       |  SELECT q_id, node, sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM vs0_vac) WHERE rn <= $GnavBeam),
+       |$hops,
+       |vtop AS (
+       |  SELECT q_id, node, round(sim, 4) + 0.0 AS sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM vb${GnavHops}_vac) WHERE rn <= $GnavK),
+       |vnew AS (
+       |  SELECT q_id AS vec_id, node AS nbr_id, sim FROM vtop
+       |  UNION
+       |  SELECT node AS vec_id, q_id AS nbr_id, sim FROM vtop),
+       |vupd AS (
+       |  SELECT vec_id, nbr_id, max(sim) AS sim FROM (
+       |    SELECT vec_id, nbr_id, sim FROM vadj
+       |    UNION ALL
+       |    SELECT vec_id, nbr_id, sim FROM vnew)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  /** The vacuumed adjacency's final degree re-cap over `vupd`. */
+  private lazy val gnavVacuumAdjSql: String =
+    s"""SELECT vec_id, nbr_id, sim FROM (
+       |  SELECT vec_id, nbr_id, sim,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY sim DESC, nbr_id) AS rn
+       |  FROM vupd) WHERE rn <= $GnavDegree""".stripMargin
+
+  /** [[gnavVacuum]] in SQL. */
+  private lazy val gnavVacuumOracle: String =
+    s"""WITH $gnavPrefixCtes,
+       |$gnavVacuumChainCtes
+       |$gnavVacuumAdjSql""".stripMargin
+
+  /** [[gnavVacuumRecall]] in SQL: the vacuum chain, the vacuumed
+    * adjacency as a CTE, the standard-query walk over it (`_vr`
+    * suffix), and the per-query recall join against the exact ranking
+    * over the SURVIVING corpus.
+    */
+  private lazy val gnavVacuumRecallOracle: String = {
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    val hops = (1 to GnavHops).map { i =>
+      s"""wc${i}_vr AS (
+         |  SELECT DISTINCT q_id, node FROM (
+         |    SELECT q_id, node FROM wb${i - 1}_vr
+         |    UNION ALL
+         |    SELECT b.q_id, a.nbr_id AS node
+         |    FROM wb${i - 1}_vr b JOIN vuadj a ON a.vec_id = b.node)
+         |  WHERE node <> q_id),
+         |ws${i}_vr AS (
+         |  SELECT c.q_id, c.node,
+         |    list_cosine_similarity(q.qv, e.v) AS sim
+         |  FROM wc${i}_vr c JOIN ge e ON e.vec_id = c.node
+         |  JOIN gq q ON q.q_id = c.q_id),
+         |wb${i}_vr AS (
+         |  SELECT q_id, node, sim FROM (
+         |    SELECT q_id, node, sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, node) AS rn
+         |    FROM ws${i}_vr) WHERE rn <= $GnavBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $gnavPrefixCtes,
+       |$gnavVacuumChainCtes,
+       |vuadj AS ($gnavVacuumAdjSql),
+       |wb0_vr AS (
+       |  SELECT q_id, node, sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM gs0) WHERE rn <= $GnavBeam),
+       |$hops,
+       |vr_top AS (
+       |  SELECT q_id, node FROM (
+       |    SELECT q_id, node,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rank
+       |    FROM wb${GnavHops}_vr) WHERE rank <= $K),
+       |vr_tk AS (
+       |  SELECT q_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS q_id, e.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY list_cosine_similarity(q.embedding::DOUBLE[],
+       |                   e.embedding::DOUBLE[]) DESC, e.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings e ON q.vec_id <> e.vec_id
+       |    WHERE q.vec_id < $NQueries AND e.vec_id % $M <> $R)
+       |  WHERE rank <= $K)
+       |SELECT x.q_id, CAST(count(a.node) AS BIGINT) AS n_hits,
+       |  count(*) AS k
+       |FROM vr_tk x
+       |LEFT JOIN vr_top a
+       |  ON a.q_id = x.q_id AND a.node = x.neighbor_id
+       |GROUP BY x.q_id""".stripMargin
+  }
+
   /** [[gnavTradeoff]] in SQL — ONE shared prefix (graph, seeds, entry
     * scores, and the exact side), one hop chain per swept width, and a
     * UNION ALL of the per-width recall rows. Sharing the prefix keeps
@@ -2898,6 +3203,8 @@ object Similarity {
     "sim_ann_graph" -> gnavOracle,
     "sim_gnav_insert" -> gnavInsertOracle,
     "sim_gnav_insert_recall" -> gnavInsertRecallOracle,
+    "sim_gnav_vacuum" -> gnavVacuumOracle,
+    "sim_gnav_vacuum_recall" -> gnavVacuumRecallOracle,
     // per-query beam-search agreement against the exact ranking —
     // both sides the oracles' own text, joined on the pair key
     "sim_gnav_recall" ->

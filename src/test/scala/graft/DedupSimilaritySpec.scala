@@ -375,6 +375,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
       s"post-insert recall fell: $hits/$k")
   }
 
+  test("sim_gnav_vacuum: victims leave the graph entirely, only " +
+      "under-floor survivors re-wire, and routing over survivors holds") {
+    val M = operators.StreamingQueries.TakedownMod
+    val R = operators.StreamingQueries.TakedownRem
+    val vac = SparkEntry.queries("sim_gnav_vacuum")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    assert(vac.nonEmpty)
+    assert(vac.forall { case (a, b) => a != b })
+    // HARD removal: no victim endpoint anywhere — the soft-delete's
+    // tombstones are gone, not routed around
+    assert(vac.forall { case (a, b) => a % M != R && b % M != R })
+    // the degree cap holds everywhere
+    assert(vac.groupBy(_._1).values.forall(_.length <= 16))
+    // reconstruct the pruned graph and the repair set from the
+    // published artifact; the vacuum must add edges exactly when a
+    // survivor lost edges and fell below the repair floor
+    val pub = operators.Similarity.gnavShared(spark, sf).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("nbr_id")))
+    val pruned = pub.filter { case (a, b) => a % M != R && b % M != R }
+    val prunedDeg = pruned.groupBy(_._1).view.mapValues(_.length).toMap
+    val repairSet = pub
+      .collect { case (a, b) if a % M != R && b % M == R => a }
+      .distinct
+      .filter(a => prunedDeg.getOrElse(a, 0) <
+        operators.Similarity.GnavVacuumFloor)
+      .toSet
+    val newEdges = vac.toSet.diff(pruned.toSet)
+    assert(repairSet.nonEmpty,
+      "takedown slice left no under-floor survivor — the repair path " +
+        "is unexercised at this SF; adjust the floor or the corpus")
+    assert(newEdges.nonEmpty)
+    // every new edge touches a repaired node (the walk only inserts
+    // around the repair set — bidirectional connect)
+    assert(newEdges.forall { case (a, b) =>
+      repairSet.contains(a) || repairSet.contains(b) })
+    // every repaired node recovers at least the GnavK connect (its own
+    // top-8 list survives the re-cap, like the insert face's arrivals)
+    val vacDeg = vac.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(repairSet.forall(a => vacDeg.getOrElse(a, 0) >= 8),
+      s"repaired degrees: ${repairSet.toSeq.map(vacDeg.getOrElse(_, 0))}")
+    // routing: the standard walk over the vacuumed graph holds the
+    // family's deployable band against the SURVIVING exact ranking
+    val rep = SparkEntry.queries("sim_gnav_vacuum_recall")(spark, sf)
+      .collect()
+    assert(rep.length == 10)
+    val hits = rep.map(_.getAs[Long]("n_hits")).sum
+    val k = rep.map(_.getAs[Long]("k")).sum
+    assert(hits * 10000L / k >= 7000L,
+      s"post-vacuum recall fell: $hits/$k")
+  }
+
   test("dedup_band_sweep: 4x2 reproduces production banding; S-curve shape") {
     val rows = SparkEntry.queries("dedup_band_sweep")(spark, sf)
       .collect().map(r => r.getAs[String]("config") -> r).toMap

@@ -140,6 +140,10 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " broadcast 10-row query-set nested loop) with the PINNED walk" +
       " over the updated adjacency; the walk's own joins are the" +
       " gnavWalkPlan shapes audited pre-checkpoint"),
+    "sim_gnav_vacuum_recall" -> ("the survivor-filtered exact side is" +
+      " sim_topk_bruteforce's broadcast 10-row query-set nested loop;" +
+      " the walk over the vacuumed adjacency is PINNED, its joins are" +
+      " the gnavWalkPlan shapes audited pre-checkpoint"),
     "text_qlm_topk" -> ("the smoothing-mass grid: a broadcast of the" +
       " <=30-row (query term, cf) frame onto the doc-length table -" +
       " bounded at queries x QlmQueryTerms build rows forever - plus" +
