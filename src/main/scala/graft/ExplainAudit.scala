@@ -61,7 +61,9 @@ object ExplainAudit {
     "stream_index_delete", "sim_gnav_delete", "dedup_cc_takedown",
     "sim_gnav_insert", "sim_gnav_insert_recall",
     // r17 faces
-    "sim_gnav_vacuum", "sim_gnav_vacuum_recall", "stream_gnav_insert")
+    "sim_gnav_vacuum", "sim_gnav_vacuum_recall", "stream_gnav_insert",
+    "lifecycle_text", "lifecycle_dedup", "lifecycle_cc",
+    "lifecycle_gnav")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

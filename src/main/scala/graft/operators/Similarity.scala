@@ -1993,11 +1993,25 @@ object Similarity {
     * one-shot's single cap.
     */
   private[operators] def gnavInsertEdgesFor(s: SparkSession, d: String,
-      batch: DataFrame): DataFrame = {
-    val resident = gnavResidentAdj(s, d)
+      batch: DataFrame): DataFrame =
+    gnavWalkEdgesOn(s, d,
+      gnavResidentAdj(s, d).select(col("vec_id").as("node"),
+        col("nbr_id")), batch)
+
+  /** The generalized walk-and-connect: walk an ARBITRARY adjacency
+    * frame `(node, nbr_id)` with a batch of vectors (embeddings
+    * schema) as queries, cut each to its top-[[GnavK]], connect both
+    * ways. Returns a MATERIALIZED symmetric edge frame; all interior
+    * pins are released here. The per-query independence lets the
+    * query set slice into concurrent walks ([[builtGnavInsert]]'s
+    * trick) — output-identical union. This is the one walk body the
+    * insert stream, the vacuum repair, and the lifecycle capstone all
+    * fold through.
+    */
+  private[operators] def gnavWalkEdgesOn(s: SparkSession, d: String,
+      adjNodes: DataFrame, batch: DataFrame): DataFrame = {
     val (_, eP, _, _) = gnavInputs(s, d)
-    val adj = graft.operators.Dedup.materialize(
-      resident.select(col("vec_id").as("node"), col("nbr_id")))
+    val adj = graft.operators.Dedup.materialize(adjNodes)
     val e = graft.operators.Dedup.materialize(eP)
     val q = batch.dropDuplicates("vec_id")
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -2007,15 +2021,33 @@ object Similarity {
     val seeds = e.filter(pmod(col("vec_id"), lit(GnavSeedStep)) === 0 &&
         col("vec_id") < GnavSeedStep * GnavSeedCap)
       .select(col("vec_id").as("node"))
-    val pins = scala.collection.mutable.Buffer.empty[DataFrame]
-    val walked = gnavWalk(adj, e, q, seeds, GnavBeam, topN = GnavK,
-      hopPins = Some(pins))
-      .select(col("q_id").as("vec_id"), col("neighbor_id").as("nbr_id"),
-        col("sim"))
+    val slices = (0L until GnavInsSlices).map { r =>
+      q.filter(pmod(col("q_id"), lit(GnavInsSlices)) === r)
+    }
+    val pool = java.util.concurrent.Executors
+      .newFixedThreadPool(slices.size)
+    val walkedSlices =
+      try slices
+        .map(qs => pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          def call(): DataFrame = {
+            val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+            val w = graft.operators.Dedup.materialize(
+              gnavWalk(adj, e, qs, seeds, GnavBeam, topN = GnavK,
+                hopPins = Some(pins))
+                .select(col("q_id").as("vec_id"),
+                  col("neighbor_id").as("nbr_id"), col("sim")))
+            pins.foreach(graft.operators.Dedup.releaseCheckpoint)
+            w
+          }
+        }))
+        .map(_.get())
+      finally pool.shutdown()
+    val walked = walkedSlices.reduce(_.unionByName(_))
     val sym = graft.operators.Dedup.materialize(
       walked.union(walked.select(col("nbr_id").as("vec_id"),
         col("vec_id").as("nbr_id"), col("sim"))))
-    (Seq(adj, e) ++ pins).foreach(graft.operators.Dedup.releaseCheckpoint)
+    (Seq(adj, e) ++ walkedSlices)
+      .foreach(graft.operators.Dedup.releaseCheckpoint)
     sym
   }
 
@@ -3125,6 +3157,124 @@ object Similarity {
        |LEFT JOIN vr_top a
        |  ON a.q_id = x.q_id AND a.node = x.neighbor_id
        |GROUP BY x.q_id""".stripMargin
+  }
+
+  /** One tagged beam-walk chain in SQL: seed scoring of `qCte`'s
+    * queries (q_id, qv), the entry cut, [[GnavHops]] hops over
+    * `adjCte`, and the top-[[GnavK]] cut with rounded sims — the
+    * parameterized chained-CTE body composed maintenance oracles
+    * reuse. Emits CTEs suffixed `_$tag`; the final frame is
+    * `top_$tag (q_id, node, sim)`.
+    */
+  private def gnavWalkChainSql(tag: String, adjCte: String,
+      qCte: String): String = {
+    val hops = (1 to GnavHops).map { i =>
+      s"""c${i}_$tag AS (
+         |  SELECT DISTINCT q_id, node FROM (
+         |    SELECT q_id, node FROM b${i - 1}_$tag
+         |    UNION ALL
+         |    SELECT b.q_id, a.nbr_id AS node
+         |    FROM b${i - 1}_$tag b JOIN $adjCte a ON a.vec_id = b.node)
+         |  WHERE node <> q_id),
+         |s${i}_$tag AS (
+         |  SELECT c.q_id, c.node,
+         |    list_cosine_similarity(q.qv, e.v) AS sim
+         |  FROM c${i}_$tag c JOIN ge e ON e.vec_id = c.node
+         |  JOIN $qCte q ON q.q_id = c.q_id),
+         |b${i}_$tag AS (
+         |  SELECT q_id, node, sim FROM (
+         |    SELECT q_id, node, sim,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY sim DESC, node) AS rn
+         |    FROM s${i}_$tag) WHERE rn <= $GnavBeam)""".stripMargin
+    }.mkString(",\n")
+    s"""s0_$tag AS (
+       |  SELECT q.q_id, s.node,
+       |    list_cosine_similarity(q.qv, e.v) AS sim
+       |  FROM $qCte q CROSS JOIN gsd s JOIN ge e ON e.vec_id = s.node
+       |  WHERE s.node <> q.q_id),
+       |b0_$tag AS (
+       |  SELECT q_id, node, sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM s0_$tag) WHERE rn <= $GnavBeam),
+       |$hops,
+       |top_$tag AS (
+       |  SELECT q_id, node, round(sim, 4) + 0.0 AS sim FROM (
+       |    SELECT q_id, node, sim,
+       |      row_number() OVER (PARTITION BY q_id
+       |        ORDER BY sim DESC, node) AS rn
+       |    FROM b${GnavHops}_$tag) WHERE rn <= $GnavK)""".stripMargin
+  }
+
+  /** The lifecycle capstone's gnav leg in SQL — the composed
+    * maintenance schedule replayed as one chained-CTE program: base
+    * restriction, wave-A arrival walks + connect + re-cap, takedown
+    * prune + under-floor repair walks + re-cap (the vacuum), wave-B
+    * walks over the vacuumed tier + final re-cap. The graph store has
+    * no rebuild-without oracle (beam walks are path-dependent), so
+    * its lifecycle gate is this deterministic replay, cross-engine.
+    */
+  private[operators] lazy val gnavLifecycleOracle: String = {
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    val W = 2 * ClsArrMod
+    def cap(src: String) =
+      s"""SELECT vec_id, nbr_id, sim FROM (
+         |  SELECT vec_id, nbr_id, sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, nbr_id) AS rn
+         |  FROM $src) WHERE rn <= $GnavDegree""".stripMargin
+    def dedupMax(a: String, b: String) =
+      s"""SELECT vec_id, nbr_id, max(sim) AS sim FROM (
+         |  SELECT vec_id, nbr_id, sim FROM $a
+         |  UNION ALL
+         |  SELECT vec_id, nbr_id, sim FROM $b) GROUP BY 1, 2""".stripMargin
+    def symOf(top: String) =
+      s"""SELECT q_id AS vec_id, node AS nbr_id, sim FROM $top
+         |UNION
+         |SELECT node AS vec_id, q_id AS nbr_id, sim FROM $top""".stripMargin
+    s"""WITH $gnavPrefixCtes,
+       |ladj0 AS (
+       |  SELECT vec_id, nbr_id, sim FROM (
+       |    SELECT vec_id, nbr_id, sim,
+       |      row_number() OVER (PARTITION BY vec_id
+       |        ORDER BY sim DESC, nbr_id) AS rn
+       |    FROM gsym) WHERE rn <= $GnavDegree),
+       |lbase AS (
+       |  SELECT vec_id, nbr_id, sim FROM ladj0
+       |  WHERE vec_id % $ClsArrMod <> $ClsArrRem
+       |    AND nbr_id % $ClsArrMod <> $ClsArrRem),
+       |laq AS (SELECT vec_id AS q_id, v AS qv FROM ge
+       |        WHERE vec_id % $W = $ClsArrRem),
+       |${gnavWalkChainSql("lca", "lbase", "laq")},
+       |lanew AS (${symOf("top_lca")}),
+       |laup AS (${dedupMax("lbase", "lanew")}),
+       |ladja AS (${cap("laup")}),
+       |lprun AS (
+       |  SELECT vec_id, nbr_id, sim FROM ladja
+       |  WHERE vec_id % $M <> $R AND nbr_id % $M <> $R),
+       |llost AS (
+       |  SELECT DISTINCT vec_id FROM ladja
+       |  WHERE vec_id % $M <> $R AND nbr_id % $M = $R),
+       |ldeg AS (SELECT vec_id, count(*) AS deg FROM lprun GROUP BY 1),
+       |lrep AS (
+       |  SELECT l.vec_id
+       |  FROM llost l LEFT JOIN ldeg dg ON dg.vec_id = l.vec_id
+       |  WHERE coalesce(dg.deg, 0) < $GnavVacuumFloor),
+       |lrq AS (SELECT g.vec_id AS q_id, g.v AS qv
+       |        FROM ge g JOIN lrep r ON r.vec_id = g.vec_id),
+       |${gnavWalkChainSql("lcr", "lprun", "lrq")},
+       |lrnew AS (${symOf("top_lcr")}),
+       |lvup AS (${dedupMax("lprun", "lrnew")}),
+       |ladjv AS (${cap("lvup")}),
+       |lbq AS (SELECT vec_id AS q_id, v AS qv FROM ge
+       |        WHERE vec_id % $W = ${ClsArrRem + ClsArrMod}),
+       |${gnavWalkChainSql("lcb", "ladjv", "lbq")},
+       |lbnew AS (${symOf("top_lcb")}),
+       |lfup AS (${dedupMax("ladjv", "lbnew")})
+       |${cap("lfup")}""".stripMargin
   }
 
   /** [[gnavTradeoff]] in SQL — ONE shared prefix (graph, seeds, entry

@@ -2132,6 +2132,259 @@ object StreamingQueries {
       .select(col("vec_id"), col("nbr_id"), col("sim"))
   }
 
+  /** THE LIFECYCLE CAPSTONE — one replay running the full production
+    * cycle, build → arrivals → takedown → compact → more arrivals,
+    * across ALL FOUR maintained store families at once, asserting
+    * each family's TERMINAL state:
+    *
+    *  - text index (postings/lengths/df/stats generations),
+    *  - dedup signature store (banding index),
+    *  - near-dup clustering (labels + remap),
+    *  - navigation graph (adjacency).
+    *
+    * The 18 isolated lifecycle faces each gate one op; this replay
+    * gates their COMPOSITION — a takedown folding into compacted
+    * state, a compaction folding a takedown's tombstones and negative
+    * partials, post-compaction arrivals landing on rewritten bases.
+    * Schedule (shared by all families): the doc-rank first half (and
+    * the non-arrival embedding slice) builds the bases; wave A
+    * (third doc quartile; `vec_id % 8 = 3`) folds in; the takedown
+    * deletes every stored `% TakedownMod = TakedownRem` victim; every
+    * store COMPACTS (tombstones drop physically, SUM partials merge,
+    * labels resolve through the boundary-filtered remap, the graph
+    * vacuums); wave B (fourth quartile; `vec_id % 8 = 7`) folds into
+    * the compacted stores through the door denylist.
+    *
+    * Terminal gates: text ≡ from-scratch BM25 over the net corpus,
+    * dedup ≡ from-scratch banding over survivors, clustering ≡
+    * recluster-without (all three the families' own rebuild-without
+    * oracles); the graph — path-dependent, no rebuild oracle exists —
+    * gates against the deterministic composed chained-CTE replay
+    * ([[Similarity.gnavLifecycleOracle]]).
+    *
+    * One scripted replay per dataset version per process (the phases
+    * call the SAME per-batch fold bodies the streaming faces run —
+    * the stream runtime's delivery semantics carry their own gates);
+    * the four read-back faces share it.
+    */
+  private val lifecycleRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
+
+  private[graft] def lifecycleKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "documents.parquet", "lcrun:v1")
+
+  private def builtLifecycle(s: SparkSession, d: String)
+      : java.nio.file.Path =
+    lifecycleRunCache.computeIfAbsent(lifecycleKey(d), _ => {
+      val run = freshRunDir("graft_lc_")
+      val state = run.resolve("state")
+      val docs = T(s, d, "documents")
+      val ranked = docs
+        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
+        .drop("rn", "n")
+      val baseDocs = ranked.filter(col("bucket") < 2).drop("bucket")
+      val waveADocs = ranked.filter(col("bucket") === 2).drop("bucket")
+      val waveBDocs = ranked.filter(col("bucket") === 3).drop("bucket")
+      val isVictim = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
+      def gens(dir: java.nio.file.Path): Seq[String] = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(dir).iterator().asScala
+          .map(_.toString).toSeq.sorted
+      }
+      def rdGens(dir: java.nio.file.Path): DataFrame =
+        s.read.parquet(gens(dir): _*)
+
+      // ---- text index: base + wave A ----
+      val tix = state.resolve("text")
+      textIndexGen(baseDocs, tix, "base")
+      textIndexGen(waveADocs, tix, "b00000")
+      // takedown: tombstones + negative partials from the STORED index
+      val tdel = state.resolve("textdel")
+      rdGens(tix.resolve("dl")).select(col("doc_id")).filter(isVictim)
+        .write.mode("overwrite").parquet(tdel.resolve("tomb").toString)
+      val ttomb = s.read.parquet(tdel.resolve("tomb").toString)
+      rdGens(tix.resolve("post")).join(ttomb, Seq("doc_id"), "left_semi")
+        .groupBy(col("term")).agg((lit(0L) - count(lit(1))).as("dfp"))
+        .write.mode("overwrite").parquet(tdel.resolve("dfneg").toString)
+      rdGens(tix.resolve("dl")).join(ttomb, Seq("doc_id"), "left_semi")
+        .agg((lit(0L) - count(lit(1))).as("np"),
+          (lit(0L) - sum(col("dl"))).as("totalp"))
+        .write.mode("overwrite").parquet(tdel.resolve("stneg").toString)
+      // compact: tombstoned rows drop PHYSICALLY, partials SUM-merge
+      // (the negative generation participates — a compacted partial
+      // is still a partial)
+      val tixC = state.resolve("textc")
+      rdGens(tix.resolve("post")).join(ttomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(tixC.resolve("post/base").toString)
+      rdGens(tix.resolve("dl")).join(ttomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(tixC.resolve("dl/base").toString)
+      rdGens(tix.resolve("df"))
+        .union(s.read.parquet(tdel.resolve("dfneg").toString))
+        .groupBy(col("term")).agg(sum(col("dfp")).as("dfp"))
+        .filter(col("dfp") > 0)
+        .write.mode("overwrite").parquet(tixC.resolve("df/base").toString)
+      rdGens(tix.resolve("st"))
+        .union(s.read.parquet(tdel.resolve("stneg").toString))
+        .agg(sum(col("np")).as("np"), sum(col("totalp")).as("totalp"))
+        .write.mode("overwrite").parquet(tixC.resolve("st/base").toString)
+      // wave B folds into the COMPACTED index through the door denylist
+      textIndexGen(waveBDocs.filter(!isVictim), tixC, "b00001")
+
+      // ---- dedup signature store ----
+      val dix = state.resolve("dedup")
+      Dedup.minhashSig(Dedup.shingleRows(baseDocs))
+        .write.mode("overwrite").parquet(dix.resolve("base").toString)
+      Dedup.minhashSig(Dedup.shingleRows(waveADocs))
+        .write.mode("overwrite").parquet(dix.resolve("b00000").toString)
+      rdGens(dix).select(col("doc_id")).filter(isVictim).distinct()
+        .write.mode("overwrite")
+        .parquet(state.resolve("deduptomb").toString)
+      val dtomb = s.read.parquet(state.resolve("deduptomb").toString)
+      val dixC = state.resolve("dedupc")
+      rdGens(dix).join(dtomb, Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").parquet(dixC.resolve("base").toString)
+      Dedup.minhashSig(Dedup.shingleRows(waveBDocs.filter(!isVictim)))
+        .write.mode("overwrite").parquet(dixC.resolve("b00001").toString)
+
+      // ---- clustering ----
+      val cc = state.resolve("cc")
+      Dedup.ccIvmBaseFromShared(s, d,
+        baseDocs.select(col("doc_id")), cc)
+      def ccRd(sub: String) = rdGens(cc.resolve(sub))
+      val emptyRemap =
+        s.range(0).select(col("id").as("old"), col("id").as("root"))
+      Dedup.ccIvmBatch(waveADocs, ccRd("sh"), ccRd("sig"), ccRd("lbl"),
+        emptyRemap, cc, "b00000")
+      val remapA = s.read.parquet(cc.resolve("remap/b00000").toString)
+      val priorSh = ccRd("sh")
+      val priorSig = ccRd("sig")
+      val resolved = ccRd("lbl").withColumnRenamed("component", "l0")
+        .join(remapA.withColumnRenamed("old", "l0"), Seq("l0"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("l0"))
+          .as("component"))
+      Dedup.ccDeleteBatch(priorSig.filter(isVictim), priorSh, priorSig,
+        resolved, cc, "d00001")
+      val ccDead = s.read.parquet(cc.resolve("dead/d00001").toString)
+      val ccLblFold = ccRd("lbl")
+        .join(s.read.parquet(cc.resolve("lbltomb/d00001").toString),
+          Seq("doc_id"), "left_anti")
+        .unionByName(s.read.parquet(cc.resolve("lblfresh/d00001").toString))
+      // the boundary-filtered remap (the r17 merge-undo fix): entries
+      // rooted in an affected component are dead and must not survive
+      // into the compacted base
+      val remapFiltered = remapA.join(
+        broadcast(s.read.parquet(cc.resolve("affcomp/d00001").toString)
+          .withColumnRenamed("component", "root")),
+        Seq("root"), "left_anti")
+      val ccC = state.resolve("ccc")
+      Dedup.ccCompact(
+        priorSh.join(ccDead, Seq("doc_id"), "left_anti"),
+        priorSig.join(ccDead, Seq("doc_id"), "left_anti"),
+        ccLblFold, remapFiltered, ccC)
+      def ccCRd(sub: String) = rdGens(ccC.resolve(sub))
+      Dedup.ccIvmBatch(waveBDocs.filter(!isVictim), ccCRd("sh"),
+        ccCRd("sig"), ccCRd("lbl"), emptyRemap, ccC, "b00001")
+
+      // ---- navigation graph ----
+      val emb = T(s, d, "embeddings")
+      val gAM = Similarity.ClsArrMod
+      val gAR = Similarity.ClsArrRem
+      val gW = 2 * gAM
+      def capAdj(df: DataFrame): DataFrame = {
+        val byNode = Window.partitionBy(col("vec_id"))
+          .orderBy(col("sim").desc, col("nbr_id"))
+        df.groupBy(col("vec_id"), col("nbr_id"))
+          .agg(max(col("sim")).as("sim"))
+          .withColumn("rn", row_number().over(byNode))
+          .filter(col("rn") <= Similarity.GnavDegree)
+          .select(col("vec_id"), col("nbr_id"), col("sim"))
+      }
+      val gdir = state.resolve("gnav")
+      val survN = (c: org.apache.spark.sql.Column) =>
+        pmod(c, lit(TakedownMod)) =!= TakedownRem
+      val lbase = Similarity.gnavResidentAdj(s, d)
+      val symA = Similarity.gnavWalkEdgesOn(s, d,
+        lbase.select(col("vec_id").as("node"), col("nbr_id")),
+        emb.filter(pmod(col("vec_id"), lit(gW)) === gAR))
+      capAdj(lbase.select(col("vec_id"), col("nbr_id"), col("sim"))
+          .unionByName(symA))
+        .write.mode("overwrite").parquet(gdir.resolve("adja").toString)
+      Dedup.releaseCheckpoint(symA)
+      val adjA = s.read.parquet(gdir.resolve("adja").toString)
+      val prun = adjA.filter(survN(col("vec_id")) && survN(col("nbr_id")))
+      val lostG = adjA
+        .filter(survN(col("vec_id")) && !survN(col("nbr_id")))
+        .select(col("vec_id")).distinct()
+      val degG = prun.groupBy(col("vec_id")).agg(count(lit(1)).as("deg"))
+      val repG = lostG.join(degG, Seq("vec_id"), "left")
+        .filter(coalesce(col("deg"), lit(0L)) <
+          Similarity.GnavVacuumFloor)
+        .select(col("vec_id"))
+      val symR = Similarity.gnavWalkEdgesOn(s, d,
+        prun.select(col("vec_id").as("node"), col("nbr_id")),
+        emb.join(repG, Seq("vec_id"), "left_semi"))
+      capAdj(prun.unionByName(symR))
+        .write.mode("overwrite").parquet(gdir.resolve("adjv").toString)
+      Dedup.releaseCheckpoint(symR)
+      val adjV = s.read.parquet(gdir.resolve("adjv").toString)
+      val symB = Similarity.gnavWalkEdgesOn(s, d,
+        adjV.select(col("vec_id").as("node"), col("nbr_id")),
+        emb.filter(pmod(col("vec_id"), lit(gW)) === gAR + gAM))
+      capAdj(adjV.unionByName(symB))
+        .write.mode("overwrite").parquet(gdir.resolve("final").toString)
+      Dedup.releaseCheckpoint(symB)
+      state
+    })
+
+  /** Eagerly run (or adopt) the lifecycle replay — the bench's
+    * visibility hook (the composed fold is the capstone's real cost).
+    */
+  def ensureLifecycle(s: SparkSession, d: String): Boolean = {
+    val existed = lifecycleRunCache.containsKey(lifecycleKey(d))
+    builtLifecycle(s, d)
+    !existed
+  }
+
+  /** Terminal text ranking of the lifecycle replay ≡ from-scratch
+    * BM25 over the net corpus.
+    */
+  private val lifecycleText: Q = (s, d) =>
+    scoreTextIndex(s, builtLifecycle(s, d).resolve("textc"))
+
+  /** Terminal banding pairs of the lifecycle replay ≡ from-scratch
+    * LSH over the surviving documents.
+    */
+  private val lifecycleDedup: Q = (s, d) =>
+    Dedup.bandPairs(readIndexGens(s,
+      builtLifecycle(s, d).resolve("dedupc")))
+
+  /** Terminal maintained labels of the lifecycle replay, resolved
+    * through the final remap ≡ recluster-without over the survivors.
+    */
+  private val lifecycleCc: Q = (s, d) => {
+    val ccC = builtLifecycle(s, d).resolve("ccc")
+    import scala.jdk.CollectionConverters._
+    val lblGens = java.nio.file.Files.list(ccC.resolve("lbl")).iterator()
+      .asScala.map(_.toString).toSeq.sorted
+    val remapGens = java.nio.file.Files.list(ccC.resolve("remap"))
+      .iterator().asScala.map(_.toString).toSeq.sorted
+    val lbl = s.read.parquet(lblGens: _*)
+    if (remapGens.isEmpty) lbl.select(col("doc_id"), col("component"))
+    else lbl.withColumnRenamed("component", "l0")
+      .join(s.read.parquet(remapGens.max).withColumnRenamed("old", "l0"),
+        Seq("l0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("root"), col("l0")).as("component"))
+  }
+
+  /** Terminal navigation adjacency of the lifecycle replay ≡ the
+    * composed chained-CTE replay ([[Similarity.gnavLifecycleOracle]]).
+    */
+  private val lifecycleGnav: Q = (s, d) =>
+    s.read.parquet(builtLifecycle(s, d).resolve("gnav/final").toString)
+
   /** MAINTAINED-CLUSTERING DELETION — the takedown family's capstone,
     * and the one member where tombstones alone are WRONG: component
     * labels are a transitive property, so removing a bridge document
@@ -3474,6 +3727,10 @@ object StreamingQueries {
     "stream_index_delete" -> streamIndexDelete,
     "sim_gnav_delete" -> simGnavDelete,
     "stream_gnav_insert" -> streamGnavInsert,
+    "lifecycle_text" -> lifecycleText,
+    "lifecycle_dedup" -> lifecycleDedup,
+    "lifecycle_cc" -> lifecycleCc,
+    "lifecycle_gnav" -> lifecycleGnav,
   ) ++ replayGroups.flatMap { case (group, members) =>
     members.keys.map(name => name -> groupedFace(group, name))
   }
@@ -3688,6 +3945,21 @@ object StreamingQueries {
     // stream-of-inserts ≡ one-shot insertion: the SAME chained-CTE
     // insert oracle (restriction, arrival walks, connect, re-cap)
     "stream_gnav_insert" -> Similarity.oracles("sim_gnav_insert"),
+    // the lifecycle capstone's terminal states: the three stores with
+    // rebuild semantics gate against their families' own
+    // rebuild-without oracles over the net corpus; the graph (no
+    // rebuild oracle exists — walks are path-dependent) gates against
+    // the deterministic composed chained-CTE replay
+    "lifecycle_text" -> TextAnalysis.bm25GroupedOracleFor(
+      s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
+    "lifecycle_dedup" ->
+      s"""SELECT a_id, b_id, n_bands
+         |FROM (${Dedup.oracles("dedup_minhash_lsh")})
+         |WHERE a_id % $TakedownMod <> $TakedownRem
+         |  AND b_id % $TakedownMod <> $TakedownRem""".stripMargin,
+    "lifecycle_cc" -> Dedup.componentsOracleFor(
+      s" WHERE doc_id % $TakedownMod <> $TakedownRem"),
+    "lifecycle_gnav" -> Similarity.gnavLifecycleOracle,
     // folds across a mid-replay compaction must still converge to the
     // from-scratch transitive closure — the same oracle as the
     // uncompacted maintainer

@@ -121,6 +121,54 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(arrivals.nonEmpty)
   }
 
+  test("lifecycle capstone: the composed build->arrivals->takedown->" +
+      "compact->arrivals replay lands each store on its isolated " +
+      "lifecycle face's terminal state") {
+    val M = StreamingQueries.TakedownMod
+    val R = StreamingQueries.TakedownRem
+    // the three rebuild-semantics stores must agree ROW FOR ROW with
+    // the isolated one-shot deletion faces (both converge to
+    // rebuild-without, through entirely different schedules — the
+    // capstone's compaction and post-compaction arrivals must be
+    // invisible)
+    val lcText = StreamingQueries.queries("lifecycle_text")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val oneText = StreamingQueries.queries("text_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    assert(lcText.length == oneText.length)
+    assert(lcText.sameElements(oneText))
+    val lcDedup = StreamingQueries.queries("lifecycle_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val oneDedup = StreamingQueries.queries("dedup_index_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    assert(lcDedup.length == oneDedup.length)
+    assert(lcDedup.sameElements(oneDedup))
+    val lcCc = StreamingQueries.queries("lifecycle_cc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneCc = StreamingQueries.queries("dedup_cc_delete")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lcCc == oneCc)
+    // the graph store is path-dependent (its cross-engine gate is the
+    // composed CTE replay) — assert the structural lifecycle
+    // invariants: victims hard-removed, cap held, BOTH arrival waves
+    // resident with at least their own connect surviving
+    val adj = StreamingQueries.queries("lifecycle_gnav")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(adj.forall { case (a, b) => a % M != R && b % M != R })
+    val deg = adj.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(deg.values.forall(_ <= 16))
+    val AM = graft.operators.Similarity.ClsArrMod
+    val AR = graft.operators.Similarity.ClsArrRem
+    val waveA = deg.keys.filter(v => v % (2 * AM) == AR)
+    val waveB = deg.keys.filter(v => v % (2 * AM) == AR + AM)
+    assert(waveA.nonEmpty && waveB.nonEmpty)
+    assert(waveA.forall(deg(_) >= 8) && waveB.forall(deg(_) >= 8))
+  }
+
   test("dedup_cc_delete: affected-components-only relabeling equals the " +
       "full recompute over every surviving pair; no victim survives") {
     import org.apache.spark.sql.functions._
