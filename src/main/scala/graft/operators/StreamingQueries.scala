@@ -438,13 +438,17 @@ object StreamingQueries {
     // r15 +1.11 s attribution finding). dedup_cc_compact IS a member:
     // it is a full replay of its own (mid-stream compaction needs its
     // own fold sequence), not a fold over a shared build.
+    // dedup_cc_takedown left the group in r17: its full replay's bill
+    // hid inside (and regressed) the group line two rounds running —
+    // it is now a memoized solo face with its own named bench item
+    // (cc_takedown_replay), the compaction-face discipline applied to
+    // a replay
     "index" -> Map(
       "dedup_index_ivm" -> dedupIndexIvm,
       "sim_index_ivm" -> simIndexIvm,
       "text_index_ivm" -> textIndexIvm,
       "dedup_cc_ivm" -> dedupCcIvm,
       "dedup_cc_compact" -> dedupCcCompact,
-      "dedup_cc_takedown" -> dedupCcTakedown,
       "stream_embed_drift" -> streamEmbedDrift))
 
   /** Source tables a group's members read — the group cache key
@@ -2657,7 +2661,34 @@ object StreamingQueries {
     * the generations strictly before batch 1 (fixed by the time it
     * runs) and every write is a per-gen overwrite.
     */
-  private val dedupCcTakedown: Q = ccTakedownImpl("graft_cctd_")
+  /** One takedown replay per dataset version per process — the replay
+    * left the `index` group in r17 (its full-replay bill regressed the
+    * group line twice in two rounds — the r15/r16 attribution
+    * finding); the memoized solo face adopts one run, and the bench's
+    * named `cc_takedown_replay` item carries the cost. The cached
+    * read-back is a lazy plan over the run's state files; the memo is
+    * what keeps a second same-prefix [[freshRunDir]] from trashing
+    * them underneath it.
+    */
+  private val ccTakedownRunCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private[graft] def ccTakedownKey(d: String): String =
+    SharedArtifacts.fingerprint(d, "documents.parquet", "cctdrun:v1")
+
+  private val dedupCcTakedown: Q = (s, d) =>
+    ccTakedownRunCache.computeIfAbsent(ccTakedownKey(d), _ =>
+      ccTakedownImpl("graft_cctd_")(s, d))
+
+  /** Eagerly run (or adopt) the takedown replay — the bench's
+    * visibility hook (the full interleaved replay is the face's real
+    * cost, and best-of-2 min() would discard the paying run).
+    */
+  def ensureCcTakedown(s: SparkSession, d: String): Boolean = {
+    val existed = ccTakedownRunCache.containsKey(ccTakedownKey(d))
+    dedupCcTakedown(s, d)
+    !existed
+  }
 
   /** The takedown replay parameterized by its run-dir prefix:
     * [[freshRunDir]] TRASHES the previous run of the same prefix, and
@@ -3724,6 +3755,7 @@ object StreamingQueries {
     "sim_index_compact" -> simIndexCompact,
     "sim_index_delete" -> simIndexDelete,
     "dedup_cc_delete" -> dedupCcDelete,
+    "dedup_cc_takedown" -> dedupCcTakedown,
     "stream_index_delete" -> streamIndexDelete,
     "sim_gnav_delete" -> simGnavDelete,
     "stream_gnav_insert" -> streamGnavInsert,
