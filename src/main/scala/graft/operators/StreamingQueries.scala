@@ -2199,7 +2199,18 @@ object StreamingQueries {
       }
       def rdGens(dir: java.nio.file.Path): DataFrame =
         s.read.parquet(gens(dir): _*)
+      // per-family wall-clock to stderr — the scale rung's evidence
+      // that the composed fold's phases track batch/affected-slice
+      // size, not the corpus
+      def phase[A](label: String)(f: => A): A = {
+        val t0 = System.nanoTime()
+        val a = f
+        System.err.println(
+          f"[lifecycle] $label ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        a
+      }
 
+      phase("text") {
       // ---- text index: base + wave A ----
       val tix = state.resolve("text")
       textIndexGen(baseDocs, tix, "base")
@@ -2235,8 +2246,10 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(tixC.resolve("st/base").toString)
       // wave B folds into the COMPACTED index through the door denylist
       textIndexGen(waveBDocs.filter(!isVictim), tixC, "b00001")
+      }
 
       // ---- dedup signature store ----
+      phase("dedup") {
       val dix = state.resolve("dedup")
       Dedup.minhashSig(Dedup.shingleRows(baseDocs))
         .write.mode("overwrite").parquet(dix.resolve("base").toString)
@@ -2251,8 +2264,10 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(dixC.resolve("base").toString)
       Dedup.minhashSig(Dedup.shingleRows(waveBDocs.filter(!isVictim)))
         .write.mode("overwrite").parquet(dixC.resolve("b00001").toString)
+      }
 
       // ---- clustering ----
+      phase("cc") {
       val cc = state.resolve("cc")
       Dedup.ccIvmBaseFromShared(s, d,
         baseDocs.select(col("doc_id")), cc)
@@ -2290,8 +2305,10 @@ object StreamingQueries {
       def ccCRd(sub: String) = rdGens(ccC.resolve(sub))
       Dedup.ccIvmBatch(waveBDocs.filter(!isVictim), ccCRd("sh"),
         ccCRd("sig"), ccCRd("lbl"), emptyRemap, ccC, "b00001")
+      }
 
       // ---- navigation graph ----
+      phase("gnav") {
       val emb = T(s, d, "embeddings")
       val gAM = Similarity.ClsArrMod
       val gAR = Similarity.ClsArrRem
@@ -2339,6 +2356,7 @@ object StreamingQueries {
       capAdj(adjV.unionByName(symB))
         .write.mode("overwrite").parquet(gdir.resolve("final").toString)
       Dedup.releaseCheckpoint(symB)
+      }
       state
     })
 

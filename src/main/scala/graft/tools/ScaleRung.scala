@@ -313,6 +313,17 @@ object ScaleRung {
       .parquet(maint.resolve("cc_dels/lblfresh/d00001").toString).count()
     println(f"| cc takedown fold spread | $tDelS%.2f | " +
       s"$nVictimsS victims, $nRelabeledS relabeled |")
+    // ---- lifecycle capstone at rung (r17): the composed
+    // build → arrivals → takedown → compact → arrivals replay across
+    // all four store families. The [lifecycle] stderr lines decompose
+    // the wall-clock per family; the claim priced here is that the
+    // composed replay stays FAR under the fresh rebuilds it replaces
+    // (cc recluster fresh + the gnav build above) because its fold
+    // phases track batch/affected-slice size, not the corpus.
+    val (_, tLc) = timed("lifecycle composed replay") {
+      graft.operators.StreamingQueries.ensureLifecycle(spark, dest)
+    }
+    println(f"| lifecycle composed replay | $tLc%.2f | four families |")
     spark.stop()
   }
 }
