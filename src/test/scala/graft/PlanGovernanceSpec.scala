@@ -120,6 +120,11 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " broadcast SINGLE-ROW merged-stats crossJoin) with the deletion" +
       " generations folded per request batch — same semi/anti" +
       " equi-join shapes, just one generation per micro-batch"),
+    "lifecycle_text" -> ("the capstone's terminal text store scores" +
+      " through the same read side as text_index_ivm (the broadcast" +
+      " SINGLE-ROW merged-stats crossJoin, bounded at one row" +
+      " forever); the replay's own folds happen at build time, not in" +
+      " the registry plan"),
     "sim_knn_classify" -> ("inherits sim_ann_ivf's broadcast" +
       " centroid-table crossJoins (probe selection, O(n*C) linear per" +
       " centroid); voting and the confusion rollup are (vec_id, label)" +
