@@ -899,9 +899,68 @@ object Dedup {
   // output-bound. Nothing re-clusters resident components the batch
   // doesn't touch.
 
+  /** The shingle-SET group key of every doc in a stored shingle slice:
+    * NUL separator (words are whitespace-split, shingles space-joined,
+    * so neither carries NUL) plus the set size, so boundary ambiguity
+    * cannot alias two different sets to one key.
+    */
+  private def shingleSetKeys(sh: DataFrame): DataFrame = sh
+    .groupBy(col("doc_id"))
+    .agg(concat(count(lit(1)).cast("string"), lit(":"),
+      md5(concat_ws("\u0000",
+        sort_array(collect_list(col("shingle")))).cast("binary")))
+      .as("gkey"))
+
+  /** Cluster a STORED (shingles, signatures) slice PRE-COLLAPSED on
+    * shingle-set equality — [[ccBuildFrames]]'s move over stored
+    * frames (no text needed), factored in r17 from the takedown fold
+    * because the 100× rung caught the SAME quadratic-in-clique-size
+    * verified-pair volume in the maintained base build (118 s for the
+    * half-corpus base vs 33 s for the full pre-collapsed fresh
+    * recluster). Equal sets ⟹ jaccard 1.0 ⟹ same component
+    * regardless, and ⟹ identical signature/band keys ⟹ identical
+    * rep-level candidacy; labels expand through the groups
+    * (component = rep-component min, which is the member min because
+    * every rep is its group's min). Returns the (doc_id, component)
+    * label rows plus the interior pins — the CALLER must consume the
+    * frame (write/collect) before releasing them.
+    */
+  private[graft] def clusterSliceCollapsed(sh: DataFrame, sig: DataFrame)
+      : (DataFrame, Seq[DataFrame]) = {
+    val gkeys = shingleSetKeys(sh)
+    val grouped = gkeys.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
+    val membership = materialize(gkeys.join(grouped, Seq("gkey"))
+      .select(col("doc_id"), col("rep_id"), col("grp_n")))
+    val repIds = membership.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+    val repSig = sig.join(repIds, Seq("doc_id"), "left_semi")
+    val repSh = sh.join(repIds, Seq("doc_id"), "left_semi")
+    val repPairs = verifyCandidates(
+      bandPairs(repSig).select(col("a_id"), col("b_id")),
+      repSh.select(col("doc_id"), col("shingle")),
+      repSig.select(col("doc_id"), col("n")))
+      .select(col("a_id"), col("b_id"))
+    val repCC = connectedComponentsWithRounds(repPairs)._1
+      .select(col("doc_id").as("rep_id"), col("component").as("rcomp"))
+    val labels = membership
+      .join(repCC, Seq("rep_id"), "left")
+      // a rep in no rep-level pair still anchors a component when its
+      // group has ≥ 2 members (an all-identical clique); every slice
+      // doc has shingles by construction, so the builder's has_sig
+      // gate is vacuous here
+      .withColumn("component", coalesce(col("rcomp"),
+        when(col("grp_n") >= 2, col("rep_id"))))
+      .filter(col("component").isNotNull)
+      .select(col("doc_id"), col("component"))
+    (labels, Seq(membership))
+  }
+
   /** Base generation of the maintained clustering state: sign the
     * resident corpus once and cluster it from scratch — the stores the
-    * per-batch fold maintains thereafter.
+    * per-batch fold maintains thereafter. Clustering runs the
+    * pre-collapsed slice path ([[clusterSliceCollapsed]]) — label-
+    * identical to per-doc banding, never quadratic in clique size.
     */
   private[graft] def ccIvmBase(resident: DataFrame,
       state: java.nio.file.Path): Unit = {
@@ -912,10 +971,10 @@ object Dedup {
     minhashSig(sh, Seq(count(lit(1)).as("n")))
       .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
     val sig = sp.read.parquet(state.resolve("sig/base").toString)
-    connectedComponentsWithRounds(
-        verifiedPairsOn(sh, sig).select(col("a_id"), col("b_id")))._1
-      .write.mode("overwrite")
+    val (labels, pins) = clusterSliceCollapsed(sh, sig)
+    labels.write.mode("overwrite")
       .parquet(state.resolve("lbl/base").toString)
+    pins.foreach(releaseCheckpoint)
   }
 
   /** [[ccIvmBase]] with the signing REUSED from the shared bucketed
@@ -937,10 +996,10 @@ object Dedup {
       .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
     val shb = s.read.parquet(state.resolve("sh/base").toString)
     val sigb = s.read.parquet(state.resolve("sig/base").toString)
-    connectedComponentsWithRounds(
-        verifiedPairsOn(shb, sigb).select(col("a_id"), col("b_id")))._1
-      .write.mode("overwrite")
+    val (labels, pins) = clusterSliceCollapsed(shb, sigb)
+    labels.write.mode("overwrite")
       .parquet(state.resolve("lbl/base").toString)
+    pins.foreach(releaseCheckpoint)
   }
 
   /** One maintenance fold: verify the batch's new pairs against the
@@ -979,8 +1038,29 @@ object Dedup {
     minhashSig(batchSh, Seq(count(lit(1)).as("n")))
       .write.mode("overwrite").parquet(state.resolve(s"sig/$gen").toString)
     val batchSig = sp.read.parquet(state.resolve(s"sig/$gen").toString)
-    // 2. candidates: cross (batch probes the maintained bands) + intra
-    val bb = bandKeys(batchSig)
+    // 2. PRE-COLLAPSE the batch on its shingle SET before banding —
+    // [[clusterSliceCollapsed]]'s move applied at the fold (r17,
+    // rung-caught: a boilerplate clique arriving inside one batch
+    // otherwise pays candidate + verify volume quadratic in clique
+    // size — 148 s for the quarter-corpus wave at the 100× rung).
+    // Equal sets ⟹ identical band keys and verify scores, so the
+    // group's min-id rep carries the group's entire candidacy, and
+    // members attach through explicit rep–member edges (jaccard 1.0
+    // by definition — exactly the pairs the per-doc path verified one
+    // by one). The transitive closure, and therefore every label and
+    // root, is unchanged: old pairs route through reps, member edges
+    // add only same-set pairs the per-doc path also connected.
+    val gkeys = shingleSetKeys(batchSh)
+    val grouped = gkeys.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("rep_id"))
+    val membership = materialize(gkeys.join(grouped, Seq("gkey"))
+      .select(col("doc_id"), col("rep_id")))
+    val repIds = membership.filter(col("doc_id") === col("rep_id"))
+      .select(col("doc_id"))
+    val repSh = batchSh.join(repIds, Seq("doc_id"), "left_semi")
+    val repSig = batchSig.join(repIds, Seq("doc_id"), "left_semi")
+    // candidates: cross (batch REPS probe the maintained bands) + intra
+    val bb = bandKeys(repSig)
       .select(col("doc_id").as("n_id"), col("band"), col("key"))
     val pb = bandKeys(priorSig)
       .select(col("doc_id").as("c_id"), col("band"), col("key"))
@@ -992,15 +1072,21 @@ object Dedup {
       .select(least(col("n_id"), col("c_id")).as("a_id"),
         greatest(col("n_id"), col("c_id")).as("b_id"))
     val cand = cross
-      .union(bandPairs(batchSig).select(col("a_id"), col("b_id")))
+      .union(bandPairs(repSig).select(col("a_id"), col("b_id")))
       .distinct()
     // 3. exact-verify ONLY the candidates, against the union store
+    // (rep slices cover every candidate endpoint), then attach the
+    // members: rep is its group's min, so (rep, member) is already
+    // (least, greatest)
     val allSh = priorSh.select(col("doc_id"), col("shingle"))
-      .union(batchSh.select(col("doc_id"), col("shingle")))
+      .union(repSh.select(col("doc_id"), col("shingle")))
     val sizes = priorSig.select(col("doc_id"), col("n"))
-      .union(batchSig.select(col("doc_id"), col("n")))
+      .union(repSig.select(col("doc_id"), col("n")))
+    val memberEdges = membership.filter(col("doc_id") =!= col("rep_id"))
+      .select(col("rep_id").as("a_id"), col("doc_id").as("b_id"))
     val newPairs = materialize(verifyCandidates(cand, allSh, sizes)
-      .select(col("a_id"), col("b_id")))
+      .select(col("a_id"), col("b_id"))
+      .union(memberEdges))
     // 4. fold: resolve endpoint labels (one remap hop), contract, merge
     val endpoints = newPairs.select(col("a_id").as("doc_id"))
       .union(newPairs.select(col("b_id").as("doc_id"))).distinct()
@@ -1041,7 +1127,7 @@ object Dedup {
       .parquet(state.resolve(s"remap/$gen").toString)
     // the CC loop's final labels frame stays checkpointed (its lineage
     // carries a Project over the LogicalRDD, like every other caller)
-    Seq(newPairs, curr, mergeMap).foreach(releaseCheckpoint)
+    Seq(newPairs, curr, mergeMap, membership).foreach(releaseCheckpoint)
   }
 
   /** COMPACT the maintained clustering state — the LSM lifecycle op
@@ -1145,52 +1231,15 @@ object Dedup {
     // re-cluster the slice PRE-COLLAPSED on the stored shingle SET —
     // the [[ccBuildFrames]] move applied to the takedown: banding the
     // slice per-doc pays pair emission quadratic in surviving clique
-    // size (rung-measured 70.7 s on ~97-member cliques at 100×), yet
-    // every identical-shingle-set member bands, matches, and scores
-    // exactly like its group's min-id rep. Shingle-set equality (not
-    // text equality — the stores never kept the text) is the sound
-    // collapse key: equal sets ⟹ jaccard 1.0 ⟹ same component
-    // regardless, and ⟹ identical signature/band keys ⟹ identical
-    // rep-level candidacy. Labels expand through the groups exactly
-    // like the builder's (component = rep-component min, which is the
-    // member min because every rep is its group's min).
-    val gkeys = affSh
-      .groupBy(col("doc_id"))
-      // NUL separator (words are whitespace-split, shingles are
-      // space-joined, so neither carries NUL) plus the set size, so
-      // boundary ambiguity cannot alias two different sets to one key
-      .agg(concat(count(lit(1)).cast("string"), lit(":"),
-        md5(concat_ws("\u0000",
-          sort_array(collect_list(col("shingle")))).cast("binary")))
-        .as("gkey"))
-    val grouped = gkeys.groupBy(col("gkey"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("grp_n"))
-    val membership = materialize(gkeys.join(grouped, Seq("gkey"))
-      .select(col("doc_id"), col("rep_id"), col("grp_n")))
-    val repIds = membership.filter(col("doc_id") === col("rep_id"))
-      .select(col("doc_id"))
-    val repSig = affSig.join(repIds, Seq("doc_id"), "left_semi")
-    val repSh = affSh.join(repIds, Seq("doc_id"), "left_semi")
-    val repPairs = verifyCandidates(
-      bandPairs(repSig).select(col("a_id"), col("b_id")),
-      repSh.select(col("doc_id"), col("shingle")),
-      repSig.select(col("doc_id"), col("n")))
-      .select(col("a_id"), col("b_id"))
-    val repCC = connectedComponentsWithRounds(repPairs)._1
-      .select(col("doc_id").as("rep_id"), col("component").as("rcomp"))
-    membership
-      .join(repCC, Seq("rep_id"), "left")
-      // a rep in no rep-level pair still anchors a component when its
-      // group has ≥ 2 members (an all-identical surviving clique);
-      // every slice doc has shingles by construction, so the
-      // builder's has_sig gate is vacuous here
-      .withColumn("component", coalesce(col("rcomp"),
-        when(col("grp_n") >= 2, col("rep_id"))))
-      .filter(col("component").isNotNull)
-      .select(col("doc_id"), col("component"))
+    // size (rung-measured 70.7 s on ~97-member cliques at 100×).
+    // Shingle-set equality (not text equality — the stores never kept
+    // the text) is the sound collapse key; the shared
+    // [[clusterSliceCollapsed]] path carries the argument.
+    val (freshLabels, pins) = clusterSliceCollapsed(affSh, affSig)
+    freshLabels
       .write.mode("overwrite")
       .parquet(state.resolve(s"lblfresh/$gen").toString)
-    Seq(affected, membership).foreach(releaseCheckpoint)
+    (affected +: pins).foreach(releaseCheckpoint)
   }
 
   /** The maintained shared tables, for rung-scale maintenance timing. */
