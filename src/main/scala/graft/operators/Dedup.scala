@@ -904,7 +904,7 @@ object Dedup {
     * so neither carries NUL) plus the set size, so boundary ambiguity
     * cannot alias two different sets to one key.
     */
-  private def shingleSetKeys(sh: DataFrame): DataFrame = sh
+  private[graft] def shingleSetKeys(sh: DataFrame): DataFrame = sh
     .groupBy(col("doc_id"))
     .agg(concat(count(lit(1)).cast("string"), lit(":"),
       md5(concat_ws("\u0000",
@@ -971,6 +971,8 @@ object Dedup {
     minhashSig(sh, Seq(count(lit(1)).as("n")))
       .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
     val sig = sp.read.parquet(state.resolve("sig/base").toString)
+    shingleSetKeys(sh).write.mode("overwrite")
+      .parquet(state.resolve("gk/base").toString)
     val (labels, pins) = clusterSliceCollapsed(sh, sig)
     labels.write.mode("overwrite")
       .parquet(state.resolve("lbl/base").toString)
@@ -996,6 +998,8 @@ object Dedup {
       .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
     val shb = s.read.parquet(state.resolve("sh/base").toString)
     val sigb = s.read.parquet(state.resolve("sig/base").toString)
+    shingleSetKeys(shb).write.mode("overwrite")
+      .parquet(state.resolve("gk/base").toString)
     val (labels, pins) = clusterSliceCollapsed(shb, sigb)
     labels.write.mode("overwrite")
       .parquet(state.resolve("lbl/base").toString)
@@ -1004,7 +1008,9 @@ object Dedup {
 
   /** One maintenance fold: verify the batch's new pairs against the
     * maintained stores and merge ONLY the touched components. Writes
-    * the batch's generation of all four stores (per-gen dirs — the
+    * the batch's generation of all five stores — shingles,
+    * signatures, labels, remap, and the shingle-set key registry the
+    * resident-side collapse reads — (per-gen dirs; the
     * idempotent exactly-once idiom; a replayed batch overwrites
     * itself). `prior*` frames are the union of every generation BEFORE
     * this batch; `prevRemap` is the latest compacted remap (empty on
@@ -1018,7 +1024,7 @@ object Dedup {
     */
   private[graft] def ccIvmBatch(batch: DataFrame, priorSh: DataFrame,
       priorSig: DataFrame, priorLbl: DataFrame, prevRemap: DataFrame,
-      state: java.nio.file.Path, gen: String): Unit = {
+      priorGk: DataFrame, state: java.nio.file.Path, gen: String): Unit = {
     val sp = batch.sparkSession
     // 1. ENFORCE the store contract, then sign ONLY the surviving batch.
     // Docs are immutable, so a re-delivered doc_id (at-least-once
@@ -1050,7 +1056,9 @@ object Dedup {
     // by one). The transitive closure, and therefore every label and
     // root, is unchanged: old pairs route through reps, member edges
     // add only same-set pairs the per-doc path also connected.
-    val gkeys = shingleSetKeys(batchSh)
+    shingleSetKeys(batchSh).write.mode("overwrite")
+      .parquet(state.resolve(s"gk/$gen").toString)
+    val gkeys = sp.read.parquet(state.resolve(s"gk/$gen").toString)
     val grouped = gkeys.groupBy(col("gkey"))
       .agg(min(col("doc_id")).as("rep_id"))
     val membership = materialize(gkeys.join(grouped, Seq("gkey"))
@@ -1059,10 +1067,24 @@ object Dedup {
       .select(col("doc_id"))
     val repSh = batchSh.join(repIds, Seq("doc_id"), "left_semi")
     val repSig = batchSig.join(repIds, Seq("doc_id"), "left_semi")
-    // candidates: cross (batch REPS probe the maintained bands) + intra
+    // the RESIDENT side collapses through the maintained key store
+    // (`gk` generations — (doc_id, gkey), tombstone semantics like
+    // every row-wise frame): banding the resident members per doc
+    // pays band-key emission and verify volume linear in resident
+    // clique size per probing batch; the surviving min-id holder of
+    // each stored key carries its group's entire candidacy (same
+    // induction as the batch side — same key ⟹ same component
+    // always, so an edge to the rep merges the whole group). The
+    // rep derivation is one skinny (doc_id, gkey) shuffle — the
+    // store's MIN-mergeable fold, never a re-shingle.
+    val resRepIds = priorGk.groupBy(col("gkey"))
+      .agg(min(col("doc_id")).as("doc_id")).select(col("doc_id"))
+    // candidates: cross (batch REPS probe the resident REPS' bands)
+    // + intra
     val bb = bandKeys(repSig)
       .select(col("doc_id").as("n_id"), col("band"), col("key"))
-    val pb = bandKeys(priorSig)
+    val pb = bandKeys(
+        priorSig.join(resRepIds, Seq("doc_id"), "left_semi"))
       .select(col("doc_id").as("c_id"), col("band"), col("key"))
     val cross = bb.join(pb, Seq("band", "key"))
       // belt-and-braces: the anti-join above makes a batch-vs-resident
@@ -1131,7 +1153,8 @@ object Dedup {
   }
 
   /** COMPACT the maintained clustering state — the LSM lifecycle op
-    * applied to [[ccIvmBatch]]'s four stores: the shingle and signature
+    * applied to [[ccIvmBatch]]'s five stores: the shingle, signature,
+    * and key-registry
     * generations concatenate into one base each (append-only frames
     * over immutable docs — the store contract guarantees each doc_id
     * appears exactly once across the input generations), every label
@@ -1151,11 +1174,14 @@ object Dedup {
     * 100× generation depth in the r15 rung table.
     */
   private[graft] def ccCompact(sh: DataFrame, sig: DataFrame,
-      lbl: DataFrame, remap: DataFrame, cstate: java.nio.file.Path): Unit = {
+      lbl: DataFrame, remap: DataFrame, gk: DataFrame,
+      cstate: java.nio.file.Path): Unit = {
     sh.select(col("doc_id"), col("shingle"))
       .write.mode("overwrite").parquet(cstate.resolve("sh/base").toString)
     sig.write.mode("overwrite")
       .parquet(cstate.resolve("sig/base").toString)
+    gk.write.mode("overwrite")
+      .parquet(cstate.resolve("gk/base").toString)
     lbl
       .join(remap.withColumnRenamed("old", "component"),
         Seq("component"), "left")

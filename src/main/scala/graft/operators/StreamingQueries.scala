@@ -2275,7 +2275,7 @@ object StreamingQueries {
       val emptyRemap =
         s.range(0).select(col("id").as("old"), col("id").as("root"))
       Dedup.ccIvmBatch(waveADocs, ccRd("sh"), ccRd("sig"), ccRd("lbl"),
-        emptyRemap, cc, "b00000")
+        emptyRemap, ccRd("gk"), cc, "b00000")
       val remapA = s.read.parquet(cc.resolve("remap/b00000").toString)
       val priorSh = ccRd("sh")
       val priorSig = ccRd("sig")
@@ -2301,10 +2301,12 @@ object StreamingQueries {
       Dedup.ccCompact(
         priorSh.join(ccDead, Seq("doc_id"), "left_anti"),
         priorSig.join(ccDead, Seq("doc_id"), "left_anti"),
-        ccLblFold, remapFiltered, ccC)
+        ccLblFold, remapFiltered,
+        ccRd("gk").join(ccDead, Seq("doc_id"), "left_anti"), ccC)
       def ccCRd(sub: String) = rdGens(ccC.resolve(sub))
       Dedup.ccIvmBatch(waveBDocs.filter(!isVictim), ccCRd("sh"),
-        ccCRd("sig"), ccCRd("lbl"), emptyRemap, ccC, "b00001")
+        ccCRd("sig"), ccCRd("lbl"), emptyRemap, ccCRd("gk"),
+        ccC, "b00001")
       }
 
       // ---- navigation graph ----
@@ -2518,7 +2520,7 @@ object StreamingQueries {
               sp.range(0).select(col("id").as("old"), col("id").as("root"))
             else sp.read.parquet(remaps.max)
           Dedup.ccIvmBatch(batch, rd("sh"), rd("sig"), rd("lbl"),
-            prevRemap, state, f"b$batchId%05d")
+            prevRemap, rd("gk"), state, f"b$batchId%05d")
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", run.resolve("chk").toString)
@@ -2618,7 +2620,7 @@ object StreamingQueries {
                 sp.range(0).select(col("id").as("old"), col("id").as("root"))
               else sp.read.parquet(remaps.max)
             Dedup.ccCompact(all("sh"), all("sig"), all("lbl"),
-              finalRemap, cstate)
+              finalRemap, all("gk"), cstate)
           }
           def rd(sub: String) =
             sp.read.parquet(gensBefore(root, sub, batchId): _*)
@@ -2628,7 +2630,7 @@ object StreamingQueries {
               sp.range(0).select(col("id").as("old"), col("id").as("root"))
             else sp.read.parquet(remaps.max)
           Dedup.ccIvmBatch(batch, rd("sh"), rd("sig"), rd("lbl"),
-            prevRemap, root, f"b$batchId%05d")
+            prevRemap, rd("gk"), root, f"b$batchId%05d")
         }
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation", run.resolve("chk").toString)
@@ -2833,6 +2835,7 @@ object StreamingQueries {
             rdRows(sp, "sig", batchId),
             rdLbl(sp, batchId, withDelete = batchId >= deleteAt),
             rdRemap(sp, batchId, withDelete = batchId >= deleteAt),
+            rdRows(sp, "gk", batchId),
             state, f"b$batchId%05d")
         }
         .trigger(Trigger.AvailableNow())

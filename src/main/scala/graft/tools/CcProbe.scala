@@ -43,7 +43,8 @@ object CcProbe {
     timed("cc waveA fold (quarter)") {
       graft.operators.Dedup.ccIvmBatch(
         ranked.filter(col("bucket") === 2).drop("bucket"),
-        rd("sh"), rd("sig"), rd("lbl"), emptyRemap, state, "b00000")
+        rd("sh"), rd("sig"), rd("lbl"), emptyRemap, rd("gk"),
+        state, "b00000")
     }
     // optional second mode: time the full composed lifecycle replay on
     // the same dataset (the rung ladder's post-fix row)

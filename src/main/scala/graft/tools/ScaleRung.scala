@@ -205,10 +205,20 @@ object ScaleRung {
     var priorSig = sigStore
     var priorLbl = lblStore
     var remap = spark.range(0).selectExpr("id AS old", "id AS root")
+    // the resident key registry (the r17 store the fold's resident-side
+    // collapse reads): the from-artifact base path derives it once —
+    // a maintained deployment writes it per generation instead
+    val (_, tGk) = timed("cc base gk registry") {
+      graft.operators.Dedup.shingleSetKeys(shStore)
+        .write.mode("overwrite")
+        .parquet(maint.resolve("cc_gk_base").toString)
+    }
+    println(f"| cc base gk registry | $tGk%.2f |")
+    var priorGk = spark.read.parquet(maint.resolve("cc_gk_base").toString)
     timedBatches("cc_index_maint", docBatches) { (k, b) =>
       val arriving = b.withColumn("doc_id", col("doc_id") + lit(idShift))
       graft.operators.Dedup.ccIvmBatch(arriving, priorSh, priorSig,
-        priorLbl, remap, maint.resolve("cc"), f"b$k%05d")
+        priorLbl, remap, priorGk, maint.resolve("cc"), f"b$k%05d")
       val gen = f"b$k%05d"
       def g(sub: String) =
         spark.read.parquet(maint.resolve(s"cc/$sub/$gen").toString)
@@ -216,6 +226,7 @@ object ScaleRung {
         .unionByName(g("sh").select(col("doc_id"), col("shingle")))
       priorSig = priorSig.unionByName(g("sig"))
       priorLbl = priorLbl.unionByName(g("lbl"))
+      priorGk = priorGk.unionByName(g("gk"))
       remap = g("remap")
     }
     // ---- compaction at depth (r16): the claim ccCompact exists for —
@@ -234,19 +245,19 @@ object ScaleRung {
     println("\n| cc compaction rung | seconds |")
     val (_, tUnc) = timed("cc fold b4 @depth4 uncompacted") {
       graft.operators.Dedup.ccIvmBatch(b4, priorSh, priorSig, priorLbl,
-        remap, maint.resolve("cc_unc"), "b00004")
+        remap, priorGk, maint.resolve("cc_unc"), "b00004")
     }
     val cstate = maint.resolve("cc_compacted")
     val (_, tCmp) = timed("cc compact @depth4") {
       graft.operators.Dedup.ccCompact(priorSh, priorSig, priorLbl,
-        remap, cstate)
+        remap, priorGk, cstate)
     }
     def cg(sub: String) =
       spark.read.parquet(cstate.resolve(s"$sub/base").toString)
     val emptyRemap = spark.range(0).selectExpr("id AS old", "id AS root")
     val (_, tFold) = timed("cc fold b4 @depth0 compacted") {
       graft.operators.Dedup.ccIvmBatch(b4, cg("sh"), cg("sig"), cg("lbl"),
-        emptyRemap, cstate, "b00004")
+        emptyRemap, cg("gk"), cstate, "b00004")
     }
     println(f"| fold @depth4 uncompacted | $tUnc%.2f |")
     println(f"| compact | $tCmp%.2f |")

@@ -399,14 +399,15 @@ class IndexIvmSpec extends AnyFunSuite {
     val emptyRemap =
       spark.range(0).selectExpr("id AS old", "id AS root")
     Dedup.ccIvmBatch(docs(5L -> ta), rd("sh", "base"), rd("sig", "base"),
-      rd("lbl", "base"), emptyRemap, state, "b00000")
+      rd("lbl", "base"), emptyRemap, rd("gk", "base"), state, "b00000")
     // batch 0 merged {10,11}+5 -> root 5: remap must hold 10 -> 5
     val remap0 = rd("remap", "b00000").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(remap0 == Map(10L -> 5L))
     def run1(): Unit = Dedup.ccIvmBatch(docs(3L -> ta),
       rd("sh", "base", "b00000"), rd("sig", "base", "b00000"),
-      rd("lbl", "base", "b00000"), rd("remap", "b00000"), state, "b00001")
+      rd("lbl", "base", "b00000"), rd("remap", "b00000"),
+      rd("gk", "base", "b00000"), state, "b00001")
     run1()
     val out1 = rd("lbl", "base", "b00000", "b00001").collect().toSet
     run1() // replay: per-gen overwrite must reproduce byte-equal state
@@ -435,7 +436,8 @@ class IndexIvmSpec extends AnyFunSuite {
       rd("sh", "base", "b00000", "b00001"),
       rd("sig", "base", "b00000", "b00001"),
       rd("lbl", "base", "b00000", "b00001"),
-      rd("remap", "b00001"), state, "b00002")
+      rd("remap", "b00001"),
+      rd("gk", "base", "b00000", "b00001"), state, "b00002")
     val sh2Ids = rd("sh", "b00002").select("doc_id").collect()
       .map(_.getLong(0)).toSet
     assert(sh2Ids == Set(40L), "re-delivered doc 5 must not be re-signed")
@@ -463,13 +465,13 @@ class IndexIvmSpec extends AnyFunSuite {
     // batch 0 merges {10,11} + 5 -> root 5 (remap: 10 -> 5)
     Dedup.ccIvmBatch(docs(5L -> ta), rd(state, "sh", "base"),
       rd(state, "sig", "base"), rd(state, "lbl", "base"),
-      emptyRemap, state, "b00000")
+      emptyRemap, rd(state, "gk", "base"), state, "b00000")
     // compact {base, b00000}: labels must come out RESOLVED (10's row
     // reads component 5, not its immutable historical root 10)
     def run(): Unit = Dedup.ccCompact(
       rd(state, "sh", "base", "b00000"), rd(state, "sig", "base", "b00000"),
       rd(state, "lbl", "base", "b00000"), rd(state, "remap", "b00000"),
-      cstate)
+      rd(state, "gk", "base", "b00000"), cstate)
     run()
     val cl1 = rd(cstate, "lbl", "base").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -490,7 +492,7 @@ class IndexIvmSpec extends AnyFunSuite {
     // uncompacted path's (the existing ccIvmBatch spec's expectation)
     Dedup.ccIvmBatch(docs(3L -> ta), rd(cstate, "sh", "base"),
       rd(cstate, "sig", "base"), rd(cstate, "lbl", "base"),
-      emptyRemap, cstate, "b00001")
+      emptyRemap, rd(cstate, "gk", "base"), cstate, "b00001")
     val remap1 = rd(cstate, "remap", "b00001").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(remap1 == Map(5L -> 3L),
