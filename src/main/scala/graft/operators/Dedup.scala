@@ -899,16 +899,20 @@ object Dedup {
   // output-bound. Nothing re-clusters resident components the batch
   // doesn't touch.
 
-  /** The shingle-SET group key of every doc in a stored shingle slice:
-    * NUL separator (words are whitespace-split, shingles space-joined,
-    * so neither carries NUL) plus the set size, so boundary ambiguity
-    * cannot alias two different sets to one key.
+  /** The shingle-SET group key of every doc in a stored shingle slice.
+    * Each shingle is hashed individually BEFORE aggregation: the
+    * per-element md5 is fixed-width hex, so concatenating the sorted
+    * hashes is injective on the shingle set no matter what bytes the
+    * source text carries (a raw-text separator scheme aliases sets
+    * whenever a shingle contains the separator, e.g. a NUL that
+    * survives whitespace splitting). The set size stays in the key as
+    * a cheap first-level discriminator.
     */
   private[graft] def shingleSetKeys(sh: DataFrame): DataFrame = sh
     .groupBy(col("doc_id"))
     .agg(concat(count(lit(1)).cast("string"), lit(":"),
-      md5(concat_ws("\u0000",
-        sort_array(collect_list(col("shingle")))).cast("binary")))
+      md5(concat_ws("",
+        sort_array(collect_list(md5(col("shingle").cast("binary"))))).cast("binary")))
       .as("gkey"))
 
   /** Cluster a STORED (shingles, signatures) slice PRE-COLLAPSED on

@@ -1804,6 +1804,36 @@ object Similarity {
     gnavWalk(adj, e, q, seeds, GnavBeam)
   }
 
+  /** Shared daemon pool for concurrent walk-slice materialization —
+    * hoisted (r18, the r17 verdict's #6) from the three per-call
+    * `newFixedThreadPool`s: the generalized walk body folds through
+    * foreachBatch doors and the lifecycle capstone many times per
+    * process, and per-call executor churn was pure overhead. Cached,
+    * not fixed: submitted tasks never submit nested tasks (no
+    * starvation deadlock is possible), concurrent demand is bounded by
+    * the callers' slice/width counts, and idle threads retire after
+    * 60 s so a quiet process holds none.
+    */
+  private lazy val walkSlicePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool(
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-walk-slice-${n.getAndIncrement()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  /** Materialize independent walk slices concurrently on the shared
+    * pool; returns results in input order (and rethrows the first
+    * failure).
+    */
+  private def materializeSlices[A](tasks: Seq[() => A]): Seq[A] =
+    tasks.map(t => walkSlicePool.submit(
+        new java.util.concurrent.Callable[A] { def call(): A = t() }))
+      .map(_.get())
+
   /** Run the walk at each width with the two frames EVERY hop re-reads
     * — the corpus projection and the adjacency — pinned once (a beam
     * search engine keeps its vectors and graph resident; the unpinned
@@ -1835,16 +1865,7 @@ object Similarity {
       r
     }
     val res = if (widths.size == 1) widths.map(walkPinned)
-    else {
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(widths.size)
-      try widths
-        .map(w => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame = walkPinned(w)
-        }))
-        .map(_.get())
-      finally pool.shutdown()
-    }
+    else materializeSlices(widths.map(w => () => walkPinned(w)))
     Seq(adj, e).foreach(graft.operators.Dedup.releaseCheckpoint)
     res
   }
@@ -1928,24 +1949,16 @@ object Similarity {
       val slices = (0L until GnavInsSlices).map { r =>
         q.filter(pmod(col("q_id"), lit(GnavInsSlices)) === r)
       }
-      val pool = java.util.concurrent.Executors
-        .newFixedThreadPool(slices.size)
-      val walkedSlices =
-        try slices
-          .map(qs => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-            def call(): DataFrame = {
-              val pins = scala.collection.mutable.Buffer.empty[DataFrame]
-              val w = graft.operators.Dedup.materialize(
-                gnavWalk(adj, e, qs, seeds, GnavBeam, topN = GnavK,
-                  hopPins = Some(pins))
-                  .select(col("q_id").as("vec_id"),
-                    col("neighbor_id").as("nbr_id"), col("sim")))
-              pins.foreach(graft.operators.Dedup.releaseCheckpoint)
-              w
-            }
-          }))
-          .map(_.get())
-        finally pool.shutdown()
+      val walkedSlices = materializeSlices(slices.map(qs => () => {
+        val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+        val w = graft.operators.Dedup.materialize(
+          gnavWalk(adj, e, qs, seeds, GnavBeam, topN = GnavK,
+            hopPins = Some(pins))
+            .select(col("q_id").as("vec_id"),
+              col("neighbor_id").as("nbr_id"), col("sim")))
+        pins.foreach(graft.operators.Dedup.releaseCheckpoint)
+        w
+      }))
       val walked = walkedSlices.reduce(_.unionByName(_))
       // bidirectional connect; the walk only ever reaches resident
       // nodes (beam and expansion live on the resident graph), so new
@@ -2024,24 +2037,16 @@ object Similarity {
     val slices = (0L until GnavInsSlices).map { r =>
       q.filter(pmod(col("q_id"), lit(GnavInsSlices)) === r)
     }
-    val pool = java.util.concurrent.Executors
-      .newFixedThreadPool(slices.size)
-    val walkedSlices =
-      try slices
-        .map(qs => pool.submit(new java.util.concurrent.Callable[DataFrame] {
-          def call(): DataFrame = {
-            val pins = scala.collection.mutable.Buffer.empty[DataFrame]
-            val w = graft.operators.Dedup.materialize(
-              gnavWalk(adj, e, qs, seeds, GnavBeam, topN = GnavK,
-                hopPins = Some(pins))
-                .select(col("q_id").as("vec_id"),
-                  col("neighbor_id").as("nbr_id"), col("sim")))
-            pins.foreach(graft.operators.Dedup.releaseCheckpoint)
-            w
-          }
-        }))
-        .map(_.get())
-      finally pool.shutdown()
+    val walkedSlices = materializeSlices(slices.map(qs => () => {
+      val pins = scala.collection.mutable.Buffer.empty[DataFrame]
+      val w = graft.operators.Dedup.materialize(
+        gnavWalk(adj, e, qs, seeds, GnavBeam, topN = GnavK,
+          hopPins = Some(pins))
+          .select(col("q_id").as("vec_id"),
+            col("neighbor_id").as("nbr_id"), col("sim")))
+      pins.foreach(graft.operators.Dedup.releaseCheckpoint)
+      w
+    }))
     val walked = walkedSlices.reduce(_.unionByName(_))
     val sym = graft.operators.Dedup.materialize(
       walked.union(walked.select(col("nbr_id").as("vec_id"),
@@ -3270,7 +3275,8 @@ object Similarity {
        |lvup AS (${dedupMax("lprun", "lrnew")}),
        |ladjv AS (${cap("lvup")}),
        |lbq AS (SELECT vec_id AS q_id, v AS qv FROM ge
-       |        WHERE vec_id % $W = ${ClsArrRem + ClsArrMod}),
+       |        WHERE vec_id % $W = ${ClsArrRem + ClsArrMod}
+       |          AND vec_id % $M <> $R),
        |${gnavWalkChainSql("lcb", "ladjv", "lbq")},
        |lbnew AS (${symOf("top_lcb")}),
        |lfup AS (${dedupMax("ladjv", "lbnew")})

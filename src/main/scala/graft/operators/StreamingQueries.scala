@@ -209,6 +209,60 @@ object StreamingQueries {
         col("eventId").cast("long").as("last_event_id"))
   }
 
+  /** Order-contiguous quartile buckets over an exact global rank —
+    * `bucket = ((rank−1)·4) div n` under `ORDER BY order*`, the exact
+    * membership the single-partition `Window.orderBy(...)` formulation
+    * produced, WITHOUT the single-partition window (the one "No
+    * Partition Defined for Window" shape the replay schedules still
+    * carried — the canonical driver-side bottleneck at real scale, and
+    * the r17 verdict's top "what's wrong"). Two-pass, the
+    * `window_ntile` recipe: ONE bounded quantile sketch of `sketchCol`
+    * yields ≤31 deterministic literal boundaries; every row gets an
+    * order-monotone `_pid` by comparing the sketch column against them
+    * (rows tying on the sketch column share a pid, so per-pid
+    * `order*` sorting is globally consistent); row_number runs PER
+    * pid; the ≤32 per-pid counts come back to the driver (a
+    * constant-size model read, like the PCA direction) and lift local
+    * row numbers to exact global ranks through a literal offset CASE.
+    * Boundary QUALITY never matters — the rank is exact whatever the
+    * sketch returns; skew only costs parallelism, never correctness.
+    * Membership (and therefore every planted-corpus spec and every
+    * replay hash) is IDENTICAL to the window formulation's.
+    */
+  private[graft] def rankQuartiles(df: DataFrame, sketchCol: String,
+      order: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val bounds = df.stat.approxQuantile(sketchCol,
+      (1 until 32).map(_ / 32.0).toArray, 0.001)
+    val pid = bounds.distinct.sorted
+      .map(b => when(col(sketchCol) > b, 1).otherwise(0))
+      .reduceOption((a, b) => a + b)
+      .getOrElse(lit(0): org.apache.spark.sql.Column)
+    val rn = df.withColumn("_pid", pid)
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("_pid")).orderBy(order: _*)))
+    val cnts = rn.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val total = cnts.map(_._2).sum
+    if (total == 0L) df.withColumn("bucket", lit(0L))
+    else {
+      val offCol = cnts.map(_._1)
+        .zip(cnts.map(_._2).scanLeft(0L)(_ + _).init)
+        .foldLeft(lit(0L)) { case (acc, (p, o)) =>
+          when(col("_pid") === p, lit(o)).otherwise(acc)
+        }
+      rn.withColumn("_off", offCol)
+        .withColumn("bucket",
+          expr(s"((cast(_rn AS BIGINT) + _off - 1) * 4) div ${total}L"))
+        .drop("_pid", "_rn", "_off")
+    }
+  }
+
+  /** [[rankQuartiles]] keyed on doc_id — the replay wave schedule every
+    * maintained-store replay and the lifecycle capstone share.
+    */
+  private[graft] def docQuartiles(docs: DataFrame): DataFrame =
+    rankQuartiles(docs, "doc_id", Seq(col("doc_id")))
+
   /** Build (or adopt) and hard-link the 4-file nanos staging for the
     * IVM/time-travel replays. The split is DATA-DEFINED — file k holds
     * event-time quartile k under `row_number() OVER (ORDER BY ts,
@@ -219,17 +273,12 @@ object StreamingQueries {
     * explicitly ascending mtimes both follow bucket order, so the file
     * source replays the quartiles in time order. The global row_number
     * is a once-per-dataset staging cost (at real scale this is a range
-    * partition by time — the same rule without the single-partition
-    * window; rn is the cross-engine determinism anchor here).
+    * partition by time — [[rankQuartiles]] is exactly that rule).
     */
   private def stageIvmSource(s: SparkSession, d: String,
       run: java.nio.file.Path): Unit = {
-    val w = Window.orderBy(col("ts"), col("event_id"))
     stage4Source(s, d, run, "ivm_events4_", "nanos-4part-v2-timeordered",
-      _.withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-        .drop("rn", "n"))
+      rankQuartiles(_, "ts", Seq(col("ts"), col("event_id"))))
   }
 
   /** The 4-file staging for the LATE-DATA replay: bucket = a content
@@ -1154,11 +1203,7 @@ object StreamingQueries {
     dedupIndexRunCache.computeIfAbsent(dedupIndexKey(d), _ => {
       val run = freshRunDir("graft_dix_")
       val docs = T(s, d, "documents")
-      val ranked = docs
-        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-        .drop("rn", "n")
+      val ranked = docQuartiles(docs)
       val idx = run.resolve("index")
       Dedup.minhashSig(
           Dedup.shingleRows(ranked.filter(col("bucket") < 3).drop("bucket")))
@@ -1265,11 +1310,7 @@ object StreamingQueries {
       val emb = T(s, d, "embeddings")
       val proj = emb.select(col("vec_id"),
         graft.functions.VectorFunctions.asDouble(col("embedding")).as("v"))
-      val ranked = proj
-        .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-        .drop("rn", "n")
+      val ranked = rankQuartiles(proj, "vec_id", Seq(col("vec_id")))
       val idx = run.resolve("lists")
       // freeze the base-trained quantizer through parquet (bit-stable
       // doubles; the pqFromCodebook discipline)
@@ -1774,11 +1815,7 @@ object StreamingQueries {
     textIndexRunCache.computeIfAbsent(textIndexKey(d), _ => {
       val run = freshRunDir("graft_tix_")
       val docs = T(s, d, "documents")
-      val ranked = docs
-        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-        .drop("rn", "n")
+      val ranked = docQuartiles(docs)
       val idx = run.resolve("index")
       def writeGen(batch: DataFrame, gen: String): Unit =
         textIndexGen(batch, idx, gen)
@@ -2121,19 +2158,28 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     }
+    // an empty arrival slice writes no generation at all (the dir may
+    // not even exist) — the fold's identity is the resident adjacency
+    // itself, which is already degree-capped (a restriction of the
+    // published capped graph), so no re-cap is needed
     val gens = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(gensDir).iterator().asScala
+      if (!java.nio.file.Files.isDirectory(gensDir)) Seq.empty[String]
+      else java.nio.file.Files.list(gensDir).iterator().asScala
         .map(_.toString).toSeq.sorted
     }
-    val byNode = Window.partitionBy(col("vec_id"))
-      .orderBy(col("sim").desc, col("nbr_id"))
-    Similarity.gnavResidentAdj(s, d)
+    val resident = Similarity.gnavResidentAdj(s, d)
       .select(col("vec_id"), col("nbr_id"), col("sim"))
-      .union(s.read.parquet(gens: _*)).distinct()
-      .withColumn("rn", row_number().over(byNode))
-      .filter(col("rn") <= Similarity.GnavDegree)
-      .select(col("vec_id"), col("nbr_id"), col("sim"))
+    if (gens.isEmpty) resident
+    else {
+      val byNode = Window.partitionBy(col("vec_id"))
+        .orderBy(col("sim").desc, col("nbr_id"))
+      resident
+        .union(s.read.parquet(gens: _*)).distinct()
+        .withColumn("rn", row_number().over(byNode))
+        .filter(col("rn") <= Similarity.GnavDegree)
+        .select(col("vec_id"), col("nbr_id"), col("sim"))
+    }
   }
 
   /** THE LIFECYCLE CAPSTONE — one replay running the full production
@@ -2183,11 +2229,7 @@ object StreamingQueries {
       val run = freshRunDir("graft_lc_")
       val state = run.resolve("state")
       val docs = T(s, d, "documents")
-      val ranked = docs
-        .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-        .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-        .drop("rn", "n")
+      val ranked = docQuartiles(docs)
       val baseDocs = ranked.filter(col("bucket") < 2).drop("bucket")
       val waveADocs = ranked.filter(col("bucket") === 2).drop("bucket")
       val waveBDocs = ranked.filter(col("bucket") === 3).drop("bucket")
@@ -2352,9 +2394,15 @@ object StreamingQueries {
         .write.mode("overwrite").parquet(gdir.resolve("adjv").toString)
       Dedup.releaseCheckpoint(symR)
       val adjV = s.read.parquet(gdir.resolve("adjv").toString)
+      // wave B passes the takedown door DENYLIST like the other three
+      // families — post-vacuum victim-freedom holds by construction,
+      // not by the arithmetic accident that the current wave-B residue
+      // class happens to avoid the victim class (r17 ADVICE: changing
+      // TakedownRem/ClsArrRem must not silently reintroduce victims)
       val symB = Similarity.gnavWalkEdgesOn(s, d,
         adjV.select(col("vec_id").as("node"), col("nbr_id")),
-        emb.filter(pmod(col("vec_id"), lit(gW)) === gAR + gAM))
+        emb.filter(pmod(col("vec_id"), lit(gW)) === gAR + gAM &&
+          survN(col("vec_id"))))
       capAdj(adjV.unionByName(symB))
         .write.mode("overwrite").parquet(gdir.resolve("final").toString)
       Dedup.releaseCheckpoint(symB)
@@ -2481,11 +2529,7 @@ object StreamingQueries {
   private val dedupCcIvm: Q = (s, d) => {
     val run = freshRunDir("graft_ccx_")
     val docs = T(s, d, "documents")
-    val ranked = docs
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-      .drop("rn", "n")
+    val ranked = docQuartiles(docs)
     val state = run.resolve("state")
     Dedup.ccIvmBaseFromShared(s, d,
       ranked.filter(col("bucket") < 3).select(col("doc_id")), state)
@@ -2573,11 +2617,7 @@ object StreamingQueries {
   private val dedupCcCompact: Q = (s, d) => {
     val run = freshRunDir("graft_cccp_")
     val docs = T(s, d, "documents")
-    val ranked = docs
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-      .drop("rn", "n")
+    val ranked = docQuartiles(docs)
     val state = run.resolve("state") // live store, folds before the boundary
     val cstate = run.resolve("cstate") // compacted store, folds after
     Dedup.ccIvmBaseFromShared(s, d,
@@ -2685,20 +2725,24 @@ object StreamingQueries {
     * left the `index` group in r17 (its full-replay bill regressed the
     * group line twice in two rounds — the r15/r16 attribution
     * finding); the memoized solo face adopts one run, and the bench's
-    * named `cc_takedown_replay` item carries the cost. The cached
-    * read-back is a lazy plan over the run's state files; the memo is
-    * what keeps a second same-prefix [[freshRunDir]] from trashing
-    * them underneath it.
+    * named `cc_takedown_replay` item carries the cost. The memo holds
+    * the run's state PATH (like gnavInsRunCache/lifecycleRunCache) and
+    * the lazy read-back plan is rebuilt with the CALLER's session —
+    * caching a live DataFrame bound the plan to the session that
+    * created it (the r17 ADVICE finding). The memo is also what keeps
+    * a second same-prefix [[freshRunDir]] from trashing the state
+    * files underneath a read-back.
     */
   private val ccTakedownRunCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   private[graft] def ccTakedownKey(d: String): String =
     SharedArtifacts.fingerprint(d, "documents.parquet", "cctdrun:v1")
 
   private val dedupCcTakedown: Q = (s, d) =>
-    ccTakedownRunCache.computeIfAbsent(ccTakedownKey(d), _ =>
-      ccTakedownImpl("graft_cctd_")(s, d))
+    new CcTakedownStore(ccTakedownRunCache.computeIfAbsent(
+      ccTakedownKey(d), _ => ccTakedownRun("graft_cctd_")(s, d)))
+      .readBack(s)
 
   /** Eagerly run (or adopt) the takedown replay — the bench's
     * visibility hook (the full interleaved replay is the face's real
@@ -2710,34 +2754,14 @@ object StreamingQueries {
     !existed
   }
 
-  /** The takedown replay parameterized by its run-dir prefix:
-    * [[freshRunDir]] TRASHES the previous run of the same prefix, and
-    * the replay group's cached read-back is a LAZY plan over its run's
-    * state files — so a second invocation under the group's prefix
-    * (the planted-corpus spec) would delete the files out from under
-    * the cache (the FILE_NOT_EXIST failure the full suite caught).
-    * The spec seam gets its own prefix instead.
+  /** Readers over a takedown replay's persisted state — shared by the
+    * replay's own per-batch folds and the read-back, and constructed
+    * fresh per read so the plan binds to the reading session.
     */
-  private def ccTakedownImpl(prefix: String): Q = (s, d) => {
-    val run = freshRunDir(prefix)
-    val docs = T(s, d, "documents")
-    val ranked = docs
-      .withColumn("rn", row_number().over(Window.orderBy(col("doc_id"))))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy()))
-      .withColumn("bucket", expr("((rn - 1) * 4) div n"))
-      .drop("rn", "n")
-    val state = run.resolve("state")
-    Dedup.ccIvmBaseFromShared(s, d,
-      ranked.filter(col("bucket") < 2).select(col("doc_id")), state)
-    val srcDir = run.resolve("src").toString
-    ranked.filter(col("bucket") >= 2).drop("bucket")
-      .repartition(3, col("doc_id"))
-      .write.mode("overwrite").parquet(srcDir)
-    val raw = s.readStream.schema(docs.schema)
-      .option("maxFilesPerTrigger", "1").parquet(srcDir)
-    val deleteAt = 1L
-    val dGen = "d00001"
-    val isVictim = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
+  private final class CcTakedownStore(state: java.nio.file.Path,
+      val deleteAt: Long = 1L) {
+    val dGen = f"d$deleteAt%05d"
+
     def gensBefore(sub: String, batchId: Long): Seq[String] = {
       import scala.jdk.CollectionConverters._
       val dir = state.resolve(sub)
@@ -2748,22 +2772,24 @@ object StreamingQueries {
           n == "base" || n.drop(1).toLong < batchId
         }.map(_.toString).toSeq.sorted
     }
-    def rdDelete(sp: org.apache.spark.sql.SparkSession, sub: String) =
+
+    def rdDelete(sp: SparkSession, sub: String): DataFrame =
       sp.read.parquet(state.resolve(s"$sub/$dGen").toString)
+
     // store readers, takedown-aware once the boundary has passed
-    def rdRows(sp: org.apache.spark.sql.SparkSession, sub: String,
-        batchId: Long): DataFrame = {
+    def rdRows(sp: SparkSession, sub: String, batchId: Long): DataFrame = {
       val all = sp.read.parquet(gensBefore(sub, batchId): _*)
       if (batchId < deleteAt) all
       else all.join(rdDelete(sp, "dead"), Seq("doc_id"), "left_anti")
     }
+
     // the label fold is CHRONOLOGICAL: the takedown's tombstones kill
     // only rows written BEFORE it — a delete-time singleton can be
     // re-labeled by a later arrival that re-pairs it, and that fresh
     // row must survive the fold (the sf0.1 two-row lesson: an
     // end-positioned anti-join erased exactly those resurrections)
-    def rdLbl(sp: org.apache.spark.sql.SparkSession,
-        batchId: Long, withDelete: Boolean): DataFrame = {
+    def rdLbl(sp: SparkSession, batchId: Long,
+        withDelete: Boolean): DataFrame = {
       if (!withDelete) sp.read.parquet(gensBefore("lbl", batchId): _*)
       else {
         val preGens = gensBefore("lbl", deleteAt)
@@ -2775,6 +2801,7 @@ object StreamingQueries {
         else pre.unionByName(sp.read.parquet(post: _*))
       }
     }
+
     // the remap fold is the takedown's REWRITE point: a pre-boundary
     // snapshot may carry entries whose root lies in an affected
     // component — every doc resolving there just got tombstones +
@@ -2789,8 +2816,8 @@ object StreamingQueries {
     // snapshots built from it, so a post-boundary max gen needs no
     // filter (and must not get one — a later merge may legitimately
     // re-anchor at a root value inside the old affected set).
-    def rdRemap(sp: org.apache.spark.sql.SparkSession,
-        batchId: Long, withDelete: Boolean): DataFrame = {
+    def rdRemap(sp: SparkSession, batchId: Long,
+        withDelete: Boolean): DataFrame = {
       val remaps = gensBefore("remap", batchId)
       if (remaps.isEmpty)
         sp.range(0).select(col("id").as("old"), col("id").as("root"))
@@ -2807,6 +2834,44 @@ object StreamingQueries {
           Seq("root"), "left_anti")
       }
     }
+
+    // read-back: the takedown-aware label fold, resolved through the
+    // final compacted remap (one hop)
+    def readBack(s: SparkSession): DataFrame =
+      rdLbl(s, Long.MaxValue, withDelete = true)
+        .withColumnRenamed("component", "l0")
+        .join(rdRemap(s, Long.MaxValue, withDelete = true)
+          .withColumnRenamed("old", "l0"), Seq("l0"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("l0")).as("component"))
+  }
+
+  /** The takedown replay parameterized by its run-dir prefix:
+    * [[freshRunDir]] TRASHES the previous run of the same prefix, and
+    * the replay group's cached read-back is a LAZY plan over its run's
+    * state files — so a second invocation under the group's prefix
+    * (the planted-corpus spec) would delete the files out from under
+    * the cache (the FILE_NOT_EXIST failure the full suite caught).
+    * The spec seam gets its own prefix instead. Returns the run's
+    * state path; [[CcTakedownStore]] reads the terminal labels back.
+    */
+  private def ccTakedownRun(prefix: String)(
+      s: SparkSession, d: String): java.nio.file.Path = {
+    val run = freshRunDir(prefix)
+    val docs = T(s, d, "documents")
+    val ranked = docQuartiles(docs)
+    val state = run.resolve("state")
+    Dedup.ccIvmBaseFromShared(s, d,
+      ranked.filter(col("bucket") < 2).select(col("doc_id")), state)
+    val srcDir = run.resolve("src").toString
+    ranked.filter(col("bucket") >= 2).drop("bucket")
+      .repartition(3, col("doc_id"))
+      .write.mode("overwrite").parquet(srcDir)
+    val raw = s.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val st = new CcTakedownStore(state)
+    val deleteAt = st.deleteAt
+    val isVictim = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
     withStreamingParallelism(s) {
       val q = raw.writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -2816,26 +2881,27 @@ object StreamingQueries {
             // inputs fixed (gens strictly before the boundary),
             // outputs idempotent overwrites
             val priorSig =
-              sp.read.parquet(gensBefore("sig", deleteAt): _*)
-            val priorSh = sp.read.parquet(gensBefore("sh", deleteAt): _*)
-            val resolved = rdLbl(sp, deleteAt, withDelete = false)
+              sp.read.parquet(st.gensBefore("sig", deleteAt): _*)
+            val priorSh =
+              sp.read.parquet(st.gensBefore("sh", deleteAt): _*)
+            val resolved = st.rdLbl(sp, deleteAt, withDelete = false)
               .withColumnRenamed("component", "l0")
-              .join(rdRemap(sp, deleteAt, withDelete = false)
+              .join(st.rdRemap(sp, deleteAt, withDelete = false)
                 .withColumnRenamed("old", "l0"), Seq("l0"), "left")
               .select(col("doc_id"),
                 coalesce(col("root"), col("l0")).as("component"))
             Dedup.ccDeleteBatch(priorSig.filter(isVictim), priorSh,
-              priorSig, resolved, state, dGen)
+              priorSig, resolved, state, st.dGen)
           }
           // the door denylist: once a takedown is issued, matching
           // arrivals are refused at ingest
           val door = if (batchId >= deleteAt) batch.filter(!isVictim)
             else batch
-          Dedup.ccIvmBatch(door, rdRows(sp, "sh", batchId),
-            rdRows(sp, "sig", batchId),
-            rdLbl(sp, batchId, withDelete = batchId >= deleteAt),
-            rdRemap(sp, batchId, withDelete = batchId >= deleteAt),
-            rdRows(sp, "gk", batchId),
+          Dedup.ccIvmBatch(door, st.rdRows(sp, "sh", batchId),
+            st.rdRows(sp, "sig", batchId),
+            st.rdLbl(sp, batchId, withDelete = batchId >= deleteAt),
+            st.rdRemap(sp, batchId, withDelete = batchId >= deleteAt),
+            st.rdRows(sp, "gk", batchId),
             state, f"b$batchId%05d")
         }
         .trigger(Trigger.AvailableNow())
@@ -2843,22 +2909,16 @@ object StreamingQueries {
         .start()
       q.awaitTermination()
     }
-    // read-back: the takedown-aware label fold, resolved through the
-    // final compacted remap (one hop)
-    rdLbl(s, Long.MaxValue, withDelete = true)
-      .withColumnRenamed("component", "l0")
-      .join(rdRemap(s, Long.MaxValue, withDelete = true)
-        .withColumnRenamed("old", "l0"), Seq("l0"), "left")
-      .select(col("doc_id"),
-        coalesce(col("root"), col("l0")).as("component"))
+    state
   }
 
   /** The takedown maintainer WITHOUT the replay-group wrapper — for
     * specs driving it over planted synthetic corpora (the group
     * replays every `index` member, which needs the full table set).
-    * Distinct run-dir prefix: see [[ccTakedownImpl]].
+    * Distinct run-dir prefix: see [[ccTakedownRun]].
     */
-  private[graft] def ccTakedownRaw: Q = ccTakedownImpl("graft_cctds_")
+  private[graft] def ccTakedownRaw: Q = (s, d) =>
+    new CcTakedownStore(ccTakedownRun("graft_cctds_")(s, d)).readBack(s)
 
   /** The streaming face of `events_anomaly` — a TWO-STAGE streaming
     * topology, each stage the production shape:

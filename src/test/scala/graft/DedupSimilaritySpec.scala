@@ -1507,4 +1507,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(streamed.nonEmpty)
     assert(streamed.sameElements(batch))
   }
+
+  test("shingleSetKeys is injective on shingle sets even when the text " +
+      "carries the old separator byte (planted NUL-aliasing corpus)") {
+    val s = spark
+    import s.implicits._
+    // NUL is not whitespace, so a word like "a\u0000b" survives words();
+    // under a raw NUL-separator key {"a\u0000b","c"} and {"a","b\u0000c"}
+    // both concatenate to the same bytes with equal set size — two
+    // DIFFERENT shingle sets aliased to one gkey would falsely merge
+    // non-duplicate docs as jaccard-1.0 (the r17 ADVICE finding). The
+    // per-shingle-hash key must distinguish them, and stay order-free.
+    val sh = Seq(
+      (1L, "a\u0000b"), (1L, "c"),
+      (2L, "a"), (2L, "b\u0000c"),
+      (3L, "c"), (3L, "a\u0000b")).toDF("doc_id", "shingle")
+    val keys = operators.Dedup.shingleSetKeys(sh).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("gkey")).toMap
+    assert(keys(1L) != keys(2L),
+      "different shingle sets aliased to one gkey")
+    assert(keys(1L) == keys(3L),
+      "set-equal docs must share a gkey regardless of row order")
+  }
 }
