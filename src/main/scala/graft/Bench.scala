@@ -67,6 +67,8 @@ object Bench {
         graft.operators.Similarity.ensureGnavVacuum(spark, sfDir)),
       timedBuild("lifecycle_build")(
         graft.operators.StreamingQueries.ensureLifecycle(spark, sfDir)),
+      timedBuild("lifecycle_stream_build")(
+        graft.operators.StreamingQueries.ensureLifecycleStream(spark, sfDir)),
       timedBuild("cc_takedown_replay")(
         graft.operators.StreamingQueries.ensureCcTakedown(spark, sfDir)),
       timedBuild("bkt_shared_build")(

@@ -63,7 +63,10 @@ object ExplainAudit {
     // r17 faces
     "sim_gnav_vacuum", "sim_gnav_vacuum_recall", "stream_gnav_insert",
     "lifecycle_text", "lifecycle_dedup", "lifecycle_cc",
-    "lifecycle_gnav")
+    "lifecycle_gnav",
+    // r18 faces
+    "lifecycle_stream_text", "lifecycle_stream_dedup",
+    "lifecycle_stream_cc", "lifecycle_stream_gnav")
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("EXPLAIN_AUDIT.md")

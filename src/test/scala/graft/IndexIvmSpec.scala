@@ -169,6 +169,45 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(waveA.forall(deg(_) >= 8) && waveB.forall(deg(_) >= 8))
   }
 
+  test("streaming lifecycle capstone: the same composed cycle driven " +
+      "through the real streaming doors lands every terminal store on " +
+      "the batch capstone's, row for row") {
+    // delivery must be immaterial: checkpointed micro-batches,
+    // batch-id generation naming, the boundary takedown+compaction
+    // inside foreachBatch, and the composed door denylists produce the
+    // SAME terminal stores the batch capstone's direct calls do
+    def rows4(name: String) = StreamingQueries.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sorted
+    val st = rows4("lifecycle_stream_text")
+    val bt = rows4("lifecycle_text")
+    assert(st.length == bt.length)
+    assert(st.sameElements(bt))
+    def rows3(name: String) = StreamingQueries.queries(name)(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sorted
+    val sd = rows3("lifecycle_stream_dedup")
+    val bd = rows3("lifecycle_dedup")
+    assert(sd.length == bd.length)
+    assert(sd.sameElements(bd))
+    val sc = StreamingQueries.queries("lifecycle_stream_cc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bc = StreamingQueries.queries("lifecycle_cc")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(sc == bc)
+    // the graph is BIT-identical by construction: the same arrivals
+    // walk the same frozen tiers, and the per-batch union commutes
+    // with the one-shot walk — compare sims too
+    val sg = StreamingQueries.queries("lifecycle_stream_gnav")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted
+    val bg = StreamingQueries.queries("lifecycle_gnav")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted
+    assert(sg.length == bg.length)
+    assert(sg.sameElements(bg))
+  }
+
   test("dedup_cc_delete: affected-components-only relabeling equals the " +
       "full recompute over every surviving pair; no victim survives") {
     import org.apache.spark.sql.functions._

@@ -125,6 +125,11 @@ class PlanGovernanceSpec extends AnyFunSuite {
       " SINGLE-ROW merged-stats crossJoin, bounded at one row" +
       " forever); the replay's own folds happen at build time, not in" +
       " the registry plan"),
+    "lifecycle_stream_text" -> ("the streaming capstone's terminal" +
+      " text store is lifecycle_text's read side verbatim (the" +
+      " broadcast SINGLE-ROW merged-stats crossJoin); the doors'" +
+      " folds happen inside the replay's foreachBatch, not in the" +
+      " registry plan"),
     "sim_knn_classify" -> ("inherits sim_ann_ivf's broadcast" +
       " centroid-table crossJoins (probe selection, O(n*C) linear per" +
       " centroid); voting and the confusion rollup are (vec_id, label)" +
