@@ -2234,15 +2234,14 @@ object StreamingQueries {
     s.read.parquet(gens: _*)
   }
 
-  /** Text-index takedown + compaction at a boundary: tombstones from
-    * the STORED index, negative df/stats partials, then the physical
-    * compact into `tixC` — tombstoned rows drop, partials SUM-merge
-    * (the negative generation participates — a compacted partial is
-    * still a partial).
+  /** Text-index TAKEDOWN: tombstones from the STORED index plus the
+    * negative df/stats partials — the deletion generation. Split from
+    * the compaction so a schedule may place them at different
+    * boundaries (door-denylisted arrivals in between carry no victims,
+    * so the tombstone set is fixed at takedown time).
     */
-  private def textTakedownCompact(s: SparkSession,
+  private def textTakedown(s: SparkSession,
       tix: java.nio.file.Path, tdel: java.nio.file.Path,
-      tixC: java.nio.file.Path,
       isVictim: org.apache.spark.sql.Column): Unit = {
     rdGensOf(s, tix.resolve("dl")).select(col("doc_id")).filter(isVictim)
       .write.mode("overwrite").parquet(tdel.resolve("tomb").toString)
@@ -2254,6 +2253,16 @@ object StreamingQueries {
       .agg((lit(0L) - count(lit(1))).as("np"),
         (lit(0L) - sum(col("dl"))).as("totalp"))
       .write.mode("overwrite").parquet(tdel.resolve("stneg").toString)
+  }
+
+  /** Text-index COMPACTION into `tixC`: tombstoned rows drop
+    * PHYSICALLY, partials SUM-merge (the negative generation
+    * participates — a compacted partial is still a partial).
+    */
+  private def textCompactInto(s: SparkSession,
+      tix: java.nio.file.Path, tdel: java.nio.file.Path,
+      tixC: java.nio.file.Path): Unit = {
+    val ttomb = s.read.parquet(tdel.resolve("tomb").toString)
     rdGensOf(s, tix.resolve("post")).join(ttomb, Seq("doc_id"), "left_anti")
       .write.mode("overwrite").parquet(tixC.resolve("post/base").toString)
     rdGensOf(s, tix.resolve("dl")).join(ttomb, Seq("doc_id"), "left_anti")
@@ -2269,18 +2278,42 @@ object StreamingQueries {
       .write.mode("overwrite").parquet(tixC.resolve("st/base").toString)
   }
 
-  /** Signature-store takedown + compaction: distinct stored victim ids
-    * as tombstones, then one anti-join rewrite into `dixC/base`.
+  /** Text-index takedown + compaction at one boundary (the capstones'
+    * schedule).
     */
+  private def textTakedownCompact(s: SparkSession,
+      tix: java.nio.file.Path, tdel: java.nio.file.Path,
+      tixC: java.nio.file.Path,
+      isVictim: org.apache.spark.sql.Column): Unit = {
+    textTakedown(s, tix, tdel, isVictim)
+    textCompactInto(s, tix, tdel, tixC)
+  }
+
+  /** Signature-store TAKEDOWN: distinct stored victim ids as
+    * tombstones.
+    */
+  private def sigTakedown(s: SparkSession, dix: java.nio.file.Path,
+      tombPath: java.nio.file.Path,
+      isVictim: org.apache.spark.sql.Column): Unit =
+    rdGensOf(s, dix).select(col("doc_id")).filter(isVictim).distinct()
+      .write.mode("overwrite").parquet(tombPath.toString)
+
+  /** Signature-store COMPACTION: one anti-join rewrite into
+    * `dixC/base`.
+    */
+  private def sigCompactInto(s: SparkSession, dix: java.nio.file.Path,
+      tombPath: java.nio.file.Path, dixC: java.nio.file.Path): Unit =
+    rdGensOf(s, dix)
+      .join(s.read.parquet(tombPath.toString), Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(dixC.resolve("base").toString)
+
+  /** Signature-store takedown + compaction at one boundary. */
   private def sigTakedownCompact(s: SparkSession,
       dix: java.nio.file.Path, tombPath: java.nio.file.Path,
       dixC: java.nio.file.Path,
       isVictim: org.apache.spark.sql.Column): Unit = {
-    rdGensOf(s, dix).select(col("doc_id")).filter(isVictim).distinct()
-      .write.mode("overwrite").parquet(tombPath.toString)
-    val dtomb = s.read.parquet(tombPath.toString)
-    rdGensOf(s, dix).join(dtomb, Seq("doc_id"), "left_anti")
-      .write.mode("overwrite").parquet(dixC.resolve("base").toString)
+    sigTakedown(s, dix, tombPath, isVictim)
+    sigCompactInto(s, dix, tombPath, dixC)
   }
 
   /** Clustering takedown + compaction at a batch boundary: the
@@ -2776,6 +2809,171 @@ object StreamingQueries {
   private val lifecycleStreamGnav: Q = (s, d) =>
     s.read.parquet(
       builtLifecycleStream(s, d).resolve("gnav/final").toString)
+
+  /** One SEEDED permutation of the lifecycle schedule — the property
+    * seam behind the schedule-permutation spec. From the seed: a
+    * pseudo-random resident/arrival split (hash-assigned, so the
+    * schedule is a pure function of (seed, doc_id)), K = 3 arrival
+    * batches, ONE takedown at a seeded boundary position in [0, K] and
+    * ONE compaction at a seeded position at-or-after it; the graph
+    * runs its own seeded arrival batching with the vacuum at a seeded
+    * position. Every fold is the SAME phase-body/door machinery the
+    * capstones run ([[CcTakedownStore]] readers, [[textTakedown]] /
+    * [[textCompactInto]], [[sigTakedown]] / [[sigCompactInto]],
+    * [[Dedup.ccIvmBatch]], the frozen-tier walks, [[gnavVacuumInto]]).
+    * Returns the terminal (text scores, banding pairs, labels,
+    * adjacency). In-engine gate only: the spec compares the first
+    * three against rebuild-without over the survivors
+    * ([[lifecycleRebuildRef]]) and asserts the graph's structural
+    * invariants — the registry capstones carry the cross-engine
+    * oracles for the two named schedules; this seam closes the CLASS.
+    */
+  private[graft] def lifecyclePermuted(s: SparkSession, d: String,
+      seed: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val rnd = new scala.util.Random(seed)
+    val k = 3
+    val tdPos = rnd.nextInt(k + 1)
+    val cpPos = tdPos + rnd.nextInt(k + 1 - tdPos)
+    val vacPos = rnd.nextInt(k + 1)
+    val run = freshRunDir(f"graft_lcp${seed}%03d_")
+    val state = run.resolve("state")
+    val docs = T(s, d, "documents")
+    val half = pmod(xxhash64(lit(s"lcp$seed"), col("doc_id")), lit(2))
+    val arrIdx = pmod(xxhash64(lit(s"lcpb$seed"), col("doc_id")), lit(k))
+    val resident = docs.filter(half === 0)
+    val arrivals = (0 until k).map(i =>
+      docs.filter(half === 1 && arrIdx === i))
+    val isVictim = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
+    val tix = state.resolve("text"); val tixC = state.resolve("textc")
+    val dix = state.resolve("dedup"); val dixC = state.resolve("dedupc")
+    val cc = state.resolve("cc"); val ccC = state.resolve("ccc")
+    val tdel = state.resolve("textdel")
+    val dtomb = state.resolve("deduptomb")
+    textIndexGen(resident, tix, "base")
+    Dedup.minhashSig(Dedup.shingleRows(resident))
+      .write.mode("overwrite").parquet(dix.resolve("base").toString)
+    Dedup.ccIvmBaseFromShared(s, d, resident.select(col("doc_id")), cc)
+    val stTd = new CcTakedownStore(cc, tdPos.toLong)
+    val stC = new CcTakedownStore(ccC, Long.MaxValue)
+    def takedown(): Unit = {
+      textTakedown(s, tix, tdel, isVictim)
+      sigTakedown(s, dix, dtomb, isVictim)
+      val priorSig =
+        s.read.parquet(stTd.gensBefore("sig", tdPos.toLong): _*)
+      val priorSh =
+        s.read.parquet(stTd.gensBefore("sh", tdPos.toLong): _*)
+      val resolved = stTd.rdLbl(s, tdPos.toLong, withDelete = false)
+        .withColumnRenamed("component", "l0")
+        .join(stTd.rdRemap(s, tdPos.toLong, withDelete = false)
+          .withColumnRenamed("old", "l0"), Seq("l0"), "left")
+        .select(col("doc_id"),
+          coalesce(col("root"), col("l0")).as("component"))
+      Dedup.ccDeleteBatch(priorSig.filter(isVictim), priorSh, priorSig,
+        resolved, cc, stTd.dGen)
+    }
+    def compact(at: Long): Unit = {
+      textCompactInto(s, tix, tdel, tixC)
+      sigCompactInto(s, dix, dtomb, dixC)
+      Dedup.ccCompact(stTd.rdRows(s, "sh", at), stTd.rdRows(s, "sig", at),
+        stTd.rdLbl(s, at, withDelete = true),
+        stTd.rdRemap(s, at, withDelete = true),
+        stTd.rdRows(s, "gk", at), ccC)
+    }
+    var compacted = false
+    for (i <- 0 until k) {
+      if (tdPos == i) takedown()
+      if (cpPos == i) { compact(i.toLong); compacted = true }
+      val afterTd = i >= tdPos
+      val door = if (afterTd) arrivals(i).filter(!isVictim)
+        else arrivals(i)
+      val gen = f"b$i%05d"
+      if (!compacted) {
+        textIndexGen(door, tix, gen)
+        Dedup.minhashSig(Dedup.shingleRows(door))
+          .write.mode("overwrite").parquet(dix.resolve(gen).toString)
+        Dedup.ccIvmBatch(door, stTd.rdRows(s, "sh", i.toLong),
+          stTd.rdRows(s, "sig", i.toLong),
+          stTd.rdLbl(s, i.toLong, withDelete = afterTd),
+          stTd.rdRemap(s, i.toLong, withDelete = afterTd),
+          stTd.rdRows(s, "gk", i.toLong), cc, gen)
+      } else {
+        textIndexGen(door, tixC, gen)
+        Dedup.minhashSig(Dedup.shingleRows(door))
+          .write.mode("overwrite").parquet(dixC.resolve(gen).toString)
+        Dedup.ccIvmBatch(door, stC.rdRows(s, "sh", i.toLong),
+          stC.rdRows(s, "sig", i.toLong),
+          stC.rdLbl(s, i.toLong, withDelete = false),
+          stC.rdRemap(s, i.toLong, withDelete = false),
+          stC.rdRows(s, "gk", i.toLong), ccC, gen)
+      }
+    }
+    if (tdPos == k) takedown()
+    if (cpPos == k) compact(k.toLong)
+    // ---- the graph's own seeded schedule ----
+    val emb = T(s, d, "embeddings")
+    val isArr = pmod(col("vec_id"), lit(Similarity.ClsArrMod)) ===
+      Similarity.ClsArrRem
+    val survV = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(TakedownMod)) =!= TakedownRem
+    val gBatch = pmod(xxhash64(lit(s"lcpg$seed"), col("vec_id")), lit(k))
+    val gdir = state.resolve("gnav")
+    def capTo(df: DataFrame, out: java.nio.file.Path): DataFrame = {
+      capAdj(df).write.mode("overwrite").parquet(out.toString)
+      s.read.parquet(out.toString)
+    }
+    var tier = capTo(Similarity.gnavResidentAdj(s, d)
+      .select(col("vec_id"), col("nbr_id"), col("sim")),
+      gdir.resolve("t0"))
+    var segGens = Seq.empty[String]
+    var vacuumed = false
+    def foldSegment(out: java.nio.file.Path): DataFrame =
+      capTo(if (segGens.isEmpty) tier
+        else tier.unionByName(s.read.parquet(segGens: _*)), out)
+    def vacuum(tag: String): Unit = {
+      val adjA = foldSegment(gdir.resolve(s"adj$tag"))
+      gnavVacuumInto(s, d, adjA, gdir.resolve(s"vac$tag"))
+      tier = s.read.parquet(gdir.resolve(s"vac$tag").toString)
+      segGens = Seq.empty
+      vacuumed = true
+    }
+    for (i <- 0 until k) {
+      if (vacPos == i) vacuum(i.toString)
+      val batchEmb = emb.filter(isArr && gBatch === i)
+      val door = if (vacuumed) batchEmb.filter(survV(col("vec_id")))
+        else batchEmb
+      val sym = Similarity.gnavWalkEdgesOn(s, d,
+        tier.select(col("vec_id").as("node"), col("nbr_id")), door)
+      val gp = gdir.resolve(f"g$i%02d")
+      sym.write.mode("overwrite").parquet(gp.toString)
+      Dedup.releaseCheckpoint(sym)
+      segGens = segGens :+ gp.toString
+    }
+    if (vacPos == k) vacuum("k")
+    val gterm = foldSegment(gdir.resolve("final"))
+    (scoreTextIndex(s, tixC),
+      Dedup.bandPairs(readIndexGens(s, dixC)),
+      ccTerminalLabels(s, ccC), gterm)
+  }
+
+  /** Rebuild-without over the survivors — the permutation spec's
+    * reference: one-generation text index, one-generation signature
+    * store, both over `documents MINUS victims` (the clustering
+    * reference is the from-scratch transitive closure the suite
+    * derives directly).
+    */
+  private[graft] def lifecycleRebuildRef(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
+    val run = freshRunDir("graft_lcpref_")
+    val isVictim = pmod(col("doc_id"), lit(TakedownMod)) === TakedownRem
+    val surv = T(s, d, "documents").filter(!isVictim)
+    val tix = run.resolve("text")
+    textIndexGen(surv, tix, "base")
+    Dedup.minhashSig(Dedup.shingleRows(surv))
+      .write.mode("overwrite")
+      .parquet(run.resolve("dedup/base").toString)
+    (scoreTextIndex(s, tix),
+      Dedup.bandPairs(readIndexGens(s, run.resolve("dedup"))))
+  }
 
   /** MAINTAINED-CLUSTERING DELETION — the takedown family's capstone,
     * and the one member where tombstones alone are WRONG: component
