@@ -983,6 +983,17 @@ object Dedup {
     pins.foreach(releaseCheckpoint)
   }
 
+  /** Left-semi slice of the shared signature artifact — values
+    * identical to a fresh signing of the same ids by construction (the
+    * artifact is built by the same [[shingleRows]]/[[minhashSig]]);
+    * `n` dropped so the slice is schema-identical to a plain
+    * [[minhashSig]] frame. The adoption path for replay base builds
+    * that would otherwise re-shingle the resident corpus.
+    */
+  private[graft] def sharedSigSlice(s: SparkSession, d: String,
+      ids: DataFrame): DataFrame =
+    sharedTables(s, d)._2.join(ids, Seq("doc_id"), "left_semi").drop("n")
+
   /** [[ccIvmBase]] with the signing REUSED from the shared bucketed
     * tables — the registry face's base path: the resident slice's
     * shingles and signatures are left-semi slices of the per-dataset

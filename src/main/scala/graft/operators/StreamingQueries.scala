@@ -1205,8 +1205,8 @@ object StreamingQueries {
       val docs = T(s, d, "documents")
       val ranked = docQuartiles(docs)
       val idx = run.resolve("index")
-      Dedup.minhashSig(
-          Dedup.shingleRows(ranked.filter(col("bucket") < 3).drop("bucket")))
+      Dedup.sharedSigSlice(s, d,
+          ranked.filter(col("bucket") < 3).select(col("doc_id")))
         .write.mode("overwrite").parquet(idx.resolve("base").toString)
       val srcDir = run.resolve("src").toString
       ranked.filter(col("bucket") === 3).drop("bucket")
@@ -2455,7 +2455,11 @@ object StreamingQueries {
       // ---- dedup signature store ----
       phase("dedup") {
       val dix = state.resolve("dedup")
-      Dedup.minhashSig(Dedup.shingleRows(baseDocs))
+      // the base adopts the shared signature artifact (row-identical to
+      // a fresh signing, probe-checked) — never a re-shingle of the
+      // resident corpus; arrivals still sign THEMSELVES (the door's
+      // fold cost is the batch's own signing, as in production)
+      Dedup.sharedSigSlice(s, d, baseDocs.select(col("doc_id")))
         .write.mode("overwrite").parquet(dix.resolve("base").toString)
       Dedup.minhashSig(Dedup.shingleRows(waveADocs))
         .write.mode("overwrite").parquet(dix.resolve("b00000").toString)
@@ -2657,7 +2661,8 @@ object StreamingQueries {
       // ---- resident bases (built once, not stream-delivered) ----
       phase("bases") {
         textIndexGen(baseDocs, tix, "base")
-        Dedup.minhashSig(Dedup.shingleRows(baseDocs))
+        // shared-artifact adoption, like the batch capstone's base
+        Dedup.sharedSigSlice(s, d, baseDocs.select(col("doc_id")))
           .write.mode("overwrite").parquet(dix.resolve("base").toString)
         Dedup.ccIvmBaseFromShared(s, d, baseDocs.select(col("doc_id")), cc)
       }
@@ -2850,7 +2855,7 @@ object StreamingQueries {
     val tdel = state.resolve("textdel")
     val dtomb = state.resolve("deduptomb")
     textIndexGen(resident, tix, "base")
-    Dedup.minhashSig(Dedup.shingleRows(resident))
+    Dedup.sharedSigSlice(s, d, resident.select(col("doc_id")))
       .write.mode("overwrite").parquet(dix.resolve("base").toString)
     Dedup.ccIvmBaseFromShared(s, d, resident.select(col("doc_id")), cc)
     val stTd = new CcTakedownStore(cc, tdPos.toLong)
