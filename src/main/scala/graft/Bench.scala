@@ -65,6 +65,8 @@ object Bench {
         graft.operators.Similarity.ensureGnavInsert(spark, sfDir)),
       timedBuild("gnav_vacuum_build")(
         graft.operators.Similarity.ensureGnavVacuum(spark, sfDir)),
+      timedBuild("tf_shared_build")(
+        graft.operators.StreamingQueries.ensureTfArtifact(spark, sfDir)),
       timedBuild("lifecycle_build")(
         graft.operators.StreamingQueries.ensureLifecycle(spark, sfDir)),
       timedBuild("lifecycle_stream_build")(

@@ -1012,13 +1012,31 @@ object Dedup {
     sigN.join(residentIds, Seq("doc_id"), "left_semi")
       .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
     val shb = s.read.parquet(state.resolve("sh/base").toString)
-    val sigb = s.read.parquet(state.resolve("sig/base").toString)
     shingleSetKeys(shb).write.mode("overwrite")
       .parquet(state.resolve("gk/base").toString)
-    val (labels, pins) = clusterSliceCollapsed(shb, sigb)
-    labels.write.mode("overwrite")
+    // base LABELS: connected components over the resident slice of the
+    // shared verified-pairs artifact — never a re-band + re-verify of
+    // the resident corpus. Sound because verified pairs are PAIR-LOCAL:
+    // a pair is an LSH candidate iff the two docs share a band key and
+    // survives iff their exact shingle jaccard ≥ 0.8 — both functions
+    // of the two docs' shingle sets alone — so pairs(S) =
+    // pairs(corpus) ∩ S×S for any id-subset S, and the banding +
+    // verification of the resident slice is already paid (once per
+    // dataset version) by the clustering artifact every dedup job
+    // shares. Label-identical to [[clusterSliceCollapsed]] over the
+    // sliced tables (spec-pinned in IndexIvmSpec).
+    val aIds = residentIds.select(col("doc_id").as("a_id"))
+    val bIds = residentIds.select(col("doc_id").as("b_id"))
+    val slicePairs = verifiedPairsTable(s, d)
+      .join(aIds, Seq("a_id"), "left_semi")
+      .join(bIds, Seq("b_id"), "left_semi")
+      .select(col("a_id"), col("b_id"))
+    // (the CC loop's final frame carries a Project over the
+    // LogicalRDD, like every other caller — it stays checkpointed)
+    connectedComponentsWithRounds(slicePairs)._1
+      .select(col("doc_id"), col("component"))
+      .write.mode("overwrite")
       .parquet(state.resolve("lbl/base").toString)
-    pins.foreach(releaseCheckpoint)
   }
 
   /** One maintenance fold: verify the batch's new pairs against the

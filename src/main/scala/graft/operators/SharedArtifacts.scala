@@ -82,11 +82,14 @@ private[graft] object SharedArtifacts {
       base.getFileName.toString.getBytes("UTF-8"))
     try Files.move(staging, base, StandardCopyOption.ATOMIC_MOVE)
     catch {
-      case _: java.nio.file.FileAlreadyExistsException
-          | _: java.nio.file.DirectoryNotEmptyException
-          | _: java.nio.file.AccessDeniedException =>
-        // a concurrent builder published first — adopt theirs
-        deleteRecursively(staging)
+      // a concurrent builder published first — adopt theirs. Linux
+      // rename(2) surfaces the race as EEXIST/ENOTEMPTY/EACCES, which
+      // the JVM maps to the three subclasses OR to a bare
+      // FileSystemException with the same reasons — so catch the
+      // parent and gate on the only fact that matters: the published
+      // artifact is READY. Anything else is a real failure.
+      case e: java.nio.file.FileSystemException =>
+        if (isReady(base)) deleteRecursively(staging) else throw e
     }
   }
 

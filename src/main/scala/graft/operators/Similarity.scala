@@ -1814,8 +1814,15 @@ object Similarity {
     * the callers' slice/width counts, and idle threads retire after
     * 60 s so a quiet process holds none.
     */
-  private lazy val walkSlicePool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newCachedThreadPool(
+  private lazy val walkSlicePool: java.util.concurrent.ExecutorService = {
+    // BOUNDED (r18 ADVICE): a cached pool grew one thread per queued
+    // task under concurrent callers; 16 threads cap concurrent walk
+    // jobs across every caller (excess tasks queue), idle threads
+    // retire after 60 s so a quiet process holds none. Submitted tasks
+    // never submit nested tasks, so a bounded pool cannot deadlock.
+    val tp = new java.util.concurrent.ThreadPoolExecutor(
+      16, 16, 60, java.util.concurrent.TimeUnit.SECONDS,
+      new java.util.concurrent.LinkedBlockingQueue[Runnable](),
       new java.util.concurrent.ThreadFactory {
         private val n = new java.util.concurrent.atomic.AtomicInteger(0)
         def newThread(r: Runnable): Thread = {
@@ -1824,15 +1831,25 @@ object Similarity {
           t
         }
       })
+    tp.allowCoreThreadTimeOut(true)
+    tp
+  }
 
   /** Materialize independent walk slices concurrently on the shared
-    * pool; returns results in input order (and rethrows the first
-    * failure).
+    * pool; returns results in input order. The first failure rethrows
+    * after cancelling the outstanding siblings (r18 ADVICE: without
+    * the cancel, a failed sweep still ran every remaining slice to
+    * completion).
     */
-  private def materializeSlices[A](tasks: Seq[() => A]): Seq[A] =
-    tasks.map(t => walkSlicePool.submit(
-        new java.util.concurrent.Callable[A] { def call(): A = t() }))
-      .map(_.get())
+  private def materializeSlices[A](tasks: Seq[() => A]): Seq[A] = {
+    val fs = tasks.map(t => walkSlicePool.submit(
+      new java.util.concurrent.Callable[A] { def call(): A = t() }))
+    try fs.map(_.get())
+    catch { case e: Throwable =>
+      fs.foreach(_.cancel(true))
+      throw e
+    }
+  }
 
   /** Run the walk at each width with the two frames EVERY hop re-reads
     * — the corpus projection and the adjacency — pinned once (a beam

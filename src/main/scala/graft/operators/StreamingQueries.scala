@@ -1787,15 +1787,81 @@ object StreamingQueries {
       idx: java.nio.file.Path, gen: String): Unit = {
     val tok = batch.select(col("doc_id"),
       explode(split(trim(col("text")), "\\s+")).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
+    tok.groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    tf.write.mode("overwrite").parquet(idx.resolve(s"post/$gen").toString)
-    dl.write.mode("overwrite").parquet(idx.resolve(s"dl/$gen").toString)
-    tf.groupBy(col("term")).agg(count(lit(1)).as("dfp"))
+      .write.mode("overwrite").parquet(idx.resolve(s"post/$gen").toString)
+    textIndexDeriveFromPost(batch.sparkSession, idx, gen)
+  }
+
+  /** Derive a generation's dl/df/st frames from its WRITTEN posting
+    * file instead of re-running the tokenize pipeline per write (the
+    * four lazy writes each re-executed scan+split+explode): dl is the
+    * doc's token count = SUM(tf) over its postings (exact long
+    * arithmetic), df counts posting rows per term — value-identical by
+    * construction (spec-pinned in TextIndexGenSpec), one tokenize pass
+    * per generation instead of four.
+    */
+  private def textIndexDeriveFromPost(sp: SparkSession,
+      idx: java.nio.file.Path, gen: String): Unit = {
+    val tfb = sp.read.parquet(idx.resolve(s"post/$gen").toString)
+    tfb.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+      .write.mode("overwrite").parquet(idx.resolve(s"dl/$gen").toString)
+    val dlb = sp.read.parquet(idx.resolve(s"dl/$gen").toString)
+    tfb.groupBy(col("term")).agg(count(lit(1)).as("dfp"))
       .write.mode("overwrite").parquet(idx.resolve(s"df/$gen").toString)
-    dl.agg(count(lit(1)).as("np"), sum(col("dl")).as("totalp"))
+    dlb.agg(count(lit(1)).as("np"), sum(col("dl")).as("totalp"))
       .write.mode("overwrite").parquet(idx.resolve(s"st/$gen").toString)
+  }
+
+  /** The per-dataset shared tokenized-corpus artifact: `(doc_id, term,
+    * tf)` over the FULL corpus, built ONCE per (dataset, content
+    * version) through the [[SharedArtifacts]] publish/adopt protocol by
+    * the same tokenize pipeline [[textIndexGen]] runs — so a slice of
+    * it is value-identical to a fresh tokenize of the same ids. The
+    * maintained tokenization a 100 TB curation tier shares across jobs,
+    * mirroring [[Dedup.sharedSigSlice]] (the r18-named text-base
+    * deferral).
+    */
+  private def sharedTfTable(s: SparkSession, d: String): DataFrame = {
+    val base = SharedArtifacts.root.resolve("tf_" +
+      SharedArtifacts.fingerprint(d, "documents.parquet", "tf:v1"))
+    if (!SharedArtifacts.isReady(base)) {
+      val staging = SharedArtifacts.stagingFor(base)
+      T(s, d, "documents").select(col("doc_id"),
+          explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .write.mode("overwrite").parquet(staging.resolve("tf").toString)
+      SharedArtifacts.publish(staging, base)
+    }
+    SharedArtifacts.markUsed(base)
+    s.read.parquet(base.resolve("tf").toString)
+  }
+
+  /** Eagerly build (or adopt) the shared tokenized-corpus artifact —
+    * the bench's visibility hook (a named line item, so the one run
+    * that pays the build can't be discarded by best-of-2 min()).
+    */
+  def ensureTfArtifact(s: SparkSession, d: String): Boolean = {
+    val existed = SharedArtifacts.isReady(SharedArtifacts.root.resolve(
+      "tf_" + SharedArtifacts.fingerprint(d, "documents.parquet", "tf:v1")))
+    sharedTfTable(s, d).queryExecution
+    !existed
+  }
+
+  /** A replay BASE text-index generation as a semi-join SLICE of the
+    * shared tokenized-corpus artifact — never a re-tokenize of the
+    * resident corpus (the adoption move [[Dedup.sharedSigSlice]] made
+    * for signatures, applied to text). Arrivals still tokenize
+    * THEMSELVES through [[textIndexGen]]: the door's fold cost is the
+    * batch's own work, as in production.
+    */
+  private[graft] def textIndexBaseFromShared(s: SparkSession, d: String,
+      ids: DataFrame, idx: java.nio.file.Path,
+      gen: String = "base"): Unit = {
+    sharedTfTable(s, d).join(ids, Seq("doc_id"), "left_semi")
+      .write.mode("overwrite").parquet(idx.resolve(s"post/$gen").toString)
+    textIndexDeriveFromPost(s, idx, gen)
   }
 
   /** One maintained-index BUILD per dataset version per process (base
@@ -1819,7 +1885,11 @@ object StreamingQueries {
       val idx = run.resolve("index")
       def writeGen(batch: DataFrame, gen: String): Unit =
         textIndexGen(batch, idx, gen)
-      writeGen(ranked.filter(col("bucket") < 3).drop("bucket"), "base")
+      // the base adopts the shared tokenized-corpus artifact
+      // (row-identical to a fresh tokenize, spec-pinned); streamed
+      // arrival generations below tokenize themselves
+      textIndexBaseFromShared(s, d,
+        ranked.filter(col("bucket") < 3).select(col("doc_id")), idx)
       val srcDir = run.resolve("src").toString
       ranked.filter(col("bucket") === 3).drop("bucket")
         .repartition(3, col("doc_id"))
@@ -2412,11 +2482,41 @@ object StreamingQueries {
         coalesce(col("root"), col("l0")).as("component"))
   }
 
+  /** Run independent replay phases concurrently (guide §2.6: actions
+    * are only sequential because the driver calls them sequentially —
+    * concurrent jobs back-fill executors freed by each other's
+    * stragglers). Callers pass phases with DISJOINT store directories
+    * and no data dependencies; results are byte-identical to the
+    * sequential order by construction. First failure propagates after
+    * cancelling the siblings (best-effort — a running Spark action
+    * finishes its current job).
+    */
+  private def inParallel(tasks: Seq[() => Unit]): Unit = {
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    val fs = tasks.map(t => pool.submit(
+      new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+    try fs.foreach(_.get())
+    catch { case e: Throwable =>
+      fs.foreach(_.cancel(true))
+      pool.shutdown()
+      pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+      throw e
+    }
+    pool.shutdown()
+  }
+
   private val lifecycleRunCache =
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
+  /** Both capstone cache keys fingerprint documents AND embeddings:
+    * the gnav phase folds embeddings.parquet, so a dataset whose
+    * embeddings change while documents stay fixed must not adopt a
+    * stale cached run (r18 ADVICE).
+    */
   private[graft] def lifecycleKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "documents.parquet", "lcrun:v1")
+    SharedArtifacts.fingerprint(d, "documents.parquet", "lcrun:v2") + ":" +
+      SharedArtifacts.fingerprint(d, "embeddings.parquet", "lcrun:v2")
 
   private def builtLifecycle(s: SparkSession, d: String)
       : java.nio.file.Path =
@@ -2444,20 +2544,31 @@ object StreamingQueries {
         a
       }
 
-      phase("text") {
+      // the four store families are mutually independent — disjoint
+      // store directories, same inputs (the pinned schedule + the
+      // shared artifacts) — so their phase chains run CONCURRENTLY
+      // (guide §2.6): each family's internal fold order is unchanged
+      // (sequential inside its thunk), the scheduler back-fills cores
+      // across families, and every written byte is identical to the
+      // sequential replay's
+      inParallel(Seq(
+      () => phase("text") {
       // ---- text index: base + wave A, takedown + compact, wave B ----
+      // the base adopts the shared tokenized-corpus artifact (row-
+      // identical to a fresh tokenize, spec-pinned); arrivals tokenize
+      // themselves — the door's own fold cost, as in production
       val tix = state.resolve("text")
-      textIndexGen(baseDocs, tix, "base")
+      textIndexBaseFromShared(s, d, baseDocs.select(col("doc_id")), tix)
       textIndexGen(waveADocs, tix, "b00000")
       val tixC = state.resolve("textc")
       textTakedownCompact(s, tix, state.resolve("textdel"), tixC,
         isVictim)
       // wave B folds into the COMPACTED index through the door denylist
       textIndexGen(waveBDocs.filter(!isVictim), tixC, "b00001")
-      }
+      },
 
       // ---- dedup signature store ----
-      phase("dedup") {
+      () => phase("dedup") {
       val dix = state.resolve("dedup")
       // the base adopts the shared signature artifact (row-identical to
       // a fresh signing, probe-checked) — never a re-shingle of the
@@ -2472,10 +2583,10 @@ object StreamingQueries {
         isVictim)
       Dedup.minhashSig(Dedup.shingleRows(waveBDocs.filter(!isVictim)))
         .write.mode("overwrite").parquet(dixC.resolve("b00001").toString)
-      }
+      },
 
       // ---- clustering ----
-      phase("cc") {
+      () => phase("cc") {
       val cc = state.resolve("cc")
       Dedup.ccIvmBaseFromShared(s, d,
         baseDocs.select(col("doc_id")), cc)
@@ -2501,10 +2612,10 @@ object StreamingQueries {
         stC.rdLbl(s, 0L, withDelete = false),
         stC.rdRemap(s, 0L, withDelete = false),
         stC.rdRows(s, "gk", 0L), ccC, "b00001")
-      }
+      },
 
       // ---- navigation graph ----
-      phase("gnav") {
+      () => phase("gnav") {
       val emb = T(s, d, "embeddings")
       val gAM = Similarity.ClsArrMod
       val gAR = Similarity.ClsArrRem
@@ -2535,7 +2646,7 @@ object StreamingQueries {
       capAdj(adjV.unionByName(symB))
         .write.mode("overwrite").parquet(gdir.resolve("final").toString)
       Dedup.releaseCheckpoint(symB)
-      }
+      }))
       Dedup.releaseCheckpoint(ranked)
       state
     })
@@ -2583,19 +2694,44 @@ object StreamingQueries {
     import java.nio.file.Files
     import scala.jdk.CollectionConverters._
     Files.createDirectories(srcDir)
+    // one fixed base stamp for the whole staging — per-slice "now"
+    // could go backwards across slices on a slow clock tick
+    val t0 = System.currentTimeMillis()
     slices.zipWithIndex.foreach { case (df, i) =>
       val part = srcDir.resolve(s"stage$i")
-      df.coalesce(1).write.mode("overwrite").parquet(part.toString)
+      // repartition(1), not coalesce(1): an EMPTY slice (possible for
+      // a wave/residue class on tiny or skewed corpora) has zero
+      // partitions under coalesce and writes no part file at all —
+      // repartition always produces exactly one, so every scheduled
+      // micro-batch exists and batch ids stay aligned with the
+      // schedule (row order inside a staged file is immaterial: every
+      // downstream fold is a join/aggregation)
+      df.repartition(1).write.mode("overwrite").parquet(part.toString)
       val file = Files.list(part).iterator().asScala
-        .find(_.getFileName.toString.endsWith(".parquet")).get
+        .find(_.getFileName.toString.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(
+          s"stageOrderedFiles: slice $i wrote no parquet part under " +
+            part))
       val dst = srcDir.resolve(f"f$i%02d.parquet")
       Files.move(file, dst)
       SharedArtifacts.deleteRecursively(part)
+      // the file source orders micro-batches by mtime — a failed stamp
+      // (or same-tick mtimes) could deliver a wave-B slice before the
+      // takedown boundary, so fail LOUDLY instead of silently staging
+      // a nondeterministic schedule
       try Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(
-          System.currentTimeMillis() + i * 1000L))
-      catch { case _: java.io.IOException => () }
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 1000L))
+      catch { case e: java.io.IOException =>
+        throw new IllegalStateException(
+          s"stageOrderedFiles: cannot stamp mtime on $dst — the " +
+            "replay's micro-batch order would be nondeterministic", e)
+      }
     }
+    // belt-and-braces: the staged schedule must be strictly ascending
+    val stamps = slices.indices.map(i => Files.getLastModifiedTime(
+      srcDir.resolve(f"f$i%02d.parquet")).toMillis)
+    require(stamps.zip(stamps.drop(1)).forall { case (a, b) => a < b },
+      s"stageOrderedFiles: staged mtimes not strictly ascending: $stamps")
   }
 
   /** THE STREAMING LIFECYCLE CAPSTONE — the batch capstone's composed
@@ -2638,7 +2774,8 @@ object StreamingQueries {
     new java.util.concurrent.ConcurrentHashMap[String, java.nio.file.Path]()
 
   private[graft] def lifecycleStreamKey(d: String): String =
-    SharedArtifacts.fingerprint(d, "documents.parquet", "lcsrun:v1")
+    SharedArtifacts.fingerprint(d, "documents.parquet", "lcsrun:v2") + ":" +
+      SharedArtifacts.fingerprint(d, "embeddings.parquet", "lcsrun:v2")
 
   private def builtLifecycleStream(s: SparkSession, d: String)
       : java.nio.file.Path =
@@ -2665,13 +2802,23 @@ object StreamingQueries {
         a
       }
 
+      // the DOCUMENT side (bases + the doc stream's three doors) and
+      // the EMBEDDING side (the graph door's own stream) touch disjoint
+      // stores and disjoint sources — run the two sides concurrently
+      // (guide §2.6); inside each side the fold order is unchanged, so
+      // every store byte is identical to the sequential replay's
+      inParallel(Seq(() => {
       // ---- resident bases (built once, not stream-delivered) ----
       phase("bases") {
-        textIndexGen(baseDocs, tix, "base")
-        // shared-artifact adoption, like the batch capstone's base
-        Dedup.sharedSigSlice(s, d, baseDocs.select(col("doc_id")))
-          .write.mode("overwrite").parquet(dix.resolve("base").toString)
-        Dedup.ccIvmBaseFromShared(s, d, baseDocs.select(col("doc_id")), cc)
+        // three independent store families — build them concurrently
+        inParallel(Seq(
+          // shared-artifact adoptions, like the batch capstone's bases
+          () => textIndexBaseFromShared(s, d,
+            baseDocs.select(col("doc_id")), tix),
+          () => Dedup.sharedSigSlice(s, d, baseDocs.select(col("doc_id")))
+            .write.mode("overwrite").parquet(dix.resolve("base").toString),
+          () => Dedup.ccIvmBaseFromShared(s, d,
+            baseDocs.select(col("doc_id")), cc)))
       }
 
       // ---- the document arrival stream: text + dedup + cc doors ----
@@ -2690,12 +2837,15 @@ object StreamingQueries {
         val q = raw.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sp = batch.sparkSession
+            val bt0 = System.nanoTime()
             if (batchId == boundary) {
               textTakedownCompact(sp, tix, state.resolve("textdel"),
                 tixC, isVictim)
               sigTakedownCompact(sp, dix, state.resolve("deduptomb"),
                 dixC, isVictim)
               ccTakedownCompact(sp, cc, ccC, boundary, isVictim)
+              System.err.println(f"[lifecycle-stream] docs boundary " +
+                f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
             }
             val door = if (batchId >= boundary) batch.filter(!isVictim)
               else batch
@@ -2715,6 +2865,8 @@ object StreamingQueries {
               st.rdLbl(sp, batchId, withDelete = false),
               st.rdRemap(sp, batchId, withDelete = false),
               st.rdRows(sp, "gk", batchId), ccT, gen)
+            System.err.println(f"[lifecycle-stream] docs b$batchId " +
+              f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
           }
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", run.resolve("chk").toString)
@@ -2722,6 +2874,7 @@ object StreamingQueries {
         q.awaitTermination()
       }
       }
+      }, () => {
 
       // ---- the embedding arrival stream: the graph door ----
       phase("gnav-stream") {
@@ -2744,6 +2897,7 @@ object StreamingQueries {
         val q = graw.writeStream
           .foreachBatch { (batch: DataFrame, batchId: Long) =>
             val sp = batch.sparkSession
+            val bt0 = System.nanoTime()
             if (batchId == boundary) {
               // fold wave A onto the resident tier (one re-cap — the
               // door's monotone cap algebra), then vacuum
@@ -2770,6 +2924,8 @@ object StreamingQueries {
             sym.write.mode("overwrite")
               .parquet(tgt.resolve(f"b$batchId%05d").toString)
             Dedup.releaseCheckpoint(sym)
+            System.err.println(f"[lifecycle-stream] gnav b$batchId " +
+              f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
           }
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation", run.resolve("gchk").toString)
@@ -2782,6 +2938,7 @@ object StreamingQueries {
           .unionByName(rdGensOf(s, gdir.resolve("wb"))))
         .write.mode("overwrite").parquet(gdir.resolve("final").toString)
       }
+      }))
       state
     })
 

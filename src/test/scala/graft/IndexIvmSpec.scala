@@ -587,4 +587,55 @@ class IndexIvmSpec extends AnyFunSuite {
     assert(out.values.map(_._2).sum == nArr * dims,
       "clamp dropped arriving elements")
   }
+
+  test("ccIvmBaseFromShared: base labels from the resident slice of " +
+      "the verified-pairs artifact == clusterSliceCollapsed over the " +
+      "sliced tables (pair-locality)") {
+    import org.apache.spark.sql.functions._
+    val run = java.nio.file.Files.createTempDirectory("graft_ccbase_")
+    val docs = Tables.load(spark, sf, "documents")
+    // a split that is NOT the capstones' quartile split, so the pin is
+    // about the subset algebra, not one schedule
+    val ids = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+      .select(col("doc_id"))
+    operators.Dedup.ccIvmBaseFromShared(spark, sf, ids, run)
+    val got = spark.read.parquet(run.resolve("lbl/base").toString)
+    val shb = spark.read.parquet(run.resolve("sh/base").toString)
+    val sigb = spark.read.parquet(run.resolve("sig/base").toString)
+    val (ref, pins) = operators.Dedup.clusterSliceCollapsed(shb, sigb)
+    assert(got.exceptAll(ref).isEmpty && ref.exceptAll(got).isEmpty,
+      "sliced-artifact base labels diverged from the re-banded slice")
+    pins.foreach(operators.Dedup.releaseCheckpoint)
+  }
+
+  test("textIndexBaseFromShared: the shared-tf base slice writes the " +
+      "SAME four store frames as a fresh tokenize of the same ids") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, sf, "documents")
+    val ids = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+      .select(col("doc_id"))
+    val run = java.nio.file.Files.createTempDirectory("graft_tfslice_")
+    StreamingQueries.textIndexBaseFromShared(spark, sf, ids,
+      run.resolve("sliced"))
+    StreamingQueries.textIndexGen(docs.join(ids, Seq("doc_id"),
+      "left_semi"), run.resolve("fresh"), "base")
+    for (sub <- Seq("post", "dl", "df", "st")) {
+      val a = spark.read.parquet(
+        run.resolve(s"sliced/$sub/base").toString)
+      val b = spark.read.parquet(
+        run.resolve(s"fresh/$sub/base").toString)
+      assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+        s"frame $sub diverged between slice and fresh tokenize")
+    }
+    // and the derive-from-post tail itself: dl via SUM(tf) equals the
+    // tokenize pipeline's per-doc token count
+    val tok = docs.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("term"))
+    val dlRef = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dlGot = spark.read.parquet(
+      run.resolve("sliced/dl/base").toString)
+    assert(dlGot.exceptAll(dlRef).isEmpty && dlRef.exceptAll(dlGot).isEmpty,
+      "dl = SUM(tf) diverged from the tokenize pipeline's count")
+  }
 }
