@@ -734,7 +734,7 @@ object Dedup {
     * from scratch every gate run — it is the oracle-checked derivation
     * the artifact's builder shares code with.
     */
-  private[operators] def verifiedPairsTable(s: SparkSession, d: String)
+  private[graft] def verifiedPairsTable(s: SparkSession, d: String)
       : DataFrame =
     ccArtifact(s, d, "pairs")
 
@@ -1007,13 +1007,7 @@ object Dedup {
   private[graft] def ccIvmBaseFromShared(s: SparkSession, d: String,
       residentIds: DataFrame, state: java.nio.file.Path): Unit = {
     val (sh, sigN) = sharedTables(s, d)
-    sh.join(residentIds, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(state.resolve("sh/base").toString)
-    sigN.join(residentIds, Seq("doc_id"), "left_semi")
-      .write.mode("overwrite").parquet(state.resolve("sig/base").toString)
-    val shb = s.read.parquet(state.resolve("sh/base").toString)
-    shingleSetKeys(shb).write.mode("overwrite")
-      .parquet(state.resolve("gk/base").toString)
+    val shSlice = sh.join(residentIds, Seq("doc_id"), "left_semi")
     // base LABELS: connected components over the resident slice of the
     // shared verified-pairs artifact — never a re-band + re-verify of
     // the resident corpus. Sound because verified pairs are PAIR-LOCAL:
@@ -1031,12 +1025,43 @@ object Dedup {
       .join(aIds, Seq("a_id"), "left_semi")
       .join(bIds, Seq("b_id"), "left_semi")
       .select(col("a_id"), col("b_id"))
-    // (the CC loop's final frame carries a Project over the
-    // LogicalRDD, like every other caller — it stays checkpointed)
-    connectedComponentsWithRounds(slicePairs)._1
-      .select(col("doc_id"), col("component"))
-      .write.mode("overwrite")
-      .parquet(state.resolve("lbl/base").toString)
+    // the four base stores each derive ONLY from the shared artifacts
+    // plus the id set — no store reads another store's file — so their
+    // writes run concurrently (guide §2.6) and the base costs
+    // max(write), not the sum. gk comes off the slice PLAN rather than
+    // the written sh/base (same rows: a parquet round-trip of the
+    // slice changes no value shingleSetKeys reads).
+    inParallelUnit(Seq(
+      () => shSlice
+        .write.mode("overwrite").parquet(state.resolve("sh/base").toString),
+      () => sigN.join(residentIds, Seq("doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(state.resolve("sig/base").toString),
+      () => shingleSetKeys(shSlice).write.mode("overwrite")
+        .parquet(state.resolve("gk/base").toString),
+      // (the CC loop's final frame carries a Project over the
+      // LogicalRDD, like every other caller — it stays checkpointed)
+      () => connectedComponentsWithRounds(slicePairs)._1
+        .select(col("doc_id"), col("component"))
+        .write.mode("overwrite")
+        .parquet(state.resolve("lbl/base").toString)))
+  }
+
+  /** Run independent Spark actions concurrently on short-lived threads
+    * (guide §2.6); first failure rethrows after cancelling siblings.
+    */
+  private[graft] def inParallelUnit(tasks: Seq[() => Unit]): Unit = {
+    val pool =
+      java.util.concurrent.Executors.newFixedThreadPool(tasks.size)
+    val fs = tasks.map(t => pool.submit(
+      new java.util.concurrent.Callable[Unit] { def call(): Unit = t() }))
+    try fs.foreach(_.get())
+    catch { case e: Throwable =>
+      fs.foreach(_.cancel(true))
+      pool.shutdown()
+      pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS)
+      throw e
+    }
+    pool.shutdown()
   }
 
   /** One maintenance fold: verify the batch's new pairs against the
@@ -1074,8 +1099,15 @@ object Dedup {
     shingleRows(fresh).write.mode("overwrite")
       .parquet(state.resolve(s"sh/$gen").toString)
     val batchSh = sp.read.parquet(state.resolve(s"sh/$gen").toString)
-    minhashSig(batchSh, Seq(count(lit(1)).as("n")))
-      .write.mode("overwrite").parquet(state.resolve(s"sig/$gen").toString)
+    // the signature and key-registry generations both derive from the
+    // WRITTEN batch shingles alone — write them concurrently
+    // (guide §2.6; the gk write moves up from below, same frame)
+    inParallelUnit(Seq(
+      () => minhashSig(batchSh, Seq(count(lit(1)).as("n")))
+        .write.mode("overwrite")
+        .parquet(state.resolve(s"sig/$gen").toString),
+      () => shingleSetKeys(batchSh).write.mode("overwrite")
+        .parquet(state.resolve(s"gk/$gen").toString)))
     val batchSig = sp.read.parquet(state.resolve(s"sig/$gen").toString)
     // 2. PRE-COLLAPSE the batch on its shingle SET before banding —
     // [[clusterSliceCollapsed]]'s move applied at the fold (r17,
@@ -1089,8 +1121,6 @@ object Dedup {
     // by one). The transitive closure, and therefore every label and
     // root, is unchanged: old pairs route through reps, member edges
     // add only same-set pairs the per-doc path also connected.
-    shingleSetKeys(batchSh).write.mode("overwrite")
-      .parquet(state.resolve(s"gk/$gen").toString)
     val gkeys = sp.read.parquet(state.resolve(s"gk/$gen").toString)
     val grouped = gkeys.groupBy(col("gkey"))
       .agg(min(col("doc_id")).as("rep_id"))
@@ -1167,19 +1197,26 @@ object Dedup {
     val rootOf = curr
       .join(cc.withColumnRenamed("node", "cur"), Seq("cur"), "left")
       .select(col("doc_id"), coalesce(col("nroot"), col("cur")).as("root"))
-    rootOf
-      .join(priorLbl.select(col("doc_id")), Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("root").as("component"))
-      .write.mode("overwrite").parquet(state.resolve(s"lbl/$gen").toString)
-    // compacted remap: re-point entries whose target just merged, then
+    // the label and remap generations are independent frames over the
+    // (checkpointed) CC result — write them concurrently (guide §2.6).
+    // Compacted remap: re-point entries whose target just merged, then
     // add the merged roots themselves (key sets are disjoint — merge
     // keys were CURRENT roots, existing keys are stale by definition)
-    prevRemap
-      .join(mergeMap.withColumnRenamed("m_old", "root"), Seq("root"), "left")
-      .select(col("old"), coalesce(col("m_root"), col("root")).as("root"))
-      .union(mergeMap.select(col("m_old").as("old"), col("m_root").as("root")))
-      .write.mode("overwrite")
-      .parquet(state.resolve(s"remap/$gen").toString)
+    inParallelUnit(Seq(
+      () => rootOf
+        .join(priorLbl.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("root").as("component"))
+        .write.mode("overwrite")
+        .parquet(state.resolve(s"lbl/$gen").toString),
+      () => prevRemap
+        .join(mergeMap.withColumnRenamed("m_old", "root"),
+          Seq("root"), "left")
+        .select(col("old"),
+          coalesce(col("m_root"), col("root")).as("root"))
+        .union(mergeMap
+          .select(col("m_old").as("old"), col("m_root").as("root")))
+        .write.mode("overwrite")
+        .parquet(state.resolve(s"remap/$gen").toString)))
     // the CC loop's final labels frame stays checkpointed (its lineage
     // carries a Project over the LogicalRDD, like every other caller)
     Seq(newPairs, curr, mergeMap, membership).foreach(releaseCheckpoint)

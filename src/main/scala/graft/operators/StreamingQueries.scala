@@ -2839,11 +2839,17 @@ object StreamingQueries {
             val sp = batch.sparkSession
             val bt0 = System.nanoTime()
             if (batchId == boundary) {
-              textTakedownCompact(sp, tix, state.resolve("textdel"),
-                tixC, isVictim)
-              sigTakedownCompact(sp, dix, state.resolve("deduptomb"),
-                dixC, isVictim)
-              ccTakedownCompact(sp, cc, ccC, boundary, isVictim)
+              // the three takedown+compactions rewrite DISJOINT store
+              // families (text vs signature vs clustering) from inputs
+              // fixed before the boundary — run them concurrently
+              // (guide §2.6); each family's internal order is unchanged
+              inParallel(Seq(
+                () => textTakedownCompact(sp, tix,
+                  state.resolve("textdel"), tixC, isVictim),
+                () => sigTakedownCompact(sp, dix,
+                  state.resolve("deduptomb"), dixC, isVictim),
+                () => ccTakedownCompact(sp, cc, ccC, boundary,
+                  isVictim)))
               System.err.println(f"[lifecycle-stream] docs boundary " +
                 f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
             }
@@ -2853,18 +2859,22 @@ object StreamingQueries {
             val (tixT, dixT, ccT) =
               if (batchId < boundary) (tix, dix, cc)
               else (tixC, dixC, ccC)
-            textIndexGen(door, tixT, gen)
-            Dedup.minhashSig(Dedup.shingleRows(door))
-              .write.mode("overwrite")
-              .parquet(dixT.resolve(gen).toString)
             val st = if (batchId < boundary)
               new CcTakedownStore(cc, boundary)
             else new CcTakedownStore(ccC, Long.MaxValue)
-            Dedup.ccIvmBatch(door, st.rdRows(sp, "sh", batchId),
-              st.rdRows(sp, "sig", batchId),
-              st.rdLbl(sp, batchId, withDelete = false),
-              st.rdRemap(sp, batchId, withDelete = false),
-              st.rdRows(sp, "gk", batchId), ccT, gen)
+            // the three door folds write DISJOINT store families from
+            // the same immutable batch frame — run them concurrently
+            // (guide §2.6), like the batch capstone's family phases
+            inParallel(Seq(
+              () => textIndexGen(door, tixT, gen),
+              () => Dedup.minhashSig(Dedup.shingleRows(door))
+                .write.mode("overwrite")
+                .parquet(dixT.resolve(gen).toString),
+              () => Dedup.ccIvmBatch(door, st.rdRows(sp, "sh", batchId),
+                st.rdRows(sp, "sig", batchId),
+                st.rdLbl(sp, batchId, withDelete = false),
+                st.rdRemap(sp, batchId, withDelete = false),
+                st.rdRows(sp, "gk", batchId), ccT, gen)))
             System.err.println(f"[lifecycle-stream] docs b$batchId " +
               f"${(System.nanoTime() - bt0) / 1e9}%.2f s")
           }

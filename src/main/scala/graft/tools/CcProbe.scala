@@ -28,6 +28,16 @@ object CcProbe {
       .withColumn("bucket", expr("((rn - 1) * 4) div n"))
       .drop("rn", "n")
     val state = java.nio.file.Files.createTempDirectory("graft_ccprobe_")
+    // decompose the base's inputs first: artifact adoption constants
+    // vs the CC loop vs the store writes
+    timed("shared tables adoption") {
+      graft.operators.Dedup.sharedSigSlice(spark, d,
+        ranked.filter(col("bucket") < 2).select(col("doc_id")))
+        .queryExecution.executedPlan
+    }
+    timed("verified pairs count") {
+      graft.operators.Dedup.verifiedPairsTable(spark, d).count()
+    }
     timed("cc base (half corpus)") {
       graft.operators.Dedup.ccIvmBaseFromShared(spark, d,
         ranked.filter(col("bucket") < 2).select(col("doc_id")), state)
